@@ -1,0 +1,295 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Mapping
+
+/** Registered parser metadata + body — the reference's `@Parser` decorator
+  * surface (graph_etl/utils.py:192-303). Scala has no decorators; the
+  * registration form is `etl.parser(name, metadata)(ctx => ...)` and the
+  * eager form `etl.withParser(name, metadata)(ctx => ...)`. */
+final case class RegisteredParser(
+    name: String,
+    metadatas: Map[String, String],
+    sourcesPath: Seq[String],
+    ignore: Boolean,
+    body: Context => Unit)
+
+/** Top-level orchestration: init / parse / load / clear
+  * (graph_etl/pipeline.py + utils.py control plane).
+  *
+  * One instance per ETL run; holds the driver-side store (catalog, mappings,
+  * logs). All data movement is Spark jobs; everything here is metadata.
+  *
+  * @param strictCompat reproduce the reference's full-outer ghost-edge
+  *   mapping joins bug-for-bug (SURVEY §2.12.1); default fixed (left-outer).
+  */
+final class GraphEtl(
+    val spark: SparkSession,
+    val outputDir: String = "./output",
+    val strictCompat: Boolean = false,
+    nodeChunkSize: Long = Context.NodeChunkSize,
+    edgeChunkSize: Long = Context.EdgeChunkSize) {
+
+  val store = new StoreInfo(outputDir, spark)
+  private val parsers = mutable.LinkedHashMap.empty[String, RegisteredParser]
+  private var initialized = false
+  private var parsed = false
+
+  /** Register a deferred parser (utils.py:234-252, 285-303). The body is
+    * arity-1 over Context by construction (the reference arity-checks at
+    * utils.py:286-292; the Scala type system does it here). */
+  def parser(
+      name: String,
+      metadatas: Map[String, String] = Map.empty,
+      sourcesPath: Seq[String] = Nil,
+      ignore: Boolean = false)(body: Context => Unit): Unit =
+    parsers(s"FUNCTION_$name") = RegisteredParser(name, metadatas, sourcesPath, ignore, body)
+
+  /** init (utils.py:129-133 → pipeline.py:20-29): create output dirs, wire
+    * filters/callbacks, optionally resume from a persisted catalog. */
+  def init(
+      filter: Option[GraphFilter] = None,
+      callbacks: Seq[SchemaCallback] = Nil,
+      loadConfigs: Boolean = false): Unit = {
+    store.initDirs()
+    store.filter = filter
+    store.callbacks = callbacks
+    if (loadConfigs) store.loadCatalog()
+    initialized = true
+  }
+
+  /** Skip/resume guard (utils.py:255-269): skip when already parsed (resume
+    * log), explicitly ignored, or a declared source path is missing.
+    * Resume keys on the parser *name* (stable across JVMs) rather than the
+    * reference's per-instance uuid. */
+  private def shouldSkip(p: RegisteredParser): Boolean =
+    p.ignore ||
+      store.logEntries("parser").contains(p.name) ||
+      p.sourcesPath.exists(sp => !Files.exists(Paths.get(sp)))
+
+  /** parse (utils.py:135-153 → pipeline.py:32-46): run every registered
+    * parser not filtered/skipped, then the mapping passes. */
+  def parse(useMapper: Boolean = true): Unit = {
+    if (!initialized) init()
+    val t0 = System.nanoTime()
+    parsers.values.foreach { p =>
+      val filtered = store.filter.exists(_.skipParse(p.metadatas))
+      if (!filtered && !shouldSkip(p)) {
+        val ctx = new Context(store, p.metadatas, java.util.UUID.randomUUID().toString.take(8),
+          nodeChunkSize, edgeChunkSize)
+        p.body(ctx)
+        store.logAppend("parser", p.name)
+        store.persistCatalog()
+      }
+    }
+    if (useMapper) mapProperties()
+    store.stats("parse_time_ms") = (System.nanoTime() - t0) / 1000000
+    store.persistCatalog()
+    parsed = true
+  }
+
+  /** Eager context-manager form (`with Parser(...) as ctx`,
+    * utils.py:271-283): body runs immediately; mapping runs at block exit —
+    * incremental and idempotent-by-rewrite, like the reference. */
+  def withParser(
+      name: String,
+      metadatas: Map[String, String] = Map.empty)(body: Context => Unit): Unit = {
+    if (!initialized) init()
+    if (!store.logEntries("parser").contains(name)) {
+      val ctx = new Context(store, metadatas, java.util.UUID.randomUUID().toString.take(8),
+        nodeChunkSize, edgeChunkSize)
+      try body(ctx)
+      finally {
+        store.logAppend("parser", name)
+        store.persistCatalog()
+        mapProperties()
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Mapping passes (pipeline.py:48-122)
+  // ------------------------------------------------------------------
+
+  /** Read a staged edge file with the catalog-recorded schema — no second
+    * inference pass (improvement over pipeline.py:53's 100k-row re-infer). */
+  private[etl] def readStagedEdges(fname: String, cfg: EdgeFileConfig): DataFrame = {
+    val schema = StructType(edgeColumnOrder(fname, cfg).map(c =>
+      StructField(c, Catalog.sparkType(cfg.properties_type(c)))))
+    spark.read
+      .option("sep", ";").option("header", "true")
+      .schema(schema)
+      .csv(store.edgesDir.resolve(fname).toString)
+  }
+
+  private def edgeColumnOrder(fname: String, cfg: EdgeFileConfig): List[String] = {
+    // header order from the file itself (cheap: one line), falling back to
+    // catalog key order — S8's header probe without a data scan
+    val p = store.edgesDir.resolve(fname)
+    if (Files.exists(p)) {
+      val src = scala.io.Source.fromFile(p.toFile)
+      try {
+        val it = src.getLines()
+        if (it.hasNext) it.next().split(";", -1).toList else cfg.properties_type.keys.toList
+      } finally src.close()
+    } else cfg.properties_type.keys.toList
+  }
+
+  /** Rewrite one staged edge file in place: temp dir + atomic rename
+    * (Spark cannot overwrite its own input — SURVEY §2.2 K3). */
+  private def rewriteEdgeFile(fname: String, df: DataFrame): Unit = {
+    val tmp = Files.createTempDirectory(store.edgesDir, ".rewrite")
+    df.coalesce(1).write
+      .option("sep", ";").option("header", "true")
+      .mode("overwrite").csv(tmp.toString)
+    val part = Files.list(tmp).filter(_.getFileName.toString.startsWith("part-"))
+      .findFirst().orElseThrow(() => new IllegalStateException(s"rewrite of $fname produced no file"))
+    Files.move(part, store.edgesDir.resolve(fname), StandardCopyOption.REPLACE_EXISTING)
+    Context.deleteRecursively(tmp)
+  }
+
+  /** Both mapping passes over every staged edge file (pipeline.py:48-122).
+    *
+    * Pass A — explicit `mapIds` mappings: endpoints whose `"{Label}:{prop}"`
+    * spec has a registered mapping are rewritten via join+coalesce.
+    * Pass B — automatic pk resolution: endpoints addressing a non-primary
+    * property are rewritten to the node primary key; the catalog endpoint is
+    * repointed to `Label:{pk}` and the column retyped (pipeline.py:110-111).
+    */
+  def mapProperties(): Unit = {
+    val mapped = store.logEntries("mapper")
+    store.catalog.edges.foreach { case (edgeType, files) =>
+      files.foreach { case (fname, cfg0) =>
+        if (!mapped.contains(fname)) {
+          var cfg = cfg0
+          var df = readStagedEdges(fname, cfg)
+          var dirty = false
+
+          // -- pass A: explicit mappings (pipeline.py:49-72). The reference
+          // keeps the pre-mapping values under `mapped_from` (pipeline.py:64);
+          // we suffix per-endpoint so mapping both endpoints can't collide.
+          Seq(("start", cfg.start), ("end", cfg.end)).foreach { case (colName, spec) =>
+            store.mappings.get(spec).foreach { mapping =>
+              df = Mapping.applyMapping(df, mapping, colName, strictCompat)
+                .withColumnRenamed("mapped_from", s"${colName}_mapped_from")
+              dirty = true
+            }
+          }
+
+          // -- pass B: auto pk resolution (pipeline.py:75-111); guard quirk
+          // SURVEY §2.12.2: runs for any endpoint whose addressed property is
+          // not the node's primary key, unless ignore_mapping
+          if (!cfg.ignore_mapping) {
+            Seq(("start", cfg.start), ("end", cfg.end)).foreach { case (colName, spec) =>
+              val Array(label, prop) = spec.split(":", 2)
+              store.catalog.nodes.get(label) match {
+                case Some(nodeCfg) if prop != nodeCfg.primary_key =>
+                  val nodeDf = readStagedNodes(label, nodeCfg)
+                  val mapping = Mapping.autoMapping(nodeDf, nodeCfg.primary_key, prop)
+                  // pass B drops the pre-mapping column (pipeline.py:106)
+                  df = Mapping.applyMapping(df, mapping, colName, strictCompat)
+                    .drop("mapped_from")
+                  dirty = true
+                  // catalog endpoint repointed to the primary key (pipeline.py:110-111)
+                  cfg = if (colName == "start") cfg.copy(start = s"$label:${nodeCfg.primary_key}")
+                        else cfg.copy(end = s"$label:${nodeCfg.primary_key}")
+                case Some(_) => // already keyed by the primary key
+                case None => // reference raises KeyError (pipeline.py:94); fixed: warn+skip
+                  System.err.println(s"[graft] auto-mapping: node label '$label' not in catalog; skipping $fname/$colName")
+              }
+            }
+          }
+
+          if (dirty) {
+            val deduped = Mapping.dedupEndpoints(df).cache()
+            val newCount = deduped.count()
+            rewriteEdgeFile(fname, deduped)
+            deduped.unpersist()
+            // record the post-mapping schema (pipeline.py:69,110 retype)
+            cfg = cfg.copy(count = newCount,
+              properties_type = Catalog.schemaTypes(deduped.schema))
+            store.catalog = store.catalog.copy(edges = store.catalog.edges +
+              (edgeType -> (store.catalog.edges(edgeType) + (fname -> cfg))))
+          }
+          store.logAppend("mapper", fname)
+        }
+      }
+    }
+    store.persistCatalog()
+  }
+
+  /** Concatenated staged node table for a label (used by pass B and the
+    * in-session loader): union of all chunk files, catalog schema. */
+  private[etl] def readStagedNodes(label: String, cfg: NodeConfig): DataFrame = {
+    val schema = StructType(nodeColumnOrder(label, cfg).map(c =>
+      StructField(c, Catalog.sparkType(cfg.properties_type(c)))))
+    val paths = cfg.files.keys.map(f => store.nodesDir.resolve(f).toString).toSeq
+    spark.read.option("sep", ";").option("header", "true").schema(schema).csv(paths: _*)
+  }
+
+  private def nodeColumnOrder(label: String, cfg: NodeConfig): List[String] = {
+    val first = cfg.files.keys.headOption.map(store.nodesDir.resolve)
+    first.filter(Files.exists(_)).map { p =>
+      val src = scala.io.Source.fromFile(p.toFile)
+      try {
+        val it = src.getLines()
+        if (it.hasNext) it.next().split(";", -1).toList else cfg.properties_type.keys.toList
+      } finally src.close()
+    }.getOrElse(cfg.properties_type.keys.toList)
+  }
+
+  // ------------------------------------------------------------------
+  // load (utils.py:156-175 → pipeline.py:125-199)
+  // ------------------------------------------------------------------
+
+  /** Iterate the catalog and hand every staged file to `loader`, honoring
+    * filter and resume semantics; clears the resume logs on success. */
+  def load(loader: Loader): Unit = {
+    if (!parsed && !Files.exists(store.configsPath)) parse()
+    if (store.catalog.nodes.isEmpty) store.loadCatalog()
+    val loaded = store.logEntries("loader")
+
+    store.catalog.nodes.foreach { case (label, cfg) =>
+      cfg.files.foreach { case (fname, info) =>
+        val skip = store.filter.exists(_.skipLoadNode(info.metadatas, label)) ||
+          loaded.contains(fname)
+        if (!skip) {
+          val n = loader.loadNodes(
+            store.nodesDir.resolve(fname).toString, label, cfg.primary_key,
+            info.metadatas, cfg.properties_type, cfg.constraints, cfg.indexs)
+          store.stats(s"loaded_nodes_$label") = store.stats.getOrElse(s"loaded_nodes_$label", 0L) + n
+          store.logAppend("loader", fname)
+        }
+      }
+    }
+    store.catalog.edges.foreach { case (edgeType, files) =>
+      files.foreach { case (fname, cfg) =>
+        val skip = store.filter.exists(_.skipLoadEdge(cfg.metadatas, edgeType)) ||
+          loaded.contains(fname)
+        if (!skip) {
+          val n = loader.loadEdges(
+            store.edgesDir.resolve(fname).toString, edgeType, cfg.start, cfg.end,
+            cfg.metadatas, cfg.properties_type)
+          store.stats(s"loaded_edges_$edgeType") = store.stats.getOrElse(s"loaded_edges_$edgeType", 0L) + n
+          store.logAppend("loader", fname)
+        }
+      }
+    }
+    store.callbacks.foreach(_.save(store.catalog, outputDir))
+    store.clearLogs()
+  }
+
+  /** clear (utils.py:177-189): remove the whole staging area. */
+  def clear(): Unit = {
+    Context.deleteRecursively(Paths.get(outputDir))
+    store.catalog = Catalog()
+    store.mappings.clear()
+    store.stats.clear()
+    initialized = false
+    parsed = false
+  }
+}

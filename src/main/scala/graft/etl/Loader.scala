@@ -1,0 +1,134 @@
+package graft.etl
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Bulk-load extension point — same shape as the reference's `Loader` ABC
+  * (graph_etl/loader.py:5-37). Returns rows loaded. */
+trait Loader {
+  def loadNodes(
+      filePath: String, label: String, primaryKey: String,
+      metadatas: Map[String, String], propertiesType: Map[String, String],
+      constraints: Seq[String], indexs: Seq[String]): Long
+
+  def loadEdges(
+      filePath: String, edgeType: String, start: String, end: String,
+      metadatas: Map[String, String], propertiesType: Map[String, String]): Long
+}
+
+/** Executable in-session loader: staged files become two governed DataFrame
+  * tables, `nodes(label, id, …props)` and `edges(type, src, dst, …props)`,
+  * ready for GraphX materialization (graft.graph.GraphOps).
+  *
+  * Replaces the reference's server-side bulk load (neo4j_loader.py /
+  * tigergraph_loader.py) with the Spark-native equivalent: executors read
+  * the staged files directly — the same "don't ship rows through the
+  * driver/API" rationale as the reference's `file:/` URLs (setup.py:16).
+  *
+  * Reference-quirk parity (SURVEY §2.12.3): the primary-key *value* is
+  * canonicalized under the property name `id` regardless of `primaryKey`
+  * (neo4j_loader.py:161,170 hardcodes `{id: row.{primary_key}}`).
+  *
+  * @param edgeStrategy `"match"` drops edges whose endpoints are missing
+  *   (Neo4j MATCH, neo4j_loader.py:265-268); `"create"` synthesizes missing
+  *   endpoint nodes marked `BlankNode` (MERGE … :BlankNode, :270-276).
+  */
+final class SparkGraphLoader(
+    spark: SparkSession,
+    edgeStrategy: String = "match") extends Loader {
+
+  private val nodeFrames = mutable.LinkedHashMap.empty[String, DataFrame]
+  private val edgeFrames = mutable.LinkedHashMap.empty[String, DataFrame]
+
+  private def readCsv(path: String, propertiesType: Map[String, String]): DataFrame = {
+    val df0 = spark.read.option("sep", ";").option("header", "true").csv(path)
+    // apply catalog types by name; header order comes from the file
+    val cols = df0.columns.map { c =>
+      propertiesType.get(c).map(t => col(c).cast(Catalog.sparkType(t)).as(c)).getOrElse(col(c))
+    }
+    df0.select(cols.toIndexedSeq: _*)
+  }
+
+  override def loadNodes(
+      filePath: String, label: String, primaryKey: String,
+      metadatas: Map[String, String], propertiesType: Map[String, String],
+      constraints: Seq[String], indexs: Seq[String]): Long = {
+    val df = readCsv(filePath, propertiesType)
+      .withColumn("id", col(primaryKey).cast(StringType)) // §2.12.3 canonical id
+    val merged = nodeFrames.get(label) match {
+      case Some(prev) => prev.unionByName(df, allowMissingColumns = true)
+        .dropDuplicates("id") // MERGE-on-id upsert semantics (unique constraint K8)
+      case None => df.dropDuplicates("id")
+    }
+    nodeFrames(label) = merged
+    df.count()
+  }
+
+  override def loadEdges(
+      filePath: String, edgeType: String, start: String, end: String,
+      metadatas: Map[String, String], propertiesType: Map[String, String]): Long = {
+    val startLabel = start.split(":")(0)
+    val endLabel = end.split(":")(0)
+    val df = readCsv(filePath, propertiesType)
+      .where(col("start").isNotNull && col("end").isNotNull &&
+        col("start").cast(StringType) =!= "" && col("end").cast(StringType) =!= "") // P8
+      .withColumn("src", col("start").cast(StringType))
+      .withColumn("dst", col("end").cast(StringType))
+
+    val resolved = edgeStrategy match {
+      case "match" =>
+        // both endpoints must exist (neo4j MATCH): two semi-joins; node-id
+        // sides are deduped label tables — broadcast when small via AQE
+        val srcIds = nodeFrames.get(startLabel).map(_.select(col("id").as("src")))
+        val dstIds = nodeFrames.get(endLabel).map(_.select(col("id").as("dst")))
+        (srcIds, dstIds) match {
+          case (Some(s), Some(d)) =>
+            df.join(s, Seq("src"), "left_semi").join(d, Seq("dst"), "left_semi")
+          case _ => df.limit(0) // no endpoint tables loaded -> MATCH finds nothing
+        }
+      case "create" =>
+        // synthesize missing endpoints as BlankNodes (left-anti + union)
+        def ensure(label: String, idCol: String): Unit = {
+          val ids = df.select(col(idCol).as("id")).distinct()
+          val missing = nodeFrames.get(label) match {
+            case Some(existing) => ids.join(existing.select("id"), Seq("id"), "left_anti")
+            case None => ids
+          }
+          val blanks = missing.withColumn("is_blank_node", lit(true))
+          nodeFrames(label) = nodeFrames.get(label) match {
+            case Some(existing) =>
+              existing.unionByName(blanks, allowMissingColumns = true).dropDuplicates("id")
+            case None => blanks
+          }
+        }
+        ensure(startLabel, "src")
+        ensure(endLabel, "dst")
+        df
+      case other => throw new IllegalArgumentException(s"unknown edge strategy '$other'")
+    }
+
+    val tagged = resolved
+      .withColumn("start_label", lit(startLabel))
+      .withColumn("end_label", lit(endLabel))
+    edgeFrames(edgeType) = edgeFrames.get(edgeType) match {
+      case Some(prev) => prev.unionByName(tagged, allowMissingColumns = true)
+      case None => tagged
+    }
+    tagged.count()
+  }
+
+  /** All loaded nodes as one frame: (label, id, …union of props). */
+  def nodes: Option[DataFrame] = nodeFrames.map { case (l, df) =>
+    df.withColumn("label", lit(l))
+  }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+
+  /** All loaded edges as one frame: (type, src, dst, …props). */
+  def edges: Option[DataFrame] = edgeFrames.map { case (t, df) =>
+    df.withColumn("type", lit(t))
+  }.reduceOption(_.unionByName(_, allowMissingColumns = true))
+
+  def nodeTable(label: String): Option[DataFrame] = nodeFrames.get(label)
+  def edgeTable(edgeType: String): Option[DataFrame] = edgeFrames.get(edgeType)
+}

@@ -1,0 +1,154 @@
+package graft.etl
+
+import scala.collection.mutable
+
+/** Cypher bulk-load text generation — parity with
+  * graph_etl/neo4j_loader.py. In this sandbox there is no reachable Neo4j,
+  * so the loader is a pure generator (mirrors the reference's own graceful
+  * no-DB degradation in tests/test_loader.py:10-13): every statement it
+  * would run is appended to `statements` for golden-string testing /
+  * external execution. Row counts are not known without a server, so load
+  * methods return 0 and the caller's catalog keeps the staged counts.
+  *
+  * Key constants carried from the reference: node tx batch 50,000
+  * (neo4j_loader.py:164), edge tx batch 20,000 (:286), `parallel: false`
+  * (:164), array separator `|` (:152), server-local `file:/` CSV ingestion
+  * (:160).
+  */
+final class Neo4jLoader(
+    metadataStrategy: String = "as_property", // or "as_edge" (neo4j_loader.py:174-178)
+    edgeStrategy: String = "match" // or "create" (:265-276)
+  ) extends Loader {
+
+  val statements: mutable.Buffer[String] = mutable.Buffer.empty
+
+  /** Polars-dtype-name -> Cypher conversion fn (neo4j_loader.py:14-27). */
+  private def cypherCast(dtype: String, ref: String): String = dtype match {
+    case d if d.startsWith("Int")   => s"toInteger($ref)"
+    case d if d.startsWith("Float") => s"toFloat($ref)"
+    case "Boolean"                  => s"toBoolean($ref)"
+    case "Datetime"                 => s"datetime($ref)"
+    case "Date"                     => s"date($ref)"
+    case "List(Utf8)"               => ref // arraySep handles expansion
+    case _                          => ref
+  }
+
+  override def loadNodes(
+      filePath: String, label: String, primaryKey: String,
+      metadatas: Map[String, String], propertiesType: Map[String, String],
+      constraints: Seq[String], indexs: Seq[String]): Long = {
+    // constraints / indexes before the MERGE-heavy load so MERGE stays
+    // O(log n) per row (neo4j_loader.py:178-192)
+    constraints.foreach { c =>
+      statements += s"CREATE CONSTRAINT ${c}_$label IF NOT EXISTS FOR (n:$label) REQUIRE n.$c IS UNIQUE"
+    }
+    indexs.foreach { i =>
+      statements += s"CREATE RANGE INDEX ${i}_$label IF NOT EXISTS FOR (n:$label) ON (n.$i)"
+    }
+    val props = propertiesType.toSeq.sortBy(_._1).map { case (p, t) =>
+      s"$p: ${cypherCast(t, s"row.$p")}"
+    }.mkString(", ")
+    val metaSet = metadataStrategy match {
+      case "as_edge" =>
+        val metaProps = metadatas.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k: '$v'" }.mkString(", ")
+        s"MERGE (m:Metadata {$metaProps}) CREATE (n)-[:HAS_METADATA]->(m)"
+      case _ =>
+        val metaProps = metadatas.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k: '$v'" }.mkString(", ")
+        if (metadatas.isEmpty) "" else s"SET n += {$metaProps}"
+    }
+    // MERGE key canonicalized to property `id` regardless of primaryKey
+    // (neo4j_loader.py:161,170 — SURVEY §2.12.3)
+    statements +=
+      s"""CALL apoc.periodic.iterate(
+         |  "CALL apoc.load.csv('file:/$filePath', {sep: ';', arraySep: '|'}) YIELD map AS row WITH row WHERE row.$primaryKey IS NOT NULL RETURN row",
+         |  "MERGE (n:$label {id: row.$primaryKey}) SET n += {$props} $metaSet",
+         |  {batchSize: 50000, iterateList: true, parallel: false})""".stripMargin
+    0L
+  }
+
+  override def loadEdges(
+      filePath: String, edgeType: String, start: String, end: String,
+      metadatas: Map[String, String], propertiesType: Map[String, String]): Long = {
+    val startLabel = start.split(":")(0)
+    val endLabel = end.split(":")(0)
+    val startCast = cypherCast(propertiesType.getOrElse("start", "Utf8"), "row.start")
+    val endCast = cypherCast(propertiesType.getOrElse("end", "Utf8"), "row.end")
+    val props = (propertiesType -- Seq("start", "end")).toSeq.sortBy(_._1)
+      .map { case (p, t) => s"$p: ${cypherCast(t, s"row.$p")}" }.mkString(", ")
+    val endpoints = edgeStrategy match {
+      case "create" =>
+        s"MERGE (n:$startLabel {id: $startCast}) ON CREATE SET n:BlankNode " +
+          s"MERGE (m:$endLabel {id: $endCast}) ON CREATE SET m:BlankNode"
+      case _ =>
+        s"MATCH (n:$startLabel {id: $startCast}) MATCH (m:$endLabel {id: $endCast})"
+    }
+    statements +=
+      s"""CALL apoc.periodic.iterate(
+         |  "CALL apoc.load.csv('file:/$filePath', {sep: ';', arraySep: '|'}) YIELD map AS row WITH row WHERE row.start <> '' AND row.end <> '' RETURN row",
+         |  "$endpoints CREATE (n)-[:$edgeType {$props}]->(m)",
+         |  {batchSize: 20000, iterateList: true, parallel: false})""".stripMargin
+    0L
+  }
+}
+
+/** GSQL bulk-load text generation — parity with
+  * graph_etl/tigergraph_loader.py (schema-change job :139-149,239-251 and
+  * loading job :151-165,253-267). Pure generator, like [[Neo4jLoader]]. */
+final class TigerGraphLoader extends Loader {
+
+  val statements: mutable.Buffer[String] = mutable.Buffer.empty
+
+  /** Polars-dtype-name -> GSQL attribute type (tigergraph_loader.py:14-25). */
+  private def gsqlType(dtype: String): String = dtype match {
+    case d if d.startsWith("Int")   => "INT"
+    case d if d.startsWith("Float") => "FLOAT"
+    case "Boolean"                  => "BOOL"
+    case "Date" | "Datetime"        => "DATETIME"
+    case "List(Utf8)"               => "LIST<STRING>"
+    case _                          => "STRING"
+  }
+
+  override def loadNodes(
+      filePath: String, label: String, primaryKey: String,
+      metadatas: Map[String, String], propertiesType: Map[String, String],
+      constraints: Seq[String], indexs: Seq[String]): Long = {
+    val attrs = (propertiesType - primaryKey).toSeq.sortBy(_._1)
+      .map { case (p, t) => s"$p ${gsqlType(t)}" }
+    val attrList = (attrs :+ "metadatas MAP<STRING, STRING>").mkString(", ")
+    statements +=
+      s"""CREATE SCHEMA_CHANGE JOB add_$label {
+         |  ADD VERTEX $label (PRIMARY_ID $primaryKey ${gsqlType(propertiesType.getOrElse(primaryKey, "Utf8"))}, $attrList) WITH primary_id_as_attribute="true";
+         |} RUN SCHEMA_CHANGE JOB add_$label DROP JOB add_$label""".stripMargin
+    val cols = (primaryKey +: (propertiesType - primaryKey).keys.toSeq.sorted)
+      .map(c => s"$$\"$c\"").mkString(", ")
+    statements +=
+      s"""CREATE LOADING JOB load_$label FOR GRAPH g {
+         |  DEFINE FILENAME f = "$filePath";
+         |  LOAD f TO VERTEX $label VALUES($cols) USING header="true", separator=";";
+         |} RUN LOADING JOB load_$label DROP JOB load_$label""".stripMargin
+    0L
+  }
+
+  override def loadEdges(
+      filePath: String, edgeType: String, start: String, end: String,
+      metadatas: Map[String, String], propertiesType: Map[String, String]): Long = {
+    val startLabel = start.split(":")(0)
+    val endLabel = end.split(":")(0)
+    val attrs = (propertiesType -- Seq("start", "end")).toSeq.sortBy(_._1)
+      .map { case (p, t) => s"$p ${gsqlType(t)}" }.mkString(", ")
+    statements +=
+      s"""CREATE SCHEMA_CHANGE JOB add_$edgeType {
+         |  ADD UNDIRECTED EDGE $edgeType (FROM $startLabel, TO $endLabel${if (attrs.isEmpty) "" else ", " + attrs});
+         |} RUN SCHEMA_CHANGE JOB add_$edgeType DROP JOB add_$edgeType""".stripMargin
+    val cols = ("start" +: "end" +: (propertiesType -- Seq("start", "end")).keys.toSeq.sorted)
+      .map(c => s"$$\"$c\"").mkString(", ")
+    statements +=
+      s"""CREATE LOADING JOB load_$edgeType FOR GRAPH g {
+         |  DEFINE FILENAME f = "$filePath";
+         |  LOAD f TO EDGE $edgeType VALUES($cols) USING header="true", separator=";";
+         |} RUN LOADING JOB load_$edgeType DROP JOB load_$edgeType""".stripMargin
+    0L
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{VectorFunctions => V}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact. Queries are broadcast, so the corpus is
+  *    scanned once with zero shuffle of corpus rows; the only shuffle is
+  *    the final per-query top-k (tiny: k × queries rows after local
+  *    pre-pruning via window). Right up to ~10k queries at any corpus size.
+  *  - [[ivfTopK]]: IVF-style. The corpus is bucketed once by nearest
+  *    centroid (a one-off job, reusable across queries); each query probes
+  *    only `nprobe` buckets, cutting scanned rows by ~nlist/nprobe.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors per query.
+    * @param queries (qidCol, qvecCol) — small, broadcast.
+    * @return (query_id, neighbor_id, cosine, rank) */
+  def bruteForceTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .where(col(idCol) =!= col(qidCol))
+      .select(
+        col(qidCol).as("query_id"),
+        col(idCol).as("neighbor_id"),
+        V.cosine(col(vecCol), col(qvecCol)).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic IVF centroids: every `stride`-th corpus vector by id
+    * order (cheap, reproducible; k-means refinement is an optional upgrade,
+    * the bucketing plumbing is identical). Collected to the driver — nlist
+    * is small by construction. */
+  def sampleCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame = {
+    val w = Window.orderBy(col(idCol))
+    val n = corpus.count()
+    val stride = math.max(n / nlist, 1L)
+    corpus.withColumn("__rn", row_number().over(w))
+      .where((col("__rn") - 1) % stride === 0 && col("__rn") <= stride * nlist)
+      .select(((col("__rn") - 1) / stride).cast("int").as("centroid_id"), col(vecCol).as("cvec"))
+  }
+
+  /** Assign every corpus vector to its nearest centroid (one shuffle-free
+    * pass; centroids broadcast). The result can be written bucketed-by
+    * `centroid_id` and reused for every subsequent query batch. */
+  def assignToCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("centroid_id"))
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("dist", V.euclidean(col(vecCol), col("cvec")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "cvec", "dist")
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest centroids per query, exact
+    * cosine within the probed buckets only. */
+  def ivfTopK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int = 64, nprobe: Int = 8): DataFrame = {
+    val centroids = sampleCentroids(corpus, idCol, vecCol, nlist).cache()
+    val assigned = assignToCentroids(corpus, idCol, vecCol, centroids)
+
+    val qw = Window.partitionBy(col(qidCol)).orderBy(col("dist"), col("centroid_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("dist", V.euclidean(col(qvecCol), col("cvec")))
+      .withColumn("__rn", row_number().over(qw))
+      .where(col("__rn") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("centroid_id"))
+
+    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
+      .where(col(idCol) =!= col(qidCol))
+      .select(
+        col(qidCol).as("query_id"),
+        col(idCol).as("neighbor_id"),
+        V.cosine(col(vecCol), col(qvecCol)).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shingling / MinHash / SimHash column expressions.
+  *
+  * Design for scale: signatures are computed per-row from an array column
+  * with `transform`/`aggregate` — no explode, no shuffle, no UDF. The only
+  * shuffles in the dedup pipelines built on these are the LSH bucket
+  * `groupBy`/join, which is the theoretically-required one.
+  */
+object HashFunctions {
+
+  /** Distinct character n-grams of `c` (lowercased). Strings shorter than
+    * `n` yield their whole text as the single shingle. */
+  def charShingles(c: Column, n: Int): Column = {
+    val s = lower(c)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(s) - lit(n - 1), lit(1))),
+        i => s.substr(i, lit(n))))
+  }
+
+  /** Distinct word n-grams over whitespace tokens. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val t = TextFunctions.tokens(lower(c))
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(t) - lit(n), lit(0))),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: k independent hash family members h_i(s) =
+    * xxhash64(i, s); signature[i] = min over shingles. One pass per row,
+    * no shuffle. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(i, s))))
+
+  /** LSH band hashes over a MinHash signature: `bands` hashes, each over
+    * `rowsPerBand` consecutive signature slots. Docs sharing any band hash
+    * are candidate near-duplicates. */
+  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+
+  /** Estimated Jaccard from two MinHash signatures: fraction of agreeing
+    * slots. */
+  def minhashJaccard(sigA: Column, sigB: Column): Column =
+    size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
+      .cast("double") / size(sigA).cast("double")
+
+  /** Exact Jaccard over two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_union(a, b))
+    when(union === 0, 1.0d)
+      .otherwise(size(array_intersect(a, b)).cast("double") / union.cast("double"))
+  }
+
+  /** 64-bit SimHash over a token array: each token votes ±1 on every bit of
+    * its xxhash64; fingerprint bit j is 1 iff the vote sum is positive.
+    * Single fold per row, fully codegen'd. */
+  def simhash64(tokensCol: Column): Column = {
+    val votes = aggregate(
+      tokensCol,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(
+          acc,
+          transform(sequence(lit(0), lit(63)),
+            j => when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))),
+          (a, v) => a + v)
+      })
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (fp, j) => fp + when(element_at(votes, j + 1) > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** 16-bit bands of a 64-bit fingerprint — pigeonhole LSH for SimHash:
+    * fingerprints within Hamming distance 3 share at least one of 4 bands. */
+  def simhashBands(fp: Column): Column =
+    transform(sequence(lit(0), lit(3)),
+      b => call_function("shiftright", fp, b * 16).bitwiseAND(lit(0xFFFFL)))
+}

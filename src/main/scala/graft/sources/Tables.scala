@@ -1,0 +1,29 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the test-data star schema. The only normalization needed is
+  * `events.ts`: the file stores TIMESTAMP(NANOS), which Spark's vectorized
+  * parquet reader rejects. With `spark.sql.legacy.parquet.nanosAsLong=true`
+  * (set by every entry point here) the column arrives as nanos-since-epoch
+  * LongType; `div 1000` (integral — a double roundtrip would lose precision
+  * at 1e18 magnitudes) converts losslessly to microseconds, the values'
+  * true resolution. */
+object Tables {
+
+  val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw // already a readable timestamp unit
+    }
+  }
+}
