@@ -15,9 +15,9 @@ object TextAnalysis {
     val t = col(textCol)
     df.select(
       col(idCol),
-      length(t).as("n_chars"),
-      T.tokenCount(t).as("n_tokens"),
-      T.bpeishTokenCount(t).as("n_bpeish_tokens"),
+      length(t).cast("long").as("n_chars"),
+      T.tokenCount(t).cast("long").as("n_tokens"),
+      T.bpeishTokenCount(t).cast("long").as("n_bpeish_tokens"),
       T.punctRatio(t).as("punct_ratio"),
       T.digitRatio(t).as("digit_ratio"),
       T.upperRatio(t).as("upper_ratio"),

@@ -31,10 +31,19 @@ object Mapping {
       broadcastMapping: Boolean = true): DataFrame = {
     val joinType = if (strictCompat) "full_outer" else "left_outer"
     val m0 = mapping.select(col("old_value"), col("new_value"))
-    val m = if (broadcastMapping) broadcast(m0) else m0
+    val m = if (broadcastMapping && !strictCompat) broadcast(m0) else m0
+    // When old and new types differ the merged column becomes a string —
+    // the reference records the post-mapping dtype as Utf8 (pipeline.py:69);
+    // without the explicit cast Spark's ANSI coercion would pick the
+    // numeric side and throw on unmapped string values.
+    val pType = edges.schema(prop).dataType
+    val mType = mapping.schema("new_value").dataType
+    val (newSide, oldSide) =
+      if (pType == mType) (m("new_value"), edges(prop))
+      else (m("new_value").cast("string"), edges(prop).cast("string"))
     edges
       .join(m, edges(prop) === m("old_value"), joinType)
-      .withColumn("__mapped", coalesce(m("new_value"), edges(prop)))
+      .withColumn("__mapped", coalesce(newSide, oldSide))
       .withColumnRenamed(prop, "mapped_from")
       .drop(m("old_value")).drop(m("new_value"))
       .withColumnRenamed("__mapped", prop)

@@ -51,9 +51,10 @@ object EventsStream {
 
   /** Drive a streaming query over a static directory to completion
     * (Trigger.AvailableNow + memory sink) — the local test harness. */
-  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String): DataFrame = {
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
     val q = streamed.writeStream
-      .outputMode("append")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())

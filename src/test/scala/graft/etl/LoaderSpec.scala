@@ -1,0 +1,120 @@
+package graft.etl
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LoaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def staged(): (GraphEtl, String) = {
+    val dir = Files.createTempDirectory("graft-loader-test").toString
+    val etl = new GraphEtl(spark, dir)
+    etl.parser("fixtures", Map("source" -> "test")) { ctx =>
+      ctx.saveNodes(Seq((1L, "Tom"), (2L, "Marie")).toDF("id", "name"), "Person")
+      ctx.saveNodes(Seq((10L, "Golf"), (11L, "Polo")).toDF("id", "model"), "Car")
+      ctx.saveEdges(Seq((10L, 1L), (11L, 2L), (12L, 7L)).toDF("start", "end"),
+        "DRIVED_BY", "Car:id", "Person:id")
+    }
+    etl.parse()
+    (etl, dir)
+  }
+
+  test("SparkGraphLoader match strategy drops edges with missing endpoints") {
+    val (etl, _) = staged()
+    val loader = new SparkGraphLoader(spark, edgeStrategy = "match")
+    etl.load(loader)
+    assert(loader.nodeTable("Person").get.count() == 2)
+    assert(loader.nodeTable("Car").get.count() == 2)
+    // edge (12 -> 7): neither endpoint exists -> dropped by MATCH semantics
+    assert(loader.edgeTable("DRIVED_BY").get.count() == 2)
+    etl.clear()
+  }
+
+  test("SparkGraphLoader create strategy synthesizes BlankNode endpoints") {
+    val (etl, _) = staged()
+    val loader = new SparkGraphLoader(spark, edgeStrategy = "create")
+    etl.load(loader)
+    assert(loader.edgeTable("DRIVED_BY").get.count() == 3)
+    val persons = loader.nodeTable("Person").get
+    assert(persons.count() == 3) // Tom, Marie + blank "7"
+    assert(persons.where(col("is_blank_node") === true).count() == 1)
+    etl.clear()
+  }
+
+  test("primary key value is canonicalized under property `id` (SURVEY §2.12.3)") {
+    val dir = Files.createTempDirectory("graft-loader-pk").toString
+    val etl = new GraphEtl(spark, dir)
+    etl.parser("pk", Map.empty) { ctx =>
+      ctx.saveNodes(Seq(("ORCID1", "X")).toDF("orcid", "name"), "Author", primaryKey = "orcid")
+    }
+    etl.parse()
+    val loader = new SparkGraphLoader(spark)
+    etl.load(loader)
+    val authors = loader.nodeTable("Author").get
+    assert(authors.columns.contains("id"))
+    assert(authors.select("id").as[String].head() == "ORCID1")
+    etl.clear()
+  }
+
+  test("Neo4jLoader generates constraint-before-load Cypher with reference constants") {
+    val loader = new Neo4jLoader()
+    loader.loadNodes("/tmp/f.csv", "Person", "id", Map("source" -> "s"),
+      Map("id" -> "Int64", "name" -> "Utf8"), Seq("id"), Seq("name"))
+    val all = loader.statements.mkString("\n")
+    assert(all.contains("CREATE CONSTRAINT id_Person IF NOT EXISTS"))
+    assert(all.contains("CREATE RANGE INDEX name_Person"))
+    assert(all.contains("MERGE (n:Person {id: row.id})"))
+    assert(all.contains("toInteger(row.id)"))
+    assert(all.contains("batchSize: 50000"))
+    assert(all.contains("parallel: false"))
+    assert(all.contains("arraySep: '|'"))
+    // index/constraint statements precede the load statement
+    assert(all.indexOf("CREATE CONSTRAINT") < all.indexOf("apoc.periodic.iterate"))
+  }
+
+  test("Neo4jLoader edge Cypher honors match/create strategies and 20k batches") {
+    val m = new Neo4jLoader(edgeStrategy = "match")
+    m.loadEdges("/tmp/e.csv", "KNOWS", "Person:id", "Person:id", Map.empty,
+      Map("start" -> "Int64", "end" -> "Utf8"))
+    assert(m.statements.head.contains("MATCH (n:Person"))
+    assert(m.statements.head.contains("batchSize: 20000"))
+    assert(m.statements.head.contains("row.start <> '' AND row.end <> ''"))
+    val c = new Neo4jLoader(edgeStrategy = "create")
+    c.loadEdges("/tmp/e.csv", "KNOWS", "Person:id", "Person:id", Map.empty, Map.empty)
+    assert(c.statements.head.contains("ON CREATE SET n:BlankNode"))
+  }
+
+  test("TigerGraphLoader generates schema-change and loading jobs") {
+    val loader = new TigerGraphLoader()
+    loader.loadNodes("/data/f.csv", "Person", "id", Map.empty,
+      Map("id" -> "Int64", "name" -> "Utf8", "tags" -> "List(Utf8)"), Nil, Nil)
+    val all = loader.statements.mkString("\n")
+    assert(all.contains("ADD VERTEX Person"))
+    assert(all.contains("PRIMARY_ID id INT"))
+    assert(all.contains("tags LIST<STRING>"))
+    assert(all.contains("metadatas MAP<STRING, STRING>"))
+    assert(all.contains("""separator=";""""))
+    loader.loadEdges("/data/e.csv", "KNOWS", "Person:id", "Person:id", Map.empty, Map.empty)
+    assert(loader.statements.exists(_.contains("ADD UNDIRECTED EDGE KNOWS (FROM Person, TO Person)")))
+  }
+
+  test("OWL and SHACL exporters render the staged schema") {
+    val owl = new OwlCallback(functionalProps = Set("name"))
+    val shacl = new ShaclCallback(functionalProps = Set("name"))
+    Seq(owl, shacl).foreach { cb =>
+      cb.onSaveNodes("Person", Map("id" -> "Int64", "name" -> "Utf8"),
+        Map("source" -> "test"), "id", Seq("id"), Nil)
+      cb.onSaveEdges("KNOWS", "Person", "Person", Map.empty, Map.empty)
+    }
+    val owlText = owl.render()
+    assert(owlText.contains(":Person a owl:Class ; rdfs:subClassOf owl:Thing"))
+    assert(owlText.contains("owl:FunctionalProperty"))
+    assert(owlText.contains(":KNOWS a owl:ObjectProperty"))
+    val ttl = shacl.render()
+    assert(ttl.contains(":PersonShape a sh:NodeShape"))
+    assert(ttl.contains("sh:closed true"))
+    assert(ttl.contains("sh:maxCount 1"))
+    assert(ttl.contains("sh:nodeKind sh:IRI"))
+  }
+}

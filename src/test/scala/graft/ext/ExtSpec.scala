@@ -1,0 +1,143 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.functions.{HashFunctions => H, TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.functions._
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and keeps on running fast"),
+    (2L, "the quick brown fox jumps over the lazy dog and keeps on running quickly"), // near-dup of 1
+    (3L, "completely different content about spark distributed query engines at scale"),
+    (4L, "the quick brown fox jumps over the lazy dog and keeps on running fast"), // exact dup of 1
+    (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the min-id row per content group") {
+    val kept = Dedup.exactDedup(docs, "doc_id", Seq("text"))
+    assert(kept.count() == 4)
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 5L))
+    val groups = Dedup.exactDuplicateGroups(docs, "doc_id", Seq("text"))
+    val dupGroup = groups.where(col("n_dups") === 2).select("keep_id").as[Long].collect()
+    assert(dupGroup.sameElements(Array(1L)))
+  }
+
+  test("minhash near-dup finds the planted near-duplicate and the exact dup") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      shingleSize = 5, numHashes = 64, bands = 32, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc stays out
+  }
+
+  test("minhash estimated jaccard tracks exact jaccard") {
+    val sig = docs.select(
+      col("doc_id"),
+      H.charShingles(col("text"), 5).as("sh"),
+      H.minhashSignature(H.charShingles(col("text"), 5), 128).as("sig"))
+    val a = sig.where(col("doc_id") === 1).select(col("sh").as("sh_a"), col("sig").as("sig_a"))
+    val b = sig.where(col("doc_id") === 2).select(col("sh").as("sh_b"), col("sig").as("sig_b"))
+    val row = a.crossJoin(b)
+      .select(H.jaccard(col("sh_a"), col("sh_b")).as("exact"),
+        H.minhashJaccard(col("sig_a"), col("sig_b")).as("est"))
+      .head()
+    assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 0.2)
+  }
+
+  test("simhash hamming distance is 0 for identical, small for near-dup, large for unrelated") {
+    val fps = docs.select(col("doc_id"),
+      H.simhash64(TF.tokens(lower(col("text")))).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(2L)) < ham(fps(1L), fps(3L)))
+  }
+
+  test("embedding near-dup finds planted identical vectors via hyperplane LSH") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f, -0.2f)),
+      (2L, Array(1.0f, 0.0f, 0.5f, -0.2f)),   // identical to 1
+      (3L, Array(-1.0f, 0.3f, -0.5f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDuplicates(vecs, "vec_id", "embedding",
+      dim = 4, threshold = 0.999, bands = 4, planesPerBand = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("cosine column function matches hand computation") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = df.select(VF.cosine(col("a"), col("b"))).as[Double].head()
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("bruteForceTopK returns the true nearest neighbor first") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f))).toDF("qid", "qvec")
+    val top = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.sameElements(Array(2L, 3L)))
+  }
+
+  test("ivfTopK finds the planted exact match within probed buckets") {
+    val corpus = (0L until 200L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 0.37 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") === 42).select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val got = Similarity.ivfTopK(corpus, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 3, nlist = 8, nprobe = 4)
+    // self excluded; nearest surviving neighbors have cosine < 1 but are found
+    assert(got.count() == 3)
+    assert(got.where(col("rank") === 1).select("cosine").as[Double].head() > 0.8)
+  }
+
+  test("language-ID picks the language with most marker hits") {
+    val df = Seq(
+      (1L, "the cat and the dog went to the park with this thing"),
+      (2L, "le chat est dans la maison avec les enfants pour une heure"),
+      (3L, "der hund ist nicht in das haus und die katze"),
+      (4L, "zzz qqq xxx")).toDF("id", "text")
+    val got = TextAnalysis.detectLanguage(df, "id", "text").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en"); assert(got(2L) == "fr")
+    assert(got(3L) == "de"); assert(got(4L) == "und")
+  }
+
+  test("text profile metrics are sane on a known string") {
+    val df = Seq((1L, "Hello World. 123")).toDF("doc_id", "text")
+    val row = TextAnalysis.profile(df, "doc_id", "text").head()
+    assert(row.getAs[Long]("n_chars") == 16L)
+    assert(row.getAs[Long]("n_tokens") == 3L)
+    assert(row.getAs[Double]("digit_ratio") == 3.0 / 16.0)
+    assert(row.getAs[Double]("upper_ratio") == 2.0 / 16.0)
+  }
+
+  test("fingerprint is invariant to case, punctuation and extra whitespace") {
+    val df = Seq((1L, "Hello,   World!"), (2L, "hello world")).toDF("id", "text")
+    val fps = df.select(TF.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("multimodal pipeline: media table schema + batch feature extraction") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    assert(media.schema("content").dataType.typeName == "binary")
+    assert(media.schema("meta").dataType.typeName == "struct")
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.count() == 5)
+    val f = feats.head()
+    assert(f.features.length == Multimodal.FeatureDim)
+    // deterministic: same payload -> same features
+    val f1 = feats.filter(_.media_id == 1L).head().features.toSeq
+    val f4 = feats.filter(_.media_id == 4L).head().features.toSeq
+    assert(f1 == f4) // docs 1 and 4 have identical text/bytes
+    val frames = Multimodal.sampleFrames(media)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_bytes"))
+    assert(frames.count() >= 5)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two components: {A1,A2,B1} connected, {C1} isolated
+  private def nodes = Seq(
+    ("Person", "A1"), ("Person", "A2"), ("Company", "B1"), ("Person", "C1")
+  ).toDF("label", "id")
+
+  private def edges = Seq(
+    ("KNOWS", "Person", "A1", "Person", "A2"),
+    ("WORKS_AT", "Person", "A1", "Company", "B1"),
+    ("WORKS_AT", "Person", "A2", "Company", "B1")
+  ).toDF("type", "start_label", "src", "end_label", "dst")
+
+  test("denseVertexIds assigns unique contiguous ids") {
+    val vids = GraphOps.denseVertexIds(nodes)
+    assert(vids.count() == 4)
+    assert(vids.select("vid").distinct().count() == 4)
+    assert(vids.agg(max("vid")).head().getLong(0) == 3L)
+  }
+
+  test("degrees via DataFrame aggregation") {
+    val d = GraphOps.degrees(nodes, edges).collect()
+      .map(r => (r.getAs[String]("id"), (r.getAs[Long]("out_deg"), r.getAs[Long]("in_deg")))).toMap
+    assert(d("A1") == (2L, 0L))
+    assert(d("B1") == (0L, 2L))
+    assert(d("C1") == (0L, 0L))
+  }
+
+  test("GraphX connected components find the isolated vertex") {
+    val cc = GraphOps.connectedComponents(nodes, edges)
+    assert(cc.select("component").distinct().count() == 2)
+  }
+
+  test("GraphX pagerank gives the hub the highest score") {
+    val pr = GraphOps.pageRank(nodes, edges, tol = 0.001)
+    val top = pr.orderBy(col("pagerank").desc).select("id").as[String].head()
+    assert(top == "B1")
+  }
+}

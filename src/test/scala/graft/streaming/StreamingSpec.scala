@@ -1,0 +1,43 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // file-stream sources need a directory; stage the single events file into one
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming hourly agg over the events table matches the batch result") {
+    val streamed = EventsStream.hourlyAgg(EventsStream.readStream(spark, streamDir))
+    // complete mode so the final (watermark-open) windows are observable
+    val got = EventsStream.runToMemory(spark, streamed, "hourly_test", "complete")
+    val batch = graft.sources.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    assert(got.count() == batch.count())
+    val gotTotal = got.agg(sum("n_events")).head().getLong(0)
+    assert(gotTotal == 1000L) // all sf0.001 events accounted for
+  }
+
+  test("streaming session windows produce bounded per-user sessions") {
+    val streamed = EventsStream.sessionAgg(EventsStream.readStream(spark, streamDir))
+    val got = EventsStream.runToMemory(spark, streamed, "sessions_test", "complete")
+    assert(got.count() > 0)
+    assert(got.agg(sum("n_events")).head().getLong(0) == 1000L)
+    // session windows never overlap per user
+    val l = got.select(col("user_id").as("u"),
+      col("session_start").as("s1"), col("session_end").as("e1"))
+    val r = got.select(col("user_id").as("u"), col("session_start").as("s2"))
+    val overlaps = l.join(r, Seq("u"))
+      .where(col("s1") < col("s2") && col("s2") < col("e1"))
+    assert(overlaps.count() == 0)
+  }
+}
