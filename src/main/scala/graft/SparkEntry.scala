@@ -14,8 +14,8 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
   * in `oracleSql` where ANSI-SQL-expressible.
   *
   * Determinism rules used throughout (so Spark and DuckDB hash-match):
-  *  - double sums go through `decimal(18,2)` (exact, order-independent),
-  *    then cast back to double;
+  *  - double sums are rounded per-row to integer cents with explicit IEEE
+  *    arithmetic and summed as longs (exact, order-independent; see `dsum`);
   *  - per-row double arithmetic is written identically on both sides
   *    (single IEEE ops are bit-deterministic);
   *  - ranks always carry an id tie-breaker;

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{HashFunctions => H, VectorFunctions => V, TextFunctions => T}
+import graft.plans.NativeExpressions
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -40,11 +41,13 @@ object Dedup {
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sh = H.charShingles(col(textCol), shingleSize)
+    // native expressions: the HOF variants in graft.functions are ~500×
+    // slower here (interpreted per-element lambdas; see graft.plans)
+    val sh = NativeExpressions.charShingles(col(textCol), shingleSize)
     df.select(
       col(idCol).as("id"),
       sh.as("shingles"),
-      H.minhashSignature(sh, numHashes).as("signature"))
+      NativeExpressions.minhashSignature(sh, numHashes).as("signature"))
       .withColumn("bands", H.lshBandHashes(col("signature"), bands, rows))
   }
 
@@ -82,7 +85,7 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val fps = df.select(
       col(idCol).as("id"),
-      H.simhash64(T.tokens(lower(col(textCol)))).as("fp"))
+      NativeExpressions.simhash64(T.tokens(lower(col(textCol)))).as("fp"))
       .withColumn("bands", H.simhashBands(col("fp")))
       .cache()
     val buckets = fps.select(col("id"), col("fp"), posexplode(col("bands")).as(Seq("band", "bval")))
@@ -102,10 +105,10 @@ object Dedup {
       ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sh = H.wordShingles(col(textCol), ngram)
+    val sh = NativeExpressions.wordShingles(col(textCol), ngram)
     val sigs = df.select(
       col(idCol).as("id"), sh.as("shingles"),
-      H.minhashSignature(sh, numHashes).as("signature"))
+      NativeExpressions.minhashSignature(sh, numHashes).as("signature"))
       .withColumn("bands", H.lshBandHashes(col("signature"), bands, rows))
       .cache()
     val buckets = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "bhash")))
@@ -141,7 +144,8 @@ object Dedup {
     val b = buckets.select(col("band"), col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
     a.join(b, Seq("band", "sig"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), V.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        NativeExpressions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .distinct()
       .where(col("cosine") >= threshold)
   }

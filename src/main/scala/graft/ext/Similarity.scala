@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{VectorFunctions => V}
+import graft.plans.NativeExpressions
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -30,7 +31,7 @@ object Similarity {
       .select(
         col(qidCol).as("query_id"),
         col(idCol).as("neighbor_id"),
-        V.cosine(col(vecCol), col(qvecCol)).as("cosine"))
+        NativeExpressions.cosine(col(vecCol), col(qvecCol)).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -57,7 +58,7 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("centroid_id"))
     corpus.crossJoin(broadcast(centroids))
-      .withColumn("dist", V.euclidean(col(vecCol), col("cvec")))
+      .withColumn("dist", NativeExpressions.euclidean(col(vecCol), col("cvec")))
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__rn", "cvec", "dist")
@@ -74,7 +75,7 @@ object Similarity {
 
     val qw = Window.partitionBy(col(qidCol)).orderBy(col("dist"), col("centroid_id"))
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("dist", V.euclidean(col(qvecCol), col("cvec")))
+      .withColumn("dist", NativeExpressions.euclidean(col(qvecCol), col("cvec")))
       .withColumn("__rn", row_number().over(qw))
       .where(col("__rn") <= nprobe)
       .select(col(qidCol), col(qvecCol), col("centroid_id"))
@@ -84,7 +85,7 @@ object Similarity {
       .select(
         col(qidCol).as("query_id"),
         col(idCol).as("neighbor_id"),
-        V.cosine(col(vecCol), col(qvecCol)).as("cosine"))
+        NativeExpressions.cosine(col(vecCol), col(qvecCol)).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

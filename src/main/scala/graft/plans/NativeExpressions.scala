@@ -1,0 +1,247 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the sketch/vector hot paths.
+  *
+  * Why these exist: Spark's higher-order functions (`transform`,
+  * `aggregate`, `zip_with`) are evaluated interpreted — per-element lambda
+  * dispatch plus boxing. A MinHash signature via HOFs costs
+  * `numHashes × shingles` lambda invocations per row (~50ms/doc measured);
+  * these expressions do the same math in one tight JVM loop per row
+  * (~0.1ms/doc). `CodegenFallback` is fine here: the loop dominates, and
+  * the expression sits in a projection whose surrounding plan still
+  * codegens.
+  *
+  * Hashing matches the column-function variants in graft.functions
+  * (seed-42 xxhash64, the same family Spark's `xxhash64` uses), so
+  * results are stable and reproducible across engines/runs.
+  */
+object NativeExpressions {
+
+  private def toExpr(c: Column): Expression =
+    org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)
+  private def toCol(e: Expression): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+
+  /** Distinct lowercase character n-gram shingles of a string. */
+  def charShingles(c: Column, n: Int): Column = toCol(CharShingles(toExpr(c), n))
+
+  /** Distinct lowercase word n-gram shingles (whitespace tokens). */
+  def wordShingles(c: Column, n: Int): Column = toCol(WordShingles(toExpr(c), n))
+
+  /** MinHash signature over an array<string> of shingles: one xxhash64 per
+    * shingle + k affine derivations (h·a_k + b_k), min per slot. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    toCol(MinHashSignature(toExpr(shingles), numHashes))
+
+  /** 64-bit SimHash over an array<string> of tokens. */
+  def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
+
+  /** Cosine similarity over two float/double array columns, computed in
+    * double with sequential index-order accumulation — bit-identical to the
+    * `aggregate`-based graft.functions.VectorFunctions.cosine and to the
+    * DuckDB oracle formula dot/(sqrt(na)*sqrt(nb)). */
+  def cosine(a: Column, b: Column): Column = toCol(CosineSimilarity(toExpr(a), toExpr(b)))
+
+  /** Euclidean distance over two float/double array columns. */
+  def euclidean(a: Column, b: Column): Column = toCol(EuclideanDistance(toExpr(a), toExpr(b)))
+}
+
+/** SplitMix64 — deterministic per-slot hash-family constants. */
+private object HashFamily {
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  def a(k: Int): Long = splitmix64(2L * k) | 1L // odd multiplier
+  def b(k: Int): Long = splitmix64(2L * k + 1)
+}
+
+case class CharShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "shingle size must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
+    val out = new java.util.LinkedHashSet[String]()
+    if (s.length <= n) out.add(s)
+    else {
+      var i = 0
+      while (i + n <= s.length) { out.add(s.substring(i, i + n)); i += 1 }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
+}
+
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "shingle size must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].toString.toLowerCase
+      .split("\\s+").filter(_.nonEmpty)
+    val out = new java.util.LinkedHashSet[String]()
+    if (tokens.nonEmpty) {
+      if (tokens.length <= n) out.add(tokens.mkString(" "))
+      else {
+        var i = 0
+        while (i + n <= tokens.length) {
+          out.add(tokens.slice(i, i + n).mkString(" ")); i += 1
+        }
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes > 0, "numHashes must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  private lazy val as: Array[Long] = Array.tabulate(numHashes)(HashFamily.a)
+  private lazy val bs: Array[Long] = Array.tabulate(numHashes)(HashFamily.b)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var k = 0
+      while (k < numHashes) {
+        val h = base * as(k) + bs(k)
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < m) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cosine_similarity needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def elem(arr: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val la = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val lb = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elem(a, la, i); val y = elem(b, lb, i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+case class EuclideanDistance(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "euclidean_distance"
+
+  private def elem(arr: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val la = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val lb = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = elem(a, la, i) - elem(b, lb, i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(acc))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): EuclideanDistance =
+    copy(left = l, right = r)
+}

@@ -1,9 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Per-user running profile maintained as custom stream state. */
+final case class UserProfile(
+    user_id: Long, n_events: Long, sum_value: Double, event_types: Set[String])
 
 /** Structured-Streaming ingestion of the `events` table — the streaming
   * capability the reference lacks entirely (SURVEY §2.9), built the
@@ -48,6 +52,34 @@ object EventsStream {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Custom keyed state via `flatMapGroupsWithState`: per-user running
+    * profile (event count, value sum, distinct-type count) emitted on every
+    * update. The state object is bounded per user, so cluster-wide state is
+    * O(users) — with a timeout it would expire idle users; kept simple here
+    * since the synthetic stream is finite. */
+  def userProfiles(spark: SparkSession, events: DataFrame): Dataset[UserProfile] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "event_type", "value")
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(updateUserProfile)
+  }
+
+  private[streaming] def updateUserProfile(
+      userId: Long,
+      rows: Iterator[(Long, String, Double)],
+      state: GroupState[UserProfile]): Iterator[UserProfile] = {
+    var p = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0, Set.empty))
+    rows.foreach { case (_, tpe, v) =>
+      p = p.copy(n_events = p.n_events + 1, sum_value = p.sum_value + v,
+        event_types = p.event_types + tpe)
+    }
+    state.update(p)
+    Iterator.single(p)
+  }
 
   /** Drive a streaming query over a static directory to completion
     * (Trigger.AvailableNow + memory sink) — the local test harness. */

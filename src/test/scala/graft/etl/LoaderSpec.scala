@@ -99,6 +99,18 @@ class LoaderSpec extends SparkSpec {
     assert(loader.statements.exists(_.contains("ADD UNDIRECTED EDGE KNOWS (FROM Person, TO Person)")))
   }
 
+  test("connection config merges kwargs over defaults, caches, and reloads") {
+    val dir = Files.createTempDirectory("graft-conn").toString
+    val c1 = ConnectionConfig.resolve(dir, ConnectionConfig.Neo4jDefaults,
+      Map("host" -> "bolt://db:7687", "password" -> "s3cret"))
+    assert(c1("url") == "bolt://db:7687") // host aliased to url
+    assert(c1("password") == "s3cret")
+    assert(c1("username") == "neo4j") // default preserved
+    // no kwargs -> cached file is reloaded
+    val c2 = ConnectionConfig.resolve(dir, ConnectionConfig.Neo4jDefaults)
+    assert(c2 == c1)
+  }
+
   test("OWL and SHACL exporters render the staged schema") {
     val owl = new OwlCallback(functionalProps = Set("name"))
     val shacl = new ShaclCallback(functionalProps = Set("name"))

@@ -40,4 +40,17 @@ class StreamingSpec extends SparkSpec {
       .where(col("s1") < col("s2") && col("s2") < col("e1"))
     assert(overlaps.count() == 0)
   }
+
+  test("flatMapGroupsWithState keeps a running per-user profile") {
+    val streamed = EventsStream.userProfiles(spark,
+      EventsStream.readStream(spark, streamDir)).toDF()
+    val got = EventsStream.runToMemory(spark, streamed, "profiles_test", "append")
+    // one final profile per user whose n_events equals the user's event count
+    val finalPerUser = got.groupBy("user_id").agg(max("n_events").as("n"))
+    val batchPerUser = graft.sources.Tables.events(spark, dir)
+      .groupBy("user_id").count()
+    val joined = finalPerUser.join(batchPerUser, "user_id")
+      .where(col("n") =!= col("count"))
+    assert(joined.count() == 0)
+  }
 }
