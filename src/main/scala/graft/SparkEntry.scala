@@ -229,8 +229,7 @@ object SparkEntry {
         .select(col("doc_id"), TF.fingerprint(col("text")).as("fingerprint"))
     }),
 
-    // heuristic language-ID vs labeled lang (rows-only oracle: the
-    // stopword-argmax heuristic is not reasonably SQL-expressible)
+    // heuristic language-ID (stopword-argmax) vs labeled lang
     "q_lang_id" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       TextAnalysis.detectLanguage(d, "doc_id", "text")
@@ -426,6 +425,31 @@ object SparkEntry {
       """SELECT doc_id,
         | md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
         |FROM documents""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        | s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','that','with','for','was','this'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','des','une','est','dans','pour','que','avec'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','sich','auf'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('el','los','las','una','por','con','para','como','más','pero'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('il','di','che','non','per','sono','della','anche','come','questo'))) AS s_it
+        |  FROM t),
+        | p AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN greatest(s_en, s_fr, s_de, s_es, s_it) = 0 THEN 'und'
+        |         WHEN s_en = greatest(s_en, s_fr, s_de, s_es, s_it) THEN 'en'
+        |         WHEN s_fr = greatest(s_en, s_fr, s_de, s_es, s_it) THEN 'fr'
+        |         WHEN s_de = greatest(s_en, s_fr, s_de, s_es, s_it) THEN 'de'
+        |         WHEN s_es = greatest(s_en, s_fr, s_de, s_es, s_it) THEN 'es'
+        |         WHEN s_it = greatest(s_en, s_fr, s_de, s_es, s_it) THEN 'it'
+        |         ELSE 'und' END AS lang_pred
+        |  FROM s)
+        |SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred""".stripMargin,
 
     "q_embed_topk" ->
       """WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> cast(x AS double)) AS qvec
