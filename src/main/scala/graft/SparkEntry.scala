@@ -304,6 +304,25 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
+    // per-user aggregate profile — batch semantics of the streaming
+    // flatMapGroupsWithState operator in graft.streaming
+    "q_user_stats" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          dsum(col("value")).as("sum_value"))
+    }),
+
+    // full near-dup pipeline: MinHash pairs -> connected-component clusters
+    // -> keeper per cluster (rows-only oracle: hash-based candidates)
+    "q_near_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
+      Dedup.resolveDuplicateClusters(pairs)
+    }),
+
     // sessionization with 30-minute inactivity gap (session_window batch
     // form; oracle emulates via lag + cumulative sum)
     "q_sessions" -> ((s, dir) => {
@@ -471,6 +490,12 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         | cast(sum(cast(floor(value * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        | count(DISTINCT event_type) AS n_types,
+        | cast(sum(cast(floor(value * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS sum_value
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "q_sessions" ->
       """WITH flagged AS (

@@ -32,7 +32,10 @@ final class GraphEtl(
     val outputDir: String = "./output",
     val strictCompat: Boolean = false,
     nodeChunkSize: Long = Context.NodeChunkSize,
-    edgeChunkSize: Long = Context.EdgeChunkSize) {
+    edgeChunkSize: Long = Context.EdgeChunkSize,
+    /** bounded-but-uneven chunk files via maxRecordsPerFile — one write
+      * pass, no shuffle; the default keeps the reference's exact geometry */
+    fastStaging: Boolean = false) {
 
   val store = new StoreInfo(outputDir, spark)
   private val parsers = mutable.LinkedHashMap.empty[String, RegisteredParser]
@@ -80,7 +83,7 @@ final class GraphEtl(
       val filtered = store.filter.exists(_.skipParse(p.metadatas))
       if (!filtered && !shouldSkip(p)) {
         val ctx = new Context(store, p.metadatas, java.util.UUID.randomUUID().toString.take(8),
-          nodeChunkSize, edgeChunkSize)
+          nodeChunkSize, edgeChunkSize, fastStaging)
         p.body(ctx)
         store.logAppend("parser", p.name)
         store.persistCatalog()
@@ -101,7 +104,7 @@ final class GraphEtl(
     if (!initialized) init()
     if (!store.logEntries("parser").contains(name)) {
       val ctx = new Context(store, metadatas, java.util.UUID.randomUUID().toString.take(8),
-        nodeChunkSize, edgeChunkSize)
+        nodeChunkSize, edgeChunkSize, fastStaging)
       try body(ctx)
       finally {
         store.logAppend("parser", name)

@@ -125,6 +125,34 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Resolve near-duplicate PAIRS into clusters and pick one keeper per
+    * cluster. Transitive closure via GraphX connected components (pair
+    * chains a-b, b-c collapse into one cluster); the component id GraphX
+    * returns is the minimum vertex id, which is exactly the deterministic
+    * min-id keeper. Returns (id, keep_id) for every id that appears in a
+    * pair. */
+  def resolveDuplicateClusters(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edgeRdd = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph.fromEdges(edgeRdd, 0).connectedComponents()
+      .vertices.map { case (id, comp) => (id, comp) }
+      .toDF("id", "keep_id")
+  }
+
+  /** Drop every near-duplicate except its cluster keeper: rows absent from
+    * `pairs` pass through; paired rows survive iff they are the cluster's
+    * min id. One broadcast-size join when the pair set is small (the usual
+    * case), sort-merge otherwise. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = resolveDuplicateClusters(pairs)
+    df.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .where(col("keep_id").isNull || col("keep_id") === col(idCol))
+      .drop("keep_id")
+  }
+
   /** Embedding near-duplicates: random-hyperplane LSH buckets, exact cosine
     * verify. `planesPerBand`×`bands` sign bits per vector. */
   def embeddingNearDuplicates(

@@ -68,6 +68,18 @@ class ExtSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("near-dup pair chains collapse to clusters with min-id keepers") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.resolveDuplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 99L)) // keepers + untouched doc
+  }
+
   test("cosine column function matches hand computation") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
     val got = df.select(VF.cosine(col("a"), col("b"))).as[Double].head()
