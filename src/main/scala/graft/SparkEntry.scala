@@ -258,6 +258,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard_r"))
     }),
 
+    // exact word-3-gram Jaccard over a bounded doc set — the value-checked
+    // twin of the LSH pipelines (their verify step uses this same jaccard)
+    "q_jaccard_pairs" -> ((s, dir) => {
+      import graft.plans.NativeExpressions
+      import graft.functions.{HashFunctions => H}
+      val d = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), NativeExpressions.wordShingles(col("text"), 3).as("sh"))
+      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), H.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+        .where(col("jaccard") >= 0.5)
+    }),
+
     // brute-force cosine top-k over embeddings (exact ANN baseline)
     "q_embed_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -490,6 +504,27 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         | cast(sum(cast(floor(value * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 200),
+        | d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) = 0 THEN []
+        |         WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    END AS sh
+        |  FROM toks),
+        | scored AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 1.0
+        |         ELSE cast(len(list_intersect(a.sh, b.sh)) AS double)
+        |              / len(list_distinct(list_concat(a.sh, b.sh)))
+        |    END AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
 
     "q_user_stats" ->
       """SELECT user_id, count(*) AS n_events,

@@ -130,6 +130,13 @@ class ExtSpec extends SparkSpec {
     assert(row.getAs[Double]("upper_ratio") == 2.0 / 16.0)
   }
 
+  test("rolling hash handles long strings without ANSI overflow") {
+    val df = Seq((1L, "x" * 5000)).toDF("id", "text")
+    val h = TextAnalysis.fingerprints(df, "id", "text")
+      .select("rolling_hash").as[Long].head()
+    assert(h >= 0L && h < (1L << 31))
+  }
+
   test("fingerprint is invariant to case, punctuation and extra whitespace") {
     val df = Seq((1L, "Hello,   World!"), (2L, "hello world")).toDF("id", "text")
     val fps = df.select(TF.fingerprint(col("text"))).as[String].collect()
