@@ -37,7 +37,13 @@ trait Loader {
   */
 final class SparkGraphLoader(
     spark: SparkSession,
-    edgeStrategy: String = "match") extends Loader {
+    edgeStrategy: String = "match",
+    /** "as_property": metadata keys become literal node columns (the
+      * reference's `SET n += {metadatas}`, neo4j_loader.py:162-165);
+      * "as_edge": one `Metadata` node per distinct metadata map plus a
+      * `HAS_METADATA` edge from every loaded node (:168-175);
+      * "ignore": drop metadata (default — keeps node schemas narrow). */
+    metadataStrategy: String = "ignore") extends Loader {
 
   private val nodeFrames = mutable.LinkedHashMap.empty[String, DataFrame]
   private val edgeFrames = mutable.LinkedHashMap.empty[String, DataFrame]
@@ -55,8 +61,33 @@ final class SparkGraphLoader(
       filePath: String, label: String, primaryKey: String,
       metadatas: Map[String, String], propertiesType: Map[String, String],
       constraints: Seq[String], indexs: Seq[String]): Long = {
-    val df = readCsv(filePath, propertiesType)
+    val df0 = readCsv(filePath, propertiesType)
       .withColumn("id", col(primaryKey).cast(StringType)) // §2.12.3 canonical id
+    val df = metadataStrategy match {
+      case "as_property" =>
+        metadatas.foldLeft(df0) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+      case "as_edge" if metadatas.nonEmpty =>
+        // one Metadata node per distinct metadata map; values stringified
+        // like the reference (neo4j_loader.py:155-156)
+        val metaId = metadatas.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("|")
+        val metaNode = spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(metaId)),
+          org.apache.spark.sql.types.StructType(Seq(StructField("id", StringType))))
+        val withProps = metadatas.foldLeft(metaNode) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
+        nodeFrames("Metadata") = nodeFrames.get("Metadata") match {
+          case Some(prev) => prev.unionByName(withProps, allowMissingColumns = true).dropDuplicates("id")
+          case None => withProps
+        }
+        val metaEdges = df0.select(
+          col("id").cast(StringType).as("src"), lit(metaId).as("dst"),
+          lit(label).as("start_label"), lit("Metadata").as("end_label"))
+        edgeFrames("HAS_METADATA") = edgeFrames.get("HAS_METADATA") match {
+          case Some(prev) => prev.unionByName(metaEdges, allowMissingColumns = true)
+          case None => metaEdges
+        }
+        df0
+      case _ => df0
+    }
     val merged = nodeFrames.get(label) match {
       case Some(prev) => prev.unionByName(df, allowMissingColumns = true)
         .dropDuplicates("id") // MERGE-on-id upsert semantics (unique constraint K8)

@@ -99,6 +99,27 @@ class LoaderSpec extends SparkSpec {
     assert(loader.statements.exists(_.contains("ADD UNDIRECTED EDGE KNOWS (FROM Person, TO Person)")))
   }
 
+  test("metadata strategies: as_property adds columns, as_edge creates Metadata nodes") {
+    // as_property
+    val (etl1, _) = staged()
+    val prop = new SparkGraphLoader(spark, metadataStrategy = "as_property")
+    etl1.load(prop)
+    val persons = prop.nodeTable("Person").get
+    assert(persons.columns.contains("source"))
+    assert(persons.select("source").distinct().as[String].head() == "test")
+    etl1.clear()
+    // as_edge — reference test_loader.py:26-42 semantics
+    val (etl2, _) = staged()
+    val asEdge = new SparkGraphLoader(spark, metadataStrategy = "as_edge")
+    etl2.load(asEdge)
+    val meta = asEdge.nodeTable("Metadata").get
+    assert(meta.count() == 1)
+    assert(meta.columns.contains("source"))
+    val metaEdges = asEdge.edgeTable("HAS_METADATA").get
+    assert(metaEdges.count() == 4) // 2 Person + 2 Car nodes link to the metadata node
+    etl2.clear()
+  }
+
   test("connection config merges kwargs over defaults, caches, and reloads") {
     val dir = Files.createTempDirectory("graft-conn").toString
     val c1 = ConnectionConfig.resolve(dir, ConnectionConfig.Neo4jDefaults,
