@@ -37,31 +37,51 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Deterministic IVF centroids: every `stride`-th corpus vector by id
-    * order (cheap, reproducible; k-means refinement is an optional upgrade,
-    * the bucketing plumbing is identical). Collected to the driver — nlist
-    * is small by construction. */
+  /** Deterministic IVF centroids: a hash-based sample of ~nlist corpus
+    * vectors (no global sort of the corpus — only the tiny sample is
+    * ordered to assign contiguous centroid ids). K-means refinement is an
+    * optional upgrade; the bucketing plumbing is identical. */
   def sampleCentroids(
       corpus: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame = {
-    val w = Window.orderBy(col(idCol))
     val n = corpus.count()
     val stride = math.max(n / nlist, 1L)
-    corpus.withColumn("__rn", row_number().over(w))
-      .where((col("__rn") - 1) % stride === 0 && col("__rn") <= stride * nlist)
-      .select(((col("__rn") - 1) / stride).cast("int").as("centroid_id"), col(vecCol).as("cvec"))
+    val sample = corpus
+      .where(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .select(col(idCol).as("__sid"), col(vecCol).as("cvec"))
+    val w = Window.orderBy(col("__sid")) // ≤ ~2×nlist rows: cheap sort
+    sample.withColumn("centroid_id", (row_number().over(w) - 1).cast("int"))
+      .where(col("centroid_id") < nlist)
+      .select(col("centroid_id"), col("cvec"))
   }
 
-  /** Assign every corpus vector to its nearest centroid (one shuffle-free
-    * pass; centroids broadcast). The result can be written bucketed-by
+  /** Assign every corpus vector to its nearest centroid in ONE narrow
+    * projection: centroids are collected (nlist is small by construction)
+    * and unrolled as literal expressions, so the argmin is an `array_min`
+    * over per-centroid distance structs — no crossJoin, no per-row window,
+    * no shuffle of the corpus. The result can be written bucketed-by
     * `centroid_id` and reused for every subsequent query batch. */
   def assignToCentroids(
       corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("dist"), col("centroid_id"))
-    corpus.crossJoin(broadcast(centroids))
-      .withColumn("dist", NativeExpressions.euclidean(col(vecCol), col("cvec")))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn", "cvec", "dist")
+    val cents = centroids.select(col("centroid_id"), col("cvec")).collect()
+    require(cents.nonEmpty, "no centroids sampled")
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val isFloat = centroids.schema("cvec").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val candidates = cents.map { r =>
+      val cid = r.getInt(0)
+      val cvec =
+        if (isFloat) typedlit(r.getSeq[Float](1))
+        else typedlit(r.getSeq[Double](1))
+      struct(
+        NativeExpressions.euclidean(col(vecCol), cvec).as("dist"),
+        lit(cid).as("cid"))
+    }
+    corpus
+      .withColumn("__best", array_min(array(candidates.toIndexedSeq: _*)))
+      .withColumn("centroid_id", col("__best.cid"))
+      .drop("__best")
   }
 
   /** IVF top-k: probe the `nprobe` nearest centroids per query, exact

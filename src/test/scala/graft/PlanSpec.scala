@@ -1,0 +1,55 @@
+package graft
+
+/** Plan-shape regression tests: the physical plans the engine relies on for
+  * scale must keep their key properties (pushdown, pruning, broadcast
+  * strategy, pre-shuffle top-k pruning). String checks over the executed
+  * plan — crude but catches strategy regressions immediately. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("filter+project pushes predicates into the parquet scan and prunes columns") {
+    val p = plan("q_filter_project")
+    // the one-line plan render truncates long filter lists; check the parts
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p.take(2000))
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), "range predicate not pushed")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_returnflag:string>"), "column pruning lost")
+  }
+
+  test("mapping join broadcasts the mapping side") {
+    val p = plan("q_mapping_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("LeftOuter"), "mapping join must stay left-outer by default")
+  }
+
+  test("snowflake join broadcasts both dimension tables") {
+    val p = plan("q_snowflake_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dimensions must not sort-merge")
+  }
+
+  test("ranked top-k prunes per group before the shuffle (WindowGroupLimit)") {
+    val p = plan("q_topk_window")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
+  test("aggregations do partial (map-side) aggregation before the exchange") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(2000))
+    assert("Exchange".r.findAllIn(p).size == 1, "q1 must shuffle exactly once")
+  }
+
+  test("IVF centroid assignment is a narrow projection (no corpus shuffle/window)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.read(spark, dir, "embeddings")
+    val cents = graft.ext.Similarity.sampleCentroids(emb, "vec_id", "embedding", 8)
+    val p = graft.ext.Similarity.assignToCentroids(emb, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Window"), "assignment must not use a per-row window")
+    assert(!p.contains("Exchange"), "assignment must not shuffle the corpus")
+  }
+}

@@ -145,6 +145,20 @@ class EtlPipelineSpec extends SparkSpec {
     assert(got.select(col("start").cast("long")).as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("catalog resume: a new engine instance reloads configs.json (S6)") {
+    val dir = Files.createTempDirectory("graft-resume").toString
+    val etl1 = new GraphEtl(spark, dir)
+    etl1.parser("r1", Map("source" -> "t")) { ctx =>
+      ctx.saveNodes(Seq((1L, "A"), (2L, "B")).toDF("id", "name"), "Person", indexs = Seq("name"))
+    }
+    etl1.parse()
+    val etl2 = new GraphEtl(spark, dir)
+    etl2.init(loadConfigs = true)
+    assert(etl2.store.catalog == etl1.store.catalog)
+    assert(etl2.store.catalog.nodes("Person").indexs == List("name"))
+    etl1.clear()
+  }
+
   test("fast staging bounds file sizes and records exact per-file counts") {
     val dir = Files.createTempDirectory("graft-fast").toString
     val etl = new GraphEtl(spark, dir, nodeChunkSize = 10L, fastStaging = true)
