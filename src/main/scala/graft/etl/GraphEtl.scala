@@ -172,14 +172,18 @@ final class GraphEtl(
           var df = readStagedEdges(fname, cfg)
           var dirty = false
 
-          // -- pass A: explicit mappings (pipeline.py:49-72). The reference
-          // keeps the pre-mapping values under `mapped_from` (pipeline.py:64);
-          // we suffix per-endpoint so mapping both endpoints can't collide.
-          Seq(("start", cfg.start), ("end", cfg.end)).foreach { case (colName, spec) =>
-            store.mappings.get(spec).foreach { mapping =>
-              df = Mapping.applyMapping(df, mapping, colName, strictCompat)
-                .withColumnRenamed("mapped_from", s"${colName}_mapped_from")
-              dirty = true
+          // -- pass A: explicit mappings (pipeline.py:49-72), gated on
+          // ignore_mapping like the reference (pipeline.py:52). The
+          // reference keeps the pre-mapping values under `mapped_from`
+          // (pipeline.py:64); we suffix per-endpoint so mapping both
+          // endpoints can't collide.
+          if (!cfg.ignore_mapping) {
+            Seq(("start", cfg.start), ("end", cfg.end)).foreach { case (colName, spec) =>
+              store.mappings.get(spec).foreach { mapping =>
+                df = Mapping.applyMapping(df, mapping, colName, strictCompat)
+                  .withColumnRenamed("mapped_from", s"${colName}_mapped_from")
+                dirty = true
+              }
             }
           }
 

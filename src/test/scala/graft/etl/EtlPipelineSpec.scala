@@ -76,6 +76,22 @@ class EtlPipelineSpec extends SparkSpec {
     etl.clear()
   }
 
+  test("ignore_mapping skips both mapping passes (pipeline.py:52,78)") {
+    val etl = newEtl()
+    etl.parser("p3i", Map("source" -> "test")) { ctx =>
+      ctx.saveEdges(
+        Seq((1L, "Tom")).toDF("start", "end"),
+        "DRIVED_BY", "Car:id", "Person:id", ignoreMapping = true)
+      ctx.mapIds(Seq((1L, "P821DS")).toDF("old_value", "new_value"), "Car:id")
+    }
+    etl.parse()
+    val (fname, cfg) = etl.store.catalog.edges("DRIVED_BY").head
+    assert(cfg.properties_type("start") == "Int64") // untouched
+    val rewritten = etl.readStagedEdges(fname, cfg)
+    assert(rewritten.select(col("start").cast("string")).as[String].head() == "1")
+    etl.clear()
+  }
+
   test("auto pk-resolution rewrites non-pk endpoint and repoints the catalog") {
     // test_parser.py:127-174 (test_decorator_auto_mapping)
     val etl = newEtl()
