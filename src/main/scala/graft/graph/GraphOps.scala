@@ -34,8 +34,14 @@ object GraphOps {
   }
 
   /** Build a GraphX graph; vertex attr = (label, id), edge attr = type. */
-  def toGraphX(nodes: DataFrame, edges: DataFrame): Graph[(String, String), String] = {
-    val vids = denseVertexIds(nodes).cache()
+  def toGraphX(nodes: DataFrame, edges: DataFrame): Graph[(String, String), String] =
+    toGraphXWithIds(denseVertexIds(nodes).cache(), edges)
+
+  /** Build the graph against a PRE-ASSIGNED vid table. Algorithms that join
+    * results back by vid MUST pass the same table here — `zipWithIndex` id
+    * assignment is per-job and two separate runs are not guaranteed to
+    * agree. */
+  def toGraphXWithIds(vids: DataFrame, edges: DataFrame): Graph[(String, String), String] = {
     val vertexRdd = vids.rdd.map(r =>
       (r.getAs[Long]("vid"), (r.getAs[String]("label"), r.getAs[String]("id"))))
     val srcIds = vids.select(col("label").as("start_label"), col("id").as("src"), col("vid").as("src_vid"))
@@ -76,7 +82,7 @@ object GraphOps {
   def pageRank(nodes: DataFrame, edges: DataFrame, tol: Double = 0.001): DataFrame = {
     val spark = nodes.sparkSession
     val vids = denseVertexIds(nodes).cache()
-    val g = toGraphX(nodes, edges)
+    val g = toGraphXWithIds(vids, edges)
     withVertexInfo(spark, vids, g.pageRank(tol).vertices, "pagerank")
   }
 
@@ -84,7 +90,7 @@ object GraphOps {
   def connectedComponents(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     val vids = denseVertexIds(nodes).cache()
-    val g = toGraphX(nodes, edges)
+    val g = toGraphXWithIds(vids, edges)
     withVertexInfo(spark, vids,
       g.connectedComponents().vertices.mapValues(_.toDouble), "component")
   }
@@ -93,7 +99,7 @@ object GraphOps {
   def triangleCount(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     val vids = denseVertexIds(nodes).cache()
-    val g = toGraphX(nodes, edges)
+    val g = toGraphXWithIds(vids, edges)
     withVertexInfo(spark, vids,
       g.triangleCount().vertices.mapValues(_.toDouble), "triangles")
   }
