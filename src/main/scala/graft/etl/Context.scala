@@ -101,7 +101,10 @@ final class Context(
       nodeChunkSize, lastNodeChunk)
     lastNodeChunk += written.size
 
-    val propTypes = Catalog.schemaTypes(normalized.schema)
+    // catalog types come from the PRE-flatten schema (context.py:112 runs
+    // before the normalize chain): array columns are recorded List(Utf8)
+    // so the Neo4j/TigerGraph loaders emit arraySep/LIST<STRING> handling
+    val propTypes = Catalog.schemaTypes(nodes.schema)
     written.foreach { case (fname, count) =>
       store.catalog = store.catalog.withNodeFile(
         label, primaryKey, allConstraints, indexs.toList, propTypes, fname, metadatas, count)
@@ -118,6 +121,10 @@ final class Context(
       startId: String,
       endId: String,
       ignoreMapping: Boolean = false): Unit = {
+    // fail fast: the mapping passes destructure "{Label}:{property}" — a
+    // colonless spec would otherwise crash mid-mapping after staging
+    require(startId.contains(":") && endId.contains(":"),
+      s"""saveEdges($edgeType): endpoint specs must be "Label:property", got startId="$startId", endId="$endId"""")
     val startLabel = startId.split(":")(0)
     val endLabel = endId.split(":")(0)
     store.callbacks.foreach(_.onSaveEdges(
@@ -130,7 +137,8 @@ final class Context(
       edgeChunkSize, lastEdgeChunk)
     lastEdgeChunk += written.size
 
-    val propTypes = Catalog.schemaTypes(normalized.schema)
+    // pre-flatten schema, like saveNodes (context.py:222)
+    val propTypes = Catalog.schemaTypes(edges.schema)
     written.foreach { case (fname, count) =>
       store.catalog = store.catalog.withEdgeFile(
         edgeType, fname, startId, endId, propTypes, ignoreMapping, metadatas, count)
@@ -190,8 +198,8 @@ object Context {
 
       val out = (0 until nChunks).map { i =>
         val chunkDir = tmp.resolve(s"chunk=$i")
-        val part = Files.list(chunkDir).filter(p => p.getFileName.toString.startsWith("part-"))
-          .findFirst().orElseThrow(() => new IllegalStateException(s"no part file for chunk $i"))
+        val part = listDir(chunkDir).find(_.getFileName.toString.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file for chunk $i"))
         val name = fileName(startChunk + i)
         Files.move(part, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
         val count = if (i < nChunks - 1) chunkSize else total - chunkSize * (nChunks - 1)
@@ -222,9 +230,7 @@ object Context {
       .option("header", "true")
       .mode("overwrite")
       .csv(tmp.toString)
-    val parts = scala.jdk.CollectionConverters.ListHasAsScala(
-      Files.list(tmp).filter(_.getFileName.toString.startsWith("part-"))
-        .sorted().collect(java.util.stream.Collectors.toList[Path])).asScala.toSeq
+    val parts = listDir(tmp).filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
     val renamed = parts.zipWithIndex.map { case (p, i) =>
       val name = fileName(startChunk + i)
       Files.move(p, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
@@ -244,11 +250,17 @@ object Context {
     renamed.map(n => n -> counts.getOrElse(n, 0L))
   }
 
+  /** Directory listing that closes its stream (a bare `Files.list` leaks a
+    * directory fd until finalization). */
+  private[etl] def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try scala.jdk.CollectionConverters.ListHasAsScala(
+      s.collect(java.util.stream.Collectors.toList[Path])).asScala.toSeq
+    finally s.close()
+  }
+
   private[etl] def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      scala.jdk.CollectionConverters.ListHasAsScala(
-        Files.list(p).collect(java.util.stream.Collectors.toList[Path])).asScala
-        .foreach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

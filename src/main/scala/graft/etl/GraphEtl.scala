@@ -105,12 +105,14 @@ final class GraphEtl(
     if (!store.logEntries("parser").contains(name)) {
       val ctx = new Context(store, metadatas, java.util.UUID.randomUUID().toString.take(8),
         nodeChunkSize, edgeChunkSize, fastStaging)
-      try body(ctx)
-      finally {
-        store.logAppend("parser", name)
-        store.persistCatalog()
-        mapProperties()
-      }
+      // resume marker + mapping only on success — a parser body that threw
+      // must re-run on resume, not be skipped as complete. (The reference's
+      // __exit__ runs these even on exception, utils.py:278-283; that marks
+      // half-staged parsers done, which we deliberately fix.)
+      body(ctx)
+      store.logAppend("parser", name)
+      store.persistCatalog()
+      mapProperties()
     }
   }
 
@@ -149,8 +151,8 @@ final class GraphEtl(
     df.coalesce(1).write
       .option("sep", ";").option("header", "true")
       .mode("overwrite").csv(tmp.toString)
-    val part = Files.list(tmp).filter(_.getFileName.toString.startsWith("part-"))
-      .findFirst().orElseThrow(() => new IllegalStateException(s"rewrite of $fname produced no file"))
+    val part = Context.listDir(tmp).find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"rewrite of $fname produced no file"))
     Files.move(part, store.edgesDir.resolve(fname), StandardCopyOption.REPLACE_EXISTING)
     Context.deleteRecursively(tmp)
   }

@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{HashFunctions => H, VectorFunctions => V, TextFunctions => T}
+import graft.functions.{HashFunctions => H, TextFunctions => T}
 import graft.plans.NativeExpressions
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -12,14 +12,20 @@ import graft.plans.NativeExpressions
   * (one shuffle on the signature/bucket key) → (bounded verify). No
   * cross-join ever touches the full corpus; candidate generation is always
   * LSH-bucketed so the worst case is per-bucket quadratic, bounded by
-  * bucket size, not corpus size.
+  * bucket size, not corpus size. Bucket joins carry only (id, bucket) —
+  * payloads (shingle sets, vectors) are re-joined by id after the
+  * candidate pairs are deduplicated. Nothing is cached: signatures are
+  * cheap native expressions (graft.plans), so recomputation beats pinning
+  * executor storage for the query's lifetime.
   */
 object Dedup {
 
-  /** Content hash over `cols` (md5 of unit-separated concat — engine
-    * portable;  cannot appear in sanitized text). */
+  /** Content hash over `cols`: md5 over unit-separated, null-sentinel'd
+    * values. The separator prevents boundary collisions ("ab","c" vs
+    * "a","bc"); the sentinel keeps null distinct from empty and from a
+    * missing middle column (bare concat_ws skips nulls entirely). */
   def contentHash(cols: Seq[Column]): Column =
-    md5(concat_ws("", cols: _*))
+    md5(concat_ws("\u001f", cols.map(c => coalesce(c.cast("string"), lit("\u0000null"))): _*))
 
   /** Exact-duplicate groups: one row per distinct content with the kept
     * (minimum) id and the duplicate count. One shuffle. */
@@ -34,35 +40,33 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** Per-doc MinHash signatures + LSH band hashes. numHashes must equal
-    * bands * rowsPerBand. */
+  /** Per-doc MinHash signatures + LSH band hashes. numHashes must be
+    * divisible by bands. */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32): DataFrame =
+    signaturesFor(df, idCol, NativeExpressions.charShingles(col(textCol), shingleSize),
+      numHashes, bands)
+
+  private def signaturesFor(
+      df: DataFrame, idCol: String, shingles: Column,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val rows = numHashes / bands
-    // native expressions: the HOF variants in graft.functions are ~500×
-    // slower here (interpreted per-element lambdas; see graft.plans)
-    val sh = NativeExpressions.charShingles(col(textCol), shingleSize)
     df.select(
       col(idCol).as("id"),
-      sh.as("shingles"),
-      NativeExpressions.minhashSignature(sh, numHashes).as("signature"))
+      shingles.as("shingles"),
+      NativeExpressions.minhashSignature(shingles, numHashes).as("signature"))
       .withColumn("bands", H.lshBandHashes(col("signature"), bands, rows))
   }
 
-  /** Candidate near-duplicate pairs from LSH bucketing, verified with exact
-    * shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
-    *
-    * Shuffle structure: explode bands (narrow) → self-join on band hash
-    * (the one required shuffle) → distinct pairs → verify via two id-joins.
-    */
-  def minhashNearDuplicates(
-      df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, shingleSize, numHashes, bands)
-      .cache()
+  /** Shared MinHash-LSH near-dup pipeline: band-bucket candidates over
+    * (id, bucket) only, distinct pairs, exact shingle-Jaccard verify via
+    * two id-joins. Returns (id_a, id_b, jaccard) with id_a < id_b. */
+  private def lshNearDuplicates(
+      df: DataFrame, idCol: String, shingles: Column,
+      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val sigs = signaturesFor(df, idCol, shingles, numHashes, bands)
     val buckets = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "bhash")))
     val a = buckets.select(col("band"), col("bhash"), col("id").as("id_a"))
     val b = buckets.select(col("band"), col("bhash"), col("id").as("id_b"))
@@ -76,6 +80,23 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Character-shingle MinHash+LSH near-duplicate pairs. */
+  def minhashNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame =
+    lshNearDuplicates(df, idCol,
+      NativeExpressions.charShingles(col(textCol), shingleSize), numHashes, bands, threshold)
+
+  /** Word n-gram Jaccard near-duplicates — the same LSH pipeline over word
+    * shingles. */
+  def ngramJaccardNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame =
+    lshNearDuplicates(df, idCol,
+      NativeExpressions.wordShingles(col(textCol), ngram), numHashes, bands, threshold)
 
   /** SimHash near-duplicates: 64-bit fingerprints, pigeonhole 16-bit band
     * bucketing, Hamming verify. Finds pairs within `maxHamming` (≤ 3 is
@@ -87,42 +108,17 @@ object Dedup {
       col(idCol).as("id"),
       NativeExpressions.simhash64(T.tokens(lower(col(textCol)))).as("fp"))
       .withColumn("bands", H.simhashBands(col("fp")))
-      .cache()
-    val buckets = fps.select(col("id"), col("fp"), posexplode(col("bands")).as(Seq("band", "bval")))
-    val a = buckets.select(col("band"), col("bval"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val b = buckets.select(col("band"), col("bval"), col("id").as("id_b"), col("fp").as("fp_b"))
-    a.join(b, Seq("band", "bval"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), H.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
-  }
-
-  /** Word n-gram Jaccard near-duplicates (MinHash-LSH candidates over word
-    * shingles, exact n-gram Jaccard verify). */
-  def ngramJaccardNearDuplicates(
-      df: DataFrame, idCol: String, textCol: String,
-      ngram: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
-    val rows = numHashes / bands
-    val sh = NativeExpressions.wordShingles(col(textCol), ngram)
-    val sigs = df.select(
-      col(idCol).as("id"), sh.as("shingles"),
-      NativeExpressions.minhashSignature(sh, numHashes).as("signature"))
-      .withColumn("bands", H.lshBandHashes(col("signature"), bands, rows))
-      .cache()
-    val buckets = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "bhash")))
-    val a = buckets.select(col("band"), col("bhash"), col("id").as("id_a"))
-    val b = buckets.select(col("band"), col("bhash"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "bhash"))
+    val buckets = fps.select(col("id"), posexplode(col("bands")).as(Seq("band", "bval")))
+    val a = buckets.select(col("band"), col("bval"), col("id").as("id_a"))
+    val b = buckets.select(col("band"), col("bval"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bval"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val shA = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = sigs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    candidates.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val fpA = fps.select(col("id").as("id_a"), col("fp").as("fp_a"))
+    val fpB = fps.select(col("id").as("id_b"), col("fp").as("fp_b"))
+    candidates.join(fpA, "id_a").join(fpB, "id_b")
+      .select(col("id_a"), col("id_b"), H.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Resolve near-duplicate PAIRS into clusters and pick one keeper per
@@ -153,28 +149,33 @@ object Dedup {
       .drop("keep_id")
   }
 
-  /** Embedding near-duplicates: random-hyperplane LSH buckets, exact cosine
-    * verify. `planesPerBand`×`bands` sign bits per vector. */
+  /** Embedding near-duplicates: random-hyperplane LSH buckets over
+    * (id, band signature) only, distinct candidate pairs, exact cosine
+    * verify via two id-joins. `planesPerBand`×`bands` sign bits/vector. */
   def embeddingNearDuplicates(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.95, bands: Int = 4, planesPerBand: Int = 8,
       seed: Long = 42L): DataFrame = {
+    import graft.functions.{VectorFunctions => V}
     val allPlanes = V.randomPlanes(bands * planesPerBand, dim, seed)
     val bandSigs = (0 until bands).map { bnd =>
       val planes = allPlanes.slice(bnd * planesPerBand, (bnd + 1) * planesPerBand)
       struct(lit(bnd).as("band"), V.hyperplaneSignature(col(vecCol), planes).as("sig"))
     }
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      array(bandSigs: _*).as("bands")).cache()
-    val buckets = sigs.select(col("id"), col("vec"), explode(col("bands")).as("b"))
-      .select(col("id"), col("vec"), col("b.band"), col("b.sig"))
-    val a = buckets.select(col("band"), col("sig"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = buckets.select(col("band"), col("sig"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("band", "sig"))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      array(bandSigs.toIndexedSeq: _*).as("bands"))
+    val buckets = base.select(col("id"), explode(col("bands")).as("b"))
+      .select(col("id"), col("b.band"), col("b.sig"))
+    val a = buckets.select(col("band"), col("sig"), col("id").as("id_a"))
+    val b = buckets.select(col("band"), col("sig"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "sig"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecA = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vecB = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    candidates.join(vecA, "id_a").join(vecB, "id_b")
       .select(col("id_a"), col("id_b"),
         NativeExpressions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
-      .distinct()
       .where(col("cosine") >= threshold)
   }
 }

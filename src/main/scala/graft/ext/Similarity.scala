@@ -90,7 +90,15 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nlist: Int = 64, nprobe: Int = 8): DataFrame = {
-    val centroids = sampleCentroids(corpus, idCol, vecCol, nlist).cache()
+    // materialize the (tiny) centroid table as a local relation: evaluated
+    // once, reused by assignment and probes, no executor storage pinned
+    val centroids = {
+      val cdf = sampleCentroids(corpus, idCol, vecCol, nlist)
+      val rows = cdf.collect()
+      require(rows.nonEmpty, "no centroids sampled")
+      corpus.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), cdf.schema)
+    }
     val assigned = assignToCentroids(corpus, idCol, vecCol, centroids)
 
     val qw = Window.partitionBy(col(qidCol)).orderBy(col("dist"), col("centroid_id"))

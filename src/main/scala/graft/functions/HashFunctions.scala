@@ -22,18 +22,24 @@ object HashFunctions {
         i => s.substr(i, lit(n))))
   }
 
-  /** Distinct word n-grams over whitespace tokens. */
+  /** Distinct word n-grams over whitespace tokens. Empty/whitespace-only
+    * input yields an empty array (matching the native twin in
+    * graft.plans.NativeExpressions). */
   def wordShingles(c: Column, n: Int): Column = {
     val t = TextFunctions.tokens(lower(c))
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(t) - lit(n), lit(0))),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+    filter(
+      array_distinct(
+        transform(
+          sequence(lit(0), greatest(size(t) - lit(n), lit(0))),
+          i => concat_ws(" ", slice(t, i + 1, lit(n))))),
+      s => s =!= "")
   }
 
   /** MinHash signature: k independent hash family members h_i(s) =
     * xxhash64(i, s); signature[i] = min over shingles. One pass per row,
-    * no shuffle. */
+    * no shuffle. NOTE: portable HOF reference form — the Dedup pipelines
+    * use graft.plans.NativeExpressions.minhashSignature, whose (faster)
+    * affine family produces DIFFERENT signature values. */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),

@@ -38,11 +38,18 @@ object Mapping {
     // numeric side and throw on unmapped string values.
     val pType = edges.schema(prop).dataType
     val mType = mapping.schema("new_value").dataType
+    val oType = mapping.schema("old_value").dataType
     val (newSide, oldSide) =
       if (pType == mType) (m("new_value"), edges(prop))
       else (m("new_value").cast("string"), edges(prop).cast("string"))
+    // join keys likewise compare as strings when types differ — ANSI mode
+    // would otherwise coerce the string side numerically and throw on
+    // non-numeric ids instead of just not matching
+    val joinCond =
+      if (pType == oType) edges(prop) === m("old_value")
+      else edges(prop).cast("string") === m("old_value").cast("string")
     edges
-      .join(m, edges(prop) === m("old_value"), joinType)
+      .join(m, joinCond, joinType)
       .withColumn("__mapped", coalesce(newSide, oldSide))
       .withColumnRenamed(prop, "mapped_from")
       .drop(m("old_value")).drop(m("new_value"))

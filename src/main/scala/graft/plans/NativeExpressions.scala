@@ -19,9 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * the expression sits in a projection whose surrounding plan still
   * codegens.
   *
-  * Hashing matches the column-function variants in graft.functions
-  * (seed-42 xxhash64, the same family Spark's `xxhash64` uses), so
-  * results are stable and reproducible across engines/runs.
+  * Hashing is built on the same seed-42 xxhash64 base Spark's `xxhash64`
+  * uses, so results are stable and reproducible across runs. NOTE: the
+  * MinHash slot family here (affine `base*a_k+b_k` over one base hash per
+  * shingle) intentionally differs from the HOF variant in
+  * graft.functions.HashFunctions (per-slot `xxhash64(k, s)`) — it hashes
+  * each shingle once instead of k times. Signatures from the two APIs are
+  * NOT comparable; these native forms are the canonical ones the Dedup
+  * pipelines use.
   */
 object NativeExpressions {
 

@@ -24,6 +24,15 @@ class ExtSpec extends SparkSpec {
     assert(dupGroup.sameElements(Array(1L)))
   }
 
+  test("multi-column content hash has no boundary or null collisions") {
+    val df = Seq(
+      (1L, "ab", "c"), (2L, "a", "bc"),      // boundary shift
+      (3L, "a", null), (4L, "a", "")          // null vs empty
+    ).toDF("id", "first", "last")
+    val groups = Dedup.exactDuplicateGroups(df, "id", Seq("first", "last"))
+    assert(groups.count() == 4) // all four rows are distinct content
+  }
+
   test("minhash near-dup finds the planted near-duplicate and the exact dup") {
     val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
       shingleSize = 5, numHashes = 64, bands = 32, threshold = 0.6)
