@@ -100,6 +100,32 @@ object SparkEntry {
       t(s, dir, "customer").select(col("c_nationkey"), col("c_mktsegment")).distinct()
     }),
 
+    // A5 hierarchical aggregation (rollup: per-group, subtotal, grand total)
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // A5 distinct aggregation (exact; the approx/HLL variant is
+    // approx_count_distinct over the same plan shape)
+    "q_count_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // HAVING-style post-aggregation filter
+    "q_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spent"))
+        .where(col("n_orders") >= 12)
+    }),
+
     // U1 vertical concat (unionByName) + aggregate
     "q_union" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_name").as("name"))
@@ -386,6 +412,21 @@ object SparkEntry {
 
     "q_distinct" ->
       "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | cast(sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        | cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS total_spent
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 12""".stripMargin,
 
     "q_union" ->
       """SELECT substring(name, 1, 4) AS prefix, count(*) AS n FROM

@@ -53,6 +53,15 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same `event_id`
+    * arriving within the watermark window — the streaming counterpart of
+    * the batch exact-dedup operator, with state bounded by the watermark
+    * instead of growing forever (`dropDuplicatesWithinWatermark`). */
+  def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom keyed state via `flatMapGroupsWithState`: per-user running
     * profile (event count, value sum, distinct-type count) emitted on every
     * update. The state object is bounded per user, so cluster-wide state is

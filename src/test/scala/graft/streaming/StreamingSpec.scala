@@ -41,6 +41,20 @@ class StreamingSpec extends SparkSpec {
     assert(overlaps.count() == 0)
   }
 
+  test("dropDuplicatesWithinWatermark removes re-delivered events") {
+    // stage the events file twice: every event is delivered twice
+    val dupDir = java.nio.file.Files.createTempDirectory("graft-stream-dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), dupDir.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), dupDir.resolve("events_b.parquet"))
+    val streamed = EventsStream.dedupedEvents(
+      EventsStream.readStream(spark, dupDir.toString))
+    val got = EventsStream.runToMemory(spark, streamed, "dedup_test")
+    assert(got.count() == 1000L) // 2000 delivered, 1000 distinct event_ids
+    assert(got.select("event_id").distinct().count() == 1000L)
+  }
+
   test("flatMapGroupsWithState keeps a running per-user profile") {
     val streamed = EventsStream.userProfiles(spark,
       EventsStream.readStream(spark, streamDir)).toDF()
