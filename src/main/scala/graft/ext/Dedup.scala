@@ -52,12 +52,14 @@ object Dedup {
       df: DataFrame, idCol: String, shingles: Column,
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
-    val rows = numHashes / bands
+    // bands via the fused native expression — deriving them from the
+    // signature column with an HOF would re-evaluate the signature per band
+    // wherever Catalyst collapses the projections (see graft.plans)
     df.select(
       col(idCol).as("id"),
       shingles.as("shingles"),
-      NativeExpressions.minhashSignature(shingles, numHashes).as("signature"))
-      .withColumn("bands", H.lshBandHashes(col("signature"), bands, rows))
+      NativeExpressions.minhashSignature(shingles, numHashes).as("signature"),
+      NativeExpressions.minhashBands(shingles, numHashes, bands).as("bands"))
   }
 
   /** Shared MinHash-LSH near-dup pipeline: band-bucket candidates over
@@ -66,15 +68,23 @@ object Dedup {
   private def lshNearDuplicates(
       df: DataFrame, idCol: String, shingles: Column,
       numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val sigs = signaturesFor(df, idCol, shingles, numHashes, bands)
-    val buckets = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "bhash")))
+    require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    // candidate branch: signature+banding fused into ONE native expression
+    // so the generator evaluates it once per row (a composed HOF banding
+    // lambda would re-run the signature per band — see graft.plans)
+    val buckets = df.select(
+      col(idCol).as("id"),
+      posexplode(NativeExpressions.minhashBands(shingles, numHashes, bands))
+        .as(Seq("band", "bhash")))
     val a = buckets.select(col("band"), col("bhash"), col("id").as("id_a"))
     val b = buckets.select(col("band"), col("bhash"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bhash"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val shA = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = sigs.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    // verify branch: shingle sets only, joined per deduped pair
+    val sh = df.select(col(idCol).as("id"), shingles.as("shingles"))
+    val shA = sh.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = sh.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
@@ -158,21 +168,19 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     import graft.functions.{VectorFunctions => V}
     val allPlanes = V.randomPlanes(bands * planesPerBand, dim, seed)
-    val bandSigs = (0 until bands).map { bnd =>
-      val planes = allPlanes.slice(bnd * planesPerBand, (bnd + 1) * planesPerBand)
-      struct(lit(bnd).as("band"), V.hyperplaneSignature(col(vecCol), planes).as("sig"))
-    }
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      array(bandSigs.toIndexedSeq: _*).as("bands"))
-    val buckets = base.select(col("id"), explode(col("bands")).as("b"))
-      .select(col("id"), col("b.band"), col("b.sig"))
+    // all band signatures in one fused native evaluation per row
+    val buckets = df.select(
+      col(idCol).as("id"),
+      posexplode(NativeExpressions.hyperplaneBands(
+        col(vecCol), allPlanes.map(_.clone()), bands)).as(Seq("band", "sig")))
     val a = buckets.select(col("band"), col("sig"), col("id").as("id_a"))
     val b = buckets.select(col("band"), col("sig"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "sig"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val vecA = base.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val vecB = base.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val vecA = vecs.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vecB = vecs.select(col("id").as("id_b"), col("vec").as("vec_b"))
     candidates.join(vecA, "id_a").join(vecB, "id_b")
       .select(col("id_a"), col("id_b"),
         NativeExpressions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
