@@ -344,6 +344,20 @@ object SparkEntry {
           col("n_events"), col("sum_value"))
     }),
 
+    // as-of temporal join: each purchase paired with the user's most recent
+    // preceding view (ordered running-max over a typed timestamp — no
+    // self-join, one shuffle on user_id)
+    "q_asof_join" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .withColumn("prev_view_ts",
+          max(when(col("event_type") === "view", col("ts"))).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("prev_view_ts"))
+    }),
+
     // per-user aggregate profile — batch semantics of the streaming
     // flatMapGroupsWithState operator in graft.streaming
     "q_user_stats" -> ((s, dir) => {
@@ -566,6 +580,15 @@ object SparkEntry {
         |    END AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT event_id, user_id, ts, prev_view_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_ts
+        |  FROM events)
+        |WHERE event_type = 'purchase'""".stripMargin,
 
     "q_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
