@@ -230,18 +230,12 @@ object SparkEntry {
       Dedup.exactDuplicateGroups(t(s, dir, "documents"), "doc_id", Seq("text"))
     }),
 
-    // text metrics per document (single codegen'd scan)
+    // text metrics per document (single codegen'd scan; the oracle covers
+    // the engine-portable subset of the profile columns)
     "q_text_profile" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val txt = col("text")
-      d.select(
-        col("doc_id"),
-        length(txt).cast("long").as("n_chars"),
-        TF.tokenCount(txt).cast("long").as("n_tokens"),
-        TF.bpeishTokenCount(txt).cast("long").as("n_bpeish_tokens"),
-        TF.punctRatio(txt).as("punct_ratio"),
-        TF.digitRatio(txt).as("digit_ratio"),
-        TF.upperRatio(txt).as("upper_ratio"))
+      TextAnalysis.profile(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "n_chars", "n_tokens", "n_bpeish_tokens",
+          "punct_ratio", "digit_ratio", "upper_ratio")
     }),
 
     // corpus stats per language

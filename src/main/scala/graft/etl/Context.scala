@@ -244,10 +244,17 @@ object Context {
       .groupBy(input_file_name().as("f")).agg(cnt(lit(1)).as("n"))
       .collect()
       .map(r => {
+        // input_file_name() is a URI (percent-encoded) — decode before
+        // matching against the on-disk file names
         val f = r.getString(0)
-        f.substring(f.lastIndexOf('/') + 1) -> (r.getLong(1) - 1)
+        val path = try new java.net.URI(f).getPath catch { case _: Exception => f }
+        path.substring(path.lastIndexOf('/') + 1) -> (r.getLong(1) - 1)
       }).toMap
-    renamed.map(n => n -> counts.getOrElse(n, 0L))
+    renamed.map { n =>
+      val c = counts.getOrElse(n,
+        throw new IllegalStateException(s"no line count for staged file $n"))
+      n -> c
+    }
   }
 
   /** Directory listing that closes its stream (a bare `Files.list` leaks a

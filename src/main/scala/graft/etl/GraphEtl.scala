@@ -120,29 +120,35 @@ final class GraphEtl(
   // Mapping passes (pipeline.py:48-122)
   // ------------------------------------------------------------------
 
-  /** Read a staged edge file with the catalog-recorded schema — no second
-    * inference pass (improvement over pipeline.py:53's 100k-row re-infer). */
-  private[etl] def readStagedEdges(fname: String, cfg: EdgeFileConfig): DataFrame = {
-    val schema = StructType(edgeColumnOrder(fname, cfg).map(c =>
-      StructField(c, Catalog.sparkType(cfg.properties_type(c)))))
-    spark.read
-      .option("sep", ";").option("header", "true")
-      .schema(schema)
-      .csv(store.edgesDir.resolve(fname).toString)
-  }
-
-  private def edgeColumnOrder(fname: String, cfg: EdgeFileConfig): List[String] = {
-    // header order from the file itself (cheap: one line), falling back to
-    // catalog key order — S8's header probe without a data scan
-    val p = store.edgesDir.resolve(fname)
+  /** Header order from the file itself (cheap: one line), falling back to
+    * the catalog key order — S8's header probe without a data scan. */
+  private def headerColumns(p: java.nio.file.Path, fallback: => List[String]): List[String] =
     if (Files.exists(p)) {
       val src = scala.io.Source.fromFile(p.toFile)
       try {
         val it = src.getLines()
-        if (it.hasNext) it.next().split(";", -1).toList else cfg.properties_type.keys.toList
+        if (it.hasNext) it.next().split(";", -1).toList else fallback
       } finally src.close()
-    } else cfg.properties_type.keys.toList
+    } else fallback
+
+  /** One staged CSV read with a schema in ITS OWN header order — with
+    * `header=true` + explicit schema Spark binds columns positionally, so
+    * the schema must follow each file's header, never another file's. A
+    * header column missing from the catalog falls back to string (happens
+    * when resuming from a crash between a mapping rewrite and the catalog
+    * persist — the read stays usable and the mapping re-run is idempotent). */
+  private def readStagedFile(
+      p: java.nio.file.Path, propertiesType: Map[String, String]): DataFrame = {
+    val cols = headerColumns(p, propertiesType.keys.toList)
+    val schema = StructType(cols.map(c =>
+      StructField(c, propertiesType.get(c).map(Catalog.sparkType).getOrElse(StringType))))
+    spark.read.option("sep", ";").option("header", "true").schema(schema).csv(p.toString)
   }
+
+  /** Read a staged edge file with the catalog-recorded schema — no second
+    * inference pass (improvement over pipeline.py:53's 100k-row re-infer). */
+  private[etl] def readStagedEdges(fname: String, cfg: EdgeFileConfig): DataFrame =
+    readStagedFile(store.edgesDir.resolve(fname), cfg.properties_type)
 
   /** Rewrite one staged edge file in place: temp dir + atomic rename
     * (Spark cannot overwrite its own input — SURVEY §2.2 K3). */
@@ -167,6 +173,9 @@ final class GraphEtl(
     */
   def mapProperties(): Unit = {
     val mapped = store.logEntries("mapper")
+    // pass-B auto-mappings are identical for every edge file addressing the
+    // same (label, prop) — build each once, not per file
+    val autoMappings = mutable.Map.empty[(String, String), DataFrame]
     store.catalog.edges.foreach { case (edgeType, files) =>
       files.foreach { case (fname, cfg0) =>
         if (!mapped.contains(fname)) {
@@ -197,8 +206,8 @@ final class GraphEtl(
               val Array(label, prop) = spec.split(":", 2)
               store.catalog.nodes.get(label) match {
                 case Some(nodeCfg) if prop != nodeCfg.primary_key =>
-                  val nodeDf = readStagedNodes(label, nodeCfg)
-                  val mapping = Mapping.autoMapping(nodeDf, nodeCfg.primary_key, prop)
+                  val mapping = autoMappings.getOrElseUpdate((label, prop),
+                    Mapping.autoMapping(readStagedNodes(label, nodeCfg), nodeCfg.primary_key, prop))
                   // pass B drops the pre-mapping column (pipeline.py:106)
                   df = Mapping.applyMapping(df, mapping, colName, strictCompat)
                     .drop("mapped_from")
@@ -223,6 +232,11 @@ final class GraphEtl(
               properties_type = Catalog.schemaTypes(deduped.schema))
             store.catalog = store.catalog.copy(edges = store.catalog.edges +
               (edgeType -> (store.catalog.edges(edgeType) + (fname -> cfg))))
+            // persist BEFORE the resume marker: a crash between the file
+            // rewrite and here is recovered by the idempotent re-map; a
+            // marker without a persisted catalog would strand a mapped file
+            // behind a stale schema forever
+            store.persistCatalog()
           }
           store.logAppend("mapper", fname)
         }
@@ -232,24 +246,14 @@ final class GraphEtl(
   }
 
   /** Concatenated staged node table for a label (used by pass B and the
-    * in-session loader): union of all chunk files, catalog schema. */
-  private[etl] def readStagedNodes(label: String, cfg: NodeConfig): DataFrame = {
-    val schema = StructType(nodeColumnOrder(label, cfg).map(c =>
-      StructField(c, Catalog.sparkType(cfg.properties_type(c)))))
-    val paths = cfg.files.keys.map(f => store.nodesDir.resolve(f).toString).toSeq
-    spark.read.option("sep", ";").option("header", "true").schema(schema).csv(paths: _*)
-  }
-
-  private def nodeColumnOrder(label: String, cfg: NodeConfig): List[String] = {
-    val first = cfg.files.keys.headOption.map(store.nodesDir.resolve)
-    first.filter(Files.exists(_)).map { p =>
-      val src = scala.io.Source.fromFile(p.toFile)
-      try {
-        val it = src.getLines()
-        if (it.hasNext) it.next().split(";", -1).toList else cfg.properties_type.keys.toList
-      } finally src.close()
-    }.getOrElse(cfg.properties_type.keys.toList)
-  }
+    * in-session loader): each chunk file is read with its OWN header-order
+    * schema then united by name — different parsers may stage the same
+    * label with different column orders, and a shared positional schema
+    * would silently misbind them. */
+  private[etl] def readStagedNodes(label: String, cfg: NodeConfig): DataFrame =
+    cfg.files.keys.toList
+      .map(f => readStagedFile(store.nodesDir.resolve(f), cfg.properties_type))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   // ------------------------------------------------------------------
   // load (utils.py:156-175 → pipeline.py:125-199)

@@ -121,8 +121,13 @@ final class TigerGraphLoader extends Loader {
       s"""CREATE SCHEMA_CHANGE JOB add_$label {
          |  ADD VERTEX $label (PRIMARY_ID $primaryKey ${gsqlType(propertiesType.getOrElse(primaryKey, "Utf8"))}, $attrList) WITH primary_id_as_attribute="true";
          |} RUN SCHEMA_CHANGE JOB add_$label DROP JOB add_$label""".stripMargin
-    val cols = (primaryKey +: (propertiesType - primaryKey).keys.toSeq.sorted)
-      .map(c => s"$$\"$c\"").mkString(", ")
+    // the metadatas MAP attribute is fed a constant rendered from the
+    // file's metadata, like the reference's `"{metadatas}"` literal
+    // (tigergraph_loader.py:155) — VALUES arity must match the vertex schema
+    val metaConst = "\"" +
+      metadatas.toSeq.sortBy(_._1).map { case (k, v) => s"$k: $v" }.mkString("{", ", ", "}") + "\""
+    val cols = ((primaryKey +: (propertiesType - primaryKey).keys.toSeq.sorted)
+      .map(c => s"$$\"$c\"") :+ metaConst).mkString(", ")
     statements +=
       s"""CREATE LOADING JOB load_$label FOR GRAPH g {
          |  DEFINE FILENAME f = "$filePath";

@@ -55,12 +55,20 @@ object GraphOps {
       StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Join algorithm output back to (label, id), materialize it, and release
+    * the cached vid table (which must stay cached DURING the algorithm —
+    * uncached zipWithIndex could assign different ids to the graph build
+    * and the join-back). The returned frame is cached; callers may
+    * unpersist it when done. */
   private def withVertexInfo(
       spark: SparkSession, vids: DataFrame, scores: org.apache.spark.rdd.RDD[(VertexId, Double)],
       valueName: String): DataFrame = {
     import spark.implicits._
     val df = scores.toDF("vid", valueName)
-    df.join(vids, "vid").select(col("label"), col("id"), col(valueName))
+    val out = df.join(vids, "vid").select(col("label"), col("id"), col(valueName)).cache()
+    out.count()
+    vids.unpersist()
+    out
   }
 
   /** In/out/total degrees as a DataFrame: (label, id, in_deg, out_deg). */

@@ -74,7 +74,9 @@ object NativeExpressions {
   def euclidean(a: Column, b: Column): Column = toCol(EuclideanDistance(toExpr(a), toExpr(b)))
 }
 
-/** SplitMix64 — deterministic per-slot hash-family constants. */
+/** SplitMix64 — deterministic per-slot hash-family constants, plus the one
+  * shared MinHash signature kernel (both signature and banded expressions
+  * must use the same family or candidates and verification diverge). */
 private object HashFamily {
   def splitmix64(seed: Long): Long = {
     var z = seed + 0x9e3779b97f4a7c15L
@@ -84,6 +86,25 @@ private object HashFamily {
   }
   def a(k: Int): Long = splitmix64(2L * k) | 1L // odd multiplier
   def b(k: Int): Long = splitmix64(2L * k + 1)
+
+  /** MinHash signature: one xxhash64 per shingle, k affine derivations. */
+  def signatureOf(arr: ArrayData, as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val numHashes = as.length
+    val m = arr.numElements()
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var k = 0
+      while (k < numHashes) {
+        val h = base * as(k) + bs(k)
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
 }
 
 case class CharShingles(child: Expression, n: Int)
@@ -148,23 +169,8 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   private lazy val as: Array[Long] = Array.tabulate(numHashes)(HashFamily.a)
   private lazy val bs: Array[Long] = Array.tabulate(numHashes)(HashFamily.b)
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val m = arr.numElements()
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < m) {
-      val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-      var k = 0
-      while (k < numHashes) {
-        val h = base * as(k) + bs(k)
-        if (h < sig(k)) sig(k) = h
-        k += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
-  }
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(HashFamily.signatureOf(v.asInstanceOf[ArrayData], as, bs))
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
@@ -181,20 +187,7 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
   private lazy val bs: Array[Long] = Array.tabulate(numHashes)(HashFamily.b)
 
   override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val m = arr.numElements()
-    val sig = Array.fill(numHashes)(Long.MaxValue)
-    var i = 0
-    while (i < m) {
-      val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
-      var k = 0
-      while (k < numHashes) {
-        val h = base * as(k) + bs(k)
-        if (h < sig(k)) sig(k) = h
-        k += 1
-      }
-      i += 1
-    }
+    val sig = HashFamily.signatureOf(v.asInstanceOf[ArrayData], as, bs)
     val out = new Array[Any](bands)
     var b = 0
     while (b < bands) {

@@ -111,6 +111,25 @@ class EtlPipelineSpec extends SparkSpec {
     etl.clear()
   }
 
+  test("node files staged with different column orders read back correctly") {
+    // two parsers, same label, opposite column order — a shared positional
+    // schema would swap id/name for one of the files
+    val etl = newEtl()
+    etl.parser("ordA", Map("source" -> "t")) { ctx =>
+      ctx.saveNodes(Seq((1L, "Alice")).toDF("id", "name"), "Person")
+    }
+    etl.parser("ordB", Map("source" -> "t")) { ctx =>
+      ctx.saveNodes(Seq(("Bob", 2L)).toDF("name", "id"), "Person")
+    }
+    etl.parse()
+    val cfg = etl.store.catalog.nodes("Person")
+    assert(cfg.files.size == 2)
+    val back = etl.readStagedNodes("Person", cfg)
+      .select(col("id").cast("long"), col("name")).as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "Alice"), (2L, "Bob")))
+    etl.clear()
+  }
+
   test("metadata filter keeps only the matching parser") {
     // test_parser.py:177-218 (test_decorator_filter)
     val etl = newEtl()
@@ -159,6 +178,17 @@ class EtlPipelineSpec extends SparkSpec {
     val empty = Seq.empty[(Long, String)].toDF("old_value", "new_value")
     val got = Mapping.applyMapping(edges, empty, "start")
     assert(got.select(col("start").cast("long")).as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("a throwing parser body is not marked complete and re-runs") {
+    val etl = newEtl()
+    intercept[RuntimeException] {
+      etl.withParser("boom")(_ => throw new RuntimeException("parser failed"))
+    }
+    var ran = false
+    etl.withParser("boom") { _ => ran = true } // would be skipped if logged as done
+    assert(ran)
+    etl.clear()
   }
 
   test("catalog resume: a new engine instance reloads configs.json (S6)") {
