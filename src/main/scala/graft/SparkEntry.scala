@@ -118,6 +118,15 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
+    // A5 sketch aggregation: HyperLogLog++ approximate distinct counts
+    // (rows-only oracle: DuckDB's HLL implementation yields different
+    // estimates; the exact twin q_count_distinct is value-checked)
+    "q_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    }),
+
     // HAVING-style post-aggregation filter
     "q_having" -> ((s, dir) => {
       t(s, dir, "orders")
