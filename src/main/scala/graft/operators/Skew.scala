@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for joins whose key distribution has heavy
+  * hitters. AQE's skew-join handles sort-merge skew at runtime; explicit
+  * salting is for the cases AQE can't touch (broadcast-ineligible
+  * dimension joins against a hot key, pre-AQE plans, deterministic
+  * partition sizing).
+  */
+object Skew {
+
+  /** Salted equi-join: the large side's rows get a deterministic salt in
+    * [0, saltFactor) derived from the full row content (content-derived so
+    * task retries salt identically — `rand()` would not), and the small
+    * side is replicated once per salt value. The join key becomes
+    * (key, salt), splitting each hot key's rows across `saltFactor`
+    * partitions. Semantically identical to `large.join(small, key)` for
+    * inner joins. */
+  def saltedJoin(
+      large: DataFrame, small: DataFrame, key: String, saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val salted = large.withColumn("__salt",
+      pmod(xxhash64(struct(large.columns.map(col).toIndexedSeq: _*)), lit(saltFactor)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltFactor - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -18,6 +18,22 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Persist a table bucketed (and sorted) by the join key. Two tables
+    * bucketed the same way join with ZERO exchanges — the co-location
+    * replaces the shuffle, the sort order replaces the sort. This is the
+    * staging layout for repeated big-big joins at scale (e.g. edge tables
+    * repeatedly resolved against the same node key). Requires a session
+    * catalog (`spark.sql.warehouse.dir`); bucketBy only writes managed
+    * tables. */
+  def writeBucketed(
+      df: DataFrame, tableName: String, key: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(tableName)
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {

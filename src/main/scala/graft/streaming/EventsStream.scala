@@ -53,6 +53,12 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment join: each micro-batch joins against the
+    * (broadcastable) static dimension — no streaming state at all, the
+    * canonical way to attach dimension attributes to a stream. */
+  def enriched(events: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
+
   /** Streaming exact dedup: drop re-deliveries of the same `event_id`
     * arriving within the watermark window — the streaming counterpart of
     * the batch exact-dedup operator, with state bounded by the watermark

@@ -68,4 +68,38 @@ class EndToEndSpec extends SparkSpec {
     assert(g.numVertices == 8 && g.numEdges == 9)
     etl.clear()
   }
+
+  test("cross-parser auto-mapping: edges staged by one parser resolve against nodes from another") {
+    // the reference's example/main.py shape: the oscars parser emits
+    // AWARDED_FOR edges addressed by Person:name, while Person nodes come
+    // from the separately-registered imdb parser
+    val dir = Files.createTempDirectory("graft-e2e-cross").toString
+    val etl = new GraphEtl(spark, dir)
+
+    etl.parser("people", Map("source" -> "imdb")) { ctx =>
+      ctx.saveNodes(Seq(
+        (1L, "Katharine Hepburn"), (2L, "Spencer Tracy"), (3L, "Humphrey Bogart")
+      ).toDF("id", "name"), "Person")
+    }
+    etl.parser("oscars", Map("source" -> "oscars")) { ctx =>
+      ctx.saveNodes(Seq(
+        ("BEST ACTRESS", 1934L), ("BEST ACTOR", 1952L)
+      ).toDF("category", "year").withColumnRenamed("category", "id"), "Award")
+      ctx.saveEdges(Seq(
+        ("Katharine Hepburn", "BEST ACTRESS"),
+        ("Humphrey Bogart", "BEST ACTOR")
+      ).toDF("start", "end"), "AWARDED_FOR", "Person:name", "Award:id")
+    }
+    etl.parse()
+
+    val (_, cfg) = etl.store.catalog.edges("AWARDED_FOR").head
+    assert(cfg.start == "Person:id") // repointed across parsers
+    val loader = new SparkGraphLoader(spark)
+    etl.load(loader)
+    val edges = loader.edgeTable("AWARDED_FOR").get
+    assert(edges.count() == 2)
+    val starts = edges.select(col("src")).as[String].collect().toSet
+    assert(starts == Set("1", "3")) // Hepburn and Bogart ids, not names
+    etl.clear()
+  }
 }

@@ -43,6 +43,52 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1, "q1 must shuffle exactly once")
   }
 
+  test("bucketed tables join with zero exchanges (co-located join)") {
+    import graft.sources.Tables
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+          .toList.foreach(rmTree)
+        finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    Seq("b_orders", "b_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a previously-aborted run can leave the managed location behind
+      rmTree(java.nio.file.Paths.get("spark-warehouse", t))
+    }
+    Tables.writeBucketed(
+      Tables.read(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", "o_custkey", 4)
+    Tables.writeBucketed(
+      Tables.read(spark, dir, "customer").select("c_custkey", "c_name")
+        .withColumnRenamed("c_custkey", "o_custkey"),
+      "b_customer", "o_custkey", 4)
+    val joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+    // disable broadcast so the shuffle would be visible if bucketing failed
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        .queryExecution.executedPlan.toString()
+      assert(!p.contains("Exchange"), p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert(joined.count() > 0)
+  }
+
+  test("salted join equals the plain join") {
+    import graft.operators.Skew
+    val orders = graft.sources.Tables.read(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+    val customer = graft.sources.Tables.read(spark, dir, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey").select("o_custkey", "c_name")
+    val plain = orders.join(customer, "o_custkey").count()
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey", 8).count()
+    assert(plain == salted)
+  }
+
   test("IVF centroid assignment is a narrow projection (no corpus shuffle/window)") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.read(spark, dir, "embeddings")

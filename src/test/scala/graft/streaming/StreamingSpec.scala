@@ -41,6 +41,18 @@ class StreamingSpec extends SparkSpec {
     assert(overlaps.count() == 0)
   }
 
+  test("stream-static join enriches events with dimension attributes") {
+    import graft.sources.Tables
+    val dim = Tables.read(spark, dir, "customer")
+      .select(col("c_custkey").as("dim_user"), col("c_mktsegment"))
+    val streamed = EventsStream.enriched(
+      EventsStream.readStream(spark, streamDir), dim, "user_id", "dim_user")
+    val got = EventsStream.runToMemory(spark, streamed, "enriched_test")
+    assert(got.count() == 1000L) // left-outer: every event survives
+    assert(got.columns.contains("c_mktsegment"))
+    assert(got.where(col("c_mktsegment").isNotNull).count() > 0)
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered events") {
     // stage the events file twice: every event is delivered twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft-stream-dup")
