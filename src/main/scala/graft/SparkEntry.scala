@@ -380,6 +380,13 @@ object SparkEntry {
       Dedup.resolveDuplicateClusters(pairs)
     }),
 
+    // the composed training-data cleaning funnel: sanitize -> quality
+    // filter -> exact dedup -> near-dup removal, reported as per-stage
+    // survivor counts (rows-only oracle: the near-dup stage is LSH-based)
+    "q_clean_corpus" -> ((s, dir) => {
+      graft.ext.CorpusPipeline.funnel(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // sessionization with 30-minute inactivity gap (session_window batch
     // form; oracle emulates via lag + cumulative sum)
     "q_sessions" -> ((s, dir) => {

@@ -152,6 +152,19 @@ class ExtSpec extends SparkSpec {
     assert(fps(0) == fps(1))
   }
 
+  test("corpus cleaning pipeline removes exact and near duplicates, keeps distinct docs") {
+    val cleaned = CorpusPipeline.clean(docs, "doc_id", "text",
+      minQuality = 0.0, numHashes = 64, bands = 32, nearDupThreshold = 0.6)
+    val ids = cleaned.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(4L)) // exact dup of 1 removed
+    assert(!ids.contains(2L)) // near-dup of 1 clustered away
+    assert(ids.contains(1L) && ids.contains(3L) && ids.contains(5L))
+    val funnel = CorpusPipeline.funnel(docs, "doc_id", "text", minQuality = 0.0)
+      .as[(String, Long)].collect().toMap
+    assert(funnel("0_input") == 5L)
+    assert(funnel("2_exact_dedup") == 4L)
+  }
+
   test("multimodal pipeline: media table schema + batch feature extraction") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     assert(media.schema("content").dataType.typeName == "binary")
