@@ -268,14 +268,22 @@ final class GraphEtl(
 
     store.catalog.nodes.foreach { case (label, cfg) =>
       cfg.files.foreach { case (fname, info) =>
-        val skip = store.filter.exists(_.skipLoadNode(info.metadatas, label)) ||
-          loaded.contains(fname)
-        if (!skip) {
+        val filtered = store.filter.exists(_.skipLoadNode(info.metadatas, label))
+        if (!filtered && !loaded.contains(fname)) {
           val n = loader.loadNodes(
             store.nodesDir.resolve(fname).toString, label, cfg.primary_key,
             info.metadatas, cfg.properties_type, cfg.constraints, cfg.indexs)
           store.stats(s"loaded_nodes_$label") = store.stats.getOrElse(s"loaded_nodes_$label", 0L) + n
           store.logAppend("loader", fname)
+        } else if (!filtered) loader match {
+          // resume: the file is already in the external store, but an
+          // in-session loader holds node frames only in memory — rebuild
+          // them (no re-count) or match-strategy edge loads on this run
+          // would find no endpoints and drop edges
+          case l: InSessionLoader => l.restoreNodes(
+            store.nodesDir.resolve(fname).toString, label, cfg.primary_key,
+            info.metadatas, cfg.properties_type)
+          case _ => ()
         }
       }
     }

@@ -18,6 +18,19 @@ trait Loader {
       metadatas: Map[String, String], propertiesType: Map[String, String]): Long
 }
 
+/** A loader whose loaded state lives only in this JVM session (no external
+  * database holds the nodes between runs). On resume, `GraphEtl.load` skips
+  * files listed in the loader resume log — correct for an external DB that
+  * already has them, but an in-session loader must rebuild its node frames
+  * for those files or `match`-strategy edge loads find no endpoints.
+  * `restoreNodes` re-ingests a node file without re-counting it (the
+  * catalog already has its stats). */
+trait InSessionLoader { self: Loader =>
+  def restoreNodes(
+      filePath: String, label: String, primaryKey: String,
+      metadatas: Map[String, String], propertiesType: Map[String, String]): Unit
+}
+
 /** Executable in-session loader: staged files become two governed DataFrame
   * tables, `nodes(label, id, …props)` and `edges(type, src, dst, …props)`,
   * ready for GraphX materialization (graft.graph.GraphOps).
@@ -43,7 +56,7 @@ final class SparkGraphLoader(
       * "as_edge": one `Metadata` node per distinct metadata map plus a
       * `HAS_METADATA` edge from every loaded node (:168-175);
       * "ignore": drop metadata (default — keeps node schemas narrow). */
-    metadataStrategy: String = "ignore") extends Loader {
+    metadataStrategy: String = "ignore") extends Loader with InSessionLoader {
 
   private val nodeFrames = mutable.LinkedHashMap.empty[String, DataFrame]
   private val edgeFrames = mutable.LinkedHashMap.empty[String, DataFrame]
@@ -60,7 +73,21 @@ final class SparkGraphLoader(
   override def loadNodes(
       filePath: String, label: String, primaryKey: String,
       metadatas: Map[String, String], propertiesType: Map[String, String],
-      constraints: Seq[String], indexs: Seq[String]): Long = {
+      constraints: Seq[String], indexs: Seq[String]): Long =
+    ingestNodes(filePath, label, primaryKey, metadatas, propertiesType).count()
+
+  /** Rebuild the in-memory frame for an already-loaded (resume-logged) node
+    * file: same merge as [[loadNodes]], no count action. */
+  override def restoreNodes(
+      filePath: String, label: String, primaryKey: String,
+      metadatas: Map[String, String], propertiesType: Map[String, String]): Unit =
+    ingestNodes(filePath, label, primaryKey, metadatas, propertiesType)
+
+  /** Shared node-ingest pipeline; returns the per-file frame (pre-merge)
+    * so `loadNodes` can report this file's row count. */
+  private def ingestNodes(
+      filePath: String, label: String, primaryKey: String,
+      metadatas: Map[String, String], propertiesType: Map[String, String]): DataFrame = {
     val df0 = readCsv(filePath, propertiesType)
       .withColumn("id", col(primaryKey).cast(StringType)) // §2.12.3 canonical id
     val df = metadataStrategy match {
@@ -94,7 +121,7 @@ final class SparkGraphLoader(
       case None => df.dropDuplicates("id")
     }
     nodeFrames(label) = merged
-    df.count()
+    df
   }
 
   override def loadEdges(
@@ -117,7 +144,17 @@ final class SparkGraphLoader(
         (srcIds, dstIds) match {
           case (Some(s), Some(d)) =>
             df.join(s, Seq("src"), "left_semi").join(d, Seq("dst"), "left_semi")
-          case _ => df.limit(0) // no endpoint tables loaded -> MATCH finds nothing
+          case _ =>
+            // In an external DB, MATCH against an absent label just finds
+            // nothing; in-session there is no out-of-band node store, so
+            // "no frame" means a load-order/resume bug that would silently
+            // drop every edge in this file. Fail fast instead.
+            val missing = Seq(startLabel -> srcIds, endLabel -> dstIds)
+              .collect { case (l, None) => l }.mkString(", ")
+            throw new IllegalStateException(
+              s"edge load '$edgeType' with strategy=match references node label(s) " +
+                s"[$missing] with no loaded node frame — load the node files first " +
+                "(on resume, GraphEtl.load restores them via InSessionLoader.restoreNodes)")
         }
       case "create" =>
         // synthesize missing endpoints as BlankNodes (left-anti + union)

@@ -22,6 +22,12 @@ final class Neo4jLoader(
 
   val statements: mutable.Buffer[String] = mutable.Buffer.empty
 
+  /** Escape backslashes and single quotes before interpolating into a
+    * Cypher string literal — metadata values and file paths are
+    * user-controlled, and an unescaped quote breaks the statement (and is
+    * an injection vector for untrusted metadata). */
+  private def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+
   /** Polars-dtype-name -> Cypher conversion fn (neo4j_loader.py:14-27). */
   private def cypherCast(dtype: String, ref: String): String = dtype match {
     case d if d.startsWith("Int")   => s"toInteger($ref)"
@@ -48,21 +54,19 @@ final class Neo4jLoader(
     val props = propertiesType.toSeq.sortBy(_._1).map { case (p, t) =>
       s"$p: ${cypherCast(t, s"row.$p")}"
     }.mkString(", ")
+    val metaProps = metadatas.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"`${k.replace("`", "``")}`: '${esc(v)}'" }.mkString(", ")
     val metaSet = metadataStrategy match {
       case "as_edge" =>
-        val metaProps = metadatas.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"$k: '$v'" }.mkString(", ")
         s"MERGE (m:Metadata {$metaProps}) CREATE (n)-[:HAS_METADATA]->(m)"
       case _ =>
-        val metaProps = metadatas.toSeq.sortBy(_._1)
-          .map { case (k, v) => s"$k: '$v'" }.mkString(", ")
         if (metadatas.isEmpty) "" else s"SET n += {$metaProps}"
     }
     // MERGE key canonicalized to property `id` regardless of primaryKey
     // (neo4j_loader.py:161,170 — SURVEY §2.12.3)
     statements +=
       s"""CALL apoc.periodic.iterate(
-         |  "CALL apoc.load.csv('file:/$filePath', {sep: ';', arraySep: '|'}) YIELD map AS row WITH row WHERE row.$primaryKey IS NOT NULL RETURN row",
+         |  "CALL apoc.load.csv('file:/${esc(filePath)}', {sep: ';', arraySep: '|'}) YIELD map AS row WITH row WHERE row.$primaryKey IS NOT NULL RETURN row",
          |  "MERGE (n:$label {id: row.$primaryKey}) SET n += {$props} $metaSet",
          |  {batchSize: 50000, iterateList: true, parallel: false})""".stripMargin
     0L
@@ -86,7 +90,7 @@ final class Neo4jLoader(
     }
     statements +=
       s"""CALL apoc.periodic.iterate(
-         |  "CALL apoc.load.csv('file:/$filePath', {sep: ';', arraySep: '|'}) YIELD map AS row WITH row WHERE row.start <> '' AND row.end <> '' RETURN row",
+         |  "CALL apoc.load.csv('file:/${esc(filePath)}', {sep: ';', arraySep: '|'}) YIELD map AS row WITH row WHERE row.start <> '' AND row.end <> '' RETURN row",
          |  "$endpoints CREATE (n)-[:$edgeType {$props}]->(m)",
          |  {batchSize: 20000, iterateList: true, parallel: false})""".stripMargin
     0L

@@ -12,7 +12,10 @@ import graft.functions.{TextFunctions => T}
   *
   * Each stage is the already-scale-shaped operator (single scan, bounded
   * LSH shuffle, GraphX transitive closure on the tiny pair set); the
-  * composition adds no extra shuffles beyond the stages' own.
+  * composition adds no extra shuffles beyond the stages' own. Both entry
+  * points build each stage exactly once and feed it forward — `funnel`
+  * derives its near-dup stage from its own `exact` frame rather than
+  * re-running the whole prefix.
   */
 object CorpusPipeline {
 
@@ -20,37 +23,59 @@ object CorpusPipeline {
   def filterByQuality(df: DataFrame, textCol: String, minQuality: Double): DataFrame =
     df.where(T.qualityScore(col(textCol)) >= minQuality)
 
+  /** Stages 0-2: sanitize → quality filter → exact dedup. Returns
+    * (quality-filtered frame, exact-deduped frame). */
+  private def exactStage(
+      docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double): (DataFrame, DataFrame) = {
+    val sanitized = Normalize.sanitizeStrings(docs)
+    val quality = filterByQuality(sanitized, textCol, minQuality)
+    (quality, Dedup.exactDedup(quality, idCol, Seq(textCol)))
+  }
+
+  /** Stage 3: MinHash-LSH near-dup pairs over the exact-deduped frame,
+    * resolved to clusters and dropped down to one keeper each. */
+  private def nearStage(
+      exact: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int,
+      nearDupThreshold: Double): DataFrame = {
+    val pairs = Dedup.minhashNearDuplicates(
+      exact, idCol, textCol, shingleSize, numHashes, bands, nearDupThreshold)
+    Dedup.dropNearDuplicates(exact, idCol, pairs)
+  }
+
   /** Full cleaning pass; returns the cleaned corpus. */
   def clean(
       docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.2,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
       nearDupThreshold: Double = 0.8): DataFrame = {
-    val sanitized = Normalize.sanitizeStrings(docs)
-    val quality = filterByQuality(sanitized, textCol, minQuality)
-    val exact = Dedup.exactDedup(quality, idCol, Seq(textCol))
-    val pairs = Dedup.minhashNearDuplicates(
-      exact, idCol, textCol, shingleSize, numHashes, bands, nearDupThreshold)
-    Dedup.dropNearDuplicates(exact, idCol, pairs)
+    val (_, exact) = exactStage(docs, idCol, textCol, minQuality)
+    nearStage(exact, idCol, textCol, shingleSize, numHashes, bands, nearDupThreshold)
   }
 
-  /** Per-stage survivor counts — the funnel report a pipeline run logs. */
+  /** Per-stage survivor counts — the funnel report a pipeline run logs.
+    * The `exact` frame is cached for the duration: the near-dup stage
+    * reads it four times (LSH candidates, two verify sides, final drop)
+    * and the stage-2 count a fifth. */
   def funnel(
       docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.2,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
       nearDupThreshold: Double = 0.8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sanitized = Normalize.sanitizeStrings(docs)
-    val quality = filterByQuality(sanitized, textCol, minQuality)
-    val exact = Dedup.exactDedup(quality, idCol, Seq(textCol))
-    val cleaned = clean(docs, idCol, textCol, minQuality = minQuality,
-      nearDupThreshold = nearDupThreshold)
-    Seq(
-      ("0_input", docs.count()),
-      ("1_quality", quality.count()),
-      ("2_exact_dedup", exact.count()),
-      ("3_near_dedup", cleaned.count())
-    ).toDF("stage", "n_docs")
+    val (quality, exact0) = exactStage(docs, idCol, textCol, minQuality)
+    val exact = exact0.cache()
+    try {
+      val cleaned = nearStage(exact, idCol, textCol, shingleSize, numHashes, bands,
+        nearDupThreshold)
+      Seq(
+        ("0_input", docs.count()),
+        ("1_quality", quality.count()),
+        ("2_exact_dedup", exact.count()),
+        ("3_near_dedup", cleaned.count())
+      ).toDF("stage", "n_docs")
+    } finally exact.unpersist()
   }
 }

@@ -71,8 +71,12 @@ object Dedup {
     require(numHashes % bands == 0, s"numHashes ($numHashes) must be divisible by bands ($bands)")
     // candidate branch: signature+banding fused into ONE native expression
     // so the generator evaluates it once per row (a composed HOF banding
-    // lambda would re-run the signature per band — see graft.plans)
-    val buckets = df.select(
+    // lambda would re-run the signature per band — see graft.plans).
+    // Empty shingle sets (empty/whitespace-only text) are excluded: they
+    // all share the degenerate all-MaxValue signature, so a corpus with
+    // many empty docs would pair them quadratically; exact dedup is the
+    // right tool for empties.
+    val buckets = df.where(size(shingles) > 0).select(
       col(idCol).as("id"),
       posexplode(NativeExpressions.minhashBands(shingles, numHashes, bands))
         .as(Seq("band", "bhash")))
@@ -114,7 +118,9 @@ object Dedup {
   def simhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val fps = df.select(
+    // token-less docs all hash to fp=0 — same degenerate-pairing hazard as
+    // empty shingle sets in the MinHash path; route them to exact dedup
+    val fps = df.where(size(T.tokens(lower(col(textCol)))) > 0).select(
       col(idCol).as("id"),
       NativeExpressions.simhash64(T.tokens(lower(col(textCol)))).as("fp"))
       .withColumn("bands", H.simhashBands(col("fp")))

@@ -38,20 +38,29 @@ object Similarity {
   }
 
   /** Deterministic IVF centroids: a hash-based sample of ~nlist corpus
-    * vectors (no global sort of the corpus — only the tiny sample is
-    * ordered to assign contiguous centroid ids). K-means refinement is an
-    * optional upgrade; the bucketing plumbing is identical. */
+    * vectors, materialized as a LOCAL relation — the sample is nlist-sized
+    * by construction and every consumer (assignment, query probes) needs it
+    * collected/broadcast anyway, so centroid ids are assigned on the driver
+    * rather than through a global (single-partition) row_number window.
+    * K-means refinement is an optional upgrade; the bucketing plumbing is
+    * identical. */
   def sampleCentroids(
       corpus: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val n = corpus.count()
     val stride = math.max(n / nlist, 1L)
     val sample = corpus
       .where(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
-      .select(col(idCol).as("__sid"), col(vecCol).as("cvec"))
-    val w = Window.orderBy(col("__sid")) // ≤ ~2×nlist rows: cheap sort
-    sample.withColumn("centroid_id", (row_number().over(w) - 1).cast("int"))
-      .where(col("centroid_id") < nlist)
-      .select(col("centroid_id"), col("cvec"))
+      .select(col(idCol).cast("string").as("__sid"), col(vecCol).as("cvec"))
+    val rows = sample.collect().sortBy(_.getString(0)).take(nlist)
+    require(rows.nonEmpty, "no centroids sampled")
+    val schema = StructType(Seq(
+      StructField("centroid_id", IntegerType, nullable = false),
+      sample.schema("cvec")))
+    val local = rows.zipWithIndex.map { case (r, i) => Row(i, r.get(1)) }
+    corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(local.toIndexedSeq: _*), schema)
   }
 
   /** Assign every corpus vector to its nearest centroid in ONE narrow
@@ -90,15 +99,9 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nlist: Int = 64, nprobe: Int = 8): DataFrame = {
-    // materialize the (tiny) centroid table as a local relation: evaluated
-    // once, reused by assignment and probes, no executor storage pinned
-    val centroids = {
-      val cdf = sampleCentroids(corpus, idCol, vecCol, nlist)
-      val rows = cdf.collect()
-      require(rows.nonEmpty, "no centroids sampled")
-      corpus.sparkSession.createDataFrame(
-        java.util.Arrays.asList(rows: _*), cdf.schema)
-    }
+    // the centroid table is already a local relation: evaluated once,
+    // reused by assignment and probes, no executor storage pinned
+    val centroids = sampleCentroids(corpus, idCol, vecCol, nlist)
     val assigned = assignToCentroids(corpus, idCol, vecCol, centroids)
 
     val qw = Window.partitionBy(col(qidCol)).orderBy(col("dist"), col("centroid_id"))

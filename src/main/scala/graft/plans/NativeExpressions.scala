@@ -238,6 +238,9 @@ case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]], bands: I
     extends UnaryExpression with CodegenFallback {
   require(bands > 0 && planes.nonEmpty && planes.length % bands == 0,
     s"planes (${planes.length}) must be a positive multiple of bands ($bands)")
+  require(planes.length / bands <= 64,
+    s"planesPerBand (${planes.length / bands}) must be <= 64 — the band signature is " +
+      "a Long bitset and `1L << p` would wrap past bit 63, silently aliasing sign bits")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_bands"
 

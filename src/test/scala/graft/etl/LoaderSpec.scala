@@ -42,6 +42,38 @@ class LoaderSpec extends SparkSpec {
     etl.clear()
   }
 
+  test("resume after partial load rebuilds node frames for the in-session loader") {
+    val (etl, _) = staged()
+    // simulate a crash after every NODE file was loaded and resume-logged
+    // but before any edge file: a fresh loader on the resumed run starts
+    // with no node frames in memory
+    etl.store.catalog.nodes.foreach { case (_, cfg) =>
+      cfg.files.keys.foreach(f => etl.store.logAppend("loader", f))
+    }
+    val loader = new SparkGraphLoader(spark, edgeStrategy = "match")
+    etl.load(loader)
+    // node frames restored (not re-counted: no loaded_nodes stats)
+    assert(loader.nodeTable("Person").get.count() == 2)
+    assert(loader.nodeTable("Car").get.count() == 2)
+    assert(!etl.store.stats.contains("loaded_nodes_Person"))
+    // the edge file still loads against the restored endpoints instead of
+    // silently vanishing through an empty MATCH
+    assert(loader.edgeTable("DRIVED_BY").get.count() == 2)
+    etl.clear()
+  }
+
+  test("match-strategy edge load with no node frame fails fast, not limit(0)") {
+    val loader = new SparkGraphLoader(spark, edgeStrategy = "match")
+    val dir = Files.createTempDirectory("graft-loader-ff")
+    val f = dir.resolve("e.csv")
+    Files.writeString(f, "start;end\n1;2\n")
+    val ex = intercept[IllegalStateException] {
+      loader.loadEdges(f.toString, "KNOWS", "Person:id", "Person:id",
+        Map.empty, Map("start" -> "Int64", "end" -> "Int64"))
+    }
+    assert(ex.getMessage.contains("Person"))
+  }
+
   test("primary key value is canonicalized under property `id` (SURVEY §2.12.3)") {
     val dir = Files.createTempDirectory("graft-loader-pk").toString
     val etl = new GraphEtl(spark, dir)
