@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.graphx.{Edge, Graph}
 
 import graft.operators.{Normalize, Mapping}
-import graft.ext.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.ext.{Dedup, Similarity, TextAnalysis, Multimodal, Sampling}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -208,6 +208,56 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    // TPC-H Q3 shape: selective dim filter + fact join + grouped revenue +
+    // deterministic top-10 (rounded-cents revenue, orderkey tie-break)
+    "q3_shipping" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val l = t(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0d) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // F9 JSON extraction (events.props payload) + aggregate
+    "q_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+    }),
+
+    // range join: each purchase counts the same user's views in the
+    // preceding hour (equi on user_id + range residual — sort-merge
+    // friendly, never a cross join)
+    "q_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      p.join(v, col("user_id") === col("v_user") &&
+          col("v_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") < col("ts"), "left")
+        .groupBy(col("event_id"))
+        .agg(count(col("v_ts")).as("n_prior_views"))
+    }),
+
+    // pivot: per-user event-type count matrix (explicit value list so the
+    // plan is a single aggregate — no distinct-values pre-pass)
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
     // snowflake dimension chain (customer -> nation -> region), broadcast dims
     "q_snowflake_join" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -265,6 +315,62 @@ object SparkEntry {
         .join(d.select(col("doc_id"), col("lang")), "doc_id")
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // composite quality score (C4/Gopher-style heuristic) as a filter —
+    // value-checked: the full formula is replicated in the oracle
+    "q_quality_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+        .where(col("quality") >= 0.5)
+    }),
+
+    // PII redaction: emails then long digit runs -> typed placeholders
+    "q_pii_scrub" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(TF.redactPii(col("text"))).as("redacted_hash"),
+        TF.piiCount(col("text")).as("n_pii"))
+    }),
+
+    // document -> overlapping token windows (training-sequence chunking)
+    "q_doc_chunks" -> ((s, dir) => {
+      TextAnalysis.tokenWindows(t(s, dir, "documents"), "doc_id", "text",
+        windowSize = 50, stride = 40)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_hash"))
+    }),
+
+    // per-doc top-3 salient terms (tf-idf ordering via integer df — exact)
+    "q_top_terms" -> ((s, dir) => {
+      TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+    }),
+
+    // corpus-wide top-20 bigrams (TakeOrdered, deterministic tie-break)
+    "q_bigrams" -> ((s, dir) => {
+      TextAnalysis.topBigrams(t(s, dir, "documents"), "text", k = 20)
+    }),
+
+    // deterministic hash-gated 25% sample (stable under any partitioning)
+    "q_hash_sample" -> ((s, dir) => {
+      Sampling.hashSample(t(s, dir, "orders"), "o_orderkey", 0.25, seed = "s42")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // weighted corpus mixture: per-source keep fraction, one narrow pass
+    "q_corpus_mix" -> ((s, dir) => {
+      Sampling.mixtureSample(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultFraction = 0.125, seed = "mix")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    }),
+
+    // deterministic global shuffle for training order (distributed sort +
+    // zipWithIndex positions, no single-partition window)
+    "q_shuffle_order" -> ((s, dir) => {
+      Sampling.shuffleOrder(
+        t(s, dir, "customer").select(col("c_custkey")), "c_custkey", seed = "ep1")
+        .select(col("position"), col("c_custkey"))
     }),
 
     // MinHash+LSH near-duplicate pairs (rows-only oracle: seeded xxhash64
@@ -498,6 +604,129 @@ object SparkEntry {
 
     "q_graph_degree" ->
       "SELECT l_partkey AS node_id, count(*) AS degree FROM lineitem GROUP BY l_partkey",
+
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate,
+        | cast(sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS sum_k,
+        | max(cast(json_extract_string(props, '$.k') AS bigint)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT p.event_id AS event_id, count(v.ts) AS n_prior_views
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        |GROUP BY p.event_id""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'view') AS "view",
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS rawtoks,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS lowtoks
+        |  FROM documents),
+        | m AS (
+        |  SELECT doc_id, text, lowtoks,
+        |    CASE WHEN len(rawtoks) = 0 THEN 0.0
+        |         ELSE cast(list_sum(list_transform(rawtoks, x -> length(x))) AS double)
+        |              / cast(len(rawtoks) AS double) END AS mean_tok,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE cast(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS double)
+        |              / cast(length(text) AS double) END AS punct,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE cast(length(regexp_replace(text, '[^0-9]', '', 'g')) AS double)
+        |              / cast(length(text) AS double) END AS digit
+        |  FROM t),
+        | s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(lowtoks) = 0 THEN 0.0
+        |         ELSE cast(len(list_filter(lowtoks, x -> x IN ('the','of','and','to','in','a','is','that','for','it','was','on','are','with','as','at','be','this','have','from'))) AS double)
+        |              / cast(len(lowtoks) AS double) END AS stopr,
+        |    least(cast(length(text) AS double) / 500.0, 1.0) AS len_score,
+        |    CASE WHEN mean_tok BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END AS word_score,
+        |    1.0 - least(punct * 4.0, 1.0) AS punct_pen,
+        |    1.0 - least(digit * 4.0, 1.0) AS digit_pen
+        |  FROM m)
+        |SELECT doc_id,
+        |  (len_score + word_score + punct_pen + digit_pen + least(stopr * 3.0, 1.0)) / 5.0 AS quality
+        |FROM s
+        |WHERE (len_score + word_score + punct_pen + digit_pen + least(stopr * 3.0, 1.0)) / 5.0 >= 0.5""".stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{6,}', '<NUM>', 'g')) AS redacted_hash,
+        | cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0))
+        |   + len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '[0-9]{6,}', 0)) AS bigint) AS n_pii
+        |FROM documents""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        | s AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, cast(start // 40 AS bigint) AS chunk_idx,
+        |  cast(least(50, len(toks) - start) AS bigint) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, start + 1, start + 50), ' ')) AS chunk_hash
+        |FROM s""".stripMargin,
+
+    "q_top_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        | ranked AS (
+        |  SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf, dfreq.df AS df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rank
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term)
+        |SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_bigrams" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        | b AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "q_hash_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substring(md5('s42' || cast(o_orderkey AS varchar)), 1, 8) < '40000000'""".stripMargin,
+
+    "q_corpus_mix" ->
+      """SELECT source, count(*) AS n FROM documents
+        |WHERE substring(md5('mix' || cast(doc_id AS varchar)), 1, 8) <
+        |  CASE source WHEN 'src0' THEN 'ffffffff' WHEN 'src1' THEN '80000000'
+        |              WHEN 'src2' THEN '40000000' ELSE '20000000' END
+        |GROUP BY source""".stripMargin,
+
+    "q_shuffle_order" ->
+      """SELECT row_number() OVER (ORDER BY md5('ep1' || cast(c_custkey AS varchar)), c_custkey) - 1 AS "position",
+        | c_custkey
+        |FROM customer""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups

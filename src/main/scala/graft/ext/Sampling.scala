@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Column, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, LongType}
+
+/** Deterministic, engine-portable sampling and ordering for training-data
+  * pipelines. Everything keys off `md5(key)` hex prefixes — uniform,
+  * seedable (prefix the key), reproducible across engines (md5 hex is
+  * identical in Spark, DuckDB, Python, …), and embarrassingly parallel:
+  * a sample decision is a per-row projection, never a shuffle.
+  *
+  * Contrast with `df.sample()`: Spark's sampler is seeded per-partition, so
+  * the kept set changes whenever partitioning changes — useless for
+  * reproducible corpus construction at 100 TB where partition counts move
+  * with the data. Hash-gating is stable under any layout.
+  */
+object Sampling {
+
+  private val Hex8 = 0x100000000L // 16^8 — space of an 8-hex-char prefix
+
+  /** `fraction` as an 8-hex-char upper bound, e.g. 0.25 -> "40000000". */
+  private def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    f"${math.min((fraction * Hex8).toLong, Hex8 - 1)}%08x"
+  }
+
+  /** The gate column: first 8 hex chars of md5(seed:key), lexicographically
+    * below the fraction's threshold. Lowercase-hex compare == numeric
+    * compare, and both Spark and DuckDB emit lowercase md5 hex. */
+  def hashGate(key: Column, fraction: Double, seed: String = ""): Column =
+    substring(md5(concat(lit(seed), key.cast("string"))), 1, 8) < lit(hexThreshold(fraction))
+
+  /** Keep a deterministic `fraction` of rows, decided per-row by key hash.
+    * Narrow (no shuffle, no state); the same rows survive at any
+    * partitioning, scale factor, or engine. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double, seed: String = ""): DataFrame =
+    df.where(hashGate(col(keyCol), fraction, seed))
+
+  /** Weighted corpus mixture: per-stratum keep-fractions (e.g. upsample
+    * wiki, downsample crawl), default fraction for unlisted strata. One
+    * narrow pass — the per-row gate threshold is a CASE over the stratum
+    * column, so mixing N corpora costs the same as reading them. */
+  def mixtureSample(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      weights: Map[String, Double], defaultFraction: Double = 1.0,
+      seed: String = ""): DataFrame = {
+    val threshold = weights.toSeq.sortBy(_._1).foldRight(
+      lit(hexThreshold(defaultFraction)): Column) { case ((stratum, f), acc) =>
+      when(col(stratumCol) === stratum, lit(hexThreshold(f))).otherwise(acc)
+    }
+    df.where(substring(md5(concat(lit(seed), col(keyCol).cast("string"))), 1, 8) < threshold)
+  }
+
+  /** Deterministic global shuffle for training order: every row gets a
+    * stable pseudo-random position 0..n-1 (order by md5(seed:key), key as
+    * tie-break for md5-prefix collisions).
+    *
+    * Scale shape: `orderBy` is a range-partitioned distributed sort (no
+    * single-partition window), and positions come from `zipWithIndex` on
+    * the sorted partitions — one extra size-collection job, no extra
+    * shuffle, no driver materialization. */
+  def shuffleOrder(df: DataFrame, keyCol: String, seed: String = "",
+      posCol: String = "position"): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .withColumn("__sk", md5(concat(lit(seed), col(keyCol).cast("string"))))
+      .orderBy(col("__sk"), col(keyCol))
+      .drop("__sk")
+    val schema = sorted.schema.add(StructField(posCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) => Row.fromSeq(row.toSeq :+ idx) }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -44,4 +44,72 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(length(col(textCol))).as("n_chars"),
         sum(T.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+
+  /** Split each document into overlapping fixed-size token windows — the
+    * "document -> training sequences" chunking step. Window w covers tokens
+    * [w*stride, w*stride + windowSize); the last window may be short.
+    * Token-less documents produce no windows.
+    *
+    * One narrow pass: tokenize, generate window starts with `sequence`,
+    * slice per start, `posexplode` — all codegen'd, no shuffle, output
+    * is ~|corpus|/stride rows regardless of document skew. */
+  def tokenWindows(
+      df: DataFrame, idCol: String, textCol: String,
+      windowSize: Int = 50, stride: Int = 40): DataFrame = {
+    require(windowSize > 0 && stride > 0, "windowSize and stride must be positive")
+    val toks = T.tokens(col(textCol))
+    df.select(col(idCol), toks.as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(
+        col(idCol),
+        col("__toks"),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(windowSize), size(col("__toks")) - col("start")).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), col("start") + 1, lit(windowSize)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Per-document top-k salient terms: rank terms by (tf desc, df asc,
+    * term asc) — the tf-idf ordering made exactly portable by replacing the
+    * float idf with its integer argument df (ln is monotone, so for equal
+    * tf the df ordering IS the idf ordering; ties never depend on
+    * floating-point rounding).
+    *
+    * Scale: explode -> (doc,term) count [shuffle 1] -> term doc-freq
+    * [shuffle 2, vocabulary-sized] -> join back on term -> per-doc window
+    * top-k. The window partitions by document, so no global sort. */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df
+      .select(col(idCol), explode(T.tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
+  /** Corpus-wide top-k adjacent-token bigrams (n desc, bigram asc).
+    * `zip_with` over the shifted token array keeps pair construction inside
+    * codegen; the global top-k is a TakeOrdered, not a full sort. */
+  def topBigrams(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    val toks = T.tokens(lower(col(textCol)))
+    df.select(toks.as("__toks"))
+      .where(size(col("__toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+  }
 }

@@ -165,6 +165,84 @@ class ExtSpec extends SparkSpec {
     assert(funnel("2_exact_dedup") == 4L)
   }
 
+  test("hash sample is deterministic and stable under repartitioning") {
+    val df = spark.range(0, 10000).toDF("id")
+    val a = Sampling.hashSample(df, "id", 0.25, seed = "t").select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(df.repartition(7), "id", 0.25, seed = "t")
+      .select("id").as[Long].collect().toSet
+    assert(a == b)                      // layout-independent
+    assert(math.abs(a.size - 2500) < 200) // ~25% within sampling noise
+    assert(Sampling.hashSample(df, "id", 0.0).count() == 0L)
+  }
+
+  test("mixture sample applies per-stratum fractions") {
+    val df = spark.range(0, 8000)
+      .withColumn("src", concat(lit("s"), (col("id") % 2).cast("string")))
+    val kept = Sampling.mixtureSample(df, "id", "src", Map("s0" -> 1.0, "s1" -> 0.25))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("s0") >= 3990L)               // ~all of s0 (1.0 keeps all but 2^-32)
+    assert(math.abs(kept("s1") - 1000L) < 200) // ~25% of s1
+  }
+
+  test("shuffle order assigns a stable permutation 0..n-1") {
+    val df = spark.range(0, 500).toDF("id")
+    val out = Sampling.shuffleOrder(df, "id", seed = "s").select("position", "id")
+      .as[(Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq == (0L until 500L))
+    // deterministic across runs and layouts
+    val out2 = Sampling.shuffleOrder(df.repartition(13), "id", seed = "s")
+      .select("position", "id").as[(Long, Long)].collect()
+    assert(out.toMap == out2.toMap)
+    // actually permuted (astronomically unlikely to be identity)
+    assert(out.toMap.exists { case (pos, id) => pos != id })
+  }
+
+  test("token windows cover every token with the configured overlap") {
+    val text = (1 to 95).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tokenWindows(df, "doc_id", "text", windowSize = 50, stride = 40)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+    val d1 = rows.filter(_._1 == 1L)
+    assert(d1.map(r => (r._2, r._3)).toSeq == Seq((0L, 50L), (1L, 50L), (2L, 15L)))
+    assert(d1(0)._4.startsWith("w1 ") && d1(1)._4.startsWith("w41 ") && d1(2)._4.startsWith("w81 "))
+    assert(rows.count(_._1 == 2L) == 0) // empty doc -> no windows
+    assert(rows.filter(_._1 == 3L).map(_._3).toSeq == Seq(2L))
+  }
+
+  test("top terms rank by tf desc, df asc, term asc") {
+    val df = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana banana cherry common"),
+      (3L, "common cherry")).toDF("doc_id", "text")
+    val top = TextAnalysis.topTerms(df, "doc_id", "text", k = 2)
+      .select("doc_id", "term", "rank").as[(Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(top(1L) == Seq("apple", "banana"))  // tf=2 wins; then banana (df 2) over common (df 3)
+    assert(top(2L) == Seq("banana", "cherry"))
+    assert(top(3L) == Seq("cherry", "common")) // tf tie -> lower df first
+  }
+
+  test("top bigrams count adjacent pairs with deterministic ordering") {
+    val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("id", "text")
+    val got = TextAnalysis.topBigrams(df, "text", k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("PII redaction replaces emails and long digit runs, counts them consistently") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.com and card 1234567890 end"),
+      (2L, "clean text 12345 short")).toDF("id", "text")
+    val byId = df.select(col("id"), TF.redactPii(col("text")).as("r"),
+      TF.piiCount(col("text")).as("n")).collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(byId(1L)._1 == "mail <EMAIL> and card <NUM> end")
+    assert(byId(1L)._2 == 2L)
+    assert(byId(2L)._1 == "clean text 12345 short") // 5 digits: below threshold
+    assert(byId(2L)._2 == 0L)
+  }
+
   test("multimodal pipeline: media table schema + batch feature extraction") {
     val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     assert(media.schema("content").dataType.typeName == "binary")
