@@ -72,11 +72,13 @@ object Dedup {
     // candidate branch: signature+banding fused into ONE native expression
     // so the generator evaluates it once per row (a composed HOF banding
     // lambda would re-run the signature per band — see graft.plans).
-    // Empty shingle sets (empty/whitespace-only text) are excluded: they
-    // all share the degenerate all-MaxValue signature, so a corpus with
-    // many empty docs would pair them quadratically; exact dedup is the
-    // right tool for empties.
-    val buckets = df.where(size(shingles) > 0).select(
+    // Empty shingle sets (empty/whitespace-only text) produce NULL bands
+    // inside that same evaluation and posexplode drops them — they all
+    // share the degenerate all-MaxValue signature, so a corpus with many
+    // empty docs would otherwise pair them quadratically; exact dedup is
+    // the right tool for empties. (A separate size(shingles)>0 filter
+    // would re-evaluate the shingle expression once per row.)
+    val buckets = df.select(
       col(idCol).as("id"),
       posexplode(NativeExpressions.minhashBands(shingles, numHashes, bands))
         .as(Seq("band", "bhash")))
@@ -118,13 +120,15 @@ object Dedup {
   def simhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // token-less docs all hash to fp=0 — same degenerate-pairing hazard as
-    // empty shingle sets in the MinHash path; route them to exact dedup
-    val fps = df.where(size(T.tokens(lower(col(textCol)))) > 0).select(
+    // fused tokenize+hash, one loop per row; token-less docs get a NULL
+    // fingerprint (they all hash to the degenerate fp=0 otherwise — same
+    // quadratic-pairing hazard as empty shingle sets) and exit the
+    // pipeline at posexplode via the null-propagated band array
+    val fps = df.select(
       col(idCol).as("id"),
-      NativeExpressions.simhash64(T.tokens(lower(col(textCol)))).as("fp"))
-      .withColumn("bands", H.simhashBands(col("fp")))
-    val buckets = fps.select(col("id"), posexplode(col("bands")).as(Seq("band", "bval")))
+      NativeExpressions.simhashText(col(textCol)).as("fp"))
+    val bandArr = when(col("fp").isNull, lit(null)).otherwise(H.simhashBands(col("fp")))
+    val buckets = fps.select(col("id"), posexplode(bandArr).as(Seq("band", "bval")))
     val a = buckets.select(col("band"), col("bval"), col("id").as("id_a"))
     val b = buckets.select(col("band"), col("bval"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bval"))

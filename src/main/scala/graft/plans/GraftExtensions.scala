@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registers the graft native expressions as SQL functions, so SQL-first
+  * users get the same fused kernels the DataFrame API uses:
+  *
+  *   SELECT id, minhash_bands(char_shingles(text, 5), 128, 16) FROM docs
+  *
+  * Two entry points:
+  *  - new sessions: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (the standard injection path — survives into every session built from
+  *    that config, executors included);
+  *  - an already-running session: `GraftExtensions.register(spark)`.
+  *
+  * Sketch parameters (shingle size, hash/band counts) must be integer
+  * literals: they parameterize the expression instance itself (the hash
+  * family is precomputed per instance), exactly like the DataFrame API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def litInt(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, _)  => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument $pos must be an integer literal, got $other")
+  }
+
+  private def arity(fn: String, want: Int, got: Seq[Expression]): Nothing =
+    throw new IllegalArgumentException(s"$fn expects $want arguments, got ${got.length}")
+
+  /** (name, usage, builder) for every exposed function. */
+  private val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("char_shingles", "char_shingles(str, n) - distinct lowercase character n-grams", {
+      case Seq(c, n) => CharShingles(c, litInt(n, "char_shingles", 2))
+      case args      => arity("char_shingles", 2, args)
+    }),
+    ("word_shingles", "word_shingles(str, n) - distinct lowercase word n-grams", {
+      case Seq(c, n) => WordShingles(c, litInt(n, "word_shingles", 2))
+      case args      => arity("word_shingles", 2, args)
+    }),
+    ("minhash_signature", "minhash_signature(shingles, k) - k-slot MinHash signature", {
+      case Seq(c, k) => MinHashSignature(c, litInt(k, "minhash_signature", 2))
+      case args      => arity("minhash_signature", 2, args)
+    }),
+    ("minhash_bands", "minhash_bands(shingles, k, b) - LSH band hashes (k slots, b bands)", {
+      case Seq(c, k, b) =>
+        MinHashBands(c, litInt(k, "minhash_bands", 2), litInt(b, "minhash_bands", 3))
+      case args => arity("minhash_bands", 3, args)
+    }),
+    ("simhash64", "simhash64(tokens) - 64-bit SimHash fingerprint", {
+      case Seq(c) => SimHash64(c)
+      case args   => arity("simhash64", 1, args)
+    }),
+    ("simhash_text", "simhash_text(str) - fused tokenize + 64-bit SimHash (NULL if token-less)", {
+      case Seq(c) => SimHashText(c)
+      case args   => arity("simhash_text", 1, args)
+    }),
+    ("cosine_similarity", "cosine_similarity(a, b) - cosine over float/double arrays", {
+      case Seq(a, b) => CosineSimilarity(a, b)
+      case args      => arity("cosine_similarity", 2, args)
+    }),
+    ("euclidean_distance", "euclidean_distance(a, b) - L2 distance over float/double arrays", {
+      case Seq(a, b) => EuclideanDistance(a, b)
+      case args      => arity("euclidean_distance", 2, args)
+    }))
+
+  /** The injectFunction descriptions (shared by both entry points). */
+  private[plans] def descriptions
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    functions.map { case (name, _, builder) =>
+      (FunctionIdentifier(name), new ExpressionInfo("graft.plans.NativeExpressions", null, name), builder)
+    }
+
+  /** Register into an already-running session's function registry. */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

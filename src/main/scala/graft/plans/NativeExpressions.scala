@@ -58,6 +58,14 @@ object NativeExpressions {
   /** 64-bit SimHash over an array<string> of tokens. */
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
 
+  /** Tokenize (lowercase whitespace split) + 64-bit SimHash fused into one
+    * loop per row — replaces the interpreted HOF tokenizer feeding
+    * [[simhash64]] in the hot dedup path. NULL for token-less input, so the
+    * degenerate all-zero fingerprint never enters an LSH bucket join (the
+    * banding expression propagates the null and `posexplode` drops the
+    * row). */
+  def simhashText(text: Column): Column = toCol(SimHashText(toExpr(text)))
+
   /** Per-band random-hyperplane sign signatures over a float/double array,
     * all bands in one evaluation (same fusion rationale as
     * [[minhashBands]]). `planes.length` must be a multiple of `bands`. */
@@ -116,7 +124,10 @@ case class CharShingles(child: Expression, n: Int)
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString.toLowerCase
     val out = new java.util.LinkedHashSet[String]()
-    if (s.length <= n) out.add(s)
+    // empty text -> empty shingle set (NOT {""}): empty docs must take the
+    // exact-dedup path, not collide into one quadratic LSH bucket
+    if (s.isEmpty) ()
+    else if (s.length <= n) out.add(s)
     else {
       var i = 0
       while (i + n <= s.length) { out.add(s.substring(i, i + n)); i += 1 }
@@ -186,7 +197,15 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
   private lazy val as: Array[Long] = Array.tabulate(numHashes)(HashFamily.a)
   private lazy val bs: Array[Long] = Array.tabulate(numHashes)(HashFamily.b)
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(v: Any): Any = {
+    // empty shingle set -> NULL bands: all-empty docs share the degenerate
+    // all-MaxValue signature, and pairing them is both wrong (they belong
+    // to exact dedup) and quadratic. Returning null here lets callers skip
+    // them for free — posexplode(null) emits no rows — instead of
+    // re-evaluating the shingle expression in a separate filter.
+    if (v.asInstanceOf[ArrayData].numElements() == 0) return null
     val sig = HashFamily.signatureOf(v.asInstanceOf[ArrayData], as, bs)
     val out = new Array[Any](bands)
     var b = 0
@@ -234,6 +253,39 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** Fused lowercase-tokenize + SimHash: one pass over the string, no
+  * intermediate token array, no interpreted HOF. NULL for token-less
+  * input (see [[NativeExpressions.simhashText]]). */
+case class SimHashText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_text"
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].toString.toLowerCase
+      .split("\\s+").filter(_.nonEmpty)
+    if (tokens.isEmpty) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val h = XxHash64Function.hash(UTF8String.fromString(tokens(i)), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashText = copy(child = c)
+}
+
 case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]], bands: Int)
     extends UnaryExpression with CodegenFallback {
   require(bands > 0 && planes.nonEmpty && planes.length % bands == 0,
@@ -247,8 +299,14 @@ case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]], bands: I
   private val planesPerBand = planes.length / bands
   private lazy val planeArr: Array[Array[Double]] = planes.map(_.toArray).toArray
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    // empty vector -> NULL: every empty vector has dot 0 against every
+    // plane (identical all-ones band signatures), the same degenerate
+    // quadratic pairing as empty shingle sets
+    if (arr.numElements() == 0) return null
     val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val n = arr.numElements()
     val out = new Array[Any](bands)

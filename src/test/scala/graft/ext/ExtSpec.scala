@@ -165,6 +165,21 @@ class ExtSpec extends SparkSpec {
     assert(funnel("2_exact_dedup") == 4L)
   }
 
+  test("empty/token-less docs never pair in the LSH near-dup pipelines") {
+    val df = Seq(
+      (1L, ""), (2L, ""), (3L, "   "), // degenerate: empty / whitespace-only
+      (4L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (5L, "the quick brown fox jumps over the lazy dog and runs away fast")
+    ).toDF("doc_id", "text")
+    val mh = Dedup.minhashNearDuplicates(df, "doc_id", "text",
+      shingleSize = 5, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh == Set((4L, 5L))) // empties excluded, real dup found
+    val sh = Dedup.simhashNearDuplicates(df, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sh == Set((4L, 5L)))
+  }
+
   test("hash sample is deterministic and stable under repartitioning") {
     val df = spark.range(0, 10000).toDF("id")
     val a = Sampling.hashSample(df, "id", 0.25, seed = "t").select("id").as[Long].collect().toSet
