@@ -57,7 +57,9 @@ object CorpusPipeline {
   /** Per-stage survivor counts — the funnel report a pipeline run logs.
     * The `exact` frame is cached for the duration: the near-dup stage
     * reads it four times (LSH candidates, two verify sides, final drop)
-    * and the stage-2 count a fifth. */
+    * and the stage-2 count a fifth. Stages 0 and 1 are counted in a single
+    * scan (quality is a row filter over the sanitized input, so
+    * `count(when(pred))` against the input gives both numbers). */
   def funnel(
       docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.2,
@@ -65,14 +67,19 @@ object CorpusPipeline {
       nearDupThreshold: Double = 0.8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (quality, exact0) = exactStage(docs, idCol, textCol, minQuality)
+    val (_, exact0) = exactStage(docs, idCol, textCol, minQuality)
     val exact = exact0.cache()
     try {
       val cleaned = nearStage(exact, idCol, textCol, shingleSize, numHashes, bands,
         nearDupThreshold)
+      val inputAndQuality = Normalize.sanitizeStrings(docs)
+        .agg(
+          count(lit(1)).as("n_input"),
+          count(when(T.qualityScore(col(textCol)) >= minQuality, 1)).as("n_quality"))
+        .head()
       Seq(
-        ("0_input", docs.count()),
-        ("1_quality", quality.count()),
+        ("0_input", inputAndQuality.getLong(0)),
+        ("1_quality", inputAndQuality.getLong(1)),
         ("2_exact_dedup", exact.count()),
         ("3_near_dedup", cleaned.count())
       ).toDF("stage", "n_docs")

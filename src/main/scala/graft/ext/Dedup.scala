@@ -142,20 +142,49 @@ object Dedup {
   }
 
   /** Resolve near-duplicate PAIRS into clusters and pick one keeper per
-    * cluster. Transitive closure via GraphX connected components (pair
-    * chains a-b, b-c collapse into one cluster); the component id GraphX
-    * returns is the minimum vertex id, which is exactly the deterministic
-    * min-id keeper. Returns (id, keep_id) for every id that appears in a
-    * pair. */
-  def resolveDuplicateClusters(pairs: DataFrame): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
+    * cluster (transitive closure: chains a-b, b-c collapse into one
+    * cluster, keeper = minimum id). Returns (id, keep_id) for every id
+    * that appears in a pair.
+    *
+    * Two-tier execution: verified near-dup pair sets are tiny relative to
+    * the corpus (LSH + verify has already reduced them), so up to
+    * `localPairLimit` pairs the closure runs as a driver union-find and
+    * returns a broadcastable local relation — GraphX connected components
+    * costs ~3s of Pregel scheduling even on a 50-edge graph. Past the
+    * limit (pathological corpora at the 100 TB end) it falls back to
+    * GraphX, whose component id is the same minimum vertex id. */
+  def resolveDuplicateClusters(pairs: DataFrame, localPairLimit: Int = 4_000_000): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edgeRdd = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    Graph.fromEdges(edgeRdd, 0).connectedComponents()
-      .vertices.map { case (id, comp) => (id, comp) }
-      .toDF("id", "keep_id")
+    val slim = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    val head = slim.head(localPairLimit + 1)
+    if (head.length <= localPairLimit) {
+      // union-find, roots kept at the component minimum
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      head.foreach { row =>
+        val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val members = scala.collection.mutable.LongMap.empty[Long]
+      head.foreach { row =>
+        members(row.getLong(0)) = 0L; members(row.getLong(1)) = 0L
+      }
+      val out = members.keys.toSeq.map(id => (id, find(id)))
+      spark.createDataset(out).toDF("id", "keep_id")
+    } else {
+      import org.apache.spark.graphx.{Edge, Graph}
+      val edgeRdd = slim.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      Graph.fromEdges(edgeRdd, 0).connectedComponents()
+        .vertices.map { case (id, comp) => (id, comp) }
+        .toDF("id", "keep_id")
+    }
   }
 
   /** Drop every near-duplicate except its cluster keeper: rows absent from

@@ -98,8 +98,16 @@ object TextFunctions {
   }
 
   /** Composite quality heuristic in [0,1]: long-enough, word-like,
-    * not digit/punct-soup, has stopwords (≈ C4/Gopher-style filters). */
-  def qualityScore(c: Column): Column = {
+    * not digit/punct-soup, has stopwords (≈ C4/Gopher-style filters).
+    * Evaluated by the one-pass native expression — same arithmetic as
+    * [[qualityScoreColumns]], ~10× cheaper per row. */
+  def qualityScore(c: Column): Column =
+    graft.plans.NativeExpressions.qualityScore(c, englishStopwords)
+
+  /** The original built-ins-only formula (3 regex passes + 2 tokenizations
+    * per evaluation). Kept as the executable spec the native expression is
+    * tested against, and for callers who need a zero-custom-code plan. */
+  def qualityScoreColumns(c: Column): Column = {
     val lenScore = least(length(c).cast("double") / lit(500.0d), lit(1.0d))
     val wordScore = when(meanTokenLen(c).between(3.0, 12.0), 1.0d).otherwise(0.5d)
     val punctPenalty = lit(1.0d) - least(punctRatio(c) * 4.0d, lit(1.0d))

@@ -63,6 +63,10 @@ object GraftExtensions {
       case Seq(c) => SimHashText(c)
       case args   => arity("simhash_text", 1, args)
     }),
+    ("quality_score", "quality_score(str) - one-pass composite document quality in [0,1]", {
+      case Seq(c) => QualityScoreExpr(c, graft.functions.TextFunctions.englishStopwords)
+      case args   => arity("quality_score", 1, args)
+    }),
     ("cosine_similarity", "cosine_similarity(a, b) - cosine over float/double arrays", {
       case Seq(a, b) => CosineSimilarity(a, b)
       case args      => arity("cosine_similarity", 2, args)

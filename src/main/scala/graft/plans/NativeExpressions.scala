@@ -72,6 +72,15 @@ object NativeExpressions {
   def hyperplaneBands(vec: Column, planes: Seq[Array[Double]], bands: Int): Column =
     toCol(HyperplaneBands(toExpr(vec), planes.map(_.toSeq), bands))
 
+  /** Composite document quality score in one pass over the string —
+    * replaces a 12-pass stack (3 regex scrubs + 2 tokenizations + HOF
+    * folds) with a single char/token scan. Arithmetic is kept bit-identical
+    * to the column formula it replaces (graft.functions.TextFunctions
+    * history / the DuckDB oracle): every count is exact, every division and
+    * min() happens in the same order on doubles. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    toCol(QualityScoreExpr(toExpr(text), stopwords))
+
   /** Cosine similarity over two float/double array columns, computed in
     * double with sequential index-order accumulation — bit-identical to the
     * `aggregate`-based graft.functions.VectorFunctions.cosine and to the
@@ -334,6 +343,75 @@ case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]], bands: I
   }
 
   override protected def withNewChildInternal(c: Expression): HyperplaneBands = copy(child = c)
+}
+
+/** One-pass composite quality heuristic (C4/Gopher-style):
+  *   ( min(n_chars/500, 1)                               // long enough
+  *   + (3 <= meanTokenLen <= 12 ? 1.0 : 0.5)             // word-like
+  *   + 1 - min(punctRatio*4, 1)                          // not punct soup
+  *   + 1 - min(digitRatio*4, 1)                          // not digit soup
+  *   + min(stopwordRatio*3, 1) ) / 5                     // natural prose
+  *
+  * Counts match the regex/HOF definitions exactly: punct class
+  * [.,;:!?'"()\[\]-], digits [0-9], uppers [A-Z], tokens split on Java
+  * regex \s = [ \t\n\f\r], stopword hits on lowercased tokens. */
+case class QualityScoreExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quality_score"
+
+  private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(w => s.add(w))
+    s
+  }
+
+  private def isJavaRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+
+  private def isPunct(c: Char): Boolean = c match {
+    case '.' | ',' | ';' | ':' | '!' | '?' | '\'' | '"' | '(' | ')' | '[' | ']' | '-' => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val n = s.length
+    var punct = 0L; var digit = 0L; var upper = 0L
+    var nTokens = 0L; var tokenLenSum = 0L; var stopHits = 0L
+    var i = 0
+    while (i < n) { // char-class counts (the sets are disjoint)
+      val c = s.charAt(i)
+      if (isPunct(c)) punct += 1
+      else if (c >= '0' && c <= '9') digit += 1
+      else if (c >= 'A' && c <= 'Z') upper += 1
+      i += 1
+    }
+    i = 0
+    while (i < n) { // token scan, identical to split("\\s+") + nonEmpty
+      if (isJavaRegexSpace(s.charAt(i))) i += 1
+      else {
+        val start = i
+        while (i < n && !isJavaRegexSpace(s.charAt(i))) i += 1
+        nTokens += 1
+        tokenLenSum += (i - start)
+        if (stopSet.contains(s.substring(start, i).toLowerCase)) stopHits += 1
+      }
+    }
+    // identical op order to the column formula / the DuckDB oracle
+    val lenScore = math.min(n.toDouble / 500.0, 1.0)
+    val meanTok = if (nTokens == 0L) 0.0 else tokenLenSum.toDouble / nTokens.toDouble
+    val wordScore = if (meanTok >= 3.0 && meanTok <= 12.0) 1.0 else 0.5
+    val punctRatio = if (n == 0) 0.0 else punct.toDouble / n.toDouble
+    val digitRatio = if (n == 0) 0.0 else digit.toDouble / n.toDouble
+    val punctPen = 1.0 - math.min(punctRatio * 4.0, 1.0)
+    val digitPen = 1.0 - math.min(digitRatio * 4.0, 1.0)
+    val stopRatio = if (nTokens == 0L) 0.0 else stopHits.toDouble / nTokens.toDouble
+    val stopScore = math.min(stopRatio * 3.0, 1.0)
+    java.lang.Double.valueOf((lenScore + wordScore + punctPen + digitPen + stopScore) / 5.0)
+  }
+
+  override protected def withNewChildInternal(c: Expression): QualityScoreExpr = copy(child = c)
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)

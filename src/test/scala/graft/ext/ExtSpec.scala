@@ -165,6 +165,23 @@ class ExtSpec extends SparkSpec {
     assert(funnel("2_exact_dedup") == 4L)
   }
 
+  test("native quality score is bit-identical to the built-ins-only formula") {
+    val df = Seq(
+      "", "   ", "a", "The quick brown fox, with 42 reasons!",
+      "ALL CAPS AND 123456 DIGITS ....", "the of and to in a is that for it",
+      "x" * 600, ("word " * 200).trim, "\ttabs\nand\rnewlineshere",
+      "punct-only: .,;:!?'\"()[]-", "1234567890 " * 30
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val both = df.select(
+      TF.qualityScore(col("text")).as("native"),
+      TF.qualityScoreColumns(col("text")).as("columns")).collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native=${r.getDouble(0)} columns=${r.getDouble(1)}")
+    }
+  }
+
   test("empty/token-less docs never pair in the LSH near-dup pipelines") {
     val df = Seq(
       (1L, ""), (2L, ""), (3L, "   "), // degenerate: empty / whitespace-only
