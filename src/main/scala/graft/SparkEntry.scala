@@ -373,6 +373,27 @@ object SparkEntry {
         .select(col("position"), col("c_custkey"))
     }),
 
+    // deterministic train/val/test split (hash-range assignment — a doc
+    // keeps its split under any partitioning or corpus growth)
+    "q_split_assign" -> ((s, dir) => {
+      Sampling.splitAssign(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "sp")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    }),
+
+    // incremental dedup: today's batch (docs 400+) against the already-
+    // ingested reference (docs <400) — batch survivors only (rows-only
+    // oracle: LSH candidates)
+    "q_cross_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ref = d.where(col("doc_id") < 400)
+      val batch = d.where(col("doc_id") >= 400)
+      Dedup.dropCrossCorpusDuplicates(batch, ref, "doc_id", "text",
+        numHashes = 128, bands = 16, threshold = 0.5)
+        .select(col("doc_id"), md5(col("text")).as("text_hash"))
+    }),
+
     // MinHash+LSH near-duplicate pairs (rows-only oracle: seeded xxhash64
     // family has no DuckDB equivalent)
     "q_minhash_near_dup" -> ((s, dir) => {
@@ -711,6 +732,16 @@ object SparkEntry {
         |  FROM t WHERE len(toks) >= 2)
         |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "q_split_assign" ->
+      """WITH assigned AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5('sp' || cast(doc_id AS varchar)), 1, 8) < 'cccccccc' THEN 'train'
+        |         WHEN substring(md5('sp' || cast(doc_id AS varchar)), 1, 8) < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM assigned GROUP BY split""".stripMargin,
 
     "q_hash_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

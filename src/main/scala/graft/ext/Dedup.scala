@@ -198,6 +198,45 @@ object Dedup {
       .drop("keep_id")
   }
 
+  /** Incremental (cross-corpus) near-dedup: MinHash-LSH pairs between a
+    * NEW batch and an existing REFERENCE corpus — the "dedupe today's
+    * crawl against the 100 TB already ingested" operation. Candidates come
+    * from a band-bucket join of the (small) batch against the reference
+    * banding, so the reference is scanned once, never self-joined; with
+    * pre-staged reference bands this is one shuffle on the bucket key.
+    * Returns (new_id, ref_id, jaccard). */
+  def crossCorpusNearDuplicates(
+      newDf: DataFrame, refDf: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = (d: DataFrame) => NativeExpressions.charShingles(col(textCol), shingleSize)
+    val bucketize = (d: DataFrame, as: String) => d.select(
+      col(idCol).as(as),
+      posexplode(NativeExpressions.minhashBands(sh(d), numHashes, bands))
+        .as(Seq("band", "bhash")))
+    val candidates = bucketize(newDf, "new_id")
+      .join(bucketize(refDf, "ref_id"), Seq("band", "bhash"))
+      .select("new_id", "ref_id").distinct()
+    val shNew = newDf.select(col(idCol).as("new_id"), sh(newDf).as("sh_a"))
+    val shRef = refDf.select(col(idCol).as("ref_id"), sh(refDf).as("sh_b"))
+    candidates.join(shNew, "new_id").join(shRef, "ref_id")
+      .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("new_id", "ref_id", "jaccard")
+  }
+
+  /** Keep only batch rows with no near-duplicate in the reference corpus
+    * (anti-join on the cross-corpus pair set). */
+  def dropCrossCorpusDuplicates(
+      newDf: DataFrame, refDf: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val dupIds = crossCorpusNearDuplicates(newDf, refDf, idCol, textCol,
+      shingleSize, numHashes, bands, threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    newDf.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicates: random-hyperplane LSH buckets over
     * (id, band signature) only, distinct candidate pairs, exact cosine
     * verify via two id-joins. `planesPerBand`×`bands` sign bits/vector. */

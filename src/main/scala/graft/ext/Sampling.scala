@@ -52,6 +52,31 @@ object Sampling {
     df.where(substring(md5(concat(lit(seed), col(keyCol).cast("string"))), 1, 8) < threshold)
   }
 
+  /** Deterministic train/val/test split: each row is assigned the first
+    * split whose cumulative hash-range contains its key hash. Stable under
+    * any partitioning/scale (a doc keeps its split when the corpus grows),
+    * narrow, engine-portable. `splits` are (name, weight) in priority
+    * order; weights must sum to 1 (±1e-9) and the last split absorbs the
+    * hash-range remainder so every row is assigned. */
+  def splitAssign(
+      df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+      seed: String = "", splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val gate = substring(md5(concat(lit(seed), col(keyCol).cast("string"))), 1, 8)
+    val cum = splits.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val assigned = splits.init.zip(cum).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), cumW), acc) =>
+        when(gate < lit(hexThreshold(cumW)), lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, assigned)
+  }
+
+  /** The hex gate boundary for a cumulative weight — exposed so external
+    * systems (SQL oracles, Python readers) can reproduce the assignment. */
+  def splitBoundary(cumulativeWeight: Double): String = hexThreshold(cumulativeWeight)
+
   /** Deterministic global shuffle for training order: every row gets a
     * stable pseudo-random position 0..n-1 (order by md5(seed:key), key as
     * tie-break for md5-prefix collisions).

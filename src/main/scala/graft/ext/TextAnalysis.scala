@@ -88,10 +88,13 @@ object TextAnalysis {
     val terms = df
       .select(col(idCol), explode(T.tokens(lower(col(textCol)))).as("term"))
     val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // doc-freq as an unordered count-window over the tf frame: the tf
+    // subtree is computed once (a groupBy-then-self-join would run the
+    // explode+aggregate twice), at the same one-shuffle-on-term cost
+    val dfw = Window.partitionBy(col("term"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(dfw))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))

@@ -135,13 +135,22 @@ object TextFunctions {
   def languageScore(c: Column, lang: String): Column =
     size(filter(tokens(lower(c)), t => t.isin(languageMarkers(lang): _*)))
 
+  /** Language order — doubles as the tie-break priority (en first). */
+  val languageOrder: Seq[String] = Seq("en", "fr", "de", "es", "it")
+
   /** Heuristic language-ID: argmax of marker-word hits; `und` when no
-    * marker is seen. Ties break by language order (en first). */
-  def langId(c: Column): Column = {
-    val langs = Seq("en", "fr", "de", "es", "it")
-    val scores = langs.map(l => languageScore(c, l))
+    * marker is seen. Ties break by language order (en first). Evaluated by
+    * the one-pass native expression (five tokenize+filter stacks
+    * otherwise); [[langIdColumns]] is the equivalent built-ins-only spec. */
+  def langId(c: Column): Column =
+    graft.plans.NativeExpressions.langId(c, languageOrder.map(l => l -> languageMarkers(l)))
+
+  /** Built-ins-only language-ID formula (kept as the executable spec the
+    * native expression is tested against). */
+  def langIdColumns(c: Column): Column = {
+    val scores = languageOrder.map(l => languageScore(c, l))
     val best = greatest(scores: _*)
-    langs.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
+    languageOrder.zip(scores).foldRight(lit("und"): Column) { case ((l, s), acc) =>
       when(best > 0 && s === best, lit(l)).otherwise(acc)
     }
   }

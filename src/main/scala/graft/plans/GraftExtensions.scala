@@ -63,6 +63,12 @@ object GraftExtensions {
       case Seq(c) => SimHashText(c)
       case args   => arity("simhash_text", 1, args)
     }),
+    ("lang_id", "lang_id(str) - one-pass heuristic language-ID (en/fr/de/es/it/und)", {
+      case Seq(c) => LangIdExpr(c,
+        graft.functions.TextFunctions.languageOrder.map(l =>
+          l -> graft.functions.TextFunctions.languageMarkers(l)))
+      case args => arity("lang_id", 1, args)
+    }),
     ("quality_score", "quality_score(str) - one-pass composite document quality in [0,1]", {
       case Seq(c) => QualityScoreExpr(c, graft.functions.TextFunctions.englishStopwords)
       case args   => arity("quality_score", 1, args)

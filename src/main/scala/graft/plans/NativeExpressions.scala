@@ -81,6 +81,14 @@ object NativeExpressions {
   def qualityScore(text: Column, stopwords: Seq[String]): Column =
     toCol(QualityScoreExpr(toExpr(text), stopwords))
 
+  /** Heuristic language-ID in one token scan: marker-word hit counts for
+    * every language plus the argmax (first language in `markers` order wins
+    * ties; "und" when no marker is seen) — replaces five separate
+    * tokenize+filter HOF stacks with a single pass. Semantics identical to
+    * the greatest/when column fold it replaces. */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    toCol(LangIdExpr(toExpr(text), markers))
+
   /** Cosine similarity over two float/double array columns, computed in
     * double with sequential index-order accumulation — bit-identical to the
     * `aggregate`-based graft.functions.VectorFunctions.cosine and to the
@@ -122,6 +130,13 @@ private object HashFamily {
     }
     sig
   }
+}
+
+/** Shared token-scanner helpers for the one-pass text expressions. */
+private object TextScan {
+  // Java regex \s = [ \t\n\x0B\f\r] — must match split("\\s+") exactly
+  def isJavaRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
 }
 
 case class CharShingles(child: Expression, n: Int)
@@ -366,9 +381,6 @@ case class QualityScoreExpr(child: Expression, stopwords: Seq[String])
     s
   }
 
-  private def isJavaRegexSpace(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
-
   private def isPunct(c: Char): Boolean = c match {
     case '.' | ',' | ';' | ':' | '!' | '?' | '\'' | '"' | '(' | ')' | '[' | ']' | '-' => true
     case _ => false
@@ -389,10 +401,10 @@ case class QualityScoreExpr(child: Expression, stopwords: Seq[String])
     }
     i = 0
     while (i < n) { // token scan, identical to split("\\s+") + nonEmpty
-      if (isJavaRegexSpace(s.charAt(i))) i += 1
+      if (TextScan.isJavaRegexSpace(s.charAt(i))) i += 1
       else {
         val start = i
-        while (i < n && !isJavaRegexSpace(s.charAt(i))) i += 1
+        while (i < n && !TextScan.isJavaRegexSpace(s.charAt(i))) i += 1
         nTokens += 1
         tokenLenSum += (i - start)
         if (stopSet.contains(s.substring(start, i).toLowerCase)) stopHits += 1
@@ -412,6 +424,56 @@ case class QualityScoreExpr(child: Expression, stopwords: Seq[String])
   }
 
   override protected def withNewChildInternal(c: Expression): QualityScoreExpr = copy(child = c)
+}
+
+/** One-pass marker-word language-ID. Tokens (lowercased, Java-\s split)
+  * are looked up in one hash map of marker word -> language index; the
+  * prediction is the first language (in declaration order) with the
+  * maximum non-zero hit count, else "und" — exactly the
+  * greatest()/when-chain semantics of the column formula. */
+case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+  require(markers.nonEmpty, "markers must be non-empty")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  private lazy val langIndex: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    markers.zipWithIndex.foreach { case ((_, words), i) =>
+      words.foreach(w => m.put(w, Integer.valueOf(i)))
+    }
+    m
+  }
+  private lazy val langNames: Array[UTF8String] =
+    markers.map { case (l, _) => UTF8String.fromString(l) }.toArray
+  private lazy val und = UTF8String.fromString("und")
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
+    val hits = new Array[Int](markers.length)
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      if (TextScan.isJavaRegexSpace(s.charAt(i))) i += 1
+      else {
+        val start = i
+        while (i < n && !TextScan.isJavaRegexSpace(s.charAt(i))) i += 1
+        val idx = langIndex.get(s.substring(start, i))
+        if (idx != null) hits(idx.intValue()) += 1
+      }
+    }
+    var best = 0
+    var k = 0
+    while (k < hits.length) { if (hits(k) > best) best = hits(k); k += 1 }
+    if (best == 0) und
+    else {
+      var j = 0
+      while (hits(j) != best) j += 1 // first language at the max wins ties
+      langNames(j)
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(child = c)
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)

@@ -182,6 +182,19 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("native language-ID matches the built-ins-only formula") {
+    val df = Seq(
+      "", "the cat is on the mat", "le chat est dans la maison",
+      "der hund und die katze", "el perro con el gato", "il cane che corre",
+      "zzz qqq", "the le der el il the le der el il", // cross-language tie mix
+      "THE AND OF", "the\tand\nof"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(TF.langId(col("text")).as("native"),
+      TF.langIdColumns(col("text")).as("columns")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"native=${r.getString(0)} columns=${r.getString(1)}"))
+  }
+
   test("empty/token-less docs never pair in the LSH near-dup pipelines") {
     val df = Seq(
       (1L, ""), (2L, ""), (3L, "   "), // degenerate: empty / whitespace-only
@@ -195,6 +208,42 @@ class ExtSpec extends SparkSpec {
     val sh = Dedup.simhashNearDuplicates(df, "doc_id", "text")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(sh == Set((4L, 5L)))
+  }
+
+  test("split assignment is exhaustive, deterministic, and roughly proportional") {
+    val df = spark.range(0, 10000).toDF("id")
+    val splits = Sampling.splitAssign(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits.keySet == Set("train", "val", "test"))
+    assert(splits.values.sum == 10000L) // every row assigned exactly once
+    assert(math.abs(splits("train") - 8000L) < 300)
+    assert(math.abs(splits("val") - 1000L) < 150)
+    // stable under repartitioning
+    val again = Sampling.splitAssign(df.repartition(7), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits == again)
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(df, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("cross-corpus dedup drops batch docs near-duplicating the reference") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely unrelated reference content about spark plans")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"), // dup of 1
+      (11L, "fresh new document that matches nothing in the reference corpus")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.crossCorpusNearDuplicates(batch, ref, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.6)
+      .select("new_id", "ref_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 1L)))
+    val kept = Dedup.dropCrossCorpusDuplicates(batch, ref, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L))
   }
 
   test("hash sample is deterministic and stable under repartitioning") {
