@@ -68,6 +68,28 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream join with event-time bounds: each purchase pairs with
+    * the same user's views from the preceding hour (the streaming form of
+    * the q_range_join batch query). Both sides carry watermarks and the
+    * join condition bounds the event-time distance, so each side's buffered
+    * state is evictable once the watermark passes — the canonical
+    * bounded-state stream-stream join. */
+  def purchasesWithRecentViews(events: DataFrame): DataFrame = {
+    val purchases = events
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "2 hours")
+    val views = events
+      .where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") < col("ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("v_ts"))
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState`: per-user running
     * profile (event count, value sum, distinct-type count) emitted on every
     * update. The state object is bounded per user, so cluster-wide state is

@@ -67,6 +67,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == 1000L)
   }
 
+  test("stream-stream range join matches the batch range join") {
+    val streamed = EventsStream.purchasesWithRecentViews(
+      EventsStream.readStream(spark, streamDir))
+    val got = EventsStream.runToMemory(spark, streamed, "ss_join_test")
+    // batch reference: same join over the static table (inner form)
+    val e = graft.sources.Tables.events(spark, dir)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val batch = p.join(v, col("user_id") === col("v_user") &&
+      col("v_ts") >= col("ts") - expr("INTERVAL 1 HOUR") && col("v_ts") < col("ts"))
+    assert(got.count() == batch.count())
+    assert(got.count() > 0) // the synthetic stream does produce matches
+  }
+
   test("flatMapGroupsWithState keeps a running per-user profile") {
     val streamed = EventsStream.userProfiles(spark,
       EventsStream.readStream(spark, streamDir)).toDF()
