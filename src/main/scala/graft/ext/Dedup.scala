@@ -225,6 +225,50 @@ object Dedup {
       .select("new_id", "ref_id", "jaccard")
   }
 
+  /** Stage a corpus' MinHash state to parquet: one row per doc with the
+    * band hashes (candidate generation) and shingle set (verification).
+    * The incremental-ingest pattern at 100 TB: signatures are computed
+    * ONCE per reference doc, and every future batch dedupes against the
+    * staged table — candidate generation reads only (id, bands), so
+    * parquet column pruning never touches the (much wider) shingle
+    * column until the per-pair verify. */
+  def stageSignatures(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32): Unit = {
+    val sh = NativeExpressions.charShingles(col(textCol), shingleSize)
+    df.select(
+      col(idCol).as("id"),
+      NativeExpressions.minhashBands(sh, numHashes, bands).as("bands"),
+      sh.as("shingles"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Cross-corpus near-dup pairs of a new batch against a staged reference
+    * (see [[stageSignatures]] — parameters must match the staging call or
+    * the hash families diverge). Returns (new_id, ref_id, jaccard). */
+  def crossCorpusNearDuplicatesStaged(
+      newDf: DataFrame, idCol: String, textCol: String, stagedPath: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = newDf.sparkSession
+    val staged = spark.read.parquet(stagedPath)
+    val sh = NativeExpressions.charShingles(col(textCol), shingleSize)
+    val newBuckets = newDf.select(
+      col(idCol).as("new_id"),
+      posexplode(NativeExpressions.minhashBands(sh, numHashes, bands))
+        .as(Seq("band", "bhash")))
+    val refBuckets = staged.select( // prunes the shingle column at the scan
+      col("id").as("ref_id"), posexplode(col("bands")).as(Seq("band", "bhash")))
+    val candidates = newBuckets.join(refBuckets, Seq("band", "bhash"))
+      .select("new_id", "ref_id").distinct()
+    val shNew = newDf.select(col(idCol).as("new_id"), sh.as("sh_a"))
+    val shRef = staged.select(col("id").as("ref_id"), col("shingles").as("sh_b"))
+    candidates.join(shNew, "new_id").join(shRef, "ref_id")
+      .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("new_id", "ref_id", "jaccard")
+  }
+
   /** Keep only batch rows with no near-duplicate in the reference corpus
     * (anti-join on the cross-corpus pair set). */
   def dropCrossCorpusDuplicates(

@@ -72,6 +72,31 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: clamp dimensions to fit (maxW, maxH) preserving aspect
+    * ratio, and stand in for the re-encoded payload by truncating bytes
+    * proportionally to the area change. A real implementation swaps the
+    * payload transform for a decoder+scaler; the metadata arithmetic and
+    * the (id, content, meta) -> same-schema contract are the real parts —
+    * a narrow per-row projection, no batch state needed. */
+  def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("meta.width"); val h = col("meta.height")
+    // scale = min(maxW/w, maxH/h, 1.0)
+    val scale = least(lit(maxW).cast("double") / w, lit(maxH).cast("double") / h, lit(1.0d))
+    val newW = greatest(floor(w * scale), lit(1)).cast("int")
+    val newH = greatest(floor(h * scale), lit(1)).cast("int")
+    val keepBytes = greatest(
+      floor(length(col("content")) * (newW * newH).cast("double") / (w * h)), lit(1)).cast("int")
+    media.select(
+      col("media_id"),
+      // real impl: decode + rescale + re-encode; stub keeps a proportional prefix
+      col("content").substr(lit(1), keepBytes).as("content"),
+      struct(
+        col("meta.mime").as("mime"),
+        keepBytes.cast("long").as("n_bytes"),
+        newW.as("width"),
+        newH.as("height")).as("meta"))
+  }
+
   /** STUB frame sampling for video payloads: every `everyN`-th fixed-size
     * slice of the payload stands in for a decoded frame; real impl swaps
     * the slicer for a video decoder, the exploded output shape is real. */

@@ -246,6 +246,25 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(11L))
   }
 
+  test("staged-signature cross-corpus dedup matches the direct computation") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely unrelated reference content about spark plans")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "fresh new document that matches nothing in the reference corpus")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-staged-sigs").toString
+    Dedup.stageSignatures(ref, "doc_id", "text", dir, numHashes = 64, bands = 32)
+    val staged = Dedup.crossCorpusNearDuplicatesStaged(batch, "doc_id", "text", dir,
+      numHashes = 64, bands = 32, threshold = 0.6)
+      .select("new_id", "ref_id").as[(Long, Long)].collect().toSet
+    val direct = Dedup.crossCorpusNearDuplicates(batch, ref, "doc_id", "text",
+      numHashes = 64, bands = 32, threshold = 0.6)
+      .select("new_id", "ref_id").as[(Long, Long)].collect().toSet
+    assert(staged == direct && staged == Set((10L, 1L)))
+  }
+
   test("hash sample is deterministic and stable under repartitioning") {
     val df = spark.range(0, 10000).toDF("id")
     val a = Sampling.hashSample(df, "id", 0.25, seed = "t").select("id").as[Long].collect().toSet
@@ -339,5 +358,21 @@ class ExtSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media)
     assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "frame_bytes"))
     assert(frames.count() >= 5)
+    // resize: same schema, dims clamped into the box, aspect preserved
+    val resized = Multimodal.resize(media, 640, 480)
+    assert(resized.schema.fieldNames.toSeq == media.schema.fieldNames.toSeq)
+    val dims = resized.select(col("meta.width"), col("meta.height"),
+      col("meta.n_bytes"), length(col("content")).cast("long")).collect()
+    dims.foreach { r =>
+      assert(r.getInt(0) <= 640 && r.getInt(1) <= 480)
+      assert(r.getLong(2) == r.getLong(3)) // payload matches recorded size
+    }
+    // an already-small image is untouched
+    val orig = media.select(col("meta.width"), col("meta.height")).collect()
+    orig.zip(dims).foreach { case (o, d) =>
+      if (o.getInt(0) <= 640 && o.getInt(1) <= 480) {
+        assert(o.getInt(0) == d.getInt(0) && o.getInt(1) == d.getInt(1))
+      }
+    }
   }
 }
