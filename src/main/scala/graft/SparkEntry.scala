@@ -107,6 +107,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // A5 full grouping-sets lattice (cube: group, both subtotals, total)
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // exact percentiles (sort-based aggregate, linear interpolation)
+    "q_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"),
+          expr("percentile(l_extendedprice, 0.5)").as("price_p50"))
+    }),
+
+    // event-time sliding frame: per-flag daily revenue with a 7-day moving
+    // sum (RANGE frame over days; window partitioned by flag — no global
+    // single-partition sort)
+    "q_moving_sum" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(floor(col("l_extendedprice") * lit(100.0d) + lit(0.5d)).cast("long")).as("rev_c"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(unix_date(col("day").cast("date")))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("mov7_rev", (sum(col("rev_c")).over(w)).cast("double") / lit(100.0d))
+        .select(col("l_returnflag"), col("day"), col("mov7_rev"))
+    }),
+
     // A5 distinct aggregation (exact; the approx/HLL variant is
     // approx_count_distinct over the same plan shape)
     "q_count_distinct" -> ((s, dir) => {
@@ -568,6 +600,28 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         | cast(sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | cast(sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS p50,
+        | quantile_cont(l_quantity, 0.9) AS p90,
+        | quantile_cont(l_extendedprice, 0.5) AS price_p50
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_moving_sum" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag, date_trunc('day', l_shipdate) AS day,
+        |    sum(cast(floor(l_extendedprice * 100.0 + 0.5) AS bigint)) AS rev_c
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, day,
+        |  cast(sum(rev_c) OVER (PARTITION BY l_returnflag ORDER BY day
+        |    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS double) / 100.0 AS mov7_rev
+        |FROM daily""".stripMargin,
 
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
