@@ -13,11 +13,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up pass at the smallest scale factor: pays session/codegen/
-    // classloading warm-up once so the timed numbers are steady-state
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+    // warm-up passes: sf0.001 pays session/classloading/codegen setup,
+    // sf0.01 runs every kernel long enough for the JIT to compile the hot
+    // loops — without it the timed numbers measure first-run compilation,
+    // not steady-state throughput
+    val warmDirs = sys.env.get("SPARK_GRAFT_WARM_DIR").map(Seq(_))
+      .getOrElse(Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+    warmDirs.foreach { warmDir =>
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

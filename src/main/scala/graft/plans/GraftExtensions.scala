@@ -2,7 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, Coalesce, EqualTo, Expression, ExpressionInfo, LambdaFunction, Literal, Lower, NamedLambdaVariable, Not, StringSplit}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Registers the graft native expressions as SQL functions, so SQL-first
   * users get the same fused kernels the DataFrame API uses:
@@ -20,8 +22,27 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * family is precomputed per instance), exactly like the DataFrame API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => FuseSimHashTokenize)
+  }
+}
+
+/** Optimizer rule: fuse the naive `simhash64(filter(split(lower(x), '\s+'),
+  * t -> t <> ''))` composition — what a SQL user writes from the primitive
+  * functions — into the single-loop [[SimHashText]] kernel. Wrapped in
+  * `coalesce(.., 0L)` because the fused kernel returns NULL for token-less
+  * input where the composition returns the empty-vote fingerprint 0, so the
+  * rewrite is semantics-preserving. The match is deliberately narrow (exact
+  * pattern, exact literals); anything else is left untouched. */
+object FuseSimHashTokenize extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case SimHash64(ArrayFilter(
+          StringSplit(Lower(text), Literal(pat, _), Literal(-1, _)),
+          LambdaFunction(Not(EqualTo(_: NamedLambdaVariable, Literal(empty, _))), _, _)))
+        if pat != null && pat.toString == "\\s+" && empty != null && empty.toString.isEmpty =>
+      Coalesce(Seq(SimHashText(text), Literal(0L)))
+  }
 }
 
 object GraftExtensions {

@@ -48,6 +48,37 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(ex.getMessage.contains("integer literal"))
   }
 
+  test("FuseSimHashTokenize rewrites the naive composition, preserving results") {
+    registered
+    import spark.implicits._
+    val df = Seq((1L, "The Quick Brown fox"), (2L, ""), (3L, "  \t ")).toDF("id", "text")
+    df.createOrReplaceTempView("fuse_docs")
+    // the naive SQL composition of primitives
+    val naive = spark.sql(
+      """SELECT id, simhash64(filter(split(lower(text), '\\s+'), t -> t != '')) AS fp
+        |FROM fuse_docs""".stripMargin)
+    val analyzed = naive.queryExecution.analyzed
+    val rewritten = FuseSimHashTokenize(analyzed)
+    // the rule fires on the analyzed plan and removes the composition
+    assert(rewritten.expressions.map(_.toString).mkString.contains("simhash_text"))
+    assert(!rewritten.expressions.exists(_.exists(_.isInstanceOf[SimHash64])))
+    // the fused form the rule produces is semantics-preserving, including
+    // token-less rows (coalesce turns the fused NULL into the composition's
+    // empty-vote fingerprint 0)
+    val fused = spark.sql(
+      "SELECT id, coalesce(simhash_text(text), 0L) AS fp FROM fuse_docs")
+    val a = naive.orderBy("id").as[(Long, Long)].collect().toSeq
+    val b = fused.orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.filter(_._1 >= 2L).forall(_._2 == 0L))
+    // a different split pattern must NOT be rewritten
+    val other = spark.sql(
+      """SELECT simhash64(filter(split(lower(text), ','), t -> t != '')) AS fp
+        |FROM fuse_docs""".stripMargin)
+    val untouched = FuseSimHashTokenize(other.queryExecution.analyzed)
+    assert(untouched.expressions.exists(_.exists(_.isInstanceOf[SimHash64])))
+  }
+
   test("extensions class injects the same functions into a fresh config") {
     // the class is instantiable and applies cleanly to an extensions object
     val ext = new org.apache.spark.sql.SparkSessionExtensions
