@@ -383,6 +383,12 @@ object SparkEntry {
       TextAnalysis.topBigrams(t(s, dir, "documents"), "text", k = 20)
     }),
 
+    // repetition filter: share of bigram positions held by the most
+    // frequent bigram per doc (looping/boilerplate detector)
+    "q_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionProfile(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // deterministic hash-gated 25% sample (stable under any partitioning)
     "q_hash_sample" -> ((s, dir) => {
       Sampling.hashSample(t(s, dir, "orders"), "o_orderkey", 0.25, seed = "s42")
@@ -786,6 +792,19 @@ object SparkEntry {
         |  FROM t WHERE len(toks) >= 2)
         |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
         |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        | b AS (
+        |  SELECT doc_id, len(toks) - 1 AS n_bigrams,
+        |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |  FROM t WHERE len(toks) >= 2),
+        | c AS (SELECT doc_id, n_bigrams, bigram, count(*) AS c FROM b GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_bigrams, max(c) AS max_c,
+        |  cast(max(c) AS double) / cast(n_bigrams AS double) AS top_bigram_share
+        |FROM c GROUP BY doc_id, n_bigrams""".stripMargin,
 
     "q_split_assign" ->
       """WITH assigned AS (

@@ -100,6 +100,30 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** Repetition profile (Gopher-style repetition filter): per document,
+    * the share of bigram positions occupied by its single most frequent
+    * bigram — near 1.0 flags looping/boilerplate text. Integer counts plus
+    * one final division keep it engine-portable. Explode + two bounded
+    * aggregations, partitioned by document, no window. */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = T.tokens(lower(col(textCol)))
+    val base = df.select(col(idCol), toks.as("__toks")).where(size(col("__toks")) >= 2)
+    val bi = base.select(
+      col(idCol),
+      (size(col("__toks")) - 1).cast("long").as("n_bigrams"),
+      explode(zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+    bi.groupBy(col(idCol), col("n_bigrams"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol), col("n_bigrams"))
+      .agg(max(col("c")).as("max_c"))
+      .select(col(idCol), col("n_bigrams"), col("max_c"),
+        (col("max_c").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_share"))
+  }
+
   /** Corpus-wide top-k adjacent-token bigrams (n desc, bigram asc).
     * `zip_with` over the shifted token array keeps pair construction inside
     * codegen; the global top-k is a TakeOrdered, not a full sort. */

@@ -324,6 +324,19 @@ class ExtSpec extends SparkSpec {
     assert(top(3L) == Seq("cherry", "common")) // tf tie -> lower df first
   }
 
+  test("repetition profile flags looping text") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam"),          // one bigram repeated 4/4
+      (2L, "all words here are fully distinct"), // every bigram unique
+      (3L, "x")                                   // too short: excluded
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionProfile(df, "doc_id", "text")
+      .select("doc_id", "top_bigram_share").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 1.0)
+    assert(got(2L) == 0.2) // 5 bigrams, max count 1
+    assert(!got.contains(3L))
+  }
+
   test("top bigrams count adjacent pairs with deterministic ordering") {
     val df = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("id", "text")
     val got = TextAnalysis.topBigrams(df, "text", k = 3)
