@@ -111,4 +111,39 @@ object GraphOps {
     withVertexInfo(spark, vids,
       g.triangleCount().vertices.mapValues(_.toDouble), "triangles")
   }
+
+  /** Unweighted shortest-path hop counts from each vertex to the given
+    * landmark nodes (GraphX Pregel `ShortestPaths`). Landmarks are
+    * (label, id) pairs; output is one row per reachable (vertex, landmark)
+    * with the hop distance. Distances follow edge direction REVERSED
+    * (GraphX's ShortestPaths semantics: distance from each vertex TO the
+    * landmark along in-edges); pass a symmetrized edge frame for
+    * undirected distance. */
+  def shortestPaths(
+      nodes: DataFrame, edges: DataFrame,
+      landmarks: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.graphx.lib.ShortestPaths
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val vids = denseVertexIds(nodes).cache()
+    // collect ONLY the landmark rows (a handful), never the vid table
+    val lmCond = landmarks
+      .map { case (l, i) => col("label") === l && col("id") === i }
+      .reduce(_ || _)
+    val lmIds = vids.where(lmCond).select(col("vid")).collect().map(_.getLong(0))
+    require(lmIds.nonEmpty, s"no landmark matched the node set: $landmarks")
+    val g = toGraphXWithIds(vids, edges)
+    val result = ShortestPaths.run(g, lmIds.toIndexedSeq)
+    val rows = result.vertices.flatMap { case (vid, spMap) =>
+      spMap.map { case (lm, d) => (vid, lm, d.toLong) }
+    }.toDF("vid", "lm_vid", "hops")
+    val lmNames = vids.select(col("vid").as("lm_vid"),
+      col("label").as("lm_label"), col("id").as("lm_id"))
+    val out = rows.join(vids, "vid").join(lmNames, "lm_vid")
+      .select(col("label"), col("id"), col("lm_label"), col("lm_id"), col("hops"))
+      .cache()
+    out.count()
+    vids.unpersist()
+    out
+  }
 }

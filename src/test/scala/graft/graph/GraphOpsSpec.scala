@@ -37,6 +37,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(cc.select("component").distinct().count() == 2)
   }
 
+  test("GraphX shortest paths measure hops to a landmark") {
+    // distance TO landmark B1 along edge direction: A1 -> B1 = 1 hop,
+    // A2 -> B1 = 1 hop, B1 itself = 0; C1 unreachable (absent)
+    val sp = GraphOps.shortestPaths(nodes, edges, Seq(("Company", "B1")))
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[Long]("hops"))).toMap
+    assert(sp("B1") == 0L)
+    assert(sp("A1") == 1L && sp("A2") == 1L)
+    assert(!sp.contains("C1"))
+    intercept[IllegalArgumentException] {
+      GraphOps.shortestPaths(nodes, edges, Seq(("Person", "nope")))
+    }
+  }
+
   test("GraphX pagerank gives the hub the highest score") {
     val pr = GraphOps.pageRank(nodes, edges, tol = 0.001)
     val top = pr.orderBy(col("pagerank").desc).select("id").as[String].head()
