@@ -93,15 +93,65 @@ object Similarity {
       .drop("__best")
   }
 
+  /** Lloyd (k-means) refinement of a centroid table: assign every corpus
+    * vector to its nearest centroid (narrow projection), then recompute
+    * each centroid as the element-wise mean of its members — one
+    * `posexplode` + one (centroid, dim)-keyed aggregation per iteration,
+    * shuffle volume = corpus dims, result nlist×dim (tiny, re-collected
+    * into a fresh local relation). Centroids that lose all members keep
+    * their previous position. Refined centroids tighten buckets, which
+    * raises recall at the same nprobe. */
+  def refineCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, iterations: Int = 1): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StructField, StructType}
+    var current = centroids
+    for (_ <- 1 to iterations) {
+      val assigned = assignToCentroids(corpus, idCol, vecCol, current)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"), col("pm.m").as("cvec"))
+        .collect()
+      val meanMap = means.map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      val prev = current.collect().map { r =>
+        val cid = r.getInt(0)
+        val kept = meanMap.get(cid).map(_.toIndexedSeq).getOrElse {
+          r.get(1) match { // empty bucket: keep the old position (as doubles)
+            case s: Seq[_] => s.map {
+              case f: Float => f.toDouble
+              case d: Double => d
+            }.toIndexedSeq
+          }
+        }
+        Row(cid, kept)
+      }
+      val schema = StructType(Seq(
+        StructField("centroid_id", IntegerType, nullable = false),
+        StructField("cvec", ArrayType(DoubleType, containsNull = false), nullable = false)))
+      current = corpus.sparkSession.createDataFrame(
+        java.util.Arrays.asList(prev.toIndexedSeq: _*), schema)
+    }
+    current
+  }
+
   /** IVF top-k: probe the `nprobe` nearest centroids per query, exact
-    * cosine within the probed buckets only. */
+    * cosine within the probed buckets only. `refineIters` Lloyd passes
+    * tighten the buckets first (0 = raw hash-sampled centroids). */
   def ivfTopK(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, nlist: Int = 64, nprobe: Int = 8): DataFrame = {
+      k: Int, nlist: Int = 64, nprobe: Int = 8, refineIters: Int = 0): DataFrame = {
     // the centroid table is already a local relation: evaluated once,
     // reused by assignment and probes, no executor storage pinned
-    val centroids = sampleCentroids(corpus, idCol, vecCol, nlist)
+    val centroids0 = sampleCentroids(corpus, idCol, vecCol, nlist)
+    val centroids =
+      if (refineIters <= 0) centroids0
+      else refineCentroids(corpus, idCol, vecCol, centroids0, refineIters)
     val assigned = assignToCentroids(corpus, idCol, vecCol, centroids)
 
     val qw = Window.partitionBy(col(qidCol)).orderBy(col("dist"), col("centroid_id"))

@@ -324,6 +324,36 @@ class ExtSpec extends SparkSpec {
     assert(top(3L) == Seq("cherry", "common")) // tf tie -> lower df first
   }
 
+  test("IVF with full probes equals brute force; k-means refinement preserves that") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 120L).map { i =>
+      val center = (i % 3).toInt
+      (i, Array.tabulate(8)(d => (if (d % 3 == center) 1.0f else 0.0f) + rnd.nextFloat() * 0.1f))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val brute = ranked(Similarity.bruteForceTopK(
+      corpus, "vec_id", "embedding", queries, "qid", "qvec", k = 5))
+    val fullProbe = ranked(Similarity.ivfTopK(
+      corpus, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 5, nlist = 6, nprobe = 6))
+    assert(fullProbe == brute) // probing every bucket = exact
+    val refined = ranked(Similarity.ivfTopK(
+      corpus, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 5, nlist = 6, nprobe = 6, refineIters = 2))
+    assert(refined == brute) // refinement moves buckets, not the answer set
+    // partial probes on well-separated clusters still find the neighbors
+    val partial = ranked(Similarity.ivfTopK(
+      corpus, "vec_id", "embedding", queries, "qid", "qvec",
+      k = 5, nlist = 6, nprobe = 3, refineIters = 2))
+    val recall = partial.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
   test("repetition profile flags looping text") {
     val df = Seq(
       (1L, "spam spam spam spam spam"),          // one bigram repeated 4/4
