@@ -212,6 +212,39 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
     }),
 
+    // W2 lag/lead analytics: per-user delta between consecutive event values
+    "q_lag_delta" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+        .select(col("event_id"), col("user_id"), col("delta"))
+    }),
+
+    // J-family: full outer join (both unmatched sides survive)
+    "q_full_outer" -> ((s, dir) => {
+      val buyers = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("spent"))
+        .where(col("spent") > 400000.0)
+      val builders = t(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"))
+      builders.join(buyers, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_custkey"), col("spent"))
+    }),
+
+    // U2 set intersection (distinct semantics)
+    "q_intersect" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    }),
+
+    // U2 set difference (distinct semantics)
+    "q_except" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    }),
+
     // W1 deterministic sequential chunking (zipWithIndex path)
     "q_chunk" -> ((s, dir) => {
       Normalize.withChunkIds(t(s, dir, "orders"), 1000L)
@@ -657,6 +690,32 @@ object SparkEntry {
 
     "q_anti_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+
+    "q_lag_delta" ->
+      """SELECT event_id, user_id,
+        | value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+        |FROM events""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH buyers AS (
+        |  SELECT o_custkey,
+        |    cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS spent
+        |  FROM orders GROUP BY o_custkey
+        |  HAVING cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint)) AS double) / 100.0 > 400000.0),
+        | builders AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT c_custkey, c_name, o_custkey, spent
+        |FROM builders FULL OUTER JOIN buyers ON c_custkey = o_custkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
 
     "q_chunk" ->
       """SELECT chunk, count(*) AS n FROM
