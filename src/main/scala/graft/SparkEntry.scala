@@ -159,6 +159,30 @@ object SparkEntry {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
     }),
 
+    // A5 explicit GROUPING SETS (the general lattice rollup/cube specialize)
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+          |""".stripMargin)
+    }),
+
+    // ordered string aggregation per group (deterministic listagg)
+    "q_string_agg" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+    }),
+
+    // date-part extraction + aggregate
+    "q_date_parts" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+    }),
+
     // HAVING-style post-aggregation filter
     "q_having" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -505,6 +529,18 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 4).as("cosine_r"), col("rank").cast("long").as("rank"))
+    }),
+
+    // same exact top-k through the bounded-heap typed Aggregator (hash
+    // aggregation with map-side combine instead of a window sort) — same
+    // oracle as q_embed_topk proves the equivalence
+    "q_embed_topk_agg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 5)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine_r"), col("rank").cast("long").as("rank"))
     }),
@@ -956,6 +992,37 @@ object SparkEntry {
         |     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |   FROM scored)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine_r, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_embed_topk_agg" ->
+      """WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> cast(x AS double)) AS qvec
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        | c AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS vec FROM embeddings),
+        | scored AS (
+        |   SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+        |     CASE WHEN sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)) = 0 THEN 0.0
+        |          ELSE list_dot_product(c.vec, q.qvec) / (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)))
+        |     END AS cosine
+        |   FROM c CROSS JOIN q WHERE c.vec_id <> q.qid),
+        | ranked AS (
+        |   SELECT query_id, neighbor_id, cosine,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |   FROM scored)
+        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine_r, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT cast(year(o_orderdate) AS int) AS y, cast(month(o_orderdate) AS int) AS m,
+        | count(*) AS n,
+        | cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS total
+        |FROM orders GROUP BY 1, 2""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,

@@ -37,6 +37,34 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Exact top-k via the bounded-heap [[graft.plans.TopKAggregator]]:
+    * same answer as [[bruteForceTopK]], different physical shape — a
+    * hash aggregation with map-side combine instead of a window sort, so
+    * each map task ships at most k rows per query to the exchange and the
+    * per-group sort disappears (the heap content is already ordered).
+    * Preferred at very large candidate volumes. */
+  def bruteForceTopKAgg(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    import graft.plans.TopKAggregator
+    val scored = corpus.crossJoin(broadcast(queries))
+      .where(col(idCol) =!= col(qidCol))
+      .select(
+        col(qidCol).as("query_id"),
+        col(idCol).as("neighbor_id"),
+        NativeExpressions.cosine(col(vecCol), col(qvecCol)).as("cosine"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(TopKAggregator.topK(k)(col("neighbor_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("rank0", "hit")))
+      .select(
+        col("query_id"),
+        col("hit.id").as("neighbor_id"),
+        col("hit.score").as("cosine"),
+        (col("rank0") + 1).as("rank"))
+  }
+
   /** Deterministic IVF centroids: a hash-based sample of ~nlist corpus
     * vectors, materialized as a LOCAL relation — the sample is nlist-sized
     * by construction and every consumer (assignment, query probes) needs it

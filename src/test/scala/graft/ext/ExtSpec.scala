@@ -324,6 +324,31 @@ class ExtSpec extends SparkSpec {
     assert(top(3L) == Seq("cherry", "common")) // tf tie -> lower df first
   }
 
+  test("bounded-heap top-k aggregator: reduce/merge keep the k best with tie-breaks") {
+    import graft.plans.{TopKAggregator, ScoredId}
+    val agg = new TopKAggregator(3)
+    val items = Seq(
+      ScoredId(5, 0.1), ScoredId(1, 0.9), ScoredId(2, 0.9), ScoredId(3, 0.5),
+      ScoredId(4, 0.7), ScoredId(6, 0.9))
+    val (left, right) = items.splitAt(3)
+    val merged = agg.merge(
+      left.foldLeft(agg.zero)(agg.reduce),
+      right.foldLeft(agg.zero)(agg.reduce))
+    // best three: score desc, id asc on ties (0.9: ids 1,2,6)
+    assert(merged == Seq(ScoredId(1, 0.9), ScoredId(2, 0.9), ScoredId(6, 0.9)))
+    // distributed equivalence against the window form on real data
+    val emb = spark.range(0, 50).select(col("id").as("vec_id"),
+      array((0 until 4).map(d => pmod(xxhash64(col("id"), lit(d)), lit(97)).cast("float") / 97f): _*)
+        .as("embedding"))
+    val qs = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val viaWindow = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qs, "qid", "qvec", 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val viaAgg = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding", qs, "qid", "qvec", 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("IVF with full probes equals brute force; k-means refinement preserves that") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 120L).map { i =>
