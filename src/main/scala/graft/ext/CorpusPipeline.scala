@@ -54,6 +54,20 @@ object CorpusPipeline {
     nearStage(exact, idCol, textCol, shingleSize, numHashes, bands, nearDupThreshold)
   }
 
+  /** Write a cleaned corpus as partitioned parquet — the training-data
+    * sink layout: directory-partitioned by the stratum column (language,
+    * source, split, ...) so downstream readers prune partitions, with
+    * bounded file sizes so a 100 TB output is many independently-readable
+    * files rather than a few giants. */
+  def writeCleaned(
+      df: DataFrame, path: String, partitionCol: String,
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    df.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
   /** Per-stage survivor counts — the funnel report a pipeline run logs.
     * The `exact` frame is cached for the duration: the near-dup stage
     * reads it four times (LSH candidates, two verify sides, final drop)

@@ -246,6 +246,21 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(11L))
   }
 
+  test("writeCleaned produces a partition-pruned parquet layout") {
+    val df = Seq((1L, "hello there", "en"), (2L, "bonjour", "fr"), (3L, "more text", "en"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cleaned").toString
+    CorpusPipeline.writeCleaned(df, dir, "lang")
+    assert(new java.io.File(s"$dir/lang=en").isDirectory)
+    assert(new java.io.File(s"$dir/lang=fr").isDirectory)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    // a lang filter prunes to the partition directory (no full scan)
+    val plan = back.where(col("lang") === "en").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"))
+    assert(back.where(col("lang") === "en").count() == 2)
+  }
+
   test("staged-signature cross-corpus dedup matches the direct computation") {
     val ref = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),

@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.SparkTestSession
+
+/** Invariants of the deterministic hash-gate sampling family. Small row
+  * counts per case — each property runs real Spark jobs. */
+object SamplingProps extends Properties("Sampling") {
+
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private val fracPair: Gen[(Double, Double)] = for {
+    a <- Gen.choose(0.0, 1.0)
+    b <- Gen.choose(0.0, 1.0)
+  } yield if (a <= b) (a, b) else (b, a)
+
+  property("growing the fraction only ADDS rows (gates are hash prefixes)") =
+    forAll(fracPair, Gen.choose(0L, 1000000L)) { case ((lo, hi), off) =>
+      import spark.implicits._
+      val df = spark.range(off, off + 300).toDF("id")
+      val small = Sampling.hashSample(df, "id", lo).as[Long].collect().toSet
+      val big = Sampling.hashSample(df, "id", hi).as[Long].collect().toSet
+      small.subsetOf(big)
+    }
+
+  property("split assignment is exhaustive and disjoint for any weights") =
+    forAll(Gen.choose(0.01, 0.98), Gen.choose(0L, 100000L)) { (w, off) =>
+      import spark.implicits._
+      val rest = 1.0 - w
+      val df = spark.range(off, off + 200).toDF("id")
+      val counts = Sampling.splitAssign(df, "id",
+        Seq("a" -> w, "b" -> rest / 2, "c" -> rest / 2))
+        .groupBy("split").count().as[(String, Long)].collect().toMap
+      counts.values.sum == 200L && counts.keySet.subsetOf(Set("a", "b", "c"))
+    }
+
+  property("shuffle order is a permutation and independent of input order") =
+    forAll(Gen.choose(0L, 100000L)) { off =>
+      import spark.implicits._
+      val df = spark.range(off, off + 100).toDF("id")
+      val pos = Sampling.shuffleOrder(df, "id").select("position", "id")
+        .as[(Long, Long)].collect().toMap
+      val posRev = Sampling.shuffleOrder(df.orderBy(org.apache.spark.sql.functions.col("id").desc), "id")
+        .select("position", "id").as[(Long, Long)].collect().toMap
+      pos.keys.toSeq.sorted == (0L until 100L) && pos == posRev
+    }
+}
