@@ -918,7 +918,7 @@ object SparkEntry {
     "q_corpus_mix" ->
       """SELECT source, count(*) AS n FROM documents
         |WHERE substring(md5('mix' || cast(doc_id AS varchar)), 1, 8) <
-        |  CASE source WHEN 'src0' THEN 'ffffffff' WHEN 'src1' THEN '80000000'
+        |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '80000000'
         |              WHEN 'src2' THEN '40000000' ELSE '20000000' END
         |GROUP BY source""".stripMargin,
 

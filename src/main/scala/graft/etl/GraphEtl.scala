@@ -269,6 +269,13 @@ final class GraphEtl(
     store.catalog.nodes.foreach { case (label, cfg) =>
       cfg.files.foreach { case (fname, info) =>
         val filtered = store.filter.exists(_.skipLoadNode(info.metadatas, label))
+        if (filtered) loader match {
+          // a deliberately-excluded label is not a missing one: let the
+          // in-session loader treat later match-strategy edge references to
+          // it as empty (external-DB parity) instead of failing fast
+          case l: InSessionLoader => l.markNodesSkipped(label)
+          case _ => ()
+        }
         if (!filtered && !loaded.contains(fname)) {
           val n = loader.loadNodes(
             store.nodesDir.resolve(fname).toString, label, cfg.primary_key,

@@ -29,6 +29,12 @@ trait InSessionLoader { self: Loader =>
   def restoreNodes(
       filePath: String, label: String, primaryKey: String,
       metadatas: Map[String, String], propertiesType: Map[String, String]): Unit
+
+  /** Record that a node label's files were deliberately excluded (store
+    * filter), so a later match-strategy edge load referencing it means
+    * "endpoints absent" (empty result, external-DB parity) rather than a
+    * load-order/resume bug (fail fast). */
+  def markNodesSkipped(label: String): Unit
 }
 
 /** Executable in-session loader: staged files become two governed DataFrame
@@ -60,6 +66,9 @@ final class SparkGraphLoader(
 
   private val nodeFrames = mutable.LinkedHashMap.empty[String, DataFrame]
   private val edgeFrames = mutable.LinkedHashMap.empty[String, DataFrame]
+  private val skippedLabels = mutable.Set.empty[String]
+
+  override def markNodesSkipped(label: String): Unit = skippedLabels += label
 
   private def readCsv(path: String, propertiesType: Map[String, String]): DataFrame = {
     val df0 = spark.read.option("sep", ";").option("header", "true").csv(path)
@@ -145,16 +154,24 @@ final class SparkGraphLoader(
           case (Some(s), Some(d)) =>
             df.join(s, Seq("src"), "left_semi").join(d, Seq("dst"), "left_semi")
           case _ =>
-            // In an external DB, MATCH against an absent label just finds
-            // nothing; in-session there is no out-of-band node store, so
-            // "no frame" means a load-order/resume bug that would silently
-            // drop every edge in this file. Fail fast instead.
             val missing = Seq(startLabel -> srcIds, endLabel -> dstIds)
-              .collect { case (l, None) => l }.mkString(", ")
-            throw new IllegalStateException(
-              s"edge load '$edgeType' with strategy=match references node label(s) " +
-                s"[$missing] with no loaded node frame — load the node files first " +
-                "(on resume, GraphEtl.load restores them via InSessionLoader.restoreNodes)")
+              .collect { case (l, None) => l }
+            if (missing.forall(skippedLabels.contains)) {
+              // the label's node files were deliberately filter-skipped:
+              // external-DB parity is MATCH-finds-nothing
+              df.limit(0)
+            } else {
+              // In an external DB, MATCH against an absent label just finds
+              // nothing; in-session there is no out-of-band node store, so
+              // an unexplained missing frame means a load-order/resume bug
+              // that would silently drop every edge in this file. Fail fast.
+              throw new IllegalStateException(
+                s"edge load '$edgeType' with strategy=match references node label(s) " +
+                  s"[${missing.mkString(", ")}] with no loaded node frame — load the node " +
+                  "files first (on resume, GraphEtl.load restores them via " +
+                  "InSessionLoader.restoreNodes; filter-skipped labels must be declared " +
+                  "via markNodesSkipped)")
+            }
         }
       case "create" =>
         // synthesize missing endpoints as BlankNodes (left-anti + union)

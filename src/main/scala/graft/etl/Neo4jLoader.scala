@@ -22,11 +22,14 @@ final class Neo4jLoader(
 
   val statements: mutable.Buffer[String] = mutable.Buffer.empty
 
-  /** Escape backslashes and single quotes before interpolating into a
-    * Cypher string literal — metadata values and file paths are
-    * user-controlled, and an unescaped quote breaks the statement (and is
-    * an injection vector for untrusted metadata). */
-  private def esc(s: String): String = s.replace("\\", "\\\\").replace("'", "\\'")
+  /** Escape backslashes and quotes before interpolating into a Cypher
+    * string literal — metadata values and file paths are user-controlled,
+    * and an unescaped quote breaks the statement (and is an injection
+    * vector for untrusted metadata). Double quotes must be escaped too:
+    * the inner statement is itself embedded in the double-quoted
+    * `apoc.periodic.iterate` argument. */
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'").replace("\"", "\\\"")
 
   /** Polars-dtype-name -> Cypher conversion fn (neo4j_loader.py:14-27). */
   private def cypherCast(dtype: String, ref: String): String = dtype match {

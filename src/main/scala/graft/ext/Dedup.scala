@@ -152,11 +152,16 @@ object Dedup {
     * returns a broadcastable local relation — GraphX connected components
     * costs ~3s of Pregel scheduling even on a 50-edge graph. Past the
     * limit (pathological corpora at the 100 TB end) it falls back to
-    * GraphX, whose component id is the same minimum vertex id. */
-  def resolveDuplicateClusters(pairs: DataFrame, localPairLimit: Int = 4_000_000): DataFrame = {
+    * GraphX, whose component id is the same minimum vertex id. The pair
+    * frame is persisted across the probe so the fallback never recomputes
+    * the (expensive) LSH pipeline; the default limit of 2M pairs costs
+    * roughly 150 MB of driver heap as collected Rows — size against
+    * `spark.driver.memory` if raising it. */
+  def resolveDuplicateClusters(pairs: DataFrame, localPairLimit: Int = 2_000_000): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val slim = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val head = slim.head(localPairLimit + 1)
     if (head.length <= localPairLimit) {
       // union-find, roots kept at the component minimum
@@ -177,13 +182,20 @@ object Dedup {
         members(row.getLong(0)) = 0L; members(row.getLong(1)) = 0L
       }
       val out = members.keys.toSeq.map(id => (id, find(id)))
+      slim.unpersist()
       spark.createDataset(out).toDF("id", "keep_id")
     } else {
       import org.apache.spark.graphx.{Edge, Graph}
       val edgeRdd = slim.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-      Graph.fromEdges(edgeRdd, 0).connectedComponents()
+      // materialize the (small) cluster map so the persisted pair frame
+      // can be released before returning — same shape as GraphOps
+      val result = Graph.fromEdges(edgeRdd, 0).connectedComponents()
         .vertices.map { case (id, comp) => (id, comp) }
         .toDF("id", "keep_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      result.count()
+      slim.unpersist()
+      result
     }
   }
 
@@ -209,16 +221,16 @@ object Dedup {
       newDf: DataFrame, refDf: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
-    val sh = (d: DataFrame) => NativeExpressions.charShingles(col(textCol), shingleSize)
+    val sh = NativeExpressions.charShingles(col(textCol), shingleSize)
     val bucketize = (d: DataFrame, as: String) => d.select(
       col(idCol).as(as),
-      posexplode(NativeExpressions.minhashBands(sh(d), numHashes, bands))
+      posexplode(NativeExpressions.minhashBands(sh, numHashes, bands))
         .as(Seq("band", "bhash")))
     val candidates = bucketize(newDf, "new_id")
       .join(bucketize(refDf, "ref_id"), Seq("band", "bhash"))
       .select("new_id", "ref_id").distinct()
-    val shNew = newDf.select(col(idCol).as("new_id"), sh(newDf).as("sh_a"))
-    val shRef = refDf.select(col(idCol).as("ref_id"), sh(refDf).as("sh_b"))
+    val shNew = newDf.select(col(idCol).as("new_id"), sh.as("sh_a"))
+    val shRef = refDf.select(col(idCol).as("ref_id"), sh.as("sh_b"))
     candidates.join(shNew, "new_id").join(shRef, "ref_id")
       .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)

@@ -19,17 +19,26 @@ object Sampling {
 
   private val Hex8 = 0x100000000L // 16^8 — space of an 8-hex-char prefix
 
-  /** `fraction` as an 8-hex-char upper bound, e.g. 0.25 -> "40000000". */
+  /** `fraction` as an 8-hex-char upper bound, e.g. 0.25 -> "40000000".
+    * Fraction 1.0 returns "g" — lexicographically above every hex string,
+    * so keep-all really keeps ALL rows (a "ffffffff" bound with a strict
+    * `<` would silently drop the 2^-32 of rows whose prefix is exactly
+    * "ffffffff" — hundreds of rows at trillion-row scale). */
   private def hexThreshold(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
-    f"${math.min((fraction * Hex8).toLong, Hex8 - 1)}%08x"
+    if (fraction >= 1.0) "g" else f"${(fraction * Hex8).toLong}%08x"
   }
+
+  /** The md5-prefix gate value for a key (shared by every sampler so the
+    * family stays mutually consistent). */
+  private def gateValue(key: Column, seed: String): Column =
+    substring(md5(concat(lit(seed), key.cast("string"))), 1, 8)
 
   /** The gate column: first 8 hex chars of md5(seed:key), lexicographically
     * below the fraction's threshold. Lowercase-hex compare == numeric
     * compare, and both Spark and DuckDB emit lowercase md5 hex. */
   def hashGate(key: Column, fraction: Double, seed: String = ""): Column =
-    substring(md5(concat(lit(seed), key.cast("string"))), 1, 8) < lit(hexThreshold(fraction))
+    gateValue(key, seed) < lit(hexThreshold(fraction))
 
   /** Keep a deterministic `fraction` of rows, decided per-row by key hash.
     * Narrow (no shuffle, no state); the same rows survive at any
@@ -49,7 +58,7 @@ object Sampling {
       lit(hexThreshold(defaultFraction)): Column) { case ((stratum, f), acc) =>
       when(col(stratumCol) === stratum, lit(hexThreshold(f))).otherwise(acc)
     }
-    df.where(substring(md5(concat(lit(seed), col(keyCol).cast("string"))), 1, 8) < threshold)
+    df.where(gateValue(col(keyCol), seed) < threshold)
   }
 
   /** Deterministic train/val/test split: each row is assigned the first
@@ -64,7 +73,7 @@ object Sampling {
     require(splits.nonEmpty, "need at least one split")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got ${splits.map(_._2).sum}")
-    val gate = substring(md5(concat(lit(seed), col(keyCol).cast("string"))), 1, 8)
+    val gate = gateValue(col(keyCol), seed)
     val cum = splits.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
     val assigned = splits.init.zip(cum).foldRight(lit(splits.last._1): Column) {
       case (((name, _), cumW), acc) =>

@@ -146,7 +146,7 @@ case class CharShingles(child: Expression, n: Int)
   override def prettyName: String = "char_shingles"
 
   override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
+    val s = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val out = new java.util.LinkedHashSet[String]()
     // empty text -> empty shingle set (NOT {""}): empty docs must take the
     // exact-dedup path, not collide into one quadratic LSH bucket
@@ -173,7 +173,7 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 
   override def nullSafeEval(v: Any): Any = {
-    val tokens = v.asInstanceOf[UTF8String].toString.toLowerCase
+    val tokens = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty)
     val out = new java.util.LinkedHashSet[String]()
     if (tokens.nonEmpty) {
@@ -287,7 +287,7 @@ case class SimHashText(child: Expression)
   override def prettyName: String = "simhash_text"
 
   override def nullSafeEval(v: Any): Any = {
-    val tokens = v.asInstanceOf[UTF8String].toString.toLowerCase
+    val tokens = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty)
     if (tokens.isEmpty) return null
     val votes = new Array[Int](64)
@@ -388,11 +388,17 @@ case class QualityScoreExpr(child: Expression, stopwords: Seq[String])
 
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString
-    val n = s.length
+    val nUnits = s.length
+    // n counts CODE POINTS, matching Spark length()/DuckDB length() — a
+    // UTF-16 unit count would diverge on supplementary-plane characters.
+    // Surrogates are neither whitespace nor in the ASCII classes, so the
+    // char-level scans below stay correct; only the counts must be
+    // code-point-based.
+    val n = s.codePointCount(0, nUnits)
     var punct = 0L; var digit = 0L; var upper = 0L
     var nTokens = 0L; var tokenLenSum = 0L; var stopHits = 0L
     var i = 0
-    while (i < n) { // char-class counts (the sets are disjoint)
+    while (i < nUnits) { // char-class counts (the sets are disjoint)
       val c = s.charAt(i)
       if (isPunct(c)) punct += 1
       else if (c >= '0' && c <= '9') digit += 1
@@ -400,14 +406,14 @@ case class QualityScoreExpr(child: Expression, stopwords: Seq[String])
       i += 1
     }
     i = 0
-    while (i < n) { // token scan, identical to split("\\s+") + nonEmpty
+    while (i < nUnits) { // token scan, identical to split("\\s+") + nonEmpty
       if (TextScan.isJavaRegexSpace(s.charAt(i))) i += 1
       else {
         val start = i
-        while (i < n && !TextScan.isJavaRegexSpace(s.charAt(i))) i += 1
+        while (i < nUnits && !TextScan.isJavaRegexSpace(s.charAt(i))) i += 1
         nTokens += 1
-        tokenLenSum += (i - start)
-        if (stopSet.contains(s.substring(start, i).toLowerCase)) stopHits += 1
+        tokenLenSum += s.codePointCount(start, i)
+        if (stopSet.contains(s.substring(start, i).toLowerCase(java.util.Locale.ROOT))) stopHits += 1
       }
     }
     // identical op order to the column formula / the DuckDB oracle
@@ -449,7 +455,7 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
   private lazy val und = UTF8String.fromString("und")
 
   override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString.toLowerCase
+    val s = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val hits = new Array[Int](markers.length)
     val n = s.length
     var i = 0

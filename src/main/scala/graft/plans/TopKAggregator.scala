@@ -26,8 +26,13 @@ final case class ScoredId(id: Long, score: Double)
 class TopKAggregator(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
   require(k > 0, "k must be positive")
 
-  private def better(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** Total order via Double.compare — NaN sorts above every value and
+    * -0.0 below 0.0, matching Spark's DoubleType descending sort so the
+    * aggregator and the window top-k agree even on pathological scores. */
+  private def better(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def zero: Seq[ScoredId] = Vector.empty
 

@@ -62,6 +62,17 @@ class LoaderSpec extends SparkSpec {
     etl.clear()
   }
 
+  test("match-strategy edge load against a filter-skipped label is empty, not a crash") {
+    val loader = new SparkGraphLoader(spark, edgeStrategy = "match")
+    loader.markNodesSkipped("Person")
+    val dir = Files.createTempDirectory("graft-loader-skip")
+    val f = dir.resolve("e.csv")
+    Files.writeString(f, "start;end\n1;2\n")
+    val n = loader.loadEdges(f.toString, "KNOWS", "Person:id", "Person:id",
+      Map.empty, Map("start" -> "Int64", "end" -> "Int64"))
+    assert(n == 0L) // external-DB parity: MATCH on an absent label finds nothing
+  }
+
   test("match-strategy edge load with no node frame fails fast, not limit(0)") {
     val loader = new SparkGraphLoader(spark, edgeStrategy = "match")
     val dir = Files.createTempDirectory("graft-loader-ff")
