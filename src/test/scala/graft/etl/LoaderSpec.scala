@@ -62,6 +62,21 @@ class LoaderSpec extends SparkSpec {
     etl.clear()
   }
 
+  test("GraphEtl.load with node-skipping filter loads whitelisted edges as empty") {
+    val (etl, _) = staged()
+    // after parse: filter out every node file by metadata mismatch
+    // (parsers carry source=test), but whitelist the edge type — the edge
+    // file loads against deliberately-absent endpoints and must be empty,
+    // not a crash
+    val f = new GraphFilter().addMetadata("source", "other").addEdge("DRIVED_BY")
+    etl.init(filter = Some(f))
+    val loader = new SparkGraphLoader(spark, edgeStrategy = "match")
+    etl.load(loader)
+    assert(loader.nodeTable("Person").isEmpty && loader.nodeTable("Car").isEmpty)
+    assert(loader.edgeTable("DRIVED_BY").get.count() == 0)
+    etl.clear()
+  }
+
   test("match-strategy edge load against a filter-skipped label is empty, not a crash") {
     val loader = new SparkGraphLoader(spark, edgeStrategy = "match")
     loader.markNodesSkipped("Person")
