@@ -255,6 +255,56 @@ object Dedup {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Stage a reference corpus' LSH banding as a BUCKETED managed table:
+    * one row per (doc, band) with the band and its hash folded into a
+    * single join key, bucketed and sorted by that key. A batch candidate
+    * join against this table needs NO exchange on the (huge) reference
+    * side — only the (small) batch is shuffled into the bucket layout.
+    * This is the staging format for a reference corpus that every future
+    * ingest batch joins against. */
+  def stageBandsBucketed(
+      df: DataFrame, idCol: String, textCol: String, tableName: String,
+      buckets: Int = 64, shingleSize: Int = 5, numHashes: Int = 128,
+      bands: Int = 32): Unit = {
+    val sh = NativeExpressions.charShingles(col(textCol), shingleSize)
+    val exploded = df.select(
+      col(idCol).as("ref_id"),
+      posexplode(NativeExpressions.minhashBands(sh, numHashes, bands))
+        .as(Seq("band", "bhash")))
+      // fold (band, bhash) into ONE key so bucket co-location exactly
+      // matches the join key (a two-column join over a one-column bucket
+      // layout would still exchange)
+      .select(col("ref_id"), concat_ws(":", col("band"), col("bhash")).as("bkey"))
+    graft.sources.Tables.writeBucketed(exploded, tableName, "bkey", buckets)
+  }
+
+  /** Cross-corpus near-dup pairs against a [[stageBandsBucketed]] table:
+    * candidates come from a bucket-local join (reference side reads its
+    * buckets in place, batch side is exchanged into the same layout),
+    * verification re-joins shingles from `refDf` per candidate pair.
+    * Parameters must match the staging call. */
+  def crossCorpusNearDuplicatesBucketed(
+      newDf: DataFrame, refDf: DataFrame, idCol: String, textCol: String,
+      tableName: String, shingleSize: Int = 5, numHashes: Int = 128,
+      bands: Int = 32, threshold: Double = 0.8): DataFrame = {
+    val spark = newDf.sparkSession
+    val sh = NativeExpressions.charShingles(col(textCol), shingleSize)
+    val newBuckets = newDf.select(
+      col(idCol).as("new_id"),
+      posexplode(NativeExpressions.minhashBands(sh, numHashes, bands))
+        .as(Seq("band", "bhash")))
+      .select(col("new_id"), concat_ws(":", col("band"), col("bhash")).as("bkey"))
+    val refBuckets = spark.table(tableName)
+    val candidates = newBuckets.join(refBuckets, Seq("bkey"))
+      .select("new_id", "ref_id").distinct()
+    val shNew = newDf.select(col(idCol).as("new_id"), sh.as("sh_a"))
+    val shRef = refDf.select(col(idCol).as("ref_id"), sh.as("sh_b"))
+    candidates.join(shNew, "new_id").join(shRef, "ref_id")
+      .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("new_id", "ref_id", "jaccard")
+  }
+
   /** Cross-corpus near-dup pairs of a new batch against a staged reference
     * (see [[stageSignatures]] — parameters must match the staging call or
     * the hash families diverge). Returns (new_id, ref_id, jaccard). */

@@ -280,6 +280,35 @@ class ExtSpec extends SparkSpec {
     assert(staged == direct && staged == Set((10L, 1L)))
   }
 
+  test("bucketed staged bands: exchange-free reference side, same pairs as direct") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely unrelated reference content about spark plans")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (11L, "fresh new document that matches nothing in the reference corpus")
+    ).toDF("doc_id", "text")
+    Dedup.stageBandsBucketed(ref, "doc_id", "text", "ref_bands_test",
+      buckets = 4, numHashes = 64, bands = 32)
+    try {
+      val got = Dedup.crossCorpusNearDuplicatesBucketed(batch, ref, "doc_id", "text",
+        "ref_bands_test", numHashes = 64, bands = 32, threshold = 0.6)
+        .select("new_id", "ref_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 1L)))
+      // plan shape: the candidate join must not exchange the bucketed side —
+      // exactly one Exchange (the batch side entering the bucket layout)
+      val sh = graft.plans.NativeExpressions.charShingles(col("text"), 5)
+      val nb = batch.select(col("doc_id").as("new_id"),
+        posexplode(graft.plans.NativeExpressions.minhashBands(sh, 64, 32))
+          .as(Seq("band", "bhash")))
+        .select(col("new_id"), concat_ws(":", col("band"), col("bhash")).as("bkey"))
+      val joined = nb.join(spark.table("ref_bands_test"), Seq("bkey"))
+      val exchanges = joined.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 1, s"expected 1 exchange (batch side only), got $exchanges")
+    } finally spark.sql("DROP TABLE IF EXISTS ref_bands_test")
+  }
+
   test("hash sample is deterministic and stable under repartitioning") {
     val df = spark.range(0, 10000).toDF("id")
     val a = Sampling.hashSample(df, "id", 0.25, seed = "t").select("id").as[Long].collect().toSet
