@@ -286,6 +286,18 @@ object SparkEntry {
         .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"), col("rn"))
     }),
 
+    // W2 rank-family comparison: rank (with gaps) vs dense_rank over ties
+    "q_rank_dense" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .where(col("drnk") <= 3)
+        .groupBy(col("l_returnflag"), col("l_quantity"), col("rnk"), col("drnk"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // multi-join aggregation (lineitem ⋈ supplier ⋈ nation)
     "q_join_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -764,6 +776,14 @@ object SparkEntry {
         |   row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
         |WHERE rn <= 5""".stripMargin,
+
+    "q_rank_dense" ->
+      """SELECT l_returnflag, l_quantity, rnk, drnk, count(*) AS n FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rnk,
+        |    dense_rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drnk
+        |  FROM lineitem)
+        |WHERE drnk <= 3 GROUP BY l_returnflag, l_quantity, rnk, drnk""".stripMargin,
 
     "q_join_agg" ->
       """SELECT n_name,
