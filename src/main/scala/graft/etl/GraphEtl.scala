@@ -191,8 +191,14 @@ final class GraphEtl(
           if (!cfg.ignore_mapping) {
             Seq(("start", cfg.start), ("end", cfg.end)).foreach { case (colName, spec) =>
               store.mappings.get(spec).foreach { mapping =>
-                df = Mapping.applyMapping(df, mapping, colName, strictCompat)
-                  .withColumnRenamed("mapped_from", s"${colName}_mapped_from")
+                val target = s"${colName}_mapped_from"
+                val remapped = Mapping.applyMapping(df, mapping, colName, strictCompat)
+                // idempotent re-map: a crash between load() (which clears
+                // the mapper log) and the next parse() re-enters this pass
+                // on an already-mapped file — overwrite the provenance
+                // column instead of duplicating it
+                df = (if (remapped.columns.contains(target)) remapped.drop(target) else remapped)
+                  .withColumnRenamed("mapped_from", target)
                 dirty = true
               }
             }
@@ -294,16 +300,34 @@ final class GraphEtl(
         }
       }
     }
+    // a label referenced by edges but absent from the node catalog (e.g.
+    // its source produced zero rows) is not a load-order bug: declare it
+    // so match-strategy loads treat it as MATCH-finds-nothing
+    loader match {
+      case l: InSessionLoader =>
+        store.catalog.edges.values.flatten.foreach { case (_, cfg) =>
+          Seq(cfg.start, cfg.end).map(_.split(":")(0)).foreach { label =>
+            if (!store.catalog.nodes.contains(label)) l.markNodesSkipped(label)
+          }
+        }
+      case _ => ()
+    }
     store.catalog.edges.foreach { case (edgeType, files) =>
       files.foreach { case (fname, cfg) =>
-        val skip = store.filter.exists(_.skipLoadEdge(cfg.metadatas, edgeType)) ||
-          loaded.contains(fname)
-        if (!skip) {
+        val filtered = store.filter.exists(_.skipLoadEdge(cfg.metadatas, edgeType))
+        if (!filtered && !loaded.contains(fname)) {
           val n = loader.loadEdges(
             store.edgesDir.resolve(fname).toString, edgeType, cfg.start, cfg.end,
             cfg.metadatas, cfg.properties_type)
           store.stats(s"loaded_edges_$edgeType") = store.stats.getOrElse(s"loaded_edges_$edgeType", 0L) + n
           store.logAppend("loader", fname)
+        } else if (!filtered) loader match {
+          // resume: same rebuild as restoreNodes, for edge files (an
+          // external DB still holds them; in-session frames do not)
+          case l: InSessionLoader => l.restoreEdges(
+            store.edgesDir.resolve(fname).toString, edgeType, cfg.start, cfg.end,
+            cfg.metadatas, cfg.properties_type)
+          case _ => ()
         }
       }
     }

@@ -35,6 +35,14 @@ trait InSessionLoader { self: Loader =>
     * "endpoints absent" (empty result, external-DB parity) rather than a
     * load-order/resume bug (fail fast). */
   def markNodesSkipped(label: String): Unit
+
+  /** Re-ingest an already-loaded (resume-logged) edge file without
+    * re-counting — the edge counterpart of [[restoreNodes]]: an external
+    * DB still holds those edges across runs, an in-session loader must
+    * rebuild them. */
+  def restoreEdges(
+      filePath: String, edgeType: String, start: String, end: String,
+      metadatas: Map[String, String], propertiesType: Map[String, String]): Unit
 }
 
 /** Executable in-session loader: staged files become two governed DataFrame
@@ -130,12 +138,41 @@ final class SparkGraphLoader(
       case None => df.dropDuplicates("id")
     }
     nodeFrames(label) = merged
+    invalidateIdSet(label)
     df
   }
 
   override def loadEdges(
       filePath: String, edgeType: String, start: String, end: String,
-      metadatas: Map[String, String], propertiesType: Map[String, String]): Long = {
+      metadatas: Map[String, String], propertiesType: Map[String, String]): Long =
+    ingestEdges(filePath, edgeType, start, end, propertiesType).count()
+
+  override def restoreEdges(
+      filePath: String, edgeType: String, start: String, end: String,
+      metadatas: Map[String, String], propertiesType: Map[String, String]): Unit =
+    ingestEdges(filePath, edgeType, start, end, propertiesType)
+
+  /** Distinct endpoint-id set per label, cached across edge files —
+    * without this every loadEdges count re-reads all node CSVs of both
+    * endpoint labels (the semi-join recomputes the merged node lineage).
+    * Invalidated whenever the label's node frame changes. */
+  private val idSetCache = mutable.Map.empty[String, DataFrame]
+
+  private def invalidateIdSet(label: String): Unit =
+    idSetCache.remove(label).foreach(_.unpersist())
+
+  private def idSet(label: String): Option[DataFrame] =
+    nodeFrames.get(label).map { frame =>
+      idSetCache.getOrElseUpdate(label, {
+        val ids = frame.select(col("id")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ids
+      })
+    }
+
+  private def ingestEdges(
+      filePath: String, edgeType: String, start: String, end: String,
+      propertiesType: Map[String, String]): DataFrame = {
     val startLabel = start.split(":")(0)
     val endLabel = end.split(":")(0)
     val df = readCsv(filePath, propertiesType)
@@ -148,8 +185,8 @@ final class SparkGraphLoader(
       case "match" =>
         // both endpoints must exist (neo4j MATCH): two semi-joins; node-id
         // sides are deduped label tables — broadcast when small via AQE
-        val srcIds = nodeFrames.get(startLabel).map(_.select(col("id").as("src")))
-        val dstIds = nodeFrames.get(endLabel).map(_.select(col("id").as("dst")))
+        val srcIds = idSet(startLabel).map(_.select(col("id").as("src")))
+        val dstIds = idSet(endLabel).map(_.select(col("id").as("dst")))
         (srcIds, dstIds) match {
           case (Some(s), Some(d)) =>
             df.join(s, Seq("src"), "left_semi").join(d, Seq("dst"), "left_semi")
@@ -190,6 +227,8 @@ final class SparkGraphLoader(
         }
         ensure(startLabel, "src")
         ensure(endLabel, "dst")
+        invalidateIdSet(startLabel)
+        invalidateIdSet(endLabel)
         df
       case other => throw new IllegalArgumentException(s"unknown edge strategy '$other'")
     }
@@ -201,7 +240,7 @@ final class SparkGraphLoader(
       case Some(prev) => prev.unionByName(tagged, allowMissingColumns = true)
       case None => tagged
     }
-    tagged.count()
+    tagged
   }
 
   /** All loaded nodes as one frame: (label, id, …union of props). */

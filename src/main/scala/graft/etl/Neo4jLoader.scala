@@ -31,6 +31,14 @@ final class Neo4jLoader(
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'").replace("\"", "\\\"")
 
+  /** Backtick-quote a Cypher identifier (label, property, constraint name)
+    * unless it is a plain word — keeps generated text byte-identical to
+    * the reference for clean schemas while making hostile column/label
+    * names (spaces, quotes, injection attempts) syntactically inert. */
+  private def ident(s: String): String =
+    if (s.matches("[A-Za-z_][A-Za-z0-9_]*")) s
+    else "`" + s.replace("`", "``") + "`"
+
   /** Polars-dtype-name -> Cypher conversion fn (neo4j_loader.py:14-27). */
   private def cypherCast(dtype: String, ref: String): String = dtype match {
     case d if d.startsWith("Int")   => s"toInteger($ref)"
@@ -49,13 +57,13 @@ final class Neo4jLoader(
     // constraints / indexes before the MERGE-heavy load so MERGE stays
     // O(log n) per row (neo4j_loader.py:178-192)
     constraints.foreach { c =>
-      statements += s"CREATE CONSTRAINT ${c}_$label IF NOT EXISTS FOR (n:$label) REQUIRE n.$c IS UNIQUE"
+      statements += s"CREATE CONSTRAINT ${ident(c + "_" + label)} IF NOT EXISTS FOR (n:${ident(label)}) REQUIRE n.${ident(c)} IS UNIQUE"
     }
     indexs.foreach { i =>
-      statements += s"CREATE RANGE INDEX ${i}_$label IF NOT EXISTS FOR (n:$label) ON (n.$i)"
+      statements += s"CREATE RANGE INDEX ${ident(i + "_" + label)} IF NOT EXISTS FOR (n:${ident(label)}) ON (n.${ident(i)})"
     }
     val props = propertiesType.toSeq.sortBy(_._1).map { case (p, t) =>
-      s"$p: ${cypherCast(t, s"row.$p")}"
+      s"${ident(p)}: ${cypherCast(t, s"row.${ident(p)}")}"
     }.mkString(", ")
     val metaProps = metadatas.toSeq.sortBy(_._1)
       .map { case (k, v) => s"`${k.replace("`", "``")}`: '${esc(v)}'" }.mkString(", ")
@@ -69,8 +77,8 @@ final class Neo4jLoader(
     // (neo4j_loader.py:161,170 — SURVEY §2.12.3)
     statements +=
       s"""CALL apoc.periodic.iterate(
-         |  "CALL apoc.load.csv('file:/${esc(filePath)}', {sep: ';', arraySep: '|'}) YIELD map AS row WITH row WHERE row.$primaryKey IS NOT NULL RETURN row",
-         |  "MERGE (n:$label {id: row.$primaryKey}) SET n += {$props} $metaSet",
+         |  "CALL apoc.load.csv('file:/${esc(filePath)}', {sep: ';', arraySep: '|'}) YIELD map AS row WITH row WHERE row.${ident(primaryKey)} IS NOT NULL RETURN row",
+         |  "MERGE (n:${ident(label)} {id: row.${ident(primaryKey)}}) SET n += {$props} $metaSet",
          |  {batchSize: 50000, iterateList: true, parallel: false})""".stripMargin
     0L
   }
@@ -83,18 +91,18 @@ final class Neo4jLoader(
     val startCast = cypherCast(propertiesType.getOrElse("start", "Utf8"), "row.start")
     val endCast = cypherCast(propertiesType.getOrElse("end", "Utf8"), "row.end")
     val props = (propertiesType -- Seq("start", "end")).toSeq.sortBy(_._1)
-      .map { case (p, t) => s"$p: ${cypherCast(t, s"row.$p")}" }.mkString(", ")
+      .map { case (p, t) => s"${ident(p)}: ${cypherCast(t, s"row.${ident(p)}")}" }.mkString(", ")
     val endpoints = edgeStrategy match {
       case "create" =>
-        s"MERGE (n:$startLabel {id: $startCast}) ON CREATE SET n:BlankNode " +
-          s"MERGE (m:$endLabel {id: $endCast}) ON CREATE SET m:BlankNode"
+        s"MERGE (n:${ident(startLabel)} {id: $startCast}) ON CREATE SET n:BlankNode " +
+          s"MERGE (m:${ident(endLabel)} {id: $endCast}) ON CREATE SET m:BlankNode"
       case _ =>
-        s"MATCH (n:$startLabel {id: $startCast}) MATCH (m:$endLabel {id: $endCast})"
+        s"MATCH (n:${ident(startLabel)} {id: $startCast}) MATCH (m:${ident(endLabel)} {id: $endCast})"
     }
     statements +=
       s"""CALL apoc.periodic.iterate(
          |  "CALL apoc.load.csv('file:/${esc(filePath)}', {sep: ';', arraySep: '|'}) YIELD map AS row WITH row WHERE row.start <> '' AND row.end <> '' RETURN row",
-         |  "$endpoints CREATE (n)-[:$edgeType {$props}]->(m)",
+         |  "$endpoints CREATE (n)-[:${ident(edgeType)} {$props}]->(m)",
          |  {batchSize: 20000, iterateList: true, parallel: false})""".stripMargin
     0L
   }
@@ -106,6 +114,11 @@ final class Neo4jLoader(
 final class TigerGraphLoader extends Loader {
 
   val statements: mutable.Buffer[String] = mutable.Buffer.empty
+
+  /** Escape backslashes and double quotes before interpolating into a
+    * double-quoted GSQL string literal (file paths, metadata constants) —
+    * same injection/breakage class the Cypher generator guards against. */
+  private def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** Polars-dtype-name -> GSQL attribute type (tigergraph_loader.py:14-25). */
   private def gsqlType(dtype: String): String = dtype match {
@@ -132,12 +145,12 @@ final class TigerGraphLoader extends Loader {
     // file's metadata, like the reference's `"{metadatas}"` literal
     // (tigergraph_loader.py:155) — VALUES arity must match the vertex schema
     val metaConst = "\"" +
-      metadatas.toSeq.sortBy(_._1).map { case (k, v) => s"$k: $v" }.mkString("{", ", ", "}") + "\""
+      esc(metadatas.toSeq.sortBy(_._1).map { case (k, v) => s"$k: $v" }.mkString("{", ", ", "}")) + "\""
     val cols = ((primaryKey +: (propertiesType - primaryKey).keys.toSeq.sorted)
       .map(c => s"$$\"$c\"") :+ metaConst).mkString(", ")
     statements +=
       s"""CREATE LOADING JOB load_$label FOR GRAPH g {
-         |  DEFINE FILENAME f = "$filePath";
+         |  DEFINE FILENAME f = "${esc(filePath)}";
          |  LOAD f TO VERTEX $label VALUES($cols) USING header="true", separator=";";
          |} RUN LOADING JOB load_$label DROP JOB load_$label""".stripMargin
     0L
@@ -158,7 +171,7 @@ final class TigerGraphLoader extends Loader {
       .map(c => s"$$\"$c\"").mkString(", ")
     statements +=
       s"""CREATE LOADING JOB load_$edgeType FOR GRAPH g {
-         |  DEFINE FILENAME f = "$filePath";
+         |  DEFINE FILENAME f = "${esc(filePath)}";
          |  LOAD f TO EDGE $edgeType VALUES($cols) USING header="true", separator=";";
          |} RUN LOADING JOB load_$edgeType DROP JOB load_$edgeType""".stripMargin
     0L

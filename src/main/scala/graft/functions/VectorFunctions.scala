@@ -37,6 +37,10 @@ object VectorFunctions {
     * Planes are pseudo-random but fully deterministic (seeded), generated
     * inline as literals by the caller via [[randomPlanes]]. */
   def hyperplaneSignature(v: Column, planes: Seq[Array[Double]]): Column = {
+    require(planes.length <= 64,
+      s"at most 64 planes fit a Long signature (got ${planes.length}) — " +
+        "shiftleft wraps at 64, silently aliasing plane i with plane i-64; " +
+        "use banded signatures (NativeExpressions.hyperplaneBands) for more planes")
     val bits = planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
       when(dot(v, planeCol) >= 0.0d, shiftleft(lit(1L), i)).otherwise(lit(0L))

@@ -33,9 +33,18 @@ object GraphOps {
     spark.createDataFrame(withIds, schema)
   }
 
-  /** Build a GraphX graph; vertex attr = (label, id), edge attr = type. */
-  def toGraphX(nodes: DataFrame, edges: DataFrame): Graph[(String, String), String] =
-    toGraphXWithIds(denseVertexIds(nodes).cache(), edges)
+  /** Build a GraphX graph; vertex attr = (label, id), edge attr = type.
+    * The vid table must stay cached while the graph's RDDs materialize
+    * (zipWithIndex ids are per-job); both are materialized here so the
+    * temporary cache can be released before returning — the graph itself
+    * stays persisted at its own storage level. */
+  def toGraphX(nodes: DataFrame, edges: DataFrame): Graph[(String, String), String] = {
+    val vids = denseVertexIds(nodes).cache()
+    val g = toGraphXWithIds(vids, edges)
+    g.numVertices; g.numEdges // materialize into the graph's own storage
+    vids.unpersist()
+    g
+  }
 
   /** Build the graph against a PRE-ASSIGNED vid table. Algorithms that join
     * results back by vid MUST pass the same table here — `zipWithIndex` id

@@ -42,14 +42,14 @@ object Normalize {
   def sanitizeStrings(df: DataFrame): DataFrame =
     mapColumnsOfType(df)(_ == StringType)(regexp_replace(_, ScrubPattern, ""))
 
-  /** Flatten every array-of-string column to a `sep`-joined string
-    * (context.py:122,225: `list.join('|')`). */
+  /** Flatten every array column to a `sep`-joined string. The reference
+    * only supports `List[Utf8]` (context.py:122,225: `list.join('|')`);
+    * non-string element types are cast to string first — leaving them
+    * through would crash the CSV stage write ("CSV data source does not
+    * support array<...>") far from the cause. */
   def joinStringArrays(df: DataFrame, sep: String = "|"): DataFrame =
-    mapColumnsOfType(df)(_ == ArrayType(StringType, true)) { c =>
-      array_join(c, sep)
-    } match {
-      // also handle non-nullable element arrays
-      case d => mapColumnsOfType(d)(_ == ArrayType(StringType, false))(array_join(_, sep))
+    mapColumnsOfType(df)(_.isInstanceOf[ArrayType]) { c =>
+      array_join(c.cast(ArrayType(StringType)), sep)
     }
 
   /** Keep one row per key — reference `unique(subset=keys)` keeps an

@@ -57,7 +57,9 @@ object EventsStream {
     * (broadcastable) static dimension — no streaming state at all, the
     * canonical way to attach dimension attributes to a stream. */
   def enriched(events: DataFrame, dim: DataFrame, streamKey: String, dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(streamKey) === col(dimKey), "left_outer")
+    // frame-qualified refs: col(...) would be AMBIGUOUS_REFERENCE whenever
+    // the stream and dimension share the key's column name
+    events.join(broadcast(dim), events(streamKey) === dim(dimKey), "left_outer")
 
   /** Streaming exact dedup: drop re-deliveries of the same `event_id`
     * arriving within the watermark window — the streaming counterpart of

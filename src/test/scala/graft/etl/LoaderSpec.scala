@@ -62,6 +62,25 @@ class LoaderSpec extends SparkSpec {
     etl.clear()
   }
 
+  test("resume after full load restores EDGE frames too (not only nodes)") {
+    val (etl, _) = staged()
+    // simulate a crash after everything was loaded and resume-logged: a
+    // fresh loader in a new "JVM" must rebuild node AND edge frames —
+    // replay the log entries a completed pre-crash run would have written
+    etl.store.catalog.nodes.foreach { case (_, cfg) =>
+      cfg.files.keys.foreach(f => etl.store.logAppend("loader", f))
+    }
+    etl.store.catalog.edges.foreach { case (_, files) =>
+      files.keys.foreach(f => etl.store.logAppend("loader", f))
+    }
+    val resumed = new SparkGraphLoader(spark, edgeStrategy = "match")
+    etl.load(resumed)
+    assert(resumed.nodeTable("Person").get.count() == 2)
+    assert(resumed.edgeTable("DRIVED_BY").get.count() == 2) // previously lost
+    assert(!etl.store.stats.contains("loaded_edges_DRIVED_BY")) // restored, not re-counted
+    etl.clear()
+  }
+
   test("GraphEtl.load with node-skipping filter loads whitelisted edges as empty") {
     val (etl, _) = staged()
     // after parse: filter out every node file by metadata mismatch
