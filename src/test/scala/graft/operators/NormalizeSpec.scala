@@ -26,6 +26,13 @@ class NormalizeSpec extends SparkSpec {
     assert(got == "x|y|z")
   }
 
+  test("joinStringArrays casts and flattens non-string arrays (CSV stage safety)") {
+    val df = Seq((1L, Seq(10L, 20L), Seq(1.5d, 2.5d))).toDF("id", "nums", "vals")
+    val row = Normalize.joinStringArrays(df).select("nums", "vals").head()
+    assert(row.getString(0) == "10|20")
+    assert(row.getString(1) == "1.5|2.5")
+  }
+
   test("dedupByKeys keeps exactly one row per key (key-set compare)") {
     val df = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v")
     val got = Normalize.dedupByKeys(df, Seq("id"))
