@@ -92,6 +92,30 @@ object EventsStream {
       .select(col("event_id"), col("user_id"), col("ts"), col("v_ts"))
   }
 
+  /** Sink a stream to partition-per-batch parquet via `foreachBatch` — the
+    * general-purpose production sink when the target has no native
+    * streaming writer. Each micro-batch overwrites ONLY its own
+    * `batch_id=N` directory (dynamic partition overwrite), so a replayed
+    * batch after a crash rewrites the same partition instead of
+    * duplicating it: checkpoint + idempotent-per-batch write = effectively
+    * exactly-once. Returns the started query (caller awaits/stops). */
+  def toPartitionedParquet(
+      stream: DataFrame, outPath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Custom keyed state via `flatMapGroupsWithState`: per-user running
     * profile (event count, value sum, distinct-type count) emitted on every
     * update. The state object is bounded per user, so cluster-wide state is

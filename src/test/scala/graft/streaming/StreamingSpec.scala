@@ -83,6 +83,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() > 0) // the synthetic stream does produce matches
   }
 
+  test("foreachBatch sink writes idempotent batch partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ckpt").toString
+    val q = EventsStream.toPartitionedParquet(
+      EventsStream.readStream(spark, streamDir), out, ckpt)
+    q.awaitTermination()
+    val written = spark.read.parquet(out)
+    assert(written.count() == 1000L)
+    assert(written.columns.contains("batch_id"))
+    // restart with the same checkpoint: nothing new to process, no dupes
+    val q2 = EventsStream.toPartitionedParquet(
+      EventsStream.readStream(spark, streamDir), out, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == 1000L)
+  }
+
   test("flatMapGroupsWithState keeps a running per-user profile") {
     val streamed = EventsStream.userProfiles(spark,
       EventsStream.readStream(spark, streamDir)).toDF()
