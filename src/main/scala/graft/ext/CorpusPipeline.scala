@@ -23,14 +23,13 @@ object CorpusPipeline {
   def filterByQuality(df: DataFrame, textCol: String, minQuality: Double): DataFrame =
     df.where(T.qualityScore(col(textCol)) >= minQuality)
 
-  /** Stages 0-2: sanitize → quality filter → exact dedup. Returns
-    * (quality-filtered frame, exact-deduped frame). */
+  /** Stages 0-2: sanitize → quality filter → exact dedup. */
   private def exactStage(
       docs: DataFrame, idCol: String, textCol: String,
-      minQuality: Double): (DataFrame, DataFrame) = {
+      minQuality: Double): DataFrame = {
     val sanitized = Normalize.sanitizeStrings(docs)
     val quality = filterByQuality(sanitized, textCol, minQuality)
-    (quality, Dedup.exactDedup(quality, idCol, Seq(textCol)))
+    Dedup.exactDedup(quality, idCol, Seq(textCol))
   }
 
   /** Stage 3: MinHash-LSH near-dup pairs over the exact-deduped frame,
@@ -44,13 +43,20 @@ object CorpusPipeline {
     Dedup.dropNearDuplicates(exact, idCol, pairs)
   }
 
-  /** Full cleaning pass; returns the cleaned corpus. */
+  /** Full cleaning pass; returns the cleaned corpus. The exact-dedup
+    * frame is cached (MEMORY_AND_DISK): the near-dup stage scans it four
+    * times (LSH candidates, two verify sides, final drop), and without the
+    * cache each scan re-runs the sanitize + quality + window-dedup prefix.
+    * The cache stays for the returned plan's lifetime — Spark evicts LRU;
+    * callers that materialize once can `spark.catalog.clearCache()` or use
+    * [[funnel]], which manages the lifecycle itself. */
   def clean(
       docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.2,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 16,
       nearDupThreshold: Double = 0.8): DataFrame = {
-    val (_, exact) = exactStage(docs, idCol, textCol, minQuality)
+    val exact = exactStage(docs, idCol, textCol, minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     nearStage(exact, idCol, textCol, shingleSize, numHashes, bands, nearDupThreshold)
   }
 
@@ -81,8 +87,7 @@ object CorpusPipeline {
       nearDupThreshold: Double = 0.8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val (_, exact0) = exactStage(docs, idCol, textCol, minQuality)
-    val exact = exact0.cache()
+    val exact = exactStage(docs, idCol, textCol, minQuality).cache()
     try {
       val cleaned = nearStage(exact, idCol, textCol, shingleSize, numHashes, bands,
         nearDupThreshold)

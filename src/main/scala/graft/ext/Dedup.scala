@@ -3,7 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.functions.{HashFunctions => H}
 import graft.plans.NativeExpressions
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -160,13 +160,19 @@ object Dedup {
   def resolveDuplicateClusters(pairs: DataFrame, localPairLimit: Int = 2_000_000): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val slim = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // ids keep their ORIGINAL type (string URLs, UUIDs, longs, ...): the
+    // local path unions on raw values, the GraphX path goes through dense
+    // translation ids (assigned in ascending id order, so the component's
+    // min-vid maps back to the min id)
+    val idType = pairs.schema("id_a").dataType
+    val slim = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val head = slim.head(localPairLimit + 1)
     if (head.length <= localPairLimit) {
       // union-find, roots kept at the component minimum
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      val ord = rowOrdering(idType)
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
         var c = x // path compression
@@ -174,29 +180,63 @@ object Dedup {
         r
       }
       head.foreach { row =>
-        val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        val ra = find(row.get(0)); val rb = find(row.get(1))
+        if (ra != rb) { if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
       }
-      val members = scala.collection.mutable.LongMap.empty[Long]
-      head.foreach { row =>
-        members(row.getLong(0)) = 0L; members(row.getLong(1)) = 0L
-      }
-      val out = members.keys.toSeq.map(id => (id, find(id)))
+      val members = scala.collection.mutable.LinkedHashSet.empty[Any]
+      head.foreach { row => members += row.get(0); members += row.get(1) }
+      val out = members.toSeq.map(id => org.apache.spark.sql.Row(id, find(id)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("keep_id", idType)))
       slim.unpersist()
-      spark.createDataset(out).toDF("id", "keep_id")
+      spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
     } else {
       import org.apache.spark.graphx.{Edge, Graph}
-      val edgeRdd = slim.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-      // materialize the (small) cluster map so the persisted pair frame
-      // can be released before returning — same shape as GraphOps
-      val result = Graph.fromEdges(edgeRdd, 0).connectedComponents()
-        .vertices.map { case (id, comp) => (id, comp) }
-        .toDF("id", "keep_id")
+      // dense translation ids in ascending id order: GraphX's component id
+      // is the min vid, which then maps back to the min original id
+      val ids = slim.select(col("id_a").as("id"))
+        .union(slim.select(col("id_b").as("id"))).distinct().orderBy(col("id"))
+      val vids = {
+        val schema = ids.schema.add("vid", org.apache.spark.sql.types.LongType, false)
+        val rdd = ids.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+        }
+        spark.createDataFrame(rdd, schema)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      val translated = slim
+        .join(vids.select(col("id").as("id_a"), col("vid").as("vid_a")), Seq("id_a"))
+        .join(vids.select(col("id").as("id_b"), col("vid").as("vid_b")), Seq("id_b"))
+      val edgeRdd = translated.select(col("vid_a"), col("vid_b"))
+        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      val comps = Graph.fromEdges(edgeRdd, 0).connectedComponents()
+        .vertices.map { case (vid, comp) => (vid, comp) }
+        .toDF("vid", "comp")
+      // materialize the (small) cluster map so the persisted frames can be
+      // released before returning — same shape as GraphOps
+      val result = comps
+        .join(vids.select(col("vid"), col("id")), Seq("vid"))
+        .join(vids.select(col("vid").as("comp"), col("id").as("keep_id")), Seq("comp"))
+        .select(col("id"), col("keep_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       result.count()
-      slim.unpersist()
+      slim.unpersist(); vids.unpersist()
       result
     }
+  }
+
+  /** Driver-side ordering for a dedup id value of the given Spark type. */
+  private def rowOrdering(dt: org.apache.spark.sql.types.DataType): Ordering[Any] = {
+    import org.apache.spark.sql.types._
+    (dt match {
+      case LongType    => Ordering.Long.on[Any](_.asInstanceOf[Long])
+      case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+      case StringType  => Ordering.String.on[Any](_.asInstanceOf[String])
+      case ShortType   => Ordering.Short.on[Any](_.asInstanceOf[Short])
+      case other => throw new IllegalArgumentException(
+        s"unsupported near-dup id type $other — use long/int/short/string ids")
+    })
   }
 
   /** Drop every near-duplicate except its cluster keeper: rows absent from

@@ -26,15 +26,30 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .where(col(idCol) =!= col(qidCol))
-      .select(
-        col(qidCol).as("query_id"),
-        col(idCol).as("neighbor_id"),
-        NativeExpressions.cosine(col(vecCol), col(qvecCol)).as("cosine"))
+    val scored = scoredPairs(corpus, idCol, vecCol, queries, qidCol, qvecCol)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** All (query, candidate) cosine scores. Inputs are re-aliased to
+    * internal names BEFORE the cross join, so queries sampled from the
+    * corpus itself (identical column names) never hit an
+    * ambiguous-reference error; NULL vectors are excluded on both sides
+    * (they cannot be scored). */
+  private def scoredPairs(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String): DataFrame = {
+    val c = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"))
+    val q = queries.where(col(qvecCol).isNotNull)
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("__qvec"))
+    c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        NativeExpressions.cosine(col("__cvec"), col("__qvec")).as("cosine"))
   }
 
   /** Exact top-k via the bounded-heap [[graft.plans.TopKAggregator]]:
@@ -48,12 +63,14 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int): DataFrame = {
     import graft.plans.TopKAggregator
-    val scored = corpus.crossJoin(broadcast(queries))
-      .where(col(idCol) =!= col(qidCol))
-      .select(
-        col(qidCol).as("query_id"),
-        col(idCol).as("neighbor_id"),
-        NativeExpressions.cosine(col(vecCol), col(qvecCol)).as("cosine"))
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // the aggregator's buffer encodes ids as Long; reject other id types
+    // loudly instead of failing inside the encoder (bruteForceTopK is the
+    // any-id-type path)
+    val idType = corpus.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"bruteForceTopKAgg needs an integral id column, got $idType — use bruteForceTopK")
+    val scored = scoredPairs(corpus, idCol, vecCol, queries, qidCol, qvecCol)
     scored
       .groupBy(col("query_id"))
       .agg(TopKAggregator.topK(k)(col("neighbor_id"), col("cosine")).as("top"))
@@ -115,7 +132,10 @@ object Similarity {
         NativeExpressions.euclidean(col(vecCol), cvec).as("dist"),
         lit(cid).as("cid"))
     }
+    // NULL vectors cannot be assigned (a NULL dist field would sort FIRST
+    // in array_min and silently dump the row into centroid 0)
     corpus
+      .where(col(vecCol).isNotNull)
       .withColumn("__best", array_min(array(candidates.toIndexedSeq: _*)))
       .withColumn("centroid_id", col("__best.cid"))
       .drop("__best")
@@ -182,19 +202,23 @@ object Similarity {
       else refineCentroids(corpus, idCol, vecCol, centroids0, refineIters)
     val assigned = assignToCentroids(corpus, idCol, vecCol, centroids)
 
-    val qw = Window.partitionBy(col(qidCol)).orderBy(col("dist"), col("centroid_id"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("dist", NativeExpressions.euclidean(col(qvecCol), col("cvec")))
+    val q = queries.where(col(qvecCol).isNotNull)
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("__qvec"))
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("centroid_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("dist", NativeExpressions.euclidean(col("__qvec"), col("cvec")))
       .withColumn("__rn", row_number().over(qw))
       .where(col("__rn") <= nprobe)
-      .select(col(qidCol), col(qvecCol), col("centroid_id"))
+      .select(col("query_id"), col("__qvec"), col("centroid_id"))
 
-    val scored = assigned.join(broadcast(probes), Seq("centroid_id"))
-      .where(col(idCol) =!= col(qidCol))
+    val scored = assigned
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cvec"), col("centroid_id"))
+      .join(broadcast(probes), Seq("centroid_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
       .select(
-        col(qidCol).as("query_id"),
-        col(idCol).as("neighbor_id"),
-        NativeExpressions.cosine(col(vecCol), col(qvecCol)).as("cosine"))
+        col("query_id"),
+        col("neighbor_id"),
+        NativeExpressions.cosine(col("__cvec"), col("__qvec")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

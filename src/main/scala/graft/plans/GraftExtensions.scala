@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, Coalesce, EqualTo, Expression, ExpressionInfo, LambdaFunction, Literal, Lower, NamedLambdaVariable, Not, StringSplit}
+import org.apache.spark.sql.catalyst.expressions.{ArrayFilter, Coalesce, EqualTo, Expression, ExpressionInfo, If, IsNull, LambdaFunction, Literal, Lower, NamedLambdaVariable, Not, StringSplit}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -30,18 +30,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 /** Optimizer rule: fuse the naive `simhash64(filter(split(lower(x), '\s+'),
   * t -> t <> ''))` composition — what a SQL user writes from the primitive
-  * functions — into the single-loop [[SimHashText]] kernel. Wrapped in
-  * `coalesce(.., 0L)` because the fused kernel returns NULL for token-less
-  * input where the composition returns the empty-vote fingerprint 0, so the
-  * rewrite is semantics-preserving. The match is deliberately narrow (exact
-  * pattern, exact literals); anything else is left untouched. */
+  * functions — into the single-loop [[SimHashText]] kernel. The rewrite is
+  * semantics-preserving on every input class: NULL text stays NULL (the
+  * unfused chain null-propagates), and non-null token-less text gets the
+  * composition's empty-vote fingerprint 0 via the coalesce (the fused
+  * kernel alone would return NULL there). The match is deliberately narrow
+  * (exact pattern, exact literals); anything else is left untouched. */
 object FuseSimHashTokenize extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case SimHash64(ArrayFilter(
           StringSplit(Lower(text), Literal(pat, _), Literal(-1, _)),
           LambdaFunction(Not(EqualTo(_: NamedLambdaVariable, Literal(empty, _))), _, _)))
         if pat != null && pat.toString == "\\s+" && empty != null && empty.toString.isEmpty =>
-      Coalesce(Seq(SimHashText(text), Literal(0L)))
+      If(IsNull(text),
+        Literal.create(null, org.apache.spark.sql.types.LongType),
+        Coalesce(Seq(SimHashText(text), Literal(0L))))
   }
 }
 

@@ -395,14 +395,13 @@ case class QualityScoreExpr(child: Expression, stopwords: Seq[String])
     // char-level scans below stay correct; only the counts must be
     // code-point-based.
     val n = s.codePointCount(0, nUnits)
-    var punct = 0L; var digit = 0L; var upper = 0L
+    var punct = 0L; var digit = 0L
     var nTokens = 0L; var tokenLenSum = 0L; var stopHits = 0L
     var i = 0
     while (i < nUnits) { // char-class counts (the sets are disjoint)
       val c = s.charAt(i)
       if (isPunct(c)) punct += 1
       else if (c >= '0' && c <= '9') digit += 1
-      else if (c >= 'A' && c <= 'Z') upper += 1
       i += 1
     }
     i = 0
@@ -482,12 +481,10 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
   override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(child = c)
 }
 
-case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "cosine_similarity"
-
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+/** Shared input check for the vector-pair expressions. */
+private object VectorPair {
+  def check(name: String, left: Expression, right: Expression)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
       case ArrayType(FloatType | DoubleType, _) => true
       case _ => false
@@ -496,8 +493,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_similarity needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+        s"$name needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
   }
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorPair.check(prettyName, left, right)
 
   private def elem(arr: ArrayData, isFloat: Boolean, i: Int): Double =
     if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
@@ -505,9 +512,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    // dimension mismatch -> NULL (matches the zip_with HOF reference
+    // formula) — silently truncating to the shorter vector would emit
+    // plausible-but-wrong similarities exactly for corrupt rows
+    if (a.numElements() != b.numElements()) return null
     val la = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val lb = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -526,7 +537,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
 case class EuclideanDistance(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "euclidean_distance"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorPair.check(prettyName, left, right)
 
   private def elem(arr: ArrayData, isFloat: Boolean, i: Int): Double =
     if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
@@ -534,9 +549,10 @@ case class EuclideanDistance(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null // see CosineSimilarity
     val la = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val lb = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {

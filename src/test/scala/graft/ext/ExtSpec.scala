@@ -280,6 +280,30 @@ class ExtSpec extends SparkSpec {
     assert(staged == direct && staged == Set((10L, 1L)))
   }
 
+  test("near-dup clustering works with string ids (URLs/UUIDs), both tiers") {
+    val pairs = Seq(
+      ("url-b", "url-c"), ("url-a", "url-b"), // chain a-b-c
+      ("url-x", "url-y")).toDF("id_a", "id_b")
+    val local = Dedup.resolveDuplicateClusters(pairs)
+      .as[(String, String)].collect().toMap
+    assert(local == Map(
+      "url-a" -> "url-a", "url-b" -> "url-a", "url-c" -> "url-a",
+      "url-x" -> "url-x", "url-y" -> "url-x"))
+    // GraphX tier (forced by a zero local limit) agrees
+    val viaGraphX = Dedup.resolveDuplicateClusters(pairs, localPairLimit = 0)
+      .as[(String, String)].collect().toMap
+    assert(viaGraphX == local)
+    // full pipeline with string ids end to end
+    val docs = Seq(
+      ("u1", "the quick brown fox jumps over the lazy dog and runs far away"),
+      ("u2", "the quick brown fox jumps over the lazy dog and runs far away"),
+      ("u3", "entirely different document content here")).toDF("url", "text")
+    val cleaned = CorpusPipeline.clean(docs, "url", "text",
+      minQuality = 0.0, numHashes = 64, bands = 32, nearDupThreshold = 0.6)
+      .select("url").as[String].collect().toSet
+    assert(cleaned == Set("u1", "u3"))
+  }
+
   test("bucketed staged bands: exchange-free reference side, same pairs as direct") {
     val ref = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
