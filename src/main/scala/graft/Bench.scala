@@ -21,15 +21,25 @@ object Bench {
       .getOrElse(Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
     warmDirs.foreach { warmDir =>
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, warmDir).queryExecution.toRdd.count(): Unit }
+        catch { case _: Throwable => () }
       }
+    }
+    // force FULL evaluation of the query's own plan: a bare .count() wraps
+    // it in Aggregate(count(1)) and column pruning then deletes the very
+    // projections/windows under test (regex scrubs, hashes, window
+    // functions — anything that doesn't change cardinality), timing a
+    // parquet scan-count instead of the operator. toRdd materializes every
+    // output row of the unmodified plan.
+    def runFully(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      fn(spark, sfDir).queryExecution.toRdd.count(): Unit
     }
     // two timed passes, report each query's MIN: the host is shared and a
     // single pass can randomly charge one query several seconds of noise;
     // the min of two runs is the steady-state throughput estimate
     def timeAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { runFully(fn); true } catch { case _: Throwable => false }
       // failures are reported as -1, never as a (fast-looking) elapsed time
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
@@ -41,7 +51,8 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries (-1 sentinels) must not DEFLATE the total
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -26,12 +26,16 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.read(s, dir, name)
 
-  /** Exact order-independent money sum, engine-portable: round each value
-    * to integer cents with explicit IEEE arithmetic (identical on any
-    * engine, unlike double→decimal casts whose rounding differs between
-    * Spark and DuckDB), sum as long, emit as double. */
+  /** Integer cents via explicit IEEE arithmetic — the determinism-critical
+    * rounding every money aggregate is built on (identical on any engine,
+    * unlike double→decimal casts whose rounding differs between Spark and
+    * DuckDB). */
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * lit(100.0d) + lit(0.5d)).cast("long")
+
+  /** Exact order-independent money sum: sum cents as long, emit double. */
   private def dsum(c: org.apache.spark.sql.Column) =
-    sum(floor(c * lit(100.0d) + lit(0.5d)).cast("long")).cast("double") / lit(100.0d)
+    sum(cents(c)).cast("double") / lit(100.0d)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -130,7 +134,7 @@ object SparkEntry {
     "q_moving_sum" -> ((s, dir) => {
       val daily = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), date_trunc("day", col("l_shipdate")).as("day"))
-        .agg(sum(floor(col("l_extendedprice") * lit(100.0d) + lit(0.5d)).cast("long")).as("rev_c"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev_c"))
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(unix_date(col("day").cast("date")))
         .rangeBetween(-6, 0)
@@ -356,7 +360,9 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
         .agg(count(lit(1)))
-        .na.fill(0L)
+        // scoped fill: an unqualified na.fill would also rewrite a NULL
+        // group key to 0, diverging from the oracle's GROUP BY
+        .na.fill(0L, Seq("view", "click", "purchase", "signup", "error"))
     }),
 
     // snowflake dimension chain (customer -> nation -> region), broadcast dims

@@ -17,10 +17,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // remove any pre-existing output FIRST: a stale parquet from an
+      // earlier run must never pass verification for a query that now fails
+      val target = Paths.get(s"$outDir/$name")
+      def deleteRecursively(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+      deleteRecursively(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        deleteRecursively(target) // no partial output either
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
