@@ -76,6 +76,13 @@ final class SparkGraphLoader(
   private val edgeFrames = mutable.LinkedHashMap.empty[String, DataFrame]
   private val skippedLabels = mutable.Set.empty[String]
 
+  /** Files already merged into this instance's frames. Makes load()/restore
+    * idempotent per loader instance: `GraphEtl.load` clears the resume log on
+    * success, so a second load() on the same loader would otherwise re-union
+    * every file's rows (nodes survive via dropDuplicates("id"); edges and
+    * as_edge HAS_METADATA edges would not). */
+  private val ingestedFiles = mutable.Set.empty[String]
+
   override def markNodesSkipped(label: String): Unit = skippedLabels += label
 
   private def readCsv(path: String, propertiesType: Map[String, String]): DataFrame = {
@@ -107,6 +114,9 @@ final class SparkGraphLoader(
       metadatas: Map[String, String], propertiesType: Map[String, String]): DataFrame = {
     val df0 = readCsv(filePath, propertiesType)
       .withColumn("id", col(primaryKey).cast(StringType)) // §2.12.3 canonical id
+    // already merged by this instance (restored, or a prior load() whose log
+    // was cleared): report the per-file frame for counting, mutate nothing
+    if (ingestedFiles.contains(filePath)) return df0
     val df = metadataStrategy match {
       case "as_property" =>
         metadatas.foldLeft(df0) { case (d, (k, v)) => d.withColumn(k, lit(v)) }
@@ -139,6 +149,7 @@ final class SparkGraphLoader(
     }
     nodeFrames(label) = merged
     invalidateIdSet(label)
+    ingestedFiles += filePath
     df
   }
 
@@ -180,6 +191,24 @@ final class SparkGraphLoader(
         col("start").cast(StringType) =!= "" && col("end").cast(StringType) =!= "") // P8
       .withColumn("src", col("start").cast(StringType))
       .withColumn("dst", col("end").cast(StringType))
+
+    // already merged by this instance: recount without mutating any frame
+    // (for "create" the first ingest synthesized missing endpoints, so the
+    // whole filtered file counts; for "match" re-run the side-effect-free
+    // semi-joins against the now-present id sets)
+    if (ingestedFiles.contains(filePath)) {
+      val counted = edgeStrategy match {
+        case "match" =>
+          (idSet(startLabel).map(_.select(col("id").as("src"))),
+            idSet(endLabel).map(_.select(col("id").as("dst")))) match {
+            case (Some(s), Some(d)) =>
+              df.join(s, Seq("src"), "left_semi").join(d, Seq("dst"), "left_semi")
+            case _ => df.limit(0)
+          }
+        case _ => df
+      }
+      return counted
+    }
 
     val resolved = edgeStrategy match {
       case "match" =>
@@ -240,6 +269,7 @@ final class SparkGraphLoader(
       case Some(prev) => prev.unionByName(tagged, allowMissingColumns = true)
       case None => tagged
     }
+    ingestedFiles += filePath
     tagged
   }
 

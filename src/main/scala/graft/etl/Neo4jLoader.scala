@@ -66,7 +66,7 @@ final class Neo4jLoader(
       s"${ident(p)}: ${cypherCast(t, s"row.${ident(p)}")}"
     }.mkString(", ")
     val metaProps = metadatas.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"`${k.replace("`", "``")}`: '${esc(v)}'" }.mkString(", ")
+      .map { case (k, v) => s"${ident(k)}: '${esc(v)}'" }.mkString(", ")
     val metaSet = metadataStrategy match {
       case "as_edge" =>
         s"MERGE (m:Metadata {$metaProps}) CREATE (n)-[:HAS_METADATA]->(m)"

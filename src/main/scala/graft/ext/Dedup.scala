@@ -167,8 +167,12 @@ object Dedup {
     val idType = pairs.schema("id_a").dataType
     val slim = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val head = slim.head(localPairLimit + 1)
-    if (head.length <= localPairLimit) {
+    // bounded count probe decides the tier; pair rows reach the driver
+    // only AFTER the local tier is chosen (a head(limit+1) probe would
+    // materialize up to 2M rows on the driver just to pick GraphX)
+    val probed = slim.limit(localPairLimit + 1).count()
+    if (probed <= localPairLimit) {
+      val head = slim.collect()
       // union-find, roots kept at the component minimum
       val parent = scala.collection.mutable.HashMap.empty[Any, Any]
       val ord = rowOrdering(idType)

@@ -50,6 +50,11 @@ object Similarity {
         col("query_id"),
         col("neighbor_id"),
         NativeExpressions.cosine(col("__cvec"), col("__qvec")).as("cosine"))
+      // cosine is NULL for corrupt rows (dimension mismatch / zero norm);
+      // drop them HERE so the window path (NULLs sort last, may leak into
+      // rank≤k on tiny corpora) and the typed-aggregator path (NULL score
+      // in a non-nullable field) stay equivalent on corrupt data
+      .where(col("cosine").isNotNull)
   }
 
   /** Exact top-k via the bounded-heap [[graft.plans.TopKAggregator]]:
@@ -219,6 +224,7 @@ object Similarity {
         col("query_id"),
         col("neighbor_id"),
         NativeExpressions.cosine(col("__cvec"), col("__qvec")).as("cosine"))
+      .where(col("cosine").isNotNull) // same corrupt-row contract as scoredPairs
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

@@ -41,7 +41,10 @@ object FuseSimHashTokenize extends Rule[LogicalPlan] {
     case SimHash64(ArrayFilter(
           StringSplit(Lower(text), Literal(pat, _), Literal(-1, _)),
           LambdaFunction(Not(EqualTo(_: NamedLambdaVariable, Literal(empty, _))), _, _)))
-        if pat != null && pat.toString == "\\s+" && empty != null && empty.toString.isEmpty =>
+        if pat != null && pat.toString == "\\s+" && empty != null && empty.toString.isEmpty &&
+          // the rewrite duplicates `text` (IsNull + SimHashText); a
+          // non-deterministic child would be evaluated twice and diverge
+          text.deterministic =>
       If(IsNull(text),
         Literal.create(null, org.apache.spark.sql.types.LongType),
         Coalesce(Seq(SimHashText(text), Literal(0L))))

@@ -81,6 +81,40 @@ class LoaderSpec extends SparkSpec {
     etl.clear()
   }
 
+  test("second load() on the same loader instance does not duplicate edges") {
+    // GraphEtl.load clears the resume log on success, so a second load()
+    // re-offers every file; the loader must recognize files it already
+    // merged (r2 ADVICE: edges and HAS_METADATA edges duplicated; nodes
+    // only survived via dropDuplicates)
+    val (etl, _) = staged()
+    val loader = new SparkGraphLoader(spark, edgeStrategy = "match",
+      metadataStrategy = "as_edge")
+    etl.load(loader)
+    val edges1 = loader.edgeTable("DRIVED_BY").get.count()
+    val meta1 = loader.edgeTable("HAS_METADATA").get.count()
+    etl.load(loader)
+    assert(loader.edgeTable("DRIVED_BY").get.count() == edges1)
+    assert(loader.edgeTable("HAS_METADATA").get.count() == meta1)
+    assert(loader.nodeTable("Person").get.count() == 2)
+    // stats still accumulate honestly (the re-load recounts the files)
+    etl.clear()
+  }
+
+  test("restore after load on the same instance is a no-op (no re-union)") {
+    val (etl, _) = staged()
+    val loader = new SparkGraphLoader(spark, edgeStrategy = "match")
+    etl.load(loader)
+    // simulate a resume pass handing the same files back as restores
+    etl.store.catalog.edges.foreach { case (_, files) =>
+      files.foreach { case (fname, cfg) =>
+        loader.restoreEdges(etl.store.edgesDir.resolve(fname).toString,
+          "DRIVED_BY", cfg.start, cfg.end, cfg.metadatas, cfg.properties_type)
+      }
+    }
+    assert(loader.edgeTable("DRIVED_BY").get.count() == 2)
+    etl.clear()
+  }
+
   test("GraphEtl.load with node-skipping filter loads whitelisted edges as empty") {
     val (etl, _) = staged()
     // after parse: filter out every node file by metadata mismatch
@@ -148,6 +182,14 @@ class LoaderSpec extends SparkSpec {
     assert(all.contains("arraySep: '|'"))
     // index/constraint statements precede the load statement
     assert(all.indexOf("CREATE CONSTRAINT") < all.indexOf("apoc.periodic.iterate"))
+    // plain-word metadata keys pass through unquoted (byte-identical to the
+    // reference for clean schemas — the ident() promise); hostile keys get
+    // backticks
+    assert(all.contains("source: 's'"))
+    val hostile = new Neo4jLoader()
+    hostile.loadNodes("/tmp/f.csv", "Person", "id", Map("my key" -> "v"),
+      Map("id" -> "Int64"), Nil, Nil)
+    assert(hostile.statements.mkString("\n").contains("`my key`: 'v'"))
   }
 
   test("Neo4jLoader edge Cypher honors match/create strategies and 20k batches") {
