@@ -496,8 +496,10 @@ object SparkEntry {
     }),
 
     // incremental dedup: today's batch (docs 400+) against the already-
-    // ingested reference (docs <400) — batch survivors only (rows-only
-    // oracle: LSH candidates)
+    // ingested reference (docs <400) — batch survivors only. Value-checked:
+    // the oracle recomputes exact all-cross-pairs char-5-gram Jaccard in
+    // DuckDB, so the LSH candidates + verify must find exactly the
+    // above-threshold pairs (recall 1.0 on this data — see DedupGroundTruthSpec)
     "q_cross_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val ref = d.where(col("doc_id") < 400)
@@ -507,12 +509,15 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("text_hash"))
     }),
 
-    // MinHash+LSH near-duplicate pairs (rows-only oracle: seeded xxhash64
-    // family has no DuckDB equivalent)
+    // MinHash+LSH near-duplicate pairs. The seeded xxhash64 family has no
+    // DuckDB twin, but the OUTPUT is exact-verified (id_a, id_b, jaccard),
+    // so the oracle recomputes exact all-pairs char-5-gram Jaccard — raw
+    // jaccard, not rounded: int/int IEEE division is bit-identical across
+    // engines. Hash-match requires (and proves) LSH recall 1.0 here.
     "q_minhash_near_dup" -> ((s, dir) => {
       Dedup.minhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard_r"))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
 
     // SimHash near-duplicate pairs (rows-only oracle)
@@ -520,11 +525,12 @@ object SparkEntry {
       Dedup.simhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
     }),
 
-    // word-3-gram Jaccard near-dup pairs (rows-only oracle)
+    // word-3-gram Jaccard near-dup pairs — value-checked against exact
+    // all-pairs word-shingle Jaccard (same rationale as q_minhash_near_dup)
     "q_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
         ngram = 3, numHashes = 64, bands = 8, threshold = 0.3)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard_r"))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
 
     // exact word-3-gram Jaccard over a bounded doc set — the value-checked
@@ -574,7 +580,10 @@ object SparkEntry {
           round(col("cosine"), 4).as("cosine_r"), col("rank").cast("long").as("rank"))
     }),
 
-    // embedding-cosine near-duplicates via hyperplane LSH (rows-only)
+    // embedding-cosine near-duplicates via hyperplane LSH — value-checked:
+    // the oracle computes exact all-pairs cosine, so Spark's LSH output
+    // must equal the exact ≥-threshold set (empty on this testdata — max
+    // all-pairs cosine ≈ 0.51 — and the oracle proves that absence)
     "q_embed_near_dup" -> ((s, dir) => {
       Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.99, bands = 4, planesPerBand = 8)
@@ -625,7 +634,9 @@ object SparkEntry {
     }),
 
     // full near-dup pipeline: MinHash pairs -> connected-component clusters
-    // -> keeper per cluster (rows-only oracle: hash-based candidates)
+    // -> keeper per cluster. Value-checked: the oracle rebuilds the exact
+    // pair set in DuckDB and resolves components with a recursive-CTE
+    // transitive closure (keeper = component minimum, same contract)
     "q_near_dup_clusters" -> ((s, dir) => {
       val pairs = Dedup.minhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
@@ -650,10 +661,161 @@ object SparkEntry {
     })
   )
 
+  /** Exact char-`n`-gram shingle sets per doc — the DuckDB twin of
+    * [[graft.plans.CharShingles]] (lowercase, distinct, whole-string shingle
+    * when 0 < len ≤ n, empty set for empty text). Shared by the ground-truth
+    * oracles of every char-shingle LSH query: the LSH pipelines are verified
+    * against exact all-pairs Jaccard, so their output must EQUAL the exact
+    * ≥-threshold pair set (hash-match ⇒ precision and recall both 1.0). */
+  private val charShingleSql: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(s) = 0 THEN []
+      |         WHEN len(s) <= 5 THEN [s]
+      |         ELSE list_distinct(list_transform(range(1, len(s) - 3), i -> s[i:i+4]))
+      |    END AS sh
+      |  FROM (SELECT doc_id, lower(text) AS s FROM documents))""".stripMargin
+
+  /** Exact all-pairs char-shingle Jaccard (id_a < id_b, empty-shingle docs
+    * excluded exactly as the LSH banding excludes them). Raw double — the
+    * int/int IEEE division is bit-identical between Spark and DuckDB. */
+  private val charPairsSql: String =
+    s"""$charShingleSql,
+      | pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    cast(len(list_intersect(a.sh, b.sh)) AS double)
+      |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)""".stripMargin
+
   /** DuckDB-runnable oracles, column-aliased identically to the Spark side.
     * Omitted keys (hash/LSH/stub-based ops) get the driver's weaker
     * rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    "q_minhash_near_dup" ->
+      s"""WITH $charPairsSql
+        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+
+    "q_near_dup_clusters" ->
+      s"""WITH RECURSIVE $charPairsSql,
+        | above AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+        | edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM above
+        |  UNION SELECT id_b, id_a FROM above),
+        | reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS id, least(src, min(dst)) AS keep_id FROM reach GROUP BY src""".stripMargin,
+
+    "q_cross_dedup" ->
+      s"""WITH $charShingleSql,
+        | dup AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sh b JOIN sh r ON b.doc_id >= 400 AND r.doc_id < 400
+        |  WHERE len(b.sh) > 0 AND len(r.sh) > 0
+        |    AND cast(len(list_intersect(b.sh, r.sh)) AS double)
+        |        / len(list_distinct(list_concat(b.sh, r.sh))) >= 0.5)
+        |SELECT doc_id, md5(text) AS text_hash FROM documents
+        |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
+
+    // the full cleaning funnel, replayed stage by stage: sanitize (scrub
+    // pattern), the composite quality formula, exact dedup (min-id keeper),
+    // and near-dup removal resolved with a recursive-CTE transitive closure
+    // over the EXACT ≥0.8 char-shingle pair set — value-checks the composed
+    // pipeline end-to-end, not just its stages
+    "q_clean_corpus" ->
+      s"""WITH RECURSIVE s0 AS (
+        |  SELECT doc_id, regexp_replace(text, '[\\r\\n\\\\]', '', 'g') AS text FROM documents),
+        | t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rawtoks,
+        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS lowtoks
+        |  FROM s0),
+        | m AS (
+        |  SELECT doc_id, text, lowtoks,
+        |    CASE WHEN len(rawtoks) = 0 THEN 0.0
+        |         ELSE cast(list_sum(list_transform(rawtoks, x -> length(x))) AS double)
+        |              / cast(len(rawtoks) AS double) END AS mean_tok,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE cast(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) AS double)
+        |              / cast(length(text) AS double) END AS punct,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |         ELSE cast(length(regexp_replace(text, '[^0-9]', '', 'g')) AS double)
+        |              / cast(length(text) AS double) END AS digit
+        |  FROM t),
+        | q AS (
+        |  SELECT doc_id, text,
+        |    (least(cast(length(text) AS double) / 500.0, 1.0)
+        |     + CASE WHEN mean_tok BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END
+        |     + (1.0 - least(punct * 4.0, 1.0))
+        |     + (1.0 - least(digit * 4.0, 1.0))
+        |     + least((CASE WHEN len(lowtoks) = 0 THEN 0.0
+        |              ELSE cast(len(list_filter(lowtoks, x -> x IN ('the','of','and','to','in','a','is','that','for','it','was','on','are','with','as','at','be','this','have','from'))) AS double)
+        |                   / cast(len(lowtoks) AS double) END) * 3.0, 1.0)) / 5.0 AS quality
+        |  FROM m),
+        | quality_docs AS (SELECT doc_id, text FROM q WHERE quality >= 0.2),
+        | exact_keep AS (
+        |  SELECT min(doc_id) AS doc_id, min(text) AS text FROM quality_docs GROUP BY text),
+        | sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(s) = 0 THEN []
+        |         WHEN len(s) <= 5 THEN [s]
+        |         ELSE list_distinct(list_transform(range(1, len(s) - 3), i -> s[i:i+4]))
+        |    END AS sh
+        |  FROM (SELECT doc_id, lower(text) AS s FROM exact_keep)),
+        | pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND cast(len(list_intersect(a.sh, b.sh)) AS double)
+        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
+        | edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        | reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        | dropped AS (
+        |  SELECT count(*) AS n FROM (
+        |    SELECT src FROM reach GROUP BY src HAVING src > least(src, min(dst))))
+        |SELECT '0_input' AS stage, (SELECT count(*) FROM documents) AS n_docs
+        |UNION ALL SELECT '1_quality', (SELECT count(*) FROM quality_docs)
+        |UNION ALL SELECT '2_exact_dedup', (SELECT count(*) FROM exact_keep)
+        |UNION ALL SELECT '3_near_dedup', (SELECT count(*) FROM exact_keep) - (SELECT n FROM dropped)""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        | d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) = 0 THEN []
+        |         WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    END AS sh
+        |  FROM toks),
+        | pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    cast(len(list_intersect(a.sh, b.sh)) AS double)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3""".stripMargin,
+
+    "q_embed_near_dup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS vec
+        |  FROM embeddings),
+        | pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CASE WHEN sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)) = 0 THEN NULL
+        |         ELSE list_dot_product(a.vec, b.vec)
+        |              / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+        |    END AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cosine, 4) AS cosine_r FROM pairs WHERE cosine >= 0.99""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | cast(sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS sum_qty,
