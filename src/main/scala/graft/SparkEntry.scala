@@ -569,15 +569,34 @@ object SparkEntry {
           round(col("cosine"), 4).as("cosine_r"), col("rank").cast("long").as("rank"))
     }),
 
-    // IVF-bucketed approximate top-k (scale path; rows-only oracle)
+    // IVF-bucketed approximate top-k (scale path; rows-only oracle —
+    // centroid-dependent output has no SQL twin; recall is value-checked
+    // by q_ivf_recall below and GroundTruthSpec). nlist=16/nprobe=8 scans
+    // ~half the corpus for recall@5 ≈ 0.92 on this (uniform-random,
+    // structure-less — IVF's worst case) testdata.
     "q_embed_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
-        k = 5, nlist = 32, nprobe = 8)
+        k = 5, nlist = 16, nprobe = 8)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 4).as("cosine_r"), col("rank").cast("long").as("rank"))
+    }),
+
+    // the driver-visible ANN quality report: per-query overlap of the IVF
+    // top-5 with the exact brute-force top-5 (both computed here, one
+    // deterministic number per query — recall@5). Rows-only by nature, but
+    // the VALUES are the ground-truth comparison itself.
+    "q_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nlist = 16, nprobe = 8)
+      Similarity.recallReport(exact, approx, k = 5)
     }),
 
     // embedding-cosine near-duplicates via hyperplane LSH — value-checked:

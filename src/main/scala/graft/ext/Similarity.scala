@@ -87,6 +87,20 @@ object Similarity {
         (col("rank0") + 1).as("rank"))
   }
 
+  /** Recall@k report of an approximate top-k against the exact one: one
+    * row per query with the overlap size and recall fraction. Both inputs
+    * are (query_id, neighbor_id, …) top-k frames (k rows per query). The
+    * join keys are (query_id, neighbor_id) — tiny frames, broadcast by AQE. */
+  def recallReport(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
+        Seq("query_id", "neighbor_id"), "left_outer")
+    hits.groupBy(col("query_id"))
+      .agg(count(col("__hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / k).as("recall_at_k"))
+  }
+
   /** Deterministic IVF centroids: a hash-based sample of ~nlist corpus
     * vectors, materialized as a LOCAL relation — the sample is nlist-sized
     * by construction and every consumer (assignment, query probes) needs it

@@ -1,0 +1,80 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions => H}
+import graft.plans.NativeExpressions
+
+/** Value-level ground truth for the approximate (LSH/ANN) pipelines on the
+  * REAL testdata — complements the DuckDB oracles: these run under
+  * `sbt test`, and they cover the two queries whose exact metric has no
+  * SQL twin (SimHash hamming, IVF recall).
+  *
+  * The reference's own tests assert contents, not counts
+  * (tests/test_parser.py:83-124); these do the same for the sketch family.
+  */
+class GroundTruthSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("simhash near-dup pairs EQUAL brute-force all-pairs hamming<=3 (pigeonhole)") {
+    // 4 bands of 16 bits: any pair within hamming 3 shares at least one
+    // band verbatim, so LSH candidates ⊇ true pairs and the verify filter
+    // makes the output exactly the true pair set — an equality, not a bound
+    val lsh = Dedup.simhashNearDuplicates(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fps = docs.select(col("doc_id"),
+      NativeExpressions.simhashText(col("text")).as("fp"))
+      .where(col("fp").isNotNull)
+    val a = fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), H.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "testdata should contain simhash near-dups")
+    assert(lsh == brute)
+  }
+
+  test("minhash LSH pairs EQUAL exact all-pairs char-shingle jaccard on this corpus") {
+    // the in-Spark twin of the DuckDB oracle: recall 1.0 is data-dependent
+    // (128 hashes / 16 bands ⇒ P[miss | j=0.5] ≈ (1-0.5^8)^16 ≈ 6%/pair at
+    // the exact threshold, far smaller for the well-separated planted
+    // dups); this spec pins that it actually holds on the shipped corpus
+    val lsh = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id"),
+      NativeExpressions.charShingles(col("text"), 5).as("sh"))
+      .where(size(col("sh")) > 0)
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), H.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .where(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty)
+    assert(lsh == brute)
+  }
+
+  test("IVF recall@5 >= 0.9 vs brute force at the q_embed_ivf_topk config") {
+    val queries = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5)
+    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, nlist = 16, nprobe = 8)
+    val report = Similarity.recallReport(exact, approx, k = 5)
+    val overall = report.agg(avg(col("recall_at_k"))).head().getDouble(0)
+    // deterministic (hash-sampled centroids): measured 0.92 on this data —
+    // uniform-random vectors are IVF's worst case (recall ~ scanned
+    // fraction); the bound catches regressions in assignment or probing
+    assert(overall >= 0.9, s"IVF recall@5 regressed: $overall")
+    // every query must be present in the report even if IVF found nothing
+    assert(report.count() == queries.count())
+  }
+}
