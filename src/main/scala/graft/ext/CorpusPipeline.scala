@@ -77,9 +77,11 @@ object CorpusPipeline {
   /** Per-stage survivor counts — the funnel report a pipeline run logs.
     * The `exact` frame is cached for the duration: the near-dup stage
     * reads it four times (LSH candidates, two verify sides, final drop)
-    * and the stage-2 count a fifth. Stages 0 and 1 are counted in a single
-    * scan (quality is a row filter over the sanitized input, so
-    * `count(when(pred))` against the input gives both numbers). */
+    * and the stage-2 count a fifth. Stages 0 and 1 are NOT separate scans:
+    * an `observe` node on the sanitized input collects both counts as a
+    * side effect of materializing the exact-dedup stage (quality is a row
+    * filter over the same scan), so the whole funnel reads the raw corpus
+    * exactly once. */
   def funnel(
       docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.2,
@@ -87,19 +89,21 @@ object CorpusPipeline {
       nearDupThreshold: Double = 0.8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val exact = exactStage(docs, idCol, textCol, minQuality).cache()
+    val obs = org.apache.spark.sql.Observation()
+    val sanitized = Normalize.sanitizeStrings(docs).observe(obs,
+      count(lit(1)).as("n_input"),
+      count(when(T.qualityScore(col(textCol)) >= minQuality, 1)).as("n_quality"))
+    val quality = filterByQuality(sanitized, textCol, minQuality)
+    val exact = Dedup.exactDedup(quality, idCol, Seq(textCol)).cache()
     try {
+      val nExact = exact.count() // fires the observation with the same scan
+      val metrics = obs.get
       val cleaned = nearStage(exact, idCol, textCol, shingleSize, numHashes, bands,
         nearDupThreshold)
-      val inputAndQuality = Normalize.sanitizeStrings(docs)
-        .agg(
-          count(lit(1)).as("n_input"),
-          count(when(T.qualityScore(col(textCol)) >= minQuality, 1)).as("n_quality"))
-        .head()
       Seq(
-        ("0_input", inputAndQuality.getLong(0)),
-        ("1_quality", inputAndQuality.getLong(1)),
-        ("2_exact_dedup", exact.count()),
+        ("0_input", metrics("n_input").asInstanceOf[Long]),
+        ("1_quality", metrics("n_quality").asInstanceOf[Long]),
+        ("2_exact_dedup", nExact),
         ("3_near_dedup", cleaned.count())
       ).toDF("stage", "n_docs")
     } finally exact.unpersist()
