@@ -84,7 +84,10 @@ final class GraphEtl(
       if (!filtered && !shouldSkip(p)) {
         val ctx = new Context(store, p.metadatas, java.util.UUID.randomUUID().toString.take(8),
           nodeChunkSize, edgeChunkSize, fastStaging)
+        val tp = System.nanoTime()
         p.body(ctx)
+        // per-parser wall time (utils.py:80-97 save_parser_infos logging)
+        store.stats(s"parser_time_ms_${p.name}") = (System.nanoTime() - tp) / 1000000
         store.logAppend("parser", p.name)
         store.persistCatalog()
       }
@@ -97,19 +100,26 @@ final class GraphEtl(
 
   /** Eager context-manager form (`with Parser(...) as ctx`,
     * utils.py:271-283): body runs immediately; mapping runs at block exit —
-    * incremental and idempotent-by-rewrite, like the reference. */
+    * incremental and idempotent-by-rewrite, like the reference. Honors the
+    * FULL `_should_skip` guard (utils.py:255-269) exactly like the deferred
+    * form: resume log, explicit `ignore`, and any missing declared source
+    * path all skip the body (and the mapping pass). */
   def withParser(
       name: String,
-      metadatas: Map[String, String] = Map.empty)(body: Context => Unit): Unit = {
+      metadatas: Map[String, String] = Map.empty,
+      sourcesPath: Seq[String] = Nil,
+      ignore: Boolean = false)(body: Context => Unit): Unit = {
     if (!initialized) init()
-    if (!store.logEntries("parser").contains(name)) {
+    if (!shouldSkip(RegisteredParser(name, metadatas, sourcesPath, ignore, body))) {
       val ctx = new Context(store, metadatas, java.util.UUID.randomUUID().toString.take(8),
         nodeChunkSize, edgeChunkSize, fastStaging)
       // resume marker + mapping only on success — a parser body that threw
       // must re-run on resume, not be skipped as complete. (The reference's
       // __exit__ runs these even on exception, utils.py:278-283; that marks
       // half-staged parsers done, which we deliberately fix.)
+      val tp = System.nanoTime()
       body(ctx)
+      store.stats(s"parser_time_ms_$name") = (System.nanoTime() - tp) / 1000000
       store.logAppend("parser", name)
       store.persistCatalog()
       mapProperties()

@@ -47,6 +47,39 @@ class EtlPipelineSpec extends SparkSpec {
     etl.clear()
   }
 
+  test("eager withParser honors the full skip guard: ignore and missing source") {
+    // utils.py:255-269 — __enter__ skips on ignore and on any missing
+    // sources_path, not only on the resume log
+    val etl = newEtl()
+    var ranIgnored = false
+    etl.withParser("pi", Map.empty, ignore = true) { _ => ranIgnored = true }
+    assert(!ranIgnored)
+    var ranMissing = false
+    etl.withParser("pm", Map.empty,
+      sourcesPath = Seq("/nonexistent/source.csv")) { _ => ranMissing = true }
+    assert(!ranMissing)
+    // a skipped parser is NOT resume-logged: it runs once its source appears
+    var ranLater = false
+    etl.withParser("pm", Map.empty) { _ => ranLater = true }
+    assert(ranLater)
+    etl.clear()
+  }
+
+  test("per-parser wall-time stats are recorded in both forms (utils.py:80-97)") {
+    val etl = newEtl()
+    etl.withParser("timed_eager", Map("source" -> "test")) { ctx =>
+      ctx.saveNodes(Seq(("1", "A")).toDF("id", "name"), "Person")
+    }
+    assert(etl.store.stats.contains("parser_time_ms_timed_eager"))
+    etl.parser("timed_deferred", Map("source" -> "test")) { ctx =>
+      ctx.saveNodes(Seq(("2", "B")).toDF("id", "name"), "Person")
+    }
+    etl.parse()
+    assert(etl.store.stats.contains("parser_time_ms_timed_deferred"))
+    assert(etl.store.stats.contains("parse_time_ms"))
+    etl.clear()
+  }
+
   test("explicit mapIds rewrites edge endpoints, retypes the column, keeps count") {
     // test_parser.py:83-124 (test_decorator_mapping): mapping 2->F432OP
     // (duplicate tolerated), 1->P821DS; start dtype flips Int64 -> Utf8
