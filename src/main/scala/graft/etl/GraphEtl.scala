@@ -262,13 +262,27 @@ final class GraphEtl(
   }
 
   /** Concatenated staged node table for a label (used by pass B and the
-    * in-session loader): each chunk file is read with its OWN header-order
-    * schema then united by name — different parsers may stage the same
-    * label with different column orders, and a shared positional schema
-    * would silently misbind them. */
+    * in-session loader). Files are grouped by IDENTICAL header first, so a
+    * label staged as thousands of same-shape chunk files becomes a handful
+    * of multi-file scans united by name — not a thousands-deep unionByName
+    * plan (linear analysis cost, and Spark parallelizes within a multi-file
+    * scan). Per-group schemas still follow each group's own header order:
+    * different parsers may stage the same label with different column
+    * orders, and a shared positional schema would silently misbind them.
+    * The header probe reads one line per file on the driver — metadata-
+    * scale, and already the price of the previous per-file plan. */
   private[etl] def readStagedNodes(label: String, cfg: NodeConfig): DataFrame =
     cfg.files.keys.toList
-      .map(f => readStagedFile(store.nodesDir.resolve(f), cfg.properties_type))
+      .map(f => store.nodesDir.resolve(f))
+      .groupBy(p => headerColumns(p, cfg.properties_type.keys.toList))
+      .toList
+      .sortBy(_._2.head.toString) // deterministic union order
+      .map { case (cols, paths) =>
+        val schema = StructType(cols.map(c =>
+          StructField(c, cfg.properties_type.get(c).map(Catalog.sparkType).getOrElse(StringType))))
+        spark.read.option("sep", ";").option("header", "true").schema(schema)
+          .csv(paths.map(_.toString): _*)
+      }
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
   // ------------------------------------------------------------------

@@ -47,6 +47,36 @@ class EtlPipelineSpec extends SparkSpec {
     etl.clear()
   }
 
+  test("100 staged chunk files collapse to per-header scans, not a 100-deep union") {
+    // a label staged as many chunks (nodeChunkSize=5 -> 100 files of 5
+    // rows) plus one chunk with a DIFFERENT header order; the read must
+    // group by header (2 scans), bind each group's schema to its own
+    // column order, and return every row
+    val dir = Files.createTempDirectory("graft-manychunks").toString
+    val etl = new GraphEtl(spark, dir, nodeChunkSize = 5)
+    etl.parser("many", Map("source" -> "test")) { ctx =>
+      val rows = (1 to 500).map(i => (i.toString, s"name_$i"))
+      ctx.saveNodes(rows.toDF("id", "name"), "Person")
+    }
+    etl.parser("other_order", Map("source" -> "test")) { ctx =>
+      ctx.saveNodes(Seq(("N_501", "501")).toDF("name", "id"), "Person")
+    }
+    etl.parse()
+    val cfg = etl.store.catalog.nodes("Person")
+    assert(cfg.files.size >= 101)
+    val df = etl.readStagedNodes("Person", cfg)
+    assert(df.count() == 501)
+    // every id binds to the id column regardless of per-file column order
+    assert(df.where(col("id") === "501").select("name").as[String].head() == "N_501")
+    assert(df.where(col("name") === "name_42").count() == 1)
+    // plan audit: one relation per distinct header, not per file
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 2, s"expected 2 grouped scans, got ${scans.size}")
+    etl.clear()
+  }
+
   test("eager withParser honors the full skip guard: ignore and missing source") {
     // utils.py:255-269 — __enter__ skips on ignore and on any missing
     // sources_path, not only on the resume log
