@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.etl.{GraphEtl, SparkGraphLoader}
+import graft.etl.{Catalog, GraphEtl, GraphFilter, OwlCallback, ShaclCallback, SparkGraphLoader}
 import graft.graph.GraphOps
 
 /** The reference's example workload shape end-to-end (example/imdb.py →
@@ -66,6 +66,105 @@ class EndToEndSpec extends SparkSpec {
     // the full GraphX materialization also agrees
     val g = GraphOps.toGraphX(nodes, edges)
     assert(g.numVertices == 8 && g.numEdges == 9)
+    etl.clear()
+  }
+
+  test("reference example scripts ported: CSV fixtures -> parse -> load -> golden catalog") {
+    // example/imdb.py + example/oscar.py + example/main.py end-to-end on
+    // committed fixtures with the reference's exact file schemas (fictional
+    // rows). Asserts the persisted configs.json against the reference's
+    // catalog layout (utils.py:99-119) with normalized file names.
+    val dir = Files.createTempDirectory("graft-e2e-example").toString
+    val etl = new GraphEtl(spark, dir)
+
+    // imdb.py — sources_path declared, source=kaggle metadata
+    etl.parser("parse_imdb", Map("source" -> "kaggle"),
+      sourcesPath = Seq("src/test/resources/fixtures/IMDB-Movie-Data.csv")) { ctx =>
+      val df = spark.read.option("header", "true")
+        .csv("src/test/resources/fixtures/IMDB-Movie-Data.csv")
+        .select(col("Rank").cast("long").as("id"), col("Title").as("title"),
+          col("Director"), col("Actors"))
+        .withColumn("Actors", explode(split(col("Actors"), ", ")))
+      ctx.saveNodes(df.select(col("id"), col("title")), "Movie")
+      ctx.saveNodes(
+        df.select(col("Actors").as("name"))
+          .unionByName(df.select(col("Director").as("name"))),
+        "Person", primaryKey = "name")
+      ctx.saveEdges(df.select(col("Actors").as("start"), col("id").as("end")),
+        "ACTED_IN", "Person:name", "Movie:id")
+      ctx.saveEdges(df.select(col("Director").as("start"), col("id").as("end")),
+        "DIRECTED", "Person:name", "Movie:id")
+    }
+
+    // oscar.py — Award nodes + AWARDED_FOR edges against imdb's Person
+    etl.parser("parse_oscar", Map("source" -> "kaggle"),
+      sourcesPath = Seq("src/test/resources/fixtures/the_oscar_award.csv")) { ctx =>
+      val df = spark.read.option("header", "true")
+        .csv("src/test/resources/fixtures/the_oscar_award.csv")
+      ctx.saveNodes(df.select(col("category")), "Award", primaryKey = "category")
+      ctx.saveEdges(df.select(col("name").as("start"), col("category").as("end")),
+        "AWARDED_FOR", "Person:name", "Award:category")
+    }
+
+    // main.py — whitelist filter + OWL/SHACL callbacks
+    val filter = new GraphFilter()
+      .addEdges(Seq("AWARDED_FOR", "ACTED_IN"))
+      .addNodes(Seq("Movie", "Person", "Award"))
+    etl.init(filter = Some(filter),
+      callbacks = Seq(new OwlCallback(), new ShaclCallback()))
+    etl.parse()
+
+    // ---- golden catalog (normalized file names; layout = utils.py:99-119)
+    val cat = Catalog.fromJson(
+      Files.readString(java.nio.file.Paths.get(dir, "configs", "configs.json")))
+    assert(cat.nodes.keySet == Set("Movie", "Person", "Award"))
+    val movie = cat.nodes("Movie")
+    assert(movie.primary_key == "id")
+    assert(movie.properties_type == Map("id" -> "Int64", "title" -> "Utf8"))
+    assert(movie.files.values.map(_.count).sum == 8) // deduped from 21 exploded rows
+    assert(movie.files.values.forall(_.metadatas == Map("source" -> "kaggle")))
+    val person = cat.nodes("Person")
+    assert(person.primary_key == "name")
+    assert(person.properties_type == Map("name" -> "Utf8"))
+    assert(person.files.values.map(_.count).sum == 10) // 6 actors + 4 directors
+    assert(cat.nodes("Award").primary_key == "category")
+    assert(cat.nodes("Award").files.values.map(_.count).sum == 3) // distinct categories
+    assert(cat.edges.keySet == Set("ACTED_IN", "DIRECTED", "AWARDED_FOR"))
+    val acted = cat.edges("ACTED_IN").values
+    assert(acted.map(_.count).sum == 21)
+    // Person's pk IS name -> pass B leaves the endpoint spec untouched
+    assert(acted.forall(c => c.start == "Person:name" && c.end == "Movie:id"))
+    assert(cat.edges("AWARDED_FOR").values.forall(c =>
+      c.start == "Person:name" && c.end == "Award:category"))
+    assert(cat.edges("AWARDED_FOR").values.map(_.count).sum == 8)
+    // raw JSON carries the reference's field names at the reference's depth
+    val rawJson = Files.readString(java.nio.file.Paths.get(dir, "configs", "configs.json"))
+    Seq("\"nodes\"", "\"edges\"", "\"primary_key\"", "\"properties_type\"",
+      "\"metadatas\"", "\"count\"", "\"start\"", "\"end\"", "\"ignore_mapping\"")
+      .foreach(k => assert(rawJson.contains(k), s"catalog JSON missing $k"))
+
+    // ---- load + graph query (main.py loads Neo4JLoader; the in-session
+    // loader is the executable twin). The whitelist filter skips nothing
+    // here (no metadata filter -> skipParse=false; reference truth table).
+    val loader = new SparkGraphLoader(spark, edgeStrategy = "match")
+    etl.load(loader)
+
+    // callbacks rendered the schema files at load (callbacks.py save hook)
+    assert(Files.exists(java.nio.file.Paths.get(dir, "file.owl")))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "file.ttl")))
+    val owlText = Files.readString(java.nio.file.Paths.get(dir, "file.owl"))
+    assert(owlText.contains(":Movie a owl:Class"))
+    assert(owlText.contains(":AWARDED_FOR a owl:ObjectProperty"))
+    assert(loader.nodeTable("Movie").get.count() == 8)
+    assert(loader.nodeTable("Person").get.count() == 10)
+    assert(loader.nodeTable("Award").get.count() == 3)
+    assert(loader.edgeTable("ACTED_IN").get.count() == 21)
+    assert(loader.edgeTable("AWARDED_FOR").get.count() == 8)
+    // most-featured performer by ACTED_IN out-degree
+    val top = loader.edgeTable("ACTED_IN").get
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("src")).select("src").as[String].head()
+    assert(top == "Anna Keld") // 4 roles in the fixture
     etl.clear()
   }
 
