@@ -115,6 +115,13 @@ final class TigerGraphLoader extends Loader {
 
   val statements: mutable.Buffer[String] = mutable.Buffer.empty
 
+  // K11 limitation (documented): the reference parses per-file loaded-row
+  // counts out of the gsql RUN LOADING JOB output (tigergraph_loader.py:160)
+  // — that requires a live server. With no reachable TigerGraph in this
+  // environment the load methods return 0 and the caller's catalog keeps
+  // the authoritative staged counts; wiring a gsql client back in would
+  // only change the returned Long, not any statement generated here.
+
   /** Escape backslashes and double quotes before interpolating into a
     * double-quoted GSQL string literal (file paths, metadata constants) —
     * same injection/breakage class the Cypher generator guards against. */

@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{CorpusPipeline, Dedup, Similarity, TextAnalysis}
+
+/** Scaling-curve probe for the heaviest pipelines: times them at 1x/2x/5x
+  * the sf0.1 corpus to catch super-linear steps that single-SF numbers
+  * cannot (SCALE.md records the findings).
+  *
+  * Scaled corpora are unions of per-copy ALPHABET-ROTATED documents: a
+  * character bijection preserves shingle-set sizes and within-copy Jaccard
+  * structure exactly, while making cross-copy texts disjoint — so the
+  * near-dup workload (pairs per doc, bucket sizes) scales linearly like a
+  * real corpus, instead of quadratically like naive row duplication would.
+  * Embedding copies keep the vectors (per-row cost is what's probed) with
+  * offset ids; the query set is held CONSTANT so brute-force/IVF timings
+  * isolate corpus growth.
+  */
+object ScaleProbe {
+
+  private val alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  private def rotated(df: DataFrame, copies: Int, idCol: String, offset: Long): DataFrame =
+    (0 until copies).map { i =>
+      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      df.select(
+        (col(idCol) + lit(i * offset)).as(idCol),
+        translate(lower(col("text")), alpha, rot).as("text"))
+    }.reduce(_.unionByName(_))
+
+  private def time[A](body: => A): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb0.where(col("vec_id") % 500 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .cache()
+    queries.count()
+
+    val factors = args.drop(1).headOption.map(_.split(",").map(_.toInt).toSeq)
+      .getOrElse(Seq(1, 2, 5))
+    for (f <- factors) {
+      // stage the scaled corpus to parquet so every timed pipeline starts
+      // from a plain columnar scan, same as the benchmarked queries
+      val dPath = s"/tmp/graft_scale/docs_x$f"
+      val ePath = s"/tmp/graft_scale/emb_x$f"
+      rotated(docs0, f, "doc_id", 10_000_000L).write.mode("overwrite").parquet(dPath)
+      (0 until f).map(i => emb0.select((col("vec_id") + lit(i * 10_000_000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_.unionByName(_)).write.mode("overwrite").parquet(ePath)
+      val docs = spark.read.parquet(dPath)
+      val emb = spark.read.parquet(ePath)
+
+      val tMinhash = time(force(Dedup.minhashNearDuplicates(
+        docs, "doc_id", "text", 5, 128, 16, 0.5)))
+      val tClusters = time(force(Dedup.resolveDuplicateClusters(
+        Dedup.minhashNearDuplicates(docs, "doc_id", "text", 5, 128, 16, 0.5))))
+      val tFunnel = time(force(CorpusPipeline.funnel(docs, "doc_id", "text")))
+      val tRepetition = time(force(TextAnalysis.repetitionProfile(docs, "doc_id", "text")))
+      val tTopTerms = time(force(TextAnalysis.topTerms(docs, "doc_id", "text", 3)))
+      val tIvf = time(force(Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nlist = 16, nprobe = 8)))
+      println(f"""SCALE {"factor":$f, "minhash":$tMinhash%.2f, "clusters":$tClusters%.2f, "funnel":$tFunnel%.2f, "repetition":$tRepetition%.2f, "top_terms":$tTopTerms%.2f, "ivf_topk":$tIvf%.2f}""")
+    }
+    spark.stop()
+  }
+}
