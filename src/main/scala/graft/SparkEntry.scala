@@ -499,7 +499,7 @@ object SparkEntry {
     // ingested reference (docs <400) — batch survivors only. Value-checked:
     // the oracle recomputes exact all-cross-pairs char-5-gram Jaccard in
     // DuckDB, so the LSH candidates + verify must find exactly the
-    // above-threshold pairs (recall 1.0 on this data — see DedupGroundTruthSpec)
+    // above-threshold pairs (recall 1.0 on this data — see GroundTruthSpec)
     "q_cross_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val ref = d.where(col("doc_id") < 400)
@@ -664,7 +664,9 @@ object SparkEntry {
 
     // the composed training-data cleaning funnel: sanitize -> quality
     // filter -> exact dedup -> near-dup removal, reported as per-stage
-    // survivor counts (rows-only oracle: the near-dup stage is LSH-based)
+    // survivor counts — value-checked end-to-end by the q_clean_corpus
+    // oracle, which replays every stage in SQL (near-dup via exact pairs
+    // + recursive-CTE components)
     "q_clean_corpus" -> ((s, dir) => {
       graft.ext.CorpusPipeline.funnel(t(s, dir, "documents"), "doc_id", "text")
     }),
@@ -686,20 +688,20 @@ object SparkEntry {
     * oracles of every char-shingle LSH query: the LSH pipelines are verified
     * against exact all-pairs Jaccard, so their output must EQUAL the exact
     * ≥-threshold pair set (hash-match ⇒ precision and recall both 1.0). */
-  private val charShingleSql: String =
-    """sh AS (
+  private def charShingleSql(src: String): String =
+    s"""sh AS (
       |  SELECT doc_id,
       |    CASE WHEN len(s) = 0 THEN []
       |         WHEN len(s) <= 5 THEN [s]
       |         ELSE list_distinct(list_transform(range(1, len(s) - 3), i -> s[i:i+4]))
       |    END AS sh
-      |  FROM (SELECT doc_id, lower(text) AS s FROM documents))""".stripMargin
+      |  FROM (SELECT doc_id, lower(text) AS s FROM $src))""".stripMargin
 
   /** Exact all-pairs char-shingle Jaccard (id_a < id_b, empty-shingle docs
     * excluded exactly as the LSH banding excludes them). Raw double — the
     * int/int IEEE division is bit-identical between Spark and DuckDB. */
   private val charPairsSql: String =
-    s"""$charShingleSql,
+    s"""${charShingleSql("documents")},
       | pairs AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    cast(len(list_intersect(a.sh, b.sh)) AS double)
@@ -728,7 +730,7 @@ object SparkEntry {
         |SELECT src AS id, least(src, min(dst)) AS keep_id FROM reach GROUP BY src""".stripMargin,
 
     "q_cross_dedup" ->
-      s"""WITH $charShingleSql,
+      s"""WITH ${charShingleSql("documents")},
         | dup AS (
         |  SELECT DISTINCT b.doc_id
         |  FROM sh b JOIN sh r ON b.doc_id >= 400 AND r.doc_id < 400
@@ -776,13 +778,7 @@ object SparkEntry {
         | quality_docs AS (SELECT doc_id, text FROM q WHERE quality >= 0.2),
         | exact_keep AS (
         |  SELECT min(doc_id) AS doc_id, min(text) AS text FROM quality_docs GROUP BY text),
-        | sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(s) = 0 THEN []
-        |         WHEN len(s) <= 5 THEN [s]
-        |         ELSE list_distinct(list_transform(range(1, len(s) - 3), i -> s[i:i+4]))
-        |    END AS sh
-        |  FROM (SELECT doc_id, lower(text) AS s FROM exact_keep)),
+        | ${charShingleSql("exact_keep")},
         | pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id

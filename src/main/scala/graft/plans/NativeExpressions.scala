@@ -148,13 +148,27 @@ case class CharShingles(child: Expression, n: Int)
   override def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
     val out = new java.util.LinkedHashSet[String]()
-    // empty text -> empty shingle set (NOT {""}): empty docs must take the
+    // Windows advance by CODE POINT, not UTF-16 unit: the DuckDB ground-
+    // truth oracles slice by code point, and UTF-16 windows would also
+    // split surrogate pairs into invalid shingles on astral-plane text.
+    // (Residual caveat: locale-exotic lowercase mappings that change
+    // length, e.g. İ, can still differ between Java and DuckDB.)
+    // Empty text -> empty shingle set (NOT {""}): empty docs must take the
     // exact-dedup path, not collide into one quadratic LSH bucket
-    if (s.isEmpty) ()
-    else if (s.length <= n) out.add(s)
+    val cpCount = if (s.isEmpty) 0 else s.codePointCount(0, s.length)
+    if (cpCount == 0) ()
+    else if (cpCount <= n) out.add(s)
     else {
-      var i = 0
-      while (i + n <= s.length) { out.add(s.substring(i, i + n)); i += 1 }
+      var start = 0
+      var end = s.offsetByCodePoints(0, n)
+      out.add(s.substring(start, end))
+      var remaining = cpCount - n
+      while (remaining > 0) {
+        start = s.offsetByCodePoints(start, 1)
+        end = s.offsetByCodePoints(end, 1)
+        out.add(s.substring(start, end))
+        remaining -= 1
+      }
     }
     val arr = new Array[Any](out.size)
     val it = out.iterator()

@@ -21,13 +21,18 @@ object ScaleProbe {
 
   private val alpha = "abcdefghijklmnopqrstuvwxyz"
 
-  private def rotated(df: DataFrame, copies: Int, idCol: String, offset: Long): DataFrame =
+  private def rotated(df: DataFrame, copies: Int, idCol: String, offset: Long): DataFrame = {
+    // only 26 distinct rotations exist; past that, copies repeat verbatim
+    // and cross-copy exact duplicates make pair volume quadratic — the
+    // exact artifact this construction exists to avoid
+    require(copies <= 26, s"alphabet rotation supports at most 26 distinct copies, got $copies")
     (0 until copies).map { i =>
-      val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+      val rot = alpha.drop(i) + alpha.take(i)
       df.select(
         (col(idCol) + lit(i * offset)).as(idCol),
         translate(lower(col("text")), alpha, rot).as("text"))
     }.reduce(_.unionByName(_))
+  }
 
   private def time[A](body: => A): Double = {
     val t0 = System.nanoTime()

@@ -40,10 +40,14 @@ class GroundTruthSpec extends SparkSpec {
   }
 
   test("minhash LSH pairs EQUAL exact all-pairs char-shingle jaccard on this corpus") {
-    // the in-Spark twin of the DuckDB oracle: recall 1.0 is data-dependent
-    // (128 hashes / 16 bands ⇒ P[miss | j=0.5] ≈ (1-0.5^8)^16 ≈ 6%/pair at
-    // the exact threshold, far smaller for the well-separated planted
-    // dups); this spec pins that it actually holds on the shipped corpus
+    // the in-Spark twin of the DuckDB oracle: recall 1.0 is data-dependent.
+    // With 128 hashes / 16 bands of 8, a pair AT the 0.5 threshold would
+    // usually be missed (P[detect] = 1-(1-0.5^8)^16 ≈ 6%) — the guarantee
+    // holds because this corpus has no threshold-boundary pairs: every
+    // true pair has j ≥ 0.93, where P[miss] = (1-0.93^8)^16 ≈ 2e-6. This
+    // spec pins that separation (and the resulting equality) on the
+    // shipped corpus; a future corpus with near-threshold pairs would
+    // need more bands or a two-pass verify to keep the oracle exact.
     val lsh = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
       shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
       .select("id_a", "id_b").collect()
@@ -59,6 +63,22 @@ class GroundTruthSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.nonEmpty)
     assert(lsh == brute)
+  }
+
+  test("char shingles slice by code point, matching the DuckDB oracle on astral text") {
+    import spark.implicits._
+    // "a😀bcde" = 6 code points / 7 UTF-16 units: code-point windows give
+    // 2 shingles of 5; UTF-16 windows would give 3 (splitting the
+    // surrogate pair) and diverge from DuckDB len()/slicing
+    val df = Seq((1L, "a😀bcde")).toDF("doc_id", "text")
+    val sh = df.select(NativeExpressions.charShingles(col("text"), 5).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a😀bcd", "😀bcde"))
+    // a 5-code-point string (6 UTF-16 units) is a single whole-string shingle
+    val short = Seq((1L, "ab😀cd")).toDF("doc_id", "text")
+      .select(NativeExpressions.charShingles(col("text"), 5).as("sh"))
+      .as[Seq[String]].head()
+    assert(short == Seq("ab😀cd"))
   }
 
   test("IVF recall@5 >= 0.9 vs brute force at the q_embed_ivf_topk config") {
