@@ -22,10 +22,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
-  /** Distinct vertices with dense Long ids: (vid, label, id). */
+  /** Distinct vertices with dense Long ids: (vid, label, id). The distinct
+    * set is TOTALLY ORDERED before zipWithIndex: a lost executor recomputes
+    * dropped partitions through this lineage after the cache is released,
+    * and only a deterministic order guarantees the recomputed partitions
+    * assign the same vids the surviving ones hold — unordered distinct()
+    * output could silently rewire edges on fault recovery. One extra sort
+    * of (label, id) pairs, paid once per graph build. */
   def denseVertexIds(nodes: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     val distinctNodes = nodes.select(col("label"), col("id")).distinct()
+      .orderBy(col("label"), col("id"))
     val schema = distinctNodes.schema.add("vid", org.apache.spark.sql.types.LongType, false)
     val withIds = distinctNodes.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
@@ -100,7 +107,13 @@ object GraphOps {
     val spark = nodes.sparkSession
     val vids = denseVertexIds(nodes).cache()
     val g = toGraphXWithIds(vids, edges)
-    withVertexInfo(spark, vids, g.pageRank(tol).vertices, "pagerank")
+    val pr = g.pageRank(tol)
+    val out = withVertexInfo(spark, vids, pr.vertices, "pagerank")
+    // the output frame is materialized; release the interim graphs (a
+    // long-lived session calling several algorithms would otherwise pin
+    // every input AND result graph in the block manager until GC)
+    pr.unpersist(blocking = false); g.unpersist(blocking = false)
+    out
   }
 
   /** Connected components (undirected reachability). */
@@ -108,8 +121,10 @@ object GraphOps {
     val spark = nodes.sparkSession
     val vids = denseVertexIds(nodes).cache()
     val g = toGraphXWithIds(vids, edges)
-    withVertexInfo(spark, vids,
-      g.connectedComponents().vertices.mapValues(_.toDouble), "component")
+    val cc = g.connectedComponents()
+    val out = withVertexInfo(spark, vids, cc.vertices.mapValues(_.toDouble), "component")
+    cc.unpersist(blocking = false); g.unpersist(blocking = false)
+    out
   }
 
   /** Triangle counts per vertex. */
@@ -117,8 +132,10 @@ object GraphOps {
     val spark = nodes.sparkSession
     val vids = denseVertexIds(nodes).cache()
     val g = toGraphXWithIds(vids, edges)
-    withVertexInfo(spark, vids,
-      g.triangleCount().vertices.mapValues(_.toDouble), "triangles")
+    val tc = g.triangleCount()
+    val out = withVertexInfo(spark, vids, tc.vertices.mapValues(_.toDouble), "triangles")
+    tc.unpersist(blocking = false); g.unpersist(blocking = false)
+    out
   }
 
   /** Unweighted shortest-path hop counts from each vertex to the given
@@ -140,7 +157,10 @@ object GraphOps {
       .map { case (l, i) => col("label") === l && col("id") === i }
       .reduce(_ || _)
     val lmIds = vids.where(lmCond).select(col("vid")).collect().map(_.getLong(0))
-    require(lmIds.nonEmpty, s"no landmark matched the node set: $landmarks")
+    // every landmark must resolve: a silently-dropped typo would read as
+    // "unreachable from everywhere" instead of "nonexistent"
+    require(lmIds.length == landmarks.distinct.length,
+      s"only ${lmIds.length} of ${landmarks.distinct.length} landmarks matched the node set: $landmarks")
     val g = toGraphXWithIds(vids, edges)
     val result = ShortestPaths.run(g, lmIds.toIndexedSeq)
     val rows = result.vertices.flatMap { case (vid, spMap) =>
@@ -153,6 +173,7 @@ object GraphOps {
       .cache()
     out.count()
     vids.unpersist()
+    result.unpersist(blocking = false); g.unpersist(blocking = false)
     out
   }
 }

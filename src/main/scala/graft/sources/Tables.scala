@@ -34,12 +34,17 @@ object Tables {
       .format("parquet")
       .saveAsTable(tableName)
 
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
+  /** `ts` normalization shared by the batch and streaming event readers:
+    * TIMESTAMP(NANOS) surfaces as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and becomes a micros
+    * timestamp; an already-readable timestamp passes through. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw // already a readable timestamp unit
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
     }
-  }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
 }

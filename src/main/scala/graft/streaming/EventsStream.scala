@@ -27,8 +27,12 @@ object EventsStream {
     StructField("props", StringType)))
 
   def readStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // ts normalization shared with the batch reader (Tables.events) so the
+    // nanos->micros rule lives in exactly one place; if the fixture ever
+    // switches to a native TIMESTAMP, rawSchema must change with it (a
+    // streaming source requires an explicit schema)
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema).parquet(dir))
 
   /** Tumbling-window counts/sums per event type; late data bounded by the
     * watermark so state stays finite at any volume. */
@@ -125,6 +129,10 @@ object EventsStream {
     import spark.implicits._
     events
       .selectExpr("user_id", "event_type", "value")
+      // the typed conversion has non-nullable Long/Double slots: one NULL
+      // row would kill the query (and poison the checkpoint — every
+      // restart replays the same batch and dies); corrupt rows are dropped
+      .na.drop(Seq("user_id", "value"))
       .as[(Long, String, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
