@@ -56,6 +56,22 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 0.2)
   }
 
+  test("lshBandHashes rejects bad geometry loudly instead of empty-slice hashing") {
+    // a too-short signature used to hash empty slices: xxhash64(b, []) is
+    // the same for every row, collapsing the out-of-range bands into one
+    // everyone-matches bucket
+    intercept[IllegalArgumentException] { H.lshBandHashes(col("sig"), 0, 8) }
+    val sig = docs.limit(2).select(
+      H.minhashSignature(H.charShingles(col("text"), 5), 64).as("sig"))
+    val ex = intercept[Exception] {
+      sig.select(H.lshBandHashes(col("sig"), 16, 8).as("b")).collect()
+    }
+    assert(ex.getMessage.contains("needs 128"))
+    // well-formed geometry still works
+    assert(sig.select(H.lshBandHashes(col("sig"), 8, 8).as("b"))
+      .head().getSeq[Long](0).length == 8)
+  }
+
   test("simhash hamming distance is 0 for identical, small for near-dup, large for unrelated") {
     val fps = docs.select(col("doc_id"),
       H.simhash64(TF.tokens(lower(col("text")))).as("fp"))
