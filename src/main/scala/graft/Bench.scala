@@ -20,10 +20,15 @@ object Bench {
     val warmDirs = sys.env.get("SPARK_GRAFT_WARM_DIR").map(Seq(_))
       .getOrElse(Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
     warmDirs.foreach { warmDir =>
+      var failed = 0
       SparkEntry.queries.foreach { case (_, fn) =>
         try { fn(spark, warmDir).queryExecution.toRdd.count(): Unit }
-        catch { case _: Throwable => () }
+        catch { case _: Throwable => failed += 1 }
       }
+      // a silently-dead warm dir would make the timed pass measure JIT/
+      // codegen compilation — the exact distortion warm-up exists to avoid
+      if (failed > 0) System.err.println(
+        s"[bench] WARNING: $failed/${SparkEntry.queries.size} warm-up queries failed on $warmDir — timings may include first-run compilation")
     }
     // force FULL evaluation of the query's own plan: a bare .count() wraps
     // it in Aggregate(count(1)) and column pruning then deletes the very

@@ -1107,8 +1107,8 @@ object SparkEntry {
     "q_split_assign" ->
       """WITH assigned AS (
         |  SELECT doc_id,
-        |    CASE WHEN substring(md5('sp' || cast(doc_id AS varchar)), 1, 8) < 'cccccccc' THEN 'train'
-        |         WHEN substring(md5('sp' || cast(doc_id AS varchar)), 1, 8) < 'e6666666' THEN 'val'
+        |    CASE WHEN substring(md5('sp' || coalesce(cast(doc_id AS varchar), chr(0) || 'null')), 1, 8) < 'cccccccc' THEN 'train'
+        |         WHEN substring(md5('sp' || coalesce(cast(doc_id AS varchar), chr(0) || 'null')), 1, 8) < 'e6666666' THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents)
         |SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
@@ -1116,17 +1116,17 @@ object SparkEntry {
 
     "q_hash_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE substring(md5('s42' || cast(o_orderkey AS varchar)), 1, 8) < '40000000'""".stripMargin,
+        |WHERE substring(md5('s42' || coalesce(cast(o_orderkey AS varchar), chr(0) || 'null')), 1, 8) < '40000000'""".stripMargin,
 
     "q_corpus_mix" ->
       """SELECT source, count(*) AS n FROM documents
-        |WHERE substring(md5('mix' || cast(doc_id AS varchar)), 1, 8) <
+        |WHERE substring(md5('mix' || coalesce(cast(doc_id AS varchar), chr(0) || 'null')), 1, 8) <
         |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '80000000'
         |              WHEN 'src2' THEN '40000000' ELSE '20000000' END
         |GROUP BY source""".stripMargin,
 
     "q_shuffle_order" ->
-      """SELECT row_number() OVER (ORDER BY md5('ep1' || cast(c_custkey AS varchar)), c_custkey) - 1 AS "position",
+      """SELECT row_number() OVER (ORDER BY md5('ep1' || coalesce(cast(c_custkey AS varchar), chr(0) || 'null')), c_custkey) - 1 AS "position",
         | c_custkey
         |FROM customer""".stripMargin,
 

@@ -20,10 +20,10 @@ object Verify {
       // remove any pre-existing output FIRST: a stale parquet from an
       // earlier run must never pass verification for a query that now fails
       val target = Paths.get(s"$outDir/$name")
-      def deleteRecursively(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      }
+      // shared helper (closes its streams — a bare Files.walk leaks a
+      // directory fd per call until GC)
+      def deleteRecursively(p: java.nio.file.Path): Unit =
+        graft.etl.Context.deleteRecursively(p)
       deleteRecursively(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -91,7 +91,12 @@ object Catalog {
     case BooleanType               => "Boolean"
     case DateType                  => "Date"
     case _: TimestampType          => "Datetime"
-    case ArrayType(StringType, _)  => "List(Utf8)"
+    // EVERY array stages as a '|'-joined string (Normalize.joinStringArrays
+    // casts non-string elements first), so every array must catalog as
+    // List(Utf8) — recording e.g. array<bigint> would fall through the
+    // loaders' type switches to plain STRING and silently lose the
+    // arraySep list handling in Neo4j/TigerGraph
+    case _: ArrayType              => "List(Utf8)"
     case other                     => other.simpleString
   }
 

@@ -179,35 +179,39 @@ object Context {
       fileName: Long => String,
       chunkSize: Long,
       startChunk: Long): Seq[(String, Long)] = {
-    val chunked = Normalize.withChunkIds(df, chunkSize).cache()
+    // persist the INPUT before withChunkIds: zipWithIndex's partition-size
+    // job runs eagerly at construction — before any cache of the chunked
+    // frame could fill — so without this the whole normalize plan executed
+    // twice per staging call (once for sizes, once for the count/write)
+    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunked = Normalize.withChunkIds(input, chunkSize).cache()
     try {
       val total = chunked.count()
       if (total == 0) return Nil
       val nChunks = ((total + chunkSize - 1) / chunkSize).toInt
 
       val tmp = Files.createTempDirectory(dir, ".staging")
-      val tmpStr = tmp.toString
-      chunked
-        .repartition(nChunks, col("chunk"))
-        .write
-        .partitionBy("chunk")
-        .option("sep", ";")
-        .option("header", "true")
-        .mode("overwrite")
-        .csv(tmpStr)
+      try {
+        chunked
+          .repartition(nChunks, col("chunk"))
+          .write
+          .partitionBy("chunk")
+          .option("sep", ";")
+          .option("header", "true")
+          .mode("overwrite")
+          .csv(tmp.toString)
 
-      val out = (0 until nChunks).map { i =>
-        val chunkDir = tmp.resolve(s"chunk=$i")
-        val part = listDir(chunkDir).find(_.getFileName.toString.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(s"no part file for chunk $i"))
-        val name = fileName(startChunk + i)
-        Files.move(part, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-        val count = if (i < nChunks - 1) chunkSize else total - chunkSize * (nChunks - 1)
-        (name, count)
-      }
-      deleteRecursively(tmp)
-      out
-    } finally chunked.unpersist()
+        (0 until nChunks).map { i =>
+          val chunkDir = tmp.resolve(s"chunk=$i")
+          val part = listDir(chunkDir).find(_.getFileName.toString.startsWith("part-"))
+            .getOrElse(throw new IllegalStateException(s"no part file for chunk $i"))
+          val name = fileName(startChunk + i)
+          Files.move(part, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+          val count = if (i < nChunks - 1) chunkSize else total - chunkSize * (nChunks - 1)
+          (name, count)
+        }
+      } finally deleteRecursively(tmp) // also on failure: no orphaned .staging dirs
+    } finally { chunked.unpersist(); input.unpersist() }
   }
 
   /** Performance-path staging (SURVEY §2.6 W1 option (a)): one write pass
@@ -224,19 +228,20 @@ object Context {
       startChunk: Long): Seq[(String, Long)] = {
     val spark = df.sparkSession
     val tmp = Files.createTempDirectory(dir, ".staging")
-    df.write
-      .option("maxRecordsPerFile", chunkSize)
-      .option("sep", ";")
-      .option("header", "true")
-      .mode("overwrite")
-      .csv(tmp.toString)
-    val parts = listDir(tmp).filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
-    val renamed = parts.zipWithIndex.map { case (p, i) =>
-      val name = fileName(startChunk + i)
-      Files.move(p, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-      name
-    }
-    deleteRecursively(tmp)
+    val renamed = try {
+      df.write
+        .option("maxRecordsPerFile", chunkSize)
+        .option("sep", ";")
+        .option("header", "true")
+        .mode("overwrite")
+        .csv(tmp.toString)
+      val parts = listDir(tmp).filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
+      parts.zipWithIndex.map { case (p, i) =>
+        val name = fileName(startChunk + i)
+        Files.move(p, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+        name
+      }
+    } finally deleteRecursively(tmp) // also on failure: no orphaned .staging dirs
     if (renamed.isEmpty) return Nil
     // one distributed pass for per-file counts (minus the header line each)
     import org.apache.spark.sql.functions.{input_file_name, count => cnt, lit}
@@ -266,7 +271,7 @@ object Context {
     finally s.close()
   }
 
-  private[etl] def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }

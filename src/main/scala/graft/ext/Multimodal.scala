@@ -64,9 +64,12 @@ object Multimodal {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
-          // per-batch setup happens here (decoder/model init in real impl)
+          // per-batch setup happens here (decoder/model init in real impl).
+          // NULL payloads (a null source column encodes to null bytes)
+          // become zero-byte features instead of a task-killing NPE.
           batch.map { case (id, bytes, mime) =>
-            MediaFeatures(id, mime, bytes.length.toLong, decodeStub(bytes, mime))
+            val b = if (bytes == null) Array.emptyByteArray else bytes
+            MediaFeatures(id, mime, b.length.toLong, decodeStub(b, mime))
           }
         }
       }

@@ -30,9 +30,16 @@ object Sampling {
   }
 
   /** The md5-prefix gate value for a key (shared by every sampler so the
-    * family stays mutually consistent). */
+    * family stays mutually consistent). NULL keys hash a sentinel instead
+    * of null-propagating: otherwise keep-all sampling would silently drop
+    * null-key rows while splitAssign's otherwise-branch routed the same
+    * rows into the LAST split — inconsistent family semantics. The DuckDB
+    * oracles apply the same coalesce. */
+  private def saltedKey(key: Column, seed: String): Column =
+    concat(lit(seed), coalesce(key.cast("string"), lit("\u0000null")))
+
   private def gateValue(key: Column, seed: String): Column =
-    substring(md5(concat(lit(seed), key.cast("string"))), 1, 8)
+    substring(md5(saltedKey(key, seed)), 1, 8)
 
   /** The gate column: first 8 hex chars of md5(seed:key), lexicographically
     * below the fraction's threshold. Lowercase-hex compare == numeric
@@ -92,17 +99,21 @@ object Sampling {
     *
     * Scale shape: `orderBy` is a range-partitioned distributed sort (no
     * single-partition window), and positions come from `zipWithIndex` on
-    * the sorted partitions — one extra size-collection job, no extra
-    * shuffle, no driver materialization. */
+    * the sorted partitions. zipWithIndex's eager size job would otherwise
+    * run the FULL sort once and the consumer's action a second time, so
+    * the sorted rows are persisted across the two passes (MEMORY_AND_DISK,
+    * released by Spark's LRU once the result is dropped). */
   def shuffleOrder(df: DataFrame, keyCol: String, seed: String = "",
       posCol: String = "position"): DataFrame = {
     val spark = df.sparkSession
     val sorted = df
-      .withColumn("__sk", md5(concat(lit(seed), col(keyCol).cast("string"))))
+      .withColumn("__sk", md5(saltedKey(col(keyCol), seed)))
       .orderBy(col("__sk"), col(keyCol))
       .drop("__sk")
     val schema = sorted.schema.add(StructField(posCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) => Row.fromSeq(row.toSeq :+ idx) }
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rdd = sortedRdd.zipWithIndex().map { case (row, idx) => Row.fromSeq(row.toSeq :+ idx) }
     spark.createDataFrame(rdd, schema)
   }
 }

@@ -15,14 +15,18 @@ object TextFunctions {
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= "")
 
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** NULL text -> NULL count (size(null) is -1 under Spark's legacy
+    * default, which would poison sums); matches DuckDB's null-propagating
+    * len() in the oracles. */
+  def tokenCount(c: Column): Column = when(c.isNull, lit(null)).otherwise(size(tokens(c)))
 
   /** BPE-ish sub-word token count: letter runs, single digits, punctuation —
     * the classic pre-tokenizer split (letters | digit | non-space symbol). */
   def bpeishTokens(c: Column): Column =
     regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
 
-  def bpeishTokenCount(c: Column): Column = size(bpeishTokens(c))
+  def bpeishTokenCount(c: Column): Column =
+    when(c.isNull, lit(null)).otherwise(size(bpeishTokens(c)))
 
   /** Canonical normalization for fingerprinting: lowercase, strip everything
     * but `[a-z0-9 ]`, collapse whitespace. */
