@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.ext.Dedup
+
+/** Continuous corpus ingestion with incremental deduplication — the
+  * streaming form of the "dedupe today's crawl against the 100 TB already
+  * ingested" operation (`graft.ext.Dedup.crossCorpusNearDuplicatesStaged`).
+  *
+  * Shape: each micro-batch is (1) exact-deduped within itself (min-id
+  * keeper), (2) anti-joined against the near-duplicate pairs found by the
+  * staged-signature band join — the reference corpus is never self-joined
+  * and only its (id, bands) columns are scanned for candidate generation —
+  * and (3) appended to the output as an idempotently-overwritten
+  * `batch_id=` partition, so a replayed batch (checkpoint recovery)
+  * rewrites its own partition instead of duplicating rows: effectively
+  * exactly-once.
+  *
+  * The staged reference is NOT updated per batch: signature append is a
+  * separate compaction concern (a per-batch parquet append would fragment
+  * the staged table and race its readers); run [[Dedup.stageSignatures]]
+  * over accepted output on a compaction cadence instead. Batches therefore
+  * dedup against the reference as of staging time plus themselves — the
+  * same contract a daily-crawl pipeline runs with.
+  */
+object CorpusStream {
+
+  /** File-source stream over a directory of document parquet (streaming
+    * sources require an explicit schema — pass the batch table's). */
+  def readDocuments(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Start the dedup-ingest query (Trigger.AvailableNow: drains what is
+    * currently in the source directory, then stops — swap the trigger for
+    * continuous tailing in production). */
+  def dedupIngest(
+      docs: DataFrame, idCol: String, textCol: String,
+      stagedPath: String, outPath: String, checkpoint: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val b = batch.toDF()
+        val withinBatch = Dedup.exactDedup(b, idCol, Seq(textCol))
+        val dupIds = Dedup.crossCorpusNearDuplicatesStaged(
+          withinBatch, idCol, textCol, stagedPath,
+          shingleSize, numHashes, bands, threshold)
+          .select(col("new_id").as(idCol)).distinct()
+        withinBatch.join(dupIds, Seq(idCol), "left_anti")
+          .withColumn("batch_id", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -99,6 +99,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 1000L)
   }
 
+  test("streaming dedup-ingest matches the batch cross-corpus computation") {
+    import graft.ext.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ref = docs.where(col("doc_id") < 30)
+    val incoming = docs.where(col("doc_id") >= 30)
+    val work = java.nio.file.Files.createTempDirectory("graft-corpus-stream")
+    val staged = s"$work/staged"
+    val src = s"$work/incoming"
+    val out = s"$work/accepted"
+    Dedup.stageSignatures(ref, "doc_id", "text", staged, numHashes = 64, bands = 16)
+    incoming.write.parquet(src)
+
+    val q = CorpusStream.dedupIngest(
+      CorpusStream.readDocuments(spark, src, incoming.schema),
+      "doc_id", "text", staged, out, s"$work/ckpt",
+      numHashes = 64, bands = 16, threshold = 0.5)
+    q.awaitTermination()
+
+    // batch twin: exact within-batch dedup, then drop staged near-dups
+    val withinBatch = Dedup.exactDedup(incoming, "doc_id", Seq("text"))
+    val dupIds = Dedup.crossCorpusNearDuplicatesStaged(
+      withinBatch, "doc_id", "text", staged, numHashes = 64, bands = 16, threshold = 0.5)
+      .select(col("new_id").as("doc_id")).distinct()
+    val expected = withinBatch.join(dupIds, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val got = spark.read.parquet(out)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < incoming.count()) // something survived AND something deduped
+
+    // checkpoint-recovery idempotency: a restart with nothing new appends nothing
+    val q2 = CorpusStream.dedupIngest(
+      CorpusStream.readDocuments(spark, src, incoming.schema),
+      "doc_id", "text", staged, out, s"$work/ckpt",
+      numHashes = 64, bands = 16, threshold = 0.5)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == got.size.toLong)
+  }
+
   test("flatMapGroupsWithState keeps a running per-user profile") {
     val streamed = EventsStream.userProfiles(spark,
       EventsStream.readStream(spark, streamDir)).toDF()
