@@ -48,8 +48,16 @@ object ConnectionConfig {
     merged
   }
 
-  private[etl] def render(config: Map[String, String]): String =
+  private[etl] def render(config: Map[String, String]): String = {
+    // the cache is line-based YAML-lite: a value with a newline would
+    // silently truncate on reload (the continuation line has no colon and
+    // is dropped) — reject loudly instead of corrupting credentials
+    config.foreach { case (k, v) =>
+      require(!k.exists(c => c == '\n' || c == '\r') && !v.exists(c => c == '\n' || c == '\r'),
+        s"connection config entry '$k' must be single-line to round-trip through config.yaml")
+    }
     config.map { case (k, v) => s"$k: $v" }.mkString("", "\n", "\n")
+  }
 
   private[etl] def load(path: String): Map[String, String] =
     scala.jdk.CollectionConverters.ListHasAsScala(

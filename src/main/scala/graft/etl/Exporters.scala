@@ -40,6 +40,8 @@ final class OwlCallback(
       metadatas: Map[String, String], propertiesType: Map[String, String]): Unit =
     edgeDefs.getOrElseUpdate(edgeType, (startLabel, endLabel))
 
+  import Turtle.local
+
   def render(): String = {
     val sb = new StringBuilder
     sb ++= "@prefix : <http://graft.local/ontology#> .\n"
@@ -48,23 +50,23 @@ final class OwlCallback(
     sb ++= "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n\n"
     sb ++= ": a owl:Ontology .\n\n"
     nodeDefs.foreach { case (label, (props, metas)) =>
-      sb ++= s":$label a owl:Class ; rdfs:subClassOf owl:Thing .\n"
+      sb ++= s":${local(label)} a owl:Class ; rdfs:subClassOf owl:Thing .\n"
       props.toSeq.sortBy(_._1).foreach { case (p, t) =>
         xsd(t).foreach { x =>
           val kinds = "owl:DatatypeProperty" +:
             (if (functionalProps.contains(p)) Seq("owl:FunctionalProperty") else Nil)
-          sb ++= s":$p a ${kinds.mkString(", ")} ; rdfs:domain :$label ; rdfs:range $x .\n"
+          sb ++= s":${local(p)} a ${kinds.mkString(", ")} ; rdfs:domain :${local(label)} ; rdfs:range $x .\n"
         }
       }
       metas.keys.toSeq.sorted.foreach { k =>
-        sb ++= s":$k a owl:AnnotationProperty .\n"
+        sb ++= s":${local(k)} a owl:AnnotationProperty .\n"
       }
       sb ++= "\n"
     }
     edgeDefs.foreach { case (tpe, (s, e)) =>
       val kinds = "owl:ObjectProperty" +: edgeTraits.getOrElse(tpe, Nil).map("owl:" + _)
-      sb ++= s":$tpe a ${kinds.mkString(", ")} ; rdfs:domain :$s ; rdfs:range :$e .\n"
-      inverseOf.get(tpe).foreach(inv => sb ++= s":$tpe owl:inverseOf :$inv .\n")
+      sb ++= s":${local(tpe)} a ${kinds.mkString(", ")} ; rdfs:domain :${local(s)} ; rdfs:range :${local(e)} .\n"
+      inverseOf.get(tpe).foreach(inv => sb ++= s":${local(tpe)} owl:inverseOf :${local(inv)} .\n")
     }
     sb.result()
   }
@@ -104,20 +106,27 @@ final class ShaclCallback(functionalProps: Set[String] = Set.empty) extends Sche
       metadatas: Map[String, String], propertiesType: Map[String, String]): Unit =
     edgeDefs.getOrElseUpdate(edgeType, (startLabel, endLabel))
 
+  import Turtle.local
+
   def render(): String = {
     val sb = new StringBuilder
     sb ++= "@prefix : <http://graft.local/shapes#> .\n"
     sb ++= "@prefix sh: <http://www.w3.org/ns/shacl#> .\n"
+    sb ++= "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
     sb ++= "@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .\n\n"
     nodeDefs.foreach { case (label, (props, metas)) =>
-      sb ++= s":${label}Shape a sh:NodeShape ;\n  sh:targetClass :$label ;\n  sh:closed true ;\n"
+      // closed shapes must ignore rdf:type: every targeted instance carries
+      // it (sh:targetClass matches through it), so without the exemption
+      // every single node fails validation against its own shape
+      sb ++= s":${local(label)}Shape a sh:NodeShape ;\n  sh:targetClass :${local(label)} ;\n" +
+        "  sh:closed true ;\n  sh:ignoredProperties ( rdf:type ) ;\n"
       val propShapes = props.toSeq.sortBy(_._1).map { case (p, t) =>
         val max = if (functionalProps.contains(p)) " sh:maxCount 1 ;" else ""
-        s"  sh:property [ sh:path :$p ; sh:datatype ${xsd(t)} ;$max ]"
+        s"  sh:property [ sh:path :${local(p)} ; sh:datatype ${xsd(t)} ;$max ]"
       } ++ metas.keys.toSeq.sorted.map { k =>
-        s"  sh:property [ sh:path :$k ; sh:datatype xsd:string ; ]"
+        s"  sh:property [ sh:path :${local(k)} ; sh:datatype xsd:string ; ]"
       } ++ edgeDefs.collect { case (tpe, (s, e)) if s == label =>
-        s"  sh:property [ sh:path :$tpe ; sh:class :$e ; sh:nodeKind sh:IRI ; ]"
+        s"  sh:property [ sh:path :${local(tpe)} ; sh:class :${local(e)} ; sh:nodeKind sh:IRI ; ]"
       }
       sb ++= propShapes.mkString(" ;\n")
       sb ++= " .\n\n"
@@ -128,5 +137,23 @@ final class ShaclCallback(functionalProps: Set[String] = Set.empty) extends Sche
   override def save(catalog: Catalog, outputDir: String): Unit = {
     Files.createDirectories(Paths.get(outputDir))
     Files.writeString(Paths.get(outputDir, "file.ttl"), render())
+  }
+}
+
+/** Turtle serialization helpers shared by the schema exporters. */
+private[etl] object Turtle {
+  /** Serialize an arbitrary name (Spark column, label, metadata key) as a
+    * prefixed-name local part: characters outside the portable
+    * [A-Za-z0-9_-] subset are percent-encoded per UTF-8 byte (PN_LOCAL's
+    * PERCENT production), so 'first name' or 'price($)' still parse. */
+  def local(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case c if (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || c == '-' => sb += c
+      case c => c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => sb ++= f"%%${b & 0xff}%02X")
+    }
+    sb.result()
   }
 }

@@ -26,11 +26,15 @@ final case class ScoredId(id: Long, score: Double)
 class TopKAggregator(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
   require(k > 0, "k must be positive")
 
-  /** Total order via Double.compare — NaN sorts above every value and
-    * -0.0 below 0.0, matching Spark's DoubleType descending sort so the
-    * aggregator and the window top-k agree even on pathological scores. */
+  /** Total order matching Spark's DoubleType sort (nanSafeCompareDoubles):
+    * NaN sorts above every value, and -0.0 TIES with 0.0 (primitive `==`,
+    * unlike raw Double.compare which ranks 0.0 above -0.0 and would let
+    * the aggregator and the window top-k disagree at the k boundary);
+    * score ties break by ascending id. */
   private def better(a: ScoredId, b: ScoredId): Boolean = {
-    val c = java.lang.Double.compare(a.score, b.score)
+    val c =
+      if (a.score == b.score) 0 // -0.0 == 0.0: tie, like Spark's sort
+      else java.lang.Double.compare(a.score, b.score) // NaN handled: both-NaN -> 0
     c > 0 || (c == 0 && a.id < b.id)
   }
 

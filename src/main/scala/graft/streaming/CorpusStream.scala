@@ -10,14 +10,17 @@ import graft.ext.Dedup
   * streaming form of the "dedupe today's crawl against the 100 TB already
   * ingested" operation (`graft.ext.Dedup.crossCorpusNearDuplicatesStaged`).
   *
-  * Shape: each micro-batch is (1) exact-deduped within itself (min-id
-  * keeper), (2) anti-joined against the near-duplicate pairs found by the
-  * staged-signature band join — the reference corpus is never self-joined
-  * and only its (id, bands) columns are scanned for candidate generation —
-  * and (3) appended to the output as an idempotently-overwritten
-  * `batch_id=` partition, so a replayed batch (checkpoint recovery)
-  * rewrites its own partition instead of duplicating rows: effectively
-  * exactly-once.
+  * Shape: each micro-batch is (1) exact- and NEAR-deduped within itself
+  * (min-id keeper; the same article crawled from two URLs in one batch is
+  * LSH-caught, not just byte-equal dups), (2) anti-joined against the
+  * near-duplicate pairs found by the staged-signature band join — the
+  * reference corpus is never self-joined and only its (id, bands) columns
+  * are scanned for candidate generation — and (3) appended to the output
+  * as an idempotently-overwritten `batch_id=` partition, so a replayed
+  * batch (checkpoint recovery) rewrites its own partition instead of
+  * duplicating rows: effectively exactly-once. A not-yet-staged reference
+  * (first deploy, nothing ingested) is treated as empty rather than a
+  * query-killing read error — the bootstrap batch only self-dedups.
   *
   * The staged reference is NOT updated per batch: signature append is a
   * separate compaction concern (a per-batch parquet append would fragment
@@ -45,20 +48,28 @@ object CorpusStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val b = batch.toDF()
-        val withinBatch = Dedup.exactDedup(b, idCol, Seq(textCol))
-        val dupIds = Dedup.crossCorpusNearDuplicatesStaged(
-          withinBatch, idCol, textCol, stagedPath,
-          shingleSize, numHashes, bands, threshold)
-          .select(col("new_id").as(idCol)).distinct()
-        withinBatch.join(dupIds, Seq(idCol), "left_anti")
-          .withColumn("batch_id", lit(batchId))
-          .write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(outPath)
-        ()
+        val spark = batch.sparkSession
+        // cached: the near-dup candidate/verify branches and the final
+        // anti-join would otherwise recompute the dedup window 3x per batch
+        // (the batch twin CorpusPipeline.funnel caches the same stage)
+        val exact = Dedup.exactDedup(batch.toDF(), idCol, Seq(textCol)).cache()
+        try {
+          val withinPairs = Dedup.minhashNearDuplicates(
+            exact, idCol, textCol, shingleSize, numHashes, bands, threshold)
+          val withinBatch = Dedup.dropNearDuplicates(exact, idCol, withinPairs)
+          val fs = new org.apache.hadoop.fs.Path(stagedPath)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val survivors =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(stagedPath))) withinBatch
+            else {
+              val dupIds = Dedup.crossCorpusNearDuplicatesStaged(
+                withinBatch, idCol, textCol, stagedPath,
+                shingleSize, numHashes, bands, threshold)
+                .select(col("new_id").as(idCol)).distinct()
+              withinBatch.join(dupIds, Seq(idCol), "left_anti")
+            }
+          EventsStream.writeBatchPartition(survivors, batchId, outPath)
+        } finally exact.unpersist()
       }
       .trigger(Trigger.AvailableNow())
       .start()

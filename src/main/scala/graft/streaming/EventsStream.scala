@@ -109,16 +109,23 @@ object EventsStream {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write
-          .mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .parquet(outPath)
-        ()
+        EventsStream.writeBatchPartition(batch.toDF(), batchId, outPath)
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The idempotent micro-batch sink recipe, shared by every foreachBatch
+    * writer: dynamic overwrite of the batch's own `batch_id=` partition,
+    * so checkpoint replay rewrites rather than duplicates. */
+  private[streaming] def writeBatchPartition(
+      df: DataFrame, batchId: Long, outPath: String): Unit = {
+    df.withColumn("batch_id", lit(batchId))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outPath)
+  }
 
   /** Custom keyed state via `flatMapGroupsWithState`: per-user running
     * profile (event count, value sum, distinct-type count) emitted on every

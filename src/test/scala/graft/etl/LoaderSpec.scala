@@ -266,7 +266,29 @@ class LoaderSpec extends SparkSpec {
     val ttl = shacl.render()
     assert(ttl.contains(":PersonShape a sh:NodeShape"))
     assert(ttl.contains("sh:closed true"))
+    // closed shapes must exempt rdf:type or every typed instance fails
+    assert(ttl.contains("sh:ignoredProperties ( rdf:type )"))
     assert(ttl.contains("sh:maxCount 1"))
     assert(ttl.contains("sh:nodeKind sh:IRI"))
+  }
+
+  test("exporters percent-encode names that are not valid Turtle local parts") {
+    val owl = new OwlCallback()
+    owl.onSaveNodes("My Label", Map("first name" -> "Utf8", "price($)" -> "Float64"),
+      Map.empty, "first name", Nil, Nil)
+    val text = owl.render()
+    assert(text.contains(":My%20Label a owl:Class"))
+    assert(text.contains(":first%20name a owl:DatatypeProperty"))
+    assert(text.contains(":price%28%24%29"))
+    assert(!text.contains(": price")) // no bare space leaked into a name
+  }
+
+  test("connection config rejects multi-line values instead of truncating on reload") {
+    val dir = Files.createTempDirectory("graft-conn-nl").toString
+    val ex = intercept[IllegalArgumentException] {
+      ConnectionConfig.resolve(dir, ConnectionConfig.Neo4jDefaults,
+        Map("password" -> "abc\ndef"))
+    }
+    assert(ex.getMessage.contains("single-line"))
   }
 }

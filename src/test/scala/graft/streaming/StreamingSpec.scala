@@ -117,8 +117,11 @@ class StreamingSpec extends SparkSpec {
       numHashes = 64, bands = 16, threshold = 0.5)
     q.awaitTermination()
 
-    // batch twin: exact within-batch dedup, then drop staged near-dups
-    val withinBatch = Dedup.exactDedup(incoming, "doc_id", Seq("text"))
+    // batch twin: exact + near within-batch dedup, then drop staged near-dups
+    val exact = Dedup.exactDedup(incoming, "doc_id", Seq("text"))
+    val withinBatch = Dedup.dropNearDuplicates(exact, "doc_id",
+      Dedup.minhashNearDuplicates(exact, "doc_id", "text",
+        numHashes = 64, bands = 16, threshold = 0.5))
     val dupIds = Dedup.crossCorpusNearDuplicatesStaged(
       withinBatch, "doc_id", "text", staged, numHashes = 64, bands = 16, threshold = 0.5)
       .select(col("new_id").as("doc_id")).distinct()
@@ -136,6 +139,19 @@ class StreamingSpec extends SparkSpec {
       numHashes = 64, bands = 16, threshold = 0.5)
     q2.awaitTermination()
     assert(spark.read.parquet(out).count() == got.size.toLong)
+
+    // bootstrap: no staged reference yet -> the batch only self-dedups
+    // instead of dying on a missing path
+    val q3 = CorpusStream.dedupIngest(
+      CorpusStream.readDocuments(spark, src, incoming.schema),
+      "doc_id", "text", s"$work/never_staged", s"$work/boot_out", s"$work/boot_ckpt",
+      numHashes = 64, bands = 16, threshold = 0.5)
+    q3.awaitTermination()
+    val bootIds = spark.read.parquet(s"$work/boot_out")
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val expectedBoot = withinBatch
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(bootIds == expectedBoot)
   }
 
   test("flatMapGroupsWithState keeps a running per-user profile") {
