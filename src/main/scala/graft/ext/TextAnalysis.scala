@@ -103,25 +103,34 @@ object TextAnalysis {
   /** Repetition profile (Gopher-style repetition filter): per document,
     * the share of bigram positions occupied by its single most frequent
     * bigram — near 1.0 flags looping/boilerplate text. Integer counts plus
-    * one final division keep it engine-portable. Explode + two bounded
-    * aggregations, partitioned by document, no window. */
+    * one final division keep it engine-portable.
+    *
+    * ZERO-shuffle shape: the most frequent bigram's count equals the
+    * longest run of equal elements in the row's SORTED bigram array, so
+    * the whole metric is a per-row projection (array_sort + one aggregate
+    * fold) — a per-document statistic should never pay an explode plus two
+    * shuffled aggregations, which is what this replaced. */
   def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = T.tokens(lower(col(textCol)))
     val base = df.select(col(idCol), toks.as("__toks")).where(size(col("__toks")) >= 2)
-    val bi = base.select(
-      col(idCol),
+    val bigrams = zip_with(
+      slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+      slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val maxRun = aggregate(
+      array_sort(bigrams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    base.select(col(idCol),
       (size(col("__toks")) - 1).cast("long").as("n_bigrams"),
-      explode(zip_with(
-        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
-        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
-        (a, b) => concat_ws(" ", a, b))).as("bigram"))
-    bi.groupBy(col(idCol), col("n_bigrams"), col("bigram"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol), col("n_bigrams"))
-      .agg(max(col("c")).as("max_c"))
-      .select(col(idCol), col("n_bigrams"), col("max_c"),
-        (col("max_c").cast("double") / col("n_bigrams").cast("double"))
-          .as("top_bigram_share"))
+      maxRun.as("max_c"),
+      (maxRun.cast("double") / (size(col("__toks")) - 1).cast("double"))
+        .as("top_bigram_share"))
   }
 
   /** Corpus-wide top-k adjacent-token bigrams (n desc, bigram asc).
