@@ -89,6 +89,14 @@ class PlanSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("repetition profile is a zero-shuffle per-row projection") {
+    val docs = graft.sources.Tables.read(spark, dir, "documents")
+    val p = graft.ext.TextAnalysis.repetitionProfile(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), "a per-document statistic must not shuffle")
+    assert(!p.contains("Generate"), "the sorted-run form must not explode bigrams")
+  }
+
   test("IVF centroid assignment is a narrow projection (no corpus shuffle/window)") {
     import org.apache.spark.sql.functions._
     val emb = graft.sources.Tables.read(spark, dir, "embeddings")
