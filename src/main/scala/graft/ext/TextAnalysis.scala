@@ -126,11 +126,14 @@ object TextAnalysis {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
+    // max_c lands in its own projection first: referencing maxRun twice in
+    // one select would inline (and evaluate) the sort+fold tree twice per
+    // row — HOF subtrees are not subexpression-eliminated
     base.select(col(idCol),
       (size(col("__toks")) - 1).cast("long").as("n_bigrams"),
-      maxRun.as("max_c"),
-      (maxRun.cast("double") / (size(col("__toks")) - 1).cast("double"))
-        .as("top_bigram_share"))
+      maxRun.as("max_c"))
+      .withColumn("top_bigram_share",
+        col("max_c").cast("double") / col("n_bigrams").cast("double"))
   }
 
   /** Corpus-wide top-k adjacent-token bigrams (n desc, bigram asc).
