@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// raw stdout for the forked run: the driver machine-parses Bench's one-line
+// JSON from the process tail, and sbt's default LoggedOutput prefixes every
+// line with "[info] " (and can interleave), corrupting it
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -54,11 +54,16 @@ object Bench {
       val b = pass2.getOrElse(name, -1.0)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the whole line under ~2 KB: the driver
+    // captures only a bounded tail of stdout, and full-precision doubles for
+    // ~70 queries overflow it, truncating the line mid-JSON (rounds 1-3 all
+    // recorded parsed:null for exactly this reason)
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinels) must not DEFLATE the total
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

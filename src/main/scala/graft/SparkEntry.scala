@@ -453,6 +453,13 @@ object SparkEntry {
       TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
     }),
 
+    // corpus inverted index: per term df / total tf / bounded posting head
+    // (the 20 smallest doc ids) — the search/IDF primitive; full posting
+    // lists are never materialized (web-scale terms would dwarf a task)
+    "q_inverted_index" -> ((s, dir) => {
+      TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text", maxPostings = 20)
+    }),
+
     // corpus-wide top-20 bigrams (TakeOrdered, deterministic tie-break)
     "q_bigrams" -> ((s, dir) => {
       TextAnalysis.topBigrams(t(s, dir, "documents"), "text", k = 20)
@@ -520,9 +527,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
 
-    // SimHash near-duplicate pairs (rows-only oracle)
+    // SimHash near-duplicate pairs, portable md5 hash family — the oracle
+    // rebuilds every 64-bit fingerprint in DuckDB (same token hash, same
+    // vote arithmetic) and takes exact all-pairs Hamming ≤ 3. Recall 1.0 is
+    // UNCONDITIONAL here: 4-band pigeonhole on a 64-bit fp cannot miss a
+    // pair within Hamming 3, so LSH output == exact output on any corpus.
     "q_simhash_near_dup" -> ((s, dir) => {
-      Dedup.simhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, portableHash = true)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
     }),
 
     // word-3-gram Jaccard near-dup pairs — value-checked against exact
@@ -609,8 +622,10 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine_r"))
     }),
 
-    // multimodal plumbing: binary payload + metadata + batch feature stub
-    // (rows-only oracle: payload hashing not portable)
+    // multimodal plumbing: binary payload + metadata + batch feature stub.
+    // The metadata derivation uses the portable md5-prefix family, so the
+    // oracle value-checks the full (id, mime, byte-length) projection —
+    // including the mapPartitions batch path's null-payload handling.
     "q_multimodal_features" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(media).toDF()
@@ -739,6 +754,44 @@ object SparkEntry {
         |        / len(list_distinct(list_concat(b.sh, r.sh))) >= 0.5)
         |SELECT doc_id, md5(text) AS text_hash FROM documents
         |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
+
+    // rebuilds the md5-family SimHash fingerprint per document — same token
+    // hash (first 8 md5 bytes big-endian), same ±1 vote arithmetic, same
+    // strict >0 bit rule — then takes exact all-pairs Hamming ≤ 3. The
+    // 4-band pigeonhole cannot miss a pair within Hamming 3, so the LSH
+    // output must equal this exact set on ANY corpus (not a data-dependent
+    // recall argument). Plain triple-quote: \s reaches DuckDB unescaped.
+    "q_simhash_near_dup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE tok <> ''),
+        | th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+        | votes AS (
+        |  SELECT doc_id, b.bit AS bit,
+        |    sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(range(0, 64)) AS bit) b
+        |  GROUP BY doc_id, b.bit),
+        | fp AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 THEN 1::HUGEINT << bit ELSE 0::HUGEINT END)::UBIGINT AS fp
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.fp, b.fp))::BIGINT AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
+
+    // the portable-md5 metadata derivation plus byte length of the UTF-8
+    // payload — value-checks the mapPartitions feature path end to end
+    // (including null payloads becoming 0-byte features)
+    "q_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  (['image/png', 'image/jpeg', 'audio/wav'])[
+        |    cast(('0x' || substr(md5('mime:' || cast(doc_id AS varchar)), 1, 8))::UBIGINT % 3 + 1 AS int)] AS mime,
+        |  cast(coalesce(octet_length(encode(text)), 0) AS bigint) AS n_bytes
+        |FROM documents""".stripMargin,
 
     // the full cleaning funnel, replayed stage by stage: sanitize (scrub
     // pattern), the composite quality formula, exact dedup (min-id keeper),
@@ -1066,6 +1119,16 @@ object SparkEntry {
         |  cast(least(50, len(toks) - start) AS bigint) AS n_chunk_tokens,
         |  md5(array_to_string(list_slice(toks, start + 1, start + 50), ' ')) AS chunk_hash
         |FROM s""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        | tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
+        |SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf_total,
+        |  array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings
+        |FROM tf GROUP BY term""".stripMargin,
 
     "q_top_terms" ->
       """WITH terms AS (

@@ -110,17 +110,23 @@ final class Neo4jLoader(
 
 /** GSQL bulk-load text generation — parity with
   * graph_etl/tigergraph_loader.py (schema-change job :139-149,239-251 and
-  * loading job :151-165,253-267). Pure generator, like [[Neo4jLoader]]. */
-final class TigerGraphLoader extends Loader {
+  * loading job :151-165,253-267). Pure generator, like [[Neo4jLoader]].
+  *
+  * @param gsqlRunner optional gsql client: given a statement batch, runs it
+  *   against a live TigerGraph and returns the textual gsql output. When
+  *   present, load methods execute each statement as it is generated and
+  *   return the loaded-row count parsed from the RUN LOADING JOB output
+  *   (tigergraph_loader.py:159-160); when absent (no server reachable —
+  *   this environment), they return 0 and the caller's catalog keeps the
+  *   authoritative staged counts. Statement GENERATION is identical either
+  *   way, which is what the golden tests pin. */
+final class TigerGraphLoader(gsqlRunner: Option[String => String] = None) extends Loader {
 
   val statements: mutable.Buffer[String] = mutable.Buffer.empty
 
-  // K11 limitation (documented): the reference parses per-file loaded-row
-  // counts out of the gsql RUN LOADING JOB output (tigergraph_loader.py:160)
-  // — that requires a live server. With no reachable TigerGraph in this
-  // environment the load methods return 0 and the caller's catalog keeps
-  // the authoritative staged counts; wiring a gsql client back in would
-  // only change the returned Long, not any statement generated here.
+  /** Run a statement through the configured gsql client (if any) and hand
+    * back its output; generation-only mode returns None. */
+  private def run(statement: String): Option[String] = gsqlRunner.map(_(statement))
 
   /** Escape backslashes and double quotes before interpolating into a
     * double-quoted GSQL string literal (file paths, metadata constants) —
@@ -160,7 +166,8 @@ final class TigerGraphLoader extends Loader {
          |  DEFINE FILENAME f = "${esc(filePath)}";
          |  LOAD f TO VERTEX $label VALUES($cols) USING header="true", separator=";";
          |} RUN LOADING JOB load_$label DROP JOB load_$label""".stripMargin
-    0L
+    run(statements.takeRight(2).mkString("\n"))
+      .map(TigerGraphLoader.parseLoadedCount).getOrElse(0L)
   }
 
   override def loadEdges(
@@ -181,6 +188,24 @@ final class TigerGraphLoader extends Loader {
          |  DEFINE FILENAME f = "${esc(filePath)}";
          |  LOAD f TO EDGE $edgeType VALUES($cols) USING header="true", separator=";";
          |} RUN LOADING JOB load_$edgeType DROP JOB load_$edgeType""".stripMargin
-    0L
+    run(statements.takeRight(2).mkString("\n"))
+      .map(TigerGraphLoader.parseLoadedCount).getOrElse(0L)
   }
+}
+
+object TigerGraphLoader {
+  /** Loaded-row count from gsql RUN LOADING JOB output: the first summary
+    * row naming the csv file — `| file.csv | <lines> | <loaded> | ... |` —
+    * column 3 (tigergraph_loader.py:160's
+    * `int(line for ".csv |" in line).split("|")[3]`, made total: no
+    * matching line or a non-numeric cell yields 0 instead of throwing
+    * mid-load). */
+  def parseLoadedCount(gsqlOutput: String): Long =
+    gsqlOutput.linesIterator
+      .find(_.contains(".csv |"))
+      .flatMap { line =>
+        val cells = line.split('|')
+        if (cells.length > 3) cells(3).trim.toLongOption else None
+      }
+      .getOrElse(0L)
 }

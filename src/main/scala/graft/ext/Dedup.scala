@@ -119,14 +119,17 @@ object Dedup {
     * guaranteed by the 4-band pigeonhole; larger values may miss pairs). */
   def simhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, portableHash: Boolean = false): DataFrame = {
     // fused tokenize+hash, one loop per row; token-less docs get a NULL
     // fingerprint (they all hash to the degenerate fp=0 otherwise — same
     // quadratic-pairing hazard as empty shingle sets) and exit the
-    // pipeline at posexplode via the null-propagated band array
-    val fps = df.select(
-      col(idCol).as("id"),
-      NativeExpressions.simhashText(col(textCol)).as("fp"))
+    // pipeline at posexplode via the null-propagated band array.
+    // portableHash swaps the xxhash64 token family for md5-lower-64 so a
+    // SQL engine can rebuild the fingerprints — the correctness-gate
+    // variant; the default family is ~10× faster per token.
+    val fpExpr = if (portableHash) NativeExpressions.simhashTextPortable(col(textCol))
+                 else NativeExpressions.simhashText(col(textCol))
+    val fps = df.select(col(idCol).as("id"), fpExpr.as("fp"))
     val bandArr = when(col("fp").isNull, lit(null)).otherwise(H.simhashBands(col("fp")))
     val buckets = fps.select(col("id"), posexplode(bandArr).as(Seq("band", "bval")))
     val a = buckets.select(col("band"), col("bval"), col("id").as("id_a"))

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One decoded/featurized media row. `features` is what a real decoder
@@ -32,16 +32,24 @@ object Multimodal {
     * meta STRUCT<mime, n_bytes, width, height>). */
   def asMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bytes = encode(col(textCol), "UTF-8")
+    // deterministic fake metadata from the engine-portable md5-prefix idiom
+    // (same family as graft.ext.Sampling): the first 8 hex chars of
+    // md5(salt:id) parsed as a 32-bit value — DuckDB computes the identical
+    // number via ('0x' || substr(md5(...), 1, 8))::UBIGINT, so the metadata
+    // derivation is value-checkable by a SQL oracle (xxhash64 is not)
+    def hash32(salt: String): Column =
+      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8), 16, 10)
+        .cast("long")
     df.select(
       col(idCol).as("media_id"),
       bytes.as("content"),
       struct(
         // mime derived deterministically — stand-in for real sniffing
         element_at(array(lit("image/png"), lit("image/jpeg"), lit("audio/wav")),
-          (pmod(xxhash64(col(idCol)), lit(3)) + 1).cast("int")).as("mime"),
+          ((hash32("mime:") % 3) + 1).cast("int")).as("mime"),
         length(bytes).cast("long").as("n_bytes"),
-        (pmod(xxhash64(col(idCol), lit(1)), lit(1920)) + 1).cast("int").as("width"),
-        (pmod(xxhash64(col(idCol), lit(2)), lit(1080)) + 1).cast("int").as("height")).as("meta"))
+        ((hash32("w:") % 1920) + 1).cast("int").as("width"),
+        ((hash32("h:") % 1080) + 1).cast("int").as("height")).as("meta"))
   }
 
   /** STUB decode kernel — deterministic fake features from the payload

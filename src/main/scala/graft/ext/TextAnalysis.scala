@@ -100,6 +100,42 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** Inverted index over the corpus: one row per term with its document
+    * frequency, total term frequency, and a BOUNDED posting-list head (the
+    * `maxPostings` smallest doc ids, comma-joined). The full posting list
+    * is never materialized — at web scale a frequent term's postings dwarf
+    * an executor; consumers that need full lists read the (term, doc_id,
+    * tf) frame this is built from.
+    *
+    * Scale: explode → (term, doc) tf [shuffle 1] → ONE term-partitioned
+    * exchange shared by everything term-wise: df and tf_total as unordered
+    * count/sum windows, the posting head via row_number ≤ maxPostings
+    * (rank-filter form, so InferWindowGroupLimit prunes per-term rows
+    * map-side), and the final per-term fold reuses the same partitioning —
+    * no self-join, no second pass over the corpus. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df
+      .select(col(idCol).as("doc_id"), explode(T.tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val wAll = Window.partitionBy(col("term"))
+    val wOrd = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    tf
+      .withColumn("df", count(lit(1)).over(wAll))
+      .withColumn("tf_total", sum(col("tf")).over(wAll))
+      .withColumn("__rn", row_number().over(wOrd))
+      .where(col("__rn") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(
+        max(col("df")).as("df"),
+        max(col("tf_total")).as("tf_total"),
+        // ≤ maxPostings elements; sort_array makes the head order
+        // deterministic regardless of collect_list's arrival order
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("postings"))
+  }
+
   /** Repetition profile (Gopher-style repetition filter): per document,
     * the share of bigram positions occupied by its single most frequent
     * bigram — near 1.0 flags looping/boilerplate text. Integer counts plus

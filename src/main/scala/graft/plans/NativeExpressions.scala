@@ -66,6 +66,14 @@ object NativeExpressions {
     * row). */
   def simhashText(text: Column): Column = toCol(SimHashText(toExpr(text)))
 
+  /** [[simhashText]] with an md5-lower-64 token hash instead of xxhash64:
+    * engine-portable (DuckDB can rebuild the exact fingerprint from
+    * `substr(md5(tok),1,16)`), so the whole SimHash pipeline becomes
+    * value-checkable against a SQL oracle. ~10× slower per token than the
+    * xxhash64 family — use the default for production corpora and this one
+    * where cross-engine reproducibility matters more than hash throughput. */
+  def simhashTextPortable(text: Column): Column = toCol(SimHashTextMd5(toExpr(text)))
+
   /** Per-band random-hyperplane sign signatures over a float/double array,
     * all bands in one evaluation (same fusion rationale as
     * [[minhashBands]]). `planes.length` must be a multiple of `bands`. */
@@ -322,6 +330,56 @@ case class SimHashText(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): SimHashText = copy(child = c)
+}
+
+/** [[SimHashText]] with the md5-lower-64 token hash family: the token hash
+  * is the first 8 bytes of `md5(token)` read big-endian — exactly the value
+  * DuckDB computes as `('0x' || substr(md5(tok), 1, 16))::UBIGINT` — so a
+  * SQL oracle can rebuild the fingerprints bit-for-bit. Tokenization is
+  * identical to [[SimHashText]] (lowercase, `\s+` split, drop empties). */
+case class SimHashTextMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_text_md5"
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    if (tokens.isEmpty) return null
+    val md = SimHashTextMd5.digest.get()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      md.reset()
+      val d = md.digest(tokens(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 8 digest bytes, big-endian — matches hex-prefix parsing
+      var h = 0L
+      var k = 0
+      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashTextMd5 = copy(child = c)
+}
+
+object SimHashTextMd5 {
+  // MessageDigest is not thread-safe and getInstance per token is costly;
+  // one instance per executor thread, reset per token
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }
 
 case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]], bands: Int)

@@ -218,6 +218,34 @@ class LoaderSpec extends SparkSpec {
     assert(loader.statements.exists(_.contains("ADD UNDIRECTED EDGE KNOWS (FROM Person, TO Person)")))
   }
 
+  test("TigerGraphLoader parses loaded counts from gsql output when a runner is wired") {
+    // the summary-table shape the reference parses (tigergraph_loader.py:160):
+    // line containing ".csv |", cell index 3 after a '|' split
+    val gsqlOut =
+      """Using graph 'g'
+        |  [============] 100%
+        ||       FILENAME |   LOADED LINES |   LOADED OBJECTS |   ERROR LINES |
+        ||    /data/f.csv |           1501 |             1500 |             0 |
+        |Job finished.""".stripMargin
+    assert(TigerGraphLoader.parseLoadedCount(gsqlOut) == 1500L)
+    // malformed / server-less output degrades to 0, never throws mid-load
+    assert(TigerGraphLoader.parseLoadedCount("no table here") == 0L)
+    assert(TigerGraphLoader.parseLoadedCount("| x.csv | only-two |") == 0L)
+    // executable path: a wired runner sees the loading job and its count
+    // feeds the loader's return value (what GraphEtl.load records in stats)
+    var seen = Vector.empty[String]
+    val loader = new TigerGraphLoader(gsqlRunner = Some { stmt =>
+      seen :+= stmt; gsqlOut
+    })
+    val n = loader.loadNodes("/data/f.csv", "Person", "id", Map.empty,
+      Map("id" -> "Int64"), Nil, Nil)
+    assert(n == 1500L)
+    assert(seen.exists(_.contains("RUN LOADING JOB load_Person")))
+    val e = loader.loadEdges("/data/e.csv", "KNOWS", "Person:id", "Person:id",
+      Map.empty, Map.empty)
+    assert(e == 1500L)
+  }
+
   test("metadata strategies: as_property adds columns, as_edge creates Metadata nodes") {
     // as_property
     val (etl1, _) = staged()

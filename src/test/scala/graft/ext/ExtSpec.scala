@@ -408,6 +408,25 @@ class ExtSpec extends SparkSpec {
     assert(top(3L) == Seq("cherry", "common")) // tf tie -> lower df first
   }
 
+  test("inverted index: df/tf_total per term, posting head bounded and ascending") {
+    val df = Seq(
+      (30L, "apple apple banana"),
+      (10L, "banana apple"),
+      (20L, "banana cherry"),
+      (40L, "")).toDF("doc_id", "text")
+    val idx = TextAnalysis.invertedIndex(df, "doc_id", "text", maxPostings = 2)
+      .select("term", "df", "tf_total", "postings")
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // apple: docs {30(tf2), 10(tf1)} -> df 2, tf 3, head = 2 smallest ids
+    assert(idx("apple") == ((2L, 3L, "10,30")))
+    // banana appears in 3 docs but the posting head is capped at 2
+    assert(idx("banana") == ((3L, 3L, "10,20")))
+    assert(idx("cherry") == ((1L, 1L, "20")))
+    // token-less doc contributes no terms
+    assert(!idx.contains(""))
+  }
+
   test("bounded-heap top-k aggregator: reduce/merge keep the k best with tie-breaks") {
     import graft.plans.{TopKAggregator, ScoredId}
     val agg = new TopKAggregator(3)

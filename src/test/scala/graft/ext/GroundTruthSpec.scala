@@ -39,6 +39,42 @@ class GroundTruthSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("portable-md5 simhash pairs EQUAL brute-force all-pairs hamming<=3") {
+    // same pigeonhole equality for the md5 hash family behind the DuckDB
+    // oracle of q_simhash_near_dup
+    val lsh = Dedup.simhashNearDuplicates(docs, "doc_id", "text",
+      maxHamming = 3, portableHash = true)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fps = docs.select(col("doc_id"),
+      NativeExpressions.simhashTextPortable(col("text")).as("fp"))
+      .where(col("fp").isNotNull)
+    val a = fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a"))
+    val b = fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), H.hamming64(col("fp_a"), col("fp_b")).as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "testdata should contain simhash near-dups")
+    assert(lsh == brute)
+  }
+
+  test("portable simhash token hash is the big-endian md5 prefix DuckDB parses") {
+    import spark.implicits._
+    // md5("hello") = 5d41402abc4b2a76... → token hash 0x5d41402abc4b2a76;
+    // a single-token doc's fingerprint IS that hash (every 1-bit wins its
+    // vote 1-0, every 0-bit loses 0-1) — pins the exact value the oracle's
+    // ('0x' || substr(md5(tok),1,16))::UBIGINT computes
+    val fp = Seq((1L, "HELLO")).toDF("doc_id", "text")
+      .select(NativeExpressions.simhashTextPortable(col("text")).as("fp"))
+      .head().getLong(0)
+    assert(fp == 0x5d41402abc4b2a76L)
+    // token-less input → NULL fingerprint (never enters a bucket join)
+    val row = Seq((1L, "  \t ")).toDF("doc_id", "text")
+      .select(NativeExpressions.simhashTextPortable(col("text")).as("fp")).head()
+    assert(row.isNullAt(0))
+  }
+
   test("minhash LSH pairs EQUAL exact all-pairs char-shingle jaccard on this corpus") {
     // the in-Spark twin of the DuckDB oracle: recall 1.0 is data-dependent.
     // With 128 hashes / 16 bands of 8, a pair AT the 0.5 threshold would
