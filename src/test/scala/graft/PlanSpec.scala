@@ -37,6 +37,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(2000))
   }
 
+  test("inverted index runs all term-wise work on one term exchange with group-limit pruning") {
+    val p = plan("q_inverted_index")
+    // posting-head row_number ≤ k must prune per-term rows before full sort
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    // exactly two shuffles: (term, doc) tf aggregation, then the term
+    // partitioning shared by both windows AND the final per-term fold —
+    // a third exchange would mean the fold lost the window partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected 2 exchanges (tf + term stage), got:\n${p.take(3000)}")
+  }
+
   test("aggregations do partial (map-side) aggregation before the exchange") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(2000))
