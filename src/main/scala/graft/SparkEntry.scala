@@ -530,8 +530,13 @@ object SparkEntry {
     // SimHash near-duplicate pairs, portable md5 hash family — the oracle
     // rebuilds every 64-bit fingerprint in DuckDB (same token hash, same
     // vote arithmetic) and takes exact all-pairs Hamming ≤ 3. Recall 1.0 is
-    // UNCONDITIONAL here: 4-band pigeonhole on a 64-bit fp cannot miss a
-    // pair within Hamming 3, so LSH output == exact output on any corpus.
+    // UNCONDITIONAL: 4-band pigeonhole on a 64-bit fp cannot miss a pair
+    // within Hamming 3, so LSH output == exact output over the same
+    // fingerprints on any corpus. CROSS-ENGINE fingerprint equality
+    // additionally needs tokenization parity: whitespace is exact (the
+    // oracle's [\s\x0b] class == Java \s), case mapping is exact up to the
+    // JVM-full vs DuckDB-simple lowercase divergence (e.g. U+0130 'İ' →
+    // "i̇" vs "i") — absent from this corpus and from most web text.
     "q_simhash_near_dup" -> ((s, dir) => {
       Dedup.simhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3, portableHash = true)
@@ -758,13 +763,14 @@ object SparkEntry {
     // rebuilds the md5-family SimHash fingerprint per document — same token
     // hash (first 8 md5 bytes big-endian), same ±1 vote arithmetic, same
     // strict >0 bit rule — then takes exact all-pairs Hamming ≤ 3. The
-    // 4-band pigeonhole cannot miss a pair within Hamming 3, so the LSH
-    // output must equal this exact set on ANY corpus (not a data-dependent
-    // recall argument). Plain triple-quote: \s reaches DuckDB unescaped.
+    // 4-band pigeonhole cannot miss a pair within Hamming 3 (not a
+    // data-dependent recall argument); tokenization parity caveats are on
+    // the query above. [\s\x0b] == Java's \s exactly (RE2's \s lacks
+    // vertical tab). Plain triple-quote: \s reaches DuckDB unescaped.
     "q_simhash_near_dup" ->
       """WITH toks AS (
         |  SELECT doc_id, tok FROM (
-        |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[\s\x0b]+')) AS tok
         |    FROM documents WHERE text IS NOT NULL)
         |  WHERE tok <> ''),
         | th AS (
@@ -803,8 +809,8 @@ object SparkEntry {
         |  SELECT doc_id, regexp_replace(text, '[\\r\\n\\\\]', '', 'g') AS text FROM documents),
         | t AS (
         |  SELECT doc_id, text,
-        |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS rawtoks,
-        |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS lowtoks
+        |    list_filter(string_split_regex(text, '[\\s\\x0b]+'), x -> x <> '') AS rawtoks,
+        |    list_filter(string_split_regex(lower(text), '[\\s\\x0b]+'), x -> x <> '') AS lowtoks
         |  FROM s0),
         | m AS (
         |  SELECT doc_id, text, lowtoks,
@@ -853,7 +859,7 @@ object SparkEntry {
 
     "q_ngram_jaccard" ->
       """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS t
         |  FROM documents),
         | d AS (
         |  SELECT doc_id,
@@ -1071,8 +1077,8 @@ object SparkEntry {
     "q_quality_filter" ->
       """WITH t AS (
         |  SELECT doc_id, text,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS rawtoks,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS lowtoks
+        |    list_filter(string_split_regex(text, '[\s\x0b]+'), x -> x <> '') AS rawtoks,
+        |    list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS lowtoks
         |  FROM documents),
         | m AS (
         |  SELECT doc_id, text, lowtoks,
@@ -1110,7 +1116,7 @@ object SparkEntry {
 
     "q_doc_chunks" ->
       """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[\s\x0b]+'), x -> x <> '') AS toks
         |  FROM documents),
         | s AS (
         |  SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start
@@ -1123,7 +1129,7 @@ object SparkEntry {
     "q_inverted_index" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |    unnest(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '')) AS term
         |  FROM documents),
         | tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2)
         |SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf_total,
@@ -1133,7 +1139,7 @@ object SparkEntry {
     "q_top_terms" ->
       """WITH terms AS (
         |  SELECT doc_id,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |    unnest(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '')) AS term
         |  FROM documents),
         | tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
         | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
@@ -1146,7 +1152,7 @@ object SparkEntry {
 
     "q_bigrams" ->
       """WITH t AS (
-        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  SELECT list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS toks
         |  FROM documents),
         | b AS (
         |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
@@ -1156,7 +1162,7 @@ object SparkEntry {
 
     "q_repetition" ->
       """WITH t AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS toks
         |  FROM documents),
         | b AS (
         |  SELECT doc_id, len(toks) - 1 AS n_bigrams,
@@ -1200,7 +1206,7 @@ object SparkEntry {
     "q_text_profile" ->
       """SELECT doc_id,
         | length(text) AS n_chars,
-        | len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+        | len(list_filter(string_split_regex(text, '[\s\x0b]+'), x -> x <> '')) AS n_tokens,
         | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]', 0)) AS n_bpeish_tokens,
         | CASE WHEN length(text) = 0 THEN 0.0 ELSE cast(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS double) / cast(length(text) AS double) END AS punct_ratio,
         | CASE WHEN length(text) = 0 THEN 0.0 ELSE cast(length(regexp_replace(text, '[^0-9]', '', 'g')) AS double) / cast(length(text) AS double) END AS digit_ratio,
@@ -1210,7 +1216,7 @@ object SparkEntry {
     "q_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs,
         | cast(sum(length(text)) AS bigint) AS n_chars,
-        | cast(sum(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS bigint) AS n_tokens
+        | cast(sum(len(list_filter(string_split_regex(text, '[\s\x0b]+'), x -> x <> ''))) AS bigint) AS n_tokens
         |FROM documents GROUP BY lang""".stripMargin,
 
     "q_fingerprint" ->
@@ -1221,7 +1227,7 @@ object SparkEntry {
     "q_lang_id" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |    list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS toks
         |  FROM documents),
         | s AS (
         |  SELECT doc_id, lang,
@@ -1297,7 +1303,7 @@ object SparkEntry {
 
     "q_jaccard_pairs" ->
       """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS t
         |  FROM documents WHERE doc_id < 200),
         | d AS (
         |  SELECT doc_id,

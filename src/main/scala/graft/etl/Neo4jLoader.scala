@@ -124,9 +124,15 @@ final class TigerGraphLoader(gsqlRunner: Option[String => String] = None) extend
 
   val statements: mutable.Buffer[String] = mutable.Buffer.empty
 
-  /** Run a statement through the configured gsql client (if any) and hand
-    * back its output; generation-only mode returns None. */
-  private def run(statement: String): Option[String] = gsqlRunner.map(_(statement))
+  /** Record a generated statement and, when a gsql client is configured,
+    * run it and hand back its output (generation-only mode returns None) —
+    * statements are passed explicitly, never re-read from the buffer, so
+    * generation order can change without silently re-batching the wrong
+    * statements into the runner. */
+  private def emit(statement: String): Option[String] = {
+    statements += statement
+    gsqlRunner.map(_(statement))
+  }
 
   /** Escape backslashes and double quotes before interpolating into a
     * double-quoted GSQL string literal (file paths, metadata constants) —
@@ -150,10 +156,10 @@ final class TigerGraphLoader(gsqlRunner: Option[String => String] = None) extend
     val attrs = (propertiesType - primaryKey).toSeq.sortBy(_._1)
       .map { case (p, t) => s"$p ${gsqlType(t)}" }
     val attrList = (attrs :+ "metadatas MAP<STRING, STRING>").mkString(", ")
-    statements +=
+    emit(
       s"""CREATE SCHEMA_CHANGE JOB add_$label {
          |  ADD VERTEX $label (PRIMARY_ID $primaryKey ${gsqlType(propertiesType.getOrElse(primaryKey, "Utf8"))}, $attrList) WITH primary_id_as_attribute="true";
-         |} RUN SCHEMA_CHANGE JOB add_$label DROP JOB add_$label""".stripMargin
+         |} RUN SCHEMA_CHANGE JOB add_$label DROP JOB add_$label""".stripMargin)
     // the metadatas MAP attribute is fed a constant rendered from the
     // file's metadata, like the reference's `"{metadatas}"` literal
     // (tigergraph_loader.py:155) — VALUES arity must match the vertex schema
@@ -161,12 +167,13 @@ final class TigerGraphLoader(gsqlRunner: Option[String => String] = None) extend
       esc(metadatas.toSeq.sortBy(_._1).map { case (k, v) => s"$k: $v" }.mkString("{", ", ", "}")) + "\""
     val cols = ((primaryKey +: (propertiesType - primaryKey).keys.toSeq.sorted)
       .map(c => s"$$\"$c\"") :+ metaConst).mkString(", ")
-    statements +=
+    // loaded count comes from THIS loading job's gsql output
+    // (tigergraph_loader.py:158-160: run, then parse the summary table)
+    emit(
       s"""CREATE LOADING JOB load_$label FOR GRAPH g {
          |  DEFINE FILENAME f = "${esc(filePath)}";
          |  LOAD f TO VERTEX $label VALUES($cols) USING header="true", separator=";";
-         |} RUN LOADING JOB load_$label DROP JOB load_$label""".stripMargin
-    run(statements.takeRight(2).mkString("\n"))
+         |} RUN LOADING JOB load_$label DROP JOB load_$label""".stripMargin)
       .map(TigerGraphLoader.parseLoadedCount).getOrElse(0L)
   }
 
@@ -177,18 +184,17 @@ final class TigerGraphLoader(gsqlRunner: Option[String => String] = None) extend
     val endLabel = end.split(":")(0)
     val attrs = (propertiesType -- Seq("start", "end")).toSeq.sortBy(_._1)
       .map { case (p, t) => s"$p ${gsqlType(t)}" }.mkString(", ")
-    statements +=
+    emit(
       s"""CREATE SCHEMA_CHANGE JOB add_$edgeType {
          |  ADD UNDIRECTED EDGE $edgeType (FROM $startLabel, TO $endLabel${if (attrs.isEmpty) "" else ", " + attrs});
-         |} RUN SCHEMA_CHANGE JOB add_$edgeType DROP JOB add_$edgeType""".stripMargin
+         |} RUN SCHEMA_CHANGE JOB add_$edgeType DROP JOB add_$edgeType""".stripMargin)
     val cols = ("start" +: "end" +: (propertiesType -- Seq("start", "end")).keys.toSeq.sorted)
       .map(c => s"$$\"$c\"").mkString(", ")
-    statements +=
+    emit(
       s"""CREATE LOADING JOB load_$edgeType FOR GRAPH g {
          |  DEFINE FILENAME f = "${esc(filePath)}";
          |  LOAD f TO EDGE $edgeType VALUES($cols) USING header="true", separator=";";
-         |} RUN LOADING JOB load_$edgeType DROP JOB load_$edgeType""".stripMargin
-    run(statements.takeRight(2).mkString("\n"))
+         |} RUN LOADING JOB load_$edgeType DROP JOB load_$edgeType""".stripMargin)
       .map(TigerGraphLoader.parseLoadedCount).getOrElse(0L)
   }
 }

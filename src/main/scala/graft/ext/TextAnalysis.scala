@@ -109,10 +109,13 @@ object TextAnalysis {
     *
     * Scale: explode → (term, doc) tf [shuffle 1] → ONE term-partitioned
     * exchange shared by everything term-wise: df and tf_total as unordered
-    * count/sum windows, the posting head via row_number ≤ maxPostings
-    * (rank-filter form, so InferWindowGroupLimit prunes per-term rows
-    * map-side), and the final per-term fold reuses the same partitioning —
-    * no self-join, no second pass over the corpus. */
+    * count/sum windows, the posting head via row_number ≤ maxPostings, and
+    * the final per-term fold reuses the same partitioning — no self-join,
+    * no second pass over the corpus. The term exchange itself is
+    * irreducible (df/tf_total must see every (term, doc) row), so the
+    * rank filter's InferWindowGroupLimit rewrite runs POST-exchange: it
+    * bounds the row_number sort/materialization to maxPostings rows per
+    * term, not the shuffle volume. */
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
       maxPostings: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window

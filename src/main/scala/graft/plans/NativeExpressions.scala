@@ -302,84 +302,79 @@ case class SimHash64(child: Expression)
 /** Fused lowercase-tokenize + SimHash: one pass over the string, no
   * intermediate token array, no interpreted HOF. NULL for token-less
   * input (see [[NativeExpressions.simhashText]]). */
+/** The one tokenize+vote+fingerprint loop both fused SimHash expressions
+  * share — they differ ONLY in the token→Long hash. Keeping the kernel in
+  * one place means a tokenization or vote-arithmetic fix cannot drift
+  * between the fast and the portable family. */
+private object SimHashKernel {
+  /** NULL (as Scala null) for token-less input; else the 64-bit fingerprint. */
+  def fingerprint(v: Any, hashToken: String => Long): Any = {
+    val tokens = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    if (tokens.isEmpty) return null
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val h = hashToken(tokens(i))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(fp)
+  }
+
+  def xxhash64Token(t: String): Long =
+    XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L)
+
+  // MessageDigest is not thread-safe and getInstance per token is costly;
+  // one instance per executor thread, reset per token via digest()
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(token) read big-endian — exactly DuckDB's
+    * `('0x' || substr(md5(tok), 1, 16))::UBIGINT`. */
+  def md5Token(t: String): Long = {
+    val d = digest.get().digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var k = 0
+    while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+    h
+  }
+}
+
 case class SimHashText(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash_text"
 
-  override def nullSafeEval(v: Any): Any = {
-    val tokens = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+").filter(_.nonEmpty)
-    if (tokens.isEmpty) return null
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < tokens.length) {
-      val h = XxHash64Function.hash(UTF8String.fromString(tokens(i)), StringType, 42L)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
-      }
-      i += 1
-    }
-    var fp = 0L
-    var j = 0
-    while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
-    java.lang.Long.valueOf(fp)
-  }
+  override def nullSafeEval(v: Any): Any =
+    SimHashKernel.fingerprint(v, SimHashKernel.xxhash64Token)
 
   override protected def withNewChildInternal(c: Expression): SimHashText = copy(child = c)
 }
 
-/** [[SimHashText]] with the md5-lower-64 token hash family: the token hash
-  * is the first 8 bytes of `md5(token)` read big-endian — exactly the value
-  * DuckDB computes as `('0x' || substr(md5(tok), 1, 16))::UBIGINT` — so a
-  * SQL oracle can rebuild the fingerprints bit-for-bit. Tokenization is
-  * identical to [[SimHashText]] (lowercase, `\s+` split, drop empties). */
+/** [[SimHashText]] with the md5-lower-64 token hash family, so a SQL oracle
+  * can rebuild the fingerprints bit-for-bit. Tokenization is the shared
+  * [[SimHashKernel]] (lowercase, `\s+` split, drop empties). */
 case class SimHashTextMd5(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash_text_md5"
 
-  override def nullSafeEval(v: Any): Any = {
-    val tokens = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+").filter(_.nonEmpty)
-    if (tokens.isEmpty) return null
-    val md = SimHashTextMd5.digest.get()
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < tokens.length) {
-      md.reset()
-      val d = md.digest(tokens(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // first 8 digest bytes, big-endian — matches hex-prefix parsing
-      var h = 0L
-      var k = 0
-      while (k < 8) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
-      }
-      i += 1
-    }
-    var fp = 0L
-    var j = 0
-    while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
-    java.lang.Long.valueOf(fp)
-  }
+  override def nullSafeEval(v: Any): Any =
+    SimHashKernel.fingerprint(v, SimHashKernel.md5Token)
 
   override protected def withNewChildInternal(c: Expression): SimHashTextMd5 = copy(child = c)
-}
-
-object SimHashTextMd5 {
-  // MessageDigest is not thread-safe and getInstance per token is costly;
-  // one instance per executor thread, reset per token
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
 }
 
 case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]], bands: Int)

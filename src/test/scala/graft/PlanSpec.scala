@@ -39,7 +39,9 @@ class PlanSpec extends SparkSpec {
 
   test("inverted index runs all term-wise work on one term exchange with group-limit pruning") {
     val p = plan("q_inverted_index")
-    // posting-head row_number ≤ k must prune per-term rows before full sort
+    // posting-head row_number ≤ k must bound the per-term sort/collect
+    // (post-exchange — the term shuffle itself is irreducible, df needs
+    // every row) instead of materializing full per-term sorts
     assert(p.contains("WindowGroupLimit"), p.take(2000))
     // exactly two shuffles: (term, doc) tf aggregation, then the term
     // partitioning shared by both windows AND the final per-term fold —
