@@ -516,6 +516,20 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("text_hash"))
     }),
 
+    // the Bloom-prefiltered cross-corpus variant: same near-dup pairs as
+    // the direct band join (the sketch only removes definite negatives;
+    // positives are re-verified by the exact band match + jaccard), with
+    // the batch's no-hit band rows pruned before any shuffle. The oracle
+    // is exact all-CROSS-pairs jaccard — a hash match proves the sketch
+    // path loses nothing.
+    "q_cross_dedup_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val ref = d.where(col("doc_id") < 400)
+      val batch = d.where(col("doc_id") >= 400)
+      Dedup.crossCorpusNearDuplicatesBloom(batch, ref, "doc_id", "text",
+        shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
+    }),
+
     // MinHash+LSH near-duplicate pairs. The seeded xxhash64 family has no
     // DuckDB twin, but the OUTPUT is exact-verified (id_a, id_b, jaccard),
     // so the oracle recomputes exact all-pairs char-5-gram Jaccard — raw
@@ -748,6 +762,16 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
         |SELECT src AS id, least(src, min(dst)) AS keep_id FROM reach GROUP BY src""".stripMargin,
+
+    "q_cross_dedup_bloom" ->
+      s"""WITH ${charShingleSql("documents")},
+        | x AS (
+        |  SELECT b.doc_id AS new_id, r.doc_id AS ref_id,
+        |    cast(len(list_intersect(b.sh, r.sh)) AS double)
+        |      / len(list_distinct(list_concat(b.sh, r.sh))) AS jaccard
+        |  FROM sh b JOIN sh r ON b.doc_id >= 400 AND r.doc_id < 400
+        |  WHERE len(b.sh) > 0 AND len(r.sh) > 0)
+        |SELECT new_id, ref_id, jaccard FROM x WHERE jaccard >= 0.5""".stripMargin,
 
     "q_cross_dedup" ->
       s"""WITH ${charShingleSql("documents")},

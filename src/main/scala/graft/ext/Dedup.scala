@@ -284,6 +284,50 @@ object Dedup {
       .select("new_id", "ref_id", "jaccard")
   }
 
+  /** [[crossCorpusNearDuplicates]] with a Bloom pre-filter on the batch
+    * side: a Bloom sketch of the reference's band keys is built once
+    * (distributed aggregate, sketch collected to the driver) and shipped
+    * inside the filter expression, so batch band rows whose key is
+    * DEFINITELY not in the reference never enter the candidate join — for
+    * a mostly-novel batch that prunes nearly all of its shuffle volume.
+    * False positives only re-admit rows into the join, where the exact
+    * band match (and then the jaccard verify) eliminates them, so the
+    * output is IDENTICAL to the unfiltered operator on any input.
+    *
+    * Sizing: the sketch covers `docs × bands` reference keys — at fpp 0.01
+    * roughly 1.2 bytes/key, so ~1 GB per billion band keys. Right-sized
+    * for references up to a few billion band keys; beyond that, stage the
+    * reference as a bucketed table ([[stageBandsBucketed]]) instead of
+    * (or in addition to) the sketch. */
+  def crossCorpusNearDuplicatesBloom(
+      newDf: DataFrame, refDf: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
+      threshold: Double = 0.8, expectedRefKeys: Long = 0L,
+      fpp: Double = 0.01): DataFrame = {
+    val sh = NativeExpressions.charShingles(col(textCol), shingleSize)
+    val bucketize = (d: DataFrame, as: String) => d.select(
+      col(as),
+      posexplode(NativeExpressions.minhashBands(sh, numHashes, bands))
+        .as(Seq("band", "bhash")))
+      .select(col(as), concat_ws(":", col("band"), col("bhash")).as("bkey"))
+    val refBuckets = bucketize(refDf.select(col(idCol).as("ref_id"), col(textCol)), "ref_id")
+    // one pass over the reference bands builds the sketch; 0 = derive the
+    // expected-key count from the frame (counts the reference twice —
+    // pass the known cardinality in production)
+    val nKeys = if (expectedRefKeys > 0L) expectedRefKeys else refBuckets.count()
+    val bloom = refBuckets.stat.bloomFilter("bkey", math.max(nKeys, 1L), fpp)
+    val candidates = bucketize(newDf.select(col(idCol).as("new_id"), col(textCol)), "new_id")
+      .where(NativeExpressions.bloomMightContain(col("bkey"), bloom))
+      .join(refBuckets, Seq("bkey"))
+      .select("new_id", "ref_id").distinct()
+    val shNew = newDf.select(col(idCol).as("new_id"), sh.as("sh_a"))
+    val shRef = refDf.select(col(idCol).as("ref_id"), sh.as("sh_b"))
+    candidates.join(shNew, "new_id").join(shRef, "ref_id")
+      .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("new_id", "ref_id", "jaccard")
+  }
+
   /** Stage a corpus' MinHash state to parquet: one row per doc with the
     * band hashes (candidate generation) and shingle set (verification).
     * The incremental-ingest pattern at 100 TB: signatures are computed

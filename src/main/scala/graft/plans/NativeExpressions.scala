@@ -97,6 +97,14 @@ object NativeExpressions {
   def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
     toCol(LangIdExpr(toExpr(text), markers))
 
+  /** Membership probe of a string column against a pre-built Bloom filter
+    * (broadcast with the serialized expression to every task). Used as a
+    * definite-negative pre-filter: `false` is certain, `true` may be a
+    * false positive — callers must re-verify positives exactly, which the
+    * LSH pipelines do anyway. */
+  def bloomMightContain(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    toCol(BloomMightContain(toExpr(c), bloom))
+
   /** Cosine similarity over two float/double array columns, computed in
     * double with sequential index-order accumulation — bit-identical to the
     * `aggregate`-based graft.functions.VectorFunctions.cosine and to the
@@ -375,6 +383,24 @@ case class SimHashTextMd5(child: Expression)
     SimHashKernel.fingerprint(v, SimHashKernel.md5Token)
 
   override protected def withNewChildInternal(c: Expression): SimHashTextMd5 = copy(child = c)
+}
+
+/** `bloom.mightContain(child)` over a string child. The sketch rides along
+  * with the serialized expression to every task (same mechanism as a
+  * broadcast for plan-embedded state); Spark's BloomFilterImpl is
+  * Serializable. NULL input → NULL (a null key is never "definitely
+  * absent" — let the caller's null semantics decide downstream). */
+case class BloomMightContain(
+    child: Expression, bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Boolean.valueOf(bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes))
+
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
 }
 
 case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]], bands: Int)

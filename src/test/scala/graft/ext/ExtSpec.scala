@@ -262,6 +262,23 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(11L))
   }
 
+  test("bloom-prefiltered cross-corpus dedup equals the direct band join on real data") {
+    // the sketch only removes definite negatives, so output equality with
+    // the unfiltered operator must hold exactly — checked on the real
+    // corpus where both planted dups and mostly-novel batch docs exist
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = docs.where(col("doc_id") < 40)
+    val batch = docs.where(col("doc_id") >= 40)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("new_id", "ref_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val direct = key(Dedup.crossCorpusNearDuplicates(batch, ref, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5))
+    val bloomed = key(Dedup.crossCorpusNearDuplicatesBloom(batch, ref, "doc_id", "text",
+      numHashes = 64, bands = 16, threshold = 0.5))
+    assert(bloomed == direct)
+    assert(direct.nonEmpty, "testdata should contain cross-corpus near-dups")
+  }
+
   test("writeCleaned produces a partition-pruned parquet layout") {
     val df = Seq((1L, "hello there", "en"), (2L, "bonjour", "fr"), (3L, "more text", "en"))
       .toDF("doc_id", "text", "lang")
