@@ -601,11 +601,12 @@ object SparkEntry {
           round(col("cosine"), 4).as("cosine_r"), col("rank").cast("long").as("rank"))
     }),
 
-    // IVF-bucketed approximate top-k (scale path; rows-only oracle —
-    // centroid-dependent output has no SQL twin; recall is value-checked
-    // by q_ivf_recall below and GroundTruthSpec). nlist=16/nprobe=8 scans
-    // ~half the corpus for recall@5 ≈ 0.92 on this (uniform-random,
-    // structure-less — IVF's worst case) testdata.
+    // IVF-bucketed approximate top-k (scale path). Deterministic end to
+    // end — md5-gated centroids, argmin assignment, probe selection — so
+    // the oracle rebuilds the ENTIRE approximate chain in SQL and the
+    // output is value-checked, not just recall-bounded. nlist=16/nprobe=8
+    // scans ~half the corpus on this (uniform-random, structure-less —
+    // IVF's worst case) testdata.
     "q_embed_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 50 === 0)
@@ -618,8 +619,8 @@ object SparkEntry {
 
     // the driver-visible ANN quality report: per-query overlap of the IVF
     // top-5 with the exact brute-force top-5 (both computed here, one
-    // deterministic number per query — recall@5). Rows-only by nature, but
-    // the VALUES are the ground-truth comparison itself.
+    // deterministic number per query — recall@5), now itself
+    // value-checked against a SQL twin of both sides.
     "q_ivf_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 50 === 0)
@@ -742,6 +743,58 @@ object SparkEntry {
       |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)""".stripMargin
+
+  /** The full IVF top-k chain in SQL, ending in a `ranked` CTE — the
+    * centroid gate, the argmin assignment, the probe selection and the
+    * in-bucket cosine top-k all mirror [[graft.ext.Similarity]] exactly
+    * (md5-prefix centroid gate; squared-distance ordering — sqrt is
+    * monotone so the argmin is unchanged; (dist, centroid_id) and
+    * (cosine DESC, neighbor_id) tie-breaks). Shared by the
+    * q_embed_ivf_topk and q_ivf_recall oracles. */
+  private val ivfChainSql: String =
+    """params AS (
+      |  SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+      | cand AS (
+      |  SELECT cast(vec_id AS varchar) AS sid,
+      |         list_transform(embedding, x -> cast(x AS double)) AS cvec
+      |  FROM embeddings, params
+      |  WHERE ('0x' || substr(md5('ivf:' || cast(vec_id AS varchar)), 1, 8))::UBIGINT % stride = 0),
+      | cent AS (
+      |  SELECT row_number() OVER (ORDER BY sid) - 1 AS centroid_id, cvec
+      |  FROM cand QUALIFY row_number() OVER (ORDER BY sid) <= 16),
+      | corpus AS (
+      |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS vec FROM embeddings),
+      | assigned AS (
+      |  SELECT vec_id, vec, centroid_id FROM (
+      |    SELECT c.vec_id, c.vec, ct.centroid_id,
+      |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |        list_dot_product(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] - ct.cvec[i]),
+      |                         list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] - ct.cvec[i])),
+      |        ct.centroid_id) AS rn
+      |    FROM corpus c CROSS JOIN cent ct)
+      |  WHERE rn = 1),
+      | q AS (SELECT vec_id AS qid, list_transform(embedding, x -> cast(x AS double)) AS qvec
+      |       FROM embeddings WHERE vec_id % 50 = 0),
+      | probes AS (
+      |  SELECT qid, qvec, centroid_id FROM (
+      |    SELECT q.qid, q.qvec, ct.centroid_id,
+      |      row_number() OVER (PARTITION BY q.qid ORDER BY
+      |        list_dot_product(list_transform(range(1, len(q.qvec) + 1), i -> q.qvec[i] - ct.cvec[i]),
+      |                         list_transform(range(1, len(q.qvec) + 1), i -> q.qvec[i] - ct.cvec[i])),
+      |        ct.centroid_id) AS rn
+      |    FROM q CROSS JOIN cent ct)
+      |  WHERE rn <= 8),
+      | scored AS (
+      |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+      |    CASE WHEN sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(p.qvec, p.qvec)) = 0 THEN 0.0
+      |         ELSE list_dot_product(a.vec, p.qvec) / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(p.qvec, p.qvec)))
+      |    END AS cosine
+      |  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+      |  WHERE a.vec_id <> p.qid),
+      | ranked AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      |  FROM scored)""".stripMargin
 
   /** DuckDB-runnable oracles, column-aliased identically to the Spark side.
     * Omitted keys (hash/LSH/stub-based ops) get the driver's weaker
@@ -1288,6 +1341,37 @@ object SparkEntry {
         |     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |   FROM scored)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine_r, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // the ENTIRE approximate pipeline rebuilt in SQL — centroids,
+    // assignment, probes, in-bucket top-k — so the approximation itself is
+    // value-checked, not just bounded by a recall report
+    "q_embed_ivf_topk" ->
+      s"""WITH $ivfChainSql
+        |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine_r, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // recall@5 of the SQL-rebuilt IVF against the SQL exact top-5: the
+    // report's values are themselves oracle-checked now
+    "q_ivf_recall" ->
+      s"""WITH $ivfChainSql,
+        | approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+        | escored AS (
+        |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+        |    CASE WHEN sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)) = 0 THEN 0.0
+        |         ELSE list_dot_product(c.vec, q.qvec) / (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)))
+        |    END AS cosine
+        |  FROM corpus c CROSS JOIN q WHERE c.vec_id <> q.qid),
+        | exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |    FROM escored)
+        |  WHERE rank <= 5)
+        |SELECT e.query_id, count(a.neighbor_id)::BIGINT AS n_hits,
+        |  count(a.neighbor_id)::DOUBLE / 5 AS recall_at_k
+        |FROM exact e LEFT JOIN approx a
+        |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |GROUP BY e.query_id""".stripMargin,
 
     "q_embed_topk_agg" ->
       """WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> cast(x AS double)) AS qvec

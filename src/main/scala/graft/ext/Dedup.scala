@@ -311,10 +311,12 @@ object Dedup {
         .as(Seq("band", "bhash")))
       .select(col(as), concat_ws(":", col("band"), col("bhash")).as("bkey"))
     val refBuckets = bucketize(refDf.select(col(idCol).as("ref_id"), col(textCol)), "ref_id")
-    // one pass over the reference bands builds the sketch; 0 = derive the
-    // expected-key count from the frame (counts the reference twice —
-    // pass the known cardinality in production)
-    val nKeys = if (expectedRefKeys > 0L) expectedRefKeys else refBuckets.count()
+    // sketch sizing: docs × bands is an upper bound on band keys (empty
+    // docs band to NULL and emit nothing) and costs one cheap count — an
+    // exact refBuckets.count() would re-run the whole banding computation
+    // just to size the sketch. Oversizing only lowers the effective fpp.
+    // Pass the known cardinality in production to skip the count entirely.
+    val nKeys = if (expectedRefKeys > 0L) expectedRefKeys else refDf.count() * bands
     val bloom = refBuckets.stat.bloomFilter("bkey", math.max(nKeys, 1L), fpp)
     val candidates = bucketize(newDf.select(col(idCol).as("new_id"), col(textCol)), "new_id")
       .where(NativeExpressions.bloomMightContain(col("bkey"), bloom))

@@ -106,7 +106,11 @@ object Similarity {
     * by construction and every consumer (assignment, query probes) needs it
     * collected/broadcast anyway, so centroid ids are assigned on the driver
     * rather than through a global (single-partition) row_number window.
-    * K-means refinement is an optional upgrade; the bucketing plumbing is
+    * The gate is the engine-portable md5-prefix idiom (one md5 per corpus
+    * row — noise next to the per-row distance math), so an external engine
+    * can reproduce the centroid set exactly: the q_embed_ivf_topk oracle
+    * rebuilds the whole IVF chain in SQL from this gate. K-means
+    * refinement is an optional upgrade; the bucketing plumbing is
     * identical. */
   def sampleCentroids(
       corpus: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame = {
@@ -114,8 +118,12 @@ object Similarity {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val n = corpus.count()
     val stride = math.max(n / nlist, 1L)
+    // first 8 md5 hex chars of "ivf:<id>" as a 32-bit value — DuckDB twin:
+    // ('0x' || substr(md5('ivf:' || cast(id AS varchar)), 1, 8))::UBIGINT
+    val gate32 = conv(substring(
+      md5(concat(lit("ivf:"), col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
     val sample = corpus
-      .where(pmod(xxhash64(col(idCol)), lit(stride)) === 0)
+      .where(gate32 % stride === 0)
       .select(col(idCol).cast("string").as("__sid"), col(vecCol).as("cvec"))
     val rows = sample.collect().sortBy(_.getString(0)).take(nlist)
     require(rows.nonEmpty, "no centroids sampled")
