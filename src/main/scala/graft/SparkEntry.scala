@@ -746,11 +746,15 @@ object SparkEntry {
 
   /** The full IVF top-k chain in SQL, ending in a `ranked` CTE — the
     * centroid gate, the argmin assignment, the probe selection and the
-    * in-bucket cosine top-k all mirror [[graft.ext.Similarity]] exactly
-    * (md5-prefix centroid gate; squared-distance ordering — sqrt is
-    * monotone so the argmin is unchanged; (dist, centroid_id) and
-    * (cosine DESC, neighbor_id) tie-breaks). Shared by the
-    * q_embed_ivf_topk and q_ivf_recall oracles. */
+    * in-bucket cosine top-k all mirror [[graft.ext.Similarity]] exactly:
+    * md5-prefix centroid gate; NULL vectors excluded from assignment and
+    * queries exactly where Spark excludes them; distance ordering under
+    * sqrt like the Spark side (sqrt is monotone, but two distinct squared
+    * distances can ROUND to the same double under sqrt and fall to the
+    * centroid_id tie-break — ordering by sqrt keeps even that case
+    * bit-faithful); (dist, centroid_id) and (cosine DESC, neighbor_id)
+    * tie-breaks. Shared by the q_embed_ivf_topk and q_ivf_recall
+    * oracles. */
   private val ivfChainSql: String =
     """params AS (
       |  SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
@@ -758,29 +762,31 @@ object SparkEntry {
       |  SELECT cast(vec_id AS varchar) AS sid,
       |         list_transform(embedding, x -> cast(x AS double)) AS cvec
       |  FROM embeddings, params
-      |  WHERE ('0x' || substr(md5('ivf:' || cast(vec_id AS varchar)), 1, 8))::UBIGINT % stride = 0),
+      |  WHERE embedding IS NOT NULL
+      |    AND ('0x' || substr(md5('ivf:' || cast(vec_id AS varchar)), 1, 8))::UBIGINT % stride = 0),
       | cent AS (
       |  SELECT row_number() OVER (ORDER BY sid) - 1 AS centroid_id, cvec
       |  FROM cand QUALIFY row_number() OVER (ORDER BY sid) <= 16),
       | corpus AS (
-      |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS vec FROM embeddings),
+      |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS vec
+      |  FROM embeddings WHERE embedding IS NOT NULL),
       | assigned AS (
       |  SELECT vec_id, vec, centroid_id FROM (
       |    SELECT c.vec_id, c.vec, ct.centroid_id,
       |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
-      |        list_dot_product(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] - ct.cvec[i]),
-      |                         list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] - ct.cvec[i])),
+      |        sqrt(list_dot_product(list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] - ct.cvec[i]),
+      |                              list_transform(range(1, len(c.vec) + 1), i -> c.vec[i] - ct.cvec[i]))),
       |        ct.centroid_id) AS rn
       |    FROM corpus c CROSS JOIN cent ct)
       |  WHERE rn = 1),
       | q AS (SELECT vec_id AS qid, list_transform(embedding, x -> cast(x AS double)) AS qvec
-      |       FROM embeddings WHERE vec_id % 50 = 0),
+      |       FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
       | probes AS (
       |  SELECT qid, qvec, centroid_id FROM (
       |    SELECT q.qid, q.qvec, ct.centroid_id,
       |      row_number() OVER (PARTITION BY q.qid ORDER BY
-      |        list_dot_product(list_transform(range(1, len(q.qvec) + 1), i -> q.qvec[i] - ct.cvec[i]),
-      |                         list_transform(range(1, len(q.qvec) + 1), i -> q.qvec[i] - ct.cvec[i])),
+      |        sqrt(list_dot_product(list_transform(range(1, len(q.qvec) + 1), i -> q.qvec[i] - ct.cvec[i]),
+      |                              list_transform(range(1, len(q.qvec) + 1), i -> q.qvec[i] - ct.cvec[i]))),
       |        ct.centroid_id) AS rn
       |    FROM q CROSS JOIN cent ct)
       |  WHERE rn <= 8),
@@ -1328,8 +1334,9 @@ object SparkEntry {
 
     "q_embed_topk" ->
       """WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> cast(x AS double)) AS qvec
-        |           FROM embeddings WHERE vec_id % 50 = 0),
-        | c AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS vec FROM embeddings),
+        |           FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+        | c AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS vec
+        |       FROM embeddings WHERE embedding IS NOT NULL),
         | scored AS (
         |   SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
         |     CASE WHEN sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)) = 0 THEN 0.0
@@ -1375,8 +1382,9 @@ object SparkEntry {
 
     "q_embed_topk_agg" ->
       """WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> cast(x AS double)) AS qvec
-        |           FROM embeddings WHERE vec_id % 50 = 0),
-        | c AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS vec FROM embeddings),
+        |           FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+        | c AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS vec
+        |       FROM embeddings WHERE embedding IS NOT NULL),
         | scored AS (
         |   SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
         |     CASE WHEN sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)) = 0 THEN 0.0

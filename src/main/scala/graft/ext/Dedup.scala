@@ -257,6 +257,31 @@ object Dedup {
       .drop("keep_id")
   }
 
+  /** Exploded LSH band rows of a corpus: (idAlias, band, bhash). */
+  private def bandRows(df: DataFrame, idCol: String, idAlias: String,
+      sh: Column, numHashes: Int, bands: Int): DataFrame =
+    df.select(col(idCol).as(idAlias),
+      posexplode(NativeExpressions.minhashBands(sh, numHashes, bands))
+        .as(Seq("band", "bhash")))
+
+  /** [[bandRows]] with (band, bhash) folded into the single `bkey` column —
+    * the ONE definition of the band-key format, shared by the bucketed
+    * staging writer and every bkey joiner: format drift between writer and
+    * reader would silently empty the bucket-local join. */
+  private def bandKeys(df: DataFrame, idCol: String, idAlias: String,
+      sh: Column, numHashes: Int, bands: Int): DataFrame =
+    bandRows(df, idCol, idAlias, sh, numHashes, bands)
+      .select(col(idAlias), concat_ws(":", col("band"), col("bhash")).as("bkey"))
+
+  /** Exact-jaccard verification of (new_id, ref_id) candidate pairs:
+    * shingle frames are joined per pair, never per corpus row. */
+  private def verifyCrossPairs(candidates: DataFrame, shNew: DataFrame,
+      shRef: DataFrame, threshold: Double): DataFrame =
+    candidates.join(shNew, "new_id").join(shRef, "ref_id")
+      .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select("new_id", "ref_id", "jaccard")
+
   /** Incremental (cross-corpus) near-dedup: MinHash-LSH pairs between a
     * NEW batch and an existing REFERENCE corpus — the "dedupe today's
     * crawl against the 100 TB already ingested" operation. Candidates come
@@ -269,19 +294,12 @@ object Dedup {
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
     val sh = NativeExpressions.charShingles(col(textCol), shingleSize)
-    val bucketize = (d: DataFrame, as: String) => d.select(
-      col(idCol).as(as),
-      posexplode(NativeExpressions.minhashBands(sh, numHashes, bands))
-        .as(Seq("band", "bhash")))
-    val candidates = bucketize(newDf, "new_id")
-      .join(bucketize(refDf, "ref_id"), Seq("band", "bhash"))
+    val candidates = bandRows(newDf, idCol, "new_id", sh, numHashes, bands)
+      .join(bandRows(refDf, idCol, "ref_id", sh, numHashes, bands), Seq("band", "bhash"))
       .select("new_id", "ref_id").distinct()
-    val shNew = newDf.select(col(idCol).as("new_id"), sh.as("sh_a"))
-    val shRef = refDf.select(col(idCol).as("ref_id"), sh.as("sh_b"))
-    candidates.join(shNew, "new_id").join(shRef, "ref_id")
-      .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select("new_id", "ref_id", "jaccard")
+    verifyCrossPairs(candidates,
+      newDf.select(col(idCol).as("new_id"), sh.as("sh_a")),
+      refDf.select(col(idCol).as("ref_id"), sh.as("sh_b")), threshold)
   }
 
   /** [[crossCorpusNearDuplicates]] with a Bloom pre-filter on the batch
@@ -305,12 +323,7 @@ object Dedup {
       threshold: Double = 0.8, expectedRefKeys: Long = 0L,
       fpp: Double = 0.01): DataFrame = {
     val sh = NativeExpressions.charShingles(col(textCol), shingleSize)
-    val bucketize = (d: DataFrame, as: String) => d.select(
-      col(as),
-      posexplode(NativeExpressions.minhashBands(sh, numHashes, bands))
-        .as(Seq("band", "bhash")))
-      .select(col(as), concat_ws(":", col("band"), col("bhash")).as("bkey"))
-    val refBuckets = bucketize(refDf.select(col(idCol).as("ref_id"), col(textCol)), "ref_id")
+    val refBuckets = bandKeys(refDf, idCol, "ref_id", sh, numHashes, bands)
     // sketch sizing: docs × bands is an upper bound on band keys (empty
     // docs band to NULL and emit nothing) and costs one cheap count — an
     // exact refBuckets.count() would re-run the whole banding computation
@@ -318,16 +331,13 @@ object Dedup {
     // Pass the known cardinality in production to skip the count entirely.
     val nKeys = if (expectedRefKeys > 0L) expectedRefKeys else refDf.count() * bands
     val bloom = refBuckets.stat.bloomFilter("bkey", math.max(nKeys, 1L), fpp)
-    val candidates = bucketize(newDf.select(col(idCol).as("new_id"), col(textCol)), "new_id")
+    val candidates = bandKeys(newDf, idCol, "new_id", sh, numHashes, bands)
       .where(NativeExpressions.bloomMightContain(col("bkey"), bloom))
       .join(refBuckets, Seq("bkey"))
       .select("new_id", "ref_id").distinct()
-    val shNew = newDf.select(col(idCol).as("new_id"), sh.as("sh_a"))
-    val shRef = refDf.select(col(idCol).as("ref_id"), sh.as("sh_b"))
-    candidates.join(shNew, "new_id").join(shRef, "ref_id")
-      .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select("new_id", "ref_id", "jaccard")
+    verifyCrossPairs(candidates,
+      newDf.select(col(idCol).as("new_id"), sh.as("sh_a")),
+      refDf.select(col(idCol).as("ref_id"), sh.as("sh_b")), threshold)
   }
 
   /** Stage a corpus' MinHash state to parquet: one row per doc with the
@@ -360,14 +370,10 @@ object Dedup {
       buckets: Int = 64, shingleSize: Int = 5, numHashes: Int = 128,
       bands: Int = 32): Unit = {
     val sh = NativeExpressions.charShingles(col(textCol), shingleSize)
-    val exploded = df.select(
-      col(idCol).as("ref_id"),
-      posexplode(NativeExpressions.minhashBands(sh, numHashes, bands))
-        .as(Seq("band", "bhash")))
-      // fold (band, bhash) into ONE key so bucket co-location exactly
-      // matches the join key (a two-column join over a one-column bucket
-      // layout would still exchange)
-      .select(col("ref_id"), concat_ws(":", col("band"), col("bhash")).as("bkey"))
+    // the fold of (band, bhash) into ONE bkey (see bandKeys) makes bucket
+    // co-location exactly match the join key — a two-column join over a
+    // one-column bucket layout would still exchange
+    val exploded = bandKeys(df, idCol, "ref_id", sh, numHashes, bands)
     graft.sources.Tables.writeBucketed(exploded, tableName, "bkey", buckets)
   }
 
@@ -382,20 +388,13 @@ object Dedup {
       bands: Int = 32, threshold: Double = 0.8): DataFrame = {
     val spark = newDf.sparkSession
     val sh = NativeExpressions.charShingles(col(textCol), shingleSize)
-    val newBuckets = newDf.select(
-      col(idCol).as("new_id"),
-      posexplode(NativeExpressions.minhashBands(sh, numHashes, bands))
-        .as(Seq("band", "bhash")))
-      .select(col("new_id"), concat_ws(":", col("band"), col("bhash")).as("bkey"))
+    val newBuckets = bandKeys(newDf, idCol, "new_id", sh, numHashes, bands)
     val refBuckets = spark.table(tableName)
     val candidates = newBuckets.join(refBuckets, Seq("bkey"))
       .select("new_id", "ref_id").distinct()
-    val shNew = newDf.select(col(idCol).as("new_id"), sh.as("sh_a"))
-    val shRef = refDf.select(col(idCol).as("ref_id"), sh.as("sh_b"))
-    candidates.join(shNew, "new_id").join(shRef, "ref_id")
-      .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select("new_id", "ref_id", "jaccard")
+    verifyCrossPairs(candidates,
+      newDf.select(col(idCol).as("new_id"), sh.as("sh_a")),
+      refDf.select(col(idCol).as("ref_id"), sh.as("sh_b")), threshold)
   }
 
   /** Cross-corpus near-dup pairs of a new batch against a staged reference
@@ -408,20 +407,14 @@ object Dedup {
     val spark = newDf.sparkSession
     val staged = spark.read.parquet(stagedPath)
     val sh = NativeExpressions.charShingles(col(textCol), shingleSize)
-    val newBuckets = newDf.select(
-      col(idCol).as("new_id"),
-      posexplode(NativeExpressions.minhashBands(sh, numHashes, bands))
-        .as(Seq("band", "bhash")))
+    val newBuckets = bandRows(newDf, idCol, "new_id", sh, numHashes, bands)
     val refBuckets = staged.select( // prunes the shingle column at the scan
       col("id").as("ref_id"), posexplode(col("bands")).as(Seq("band", "bhash")))
     val candidates = newBuckets.join(refBuckets, Seq("band", "bhash"))
       .select("new_id", "ref_id").distinct()
-    val shNew = newDf.select(col(idCol).as("new_id"), sh.as("sh_a"))
-    val shRef = staged.select(col("id").as("ref_id"), col("shingles").as("sh_b"))
-    candidates.join(shNew, "new_id").join(shRef, "ref_id")
-      .withColumn("jaccard", H.jaccard(col("sh_a"), col("sh_b")))
-      .where(col("jaccard") >= threshold)
-      .select("new_id", "ref_id", "jaccard")
+    verifyCrossPairs(candidates,
+      newDf.select(col(idCol).as("new_id"), sh.as("sh_a")),
+      staged.select(col("id").as("ref_id"), col("shingles").as("sh_b")), threshold)
   }
 
   /** Keep only batch rows with no near-duplicate in the reference corpus

@@ -122,8 +122,11 @@ object Similarity {
     // ('0x' || substr(md5('ivf:' || cast(id AS varchar)), 1, 8))::UBIGINT
     val gate32 = conv(substring(
       md5(concat(lit("ivf:"), col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    // a NULL vector can never serve as a centroid (typedlit would embed a
+    // null literal and every distance against it would be NULL); the SQL
+    // oracle applies the same filter
     val sample = corpus
-      .where(gate32 % stride === 0)
+      .where(col(vecCol).isNotNull && gate32 % stride === 0)
       .select(col(idCol).cast("string").as("__sid"), col(vecCol).as("cvec"))
     val rows = sample.collect().sortBy(_.getString(0)).take(nlist)
     require(rows.nonEmpty, "no centroids sampled")

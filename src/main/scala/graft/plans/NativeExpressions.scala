@@ -396,6 +396,15 @@ case class BloomMightContain(
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
 
+  // analysis-time rejection of non-string children (the sibling vector
+  // expressions do the same via VectorPair.check) — without this a
+  // numeric child ClassCastExceptions mid-job on executors
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string key column, got ${child.dataType.catalogString}")
+
   override def nullSafeEval(v: Any): Any =
     java.lang.Boolean.valueOf(bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes))
 

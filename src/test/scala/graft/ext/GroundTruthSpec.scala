@@ -7,8 +7,10 @@ import graft.plans.NativeExpressions
 
 /** Value-level ground truth for the approximate (LSH/ANN) pipelines on the
   * REAL testdata — complements the DuckDB oracles: these run under
-  * `sbt test`, and they cover the two queries whose exact metric has no
-  * SQL twin (SimHash hamming, IVF recall).
+  * `sbt test` and pin each pipeline against an in-Spark brute-force twin,
+  * independently of the SQL oracles (which since round 4 cover every
+  * query here too — a bug in the shared Spark kernels would fool a
+  * Spark-vs-Spark check but not DuckDB, and vice versa).
   *
   * The reference's own tests assert contents, not counts
   * (tests/test_parser.py:83-124); these do the same for the sketch family.
@@ -117,7 +119,7 @@ class GroundTruthSpec extends SparkSpec {
     assert(short == Seq("ab😀cd"))
   }
 
-  test("IVF recall@5 >= 0.9 vs brute force at the q_embed_ivf_topk config") {
+  test("IVF recall@5 sanity floor vs brute force at the q_embed_ivf_topk config") {
     val queries = emb.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
