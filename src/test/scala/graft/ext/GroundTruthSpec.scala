@@ -119,6 +119,47 @@ class GroundTruthSpec extends SparkSpec {
     assert(short == Seq("ab😀cd"))
   }
 
+  test("HLL estimate stays within its rsd bound of the exact distinct count") {
+    // q_approx_distinct is the one remaining rows-only query (HLL sketches
+    // are implementation-defined across engines) — so ITS values get
+    // in-Spark ground truth instead: at rsd=0.02 the estimate must sit
+    // within a few standard deviations of the exact count (5σ = 10%)
+    import spark.implicits._
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val both = li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("est"),
+        countDistinct(col("l_partkey")).as("exact"))
+      .select("est", "exact").as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (est, exact) =>
+      assert(math.abs(est - exact).toDouble / exact <= 0.10,
+        s"HLL estimate $est vs exact $exact exceeds 5 standard deviations")
+    }
+  }
+
+  test("IVF drops NULL embeddings everywhere its SQL oracle does") {
+    import spark.implicits._
+    // corrupt rows: a NULL query vector and a NULL corpus vector. The
+    // oracle-parity contract: NULL queries emit nothing, NULL corpus rows
+    // are never assigned to a bucket, and centroid sampling skips them.
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val nulls = Seq(
+      (900000L, null.asInstanceOf[Array[Float]]),
+      (900050L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+    val corpus = base.unionByName(nulls)
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 5, nlist = 16, nprobe = 8)
+    // 900000 and 900050 are % 50 == 0 → would be queries, but their NULL
+    // vectors must drop them; no neighbor row may reference a NULL row
+    assert(out.where(col("query_id") >= 900000L).count() == 0)
+    assert(out.where(col("neighbor_id") >= 900000L).count() == 0)
+    // and the clean queries still return full top-5s
+    assert(out.count() == queries.where(col("qvec").isNotNull).count() * 5)
+  }
+
   test("IVF recall@5 sanity floor vs brute force at the q_embed_ivf_topk config") {
     val queries = emb.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
