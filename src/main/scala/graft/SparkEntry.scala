@@ -453,6 +453,23 @@ object SparkEntry {
       TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
     }),
 
+    // concat-and-chunk sequence packing: each doc's pack id and intra-pack
+    // offset in the per-source token stream (seq_len 2048, deterministic
+    // doc_id order within shard) — the doc → training-sequence layout step
+    "q_pack_sequences" -> ((s, dir) => {
+      TextAnalysis.packSequences(t(s, dir, "documents"), "doc_id", "text",
+        shardCol = "source", seqLen = 2048)
+    }),
+
+    // per-stratum quota: cap every source at 30 docs, chosen by stable
+    // hash order — the domain-cap operation; exact quota via per-stratum
+    // rank (group-limit pruned), not a fraction gate
+    "q_source_quota" -> ((s, dir) => {
+      Sampling.quotaSample(t(s, dir, "documents"), "doc_id", "source",
+        maxPerStratum = 30, seed = "q")
+        .select(col("doc_id"), col("source"))
+    }),
+
     // corpus inverted index: per term df / total tf / bounded posting head
     // (the 20 smallest doc ids) — the search/IDF primitive; full posting
     // lists are never materialized (web-scale terms would dwarf a task)
@@ -1208,6 +1225,26 @@ object SparkEntry {
         |  cast(least(50, len(toks) - start) AS bigint) AS n_chunk_tokens,
         |  md5(array_to_string(list_slice(toks, start + 1, start + 50), ' ')) AS chunk_hash
         |FROM s""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH counted AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '[\s\x0b]+'), x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        | streamed AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+        |  FROM counted WHERE n_tokens > 0)
+        |SELECT doc_id, source, n_tokens,
+        |  (cum_before // 2048)::BIGINT AS pack_id, (cum_before % 2048)::BIGINT AS offset
+        |FROM streamed""".stripMargin,
+
+    "q_source_quota" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY
+        |  substring(md5('q' || coalesce(cast(doc_id AS varchar), chr(0) || 'null')), 1, 8),
+        |  doc_id) <= 30""".stripMargin,
 
     "q_inverted_index" ->
       """WITH toks AS (

@@ -93,6 +93,24 @@ object Sampling {
     * systems (SQL oracles, Python readers) can reproduce the assignment. */
   def splitBoundary(cumulativeWeight: Double): String = hexThreshold(cumulativeWeight)
 
+  /** Per-stratum quota: keep at most `maxPerStratum` rows per stratum,
+    * chosen by hash order (md5 gate value, key as tie-break) so the kept
+    * set is a stable pseudo-random draw — the "cap any one domain's share
+    * of the corpus" operation. Unlike a fraction-based gate the quota is
+    * exact, so it needs a per-stratum rank: one shuffle on the stratum
+    * key, with the rank-filter form letting InferWindowGroupLimit bound
+    * each stratum's sort to the quota after the exchange. */
+  def quotaSample(df: DataFrame, keyCol: String, stratumCol: String,
+      maxPerStratum: Int, seed: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxPerStratum > 0, s"maxPerStratum must be positive, got $maxPerStratum")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(gateValue(col(keyCol), seed), col(keyCol))
+    df.withColumn("__qrank", row_number().over(w))
+      .where(col("__qrank") <= maxPerStratum)
+      .drop("__qrank")
+  }
+
   /** Deterministic global shuffle for training order: every row gets a
     * stable pseudo-random position 0..n-1 (order by md5(seed:key), key as
     * tie-break for md5-prefix collisions).

@@ -100,6 +100,35 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** Concat-and-chunk sequence packing (the GPT-style "pack the token
+    * stream into fixed-length training sequences" step): documents are
+    * laid out in deterministic order inside each shard, and each doc gets
+    * the pack id and intra-pack offset where its tokens begin; a doc whose
+    * tokens straddle a boundary simply continues into the next pack, so
+    * packs waste zero tokens (no bin-packing heuristics, no padding
+    * decisions — those belong to the consumer that materializes tokens).
+    *
+    * Scale: ONE window per shard (cumulative token sum ordered by id) —
+    * partition by a real shard column so the sort is shard-local; packing
+    * an unsharded corpus would be a single global sorted partition.
+    * Callers wanting shuffled order apply [[Sampling.shuffleOrder]] first
+    * and shard on a prefix of the position. Token-less/NULL docs are
+    * excluded (they contribute nothing to the stream). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      shardCol: String, seqLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(shardCol), T.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .where(col("n_tokens").isNotNull && col("n_tokens") > 0)
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integral div/mod on longs — no double round-trip at stream scale
+      .withColumn("pack_id", expr(s"cum_before div $seqLen"))
+      .withColumn("offset", col("cum_before") % seqLen)
+      .drop("cum_before")
+  }
+
   /** Inverted index over the corpus: one row per term with its document
     * frequency, total term frequency, and a BOUNDED posting-list head (the
     * `maxPostings` smallest doc ids, comma-joined). The full posting list

@@ -425,6 +425,43 @@ class ExtSpec extends SparkSpec {
     assert(top(3L) == Seq("cherry", "common")) // tf tie -> lower df first
   }
 
+  test("sequence packing: cumulative layout, straddling docs, empty docs excluded") {
+    // shard a: 3 + 4 + 2 tokens, seqLen 5 → doc 1 at (0,0); doc 2 starts
+    // at offset 3 and STRADDLES into pack 1; doc 3 at (1,2). shard b
+    // restarts the stream. whitespace-only and null docs vanish.
+    val df = Seq(
+      (1L, "t1 t2 t3", "a"),
+      (2L, "t1 t2 t3 t4", "a"),
+      (3L, "t1 t2", "a"),
+      (4L, "   ", "a"),
+      (5L, "t1", "b"),
+      (6L, null.asInstanceOf[String], "b")).toDF("doc_id", "text", "source")
+    val packed = TextAnalysis.packSequences(df, "doc_id", "text", "source", seqLen = 5)
+      .select("doc_id", "n_tokens", "pack_id", "offset")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(packed(1L) == ((3L, 0L, 0L)))
+    assert(packed(2L) == ((4L, 0L, 3L))) // begins in pack 0, spills into 1
+    assert(packed(3L) == ((2L, 1L, 2L))) // 7 tokens precede it
+    assert(packed(5L) == ((1L, 0L, 0L))) // shard b's own stream
+    assert(!packed.contains(4L) && !packed.contains(6L))
+  }
+
+  test("source quota caps each stratum exactly and is partitioning-stable") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = Sampling.quotaSample(docs, "doc_id", "source", maxPerStratum = 3, seed = "q")
+    val perSource = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perSource.values.forall(_ <= 3))
+    // a stratum with >= 3 docs is filled to exactly the quota
+    val large = docs.groupBy("source").count().where(col("count") >= 3)
+      .select("source").as[String].collect()
+    large.foreach(s0 => assert(perSource(s0) == 3L, s"stratum $s0 under-filled"))
+    // stable under repartitioning — same kept keys
+    val ids1 = kept.select("doc_id").as[Long].collect().toSet
+    val ids2 = Sampling.quotaSample(docs.repartition(7), "doc_id", "source", 3, "q")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("inverted index: df/tf_total per term, posting head bounded and ascending") {
     val df = Seq(
       (30L, "apple apple banana"),
