@@ -30,7 +30,8 @@ object ScaleProbe {
       val rot = alpha.drop(i) + alpha.take(i)
       df.select(
         (col(idCol) + lit(i * offset)).as(idCol),
-        translate(lower(col("text")), alpha, rot).as("text"))
+        translate(lower(col("text")), alpha, rot).as("text"),
+        col("source"))
     }.reduce(_.unionByName(_))
   }
 
@@ -83,7 +84,14 @@ object ScaleProbe {
       val tTopTerms = time(force(TextAnalysis.topTerms(docs, "doc_id", "text", 3)))
       val tIvf = time(force(Similarity.ivfTopK(emb, "vec_id", "embedding",
         queries, "qid", "qvec", k = 5, nlist = 16, nprobe = 8)))
-      println(f"""SCALE {"factor":$f, "minhash":$tMinhash%.2f, "clusters":$tClusters%.2f, "funnel":$tFunnel%.2f, "repetition":$tRepetition%.2f, "top_terms":$tTopTerms%.2f, "ivf_topk":$tIvf%.2f}""")
+      val tIndex = time(force(TextAnalysis.invertedIndex(docs, "doc_id", "text", 20)))
+      val tPack = time(force(TextAnalysis.packSequences(docs, "doc_id", "text", "source", 2048)))
+      // cross-corpus bloom: even ids are the reference, odd ids the batch —
+      // times the full operator including the sketch build
+      val tBloom = time(force(Dedup.crossCorpusNearDuplicatesBloom(
+        docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", 5, 128, 16, 0.5)))
+      println(f"""SCALE {"factor":$f, "minhash":$tMinhash%.2f, "clusters":$tClusters%.2f, "funnel":$tFunnel%.2f, "repetition":$tRepetition%.2f, "top_terms":$tTopTerms%.2f, "ivf_topk":$tIvf%.2f, "inverted_index":$tIndex%.2f, "pack":$tPack%.2f, "cross_bloom":$tBloom%.2f}""")
     }
     spark.stop()
   }
