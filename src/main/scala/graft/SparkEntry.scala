@@ -233,10 +233,15 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
     }),
 
-    // J4 complement: endpoints with no match (anti-join / BlankNode source)
+    // J4 complement: endpoints with no match (anti-join / BlankNode source).
+    // The anti side is the URGENT-order subset so the result is non-empty on
+    // this testdata (every customer has SOME order) — a 0-row anti-join would
+    // hash-match the oracle trivially and prove nothing.
     "q_anti_join" -> ((s, dir) => {
-      val orders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
-      t(s, dir, "customer").join(orders, Seq("c_custkey"), "left_anti")
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      t(s, dir, "customer").join(urgent, Seq("c_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
     }),
 
@@ -267,10 +272,16 @@ object SparkEntry {
         .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
     }),
 
-    // U2 set difference (distinct semantics)
+    // U2 set difference (distinct semantics). Both sides are priority slices
+    // of the same table so the difference is non-empty on this testdata
+    // (customer-vs-supplier nation keys fully overlap → 0 rows → a
+    // trivially-true hash match).
     "q_except" -> ((s, dir) => {
-      t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
-        .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      val orders = t(s, dir, "orders")
+      orders.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+        .except(orders.where(col("o_orderpriority") === "2-HIGH")
+          .select(col("o_custkey").as("custkey")))
     }),
 
     // W1 deterministic sequential chunking (zipWithIndex path)
@@ -649,12 +660,19 @@ object SparkEntry {
       Similarity.recallReport(exact, approx, k = 5)
     }),
 
-    // embedding-cosine near-duplicates via hyperplane LSH — value-checked:
-    // the oracle computes exact all-pairs cosine, so Spark's LSH output
-    // must equal the exact ≥-threshold set (empty on this testdata — max
-    // all-pairs cosine ≈ 0.51 — and the oracle proves that absence)
+    // embedding-cosine near-duplicates via hyperplane LSH — value-checked
+    // NON-trivially: the corpus is unioned with ×2-scaled copies of itself
+    // (id+10000). Doubling is exact in binary fp and commutes with every
+    // rounded +/×/sqrt, so each copy has bit-identical hyperplane signs
+    // (LSH recall on the planted pairs is PROVABLY 1.0, not just seeded
+    // luck) and cosine(v, 2v) rounds to 1.0 in both engines, while all
+    // natural pairs stay ≤ ~0.51 — the oracle's exact all-pairs set is
+    // exactly the 500 planted pairs.
     "q_embed_near_dup" -> ((s, dir) => {
-      Dedup.embeddingNearDuplicates(t(s, dir, "embeddings"), "vec_id", "embedding",
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val scaled = base.select((col("vec_id") + lit(10000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Dedup.embeddingNearDuplicates(base.unionByName(scaled), "vec_id", "embedding",
         dim = 64, threshold = 0.99, bands = 4, planesPerBand = 8)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine_r"))
     }),
@@ -980,6 +998,10 @@ object SparkEntry {
     "q_embed_near_dup" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS vec
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id,
+        |         list_transform(embedding, x -> cast(x AS double) * 2) AS vec
         |  FROM embeddings),
         | pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1079,7 +1101,7 @@ object SparkEntry {
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
 
     "q_anti_join" ->
-      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')",
 
     "q_lag_delta" ->
       """SELECT event_id, user_id,
@@ -1103,9 +1125,9 @@ object SparkEntry {
         |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
 
     "q_except" ->
-      """SELECT c_nationkey AS nationkey FROM customer
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |EXCEPT
-        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'""".stripMargin,
 
     "q_chunk" ->
       """SELECT chunk, count(*) AS n FROM
