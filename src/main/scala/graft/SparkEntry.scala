@@ -464,6 +464,34 @@ object SparkEntry {
       TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
     }),
 
+    // top terms WITH the smoothed tf-idf score value (rank stays integer-
+    // ordered so a last-bit ln() difference can never flip row order)
+    "q_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+    }),
+
+    // CCNet-style duplicate-line profile: share of each doc's derived
+    // 10-token lines that occur in >= 2 documents (boilerplate signal);
+    // line hashes (16-byte md5) shuffle, line text never does
+    "q_line_dedup" -> ((s, dir) => {
+      Dedup.duplicateLineProfile(t(s, dir, "documents"), "doc_id", "text",
+        lineTokens = 10)
+    }),
+
+    // benchmark-contamination check: eval set = 5% md5-gated docs, corpus =
+    // the rest; per-doc fraction of distinct word 3-grams that leak from
+    // the eval set (broadcast bench grams — the corpus never shuffles on
+    // gram text). 3-grams on this small-vocab corpus give a real
+    // distribution: ~3% background overlap, with near-dups of bench docs
+    // crossing the 0.2 contamination flag.
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = Sampling.hashSample(docs, "doc_id", 0.05, seed = "bench")
+      val corpus = docs.where(!Sampling.hashGate(col("doc_id"), 0.05, "bench"))
+      TextAnalysis.benchmarkOverlap(corpus, bench, "doc_id", "text",
+        n = 3, flagAt = 0.2)
+    }),
+
     // concat-and-chunk sequence packing: each doc's pack id and intra-pack
     // offset in the per-source token stream (seq_len 2048, deterministic
     // doc_id order within shard) — the doc → training-sequence layout step
@@ -1291,6 +1319,68 @@ object SparkEntry {
         |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rank
         |  FROM tf JOIN dfreq ON tf.term = dfreq.term)
         |SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '')) AS term
+        |  FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        | ranked AS (
+        |  SELECT tf.doc_id AS doc_id, tf.term AS term, tf.tf AS tf, dfreq.df AS df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rank
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term)
+        |SELECT doc_id, term, tf, df, rank,
+        |  round(tf * (ln((1.0 + (SELECT count(*) FROM documents)) / (1.0 + df)) + 1.0), 6) AS tfidf
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '[\s\x0b]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        | lines AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(list_slice(toks, start + 1, start + 10), ' ') AS line
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 10)) AS start
+        |        FROM t WHERE len(toks) > 0)),
+        | ldf AS (SELECT line, count(*) AS line_df FROM lines GROUP BY line)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  cast(sum(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_dup_lines,
+        |  cast(sum(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS double)
+        |    / cast(count(*) AS double) AS dup_line_ratio
+        |FROM lines JOIN ldf USING (line) GROUP BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    substring(md5('bench' || coalesce(cast(doc_id AS varchar), chr(0) || 'null')), 1, 8)
+        |      < '0ccccccc' AS in_bench,
+        |    CASE WHEN t IS NULL THEN NULL
+        |         WHEN len(t) = 0 THEN []
+        |         WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    END AS grams
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS t
+        |        FROM documents)),
+        | bench AS (
+        |  SELECT list_distinct(flatten(list(grams) FILTER (WHERE grams IS NOT NULL))) AS bg
+        |  FROM g WHERE in_bench)
+        |SELECT doc_id,
+        |  cast(coalesce(len(grams), 0) AS bigint) AS n_grams,
+        |  cast(coalesce(len(list_intersect(grams, bg)), 0) AS bigint) AS n_hit,
+        |  CASE WHEN coalesce(len(grams), 0) > 0
+        |       THEN cast(coalesce(len(list_intersect(grams, bg)), 0) AS double)
+        |            / cast(len(grams) AS double)
+        |       ELSE 0.0 END AS overlap,
+        |  CASE WHEN coalesce(len(grams), 0) > 0
+        |       THEN cast(coalesce(len(list_intersect(grams, bg)), 0) AS double)
+        |            / cast(len(grams) AS double)
+        |       ELSE 0.0 END > 0.2 AS contaminated
+        |FROM g, bench WHERE NOT in_bench""".stripMargin,
 
     "q_bigrams" ->
       """WITH t AS (

@@ -456,4 +456,39 @@ object Dedup {
         NativeExpressions.cosine(col("vec_a"), col("vec_b")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** CCNet-style duplicate-line profile (ref: the line-level dedup stage of
+    * web-corpus cleaning). "Lines" here are derived fixed-`lineTokens`-token
+    * windows because this corpus has no newlines; a real pipeline feeds
+    * `split(text, '\n')` rows through the exact same shape. A line is
+    * duplicated when it occurs in ≥ 2 distinct documents. Per doc: distinct
+    * line count, corpus-duplicated line count, and their ratio (the
+    * "mostly boilerplate" removal signal).
+    *
+    * Scale: lines are hashed to 16-byte `unhex(md5)` BEFORE the exchange so
+    * no shuffle ever carries line text, and the whole line-wise stage rides
+    * ONE exchange: an explicit repartition on line_hash satisfies both the
+    * (doc, line) dedup (clustering-subset rule) and the doc-frequency
+    * count-window (no self-join, no second corpus pass) — only the final
+    * per-doc rollup shuffles again, with map-side partial aggregation.
+    * Documents with no tokens produce no lines and drop out, matching a
+    * split('\n') of empty text. */
+  def duplicateLineProfile(df: DataFrame, idCol: String, textCol: String,
+      lineTokens: Int = 10): DataFrame = {
+    require(lineTokens > 0, s"lineTokens must be positive, got $lineTokens")
+    val lines = TextAnalysis
+      .tokenWindows(df, idCol, textCol, lineTokens, lineTokens)
+      .select(col(idCol), unhex(md5(col("chunk_text"))).as("line_hash"))
+      .repartition(col("line_hash"))
+      .dropDuplicates(idCol, "line_hash")
+    val w = Window.partitionBy(col("line_hash"))
+    lines
+      .withColumn("line_df", count(lit(1)).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("line_df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup_lines"))
+      .withColumn("dup_line_ratio",
+        col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
+  }
 }

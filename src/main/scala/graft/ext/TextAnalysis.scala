@@ -219,4 +219,60 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(k)
   }
+
+  /** Benchmark-contamination check: for each corpus document, the fraction
+    * of its distinct word `n`-grams that also occur anywhere in `benchDf`
+    * (the eval/benchmark set). High overlap flags training documents that
+    * leak benchmark content. Gram construction is
+    * [[graft.functions.HashFunctions.wordShingles]] (lowercased, distinct,
+    * short docs collapse to one sub-`n` gram, empty docs to zero grams —
+    * those report 0 overlap).
+    *
+    * Scale: benchmark sets are small by nature, so the bench gram set is
+    * BROADCAST — the corpus is never shuffled on gram text; the only
+    * exchange is the per-doc rollup, and map-side partial aggregation
+    * collapses it to one row per document before it ships. */
+  def benchmarkOverlap(df: DataFrame, benchDf: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, flagAt: Double = 0.2): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    val grams = df.select(
+      col(idCol), H.wordShingles(col(textCol), n).as("__grams"))
+    val benchGrams = benchDf
+      .select(explode(H.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    grams
+      .select(col(idCol),
+        coalesce(size(col("__grams")), lit(0)).cast("long").as("n_grams"),
+        explode_outer(col("__grams")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("overlap",
+        when(col("n_grams") > 0,
+          col("n_hit").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("overlap") > lit(flagAt))
+  }
+
+  /** Per-doc top-k terms WITH the smoothed tf-idf score:
+    * `tf * (ln((1 + N) / (1 + df)) + 1)` (the scikit-style smooth idf — no
+    * division by zero, never negative). Ranking reuses [[topTerms]]'s
+    * integer ordering (tf desc, df asc, term asc), which for equal tf IS
+    * the idf ordering (ln is monotone) — the float score is emitted as a
+    * VALUE (rounded for cross-engine stability) but never decides order,
+    * so ties can't flip on a last-bit ln difference.
+    *
+    * Scale: same one-shuffle-on-term shape as [[topTerms]]; the corpus doc
+    * count joins in as a broadcast single-row aggregate, not a driver-side
+    * collect, so the whole thing stays one logical plan. */
+  def tfidfTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val nDocs = df.agg(count(lit(1)).as("__n_docs"))
+    topTerms(df, idCol, textCol, k)
+      .join(broadcast(nDocs))
+      .withColumn("tfidf", round(
+        col("tf") * (log((lit(1.0) + col("__n_docs")) / (lit(1.0) + col("df"))) + lit(1.0)),
+        6))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"), col("tfidf"))
+  }
 }

@@ -119,4 +119,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "assignment must not use a per-row window")
     assert(!p.contains("Exchange"), "assignment must not shuffle the corpus")
   }
+
+  test("benchmark overlap broadcasts the bench gram set") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle on gram text")
+  }
+
+  test("duplicate-line profile: one line-hash exchange + one doc rollup, no text shuffle") {
+    val p = plan("q_line_dedup")
+    assert(p.contains("hashpartitioning(line_hash"), p.take(2000))
+    assert(!p.contains("hashpartitioning(chunk_text"),
+      "an exchange is carrying raw line text")
+    // dedup + doc-frequency window must SHARE the line_hash exchange; with
+    // the doc rollup that is 2 shuffles total for the whole profile
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 exchanges, plan has $exchanges:\n" + p.take(3000))
+  }
 }

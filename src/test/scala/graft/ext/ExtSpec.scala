@@ -600,4 +600,61 @@ class ExtSpec extends SparkSpec {
       }
     }
   }
+
+  test("duplicate-line profile flags lines shared across documents") {
+    val d = Seq(
+      (1L, "a b c d e f g h"),         // lines: "a b c d", "e f g h"
+      (2L, "a b c d x y z w"),         // shares "a b c d" with doc 1
+      (3L, "p q r s"),                 // one unique line
+      (4L, "m m m m m m m m")          // same line twice WITHIN one doc:
+    ).toDF("doc_id", "text")           //   distinct → 1 line, not corpus-dup
+    val out = Dedup.duplicateLineProfile(d, "doc_id", "text", lineTokens = 4)
+      .select("doc_id", "n_lines", "n_dup_lines", "dup_line_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+    // a short tail line ("i j" below) is still a line
+    val tail = Dedup.duplicateLineProfile(
+      Seq((9L, "a b c d i j")).toDF("doc_id", "text"), "doc_id", "text", 4)
+      .select("n_lines").as[Long].head()
+    assert(tail == 2L)
+  }
+
+  test("benchmark overlap measures n-gram leakage against the eval set") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // verbatim leak
+      (2L, "alpha beta gamma nope nope2 nope3"),   // 1 of 4 grams leaked
+      (3L, "unrelated words only here today now"), // clean
+      (4L, "xy")                                   // sub-n doc: one short gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.benchmarkOverlap(corpus, bench, "doc_id", "text",
+      n = 3, flagAt = 0.5)
+      .select("doc_id", "n_grams", "n_hit", "overlap", "contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) == ((4L, 4L, 1.0, true)))
+    assert(out(2L) == ((4L, 1L, 0.25, false)))
+    assert(out(3L) == ((4L, 0L, 0.0, false)))
+    assert(out(4L) == ((1L, 0L, 0.0, false)))
+  }
+
+  test("tfidf terms carry the smoothed score; ranks stay integer-ordered") {
+    val out = TextAnalysis.tfidfTerms(docs, "doc_id", "text", k = 3)
+    val top = TextAnalysis.topTerms(docs, "doc_id", "text", k = 3)
+    // same rows/ordering as topTerms (the score must never affect rank)
+    assert(out.select("doc_id", "term", "tf", "df", "rank").collect().toSet ==
+      top.collect().toSet)
+    val n = docs.count().toDouble
+    out.select("tf", "df", "tfidf").as[(Long, Long, Double)].collect().foreach {
+      case (tf, df, score) =>
+        val expect = BigDecimal(tf * (math.log((1.0 + n) / (1.0 + df)) + 1.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(score == expect, s"tf=$tf df=$df")
+    }
+  }
 }
