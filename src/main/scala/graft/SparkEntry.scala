@@ -128,6 +128,45 @@ object SparkEntry {
           expr("percentile(l_extendedprice, 0.5)").as("price_p50"))
     }),
 
+    // robust-stats winsorization: per-group p05/p95 caps (exact percentile
+    // — quantile_cont parity like q_percentile; approx_percentile is the
+    // continuous-domain scale path), broadcast back onto the fact table,
+    // heavy tail clipped before the money sum. The "cap outliers before
+    // aggregating" curation step; caps are a tiny per-group frame so the
+    // clip pass is a broadcast join, never a fact-table shuffle.
+    "q_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val caps = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.05)").as("lo"),
+             expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      li.join(broadcast(caps), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          greatest(col("lo"), least(col("hi"), col("l_extendedprice"))).as("clipped"),
+          col("l_extendedprice"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             dsum(col("clipped")).as("clipped_sum"),
+             dsum(col("l_extendedprice")).as("raw_sum"))
+    }),
+
+    // NTILE length-bucketing: docs deciled by token count within each
+    // source — the batch-packing prep step (equal-population buckets so
+    // similar-length docs batch together). Deterministic via the
+    // (n_tokens, doc_id) tie-break; one window shuffle on source.
+    "q_length_buckets" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_tokens"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .where(col("n_tokens").isNotNull)
+        .withColumn("bucket", ntile(10).over(w).cast("long"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("n_tokens")).as("min_tokens"),
+             max(col("n_tokens")).as("max_tokens"))
+    }),
+
     // event-time sliding frame: per-flag daily revenue with a 7-day moving
     // sum (RANGE frame over days; window partitioned by flag — no global
     // single-partition sort)
@@ -1091,6 +1130,31 @@ object SparkEntry {
         | quantile_cont(l_quantity, 0.9) AS p90,
         | quantile_cont(l_extendedprice, 0.5) AS price_p50
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH caps AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, count(*) AS n,
+        |  cast(sum(cast(floor(greatest(lo, least(hi, l_extendedprice)) * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS clipped_sum,
+        |  cast(sum(cast(floor(l_extendedprice * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS raw_sum
+        |FROM lineitem JOIN caps USING (l_returnflag)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q_length_buckets" ->
+      """WITH counted AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(text, '[\s\x0b]+'), x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL),
+        | b AS (
+        |  SELECT source, n_tokens,
+        |    ntile(10) OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS bucket
+        |  FROM counted)
+        |SELECT source, cast(bucket AS bigint) AS bucket, count(*) AS n_docs,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM b GROUP BY source, bucket""".stripMargin,
 
     "q_moving_sum" ->
       """WITH daily AS (

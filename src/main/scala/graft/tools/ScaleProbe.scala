@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{CorpusPipeline, Dedup, Similarity, TextAnalysis}
+import graft.ext.{CorpusPipeline, Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Scaling-curve probe for the heaviest pipelines: times them at 1x/2x/5x
   * the sf0.1 corpus to catch super-linear steps that single-SF numbers
@@ -91,7 +91,16 @@ object ScaleProbe {
       val tBloom = time(force(Dedup.crossCorpusNearDuplicatesBloom(
         docs.where(col("doc_id") % 2 === 1), docs.where(col("doc_id") % 2 === 0),
         "doc_id", "text", 5, 128, 16, 0.5)))
-      println(f"""SCALE {"factor":$f, "minhash":$tMinhash%.2f, "clusters":$tClusters%.2f, "funnel":$tFunnel%.2f, "repetition":$tRepetition%.2f, "top_terms":$tTopTerms%.2f, "ivf_topk":$tIvf%.2f, "inverted_index":$tIndex%.2f, "pack":$tPack%.2f, "cross_bloom":$tBloom%.2f}""")
+      // line-wise stage rides one line-hash exchange; pair volume is
+      // linear in corpus lines (rotation keeps cross-copy lines disjoint)
+      val tLines = time(force(Dedup.duplicateLineProfile(docs, "doc_id", "text", 10)))
+      // bench side held at the same 5% gate: the broadcast gram set grows
+      // with the corpus here (worst case); real eval suites are constant
+      val tContam = time(force(TextAnalysis.benchmarkOverlap(
+        docs.where(!Sampling.hashGate(col("doc_id"), 0.05, "bench")),
+        docs.where(Sampling.hashGate(col("doc_id"), 0.05, "bench")),
+        "doc_id", "text", 3, 0.2)))
+      println(f"""SCALE {"factor":$f, "minhash":$tMinhash%.2f, "clusters":$tClusters%.2f, "funnel":$tFunnel%.2f, "repetition":$tRepetition%.2f, "top_terms":$tTopTerms%.2f, "ivf_topk":$tIvf%.2f, "inverted_index":$tIndex%.2f, "pack":$tPack%.2f, "cross_bloom":$tBloom%.2f, "line_dedup":$tLines%.2f, "contamination":$tContam%.2f}""")
     }
     spark.stop()
   }
