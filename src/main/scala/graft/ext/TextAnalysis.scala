@@ -224,21 +224,25 @@ object TextAnalysis {
     * of its distinct word `n`-grams that also occur anywhere in `benchDf`
     * (the eval/benchmark set). High overlap flags training documents that
     * leak benchmark content. Gram construction is
-    * [[graft.functions.HashFunctions.wordShingles]] (lowercased, distinct,
+    * the word-shingle family (lowercased, distinct,
     * short docs collapse to one sub-`n` gram, empty docs to zero grams —
     * those report 0 overlap).
     *
     * Scale: benchmark sets are small by nature, so the bench gram set is
     * BROADCAST — the corpus is never shuffled on gram text; the only
     * exchange is the per-doc rollup, and map-side partial aggregation
-    * collapses it to one row per document before it ships. */
+    * collapses it to one row per document before it ships. Gram
+    * construction is the NATIVE WordShingles kernel (same semantics as the
+    * HOF reference form, one tight loop per row) — the HOF chain costs
+    * ~600 µs/doc in interpreted lambdas and dominated the whole operator
+    * when profiled (tools/ProfileContamination). */
   def benchmarkOverlap(df: DataFrame, benchDf: DataFrame, idCol: String,
       textCol: String, n: Int = 5, flagAt: Double = 0.2): DataFrame = {
-    import graft.functions.{HashFunctions => H}
+    import graft.plans.NativeExpressions
     val grams = df.select(
-      col(idCol), H.wordShingles(col(textCol), n).as("__grams"))
+      col(idCol), NativeExpressions.wordShingles(col(textCol), n).as("__grams"))
     val benchGrams = benchDf
-      .select(explode(H.wordShingles(col(textCol), n)).as("gram"))
+      .select(explode(NativeExpressions.wordShingles(col(textCol), n)).as("gram"))
       .distinct()
       .withColumn("__hit", lit(1L))
     grams

@@ -73,4 +73,31 @@ object CorpusStream {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming contamination gate: each micro-batch of documents is scored
+    * against the STATIC benchmark gram set
+    * ([[graft.ext.TextAnalysis.benchmarkOverlap]] — bench grams broadcast,
+    * the stream side never shuffles on gram text) and only docs at or
+    * under the flag threshold are appended, as idempotently-overwritten
+    * `batch_id=` partitions (the same exactly-once contract as
+    * [[dedupIngest]]). The benchmark set is static by design — eval suites
+    * change by release, not by micro-batch; swap the frame and restart to
+    * pick up a new suite. */
+  def contaminationGate(
+      docs: DataFrame, benchDf: DataFrame, idCol: String, textCol: String,
+      outPath: String, checkpoint: String,
+      n: Int = 3, flagAt: Double = 0.2): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val clean = graft.ext.TextAnalysis.benchmarkOverlap(
+            batch.toDF(), benchDf, idCol, textCol, n, flagAt)
+          .where(!col("contaminated"))
+          .select(col(idCol))
+        val kept = batch.toDF().join(clean, Seq(idCol), "left_semi")
+        EventsStream.writeBatchPartition(kept, batchId, outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -154,6 +154,37 @@ class StreamingSpec extends SparkSpec {
     assert(bootIds == expectedBoot)
   }
 
+  test("streaming contamination gate drops benchmark-leaking docs like the batch twin") {
+    import graft.ext.TextAnalysis
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.where(col("doc_id") < 30).select("doc_id", "text")
+    // plant verbatim benchmark leaks into the stream (re-idd copies)
+    val planted = bench.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val incoming = docs.where(col("doc_id") >= 30).select("doc_id", "text")
+      .unionByName(planted)
+    val work = java.nio.file.Files.createTempDirectory("graft-contam-stream")
+    val src = s"$work/incoming"
+    val out = s"$work/clean"
+    incoming.write.parquet(src)
+
+    val q = CorpusStream.contaminationGate(
+      CorpusStream.readDocuments(spark, src, incoming.schema),
+      bench, "doc_id", "text", out, s"$work/ckpt", n = 3, flagAt = 0.5)
+    q.awaitTermination()
+
+    val expected = TextAnalysis.benchmarkOverlap(incoming, bench, "doc_id", "text",
+        n = 3, flagAt = 0.5)
+      .where(!col("contaminated"))
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    val got = spark.read.parquet(out)
+      .select("doc_id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSet
+    assert(got == expected)
+    // every planted verbatim leak (overlap 1.0) must be gone; the clean
+    // tail must survive
+    assert(got.forall(_ < 100000L))
+    assert(got.nonEmpty)
+  }
+
   test("flatMapGroupsWithState keeps a running per-user profile") {
     val streamed = EventsStream.userProfiles(spark,
       EventsStream.readStream(spark, streamDir)).toDF()
