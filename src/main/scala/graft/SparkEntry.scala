@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.graphx.{Edge, Graph}
 
-import graft.operators.{Normalize, Mapping}
+import graft.operators.{Normalize, Mapping, Skew}
 import graft.ext.{Dedup, Similarity, TextAnalysis, Multimodal, Sampling}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 
@@ -147,6 +147,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
              dsum(col("clipped")).as("clipped_sum"),
              dsum(col("l_extendedprice")).as("raw_sum"))
+    }),
+
+    // skew-mitigated join: the fact side is salted into (key, salt) and
+    // the dimension replicated per salt — the ORACLE is the PLAIN join, so
+    // the hash match proves salting is semantics-preserving, row for row
+    "q_salted_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(orders, cust, "o_custkey", saltFactor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+    }),
+
+    // token-budget mixture planning: per-source corpus token counts vs a
+    // 1B-token target under explicit mixture weights — "how many epochs of
+    // each source does this mixture imply" (upsampled sources epoch > 1)
+    "q_token_budget" -> ((s, dir) => {
+      val weighted = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+        .withColumn("weight",
+          when(col("source") === "src0", 0.30)
+            .when(col("source") === "src1", 0.20)
+            .otherwise(0.50 / 18.0))
+      weighted
+        .withColumn("target_tokens", col("weight") * lit(1.0e9))
+        .withColumn("epochs",
+          col("target_tokens") / col("n_tokens").cast("double"))
     }),
 
     // NTILE length-bucketing: docs deciled by token count within each
@@ -1142,6 +1172,27 @@ object SparkEntry {
         |  cast(sum(cast(floor(l_extendedprice * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS raw_sum
         |FROM lineitem JOIN caps USING (l_returnflag)
         |GROUP BY l_returnflag""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    cast(sum(len(list_filter(string_split_regex(text, '[\s\x0b]+'), x -> x <> ''))) AS bigint) AS n_tokens
+        |  FROM documents GROUP BY source),
+        | w AS (
+        |  SELECT source, n_tokens,
+        |    CASE source WHEN 'src0' THEN cast(0.30 AS double)
+        |                WHEN 'src1' THEN cast(0.20 AS double)
+        |                ELSE cast(0.50 AS double) / cast(18.0 AS double) END AS weight
+        |  FROM s)
+        |SELECT source, n_tokens, weight, weight * 1.0e9 AS target_tokens,
+        |  (weight * 1.0e9) / cast(n_tokens AS double) AS epochs
+        |FROM w""".stripMargin,
 
     "q_length_buckets" ->
       """WITH counted AS (
