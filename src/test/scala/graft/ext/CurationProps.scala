@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Invariants of the round-4 curation operators (duplicate-line profile,
+  * benchmark contamination) under arbitrary generated corpora. Small row
+  * counts per case — each property runs real Spark jobs. */
+object CurationProps extends Properties("Curation") {
+
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  // word-soup documents: tokens from a small alphabet so cross-doc line and
+  // gram collisions actually happen
+  private val word: Gen[String] = Gen.oneOf("a", "bb", "ccc", "dog", "x1", "yz")
+  private val doc: Gen[String] = for {
+    n <- Gen.choose(0, 40)
+    ws <- Gen.listOfN(n, word)
+  } yield ws.mkString(" ")
+
+  private def docsDf(texts: Seq[String]) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  property("line profile: 0 <= dup lines <= lines, ratio consistent, token-less docs absent") =
+    forAll(Gen.listOfN(12, doc), Gen.choose(1, 7)) { (texts, lineTokens) =>
+      val out = Dedup.duplicateLineProfile(docsDf(texts), "doc_id", "text", lineTokens)
+        .select("doc_id", "n_lines", "n_dup_lines", "dup_line_ratio")
+        .collect()
+      val tokenful = texts.count(_.trim.split("\\s+").exists(_.nonEmpty))
+      out.length == tokenful && out.forall { r =>
+        val (n, d, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+        n > 0 && d >= 0 && d <= n && math.abs(ratio - d.toDouble / n) < 1e-12
+      }
+    }
+
+  property("line profile: duplicating the corpus under new ids makes EVERY line a dup") =
+    forAll(Gen.listOfN(8, doc)) { texts =>
+      import spark.implicits._
+      val base = docsDf(texts)
+      val copy = base.select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+      val out = Dedup.duplicateLineProfile(base.unionByName(copy), "doc_id", "text", 5)
+        .select("n_lines", "n_dup_lines").as[(Long, Long)].collect()
+      out.forall { case (n, d) => n == d }
+    }
+
+  property("contamination: overlap in [0,1]; bench-verbatim docs hit 1.0; flag matches overlap") =
+    forAll(Gen.listOfN(10, doc), Gen.choose(0.05, 0.95)) { (texts, flagAt) =>
+      import spark.implicits._
+      val all = docsDf(texts)
+      val bench = all.where(col("doc_id") < 3)
+      val corpus = all.where(col("doc_id") >= 3)
+        // plant one verbatim bench doc in the corpus (id 100)
+        .unionByName(bench.limit(1).select(lit(100L).as("doc_id"), col("text")))
+      val rows = TextAnalysis.benchmarkOverlap(corpus, bench, "doc_id", "text", 3, flagAt)
+        .select("doc_id", "n_grams", "n_hit", "overlap", "contaminated")
+        .collect()
+      rows.forall { r =>
+        val (ng, nh, ov, fl) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+        val bounds = nh >= 0 && nh <= ng && ov >= 0.0 && ov <= 1.0 && fl == (ov > flagAt)
+        val plantedOk = r.getLong(0) != 100L || ng == 0 || ov == 1.0
+        bounds && plantedOk
+      }
+    }
+}
