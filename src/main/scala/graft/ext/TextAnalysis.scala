@@ -237,19 +237,32 @@ object TextAnalysis {
     * ~600 µs/doc in interpreted lambdas and dominated the whole operator
     * when profiled (tools/ProfileContamination). */
   def benchmarkOverlap(df: DataFrame, benchDf: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, flagAt: Double = 0.2): DataFrame =
+    benchmarkOverlapGrams(df, benchGramSet(benchDf, textCol, n), idCol, textCol, n, flagAt)
+
+  /** The distinct benchmark gram set for [[benchmarkOverlapGrams]] — build
+    * it ONCE (and cache it) when scoring many batches against the same
+    * eval suite, e.g. the streaming gate. */
+  def benchGramSet(benchDf: DataFrame, textCol: String, n: Int): DataFrame = {
+    import graft.plans.NativeExpressions
+    benchDf
+      .select(explode(NativeExpressions.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+  }
+
+  /** [[benchmarkOverlap]] against a pre-built gram set (one `gram` column). */
+  def benchmarkOverlapGrams(df: DataFrame, benchGrams: DataFrame, idCol: String,
       textCol: String, n: Int = 5, flagAt: Double = 0.2): DataFrame = {
     import graft.plans.NativeExpressions
     val grams = df.select(
       col(idCol), NativeExpressions.wordShingles(col(textCol), n).as("__grams"))
-    val benchGrams = benchDf
-      .select(explode(NativeExpressions.wordShingles(col(textCol), n)).as("gram"))
-      .distinct()
-      .withColumn("__hit", lit(1L))
     grams
       .select(col(idCol),
-        coalesce(size(col("__grams")), lit(0)).cast("long").as("n_grams"),
+        // greatest-vs-0 normalizes BOTH null-size conventions (ANSI null,
+        // legacy -1) to the oracle's 0 — greatest ignores null args
+        greatest(size(col("__grams")), lit(0)).cast("long").as("n_grams"),
         explode_outer(col("__grams")).as("gram"))
-      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1L))), Seq("gram"), "left")
       .groupBy(col(idCol), col("n_grams"))
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
       .withColumn("overlap",

@@ -86,18 +86,29 @@ object CorpusStream {
   def contaminationGate(
       docs: DataFrame, benchDf: DataFrame, idCol: String, textCol: String,
       outPath: String, checkpoint: String,
-      n: Int = 3, flagAt: Double = 0.2): StreamingQuery =
+      n: Int = 3, flagAt: Double = 0.2): StreamingQuery = {
+    // the eval suite is static across the query's lifetime: build + pin its
+    // gram set ONCE, not per micro-batch (same recompute rationale as the
+    // cached per-batch frame in dedupIngest above)
+    val benchGrams = graft.ext.TextAnalysis.benchGramSet(benchDf, textCol, n).cache()
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val clean = graft.ext.TextAnalysis.benchmarkOverlap(
-            batch.toDF(), benchDf, idCol, textCol, n, flagAt)
-          .where(!col("contaminated"))
-          .select(col(idCol))
-        val kept = batch.toDF().join(clean, Seq(idCol), "left_semi")
-        EventsStream.writeBatchPartition(kept, batchId, outPath)
+        // cached: scored once for the gate, scanned again for the kept rows
+        val b = batch.toDF().cache()
+        try {
+          val clean = graft.ext.TextAnalysis.benchmarkOverlapGrams(
+              b, benchGrams, idCol, textCol, n, flagAt)
+            .where(!col("contaminated"))
+            .select(col(idCol).as("__clean_id"))
+          // null-safe semi join: a NULL-id doc the batch twin keeps must
+          // not vanish here (Seq-join equality never matches NULL keys)
+          val kept = b.join(clean, b(idCol) <=> clean("__clean_id"), "left_semi")
+          EventsStream.writeBatchPartition(kept, batchId, outPath)
+        } finally b.unpersist(): Unit
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }
