@@ -120,6 +120,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "assignment must not shuffle the corpus")
   }
 
+  test("winsorize broadcasts the per-group caps onto the fact scan") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "the tiny caps frame must broadcast, not shuffle the fact table")
+  }
+
+  test("salted join broadcasts the replicated dimension") {
+    val p = plan("q_salted_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "saltFactor-replicated dimension is still broadcast-sized")
+  }
+
   test("benchmark overlap broadcasts the bench gram set") {
     val p = plan("q_contamination")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
