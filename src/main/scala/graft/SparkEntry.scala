@@ -627,6 +627,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
     }),
 
+    // leakage-safe train/val/test split: the split UNIT is the near-dup
+    // CLUSTER — every doc inherits its cluster representative's md5-gated
+    // assignment (singletons represent themselves), so near-duplicate
+    // pairs can never straddle train and test (the classic eval-leakage
+    // bug a plain per-doc split commits). Value-checked per doc: the
+    // oracle rebuilds clusters from EXACT jaccard pairs via recursive CTE
+    // and replays the same gate on the representative.
+    "q_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+        shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
+      val clusters = Dedup.resolveDuplicateClusters(pairs)
+      val rep = docs.select(col("doc_id"))
+        .join(clusters.select(col("id").as("doc_id"), col("keep_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("rep_id"))
+      Sampling.splitAssign(rep, "rep_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "sp")
+        .select(col("doc_id"), col("rep_id"), col("split"))
+    }),
+
     // incremental dedup: today's batch (docs 400+) against the already-
     // ingested reference (docs <400) — batch survivors only. Value-checked:
     // the oracle recomputes exact all-cross-pairs char-5-gram Jaccard in
@@ -953,6 +974,27 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
         |SELECT src AS id, least(src, min(dst)) AS keep_id FROM reach GROUP BY src""".stripMargin,
+
+    "q_leakage_safe_split" ->
+      s"""WITH RECURSIVE $charPairsSql,
+        | above AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+        | edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM above
+        |  UNION SELECT id_b, id_a FROM above),
+        | reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        | keeper AS (
+        |  SELECT src AS id, least(src, min(dst)) AS keep_id FROM reach GROUP BY src),
+        | rep AS (
+        |  SELECT d.doc_id, coalesce(k.keep_id, d.doc_id) AS rep_id
+        |  FROM documents d LEFT JOIN keeper k ON d.doc_id = k.id)
+        |SELECT doc_id, rep_id,
+        |  CASE WHEN substring(md5('sp' || coalesce(cast(rep_id AS varchar), chr(0) || 'null')), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substring(md5('sp' || coalesce(cast(rep_id AS varchar), chr(0) || 'null')), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM rep""".stripMargin,
 
     "q_cross_dedup_bloom" ->
       s"""WITH ${charShingleSql("documents")},
