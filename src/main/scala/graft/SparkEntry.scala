@@ -916,7 +916,7 @@ object SparkEntry {
       |         list_transform(embedding, x -> cast(x AS double)) AS cvec
       |  FROM embeddings, params
       |  WHERE embedding IS NOT NULL
-      |    AND ('0x' || substr(md5('ivf:' || cast(vec_id AS varchar)), 1, 8))::UBIGINT % stride = 0),
+      |    AND ('0x' || substr(md5('ivf:' || cast(vec_id AS varchar)), 1, 15))::UBIGINT % stride = 0),
       | cent AS (
       |  SELECT row_number() OVER (ORDER BY sid) - 1 AS centroid_id, cvec
       |  FROM cand QUALIFY row_number() OVER (ORDER BY sid) <= 16),

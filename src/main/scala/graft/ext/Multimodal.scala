@@ -32,14 +32,14 @@ object Multimodal {
     * meta STRUCT<mime, n_bytes, width, height>). */
   def asMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bytes = encode(col(textCol), "UTF-8")
-    // deterministic fake metadata from the engine-portable md5-prefix idiom
-    // (same family as graft.ext.Sampling): the first 8 hex chars of
-    // md5(salt:id) parsed as a 32-bit value — DuckDB computes the identical
-    // number via ('0x' || substr(md5(...), 1, 8))::UBIGINT, so the metadata
-    // derivation is value-checkable by a SQL oracle (xxhash64 is not)
+    // deterministic fake metadata from the engine-portable md5-prefix
+    // family (graft.functions.HashFunctions.md5PrefixLong — DuckDB computes
+    // the identical number via ('0x' || substr(md5(...), 1, 8))::UBIGINT,
+    // so the metadata derivation is value-checkable; xxhash64 is not).
+    // 8 hex chars suffice here: the value is consumed mod small constants,
+    // never mod a corpus-sized stride
     def hash32(salt: String): Column =
-      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 8), 16, 10)
-        .cast("long")
+      graft.functions.HashFunctions.md5PrefixLong(salt, col(idCol), 8)
     df.select(
       col(idCol).as("media_id"),
       bytes.as("content"),

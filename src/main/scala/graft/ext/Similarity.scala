@@ -118,15 +118,18 @@ object Similarity {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val n = corpus.count()
     val stride = math.max(n / nlist, 1L)
-    // first 8 md5 hex chars of "ivf:<id>" as a 32-bit value — DuckDB twin:
-    // ('0x' || substr(md5('ivf:' || cast(id AS varchar)), 1, 8))::UBIGINT
-    val gate32 = conv(substring(
-      md5(concat(lit("ivf:"), col(idCol).cast("string"))), 1, 8), 16, 10).cast("long")
+    // 60-bit portable gate (15 md5 hex chars — DuckDB twin:
+    // ('0x' || substr(md5('ivf:' || cast(id AS varchar)), 1, 15))::UBIGINT).
+    // A 32-bit prefix degenerates once stride exceeds 2^32 (gate % stride
+    // == 0 then selects only the ~n/2^32 rows whose prefix is zero —
+    // a biased, fixed-size "sample" at the 100 TB row counts this targets);
+    // 60 bits keeps the stride ceiling above 10^18 rows
+    val gate = graft.functions.HashFunctions.md5PrefixLong("ivf:", col(idCol), 15)
     // a NULL vector can never serve as a centroid (typedlit would embed a
     // null literal and every distance against it would be NULL); the SQL
     // oracle applies the same filter
     val sample = corpus
-      .where(col(vecCol).isNotNull && gate32 % stride === 0)
+      .where(col(vecCol).isNotNull && gate % stride === 0)
       .select(col(idCol).cast("string").as("__sid"), col(vecCol).as("cvec"))
     val rows = sample.collect().sortBy(_.getString(0)).take(nlist)
     require(rows.nonEmpty, "no centroids sampled")

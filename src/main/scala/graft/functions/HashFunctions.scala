@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
+  /** First `hexChars` hex chars of `md5(salt || key)` parsed as a
+    * NON-NEGATIVE long — the engine-portable gate/derivation family
+    * (DuckDB twin: `('0x' || substr(md5(salt || key), 1, hexChars))
+    * ::UBIGINT`). Capped at 15 hex chars (60 bits) so the value always
+    * fits a signed long without sign wrap; callers gating by `% stride`
+    * get a uniform sample for any stride below 2^(4*hexChars). Shared by
+    * the IVF centroid gate and the multimodal metadata derivation so the
+    * portability convention cannot drift between them (the
+    * `graft.ext.Sampling` gates are the string-comparison members of the
+    * same family). */
+  def md5PrefixLong(salt: String, key: Column, hexChars: Int): Column = {
+    require(hexChars >= 1 && hexChars <= 15, s"hexChars must be 1..15, got $hexChars")
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, hexChars), 16, 10)
+      .cast("long")
+  }
+
   /** Distinct character n-grams of `c` (lowercased). Strings shorter than
     * `n` yield their whole text as the single shingle. */
   def charShingles(c: Column, n: Int): Column = {

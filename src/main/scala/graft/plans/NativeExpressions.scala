@@ -307,9 +307,6 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
-/** Fused lowercase-tokenize + SimHash: one pass over the string, no
-  * intermediate token array, no interpreted HOF. NULL for token-less
-  * input (see [[NativeExpressions.simhashText]]). */
 /** The one tokenize+vote+fingerprint loop both fused SimHash expressions
   * share — they differ ONLY in the token→Long hash. Keeping the kernel in
   * one place means a tokenization or vote-arithmetic fix cannot drift
@@ -358,6 +355,9 @@ private object SimHashKernel {
   }
 }
 
+/** Fused lowercase-tokenize + SimHash: one pass over the string, no
+  * intermediate token array, no interpreted HOF. NULL for token-less
+  * input (see [[NativeExpressions.simhashText]]). */
 case class SimHashText(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType

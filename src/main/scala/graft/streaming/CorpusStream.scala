@@ -91,7 +91,7 @@ object CorpusStream {
     // gram set ONCE, not per micro-batch (same recompute rationale as the
     // cached per-batch frame in dedupIngest above)
     val benchGrams = graft.ext.TextAnalysis.benchGramSet(benchDf, textCol, n).cache()
-    docs.writeStream
+    val query = docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -110,5 +110,28 @@ object CorpusStream {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+    // release the pinned gram set when THIS query ends — without it every
+    // gate start leaks one cached frame for the session's lifetime (the
+    // caller only gets the StreamingQuery, never the cache handle)
+    val spark = benchDf.sparkSession
+    val release = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          benchGrams.unpersist(): Unit
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(release)
+    // AvailableNow can finish before the listener registers; the
+    // termination event would then never reach it (unpersist is idempotent,
+    // so racing the listener is harmless)
+    if (!query.isActive) {
+      benchGrams.unpersist(): Unit
+      spark.streams.removeListener(release)
+    }
+    query
   }
 }
