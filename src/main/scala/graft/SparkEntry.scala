@@ -179,6 +179,28 @@ object SparkEntry {
           col("target_tokens") / col("n_tokens").cast("double"))
     }),
 
+    // robust outlier detection: median ± 3·MAD per group (the
+    // outlier-resistant z-score — one extreme row cannot drag the gate the
+    // way it drags a mean/stddev gate). Exact two-level percentile for
+    // quantile_cont parity; both tiny stat frames broadcast back, the fact
+    // table is never shuffled. Scale path: approx_percentile, like
+    // q_winsorize.
+    "q_mad_outliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val med = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .withColumn("absdev", abs(col("l_extendedprice") - col("med")))
+      val caps = dev.groupBy(col("l_returnflag"))
+        .agg(min(col("med")).as("med"), expr("percentile(absdev, 0.5)").as("mad"))
+      li.join(broadcast(caps), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("l_extendedprice") - col("med")) > lit(3.0) * col("mad"),
+            lit(1L)).otherwise(lit(0L))).as("n_outliers"),
+          min(col("med")).as("med"), min(col("mad")).as("mad"))
+    }),
+
     // NTILE length-bucketing: docs deciled by token count within each
     // source — the batch-packing prep step (equal-population buckets so
     // similar-length docs batch together). Deterministic via the
@@ -1235,6 +1257,23 @@ object SparkEntry {
         |SELECT source, n_tokens, weight, weight * 1.0e9 AS target_tokens,
         |  (weight * 1.0e9) / cast(n_tokens AS double) AS epochs
         |FROM w""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag),
+        | dev AS (
+        |  SELECT l.l_returnflag, l_extendedprice, med.med AS med,
+        |    abs(l_extendedprice - med.med) AS absdev
+        |  FROM lineitem l JOIN med USING (l_returnflag)),
+        | caps AS (
+        |  SELECT l_returnflag, min(med) AS med, quantile_cont(absdev, 0.5) AS mad
+        |  FROM dev GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  cast(sum(CASE WHEN abs(l_extendedprice - c.med) > 3.0 * c.mad THEN 1 ELSE 0 END) AS bigint) AS n_outliers,
+        |  min(c.med) AS med, min(c.mad) AS mad
+        |FROM lineitem l JOIN caps c USING (l_returnflag)
+        |GROUP BY l.l_returnflag""".stripMargin,
 
     "q_length_buckets" ->
       """WITH counted AS (
