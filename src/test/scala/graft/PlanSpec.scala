@@ -127,6 +127,13 @@ class PlanSpec extends SparkSpec {
       "the tiny caps frame must broadcast, not shuffle the fact table")
   }
 
+  test("MAD outliers broadcast both stat frames onto the fact scan") {
+    val p = plan("q_mad_outliers")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "median/MAD frames are per-group tiny and must broadcast")
+  }
+
   test("salted join broadcasts the replicated dimension") {
     val p = plan("q_salted_join")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
