@@ -13,7 +13,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up passes: sf0.001 pays session/classloading/codegen setup,
+    // SPARK_GRAFT_ONLY=q_a,q_b isolates queries for regression bisection —
+    // a query timed alone vs inside the 82-query session separates its own
+    // cost from cross-query JVM effects (GC, codegen-cache pressure)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchQueries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
     // sf0.01 runs every kernel long enough for the JIT to compile the hot
     // loops — without it the timed numbers measure first-run compilation,
     // not steady-state throughput
@@ -21,14 +29,14 @@ object Bench {
       .getOrElse(Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
     warmDirs.foreach { warmDir =>
       var failed = 0
-      SparkEntry.queries.foreach { case (_, fn) =>
+      benchQueries.foreach { case (_, fn) =>
         try { fn(spark, warmDir).queryExecution.toRdd.count(): Unit }
         catch { case _: Throwable => failed += 1 }
       }
       // a silently-dead warm dir would make the timed pass measure JIT/
       // codegen compilation — the exact distortion warm-up exists to avoid
       if (failed > 0) System.err.println(
-        s"[bench] WARNING: $failed/${SparkEntry.queries.size} warm-up queries failed on $warmDir — timings may include first-run compilation")
+        s"[bench] WARNING: $failed/${benchQueries.size} warm-up queries failed on $warmDir — timings may include first-run compilation")
     }
     // force FULL evaluation of the query's own plan: a bare .count() wraps
     // it in Aggregate(count(1)) and column pruning then deletes the very
@@ -42,7 +50,7 @@ object Bench {
     // two timed passes, report each query's MIN: the host is shared and a
     // single pass can randomly charge one query several seconds of noise;
     // the min of two runs is the steady-state throughput estimate
-    def timeAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def timeAll(): Map[String, Double] = benchQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { runFully(fn); true } catch { case _: Throwable => false }
       // failures are reported as -1, never as a (fast-looking) elapsed time

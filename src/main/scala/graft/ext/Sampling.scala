@@ -1,8 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Column, Row}
+import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, LongType}
 
 /** Deterministic, engine-portable sampling and ordering for training-data
   * pipelines. Everything keys off `md5(key)` hex prefixes — uniform,
@@ -115,23 +114,43 @@ object Sampling {
     * stable pseudo-random position 0..n-1 (order by md5(seed:key), key as
     * tie-break for md5-prefix collisions).
     *
-    * Scale shape: `orderBy` is a range-partitioned distributed sort (no
-    * single-partition window), and positions come from `zipWithIndex` on
-    * the sorted partitions. zipWithIndex's eager size job would otherwise
-    * run the FULL sort once and the consumer's action a second time, so
-    * the sorted rows are persisted across the two passes (MEMORY_AND_DISK,
-    * released by Spark's LRU once the result is dropped). */
+    * Scale shape: the md5 hex prefix is uniform, so a 16-bit bucket (first
+    * 4 hex chars) splits the global order into 65,536 contiguous,
+    * near-equal ranges. Position = (rows in earlier buckets) + (rank
+    * within bucket). Bucket counts are a map-side-combined aggregate
+    * (≤65,536 rows cross the wire regardless of corpus size; the
+    * cumulative-offset window runs over those counts only), broadcast back
+    * onto the corpus; the within-bucket rank is one hash exchange on the
+    * bucket plus a spillable per-bucket sort (~1/65,536 of the data each —
+    * ~1.5 GB per bucket at 100 TB). The data is never range-sampled,
+    * never persisted, and crosses the wire exactly once. This replaced a
+    * sort + `zipWithIndex` design whose persisted RDD (needed to bridge
+    * zipWithIndex's eager size job and the consumer's action) leaked a
+    * full copy of the corpus into the block-manager per call until LRU
+    * eviction.
+    *
+    * Ordering by (bucket, hash, key) equals ordering by (hash, key)
+    * globally because the bucket IS the hash's leading prefix. Rows with
+    * duplicate keys tie on both sort columns; their relative order is
+    * unspecified (as it was under the distributed sort). */
   def shuffleOrder(df: DataFrame, keyCol: String, seed: String = "",
       posCol: String = "position"): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df
+    import org.apache.spark.sql.expressions.Window
+    val withKey = df
       .withColumn("__sk", md5(saltedKey(col(keyCol), seed)))
-      .orderBy(col("__sk"), col(keyCol))
-      .drop("__sk")
-    val schema = sorted.schema.add(StructField(posCol, LongType, nullable = false))
-    val sortedRdd = sorted.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rdd = sortedRdd.zipWithIndex().map { case (row, idx) => Row.fromSeq(row.toSeq :+ idx) }
-    spark.createDataFrame(rdd, schema)
+      .withColumn("__bkt", conv(substring(col("__sk"), 1, 4), 16, 10).cast("int"))
+    // the count scan prunes to keyCol only; the offset window is a
+    // single-partition pass over ≤65,536 count rows, not over data
+    val offsets = withKey.groupBy(col("__bkt")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__bkt"), col("__off"))
+    val wB = Window.partitionBy(col("__bkt")).orderBy(col("__sk"), col(keyCol))
+    withKey
+      .join(broadcast(offsets), Seq("__bkt"))
+      .withColumn(posCol, col("__off") + row_number().over(wB).cast("long") - 1L)
+      .drop("__bkt", "__sk", "__off")
   }
 }

@@ -398,6 +398,17 @@ class ExtSpec extends SparkSpec {
     assert(out.toMap.exists { case (pos, id) => pos != id })
   }
 
+  test("shuffle order leaves nothing persisted behind") {
+    // the original sort+zipWithIndex design leaked one persisted copy of
+    // the corpus per call (bridging zipWithIndex's eager size job); the
+    // bucket-offset design never touches the block manager
+    val df = spark.range(0, 2000).toDF("id")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Sampling.shuffleOrder(df, "id", seed = "leak").count()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty)
+  }
+
   test("token windows cover every token with the configured overlap") {
     val text = (1 to 95).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, text), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
