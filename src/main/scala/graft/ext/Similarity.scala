@@ -181,7 +181,15 @@ object Similarity {
     * shuffle volume = corpus dims, result nlist×dim (tiny, re-collected
     * into a fresh local relation). Centroids that lose all members keep
     * their previous position. Refined centroids tighten buckets, which
-    * raises recall at the same nprobe. */
+    * raises recall at the same nprobe.
+    *
+    * The mean is QUANTIZED: coordinates are rounded to 1e-6 per row and
+    * summed as longs (the repo's cents idiom), so the result is exact,
+    * summation-order-independent, and reproducible by any engine — a raw
+    * double `avg` depends on partial-sum order, which would break both
+    * run-to-run determinism of the bucketing and the DuckDB oracle that
+    * replays this pass in SQL. The ≤5e-7 per-coordinate quantization
+    * error is noise at clustering granularity. */
   def refineCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, iterations: Int = 1): DataFrame = {
@@ -193,7 +201,8 @@ object Similarity {
       val means = assigned
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("m"))
+        .agg((sum(floor(col("x").cast("double") * lit(1.0e6d) + lit(0.5d)).cast("long"))
+          .cast("double") / (count(lit(1)) * lit(1.0e6d))).as("m"))
         .groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id"), col("pm.m").as("cvec"))

@@ -173,12 +173,27 @@ object TextAnalysis {
     * bigram — near 1.0 flags looping/boilerplate text. Integer counts plus
     * one final division keep it engine-portable.
     *
-    * ZERO-shuffle shape: the most frequent bigram's count equals the
-    * longest run of equal elements in the row's SORTED bigram array, so
-    * the whole metric is a per-row projection (array_sort + one aggregate
-    * fold) — a per-document statistic should never pay an explode plus two
-    * shuffled aggregations, which is what this replaced. */
-  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * ZERO-shuffle shape: one native tokenize+count pass per row
+    * ([[graft.plans.NativeExpressions.bigramRepetition]]) — a per-document
+    * statistic should never pay an explode plus two shuffled aggregations.
+    * An earlier HOF form (array_sort + aggregate sorted-run fold,
+    * [[repetitionProfileHof]]) had the right plan shape but interpreted-
+    * lambda constants: ~3.5s alone at sf0.1 vs ~0.3s here, the same
+    * cost center the fused SimHash expressions removed. */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        graft.plans.NativeExpressions.bigramRepetition(col(textCol)).as("__r"))
+      .where(col("__r").isNotNull)
+      .select(col(idCol), col("__r.n_bigrams").as("n_bigrams"), col("__r.max_c").as("max_c"))
+      .withColumn("top_bigram_share",
+        col("max_c").cast("double") / col("n_bigrams").cast("double"))
+
+  /** The engine-portable HOF reference of [[repetitionProfile]]: the most
+    * frequent bigram's count equals the longest run of equal elements in
+    * the row's SORTED bigram array. Kept as executable documentation of
+    * the native kernel's semantics (TextSpec asserts equality); prefer the
+    * native form on real corpora. */
+  def repetitionProfileHof(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = T.tokens(lower(col(textCol)))
     val base = df.select(col(idCol), toks.as("__toks")).where(size(col("__toks")) >= 2)
     val bigrams = zip_with(

@@ -74,6 +74,16 @@ object NativeExpressions {
     * where cross-engine reproducibility matters more than hash throughput. */
   def simhashTextPortable(text: Column): Column = toCol(SimHashTextMd5(toExpr(text)))
 
+  /** Fused tokenize + bigram frequency profile in one pass per row:
+    * struct(n_bigrams, max_c) where max_c is the count of the most frequent
+    * adjacent-token bigram — NULL for texts with fewer than two tokens.
+    * Replaces the interpreted `array_sort` + `aggregate` sorted-run fold
+    * (the same interpreted-lambda cost center [[simhashText]] replaced):
+    * the HOF form costs ms per document at sf0.1, this loop ~µs.
+    * Tokenization is the shared lowercase `\s+` contract, so the result is
+    * identical to the HOF form and to the DuckDB oracle. */
+  def bigramRepetition(text: Column): Column = toCol(BigramRepetition(toExpr(text)))
+
   /** Per-band random-hyperplane sign signatures over a float/double array,
     * all bands in one evaluation (same fusion rationale as
     * [[minhashBands]]). `planes.length` must be a multiple of `bands`. */
@@ -383,6 +393,53 @@ case class SimHashTextMd5(child: Expression)
     SimHashKernel.fingerprint(v, SimHashKernel.md5Token)
 
   override protected def withNewChildInternal(c: Expression): SimHashTextMd5 = copy(child = c)
+}
+
+/** One-pass bigram repetition profile: lowercase-tokenize, count adjacent
+  * bigram frequencies in a hash map keyed by interned token ids (no
+  * per-bigram string concatenation), emit struct(n_bigrams, max_c).
+  * NULL when the text has fewer than two tokens — such documents have no
+  * bigram positions to profile, mirroring the `size(tokens) >= 2` filter
+  * of the HOF form this replaces. */
+case class BigramRepetition(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("max_c", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "bigram_repetition"
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    if (tokens.length < 2) return null
+    // intern tokens to dense ints so a bigram is one Long key — the count
+    // map then never allocates or hashes concatenated strings
+    val ids = new java.util.HashMap[String, Integer](tokens.length * 2)
+    val counts = new java.util.HashMap[java.lang.Long, java.lang.Long](tokens.length * 2)
+    var nextId = 0
+    var prevId = -1
+    var maxC = 0L
+    var i = 0
+    while (i < tokens.length) {
+      var id = ids.get(tokens(i))
+      if (id == null) { id = Integer.valueOf(nextId); ids.put(tokens(i), id); nextId += 1 }
+      if (i > 0) {
+        val key = java.lang.Long.valueOf((prevId.toLong << 32) | (id.toLong & 0xffffffffL))
+        val c = counts.merge(key, java.lang.Long.valueOf(1L),
+          (a, b) => java.lang.Long.valueOf(a + b))
+        if (c > maxC) maxC = c
+      }
+      prevId = id
+      i += 1
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    row.update(0, (tokens.length - 1).toLong)
+    row.update(1, maxC)
+    row
+  }
+
+  override protected def withNewChildInternal(c: Expression): BigramRepetition = copy(child = c)
 }
 
 /** `bloom.mightContain(child)` over a string child. The sketch rides along

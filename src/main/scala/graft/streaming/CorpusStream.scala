@@ -36,14 +36,19 @@ object CorpusStream {
   def readDocuments(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
-  /** Start the dedup-ingest query (Trigger.AvailableNow: drains what is
-    * currently in the source directory, then stops — swap the trigger for
-    * continuous tailing in production). */
+  /** Start the dedup-ingest query. The default trigger
+    * (Trigger.AvailableNow) drains what is currently in the source
+    * directory, then stops; pass `Trigger.ProcessingTime(...)` for
+    * continuous tailing in production. The staged reference is re-read
+    * per batch THROUGH `stagedPath`, so a compaction that re-stages
+    * signatures from accepted output (the documented cadence above) is
+    * picked up by the next micro-batch without a restart. */
   def dedupIngest(
       docs: DataFrame, idCol: String, textCol: String,
       stagedPath: String, outPath: String, checkpoint: String,
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
-      threshold: Double = 0.8): StreamingQuery =
+      threshold: Double = 0.8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -71,7 +76,7 @@ object CorpusStream {
           EventsStream.writeBatchPartition(survivors, batchId, outPath)
         } finally exact.unpersist()
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** Streaming contamination gate: each micro-batch of documents is scored
@@ -89,8 +94,12 @@ object CorpusStream {
       n: Int = 3, flagAt: Double = 0.2): StreamingQuery = {
     // the eval suite is static across the query's lifetime: build + pin its
     // gram set ONCE, not per micro-batch (same recompute rationale as the
-    // cached per-batch frame in dedupIngest above)
+    // cached per-batch frame in dedupIngest above). Materialized EAGERLY —
+    // a lazy cache would first fill inside micro-batch 1, so a benchDf over
+    // mutable input could score later batches against a different gram set
+    // than the one the query contract promises
     val benchGrams = graft.ext.TextAnalysis.benchGramSet(benchDf, textCol, n).cache()
+    benchGrams.count(): Unit
     val query = docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)

@@ -63,15 +63,30 @@ object ScaleProbe {
 
     val factors = args.drop(1).headOption.map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(1, 2, 5))
+    val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_returnflag", "l_extendedprice")
+
     for (f <- factors) {
       // stage the scaled corpus to parquet so every timed pipeline starts
-      // from a plain columnar scan, same as the benchmarked queries
-      val dPath = s"/tmp/graft_scale/docs_x$f"
-      val ePath = s"/tmp/graft_scale/emb_x$f"
+      // from a plain columnar scan, same as the benchmarked queries. The
+      // staged dir mirrors the testdata layout (<t>.parquet) so
+      // SparkEntry.queries run against it unmodified.
+      val base = s"/tmp/graft_scale/sf_x$f"
+      val dPath = s"$base/documents.parquet"
+      val ePath = s"$base/embeddings.parquet"
       rotated(docs0, f, "doc_id", 10_000_000L).write.mode("overwrite").parquet(dPath)
       (0 until f).map(i => emb0.select((col("vec_id") + lit(i * 10_000_000L)).as("vec_id"),
           col("embedding")))
         .reduce(_.unionByName(_)).write.mode("overwrite").parquet(ePath)
+      // lineitem copies get a per-copy price PERTURBATION so the DISTINCT
+      // value count grows with the factor — duplicated values would let the
+      // exact-percentile buffer stay constant and hide exactly the
+      // continuous-domain growth this probe exists to measure
+      (0 until f).map(i => li0.select(
+          (col("l_orderkey") + lit(i * 100_000_000L)).as("l_orderkey"),
+          col("l_returnflag"),
+          (col("l_extendedprice") + lit(i * 0.0001d)).as("l_extendedprice")))
+        .reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$base/lineitem.parquet")
       val docs = spark.read.parquet(dPath)
       val emb = spark.read.parquet(ePath)
 
@@ -101,6 +116,16 @@ object ScaleProbe {
         docs.where(Sampling.hashGate(col("doc_id"), 0.05, "bench")),
         "doc_id", "text", 3, 0.2)))
       println(f"""SCALE {"factor":$f, "minhash":$tMinhash%.2f, "clusters":$tClusters%.2f, "funnel":$tFunnel%.2f, "repetition":$tRepetition%.2f, "top_terms":$tTopTerms%.2f, "ivf_topk":$tIvf%.2f, "inverted_index":$tIndex%.2f, "pack":$tPack%.2f, "cross_bloom":$tBloom%.2f, "line_dedup":$tLines%.2f, "contamination":$tContam%.2f}""")
+
+      // round-4/5 additions, probed through the REAL query closures over
+      // the mirrored dir — exact vs approx percentile side by side (the
+      // continuous-domain buffer story), plus the window/split operators
+      def tq(name: String): Double =
+        time(force(graft.SparkEntry.queries(name)(spark, base)))
+      val tWins = tq("q_winsorize"); val tWinsA = tq("q_winsorize_approx")
+      val tMad = tq("q_mad_outliers"); val tMadA = tq("q_mad_outliers_approx")
+      val tBuckets = tq("q_length_buckets"); val tSplit = tq("q_leakage_safe_split")
+      println(f"""SCALE_R5 {"factor":$f, "winsorize":$tWins%.2f, "winsorize_approx":$tWinsA%.2f, "mad":$tMad%.2f, "mad_approx":$tMadA%.2f, "length_buckets":$tBuckets%.2f, "leakage_split":$tSplit%.2f}""")
     }
     spark.stop()
   }

@@ -3,7 +3,17 @@ package graft
 /** Plan-shape regression tests: the physical plans the engine relies on for
   * scale must keep their key properties (pushdown, pruning, broadcast
   * strategy, pre-shuffle top-k pruning). String checks over the executed
-  * plan — crude but catches strategy regressions immediately. */
+  * plan — crude but catches strategy regressions immediately.
+  *
+  * The EXACT-COUNT pins (exchanges == 2, BroadcastHashJoin count == 2, …)
+  * deliberately freeze a physical shape under THIS suite's config:
+  * AQE on, default `spark.sql.autoBroadcastJoinThreshold` (10 MB),
+  * `spark.sql.shuffle.partitions` = 32 (see [[SparkSpec]]), sf0.001 inputs.
+  * If one fails after a Spark upgrade or a config change, first diff the
+  * printed plan against the assertion's intent — a count drift with the
+  * same join/exchange STRUCTURE is plan-shape drift (update the pin), while
+  * a new SortMergeJoin or a lost shared exchange is a real scale
+  * regression. */
 class PlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -89,6 +99,18 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Exchange"), p.take(2000))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     assert(joined.count() > 0)
+  }
+
+  test("bucketed cross-dedup joins the staged reference with zero reference-side exchange") {
+    val p = plan("q_cross_dedup_bucketed")
+    // the staged reference must be read bucketed IN PLACE …
+    assert(p.contains("Bucketed: true"), p.take(3000))
+    // … and never shuffled: at most one bkey exchange may exist (the small
+    // batch entering the bucket layout — at this SF the batch is broadcast
+    // instead, which is zero). Two would mean the huge-at-scale reference
+    // itself is being exchanged, the exact cost bucketed staging removes.
+    val n = "hashpartitioning\\(bkey".r.findAllIn(p).size
+    assert(n <= 1, s"expected <=1 bkey exchange (batch side only), got $n:\n${p.take(3000)}")
   }
 
   test("salted join equals the plain join") {

@@ -612,6 +612,72 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("media decode: synthesized BMP/WAV payloads parse back to their formula fields") {
+    val ids = spark.range(0, 40).toDF("doc_id")
+    val media = Multimodal.synthesizeMedia(ids, "doc_id")
+    val out = Multimodal.decodeMedia(media).collect().map(d => d.media_id -> d).toMap
+    assert(out.size == 40)
+    (0L until 40L).foreach { id =>
+      val d = out(id)
+      if (id % 2 == 0) {
+        assert(d.kind == "bmp", s"id=$id")
+        assert(d.width.contains((id % 7 + 1).toInt), s"id=$id got ${d.width}")
+        assert(d.height.contains((id % 5 + 1).toInt), s"id=$id got ${d.height}")
+        assert(d.sample_rate.isEmpty && d.n_samples.isEmpty && d.duration_ms.isEmpty)
+      } else {
+        val sr = (8000 + (id % 8) * 1000).toInt
+        val ns = id % 400 + 1
+        assert(d.kind == "wav", s"id=$id")
+        assert(d.sample_rate.contains(sr), s"id=$id got ${d.sample_rate}")
+        assert(d.n_samples.contains(ns), s"id=$id got ${d.n_samples}")
+        assert(d.duration_ms.contains(ns * 1000.0 / sr), s"id=$id")
+        assert(d.width.isEmpty && d.height.isEmpty)
+      }
+      assert(d.payload_md5.length == 32)
+    }
+    // distinct payloads -> distinct hashes (the fill byte + dims vary by id)
+    assert(out.values.map(_.payload_md5).toSet.size == 40)
+  }
+
+  test("WAV chunk walk survives a non-canonical layout; junk payloads quarantine") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // RIFF/WAVE with a LIST chunk BETWEEN fmt and data (real-world shape
+    // the canonical-offset shortcut would misparse)
+    def le32(v: Int): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def le16(v: Int): Array[Byte] =
+      ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(44100) ++ le32(88200) ++ le16(2) ++ le16(16)
+    val list = "LIST".getBytes ++ le32(4) ++ "INFO".getBytes
+    val data = "data".getBytes ++ le32(200) ++ Array.fill[Byte](200)(7)
+    val body = fmt ++ list ++ data
+    val wav = "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+    val hd = Multimodal.parseHeader(wav)
+    assert(hd.exists(h => h.kind == "wav" && h.sampleRate.contains(44100) &&
+      h.nSamples.contains(100L)))
+    // junk bytes: kind "unknown", no fields, no exception
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("media_id", "content")
+    val u = Multimodal.decodeMedia(junk).head()
+    assert(u.kind == "unknown" && u.width.isEmpty && u.sample_rate.isEmpty)
+  }
+
+  test("repetition profile: native kernel equals the HOF reference form") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam"),
+      (2L, "all words here are fully distinct"),
+      (3L, "x"),                                  // <2 tokens: both exclude
+      (4L, "A a A a a"),                          // case folding
+      (5L, "tab\tand  multi   space split"),
+      (6L, null.asInstanceOf[String])             // NULL text: both exclude
+    ).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id", "n_bigrams", "max_c", "top_bigram_share")
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows(TextAnalysis.repetitionProfile(df, "doc_id", "text")) ==
+      rows(TextAnalysis.repetitionProfileHof(df, "doc_id", "text")))
+  }
+
   test("duplicate-line profile flags lines shared across documents") {
     val d = Seq(
       (1L, "a b c d e f g h"),         // lines: "a b c d", "e f g h"

@@ -160,25 +160,59 @@ class GroundTruthSpec extends SparkSpec {
     assert(out.count() == queries.where(col("qvec").isNotNull).count() * 5)
   }
 
+  test("approx_percentile caps honor the sketch's rank-error bound (q_*_approx scale twins)") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val acc = 10000 // must match SparkEntry.PctSketchAccuracy
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr(s"approx_percentile(l_extendedprice, array(0.05, 0.5, 0.95), $acc)").as("caps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exactVals = li.select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(approx.keySet == exactVals.keySet)
+    for ((flag, caps) <- approx; (p, v) <- Seq(0.05, 0.5, 0.95).zip(caps)) {
+      val vals = exactVals(flag)
+      val n = vals.length
+      // the GK sketch guarantees the returned value's rank is within
+      // n/accuracy of the target rank; +1 absorbs the floor/ceil of the
+      // target-rank definition. A regression here means the _approx twins'
+      // documented error contract is broken.
+      val rankLo = vals.count(_ < v)     // tightest possible rank
+      val rankHi = vals.count(_ <= v)    // loosest possible rank
+      val target = p * n
+      val eps = n.toDouble / acc + 1
+      assert(rankLo <= target + eps && rankHi >= target - eps,
+        s"$flag p=$p: value $v has rank [$rankLo,$rankHi], target $target ± $eps (n=$n)")
+    }
+  }
+
   test("IVF recall@5 sanity floor vs brute force at the q_embed_ivf_topk config") {
     val queries = emb.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       queries, "qid", "qvec", k = 5)
-    val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
-      queries, "qid", "qvec", k = 5, nlist = 16, nprobe = 8)
-    val report = Similarity.recallReport(exact, approx, k = 5)
-    val overall = report.agg(avg(col("recall_at_k"))).head().getDouble(0)
-    // deterministic (md5-gated centroids): measured 0.76 on this data.
+    def recallAt(refine: Int): Double = {
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nlist = 16, nprobe = 8, refineIters = refine)
+      val report = Similarity.recallReport(exact, approx, k = 5)
+      // every query must be present in the report even if IVF found nothing
+      assert(report.count() == queries.count())
+      report.agg(avg(col("recall_at_k"))).head().getDouble(0)
+    }
+    // deterministic (md5-gated centroids, quantized Lloyd means).
     // Uniform-random vectors are IVF's worst case — recall tracks the
     // scanned fraction, and 8/16 probes over the fairly balanced buckets
-    // this centroid draw produces scan about half the corpus (the earlier
-    // xxhash64 draw measured 0.92 only because its skewed buckets made 8
-    // probes cover more rows). The bound catches regressions in
-    // assignment or probing; the exact per-query VALUES are pinned by the
-    // q_ivf_recall SQL oracle, so this is a sanity floor, not the check.
-    assert(overall >= 0.7, s"IVF recall@5 regressed: $overall")
-    // every query must be present in the report even if IVF found nothing
-    assert(report.count() == queries.count())
+    // this centroid draw produces scan about half the corpus. The bounds
+    // catch regressions in assignment, probing, or refinement; the exact
+    // per-query VALUES are pinned by the q_ivf_recall SQL oracle, so this
+    // is a sanity floor, not the check.
+    val raw = recallAt(0)
+    assert(raw >= 0.7, s"IVF recall@5 regressed: $raw")
+    // one quantized-mean Lloyd pass (the q_embed_ivf_topk config) must
+    // materially beat the raw sampled centroids — measured 0.70 → 0.84 at
+    // sf0.01; refinement that stops helping means the pass went inert
+    val refined = recallAt(1)
+    assert(refined >= 0.8, s"refined IVF recall@5 regressed: $refined")
+    assert(refined > raw,
+      s"Lloyd refinement no longer improves recall (raw=$raw refined=$refined)")
   }
 }

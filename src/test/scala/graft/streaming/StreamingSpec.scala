@@ -154,6 +154,47 @@ class StreamingSpec extends SparkSpec {
     assert(bootIds == expectedBoot)
   }
 
+  test("ProcessingTime tailing + compaction: re-staged reference catches later duplicates") {
+    import graft.ext.Dedup
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ref = docs.where(col("doc_id") < 30).select("doc_id", "text")
+    val batch1 = docs.where(col("doc_id") >= 30 && col("doc_id") < 60).select("doc_id", "text")
+    val work = java.nio.file.Files.createTempDirectory("graft-tailing")
+    val staged = s"$work/staged"; val src = s"$work/incoming"; val out = s"$work/accepted"
+    Dedup.stageSignatures(ref, "doc_id", "text", staged, numHashes = 64, bands = 16)
+    batch1.write.parquet(src)
+    // continuous tailing, NOT AvailableNow: the query stays up across the
+    // whole grow-compact-grow cycle below
+    val q = CorpusStream.dedupIngest(
+      CorpusStream.readDocuments(spark, src, batch1.schema),
+      "doc_id", "text", staged, out, s"$work/ckpt",
+      numHashes = 64, bands = 16, threshold = 0.5,
+      trigger = Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      q.processAllAvailable()
+      val accepted1 = spark.read.parquet(out).select("doc_id", "text")
+      val n1 = accepted1.count()
+      assert(n1 > 0)
+      // compaction cadence (CorpusStream scaladoc): re-stage signatures
+      // from reference + accepted output. Safe while the query idles —
+      // processAllAvailable() has quiesced it, and micro-batches only
+      // fire on new source files (the staged path is read inside them)
+      Dedup.stageSignatures(ref.unionByName(accepted1), "doc_id", "text", staged,
+        numHashes = 64, bands = 16)
+      // batch 2: re-idd copies of the accepted docs — novel vs the
+      // ORIGINAL reference (they just survived it), exact duplicates vs
+      // the compacted one; only compaction can catch them
+      accepted1.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val after = spark.read.parquet(out)
+      assert(after.where(col("doc_id") >= 100000L).count() == 0,
+        "compacted reference failed to catch re-ingested duplicates")
+      assert(after.count() == n1) // nothing else appeared or vanished
+    } finally q.stop()
+  }
+
   test("streaming contamination gate drops benchmark-leaking docs like the batch twin") {
     import graft.ext.TextAnalysis
     val docs = spark.read.parquet(s"$dir/documents.parquet")
