@@ -30,5 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g, measured — NOT a bigger heap. A 28g heap looked like the obvious
+  // fix for the object-heavy aggregation queries (exact percentile's
+  // per-group value maps), but the full 89-query suite MEASURED strictly
+  // worse at 28g: q_winsorize 42.1s@28g vs 2.4s@8g min-of-two, suite
+  // 124s vs 72s — G1's grown young gen turns each collection into a
+  // multi-GB copy that stalls all 32 executor threads, and long-session
+  // allocation pressure makes it back-to-back. (An earlier isolated probe
+  // that suggested 16g helped did not replicate under the full session.)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -11,6 +11,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // default is 30min — far longer than a bench session, so broadcast/
+      // shuffle cleanup would otherwise never run between queries
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=q_a,q_b isolates queries for regression bisection —
@@ -49,8 +52,20 @@ object Bench {
     }
     // two timed passes, report each query's MIN: the host is shared and a
     // single pass can randomly charge one query several seconds of noise;
-    // the min of two runs is the steady-state throughput estimate
+    // the min of two runs is the steady-state throughput estimate.
+    //
+    // System.gc() BETWEEN queries (outside the timers): a single-JVM
+    // session accumulates dead broadcast blocks, shuffle state, and codegen
+    // classes from every preceding query, and the collector bill lands on
+    // whichever query allocates hardest — measured at 89 queries, exact-
+    // percentile winsorize swung 2.4s -> 42s purely from suite size/heap
+    // config, with byte-identical code (round-4's q_repetition "4.8x
+    // regression" was the same artifact). ContextCleaner's weak refs are
+    // also only processed after a GC, so this doubles as broadcast/shuffle
+    // cleanup between queries. The timed work still pays for ALL of its
+    // own allocation; what it no longer pays for is its neighbors'.
     def timeAll(): Map[String, Double] = benchQueries.map { case (name, fn) =>
+      System.gc()
       val t0 = System.nanoTime()
       val ok = try { runFully(fn); true } catch { case _: Throwable => false }
       // failures are reported as -1, never as a (fast-looking) elapsed time

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.graphx.{Edge, Graph}
@@ -380,6 +380,22 @@ object SparkEntry {
         .where(col("n_orders") >= 12)
     }),
 
+    // correlated scalar subquery — Catalyst decorrelates it into one
+    // aggregate + join (RewriteCorrelatedScalarSubquery), so the per-row
+    // "compare to my group's average" never becomes a nested loop; the
+    // average is the exact cents-sum idiom so both engines gate on
+    // bit-identical doubles
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders_ssq")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice
+          |FROM graft_orders_ssq o
+          |WHERE o_totalprice > 1.5e0 * (
+          |  SELECT cast(sum(cast(floor(o2.o_totalprice * 100.0 + 0.5) AS bigint)) AS double)
+          |         / (100.0 * count(*))
+          |  FROM graft_orders_ssq o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+
     // U1 vertical concat (unionByName) + aggregate
     "q_union" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_name").as("name"))
@@ -498,6 +514,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // W2 relative-position windows: percent_rank ((rank−1)/(n−1)) and
+    // cume_dist (n_≤/n) are integer/integer IEEE divisions — bit-identical
+    // across engines, no rounding needed; custkey tie-break makes ranks
+    // deterministic under equal balances
+    "q_percent_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+    }),
+
     // multi-join aggregation (lineitem ⋈ supplier ⋈ nation)
     "q_join_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -559,6 +588,34 @@ object SparkEntry {
         // scoped fill: an unqualified na.fill would also rewrite a NULL
         // group key to 0, diverging from the oracle's GROUP BY
         .na.fill(0L, Seq("view", "click", "purchase", "signup", "error"))
+    }),
+
+    // unpivot (wide→long melt, the inverse of q_pivot) feeding a per-column
+    // data-quality profile: nulls, distinct count, lexicographic min/max
+    // over a canonical string projection (longs/cents/formatted timestamps
+    // — so both engines compare identical strings; doubles go through the
+    // cents cast because raw double→string formatting differs per engine).
+    // Spark's unpivot KEEPS null values (pinned in ExtSpec) and the oracle
+    // long-form is explicit UNION ALL because DuckDB's UNPIVOT drops them.
+    // Scale: unpivot is a per-row Expand (×n_cols, no shuffle); the profile
+    // is one map-combined aggregation on the column name — 6 groups total
+    "q_column_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("o_orderkey"),
+        col("o_custkey").cast("string").as("o_custkey"),
+        col("o_orderstatus"),
+        floor(col("o_totalprice") * lit(100.0d) + lit(0.5d)).cast("long")
+          .cast("string").as("o_totalprice_cents"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+        col("o_orderpriority"))
+      o.unpivot(Array.empty[Column], o.columns.map(col), "col_name", "value")
+        .groupBy(col("col_name"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("value").isNull, lit(1L)).otherwise(lit(0L))).as("n_nulls"),
+          countDistinct(col("value")).as("n_distinct"),
+          min(col("value")).as("min_s"),
+          max(col("value")).as("max_s"))
     }),
 
     // snowflake dimension chain (customer -> nation -> region), broadcast dims
@@ -653,6 +710,24 @@ object SparkEntry {
     // ordered so a last-bit ln() difference can never flip row order)
     "q_tfidf" -> ((s, dir) => {
       TextAnalysis.tfidfTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+    }),
+
+    // unigram-LM cross-entropy per doc (the perplexity-proxy quality
+    // score): the corpus's own unigram counts are the LM; contributions
+    // are milli-nat-quantized longs so the sum is order-independent and a
+    // last-bit ln() difference between engines cannot move the hash
+    "q_unigram_lm" -> ((s, dir) => {
+      TextAnalysis.unigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    // DSIR-style importance weights: log-likelihood ratio of each doc under
+    // the target domain's (source = src0) unigram LM vs the raw pool's,
+    // Laplace-smoothed over the joint vocabulary; milli-nat quantized longs
+    // make the sum order-independent and the final score is one exact IEEE
+    // division (no round at all)
+    "q_importance_weights" -> ((s, dir) => {
+      TextAnalysis.importanceWeights(t(s, dir, "documents"), "doc_id", "text",
+        col("source") === "src0")
     }),
 
     // CCNet-style duplicate-line profile: share of each doc's derived
@@ -930,6 +1005,24 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine_r"))
     }),
 
+    // SemDeDup-style semantic dedup: cosine-argmax centroid buckets, exact
+    // pairwise cosine within buckets only. Same planted ×2-scaled corpus
+    // as q_embed_near_dup — cosine assignment is magnitude-invariant and
+    // cosine(v, 2v) is exactly 1.0 in both engines, so every planted pair
+    // provably shares a bucket and survives (recall 1.0 by construction,
+    // not seed luck); the oracle replays the whole chain (md5 centroid
+    // gate, argmax assignment, in-bucket pairs) in SQL, value-checking the
+    // approximation itself
+    "q_semantic_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val scaled = base.select((col("vec_id") + lit(10000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Dedup.semanticNearDuplicates(base.unionByName(scaled), "vec_id", "embedding",
+        nlist = 16, threshold = 0.99)
+        .select(col("id_a"), col("id_b"), col("centroid_id").cast("long").as("centroid_id"),
+          round(col("cosine"), 4).as("cosine_r"))
+    }),
+
     // multimodal plumbing: binary payload + metadata + batch feature stub.
     // The metadata derivation uses the portable md5-prefix family, so the
     // oracle value-checks the full (id, mime, byte-length) projection —
@@ -961,6 +1054,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
         .select(col("window.start").as("hour"), col("event_type"),
           col("n_events"), col("sum_value"))
+    }),
+
+    // time-series gap-fill: densify the sparse hourly counts to EVERY
+    // (hour, event_type) cell between the corpus's first and last hour,
+    // zero-filled — the resample step before any windowed model sees the
+    // series. Scale: the only data-sized shuffle is the hourly aggregation;
+    // the dense skeleton is sequence()+explode over a single-row bounds
+    // aggregate crossed with the distinct types — bounded by the time
+    // domain (hours × types), never by corpus rows
+    "q_gap_fill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sparse = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      val hours = bounds.select(
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+      val types = ev.select(col("event_type")).distinct()
+      hours.crossJoin(broadcast(types))
+        .join(sparse, Seq("hour", "event_type"), "left")
+        .select(col("hour"), col("event_type"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
     }),
 
     // as-of temporal join: each purchase paired with the user's most recent
@@ -1406,6 +1523,48 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, round(cosine, 4) AS cosine_r FROM pairs WHERE cosine >= 0.99""".stripMargin,
 
+    // the whole SemDeDup chain replayed in SQL: planted corpus, md5-prefix
+    // centroid gate (count BEFORE the null filter, like sampleCentroids),
+    // cosine-ARGMAX assignment (ORDER BY cosine DESC, centroid_id = the
+    // Spark side's array_min over (-cosine, cid) structs), in-bucket pairs
+    "q_semantic_dedup" ->
+      """WITH planted AS (
+        |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS vec
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id,
+        |         list_transform(embedding, x -> cast(x AS double) * 2) AS vec
+        |  FROM embeddings),
+        | params AS (SELECT greatest(count(*) // 16, 1) AS stride FROM planted),
+        | cand AS (
+        |  SELECT cast(vec_id AS varchar) AS sid, vec AS cvec
+        |  FROM planted, params
+        |  WHERE vec IS NOT NULL
+        |    AND ('0x' || substr(md5('ivf:' || cast(vec_id AS varchar)), 1, 15))::UBIGINT % stride = 0),
+        | cent AS (
+        |  SELECT row_number() OVER (ORDER BY sid) - 1 AS centroid_id, cvec
+        |  FROM cand QUALIFY row_number() OVER (ORDER BY sid) <= 16),
+        | assigned AS (
+        |  SELECT vec_id, vec, centroid_id FROM (
+        |    SELECT p.vec_id, p.vec, ct.centroid_id,
+        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |        (CASE WHEN sqrt(list_dot_product(p.vec, p.vec)) * sqrt(list_dot_product(ct.cvec, ct.cvec)) = 0 THEN 0.0
+        |              ELSE list_dot_product(p.vec, ct.cvec)
+        |                   / (sqrt(list_dot_product(p.vec, p.vec)) * sqrt(list_dot_product(ct.cvec, ct.cvec)))
+        |         END) DESC, ct.centroid_id) AS rn
+        |    FROM planted p CROSS JOIN cent ct WHERE p.vec IS NOT NULL)
+        |  WHERE rn = 1),
+        | pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.centroid_id AS centroid_id,
+        |    CASE WHEN sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)) = 0 THEN NULL
+        |         ELSE list_dot_product(a.vec, b.vec)
+        |              / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+        |    END AS cosine
+        |  FROM assigned a JOIN assigned b
+        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, centroid_id, round(cosine, 4) AS cosine_r
+        |FROM pairs WHERE cosine >= 0.99""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | cast(sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS sum_qty,
@@ -1558,6 +1717,14 @@ object SparkEntry {
     "q_semi_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
 
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5e0 * (
+        |  SELECT cast(sum(cast(floor(o2.o_totalprice * 100.0 + 0.5) AS bigint)) AS double)
+        |         / (100.0 * count(*))
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+
     "q_anti_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')",
 
@@ -1607,6 +1774,12 @@ object SparkEntry {
         |  FROM lineitem)
         |WHERE drnk <= 3 GROUP BY l_returnflag, l_quantity, rnk, drnk""".stripMargin,
 
+    "q_percent_rank" ->
+      """SELECT c_custkey, c_nationkey,
+        | percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS pr,
+        | cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS cd
+        |FROM customer""".stripMargin,
+
     "q_join_agg" ->
       """SELECT n_name,
         | cast(sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS revenue,
@@ -1653,6 +1826,31 @@ object SparkEntry {
         | count(*) FILTER (WHERE event_type = 'signup') AS signup,
         | count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // explicit UNION ALL long form (NOT the UNPIVOT keyword: DuckDB's
+    // UNPIVOT silently drops NULL values; Spark's unpivot keeps them, and
+    // the profile's n_nulls needs them kept)
+    "q_column_profile" ->
+      """WITH src AS (
+        |  SELECT cast(o_orderkey AS varchar) AS o_orderkey,
+        |    cast(o_custkey AS varchar) AS o_custkey,
+        |    o_orderstatus,
+        |    cast(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint) AS varchar) AS o_totalprice_cents,
+        |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |    o_orderpriority
+        |  FROM orders),
+        | lf AS (
+        |  SELECT 'o_orderkey' AS col_name, o_orderkey AS value FROM src
+        |  UNION ALL SELECT 'o_custkey', o_custkey FROM src
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM src
+        |  UNION ALL SELECT 'o_totalprice_cents', o_totalprice_cents FROM src
+        |  UNION ALL SELECT 'o_orderdate', o_orderdate FROM src
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM src)
+        |SELECT col_name, count(*) AS n_rows,
+        |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |  count(DISTINCT value) AS n_distinct,
+        |  min(value) AS min_s, max(value) AS max_s
+        |FROM lf GROUP BY col_name""".stripMargin,
 
     "q_quality_filter" ->
       """WITH t AS (
@@ -1765,6 +1963,50 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, rank,
         |  round(tf * (ln((1.0 + (SELECT count(*) FROM documents)) / (1.0 + df)) + 1.0), 6) AS tfidf
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // the unigram LM and the scoring formula replayed exactly: integer
+    // counts, per-(doc,term) milli-nat quantization, long sums, one final
+    // division + round(6)
+    "q_unigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '')) AS term
+        |  FROM documents),
+        | tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        | lm AS (SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY term) AS ctf FROM tf),
+        | n AS (
+        |  SELECT cast(sum(len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> ''))) AS double) AS n_total
+        |  FROM documents)
+        |SELECT doc_id, cast(sum(tf) AS bigint) AS n_tokens,
+        |  round(cast(sum(cast(floor(cast(tf AS double) * ln(n_total / cast(ctf AS double)) * 1000.0 + 0.5) AS bigint)) AS double)
+        |        / (cast(sum(tf) AS double) * 1000.0), 6) AS xent
+        |FROM lm, n GROUP BY doc_id""".stripMargin,
+
+    // both Laplace-smoothed LMs, the milli-nat quantization, and the exact
+    // final division replayed; tc/rc arrive via the same term-partitioned
+    // conditional sum-windows as the Spark plan
+    "q_importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source = 'src0' AS is_t,
+        |    unnest(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '')) AS term
+        |  FROM documents),
+        | tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf, bool_or(is_t) AS is_t
+        |        FROM toks GROUP BY 1, 2),
+        | m AS (SELECT doc_id, term, tf,
+        |         sum(CASE WHEN is_t THEN tf END) OVER (PARTITION BY term) AS tc,
+        |         sum(CASE WHEN NOT is_t THEN tf END) OVER (PARTITION BY term) AS rc
+        |       FROM tf),
+        | n AS (SELECT
+        |    cast(sum(CASE WHEN source = 'src0' THEN len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '')) END) AS double) AS nt,
+        |    cast(sum(CASE WHEN NOT (source = 'src0') THEN len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '')) END) AS double) AS nr
+        |   FROM documents),
+        | v AS (SELECT cast(count(DISTINCT term) AS double) AS v FROM toks)
+        |SELECT doc_id, cast(sum(tf) AS bigint) AS n_tokens,
+        |  cast(sum(cast(floor(cast(tf AS double) *
+        |    (ln((cast(coalesce(tc, 0) AS double) + 1.0) / (nt + v)) -
+        |     ln((cast(coalesce(rc, 0) AS double) + 1.0) / (nr + v)))
+        |    * 1000.0 + 0.5) AS bigint)) AS double) / 1000.0 AS log_weight
+        |FROM m, n, v GROUP BY doc_id""".stripMargin,
 
     "q_line_dedup" ->
       """WITH t AS (
@@ -1995,6 +2237,17 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         | cast(sum(cast(floor(value * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH sparse AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        | b AS (SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1 FROM events),
+        | hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+        | types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT h.hour, t.event_type, coalesce(s.n_events, 0) AS n_events
+        |FROM hours h CROSS JOIN types t
+        |LEFT JOIN sparse s ON s.hour = h.hour AND s.event_type = t.event_type""".stripMargin,
 
     "q_jaccard_pairs" ->
       """WITH toks AS (

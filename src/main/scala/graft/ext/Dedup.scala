@@ -457,6 +457,37 @@ object Dedup {
       .where(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic near-duplicates: deterministic md5-gated
+    * centroids bucket the corpus by cosine-nearest DIRECTION
+    * ([[Similarity.assignToCentroidsCosine]] — magnitude-invariant, so
+    * rescaled copies of a vector provably share a bucket), then exact
+    * pairwise cosine runs INSIDE each bucket only. This is the clustering
+    * route to embedding dedup, complementary to the hyperplane-LSH route
+    * ([[embeddingNearDuplicates]]): LSH bounds candidates per signature
+    * collision; SemDeDup bounds them per cluster and additionally yields
+    * the cluster structure (useful for diversity-aware pruning).
+    *
+    * Scale: centroid assignment is one narrow projection (no shuffle of
+    * the corpus); the within-cluster pair join shuffles the corpus once on
+    * `centroid_id`. Per-cluster work is quadratic in cluster size — that
+    * is SemDeDup's cost model by design, and `nlist` is the knob: size it
+    * so corpus/nlist rows fit a task's pair budget (the paper runs ~100k
+    * clusters at web scale). A skewed cluster is an AQE skew-join case.
+    * Pairs carry ids + one double; vectors never ship twice. */
+  def semanticNearDuplicates(
+      df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, threshold: Double = 0.95): DataFrame = {
+    val centroids = Similarity.sampleCentroids(df, idCol, vecCol, nlist)
+    val assigned = Similarity.assignToCentroidsCosine(df, idCol, vecCol, centroids)
+    val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, Seq("centroid_id"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("centroid_id"),
+        NativeExpressions.cosine(col("__va"), col("__vb")).as("cosine"))
+      .where(col("cosine").isNotNull && col("cosine") >= threshold)
+  }
+
   /** CCNet-style duplicate-line profile (ref: the line-level dedup stage of
     * web-corpus cleaning). "Lines" here are derived fixed-`lineTokens`-token
     * windows because this corpus has no newlines; a real pipeline feeds

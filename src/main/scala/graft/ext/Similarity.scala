@@ -174,6 +174,44 @@ object Similarity {
       .drop("__best")
   }
 
+  /** Cosine-argmax centroid assignment (the SemDeDup bucketing shape):
+    * the same narrow unrolled-literal projection as [[assignToCentroids]],
+    * but "nearest" is HIGHEST cosine rather than lowest euclidean — so any
+    * two vectors on the same ray land in the same bucket regardless of
+    * magnitude, the property semantic dedup needs (near-duplicate
+    * embeddings differ in direction, not norm). Implemented as an
+    * `array_min` over `(-cosine, centroid_id)` structs: negation is exact
+    * in IEEE, and the struct order reproduces the SQL oracle's
+    * `ORDER BY cosine DESC, centroid_id` tie-break bit-for-bit. Rows whose
+    * cosine to every centroid is NULL (corrupt dimension) are dropped —
+    * a NULL field would sort FIRST in array_min and silently dump the row
+    * into a real bucket. */
+  def assignToCentroidsCosine(
+      corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    val cents = centroids.select(col("centroid_id"), col("cvec")).collect()
+    require(cents.nonEmpty, "no centroids sampled")
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val isFloat = centroids.schema("cvec").dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val candidates = cents.map { r =>
+      val cid = r.getInt(0)
+      val cvec =
+        if (isFloat) typedlit(r.getSeq[Float](1))
+        else typedlit(r.getSeq[Double](1))
+      struct(
+        (-NativeExpressions.cosine(col(vecCol), cvec)).as("negcos"),
+        lit(cid).as("cid"))
+    }
+    corpus
+      .where(col(vecCol).isNotNull)
+      .withColumn("__best", array_min(array(candidates.toIndexedSeq: _*)))
+      .where(col("__best.negcos").isNotNull)
+      .withColumn("centroid_id", col("__best.cid"))
+      .drop("__best")
+  }
+
   /** Lloyd (k-means) refinement of a centroid table: assign every corpus
     * vector to its nearest centroid (narrow projection), then recompute
     * each centroid as the element-wise mean of its members — one

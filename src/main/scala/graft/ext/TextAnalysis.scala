@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFunctions => T}
 
@@ -306,5 +306,103 @@ object TextAnalysis {
         col("tf") * (log((lit(1.0) + col("__n_docs")) / (lit(1.0) + col("df"))) + lit(1.0)),
         6))
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"), col("tfidf"))
+  }
+
+  /** Unigram-LM cross-entropy per document (the perplexity-proxy quality
+    * score of CCNet-style curation): the corpus's own unigram distribution
+    * is the language model, and each document scores the average negative
+    * log-probability (nats) of its token stream — low = stereotypical
+    * prose, high = rare-token-heavy text (OCR noise, gibberish, wrong
+    * language). Every document's tokens exist in the LM by construction
+    * (it is trained on the same corpus), so no smoothing is needed and the
+    * score is exact, not a backoff approximation.
+    *
+    * Determinism (the DuckDB oracle replays the formula bit-for-bit): the
+    * LM is integer counts; each (doc, term) contribution
+    * `tf * ln(N / ctf)` is one IEEE divide + ln + multiply, quantized to
+    * MILLI-nats (`floor(x * 1000 + 0.5)`) and summed as longs — order-
+    * independent, and coarse enough that a last-bit `ln` difference
+    * between engines sits ~1e-12 of a unit away from any rounding
+    * boundary. The per-doc average divides two exact integers and rounds
+    * to 6dp. Quantization error ≤ 0.0005 nats per distinct term, noise at
+    * quality-filter granularity.
+    *
+    * Scale: explode → one (doc, term) aggregation [shuffle 1] → corpus
+    * term counts as an unordered sum-window on that term exchange
+    * [shuffle 2] → per-doc rollup [shuffle 3, map-side combined]. The
+    * total-token count joins as a broadcast single-row aggregate off a
+    * separate narrow scan — never a driver collect — and the LM itself is
+    * never materialized driver-side: it lives distributed in the term
+    * partitioning, so vocabulary size never bounds memory. */
+  def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol), explode(T.tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val nTotal = df.agg(
+      sum(T.tokenCount(lower(col(textCol))).cast("long")).cast("double").as("__n_total"))
+    tf.withColumn("ctf", sum(col("tf")).over(Window.partitionBy(col("term"))))
+      .join(broadcast(nTotal))
+      .withColumn("__mnats",
+        floor(col("tf").cast("double") * log(col("__n_total") / col("ctf").cast("double"))
+          * lit(1000.0d) + lit(0.5d)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("__mnats")).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__s").cast("double") / (col("n_tokens").cast("double") * lit(1000.0d)), 6)
+          .as("xent"))
+  }
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling): score every document by how much more likely its token
+    * stream is under the TARGET domain's unigram LM than under the raw
+    * pool's — `log w(x) = Σ_t tf_t · (ln p_target(t) − ln p_raw(t))`, the
+    * log-likelihood ratio of two bag-of-words models with Laplace
+    * smoothing `p(t) = (count_t + 1) / (N + V)` over the JOINT vocabulary
+    * (smoothing is required: raw-only terms have target count 0). High
+    * `log_weight` = target-like text; downstream selection is any of the
+    * [[Sampling]] gates or a top-k quota on the score.
+    *
+    * Determinism: both LMs are integer counts; each (doc, term)
+    * contribution is quantized to milli-nats (`floor(x·1000 + 0.5)` as a
+    * long) and long-summed — order-independent, and the final score is
+    * `Σ/1000.0`, one exact IEEE division, no rounding at all (the oracle
+    * replays the identical op sequence).
+    *
+    * Scale: the [[unigramCrossEntropy]] shape with one extra flag — tf per
+    * (doc, term) [shuffle 1], BOTH models as conditional sum-windows on the
+    * same term exchange [shuffle 2] (the two LMs co-partition for free: a
+    * term's target and raw counts live in the same partition), per-doc
+    * rollup [shuffle 3, map-combined]. Totals (N_target, N_raw) broadcast
+    * from a narrow scan; V broadcasts from a distinct-term count. Neither
+    * LM ever materializes driver-side. */
+  def importanceWeights(
+      df: DataFrame, idCol: String, textCol: String, isTarget: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(idCol), isTarget.as("__is_t"),
+      explode(T.tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("__is_t")).as("__is_t"))
+    val w = Window.partitionBy(col("term"))
+    val totals = df.agg(
+      sum(when(isTarget, T.tokenCount(lower(col(textCol)))).cast("long"))
+        .cast("double").as("__nt"),
+      sum(when(!isTarget, T.tokenCount(lower(col(textCol)))).cast("long"))
+        .cast("double").as("__nr"))
+    val vocab = terms.agg(countDistinct(col("term")).cast("double").as("__v"))
+    tf.select(col(idCol), col("term"), col("tf"),
+        // one projection so both conditional sums land in ONE Window node
+        // (chained withColumns interpose a Project that blocks the merge)
+        sum(when(col("__is_t"), col("tf"))).over(w).as("tc"),
+        sum(when(!col("__is_t"), col("tf"))).over(w).as("rc"))
+      .join(broadcast(totals)).join(broadcast(vocab))
+      .withColumn("__mnats",
+        floor(col("tf").cast("double") *
+          (log((coalesce(col("tc"), lit(0L)).cast("double") + lit(1.0d)) / (col("__nt") + col("__v"))) -
+           log((coalesce(col("rc"), lit(0L)).cast("double") + lit(1.0d)) / (col("__nr") + col("__v"))))
+          * lit(1000.0d) + lit(0.5d)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"), sum(col("__mnats")).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        (col("__s").cast("double") / lit(1000.0d)).as("log_weight"))
   }
 }

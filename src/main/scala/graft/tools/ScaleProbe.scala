@@ -125,7 +125,15 @@ object ScaleProbe {
       val tWins = tq("q_winsorize"); val tWinsA = tq("q_winsorize_approx")
       val tMad = tq("q_mad_outliers"); val tMadA = tq("q_mad_outliers_approx")
       val tBuckets = tq("q_length_buckets"); val tSplit = tq("q_leakage_safe_split")
-      println(f"""SCALE_R5 {"factor":$f, "winsorize":$tWins%.2f, "winsorize_approx":$tWinsA%.2f, "mad":$tMad%.2f, "mad_approx":$tMadA%.2f, "length_buckets":$tBuckets%.2f, "leakage_split":$tSplit%.2f}""")
+      // round-5 operators: unigram LM through the real query closure; the
+      // SemDeDup probe scales nlist WITH the corpus (the production knob —
+      // constant cluster size keeps per-cluster pair work constant; the
+      // query's fixed nlist=16 is an SF-pinned oracle setting, and probing
+      // it unscaled would time a deliberately quadratic configuration)
+      val tUnigram = tq("q_unigram_lm")
+      val tSemantic = time(force(Dedup.semanticNearDuplicates(
+        emb, "vec_id", "embedding", nlist = 16 * f, threshold = 0.9)))
+      println(f"""SCALE_R5 {"factor":$f, "winsorize":$tWins%.2f, "winsorize_approx":$tWinsA%.2f, "mad":$tMad%.2f, "mad_approx":$tMadA%.2f, "length_buckets":$tBuckets%.2f, "leakage_split":$tSplit%.2f, "unigram_lm":$tUnigram%.2f, "semantic_dedup":$tSemantic%.2f}""")
     }
     spark.stop()
   }

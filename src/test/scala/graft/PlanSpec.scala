@@ -180,4 +180,44 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 2, s"expected 2 exchanges, plan has $exchanges:\n" + p.take(3000))
   }
+
+  test("correlated scalar subquery decorrelates to an aggregate + join (no per-row loop)") {
+    val p = plan("q_scalar_subquery")
+    // RewriteCorrelatedScalarSubquery must turn the per-row subquery into
+    // one grouped aggregate joined back — a nested-loop/cartesian shape
+    // would re-run the aggregate per outer row
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "scalar subquery fell back to a nested loop")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p.take(2000))
+  }
+
+  test("semantic dedup: assignment is narrow; only the centroid_id pair join shuffles") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.read(spark, dir, "embeddings")
+    val cents = graft.ext.Similarity.sampleCentroids(emb, "vec_id", "embedding", 8)
+    val assigned = graft.ext.Similarity
+      .assignToCentroidsCosine(emb, "vec_id", "embedding", cents)
+    val pa = assigned.queryExecution.executedPlan.toString()
+    assert(!pa.contains("Exchange"), "cosine assignment must not shuffle the corpus")
+    assert(!pa.contains("Window"), "cosine assignment must not use a per-row window")
+    // the full operator: corpus shuffles ONLY on centroid_id for the
+    // within-bucket pair join (broadcast at this SF is fine too — what must
+    // never appear is a cartesian all-pairs)
+    val p = graft.ext.Dedup
+      .semanticNearDuplicates(emb, "vec_id", "embedding", nlist = 8, threshold = 0.9)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must join on centroid_id, never cross-join the corpus")
+  }
+
+  test("importance weights: both LM count-windows collapse into one Window node") {
+    val p = plan("q_importance_weights")
+    // tc and rc are windows over the same term partitioning — CollapseWindow
+    // must merge them so the two LMs share ONE term exchange; a second
+    // Window node would mean the (doc, term) frame shuffles twice
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"expected 1 Window node, got $windows:\n" + p.take(3000))
+  }
 }

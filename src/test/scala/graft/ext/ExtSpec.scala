@@ -734,4 +734,65 @@ class ExtSpec extends SparkSpec {
         assert(score == expect, s"tf=$tf df=$df")
     }
   }
+
+  test("unigram cross-entropy replays the milli-nat-quantized LM formula") {
+    val corpus = Seq(
+      (1L, "a a b"),
+      (2L, "b c"),
+      (3L, null.asInstanceOf[String]), // no tokens -> no row
+      (4L, "  ")                       // whitespace-only -> no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramCrossEntropy(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // LM over N=5 tokens: a->2, b->2, c->1
+    def mnats(tf: Long, ctf: Long): Long =
+      math.floor(tf.toDouble * math.log(5.0 / ctf.toDouble) * 1000.0 + 0.5).toLong
+    def xent(parts: Seq[(Long, Long)]): Double = {
+      val n = parts.map(_._1).sum
+      BigDecimal(parts.map { case (tf, c) => mnats(tf, c) }.sum.toDouble / (n.toDouble * 1000.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((3L, xent(Seq(2L -> 2L, 1L -> 2L)))))  // "a a b"
+    assert(out(2L) == ((2L, xent(Seq(1L -> 2L, 1L -> 1L)))))  // "b c"
+    // rare-token text must score strictly higher than stereotypical text
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
+  test("importance weights replay the smoothed log-likelihood-ratio formula") {
+    val corpus = Seq(
+      (1L, "a a b", true),   // target domain
+      (2L, "b c", false),
+      (3L, "a x", false),
+      (4L, null.asInstanceOf[String], false) // no tokens -> no row
+    ).toDF("doc_id", "text", "is_t")
+    val out = TextAnalysis.importanceWeights(corpus, "doc_id", "text", col("is_t"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // Nt=3 (doc 1), Nr=4 (docs 2,3), V=4 {a,b,c,x}
+    // term (tc, rc): a (2,1), b (1,1), c (0,1), x (0,1)
+    def mnats(tf: Long, tc: Long, rc: Long): Long =
+      math.floor(tf.toDouble *
+        (math.log((tc + 1.0) / 7.0) - math.log((rc + 1.0) / 8.0)) * 1000.0 + 0.5).toLong
+    def lw(parts: Seq[(Long, Long, Long)]): Double =
+      parts.map((mnats _).tupled).sum.toDouble / 1000.0
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((3L, lw(Seq((2L, 2L, 1L), (1L, 1L, 1L))))))  // a a b
+    assert(out(2L) == ((2L, lw(Seq((1L, 1L, 1L), (1L, 0L, 1L))))))  // b c
+    assert(out(3L) == ((2L, lw(Seq((1L, 2L, 1L), (1L, 0L, 1L))))))  // a x
+    // target-like text must outscore raw-only text
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("Spark unpivot keeps NULL values (the column-profile contract)") {
+    // q_column_profile's n_nulls depends on melt KEEPING nulls; DuckDB's
+    // UNPIVOT keyword drops them, which is why the oracle uses UNION ALL.
+    // If a Spark upgrade ever changes this, the profile must switch to an
+    // explicit stack()/UNION form too.
+    val df = Seq((Some("x"), Some("y")), (None, Some("z")))
+      .toDF("a", "b")
+    val lf = df.unpivot(Array.empty[org.apache.spark.sql.Column],
+      Array(col("a"), col("b")), "col_name", "value")
+    assert(lf.count() == 4)
+    assert(lf.where(col("value").isNull).count() == 1)
+  }
 }

@@ -215,4 +215,47 @@ class GroundTruthSpec extends SparkSpec {
     assert(refined > raw,
       s"Lloyd refinement no longer improves recall (raw=$raw refined=$refined)")
   }
+
+  test("semantic dedup EQUALS brute-force all-pairs cosine on the planted corpus") {
+    // the q_semantic_dedup construction: base ∪ ×2-scaled copies. Cosine
+    // assignment is magnitude-invariant (cosine(2v, c) is bit-equal to
+    // cosine(v, c): ×2 scales dot and norm exactly), so every planted pair
+    // shares a bucket and the clustered operator must return EXACTLY the
+    // exact all-pairs answer — an equality, not a recall bound.
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val scaled = base.select((col("vec_id") + lit(10000L)).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    val planted = base.unionByName(scaled)
+    val sem = Dedup.semanticNearDuplicates(planted, "vec_id", "embedding",
+      nlist = 16, threshold = 0.99)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = planted.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val a = vecs.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        NativeExpressions.cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= 0.99)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "planted corpus must contain >=0.99 pairs")
+    assert(sem == brute)
+    // and those pairs are exactly the planted (v, 2v) pairs
+    val nonNullIds = base.where(col("embedding").isNotNull)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(brute == nonNullIds.map(id => (id, id + 10000L)))
+  }
+
+  test("cosine-argmax assignment buckets every scorable row exactly once") {
+    val cents = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val assigned = Similarity.assignToCentroidsCosine(emb, "vec_id", "embedding", cents)
+    val nonNull = emb.where(col("embedding").isNotNull).count()
+    assert(assigned.count() == nonNull)
+    assert(assigned.select("vec_id").distinct().count() == nonNull)
+    val cids = assigned.select("centroid_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(cids.subsetOf((0 until 16).toSet))
+  }
 }
