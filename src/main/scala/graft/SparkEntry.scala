@@ -730,6 +730,31 @@ object SparkEntry {
         col("source") === "src0")
     }),
 
+    // Okapi BM25 top-20 against a fixed query-term set: the isin filter
+    // runs IN the explode projection so only (doc, query-term) rows ever
+    // shuffle; doc length rides along pre-explode (no second corpus pass);
+    // per-term contributions milli-quantized so the sum is order-
+    // independent and a last-bit ln() cannot move the hash
+    "q_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25Rank(t(s, dir, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "merge", "vector"), topK = 20)
+    }),
+
+    // per-source KL divergence from the corpus blend (mixture-design
+    // diagnostic): exact — every source term occurs in the corpus, so no
+    // smoothing; milli-nat quantized longs, final division of two exact
+    // integers, round 6
+    "q_source_divergence" -> ((s, dir) => {
+      TextAnalysis.sourceDivergence(t(s, dir, "documents"), "source", "text")
+    }),
+
+    // Zipf frequency-of-frequency vocabulary profile: integers end-to-end;
+    // the histogram rollup carries one row per distinct frequency value
+    // (O(sqrt(tokens)) by Zipf's law), never corpus-sized
+    "q_zipf" -> ((s, dir) => {
+      TextAnalysis.zipfProfile(t(s, dir, "documents"), "text")
+    }),
+
     // CCNet-style duplicate-line profile: share of each doc's derived
     // 10-token lines that occur in >= 2 documents (boilerplate signal);
     // line hashes (16-byte md5) shuffle, line text never does
@@ -1021,6 +1046,14 @@ object SparkEntry {
         nlist = 16, threshold = 0.99)
         .select(col("id_a"), col("id_b"), col("centroid_id").cast("long").as("centroid_id"),
           round(col("cosine"), 4).as("cosine_r"))
+    }),
+
+    // per-dimension embedding moment profile (feature-scaling /
+    // batch-drift prerequisite): posexplode is narrow, the rollup exchange
+    // carries at most `dims` groups; micro-unit fixed-point longs make
+    // every moment order-independent and engine-exact
+    "q_embed_dim_stats" -> ((s, dir) => {
+      Similarity.dimensionStats(t(s, dir, "embeddings"), "embedding")
     }),
 
     // multimodal plumbing: binary payload + metadata + batch feature stub.
@@ -1565,6 +1598,23 @@ object SparkEntry {
         |SELECT id_a, id_b, centroid_id, round(cosine, 4) AS cosine_r
         |FROM pairs WHERE cosine >= 0.99""".stripMargin,
 
+    // micro-unit fixed-point (float->double widening is exact in both
+    // engines) and long-summed moments; the two parallel unnests zip
+    "q_embed_dim_stats" ->
+      """WITH ex0 AS (
+        |  SELECT unnest(range(0, len(embedding))) AS dim, unnest(embedding) AS v
+        |  FROM embeddings),
+        | ex AS (
+        |  SELECT cast(dim AS integer) AS dim,
+        |    cast(floor(cast(v AS double) * 1000000.0 + 0.5) AS bigint) AS fp
+        |  FROM ex0)
+        |SELECT dim, count(*)::BIGINT AS n,
+        |  cast(sum(fp) AS bigint) AS sum_fp,
+        |  cast(sum(fp * fp) AS bigint) AS ssq_fp,
+        |  min(fp) AS min_fp, max(fp) AS max_fp,
+        |  round(cast(sum(fp) AS double) / (cast(count(*) AS double) * 1000000.0), 6) AS mean
+        |FROM ex GROUP BY dim""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | cast(sum(cast(floor(l_quantity * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS sum_qty,
@@ -2007,6 +2057,65 @@ object SparkEntry {
         |     ln((cast(coalesce(rc, 0) AS double) + 1.0) / (nr + v)))
         |    * 1000.0 + 0.5) AS bigint)) AS double) / 1000.0 AS log_weight
         |FROM m, n, v GROUP BY doc_id""".stripMargin,
+
+    // the full BM25 chain replayed: integer tf/df/dl, one exact avgdl
+    // division, the Lucene idf form, milli-quantized contributions, and
+    // the same (score desc, doc_id asc) deterministic top-20
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS tl
+        |  FROM documents),
+        | exploded AS (
+        |  SELECT doc_id, cast(len(tl) AS bigint) AS dl, unnest(tl) AS term FROM toks),
+        | tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
+        |  FROM exploded WHERE term IN ('spark', 'merge', 'vector') GROUP BY 1, 2),
+        | dfs AS (SELECT *, cast(count(*) OVER (PARTITION BY term) AS bigint) AS df FROM tf),
+        | stats AS (
+        |  SELECT cast(count(*) AS double) AS n_docs,
+        |    cast(sum(len(tl)) AS double) / cast(count(*) AS double) AS avgdl
+        |  FROM toks)
+        |SELECT doc_id, count(*)::BIGINT AS n_terms_hit,
+        |  cast(sum(cast(floor(
+        |    ln((n_docs - cast(df AS double) + 0.5) / (cast(df AS double) + 0.5) + 1.0) *
+        |    (cast(tf AS double) * 2.2 /
+        |     (cast(tf AS double) + 1.2 * (0.25 + 0.75 * cast(dl AS double) / avgdl)))
+        |    * 1000.0 + 0.5) AS bigint)) AS double) / 1000.0 AS bm25
+        |FROM dfs, stats GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // exact KL per source: corpus term counts via the same term-partitioned
+    // sum-window, per-source totals from a second narrow scan, milli-nat
+    // quantization, final division of two exact integers + round(6)
+    "q_source_divergence" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '')) AS term
+        |  FROM documents),
+        | tf AS (SELECT source, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+        | wtf AS (SELECT source, term, tf,
+        |           cast(sum(tf) OVER (PARTITION BY term) AS bigint) AS ctf FROM tf),
+        | ns AS (
+        |  SELECT source,
+        |    cast(sum(len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> ''))) AS bigint) AS nsv
+        |  FROM documents GROUP BY source),
+        | nt AS (
+        |  SELECT cast(sum(len(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> ''))) AS double) AS n
+        |  FROM documents)
+        |SELECT wtf.source AS source, max(nsv) AS n_tokens,
+        |  count(DISTINCT term)::BIGINT AS n_terms,
+        |  round(cast(sum(cast(floor(cast(tf AS double) *
+        |    ln(cast(tf AS double) * n / (cast(nsv AS double) * cast(ctf AS double)))
+        |    * 1000.0 + 0.5) AS bigint)) AS double)
+        |    / (cast(max(nsv) AS double) * 1000.0), 6) AS kl_nats
+        |FROM wtf JOIN ns ON wtf.source = ns.source, nt GROUP BY wtf.source""".stripMargin,
+
+    "q_zipf" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '')) AS term
+        |  FROM documents),
+        | counts AS (SELECT term, count(*)::BIGINT AS freq FROM toks GROUP BY 1)
+        |SELECT freq, count(*)::BIGINT AS n_terms FROM counts GROUP BY 1""".stripMargin,
 
     "q_line_dedup" ->
       """WITH t AS (

@@ -304,4 +304,39 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Per-dimension moment profile of an embedding column — the
+    * feature-scaling prerequisite (z-score / min-max normalization before
+    * clustering or ANN) and the drift check between embedding batches
+    * (a dimension whose mean/spread moves between model versions breaks
+    * index reuse).
+    *
+    * Determinism: every value is fixed-pointed to MICRO-units
+    * (`floor(v·1e6 + 0.5)` as long — float→double widening is exact) and
+    * the moments are LONG sums of those integers: order-independent,
+    * engine-portable, no IEEE accumulation anywhere. Emitted mean divides
+    * two exact integers and rounds 6dp; min/max are integer-exact.
+    * Long-sum headroom: Σ fp² per dimension overflows past ~9e18 — at
+    * unit-normalized values (fp ≤ 1e6, fp² ≤ 1e12) that is ~9M rows per
+    * dimension per PARTIAL sum; beyond that, widen the quantum to 1e3 or
+    * sum as decimal(38,0) (same plan shape, documented in SCALE.md).
+    *
+    * Scale: posexplode is a narrow per-row expansion (×dims, no shuffle);
+    * the rollup groups on `dim` — at most `dims` groups, map-side combined
+    * to one row per partition per dim before the (tiny) exchange. */
+  def dimensionStats(df: DataFrame, vecCol: String): DataFrame = {
+    val fp = floor(col("v").cast("double") * lit(1e6d) + lit(0.5d)).cast("long")
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("dim"), fp.as("fp"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("fp")).as("sum_fp"),
+        sum(col("fp") * col("fp")).as("ssq_fp"),
+        min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+      .select(col("dim"), col("n"), col("sum_fp"), col("ssq_fp"),
+        col("min_fp"), col("max_fp"),
+        round(col("sum_fp").cast("double") / (col("n").cast("double") * lit(1e6d)), 6)
+          .as("mean"))
+  }
 }

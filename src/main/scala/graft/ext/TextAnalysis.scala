@@ -405,4 +405,119 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"),
         (col("__s").cast("double") / lit(1000.0d)).as("log_weight"))
   }
+
+  /** Okapi BM25 ranking of the corpus against a fixed query-term set — the
+    * standard retrieval scorer (quality-proxy retrieval, dedup-cluster
+    * canonical picking, eval-set mining all rank by it). Per document:
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)` (the Lucene/ATIRE
+    * non-negative form).
+    *
+    * Determinism: doc/term frequencies and doc lengths are integers;
+    * `avgdl` is one exact IEEE division of two longs. Each (doc, term)
+    * contribution is quantized to MILLI-units (`floor(x·1000 + 0.5)` as a
+    * long) and long-summed per doc — order-independent; a last-bit `ln`
+    * difference between engines sits far below the quantum. The emitted
+    * score is `Σ/1000.0`, one exact division.
+    *
+    * Scale: the corpus is never shuffled whole — the query-term `isin`
+    * filter runs IN the explode projection, so shuffle 1 carries only
+    * (doc, query-term) pairs (|terms| ≤ |query| per doc). Doc length rides
+    * along from the pre-explode projection (no second corpus pass, no
+    * doc-length join); df is an unordered count-window on the term
+    * exchange; N/avgdl broadcast from a narrow one-row aggregate. Top-k is
+    * a TakeOrdered, not a global sort. */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = T.tokens(lower(col(textCol)))
+    val terms = df
+      .select(col(idCol), size(toks).cast("long").as("dl"), explode(toks).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val stats = df.agg(
+      count(lit(1)).cast("double").as("__n_docs"),
+      (sum(T.tokenCount(lower(col(textCol))).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("__avgdl"))
+    val idf = log(
+      (col("__n_docs") - col("df").cast("double") + lit(0.5d)) /
+        (col("df").cast("double") + lit(0.5d)) + lit(1.0d))
+    val norm = col("tf").cast("double") * lit(k1 + 1.0d) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0d - b) + lit(b) * col("dl").cast("double") / col("__avgdl")))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(broadcast(stats))
+      .withColumn("__mu", floor(idf * norm * lit(1000.0d) + lit(0.5d)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("__mu")).as("__s"))
+      .select(col(idCol), col("n_terms_hit"),
+        (col("__s").cast("double") / lit(1000.0d)).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  /** Per-stratum KL divergence from the corpus-wide unigram distribution —
+    * the mixture-design diagnostic: `KL(P_s ‖ P_corpus)` per source says
+    * how far each slice's token distribution sits from the blend the model
+    * will actually train on (near 0 = generic, high = domain-specific;
+    * re-weighting a high-KL source moves the mixture most). No smoothing
+    * is needed: every stratum term occurs in the corpus by construction,
+    * so `P_corpus` covers `P_s`'s support and the divergence is exact.
+    *
+    * Determinism: both distributions are integer counts. Each (stratum,
+    * term) contribution `tf_s · ln((tf_s · N) / (N_s · ctf))` (the KL
+    * numerator scaled by N_s) is quantized to milli-nats and long-summed;
+    * the final `Σ / (N_s · 1000)` divides two exact integers, rounded 6dp.
+    *
+    * Scale: one (stratum, term) aggregation [shuffle 1, map-combined],
+    * corpus term counts as a sum-window on the term exchange [shuffle 2] —
+    * the two distributions co-partition, never materialize driver-side,
+    * and vocabulary size never bounds memory. Per-stratum token totals
+    * broadcast from a narrow second scan (one row per stratum). */
+  def sourceDivergence(df: DataFrame, stratumCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = df.select(col(stratumCol),
+      explode(T.tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col(stratumCol), col("term")).agg(count(lit(1)).as("tf"))
+    val perStratum = df.groupBy(col(stratumCol))
+      .agg(sum(T.tokenCount(lower(col(textCol))).cast("long")).as("__ns"))
+    val nTotal = df.agg(
+      sum(T.tokenCount(lower(col(textCol))).cast("long")).cast("double").as("__n"))
+    tf.withColumn("ctf", sum(col("tf")).over(Window.partitionBy(col("term"))))
+      .join(broadcast(perStratum), Seq(stratumCol))
+      .join(broadcast(nTotal))
+      .withColumn("__mnats",
+        floor(col("tf").cast("double") *
+          log(col("tf").cast("double") * col("__n") /
+            (col("__ns").cast("double") * col("ctf").cast("double")))
+          * lit(1000.0d) + lit(0.5d)).cast("long"))
+      .groupBy(col(stratumCol))
+      .agg(max(col("__ns")).as("n_tokens"),
+        countDistinct(col("term")).as("n_terms"),
+        sum(col("__mnats")).as("__s"))
+      .select(col(stratumCol), col("n_tokens"), col("n_terms"),
+        round(col("__s").cast("double") /
+          (col("n_tokens").cast("double") * lit(1000.0d)), 6).as("kl_nats"))
+  }
+
+  /** Zipf frequency-of-frequency profile: how many distinct terms occur
+    * exactly `freq` times in the corpus. The classic vocabulary-health
+    * check (a training corpus should be roughly Zipfian: a long singleton
+    * tail and few ultra-frequent terms; a bulge of high-frequency
+    * duplicates flags boilerplate the dedup stages missed). Pure integer
+    * counts end-to-end — trivially engine-portable.
+    *
+    * Scale: term counts [shuffle 1, map-combined]; the histogram rollup
+    * [shuffle 2] carries one row per DISTINCT frequency value, which is
+    * O(√total_tokens) by Zipf's law itself — never corpus-sized. */
+  def zipfProfile(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df
+      .select(explode(T.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    counts.groupBy(col("freq"))
+      .agg(count(lit(1)).as("n_terms"))
+      .orderBy(col("freq").asc)
+  }
 }

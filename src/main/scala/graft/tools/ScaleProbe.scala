@@ -36,6 +36,11 @@ object ScaleProbe {
   }
 
   private def time[A](body: => A): Double = {
+    // GC between timed pipelines (outside the timer), for the same reason
+    // Bench does it: a shared JVM otherwise bills each pipeline for its
+    // neighbors' garbage — the exact-percentile probes allocate hard, and
+    // without this the NEXT pipeline's number swings by up to 30x
+    System.gc()
     val t0 = System.nanoTime()
     body
     (System.nanoTime() - t0) / 1e9
@@ -126,13 +131,16 @@ object ScaleProbe {
       val tMad = tq("q_mad_outliers"); val tMadA = tq("q_mad_outliers_approx")
       val tBuckets = tq("q_length_buckets"); val tSplit = tq("q_leakage_safe_split")
       // round-5 operators: unigram LM through the real query closure; the
-      // SemDeDup probe scales nlist WITH the corpus (the production knob —
-      // constant cluster size keeps per-cluster pair work constant; the
-      // query's fixed nlist=16 is an SF-pinned oracle setting, and probing
-      // it unscaled would time a deliberately quadratic configuration)
+      // SemDeDup probe scales nlist ~ sqrt(rows) (the balanced-IVF knob:
+      // nlist ∝ rows makes ASSIGNMENT cost rows·nlist ∝ rows² — measured
+      // 23x at 5x before this was fixed — while fixed nlist makes cluster
+      // SIZE, and so pair-join work, grow linearly; √N equalizes the two
+      // at N^1.5 total, the standard IVF operating point. The query's
+      // fixed nlist=16 is an SF-pinned oracle setting.)
       val tUnigram = tq("q_unigram_lm")
       val tSemantic = time(force(Dedup.semanticNearDuplicates(
-        emb, "vec_id", "embedding", nlist = 16 * f, threshold = 0.9)))
+        emb, "vec_id", "embedding",
+        nlist = 16 * math.sqrt(f.toDouble).ceil.toInt, threshold = 0.9)))
       println(f"""SCALE_R5 {"factor":$f, "winsorize":$tWins%.2f, "winsorize_approx":$tWinsA%.2f, "mad":$tMad%.2f, "mad_approx":$tMadA%.2f, "length_buckets":$tBuckets%.2f, "leakage_split":$tSplit%.2f, "unigram_lm":$tUnigram%.2f, "semantic_dedup":$tSemantic%.2f}""")
     }
     spark.stop()

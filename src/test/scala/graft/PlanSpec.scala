@@ -220,4 +220,27 @@ class PlanSpec extends SparkSpec {
     val windows = "\\bWindow\\b".r.findAllIn(p).size
     assert(windows == 1, s"expected 1 Window node, got $windows:\n" + p.take(3000))
   }
+
+  test("bm25: the query-term filter runs below every exchange; top-k is TakeOrdered") {
+    val p = plan("q_bm25")
+    // the corpus must never shuffle whole — the isin filter sits in the
+    // explode projection, so the first shuffle carries only (doc,
+    // query-term) rows. The plan string renders outer nodes first, so the
+    // filter being DEEPER than every exchange means it runs earlier.
+    val lastExchange = p.lastIndexOf("Exchange hashpartitioning")
+    val termFilter = p.indexOf(" IN (spark,merge,vector)")
+    assert(lastExchange >= 0 && termFilter >= 0, p.take(3000))
+    assert(termFilter > lastExchange,
+      "query-term filter must run below the deepest exchange:\n" + p.take(3000))
+    // global top-20 must be a TakeOrdered, never a full Sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("source divergence: one term exchange feeds the window; totals broadcast") {
+    val p = plan("q_source_divergence")
+    // per-stratum totals and the corpus total must arrive as broadcasts —
+    // a sort-merge join here would re-shuffle the (stratum, term) frame
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(3000))
+  }
 }

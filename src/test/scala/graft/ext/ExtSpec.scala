@@ -783,6 +783,71 @@ class ExtSpec extends SparkSpec {
     assert(out(1L)._2 > out(2L)._2)
   }
 
+  test("bm25 replays the milli-quantized Okapi formula with deterministic top-k") {
+    val corpus = Seq(
+      (1L, "spark spark merge x y"), // dl=5: spark tf=2, merge tf=1
+      (2L, "spark z z z"),           // dl=4: spark tf=1
+      (3L, "vector"),                // dl=1: vector tf=1
+      (4L, "nothing relevant here")  // no query terms -> absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Rank(corpus, "doc_id", "text",
+        Seq("spark", "merge", "vector"))
+      .as[(Long, Long, Double)].collect()
+    // N=4 docs, 13 tokens, avgdl=3.25; df: spark=2, merge=1, vector=1
+    def mu(tf: Long, dl: Long, df: Long): Long = {
+      val idf = math.log((4.0 - df + 0.5) / (df + 0.5) + 1.0)
+      val norm = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.25))
+      math.floor(idf * norm * 1000.0 + 0.5).toLong
+    }
+    def score(parts: Seq[(Long, Long, Long)]): Double =
+      parts.map((mu _).tupled).sum.toDouble / 1000.0
+    val expected = Map(
+      1L -> ((2L, score(Seq((2L, 5L, 2L), (1L, 5L, 1L))))), // spark + merge
+      2L -> ((1L, score(Seq((1L, 4L, 2L))))),
+      3L -> ((1L, score(Seq((1L, 1L, 1L))))))
+    assert(out.map(r => r._1 -> ((r._2, r._3))).toMap == expected)
+    // rows arrive ranked (score desc, id asc) — rarer terms outrank common
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 2L))
+  }
+
+  test("source divergence is exactly 0 for identical strata, ln2 for disjoint") {
+    val same = Seq(("s1", "a b"), ("s2", "a b")).toDF("source", "text")
+    val sameOut = TextAnalysis.sourceDivergence(same, "source", "text")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(sameOut == Map("s1" -> 0.0, "s2" -> 0.0))
+    // disjoint vocabularies: each stratum is half the blend, so every term
+    // contributes tf·ln2 — milli-nat floor makes the exact sum checkable
+    val disjoint = Seq(("s1", "a a b"), ("s2", "c c d")).toDF("source", "text")
+    val out = TextAnalysis.sourceDivergence(disjoint, "source", "text")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // per stratum: floor(2·ln2·1000+.5)+floor(ln2·1000+.5) = 1386+693 ->
+    // 2079/3000 = 0.693
+    assert(out == Map("s1" -> ((3L, 2L, 0.693)), "s2" -> ((3L, 2L, 0.693))))
+  }
+
+  test("zipf profile counts terms per frequency") {
+    val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfProfile(corpus, "text")
+      .as[(Long, Long)].collect().toSeq
+    // a->2, b->2, c->1: one singleton term, two doubletons — ordered by freq
+    assert(out == Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("embedding dimension stats: micro-unit fixed-point moments are exact") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f)),
+      (2L, Array(0.25f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.dimensionStats(df, "embedding")
+      .orderBy("dim")
+      .as[(Int, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      // floor(-0.5e6 + 0.5) = -500000: the +0.5 nudge is symmetric-exact here
+      (0, 2L, 1250000L, 1062500000000L, 250000L, 1000000L, 0.625),
+      (1, 2L, 0L, 500000000000L, -500000L, 500000L, 0.0)))
+  }
+
   test("Spark unpivot keeps NULL values (the column-profile contract)") {
     // q_column_profile's n_nulls depends on melt KEEPING nulls; DuckDB's
     // UNPIVOT keyword drops them, which is why the oracle uses UNION ALL.
