@@ -1165,6 +1165,80 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
         .select(col("session_window.start").as("session_start"),
           col("user_id"), col("n_events"))
+    }),
+
+    // ordered conversion funnel (view -> click-after-view ->
+    // purchase-after-click): each stage is a type-pruned scan (predicate
+    // reaches the parquet reader) aggregated per user, joined on user_id —
+    // at scale all three frames co-partition on the user key; no window
+    // over the raw event stream, no per-user sort
+    "q_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      val c = e.where(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .where(col("ts") > col("first_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .where(col("ts") > col("first_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("first_purchase").isNotNull, lit(3))
+            .when(col("first_click").isNotNull, lit(2))
+            .otherwise(lit(1)).as("stage"),
+          col("first_view"), col("first_click"), col("first_purchase"))
+    }),
+
+    // weekly cohort-retention matrix: cohort = the user's first active
+    // week; one distinct-user count per (cohort, weeks_since) cell. The
+    // per-user first-week frame joins back on the user key (co-partitioned
+    // with the activity frame); week deltas are exact multiples of 7 days
+    // so the int cast never truncates a fraction
+    "q_cohort_retention" -> ((s, dir) => {
+      val wk = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      val first = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      wk.join(first, Seq("user_id"))
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / lit(7)).cast("int").as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // population-stability-index drift between two md5-gated corpus
+    // snapshots: fixed-width integer bins over snapshot A's [min, max]
+    // (broadcast one-row bounds; integer arithmetic, so binning is exact
+    // in both engines), Laplace-smoothed bin shares, per-bin PSI
+    // contribution micro-nat-quantized. Two narrow corpus scans (a min/max
+    // pre-pass, then the binning pass — a window for the bounds would
+    // shuffle the corpus instead); bin-count frames are tiny (nbins rows),
+    // totals ride a window over them
+    "q_drift_psi" -> ((s, dir) => {
+      val nbins = 10
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          Sampling.hashGate(col("doc_id"), 0.5, "snapA").as("__a"))
+      val bounds = d.where(col("__a"))
+        .agg(min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      val counts = d.join(broadcast(bounds))
+        .withColumn("bin", least(lit(nbins - 1), greatest(lit(0),
+          floor((col("n_chars") - col("lo")) * lit(nbins) /
+            (col("hi") - col("lo") + lit(1))).cast("int"))))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("__a"), lit(1L)).otherwise(lit(0L))).as("n_a"),
+             sum(when(!col("__a"), lit(1L)).otherwise(lit(0L))).as("n_b"))
+      val w = Window.partitionBy()
+      val pa = (col("n_a") + lit(1L)).cast("double") /
+        (sum(col("n_a")).over(w) + lit(nbins.toLong)).cast("double")
+      val pb = (col("n_b") + lit(1L)).cast("double") /
+        (sum(col("n_b")).over(w) + lit(nbins.toLong)).cast("double")
+      counts
+        .select(col("bin"), col("n_a"), col("n_b"),
+          floor((pa - pb) * log(pa / pb) * lit(1e6d) + lit(0.5d)).cast("long")
+            .as("psi_unats"))
     })
   )
 
@@ -1897,7 +1971,7 @@ object SparkEntry {
         |  UNION ALL SELECT 'o_orderdate', o_orderdate FROM src
         |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM src)
         |SELECT col_name, count(*) AS n_rows,
-        |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |  cast(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_nulls,
         |  count(DISTINCT value) AS n_distinct,
         |  min(value) AS min_s, max(value) AS max_s
         |FROM lf GROUP BY col_name""".stripMargin,
@@ -2405,6 +2479,68 @@ object SparkEntry {
         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
         |  FROM flagged)
         |SELECT min(ts) AS session_start, user_id, count(*) AS n_events
-        |FROM sessioned GROUP BY user_id, sess""".stripMargin
+        |FROM sessioned GROUP BY user_id, sess""".stripMargin,
+
+    // the ordered-funnel chain replayed stage by stage (each stage's min
+    // is constrained to strictly after the previous stage's first event)
+    "q_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS first_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | c AS (
+        |  SELECT e.user_id AS user_id, min(e.ts) AS first_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.first_view GROUP BY 1),
+        | p AS (
+        |  SELECT e.user_id AS user_id, min(e.ts) AS first_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.first_click GROUP BY 1)
+        |SELECT v.user_id AS user_id,
+        |  CASE WHEN p.first_purchase IS NOT NULL THEN 3
+        |       WHEN c.first_click IS NOT NULL THEN 2 ELSE 1 END AS stage,
+        |  v.first_view AS first_view, c.first_click AS first_click,
+        |  p.first_purchase AS first_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin,
+
+    // both engines truncate weeks to Monday; deltas are exact multiples of
+    // 7 days so integer division is lossless
+    "q_cohort_retention" ->
+      """WITH wk AS (
+        |  SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+        | first AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY 1)
+        |SELECT cohort,
+        |  cast(date_diff('day', cohort, wk.wk) // 7 AS integer) AS weeks_since,
+        |  count(DISTINCT wk.user_id)::BIGINT AS n_users
+        |FROM wk JOIN first ON wk.user_id = first.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // identical md5 gate, integer bin arithmetic, Laplace-smoothed shares,
+    // micro-nat PSI quantization
+    "q_drift_psi" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    substring(md5('snapA' || coalesce(cast(doc_id AS varchar), chr(0) || 'null')), 1, 8)
+        |      < '80000000' AS a
+        |  FROM documents),
+        | bounds AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM d WHERE a),
+        | counts AS (
+        |  SELECT cast(least(9, greatest(0,
+        |      cast(floor((n_chars - lo) * 10 / (hi - lo + 1)) AS integer))) AS integer) AS bin,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN NOT a THEN 1 ELSE 0 END)::BIGINT AS n_b
+        |  FROM d, bounds GROUP BY 1),
+        | t AS (SELECT bin, n_a, n_b,
+        |    cast(sum(n_a) OVER () AS bigint) AS ta,
+        |    cast(sum(n_b) OVER () AS bigint) AS tb
+        |  FROM counts)
+        |SELECT bin, n_a, n_b,
+        |  cast(floor(
+        |    (cast(n_a + 1 AS double) / cast(ta + 10 AS double) -
+        |     cast(n_b + 1 AS double) / cast(tb + 10 AS double)) *
+        |    ln((cast(n_a + 1 AS double) / cast(ta + 10 AS double)) /
+        |       (cast(n_b + 1 AS double) / cast(tb + 10 AS double)))
+        |    * 1000000.0 + 0.5) AS bigint) AS psi_unats
+        |FROM t""".stripMargin
   )
 }

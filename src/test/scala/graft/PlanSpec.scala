@@ -243,4 +243,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(3000))
   }
+
+  test("funnel: every stage scan is type-pruned at the parquet reader") {
+    val p = plan("q_funnel")
+    // three stage scans, each with its event_type filter PUSHED — a funnel
+    // that reads the whole event log per stage re-reads 100 TB three times
+    for (t <- Seq("view", "click", "purchase"))
+      assert(p.contains(s"EqualTo(event_type,$t)"),
+        s"stage filter for '$t' not pushed to the scan:\n" + p.take(3000))
+  }
 }
