@@ -642,6 +642,19 @@ object SparkEntry {
         .toDF("node_id", "degree")
     }),
 
+    // fixed-point integer PageRank (5 power iterations) over the symmetric
+    // order<->part bipartite graph — the deterministic DataFrame twin of
+    // the GraphX float path: micro-unit integer ranks, DIV-quantized edge
+    // contributions, long sums — bit-identical in any engine, so the
+    // iterative algorithm itself is value-checked (the oracle replays all
+    // five iterations as staged CTEs)
+    "q_pagerank" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      val e2 = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.GraphOps.pageRankFixedPoint(e2, "src", "dst", iterations = 5)
+    }),
+
     // ---------------- LLM-pipeline extensions (north star) ----------------
 
     // exact dedup groups (hash-groupBy, deterministic min-id keeper)
@@ -1919,6 +1932,29 @@ object SparkEntry {
 
     "q_graph_degree" ->
       "SELECT l_partkey AS node_id, count(*) AS degree FROM lineitem GROUP BY l_partkey",
+
+    // all five integer power iterations replayed as staged CTEs (recursive
+    // CTEs cannot aggregate in the recursive term); UNION dedups, and
+    // reverse edges can never collide with forward ones (parity-disjoint
+    // namespaces), so it equals the Spark side's union+distinct
+    "q_pagerank" -> {
+      val base =
+        """WITH e0 AS (
+          |  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          |  FROM lineitem GROUP BY 1, 2),
+          | e2 AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+          | deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e2 GROUP BY 1),
+          | pr0 AS (SELECT src AS node, cast(1000000 AS bigint) AS rank_fp FROM deg)""".stripMargin
+      val steps = (1 to 5).map { i =>
+        s""",
+           | pr$i AS (
+           |  SELECT e2.dst AS node,
+           |    cast(150000 + (sum(p.rank_fp // d.outdeg) * 85) // 100 AS bigint) AS rank_fp
+           |  FROM pr${i - 1} p JOIN e2 ON p.node = e2.src JOIN deg d ON p.node = d.src
+           |  GROUP BY 1)""".stripMargin
+      }.mkString
+      base + steps + "\nSELECT node, rank_fp FROM pr5"
+    },
 
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,

@@ -102,6 +102,45 @@ object GraphOps {
       .na.fill(0L, Seq("out_deg", "in_deg"))
   }
 
+  /** Fixed-point INTEGER PageRank as a co-partitioned DataFrame power
+    * iteration — the deterministic, oracle-checkable twin of the GraphX
+    * [[pageRank]] path (whose float accumulation is order-dependent and so
+    * can never hash-match another engine). All arithmetic is 64-bit
+    * integer: ranks are micro-units (1e6 = mass 1.0), each edge ships
+    * `rank DIV outdeg`, and damping is `150000 + (Σ·85) DIV 100` — sums of
+    * longs are order-independent, so any engine replaying the recurrence
+    * gets bit-identical ranks. Quantization error per iteration is
+    * ≤ outdeg micro-units of leaked mass — ranking noise, not ranking
+    * drift, and the price of determinism.
+    *
+    * Contract: every node must have ≥ 1 out-edge (no dangling-mass
+    * redistribution is performed) — pass the symmetric closure for an
+    * undirected reading, which guarantees it.
+    *
+    * Scale: per iteration ONE join of the rank frame with the
+    * degree-annotated edge list (both hashed on the source key — at 100 TB
+    * pre-bucket the edge list on src and the join is exchange-free) and
+    * one map-combined sum on dst. The loop builds one linear plan (each
+    * rank frame is consumed exactly once); past ~10 iterations checkpoint
+    * the rank frame to cut lineage, same as any iterative DataFrame
+    * algorithm. */
+  def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(deg, Seq("src"))
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank_fp"))
+    for (_ <- 1 to iterations) {
+      ranks = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("node"),
+          (lit(150000L) + expr("(s * 85) div 100")).as("rank_fp"))
+    }
+    ranks
+  }
+
   /** PageRank via GraphX Pregel implementation. */
   def pageRank(nodes: DataFrame, edges: DataFrame, tol: Double = 0.001): DataFrame = {
     val spark = nodes.sparkSession

@@ -244,6 +244,19 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(3000))
   }
 
+  test("pagerank: the degree-annotated edge list is computed once and reused") {
+    // AQE stage reuse is only visible in the FINAL adaptive plan, so
+    // materialize first. Five iterations each join the SAME edge/degree
+    // subplans — the runtime must reuse those stages, not re-read the
+    // edge parquet five times.
+    val df = SparkEntry.queries("q_pagerank")(spark, dir)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert("Reused".r.findAllIn(p).nonEmpty,
+      "edge-list stages not reused across iterations:\n" + p.take(3000))
+  }
+
   test("funnel: every stage scan is type-pruned at the parquet reader") {
     val p = plan("q_funnel")
     // three stage scans, each with its event_type filter PUSHED — a funnel

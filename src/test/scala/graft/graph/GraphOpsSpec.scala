@@ -55,4 +55,18 @@ class GraphOpsSpec extends SparkSpec {
     val top = pr.orderBy(col("pagerank").desc).select("id").as[String].head()
     assert(top == "B1")
   }
+
+  test("fixed-point integer PageRank replays the recurrence exactly") {
+    // symmetric star 1 <-> 2, 1 <-> 3: outdeg 1->2, 2->1, 3->1
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = GraphOps.pageRankFixedPoint(e, "src", "dst", iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    // iter1: node1 gets 1e6 + 1e6 -> 150000 + (2e6*85)//100 = 1850000;
+    //        nodes 2,3 get 1e6 div 2 = 500000 -> 150000 + 425000 = 575000
+    // iter2: node1 gets 575000*2 -> 150000 + (1150000*85)//100 = 1127500;
+    //        nodes 2,3 get 1850000 div 2 -> 150000 + (925000*85)//100 = 936250
+    assert(out == Map(1L -> 1127500L, 2L -> 936250L, 3L -> 936250L))
+    // total mass stays near n*1e6 (DIV leakage only): sanity, not exactness
+    assert(out.values.sum <= 3000000L && out.values.sum > 2900000L)
+  }
 }
