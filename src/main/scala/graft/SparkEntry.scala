@@ -655,6 +655,24 @@ object SparkEntry {
       graft.graph.GraphOps.pageRankFixedPoint(e2, "src", "dst", iterations = 5)
     }),
 
+    // per-part triangle counts over the co-purchase graph (parts sharing
+    // >= 2 orders). The w >= 2 threshold is what keeps the projected graph
+    // sparse (1.2M raw co-occurrence pairs -> 3.6k edges at sf0.1) — the
+    // same hub-pruning any real co-occurrence projection needs; pairs per
+    // order are quadratic in basket size, so at 100 TB also cap basket
+    // size or pre-aggregate per order. Triangle closure itself is two
+    // equi-joins, integers end-to-end
+    "q_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+      graft.graph.GraphOps.triangleCounts(pairs, "pa", "pb")
+    }),
+
     // ---------------- LLM-pipeline extensions (north star) ----------------
 
     // exact dedup groups (hash-groupBy, deterministic min-id keeper)
@@ -1955,6 +1973,25 @@ object SparkEntry {
       }.mkString
       base + steps + "\nSELECT node, rank_fp FROM pr5"
     },
+
+    // same orientation (a < b, dedup), same wedge-close joins, same
+    // per-node explode — triangles appear exactly once as a < b < c
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        | e AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | tri AS (
+        |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        | n AS (
+        |  SELECT a AS node_id FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node_id, count(*)::BIGINT AS n_triangles FROM n GROUP BY 1""".stripMargin,
 
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,

@@ -141,6 +141,30 @@ object GraphOps {
     ranks
   }
 
+  /** Per-node triangle counts as two DataFrame joins — the deterministic,
+    * oracle-checkable twin of the GraphX [[triangleCount]] path (integers
+    * end-to-end). Edges are read as UNDIRECTED: each is oriented to
+    * `(a, b), a < b` and deduplicated, so every triangle materializes
+    * exactly once as `a < b < c` (wedge `a-b-c` closed by `(a, c)`).
+    *
+    * Scale: the wedge join's volume is Σ_b outdeg(b)² under the id
+    * orientation — on skewed graphs orient by (degree, id) instead (the
+    * standard compact-forward bound, one extra degree join, same shape);
+    * the close join is wedge-proportional. Both are equi-joins on node
+    * keys: hash-partitioned, AQE-skew-splittable, never a cross join. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** PageRank via GraphX Pregel implementation. */
   def pageRank(nodes: DataFrame, edges: DataFrame, tol: Double = 0.001): DataFrame = {
     val spark = nodes.sparkSession

@@ -69,4 +69,14 @@ class GraphOpsSpec extends SparkSpec {
     // total mass stays near n*1e6 (DIV leakage only): sanity, not exactness
     assert(out.values.sum <= 3000000L && out.values.sum > 2900000L)
   }
+
+  test("DataFrame triangle counts close wedges exactly once per triangle") {
+    // K4 minus edge (1,4): triangles (1,2,3) and (2,3,4). Mixed edge
+    // directions prove the undirected orientation step.
+    val e = Seq((2L, 1L), (1L, 3L), (2L, 3L), (4L, 2L), (3L, 4L), (3L, 2L))
+      .toDF("s", "d")
+    val out = GraphOps.triangleCounts(e, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
 }
