@@ -673,6 +673,22 @@ object SparkEntry {
       graft.graph.GraphOps.triangleCounts(pairs, "pa", "pb")
     }),
 
+    // min-label propagation communities over the same co-purchase graph:
+    // 5 rounds of `label := min over neighbors∪self` — k-bounded connected
+    // components, bit-deterministic (integer min), so the oracle replays
+    // the recurrence round by round like q_pagerank's
+    "q_label_prop" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+      graft.graph.GraphOps.labelPropagateMin(pairs, "pa", "pb", iterations = 5)
+        .select(col("node").as("node_id"), col("label").as("community"))
+    }),
+
     // ---------------- LLM-pipeline extensions (north star) ----------------
 
     // exact dedup groups (hash-groupBy, deterministic min-id keeper)
@@ -769,6 +785,29 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => {
       TextAnalysis.bm25Rank(t(s, dir, "documents"), "doc_id", "text",
         queryTerms = Seq("spark", "merge", "vector"), topK = 20)
+    }),
+
+    // hybrid retrieval: RRF fusion of the BM25 lexical top-20 with the
+    // cosine top-20 for doc 0's embedding. Only integer ranks cross the
+    // fusion boundary; each contribution is one IEEE division and the
+    // two-list sum one addition, so fusion scores are bit-identical in
+    // any engine replaying the same ranked lists (both of which are
+    // themselves hash-matched: q_bm25 / q_embed_topk).
+    "q_rrf_hybrid" -> ((s, dir) => {
+      val lex = TextAnalysis.bm25Rank(t(s, dir, "documents"), "doc_id", "text",
+          queryTerms = Seq("spark", "merge", "vector"), topK = 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank"))
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val sem = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          qv, "qid", "qvec", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ext.Retrieval.rrfFuse2(lex, sem, "doc_id", "rank", k = 60, topK = 10)
+        .select(col("doc_id"), col("rank_a").as("lex_rank"),
+          col("rank_b").as("sem_rank"), col("rrf"))
     }),
 
     // per-source KL divergence from the corpus blend (mixture-design
@@ -989,6 +1028,31 @@ object SparkEntry {
         .where(col("jaccard") >= 0.5)
     }),
 
+    // DIRECTIONAL containment dedup (Broder's coverage): |A∩B| / |A| over
+    // word-3-gram sets — catches "A is quoted inside B", which symmetric
+    // Jaccard misses when |B| >> |A|. Computed as a posting-list join
+    // (explode grams, equi-join on gram, count per ordered pair), NOT a
+    // cross join: the plan that survives scale, where candidate volume is
+    // Σ_gram df² — at 100 TB cap it by dropping stop-grams above a df
+    // ceiling (the standard trick; exact here, the testdata is bounded).
+    // shared/na is one int/int IEEE division — bit-identical anywhere.
+    "q_containment" -> ((s, dir) => {
+      import graft.plans.NativeExpressions
+      val d = t(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"), NativeExpressions.wordShingles(col("text"), 3).as("sh"))
+        .where(size(col("sh")) > 0)
+      val grams = d.select(col("doc_id"), explode(col("sh")).as("g"))
+      val sizes = d.select(col("doc_id").as("id_a"), size(col("sh")).cast("long").as("na"))
+      grams.as("x").join(grams.as("y"),
+          col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes, "id_a")
+        .select(col("id_a"), col("id_b"), col("shared"),
+          (col("shared").cast("double") / col("na").cast("double")).as("containment"))
+        .where(col("containment") >= 0.6)
+    }),
+
     // brute-force cosine top-k over embeddings (exact ANN baseline)
     "q_embed_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1156,6 +1220,32 @@ object SparkEntry {
           max(when(col("event_type") === "view", col("ts"))).over(w))
         .where(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"), col("prev_view_ts"))
+    }),
+
+    // SCD2 interval building: collapse each user's event stream into
+    // (state, valid_from, valid_to, is_current) rows — the warehouse
+    // change-history primitive. Consecutive same-state events fold into
+    // one run (lag-gate + running sum = run id), runs become half-open
+    // intervals via lead(). All window keys carry the (ts, event_id)
+    // tie-break; run ids/counts are integer. One shuffle on user_id,
+    // shared by both windows and the aggregation.
+    "q_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val runs = t(s, dir, "events")
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w).isNull ||
+            lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("run_id", sum(col("chg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+      runs.groupBy(col("user_id"), col("run_id"))
+        .agg(min(col("event_type")).as("state"),
+          min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("run_id"), col("state"), col("valid_from"),
+          col("valid_to"), col("n_events"), col("is_current"))
     }),
 
     // per-user aggregate profile — batch semantics of the streaming
@@ -1993,6 +2083,29 @@ object SparkEntry {
         |  UNION ALL SELECT c FROM tri)
         |SELECT node_id, count(*)::BIGINT AS n_triangles FROM n GROUP BY 1""".stripMargin,
 
+    // the recurrence replayed round by round (q_pagerank's pattern):
+    // symmetric closure + self-loops, then 5 rounds of min-over-neighbors
+    "q_label_prop" -> {
+      val base =
+        """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          | ed AS (
+          |  SELECT x.l_partkey AS a, y.l_partkey AS b
+          |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+          |    AND x.l_partkey < y.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          | es AS (
+          |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
+          |  UNION SELECT a, a FROM (SELECT a FROM ed UNION SELECT b AS a FROM ed)),
+          | l0 AS (SELECT a AS node, a AS label FROM es WHERE a = b)""".stripMargin
+      val steps = (1 to 5).map { i =>
+        s""",
+           | l$i AS (
+           |  SELECT es.a AS node, min(l.label) AS label
+           |  FROM es JOIN l${i - 1} l ON l.node = es.b GROUP BY 1)""".stripMargin
+      }.mkString
+      base + steps + "\nSELECT node AS node_id, label AS community FROM l5"
+    },
+
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,
         | cast(sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS revenue
@@ -2230,6 +2343,58 @@ object SparkEntry {
         |    * 1000.0 + 0.5) AS bigint)) AS double) / 1000.0 AS bm25
         |FROM dfs, stats GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // both ranked lists rebuilt exactly as their own oracles build them
+    // (q_bm25 / q_embed_topk), then fused: only integer ranks cross the
+    // boundary, each reciprocal is one IEEE division, the two-list sum
+    // one addition — bit-identical in both engines
+    "q_rrf_hybrid" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS tl
+        |  FROM documents),
+        | exploded AS (
+        |  SELECT doc_id, cast(len(tl) AS bigint) AS dl, unnest(tl) AS term FROM toks),
+        | tf AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf, max(dl) AS dl
+        |  FROM exploded WHERE term IN ('spark', 'merge', 'vector') GROUP BY 1, 2),
+        | dfs AS (SELECT *, cast(count(*) OVER (PARTITION BY term) AS bigint) AS df FROM tf),
+        | stats AS (
+        |  SELECT cast(count(*) AS double) AS n_docs,
+        |    cast(sum(len(tl)) AS double) / cast(count(*) AS double) AS avgdl
+        |  FROM toks),
+        | bm AS (
+        |  SELECT doc_id,
+        |    cast(sum(cast(floor(
+        |      ln((n_docs - cast(df AS double) + 0.5) / (cast(df AS double) + 0.5) + 1.0) *
+        |      (cast(tf AS double) * 2.2 /
+        |       (cast(tf AS double) + 1.2 * (0.25 + 0.75 * cast(dl AS double) / avgdl)))
+        |      * 1000.0 + 0.5) AS bigint)) AS double) / 1000.0 AS bm25
+        |  FROM dfs, stats GROUP BY doc_id
+        |  ORDER BY bm25 DESC, doc_id ASC LIMIT 20),
+        | lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_a FROM bm),
+        | q AS (SELECT list_transform(embedding, x -> cast(x AS double)) AS qvec
+        |       FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL),
+        | c AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS vec
+        |       FROM embeddings WHERE embedding IS NOT NULL),
+        | scored AS (
+        |   SELECT c.vec_id AS doc_id,
+        |     CASE WHEN sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)) = 0 THEN 0.0
+        |          ELSE list_dot_product(c.vec, q.qvec) / (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)))
+        |     END AS cosine
+        |   FROM c CROSS JOIN q WHERE c.vec_id <> 0),
+        | sem AS (
+        |   SELECT doc_id, rank_b FROM (
+        |     SELECT doc_id,
+        |       row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank_b
+        |     FROM scored) WHERE rank_b <= 20),
+        | fused AS (
+        |   SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.rank_a, s.rank_b,
+        |     coalesce(1.0 / (60.0 + cast(l.rank_a AS double)), 0.0) +
+        |     coalesce(1.0 / (60.0 + cast(s.rank_b AS double)), 0.0) AS rrf
+        |   FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+        |SELECT doc_id, rank_a AS lex_rank, rank_b AS sem_rank, rrf
+        |FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     // exact KL per source: corpus term counts via the same term-partitioned
     // sum-window, per-source totals from a second narrow scan, milli-nat
@@ -2526,6 +2691,31 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
 
+    // same distinct word-3-gram sets, rebuilt as a posting-list join with
+    // per-pair shared counts; shared/na is one int/int IEEE division
+    "q_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 200),
+        | d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) = 0 THEN []
+        |         WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    END AS sh
+        |  FROM toks),
+        | d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+        | g AS (SELECT doc_id, unnest(sh) AS g FROM d2),
+        | shared AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*)::BIGINT AS shared
+        |  FROM g x JOIN g y ON x.g = y.g AND x.doc_id <> y.doc_id GROUP BY 1, 2),
+        | sz AS (SELECT doc_id AS id_a, cast(len(sh) AS bigint) AS na FROM d2)
+        |SELECT id_a, id_b, shared,
+        |  cast(shared AS double) / cast(na AS double) AS containment
+        |FROM shared JOIN sz USING (id_a)
+        |WHERE cast(shared AS double) / cast(na AS double) >= 0.6""".stripMargin,
+
     "q_asof_join" ->
       """SELECT event_id, user_id, ts, prev_view_ts FROM (
         |  SELECT event_id, user_id, ts, event_type,
@@ -2534,6 +2724,30 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_ts
         |  FROM events)
         |WHERE event_type = 'purchase'""".stripMargin,
+
+    // same lag-gate + running-sum run ids, same (ts, event_id) tie-break;
+    // run_id is cast to bigint (DuckDB window sums integers as int128)
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | r AS (
+        |  SELECT user_id, event_type, ts,
+        |    cast(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS bigint) AS run_id
+        |  FROM o),
+        | iv AS (
+        |  SELECT user_id, run_id, min(event_type) AS state,
+        |    min(ts) AS valid_from, count(*)::BIGINT AS n_events
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, run_id, state, valid_from,
+        |  lead(valid_from) OVER w2 AS valid_to, n_events,
+        |  lead(valid_from) OVER w2 IS NULL AS is_current
+        |FROM iv
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)""".stripMargin,
 
     "q_user_stats" ->
       """SELECT user_id, count(*) AS n_events,

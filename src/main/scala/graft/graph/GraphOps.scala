@@ -128,7 +128,14 @@ object GraphOps {
       iterations: Int = 5): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // the loop references the degree-annotated edge list once PER
+    // iteration: without pinning it, every iteration re-scans the input
+    // and replays the distinct (5 iterations were 4.4s at sf0.1; pinned,
+    // the projection is paid once). Eagerly materialize the (small,
+    // one-row-per-node) result so the pin can be released here rather
+    // than leaking into the session.
     val withDeg = e.join(deg, Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank_fp"))
     for (_ <- 1 to iterations) {
       ranks = withDeg.join(ranks, col("src") === col("node"))
@@ -138,7 +145,57 @@ object GraphOps {
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(s * 85) div 100")).as("rank_fp"))
     }
-    ranks
+    val out = ranks.cache()
+    out.count()
+    withDeg.unpersist()
+    out
+  }
+
+  /** Min-label propagation communities as a fixed-iteration DataFrame
+    * recurrence — the deterministic, oracle-checkable twin of GraphX
+    * [[connectedComponents]] (whose Pregel convergence detection is
+    * engine-internal; a FIXED iteration count replays identically in any
+    * engine). Edges are read UNDIRECTED (symmetric closure); labels start
+    * as own node id and each round become `min(own, min over neighbors)`
+    * — min over longs is order-independent, so round k's labels are
+    * bit-identical anywhere. After k rounds every node holds the smallest
+    * id within distance k: equal labels = same community (k-bounded
+    * connected components; iterate to diameter for exact CC).
+    *
+    * Scale: per iteration ONE join of the label frame with the adjacency
+    * list (both hashed on the node key — pre-bucket the edge list and the
+    * join is exchange-free) and one map-combined min on the neighbor key;
+    * the classic large-star/small-star shortcutting (Kiveris et al. 2014)
+    * drops the round count to O(log n) with the same join shape. Past ~10
+    * rounds checkpoint the label frame to cut lineage. */
+  def labelPropagateMin(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .where(col("a") =!= col("b")).distinct()
+    // self-loops fold `least(own, min-over-neighbors)` into ONE min, so
+    // each round references the label frame exactly once — without them
+    // the recurrence reads labels twice per round and the unrolled plan
+    // doubles per iteration (2^k subplans). The adjacency list is read
+    // once per round: pin it for the loop, release after the eager
+    // materialize of the (one-row-per-node) result.
+    val eSelf = e.unionByName(
+        e.select(col("a")).distinct().select(col("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = eSelf.where(col("a") === col("b"))
+      .select(col("a").as("node"), col("a").as("label"))
+    for (_ <- 1 to iterations) {
+      labels = eSelf
+        .join(labels.select(col("node").as("nb"), col("label").as("nl")),
+          col("b") === col("nb"))
+        .groupBy(col("a"))
+        .agg(min(col("nl")).as("label"))
+        .select(col("a").as("node"), col("label"))
+    }
+    val out = labels.cache()
+    out.count()
+    eSelf.unpersist()
+    out
   }
 
   /** Per-node triangle counts as two DataFrame joins — the deterministic,
@@ -153,16 +210,25 @@ object GraphOps {
     * the close join is wedge-proportional. Both are equi-joins on node
     * keys: hash-partitioned, AQE-skew-splittable, never a cross join. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // the wedge-close joins reference the oriented edge list THREE times:
+    // pin it so the (often expensive) upstream projection is computed
+    // once, eagerly materialize the per-node counts, release the pin
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+    val out = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
       .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
+      .cache()
+    out.count()
+    e.unpersist()
+    out
   }
 
   /** PageRank via GraphX Pregel implementation. */

@@ -70,6 +70,19 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.values.sum <= 3000000L && out.values.sum > 2900000L)
   }
 
+  test("min-label propagation reaches the component minimum within diameter rounds") {
+    // two components: path 5-3-7-9 (diameter 3) and pair 10-12; mixed
+    // directions prove the symmetric closure
+    val e = Seq((3L, 5L), (7L, 3L), (7L, 9L), (12L, 10L)).toDF("s", "d")
+    val out = GraphOps.labelPropagateMin(e, "s", "d", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(3L -> 3L, 5L -> 3L, 7L -> 3L, 9L -> 3L, 10L -> 10L, 12L -> 10L))
+    // one round only reaches distance-1 neighbors: 9 sees min(7,9) = 7
+    val r1 = GraphOps.labelPropagateMin(e, "s", "d", iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1(9L) == 7L && r1(5L) == 3L && r1(3L) == 3L)
+  }
+
   test("DataFrame triangle counts close wedges exactly once per triangle") {
     // K4 minus edge (1,4): triangles (1,2,3) and (2,3,4). Mixed edge
     // directions prove the undirected orientation step.
