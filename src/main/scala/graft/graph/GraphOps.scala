@@ -128,14 +128,15 @@ object GraphOps {
       iterations: Int = 5): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // the loop references the degree-annotated edge list once PER
-    // iteration: without pinning it, every iteration re-scans the input
-    // and replays the distinct (5 iterations were 4.4s at sf0.1; pinned,
-    // the projection is paid once). Eagerly materialize the (small,
-    // one-row-per-node) result so the pin can be released here rather
-    // than leaking into the session.
+    // deliberately NOT persisted: the unrolled plan contains this subtree
+    // once per iteration, but its exchange is identical every time, so
+    // ReuseExchange computes it once and the repeats read shuffle output.
+    // Measured at sf0.1: pinning it (persist + eager localCheckpoint of
+    // the result) was 6.1s vs 4.0s lazy — the storage round-trip costs
+    // more than it saves. (An explicit cache() on the RESULT is worse
+    // still: the CacheManager matches canonicalized plans, so a rerun of
+    // the identically-built query silently times a cache hit.)
     val withDeg = e.join(deg, Seq("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank_fp"))
     for (_ <- 1 to iterations) {
       ranks = withDeg.join(ranks, col("src") === col("node"))
@@ -145,10 +146,7 @@ object GraphOps {
         .select(col("dst").as("node"),
           (lit(150000L) + expr("(s * 85) div 100")).as("rank_fp"))
     }
-    val out = ranks.cache()
-    out.count()
-    withDeg.unpersist()
-    out
+    ranks
   }
 
   /** Min-label propagation communities as a fixed-iteration DataFrame
@@ -176,12 +174,11 @@ object GraphOps {
     // self-loops fold `least(own, min-over-neighbors)` into ONE min, so
     // each round references the label frame exactly once — without them
     // the recurrence reads labels twice per round and the unrolled plan
-    // doubles per iteration (2^k subplans). The adjacency list is read
-    // once per round: pin it for the loop, release after the eager
-    // materialize of the (one-row-per-node) result.
+    // doubles per iteration (2^k subplans). The adjacency list recurs
+    // once per round with an identical exchange — ReuseExchange computes
+    // it once (pinning measured slower; see pageRankFixedPoint).
     val eSelf = e.unionByName(
         e.select(col("a")).distinct().select(col("a"), col("a").as("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = eSelf.where(col("a") === col("b"))
       .select(col("a").as("node"), col("a").as("label"))
     for (_ <- 1 to iterations) {
@@ -192,10 +189,7 @@ object GraphOps {
         .agg(min(col("nl")).as("label"))
         .select(col("a").as("node"), col("label"))
     }
-    val out = labels.cache()
-    out.count()
-    eSelf.unpersist()
-    out
+    labels
   }
 
   /** Per-node triangle counts as two DataFrame joins — the deterministic,
@@ -210,14 +204,13 @@ object GraphOps {
     * the close join is wedge-proportional. Both are equi-joins on node
     * keys: hash-partitioned, AQE-skew-splittable, never a cross join. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // the wedge-close joins reference the oriented edge list THREE times:
-    // pin it so the (often expensive) upstream projection is computed
-    // once, eagerly materialize the per-node counts, release the pin
+    // the wedge-close joins reference the oriented edge list three times;
+    // its exchange is identical in each, so ReuseExchange materializes it
+    // once (pinning it instead measured SLOWER — see pageRankFixedPoint)
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
@@ -225,9 +218,7 @@ object GraphOps {
     val out = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
       .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
-      .cache()
-    out.count()
-    e.unpersist()
+
     out
   }
 

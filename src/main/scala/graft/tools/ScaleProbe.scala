@@ -28,10 +28,14 @@ object ScaleProbe {
     require(copies <= 26, s"alphabet rotation supports at most 26 distinct copies, got $copies")
     (0 until copies).map { i =>
       val rot = alpha.drop(i) + alpha.take(i)
+      // lang/n_chars ride along unchanged: a character bijection preserves
+      // length, so the stored n_chars stays consistent with the rotated text
       df.select(
         (col(idCol) + lit(i * offset)).as(idCol),
         translate(lower(col("text")), alpha, rot).as("text"),
-        col("source"))
+        col("lang"),
+        col("source"),
+        col("n_chars"))
     }.reduce(_.unionByName(_))
   }
 
@@ -69,7 +73,9 @@ object ScaleProbe {
     val factors = args.drop(1).headOption.map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(1, 2, 5))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select("l_orderkey", "l_returnflag", "l_extendedprice")
+      .select("l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice")
+    val ev0 = graft.sources.Tables.events(spark, dir)
+    val or0 = spark.read.parquet(s"$dir/orders.parquet")
 
     for (f <- factors) {
       // stage the scaled corpus to parquet so every timed pipeline starts
@@ -87,11 +93,29 @@ object ScaleProbe {
       // value count grows with the factor — duplicated values would let the
       // exact-percentile buffer stay constant and hide exactly the
       // continuous-domain growth this probe exists to measure
+      // partkey offsets keep per-copy co-purchase graphs DISJOINT — shared
+      // partkeys would densify one graph instead of scaling n components
       (0 until f).map(i => li0.select(
           (col("l_orderkey") + lit(i * 100_000_000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i * 100_000_000L)).as("l_partkey"),
           col("l_returnflag"),
           (col("l_extendedprice") + lit(i * 0.0001d)).as("l_extendedprice")))
         .reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$base/lineitem.parquet")
+      // events pass through Tables.events FIRST so ts is staged as a micros
+      // timestamp (staging the raw nanos long would be double-converted on
+      // re-read); user offsets grow the window-partition count linearly
+      (0 until f).map(i => ev0.select(
+          (col("event_id") + lit(i * 100_000_000L)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(i * 1_000_000L)).as("user_id"),
+          col("event_type"), col("value"), col("props")))
+        .reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$base/events.parquet")
+      // orders: offset BOTH keys — duplicated custkeys would pin the
+      // profile's distinct counts at 1x and hide cardinality growth
+      (0 until f).map(i => or0
+          .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100_000_000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * 100_000_000L)))
+        .reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$base/orders.parquet")
       val docs = spark.read.parquet(dPath)
       val emb = spark.read.parquet(ePath)
 
@@ -142,6 +166,18 @@ object ScaleProbe {
         emb, "vec_id", "embedding",
         nlist = 16 * math.sqrt(f.toDouble).ceil.toInt, threshold = 0.9)))
       println(f"""SCALE_R5 {"factor":$f, "winsorize":$tWins%.2f, "winsorize_approx":$tWinsA%.2f, "mad":$tMad%.2f, "mad_approx":$tMadA%.2f, "length_buckets":$tBuckets%.2f, "leakage_split":$tSplit%.2f, "unigram_lm":$tUnigram%.2f, "semantic_dedup":$tSemantic%.2f}""")
+
+      // round-5 graph / event / retrieval operators through their real
+      // query closures (q_containment is deliberately absent: its query is
+      // the doc_id<200-bounded exact twin, so a corpus-factor probe would
+      // time a constant; the posting-join scale knob is the stop-gram df
+      // ceiling documented on the query)
+      val tPr = tq("q_pagerank"); val tTri = tq("q_triangles")
+      val tLp = tq("q_label_prop"); val tScd = tq("q_scd2")
+      val tFun = tq("q_funnel"); val tCoh = tq("q_cohort_retention")
+      val tPsi = tq("q_drift_psi"); val tProf = tq("q_column_profile")
+      val tBm = tq("q_bm25"); val tRrf = tq("q_rrf_hybrid")
+      println(f"""SCALE_R5C {"factor":$f, "pagerank":$tPr%.2f, "triangles":$tTri%.2f, "label_prop":$tLp%.2f, "scd2":$tScd%.2f, "funnel":$tFun%.2f, "cohort":$tCoh%.2f, "drift_psi":$tPsi%.2f, "column_profile":$tProf%.2f, "bm25":$tBm%.2f, "rrf_hybrid":$tRrf%.2f}""")
     }
     spark.stop()
   }
