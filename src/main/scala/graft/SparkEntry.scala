@@ -689,6 +689,21 @@ object SparkEntry {
         .select(col("node").as("node_id"), col("label").as("community"))
     }),
 
+    // EXACT connected components on the co-purchase graph — the fixpoint
+    // version of q_label_prop (convergence via the monotone label-sum
+    // scalar); oracle = recursive reachability closure
+    "q_components" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+      graft.graph.GraphOps.connectedComponentsMin(pairs, "pa", "pb")
+        .select(col("node").as("node_id"), col("label").as("component"))
+    }),
+
     // ---------------- LLM-pipeline extensions (north star) ----------------
 
     // exact dedup groups (hash-groupBy, deterministic min-id keeper)
@@ -2105,6 +2120,23 @@ object SparkEntry {
       }.mkString
       base + steps + "\nSELECT node AS node_id, label AS community FROM l5"
     },
+
+    // exact CC: min reachable id per node (self included via least) over
+    // the same thresholded co-purchase edges
+    "q_components" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        | ed AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | edges AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+        | reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS node_id, least(src, min(dst)) AS component
+        |FROM reach GROUP BY src""".stripMargin,
 
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,

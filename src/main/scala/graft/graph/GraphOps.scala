@@ -192,6 +192,58 @@ object GraphOps {
     labels
   }
 
+  /** EXACT connected components: [[labelPropagateMin]]'s recurrence
+    * iterated to a fixpoint instead of a fixed round count. Still fully
+    * deterministic (min over longs), so the result is the per-component
+    * minimum id and an oracle can rebuild it with a recursive reachability
+    * CTE. Convergence detection exploits monotonicity: labels only ever
+    * DECREASE, so Σ label is strictly decreasing until the fixpoint and
+    * one scalar aggregate per round replaces any change-join. (The scalar
+    * is a convergence FLAG read driver-side, not collected data — the
+    * labels themselves never leave the executors.)
+    *
+    * Materialization: every round runs its own convergence job, so
+    * ReuseExchange cannot span rounds the way it does in the fixed-k
+    * variant; each round's labels are `localCheckpoint`ed (NOT persist:
+    * the CacheManager keys on canonicalized plans, and a registry entry
+    * would make an identically-built rerun silently read stale-but-equal
+    * cache instead of computing) — this is also what cuts the growing
+    * lineage. Rounds needed = component diameter; on high-diameter graphs
+    * swap the recurrence for large-star/small-star (same join shape,
+    * O(log n) rounds). */
+  def connectedComponentsMin(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 30): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .where(col("a") =!= col("b")).distinct()
+    val eSelf = e.unionByName(
+        e.select(col("a")).distinct().select(col("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = eSelf.where(col("a") === col("b"))
+      .select(col("a").as("node"), col("a").as("label"))
+      .localCheckpoint(true)
+    var mass = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val next = eSelf
+        .join(labels.select(col("node").as("nb"), col("label").as("nl")),
+          col("b") === col("nb"))
+        .groupBy(col("a"))
+        .agg(min(col("nl")).as("label"))
+        .select(col("a").as("node"), col("label"))
+        .localCheckpoint(true)
+      val nextMass = next.agg(sum(col("label"))).head.getLong(0)
+      converged = nextMass == mass
+      mass = nextMass
+      labels = next
+    }
+    require(converged, s"connected components did not converge in $maxRounds rounds" +
+      " — raise maxRounds or use a star-contraction variant for this diameter")
+    labels
+  }
+
   /** Per-node triangle counts as two DataFrame joins — the deterministic,
     * oracle-checkable twin of the GraphX [[triangleCount]] path (integers
     * end-to-end). Edges are read as UNDIRECTED: each is oriented to

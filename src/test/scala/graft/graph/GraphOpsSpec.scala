@@ -83,6 +83,16 @@ class GraphOpsSpec extends SparkSpec {
     assert(r1(9L) == 7L && r1(5L) == 3L && r1(3L) == 3L)
   }
 
+  test("fixpoint connected components converge past the fixed-k horizon") {
+    // path 2-4-6-8-10 (diameter 4, so k=1 propagation would NOT finish)
+    // plus isolated pair 20-30
+    val e = Seq((4L, 2L), (6L, 4L), (6L, 8L), (10L, 8L), (30L, 20L)).toDF("s", "d")
+    val out = GraphOps.connectedComponentsMin(e, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 2L, 4L -> 2L, 6L -> 2L, 8L -> 2L, 10L -> 2L,
+      20L -> 20L, 30L -> 20L))
+  }
+
   test("DataFrame triangle counts close wedges exactly once per triangle") {
     // K4 minus edge (1,4): triangles (1,2,3) and (2,3,4). Mixed edge
     // directions prove the undirected orientation step.
