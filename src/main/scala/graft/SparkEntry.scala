@@ -618,6 +618,13 @@ object SparkEntry {
           max(col("value")).as("max_s"))
     }),
 
+    // key-distribution diagnostic for a prospective join/shuffle key —
+    // the decide-between-plain/AQE/salting number (one count-per-key
+    // shuffle, single-row reduce)
+    "q_skew_profile" -> ((s, dir) => {
+      Skew.keySkewProfile(t(s, dir, "lineitem"), "l_partkey")
+    }),
+
     // snowflake dimension chain (customer -> nation -> region), broadcast dims
     "q_snowflake_join" -> ((s, dir) => {
       t(s, dir, "customer")
@@ -2120,6 +2127,19 @@ object SparkEntry {
       }.mkString
       base + steps + "\nSELECT node AS node_id, label AS community FROM l5"
     },
+
+    // per-key counts, then one-row stats; ⌈a/b⌉ as pure integer
+    // arithmetic, share as one int/int IEEE division
+    "q_skew_profile" ->
+      """WITH c AS (SELECT l_partkey, count(*)::BIGINT AS cnt FROM lineitem GROUP BY 1)
+        |SELECT cast(sum(cnt) AS bigint) AS n_rows, count(*)::BIGINT AS n_keys,
+        |  max(cnt) AS max_cnt,
+        |  cast(max(cnt) AS double) / cast(sum(cnt) AS double) AS top1_share,
+        |  round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+        |  round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+        |  cast((max(cnt) * count(*) + cast(sum(cnt) AS bigint) - 1)
+        |       // cast(sum(cnt) AS bigint) AS bigint) AS suggested_salt
+        |FROM c""".stripMargin,
 
     // exact CC: min reachable id per node (self included via least) over
     // the same thresholded co-purchase edges
