@@ -212,7 +212,7 @@ object GraphOps {
     * swap the recurrence for large-star/small-star (same join shape,
     * O(log n) rounds). */
   def connectedComponentsMin(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 100): DataFrame = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .where(col("a") =!= col("b")).distinct()
