@@ -93,6 +93,34 @@ class GraphOpsSpec extends SparkSpec {
       20L -> 20L, 30L -> 20L))
   }
 
+  test("fixpoint CC agrees with GraphX connectedComponents on a seeded random graph") {
+    // both algorithms label a component by its minimum vertex id, so the
+    // outputs are directly comparable — an independent implementation
+    // (Pregel) validating the DataFrame recurrence on 300 random edges
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val mine = GraphOps.connectedComponentsMin(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    val gx = org.apache.spark.graphx.Graph
+      .fromEdgeTuples(spark.sparkContext.parallelize(edges), 0)
+      .connectedComponents().vertices.collect().toMap
+    assert(mine == gx)
+  }
+
+  test("DataFrame triangle counts agree with GraphX TriangleCount on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(200)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val mine = GraphOps.triangleCounts(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    val gx = org.apache.spark.graphx.Graph
+      .fromEdgeTuples(spark.sparkContext.parallelize(edges), 0)
+      .triangleCount().vertices.collect().toMap
+      .filter(_._2 > 0).map { case (k, v) => (k: Long, v.toLong) }
+    assert(mine == gx)
+  }
+
   test("DataFrame triangle counts close wedges exactly once per triangle") {
     // K4 minus edge (1,4): triangles (1,2,3) and (2,3,4). Mixed edge
     // directions prove the undirected orientation step.
