@@ -265,4 +265,49 @@ class PlanSpec extends SparkSpec {
       assert(p.contains(s"EqualTo(event_type,$t)"),
         s"stage filter for '$t' not pushed to the scan:\n" + p.take(3000))
   }
+
+  test("scd2: both windows and the run aggregation share ONE user exchange") {
+    val p = plan("q_scd2")
+    // lag-gate window, running-sum window, groupBy(user_id, run_id), and
+    // the lead() window all cluster by user_id: hash partitioning on
+    // user_id satisfies every one of them (grouping keys are a superset),
+    // so a second hash exchange means an operator lost the partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected 1 shared user_id exchange:\n${p.take(3000)}")
+  }
+
+  test("containment: posting-list equi-join, never a cartesian product") {
+    val p = plan("q_containment")
+    // the defining property vs q_jaccard_pairs: candidate pairs come from
+    // an EQUI-join on the gram key (hash- or broadcast-based), so the
+    // doc_id != filter rides the join instead of gating an all-pairs
+    // product. At sf0.001 the gram side broadcasts; at scale the same
+    // plan becomes a hash shuffle on the gram key — either way, never NLJ
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("skew profile: one count-per-key exchange, then a single-row reduce") {
+    val p = plan("q_skew_profile")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the per-key count exchange:\n${p.take(3000)}")
+    // the key column is the only one read
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint>"),
+      "scan not pruned to the key column:\n" + p.take(2000))
+  }
+
+  test("rrf fusion: both lists are top-k-bounded BELOW the fusion join") {
+    val p = plan("q_rrf_hybrid")
+    // the fusion join itself may shuffle (full-outer can't broadcast) —
+    // that's 20-row traffic and irrelevant at any scale. What must hold
+    // is that the BOUNDING happens upstream of the join: the lexical side
+    // collapses to TakeOrdered(limit=20) before ranking, and the fused
+    // output is itself TakeOrdered(limit=10) — corpus-sized data never
+    // reaches the fusion
+    assert(p.contains("FullOuter"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject(limit=20"),
+      s"lexical list not bounded before fusion:\n${p.take(3000)}")
+    assert(p.contains("TakeOrderedAndProject(limit=10"),
+      s"fused output not TakeOrdered-bounded:\n${p.take(3000)}")
+  }
 }
