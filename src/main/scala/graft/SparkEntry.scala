@@ -1244,6 +1244,21 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("prev_view_ts"))
     }),
 
+    // event debounce: drop an event arriving within 10 minutes of the
+    // PREVIOUS same-type event for the user (duplicate-fire telemetry
+    // cleanup). Time deltas compare exact integer micros (unix_micros /
+    // epoch_us) — a seconds cast would truncate sub-second gaps
+    // differently per engine. Same single user-hash exchange as q_scd2.
+    "q_event_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .where(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 600000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    }),
+
     // SCD2 interval building: collapse each user's event stream into
     // (state, valid_from, valid_to, is_current) rows — the warehouse
     // change-history primitive. Consecutive same-state events fold into
@@ -2776,6 +2791,13 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_ts
         |  FROM events)
         |WHERE event_type = 'purchase'""".stripMargin,
+
+    "q_event_dedup" ->
+      """SELECT event_id, user_id, event_type, ts FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 600000000""".stripMargin,
 
     // same lag-gate + running-sum run ids, same (ts, event_id) tie-break;
     // run_id is cast to bigint (DuckDB window sums integers as int128)
