@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the event-history operators (q_scd2,
+  * q_event_dedup) over the real sf0.001 events — properties the oracle
+  * hash-match cannot express (it proves engine agreement, not that the
+  * intervals form a valid history). */
+class EventOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("scd2 intervals tile each user's timeline: ordered, non-overlapping, exhaustive") {
+    val events = graft.sources.Tables.read(spark, dir, "events")
+    val iv = SparkEntry.queries("q_scd2")(spark, dir).cache()
+    try {
+      // every event is inside exactly one run: run event counts sum to the log
+      assert(iv.agg(sum("n_events")).head.getLong(0) == events.count())
+      // exactly one open (current) interval per user
+      val open = iv.where(col("is_current")).groupBy("user_id").count()
+      assert(open.where(col("count") =!= 1).isEmpty)
+      // closed intervals are strictly ordered: valid_from < valid_to, and
+      // valid_to equals the NEXT interval's valid_from (half-open tiling)
+      assert(iv.where(col("valid_to").isNotNull &&
+        col("valid_from") >= col("valid_to")).isEmpty)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+      val gaps = iv.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+        .where(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
+      assert(gaps.isEmpty, "intervals must tile with no gap or overlap")
+      // consecutive intervals never share a state (runs were collapsed)
+      val same = iv.withColumn("next_state", lead(col("state"), 1).over(w))
+        .where(col("next_state").isNotNull && col("state") === col("next_state"))
+      assert(same.isEmpty, "adjacent intervals with equal state = uncollapsed run")
+    } finally { iv.unpersist(); () }
+  }
+
+  test("event debounce keeps first-of-burst and everything it dropped is within the window") {
+    val kept = SparkEntry.queries("q_event_dedup")(spark, dir)
+    val events = graft.sources.Tables.read(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    val dropped = events.join(kept.select("event_id"), Seq("event_id"), "left_anti")
+    // every dropped event has a SAME-TYPE same-user event within 10min before it
+    val withPrev = dropped.as("d").join(events.as("e"),
+        col("d.user_id") === col("e.user_id") &&
+        col("d.event_type") === col("e.event_type") &&
+        (unix_micros(col("d.ts")) - unix_micros(col("e.ts"))).between(0L, 600000000L) &&
+        col("d.event_id") =!= col("e.event_id"))
+      .select(col("d.event_id")).distinct()
+    assert(withPrev.count() == dropped.count(),
+      "a dropped event had no same-type predecessor inside the debounce window")
+    // and the earliest event of every (user, type) group always survives
+    val first = events.groupBy("user_id", "event_type").agg(min("ts").as("ts"))
+    assert(first.join(kept, Seq("user_id", "event_type", "ts"), "left_semi").count()
+      == first.count())
+  }
+}
