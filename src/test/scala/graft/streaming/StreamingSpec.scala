@@ -226,6 +226,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming SCD2 emits exactly the batch operator's closed intervals") {
+    val streamed = EventsStream.scd2Intervals(spark,
+      EventsStream.readStream(spark, streamDir)).toDF()
+    val got = EventsStream.runToMemory(spark, streamed, "scd2_test", "append")
+    // batch twin: q_scd2's CLOSED intervals (open runs stay in stream state)
+    val batch = graft.SparkEntry.queries("q_scd2")(spark, dir)
+      .where(!col("is_current"))
+      .select("user_id", "run_id", "state", "valid_from", "valid_to", "n_events")
+    val cols = batch.columns.map(col).toIndexedSeq
+    assert(got.select(cols: _*).except(batch).isEmpty &&
+      batch.except(got.select(cols: _*)).isEmpty,
+      "streaming closed intervals differ from the batch history")
+    assert(got.count() == batch.count())
+  }
+
   test("flatMapGroupsWithState keeps a running per-user profile") {
     val streamed = EventsStream.userProfiles(spark,
       EventsStream.readStream(spark, streamDir)).toDF()
