@@ -904,6 +904,15 @@ object SparkEntry {
       TextAnalysis.repetitionProfile(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // Efraimidis–Spirakis weighted sample: 100 docs, inclusion probability
+    // ∝ n_chars — the "sample long documents more" mixture op; narrow
+    // TakeOrdered plan, no shuffle
+    "q_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+          col("n_chars"), k = 100, seed = "es")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
     // deterministic hash-gated 25% sample (stable under any partitioning)
     "q_hash_sample" -> ((s, dir) => {
       Sampling.hashSample(t(s, dir, "orders"), "o_orderkey", 0.25, seed = "s42")
@@ -1059,20 +1068,8 @@ object SparkEntry {
     // ceiling (the standard trick; exact here, the testdata is bounded).
     // shared/na is one int/int IEEE division — bit-identical anywhere.
     "q_containment" -> ((s, dir) => {
-      import graft.plans.NativeExpressions
-      val d = t(s, dir, "documents").where(col("doc_id") < 200)
-        .select(col("doc_id"), NativeExpressions.wordShingles(col("text"), 3).as("sh"))
-        .where(size(col("sh")) > 0)
-      val grams = d.select(col("doc_id"), explode(col("sh")).as("g"))
-      val sizes = d.select(col("doc_id").as("id_a"), size(col("sh")).cast("long").as("na"))
-      grams.as("x").join(grams.as("y"),
-          col("x.g") === col("y.g") && col("x.doc_id") =!= col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("shared"))
-        .join(sizes, "id_a")
-        .select(col("id_a"), col("id_b"), col("shared"),
-          (col("shared").cast("double") / col("na").cast("double")).as("containment"))
-        .where(col("containment") >= 0.6)
+      Dedup.containmentPairs(t(s, dir, "documents").where(col("doc_id") < 200),
+        "doc_id", "text", ngram = 3, threshold = 0.6)
     }),
 
     // brute-force cosine top-k over embeddings (exact ANN baseline)
@@ -2757,6 +2754,16 @@ object SparkEntry {
         |    END AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    // same 60-bit md5 uniform, same long→double→+1 cast order (the cast
+    // rounds above 2^53 — identically in both engines), same ln()/w key
+    "q_weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ln((('0x' || substr(md5('es' || coalesce(cast(doc_id AS varchar), chr(0) || 'null')), 1, 15))::UBIGINT::DOUBLE + 1.0)
+        |       / 1152921504606846976.0) / cast(n_chars AS double) AS es_key
+        |  FROM documents)
+        |ORDER BY es_key DESC, doc_id ASC LIMIT 100""".stripMargin,
 
     // same distinct word-3-gram sets, rebuilt as a posting-list join with
     // per-pair shared counts; shared/na is one int/int IEEE division

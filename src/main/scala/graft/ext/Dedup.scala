@@ -522,4 +522,35 @@ object Dedup {
       .withColumn("dup_line_ratio",
         col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
   }
+
+  /** DIRECTIONAL containment (Broder's coverage): `|A∩B| / |A|` over
+    * word-n-gram sets, emitted for every ordered pair above `threshold` —
+    * catches "A is quoted inside B", which symmetric Jaccard misses when
+    * `|B| ≫ |A|`. Candidates come from a posting-list EQUI-join (explode
+    * grams, join on gram, count per ordered pair), never a cross join;
+    * `shared/na` is one int/int IEEE division, so results hash-match any
+    * engine.
+    *
+    * Scale: candidate volume is Σ_gram df² — bound it by dropping
+    * stop-grams above a document-frequency ceiling before the join (the
+    * standard containment-search trick; omitted here so the result stays
+    * exact on bounded inputs — callers pre-filter the doc set or add the
+    * df cap at web scale). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, threshold: Double = 0.6): DataFrame = {
+    import graft.plans.NativeExpressions
+    val d = df
+      .select(col(idCol), NativeExpressions.wordShingles(col(textCol), ngram).as("sh"))
+      .where(size(col("sh")) > 0)
+    val grams = d.select(col(idCol), explode(col("sh")).as("g"))
+    val sizes = d.select(col(idCol).as("id_a"), size(col("sh")).cast("long").as("na"))
+    grams.as("x").join(grams.as("y"),
+        col("x.g") === col("y.g") && col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes, "id_a")
+      .select(col("id_a"), col("id_b"), col("shared"),
+        (col("shared").cast("double") / col("na").cast("double")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
 }

@@ -153,4 +153,34 @@ object Sampling {
       .withColumn(posCol, col("__off") + row_number().over(wB).cast("long") - 1L)
       .drop("__bkt", "__sk", "__off")
   }
+
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement: keep the
+    * k rows maximizing `ln(u) / w` where `u ∈ (0,1]` derives from the
+    * row's key hash — equivalent to ranking by `u^(1/w)`, so a row's
+    * inclusion probability is proportional to its weight (the one-pass,
+    * merge-friendly weighted reservoir; Inf. Proc. Letters 97(5), 2006).
+    * The uniform comes from the same md5 family as every sampler here:
+    * 60 bits of the hash as an integer, `(v+1) / 2^60` — never 0, so
+    * ln() is finite; 2^60 is exactly representable as a double, so the
+    * division is one exact IEEE op in any engine.
+    *
+    * Determinism: same hash → same u; ln() may differ in the last ULP
+    * across libms, which can only matter if two DIFFERENT rows' scores
+    * collide to within 1 ulp (vanishing — scores differ in high bits).
+    * Weights must be > 0.
+    *
+    * Scale: narrow projection + TakeOrdered (per-partition heap of k,
+    * merged on the driver) — no shuffle, no state; the same plan at any
+    * corpus size. */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column, k: Int,
+      seed: String = ""): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (conv(substring(md5(saltedKey(col(keyCol), seed)), 1, 15), 16, 10)
+      .cast("long").cast("double") + lit(1.0d)) /
+      lit(1152921504606846976L).cast("double")
+    df.withColumn("__es_key", log(u) / weight.cast("double"))
+      .orderBy(col("__es_key").desc, col(keyCol).asc)
+      .limit(k)
+      .drop("__es_key")
+  }
 }

@@ -848,6 +848,37 @@ class ExtSpec extends SparkSpec {
       (1, 2L, 0L, 500000000000L, -500000L, 500000L, 0.0)))
   }
 
+  test("containmentPairs finds the quoted-inside direction Jaccard misses") {
+    // B contains A verbatim plus as much again: every word-3-gram of A
+    // appears in B, so containment(A->B) = 1.0, while Jaccard(A,B) ~ 0.5
+    // sits below any near-dup threshold
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = a + " eta theta iota kappa lambda mu nu xi"
+    val c = "one two three four five six seven"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text", ngram = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toList
+    assert(pairs == List((1L, 2L, 1.0)))
+  }
+
+  test("weightedSample is deterministic, WOR, and weight-proportional") {
+    // 50 heavy rows (w=1000) + 50 light rows (w=1): a 25-row sample must
+    // be dominated by heavy rows under any reasonable draw
+    val df = ((1L to 50L).map(i => (i, 1000L)) ++ (51L to 100L).map(i => (i, 1L)))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "id", col("w"), k = 25, seed = "t")
+      .select("id").as[Long].collect().sorted.toSeq
+    val s2 = Sampling.weightedSample(df, "id", col("w"), k = 25, seed = "t")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2, "same seed must reproduce the same sample")
+    assert(s1.distinct.size == 25, "sampling is without replacement")
+    assert(s1.count(_ <= 50L) >= 20, s"heavy rows underrepresented: $s1")
+    // a different seed draws a different sample
+    val s3 = Sampling.weightedSample(df, "id", col("w"), k = 25, seed = "u")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(s1 != s3)
+  }
+
   test("Spark unpivot keeps NULL values (the column-profile contract)") {
     // q_column_profile's n_nulls depends on melt KEEPING nulls; DuckDB's
     // UNPIVOT keyword drops them, which is why the oracle uses UNION ALL.
