@@ -893,6 +893,13 @@ object SparkEntry {
       TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text", maxPostings = 20)
     }),
 
+    // vocabulary-free featurization: tokens → 512 hash buckets, sparse
+    // (doc, bucket, count) rows; no fitted dictionary, so every shard of
+    // a 100 TB corpus featurizes independently
+    "q_feature_hash" -> ((s, dir) => {
+      TextAnalysis.featureHash(t(s, dir, "documents"), "doc_id", "text", dim = 512)
+    }),
+
     // corpus-wide top-20 bigrams (TakeOrdered, deterministic tie-break)
     "q_bigrams" -> ((s, dir) => {
       TextAnalysis.topBigrams(t(s, dir, "documents"), "text", k = 20)
@@ -2754,6 +2761,17 @@ object SparkEntry {
         |    END AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    // same 60 md5 bits mod the bucket count — pure integer arithmetic
+    "q_feature_hash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '')) AS term
+        |  FROM documents)
+        |SELECT doc_id,
+        |  cast(('0x' || substr(md5(term), 1, 15))::UBIGINT % 512 AS bigint) AS bucket,
+        |  count(*)::BIGINT AS cnt
+        |FROM toks GROUP BY 1, 2""".stripMargin,
 
     // same 60-bit md5 uniform, same long→double→+1 cast order (the cast
     // rounds above 2^53 — identically in both engines), same ln()/w key

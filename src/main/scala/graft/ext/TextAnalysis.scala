@@ -520,4 +520,27 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"))
       .orderBy(col("freq").asc)
   }
+
+  /** Feature hashing (the "hashing trick"): tokens map to a FIXED
+    * `dim`-bucket space via 60 md5 bits mod dim, emitted as sparse
+    * (doc, bucket, count) rows — the vocabulary-free featurization that
+    * never needs a fitted dictionary, so it works identically on every
+    * shard of a 100 TB corpus with zero coordination (no vocab broadcast,
+    * no OOV rows). Collisions are the accepted trade (rate ≈ vocab/dim).
+    *
+    * Determinism: the bucket is integer arithmetic on a cryptographic
+    * hash — any engine replays it (xxhash would be faster but is not
+    * portable to the SQL oracle; swap families at production scale the
+    * same way the SimHash pipeline does). One (doc, bucket) aggregation
+    * with map-side combine; output rows ≤ docs × min(dim, doc_len). */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 512): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    df.select(col(idCol), explode(T.tokens(lower(col(textCol)))).as("term"))
+      .select(col(idCol),
+        (conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long")
+          % lit(dim.toLong)).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }
