@@ -711,6 +711,25 @@ object SparkEntry {
         .select(col("node").as("node_id"), col("label").as("component"))
     }),
 
+    // hop-bounded BFS from the smallest co-purchase node: exact shortest
+    // hop counts within 4 hops, as a fixed-iteration min-relax recurrence
+    // (integers end-to-end, so the oracle replays the frontier expansion
+    // with a bounded recursive CTE). The seed is a one-row aggregate
+    // frame, never collected to the driver.
+    "q_bfs_dist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+      val seed = pairs
+        .select(least(col("pa"), col("pb")).as("n")).agg(min(col("n")).as("node"))
+      graft.graph.GraphOps.bfsDistances(pairs, "pa", "pb", seed, maxHops = 4)
+        .select(col("node").as("node_id"), col("hops"))
+    }),
+
     // ---------------- LLM-pipeline extensions (north star) ----------------
 
     // exact dedup groups (hash-groupBy, deterministic min-id keeper)
@@ -1401,6 +1420,107 @@ object SparkEntry {
         .select(col("bin"), col("n_a"), col("n_b"),
           floor((pa - pb) * log(pa / pb) * lit(1e6d) + lit(0.5d)).cast("long")
             .as("psi_unats"))
+    }),
+
+    // first-order Markov transition matrix over each user's event stream
+    // (sequence-model prep): lag pairs ride the same one user-hash
+    // exchange as q_scd2, the 5x5 count matrix is tiny, and each
+    // probability is one exact int/int IEEE division
+    "q_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
+    }),
+
+    // group-wise OLS trend (slope/intercept/Pearson r of order value vs
+    // days since 1995-01-01): one aggregation of exact integer moment sums
+    // per group — cents x epoch-day products stay in long range per row,
+    // and the n*Sxy-style combinations widen to decimal(38,0) BEFORE
+    // multiplying (n*Sxy alone passes 2^63 near ~10M rows/group — the
+    // 100x-scale overflow this shape is built to survive; decimal sums
+    // stay exact to 1e38). Only the final slope/intercept/r steps leave
+    // integers, each a single IEEE op chain replayed identically by the
+    // oracle, rounded to 6 decimals
+    "q_trend_slope" -> ((s, dir) => {
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x"),
+        cents(col("o_totalprice")).as("y"))
+      o.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+          sum(dec(col("y")) * dec(col("y"))).as("syy"))
+        .withColumn("num", dec(col("n")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+        .withColumn("den", dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
+        .withColumn("dyy", dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy")))
+        .withColumn("slope_cents_per_day",
+          round(col("num").cast("double") / col("den").cast("double"), 6))
+        .withColumn("intercept_cents",
+          round(col("sy").cast("double") / col("n").cast("double") -
+            col("slope_cents_per_day") *
+              (col("sx").cast("double") / col("n").cast("double")), 6))
+        .withColumn("pearson_r",
+          round(col("num").cast("double") /
+            sqrt(col("den").cast("double") * col("dyy").cast("double")), 6))
+        .select(col("o_orderpriority"), col("n"),
+          col("slope_cents_per_day"), col("intercept_cents"), col("pearson_r"))
+    }),
+
+    // referential-integrity audit across the star schema's FK relations:
+    // orphan children (FK with no parent) and childless parents, one row
+    // per relation. Anti-joins hash on the key — at 100 TB each relation
+    // co-partitions parent and child on the FK and the four audits run as
+    // independent narrow scans (only the key column is read)
+    "q_ri_audit" -> ((s, dir) => {
+      def rel(name: String, parent: DataFrame, pk: String,
+          child: DataFrame, fk: String): DataFrame = {
+        val p = parent.select(col(pk).as("k"))
+        val c = child.select(col(fk).as("k"))
+        p.agg(count(lit(1)).as("n_parent"))
+          .join(c.agg(count(lit(1)).as("n_child")))
+          .join(c.join(p, Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_orphan_child")))
+          .join(p.join(c.select(col("k")).distinct(), Seq("k"), "left_anti")
+            .agg(count(lit(1)).as("n_childless_parent")))
+          .select(lit(name).as("relation"), col("n_parent"), col("n_child"),
+            col("n_orphan_child"), col("n_childless_parent"))
+      }
+      rel("customer->orders", t(s, dir, "customer"), "c_custkey",
+          t(s, dir, "orders"), "o_custkey")
+        .unionByName(rel("orders->lineitem", t(s, dir, "orders"), "o_orderkey",
+          t(s, dir, "lineitem"), "l_orderkey"))
+        .unionByName(rel("part->lineitem", t(s, dir, "part"), "p_partkey",
+          t(s, dir, "lineitem"), "l_partkey"))
+        .unionByName(rel("nation->customer", t(s, dir, "nation"), "n_nationkey",
+          t(s, dir, "customer"), "c_nationkey"))
+    }),
+
+    // record-linkage candidate pairs: DICTIONARY-first fuzzy match — the
+    // distinct-value frame (64 names, not 2 000 parts) is what gets
+    // blocked and compared, the classic scale move for string linkage; the
+    // block key (last name token) turns the would-be all-pairs scan into
+    // a per-block equi-join, and levenshtein runs only inside blocks.
+    // Both engines implement plain Levenshtein identically, so distances
+    // are integer-exact
+    "q_fuzzy_match" -> ((s, dir) => {
+      val names = t(s, dir, "part")
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+        .withColumn("block", element_at(split(col("p_name"), " "), 2))
+      names.as("a").join(names.as("b"),
+          col("a.block") === col("b.block") && col("a.p_name") < col("b.p_name"))
+        .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+        .where(col("dist") <= 2)
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          col("dist"), col("a.n_parts").as("n_a"), col("b.n_parts").as("n_b"))
     })
   )
 
@@ -2927,6 +3047,117 @@ object SparkEntry {
         |    ln((cast(n_a + 1 AS double) / cast(ta + 10 AS double)) /
         |       (cast(n_b + 1 AS double) / cast(tb + 10 AS double)))
         |    * 1000000.0 + 0.5) AS bigint) AS psi_unats
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    // same (ts, event_id) tie-break as q_scd2; p = one exact int/int
+    // IEEE division (count cast BIGINT — DuckDB window sums are int128)
+    "q_event_transitions" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        | c AS (
+        |  SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  cast(n AS double) / cast(sum(n) OVER (PARTITION BY prev_type) AS double) AS p
+        |FROM c""".stripMargin,
+
+    // identical exact integer moments (DuckDB widens bigint combinations
+    // to int128 natively — the decimal(38,0) twin of the Spark side),
+    // identical final IEEE op chains, round 6
+    "q_trend_slope" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority,
+        |    cast(date_diff('day', DATE '1995-01-01', cast(o_orderdate AS date)) AS bigint) AS x,
+        |    cast(floor(o_totalprice * 100.0 + 0.5) AS bigint) AS y
+        |  FROM orders),
+        | m AS (
+        |  SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |    cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+        |    cast(sum(x * x) AS bigint) AS sxx,
+        |    sum(cast(x AS hugeint) * cast(y AS hugeint)) AS sxy,
+        |    sum(cast(y AS hugeint) * cast(y AS hugeint)) AS syy
+        |  FROM o GROUP BY 1),
+        | k AS (
+        |  SELECT *,
+        |    cast(n AS hugeint) * sxy - cast(sx AS hugeint) * cast(sy AS hugeint) AS num,
+        |    cast(n AS hugeint) * cast(sxx AS hugeint)
+        |      - cast(sx AS hugeint) * cast(sx AS hugeint) AS den,
+        |    cast(n AS hugeint) * syy
+        |      - cast(sy AS hugeint) * cast(sy AS hugeint) AS dyy
+        |  FROM m),
+        | s AS (
+        |  SELECT *, round(cast(num AS double) / cast(den AS double), 6) AS slope
+        |  FROM k)
+        |SELECT o_orderpriority, n,
+        |  slope AS slope_cents_per_day,
+        |  round(cast(sy AS double) / cast(n AS double)
+        |    - slope * (cast(sx AS double) / cast(n AS double)), 6) AS intercept_cents,
+        |  round(cast(num AS double)
+        |    / sqrt(cast(den AS double) * cast(dyy AS double)), 6) AS pearson_r
+        |FROM s""".stripMargin,
+
+    "q_ri_audit" ->
+      """WITH r AS (
+        |  SELECT 'customer->orders' AS relation,
+        |    (SELECT count(*) FROM customer)::BIGINT AS n_parent,
+        |    (SELECT count(*) FROM orders)::BIGINT AS n_child,
+        |    (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |       (SELECT c_custkey FROM customer))::BIGINT AS n_orphan_child,
+        |    (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        |       (SELECT o_custkey FROM orders))::BIGINT AS n_childless_parent
+        |  UNION ALL SELECT 'orders->lineitem',
+        |    (SELECT count(*) FROM orders), (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        |       (SELECT o_orderkey FROM orders)),
+        |    (SELECT count(*) FROM orders WHERE o_orderkey NOT IN
+        |       (SELECT l_orderkey FROM lineitem))
+        |  UNION ALL SELECT 'part->lineitem',
+        |    (SELECT count(*) FROM part), (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN
+        |       (SELECT p_partkey FROM part)),
+        |    (SELECT count(*) FROM part WHERE p_partkey NOT IN
+        |       (SELECT l_partkey FROM lineitem))
+        |  UNION ALL SELECT 'nation->customer',
+        |    (SELECT count(*) FROM nation), (SELECT count(*) FROM customer),
+        |    (SELECT count(*) FROM customer WHERE c_nationkey NOT IN
+        |       (SELECT n_nationkey FROM nation)),
+        |    (SELECT count(*) FROM nation WHERE n_nationkey NOT IN
+        |       (SELECT c_nationkey FROM customer)))
+        |SELECT * FROM r""".stripMargin,
+
+    // same dictionary-first blocking (names are 'adjective noun', block =
+    // the noun); both engines implement plain Levenshtein
+    "q_fuzzy_match" ->
+      """WITH names AS (
+        |  SELECT p_name, count(*)::BIGINT AS n_parts,
+        |    split_part(p_name, ' ', 2) AS block
+        |  FROM part GROUP BY 1),
+        | p AS (
+        |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |    cast(levenshtein(a.p_name, b.p_name) AS int) AS dist,
+        |    a.n_parts AS n_a, b.n_parts AS n_b
+        |  FROM names a JOIN names b
+        |    ON a.block = b.block AND a.p_name < b.p_name)
+        |SELECT name_a, name_b, dist, n_a, n_b FROM p WHERE dist <= 2""".stripMargin,
+
+    // bounded recursive frontier expansion over the same thresholded
+    // co-purchase edges; UNION dedups (node, d) states so the walk set
+    // stays <= |V| * (maxHops + 1)
+    "q_bfs_dist" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        | ed AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | edges AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+        | reach(node, d) AS (
+        |  SELECT min(a), 0::BIGINT FROM edges
+        |  UNION
+        |  SELECT e.b, r.d + 1 FROM reach r JOIN edges e ON e.a = r.node
+        |  WHERE r.d < 4)
+        |SELECT node AS node_id, min(d) AS hops FROM reach GROUP BY node""".stripMargin
   )
 }

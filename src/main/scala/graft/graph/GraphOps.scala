@@ -244,6 +244,47 @@ object GraphOps {
     labels
   }
 
+  /** Hop-bounded BFS distances from a one-row seed frame as a fixed-
+    * iteration DataFrame recurrence (the distance twin of
+    * [[labelPropagateMin]]): after k rounds every row is the EXACT
+    * unweighted shortest-hop distance for nodes within k hops of the seed
+    * (nodes further away simply have no row yet). Deterministic integers
+    * end-to-end — `min` over longs is order-independent — so an oracle
+    * replays the frontier expansion with a bounded recursive CTE.
+    *
+    * The recurrence folds "keep my distance" and "relax over in-edges"
+    * into ONE `min(nd + w)` by adding zero-weight self-loops (w=0) next to
+    * the unit-weight symmetrized edges (w=1) — each round then references
+    * the distance frame exactly once, keeping the unrolled plan linear in
+    * k (the [[labelPropagateMin]] trick, with the weight column carrying
+    * the +1).
+    *
+    * Scale: per round one equi-join of the (node, dist) frame with the
+    * adjacency list — both hashed on the node key, pre-bucketable to
+    * exchange-free — and one map-combined min. The frontier frame is at
+    * most |V| rows regardless of round. For many-source BFS pass a wider
+    * seed frame (same shape); for diameters past ~10 rounds, checkpoint
+    * like [[connectedComponentsMin]]. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, maxHops: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .where(col("a") =!= col("b")).distinct()
+      .select(col("a"), col("b"), lit(1L).as("w"))
+    val eSelf = e.unionByName(
+      e.select(col("a")).distinct().select(col("a"), col("a").as("b"), lit(0L).as("w")))
+    var dist = seeds.select(col("node"), lit(0L).as("hops"))
+    for (_ <- 1 to maxHops) {
+      dist = eSelf
+        .join(dist.select(col("node").as("nb"), col("hops").as("nd")),
+          col("b") === col("nb"))
+        .groupBy(col("a"))
+        .agg(min(col("nd") + col("w")).as("hops"))
+        .select(col("a").as("node"), col("hops"))
+    }
+    dist
+  }
+
   /** Per-node triangle counts as two DataFrame joins — the deterministic,
     * oracle-checkable twin of the GraphX [[triangleCount]] path (integers
     * end-to-end). Edges are read as UNDIRECTED: each is oriented to

@@ -54,4 +54,20 @@ class EventOpsSpec extends SparkSpec {
     assert(first.join(kept, Seq("user_id", "event_type", "ts"), "left_semi").count()
       == first.count())
   }
+
+  test("transition matrix rows are proper distributions over the full event mass") {
+    val events = graft.sources.Tables.read(spark, dir, "events")
+    val tr = SparkEntry.queries("q_event_transitions")(spark, dir).cache()
+    try {
+      // each user's sequence contributes (len - 1) transitions
+      val nUsers = events.select("user_id").distinct().count()
+      assert(tr.agg(sum("n")).head.getLong(0) == events.count() - nUsers)
+      // every row of the matrix sums to 1 (within float accumulation)
+      val rows = tr.groupBy("prev_type").agg(sum("p").as("s")).collect()
+      rows.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9,
+        s"row ${r.get(0)} sums to ${r.getDouble(1)}"))
+      // probabilities are positive and bounded
+      assert(tr.where(col("p") <= 0 || col("p") > 1).isEmpty)
+    } finally { tr.unpersist(); () }
+  }
 }

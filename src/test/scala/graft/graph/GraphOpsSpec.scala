@@ -130,4 +130,24 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
+
+  test("hop-bounded BFS distances are exact and silent beyond the horizon") {
+    // path 1-2-3-4 plus disconnected 5-6; mixed edge directions prove the
+    // undirected symmetrization
+    val e = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 6L)).toDF("s", "d")
+    val seed = Seq(1L).toDF("node")
+    val out = GraphOps.bfsDistances(e, "s", "d", seed, maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    // node 4 is 3 hops away -> absent at maxHops=2; 5/6 unreachable
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // a wider horizon reaches node 4 with the exact distance, and a
+    // multi-source seed frame takes the min over sources
+    val out3 = GraphOps.bfsDistances(e, "s", "d", seed, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out3(4L) == 3L)
+    val multi = GraphOps.bfsDistances(e, "s", "d",
+        Seq(1L, 4L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(multi == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
 }
