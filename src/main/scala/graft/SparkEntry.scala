@@ -1504,6 +1504,56 @@ object SparkEntry {
           t(s, dir, "customer"), "c_nationkey"))
     }),
 
+    // per-user training sequences: the time-ordered LAST-8 event types,
+    // joined into one string (the sequence-model feature-prep primitive).
+    // One groupBy on the user key; ordering rides inside the row via
+    // array_sort over (ts, event_id, type) structs — no window, no second
+    // shuffle. At 100 TB the collect_list is bounded by the per-user
+    // event count; cap with a pre-filter (e.g. recent N days) when user
+    // streams are unbounded
+    "q_user_sequences" -> ((s, dir) => {
+      val arr = array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type"))))
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), arr.as("__a"))
+        .select(col("user_id"), col("n_events"),
+          array_join(
+            transform(
+              slice(col("__a"), greatest(size(col("__a")) - lit(7), lit(1)), lit(8)),
+              _.getField("event_type")),
+            ">").as("seq"))
+    }),
+
+    // sorted-neighborhood linkage (Hernandez-Stolfo): the OTHER classic
+    // candidate-generation strategy next to q_fuzzy_match's blocking —
+    // sort the (distinct-value) dictionary ONCE by a cluster-friendly key
+    // and compare each entry only with its next 3 neighbors in sort
+    // order. The key is the token-REVERSED name (noun first): likely
+    // duplicates differ in the leading adjective, so raw string order
+    // scatters them while the reversed key makes them adjacent — key
+    // design is the method's whole game. On a dictionary the single
+    // global sort is cheap by construction (distinct values, not rows);
+    // at billions of distinct values, range-partition the sort and
+    // replicate w-1 boundary rows per partition — same window, zero skew
+    "q_sorted_neighborhood" -> ((s, dir) => {
+      val names = t(s, dir, "part")
+        .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+        .withColumn("skey",
+          concat_ws(" ", reverse(split(col("p_name"), " "))))
+      val w = Window.orderBy(col("skey"))
+      val neighbors = names
+        .withColumn("nb1", lead(col("p_name"), 1).over(w))
+        .withColumn("nb2", lead(col("p_name"), 2).over(w))
+        .withColumn("nb3", lead(col("p_name"), 3).over(w))
+      neighbors
+        .select(col("p_name").as("name_a"),
+          explode(array_compact(array(col("nb1"), col("nb2"), col("nb3"))))
+            .as("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .where(col("dist") <= 2)
+    }),
+
     // record-linkage candidate pairs: DICTIONARY-first fuzzy match — the
     // distinct-value frame (64 names, not 2 000 parts) is what gets
     // blocked and compared, the classic scale move for string linkage; the
@@ -3141,6 +3191,38 @@ object SparkEntry {
         |  FROM names a JOIN names b
         |    ON a.block = b.block AND a.p_name < b.p_name)
         |SELECT name_a, name_b, dist, n_a, n_b FROM p WHERE dist <= 2""".stripMargin,
+
+    // DuckDB's list() honors ORDER BY inside the aggregate — the twin of
+    // the struct-sort idiom (same (ts, event_id) tie-break)
+    "q_user_sequences" ->
+      """WITH l AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_events,
+        |    list(event_type ORDER BY ts, event_id) AS seq_all
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  array_to_string(seq_all[greatest(len(seq_all) - 7, 1):], '>') AS seq
+        |FROM l""".stripMargin,
+
+    // same token-reversed sort key, same 3-neighbor window
+    "q_sorted_neighborhood" ->
+      """WITH n0 AS (SELECT DISTINCT p_name FROM part),
+        | names AS (
+        |  SELECT p_name,
+        |    array_to_string(list_reverse(string_split(p_name, ' ')), ' ') AS skey
+        |  FROM n0),
+        | nb AS (
+        |  SELECT p_name AS name_a,
+        |    lead(p_name, 1) OVER w AS nb1,
+        |    lead(p_name, 2) OVER w AS nb2,
+        |    lead(p_name, 3) OVER w AS nb3
+        |  FROM names WINDOW w AS (ORDER BY skey)),
+        | p AS (
+        |  SELECT name_a,
+        |    unnest(list_filter([nb1, nb2, nb3], x -> x IS NOT NULL)) AS name_b
+        |  FROM nb)
+        |SELECT name_a, name_b,
+        |  cast(levenshtein(name_a, name_b) AS int) AS dist
+        |FROM p WHERE levenshtein(name_a, name_b) <= 2""".stripMargin,
 
     // bounded recursive frontier expansion over the same thresholded
     // co-purchase edges; UNION dedups (node, d) states so the walk set

@@ -72,10 +72,19 @@ object ScaleProbe {
 
     val factors = args.drop(1).headOption.map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(1, 2, 5))
+    // optional third arg picks probe groups (comma-joined subset of
+    // corpus,r5,r5c,r5d) — a new group can be re-probed without paying
+    // for every earlier curve again
+    val groups = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice")
     val ev0 = graft.sources.Tables.events(spark, dir)
     val or0 = spark.read.parquet(s"$dir/orders.parquet")
+    val pa0 = spark.read.parquet(s"$dir/part.parquet")
+    val cu0 = spark.read.parquet(s"$dir/customer.parquet")
+    val na0 = spark.read.parquet(s"$dir/nation.parquet")
 
     for (f <- factors) {
       // stage the scaled corpus to parquet so every timed pipeline starts
@@ -116,9 +125,26 @@ object ScaleProbe {
           .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100_000_000L))
           .withColumn("o_custkey", col("o_custkey") + lit(i * 100_000_000L)))
         .reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$base/orders.parquet")
+      // part/customer: key offsets MATCH lineitem's and orders' so every
+      // FK relation stays intact per copy (the RI audit must keep finding
+      // zero orphans at every factor — a broken offset would instead time
+      // an ever-growing orphan set). Part names are alphabet-rotated like
+      // documents: each copy brings a DISJOINT name dictionary, so the
+      // fuzzy-match dictionary and its blocks grow linearly with the
+      // factor instead of pinning at the 1x vocabulary.
+      (0 until f).map { i =>
+        val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+        pa0.withColumn("p_partkey", col("p_partkey") + lit(i * 100_000_000L))
+          .withColumn("p_name", translate(col("p_name"), alpha, rot))
+      }.reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$base/part.parquet")
+      (0 until f).map(i => cu0
+          .withColumn("c_custkey", col("c_custkey") + lit(i * 100_000_000L)))
+        .reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$base/customer.parquet")
+      na0.write.mode("overwrite").parquet(s"$base/nation.parquet")
       val docs = spark.read.parquet(dPath)
       val emb = spark.read.parquet(ePath)
 
+      if (groups("corpus")) {
       val tMinhash = time(force(Dedup.minhashNearDuplicates(
         docs, "doc_id", "text", 5, 128, 16, 0.5)))
       val tClusters = time(force(Dedup.resolveDuplicateClusters(
@@ -145,12 +171,14 @@ object ScaleProbe {
         docs.where(Sampling.hashGate(col("doc_id"), 0.05, "bench")),
         "doc_id", "text", 3, 0.2)))
       println(f"""SCALE {"factor":$f, "minhash":$tMinhash%.2f, "clusters":$tClusters%.2f, "funnel":$tFunnel%.2f, "repetition":$tRepetition%.2f, "top_terms":$tTopTerms%.2f, "ivf_topk":$tIvf%.2f, "inverted_index":$tIndex%.2f, "pack":$tPack%.2f, "cross_bloom":$tBloom%.2f, "line_dedup":$tLines%.2f, "contamination":$tContam%.2f}""")
+      }
 
       // round-4/5 additions, probed through the REAL query closures over
       // the mirrored dir — exact vs approx percentile side by side (the
       // continuous-domain buffer story), plus the window/split operators
       def tq(name: String): Double =
         time(force(graft.SparkEntry.queries(name)(spark, base)))
+      if (groups("r5")) {
       val tWins = tq("q_winsorize"); val tWinsA = tq("q_winsorize_approx")
       val tMad = tq("q_mad_outliers"); val tMadA = tq("q_mad_outliers_approx")
       val tBuckets = tq("q_length_buckets"); val tSplit = tq("q_leakage_safe_split")
@@ -166,18 +194,34 @@ object ScaleProbe {
         emb, "vec_id", "embedding",
         nlist = 16 * math.sqrt(f.toDouble).ceil.toInt, threshold = 0.9)))
       println(f"""SCALE_R5 {"factor":$f, "winsorize":$tWins%.2f, "winsorize_approx":$tWinsA%.2f, "mad":$tMad%.2f, "mad_approx":$tMadA%.2f, "length_buckets":$tBuckets%.2f, "leakage_split":$tSplit%.2f, "unigram_lm":$tUnigram%.2f, "semantic_dedup":$tSemantic%.2f}""")
+      }
 
       // round-5 graph / event / retrieval operators through their real
       // query closures (q_containment is deliberately absent: its query is
       // the doc_id<200-bounded exact twin, so a corpus-factor probe would
       // time a constant; the posting-join scale knob is the stop-gram df
       // ceiling documented on the query)
+      if (groups("r5c")) {
       val tPr = tq("q_pagerank"); val tTri = tq("q_triangles")
       val tLp = tq("q_label_prop"); val tScd = tq("q_scd2")
       val tFun = tq("q_funnel"); val tCoh = tq("q_cohort_retention")
       val tPsi = tq("q_drift_psi"); val tProf = tq("q_column_profile")
       val tBm = tq("q_bm25"); val tRrf = tq("q_rrf_hybrid")
       println(f"""SCALE_R5C {"factor":$f, "pagerank":$tPr%.2f, "triangles":$tTri%.2f, "label_prop":$tLp%.2f, "scd2":$tScd%.2f, "funnel":$tFun%.2f, "cohort":$tCoh%.2f, "drift_psi":$tPsi%.2f, "column_profile":$tProf%.2f, "bm25":$tBm%.2f, "rrf_hybrid":$tRrf%.2f}""")
+      }
+
+      // round-5 second wave: relational/statistical + linkage + BFS —
+      // all through the real query closures. The RI audit must stay
+      // orphan-free at every factor (the staging offsets preserve FKs);
+      // the fuzzy dictionary grows linearly by rotation; BFS explores one
+      // copy's component while the edge projection it sits on scales with
+      // the whole corpus.
+      if (groups("r5d")) {
+      val tTrend = tq("q_trend_slope"); val tTrans = tq("q_event_transitions")
+      val tBfs = tq("q_bfs_dist"); val tFuzzy = tq("q_fuzzy_match")
+      val tRi = tq("q_ri_audit")
+      println(f"""SCALE_R5D {"factor":$f, "trend_slope":$tTrend%.2f, "event_transitions":$tTrans%.2f, "bfs_dist":$tBfs%.2f, "fuzzy_match":$tFuzzy%.2f, "ri_audit":$tRi%.2f}""")
+      }
     }
     spark.stop()
   }

@@ -72,4 +72,42 @@ class RelationalOpsSpec extends SparkSpec {
         "blocking dropped a within-distance pair")
     } finally { pairs.unpersist(); () }
   }
+
+  test("sorted-neighborhood candidates are a sound subset of the blocked linkage") {
+    val sn = SparkEntry.queries("q_sorted_neighborhood")(spark, dir)
+      .select(least(col("name_a"), col("name_b")).as("a"),
+        greatest(col("name_a"), col("name_b")).as("b"), col("dist")).cache()
+    val blocked = SparkEntry.queries("q_fuzzy_match")(spark, dir)
+      .select(col("name_a").as("a"), col("name_b").as("b"))
+    try {
+      assert(sn.count() > 0)
+      assert(sn.where(col("dist") > 2).isEmpty)
+      // q_fuzzy_match is verified complete at dist<=2 (test above), so
+      // every sorted-neighborhood pair must appear there: SN trades
+      // recall for one sort, never soundness
+      assert(sn.join(blocked, Seq("a", "b"), "left_anti").isEmpty,
+        "sorted-neighborhood produced a pair outside the complete dist<=2 set")
+    } finally { sn.unpersist(); () }
+  }
+
+  test("user sequences carry the time-ordered tail of each user's stream") {
+    val events = graft.sources.Tables.read(spark, dir, "events")
+    val seqs = SparkEntry.queries("q_user_sequences")(spark, dir).cache()
+    try {
+      assert(seqs.count() == events.select("user_id").distinct().count())
+      // never more than 8 sequence elements
+      assert(seqs.where(size(split(col("seq"), ">")) > 8).isEmpty)
+      // the last element is each user's latest event type ((ts, event_id)
+      // order — same tie-break as the query)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      val last = events.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).select(col("user_id"), col("event_type"))
+      val bad = seqs.select(col("user_id"),
+          element_at(split(col("seq"), ">"), -1).as("tail"))
+        .join(last, "user_id")
+        .where(col("tail") =!= col("event_type"))
+      assert(bad.isEmpty, "sequence tail != latest event")
+    } finally { seqs.unpersist(); () }
+  }
 }
