@@ -1554,6 +1554,25 @@ object SparkEntry {
         .where(col("dist") <= 2)
     }),
 
+    // Jaro-Winkler linkage scoring over the blocked dictionary pairs —
+    // the similarity-weighted refinement of q_fuzzy_match's boolean gate,
+    // via the native [[graft.plans.JaroWinkler]] expression (Spark has no
+    // built-in; one tight loop per pair). Scores are RAW doubles: every
+    // division is replayed in the same order by DuckDB's
+    // jaro_winkler_similarity, so the hash match value-checks the custom
+    // expression itself
+    "q_jaro_rank" -> ((s, dir) => {
+      val names = t(s, dir, "part")
+        .select(col("p_name")).distinct()
+        .withColumn("block", element_at(split(col("p_name"), " "), 2))
+      names.as("a").join(names.as("b"),
+          col("a.block") === col("b.block") && col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+          graft.plans.NativeExpressions.jaroWinkler(
+            col("a.p_name"), col("b.p_name")).as("jw"))
+        .where(col("jw") >= 0.8d)
+    }),
+
     // record-linkage candidate pairs: DICTIONARY-first fuzzy match — the
     // distinct-value frame (64 names, not 2 000 parts) is what gets
     // blocked and compared, the classic scale move for string linkage; the
@@ -3176,6 +3195,19 @@ object SparkEntry {
         |    (SELECT count(*) FROM nation WHERE n_nationkey NOT IN
         |       (SELECT c_nationkey FROM customer)))
         |SELECT * FROM r""".stripMargin,
+
+    // DuckDB's jaro_winkler_similarity is bit-identical to the native
+    // expression (verified on all dictionary pairs) — raw doubles compare
+    "q_jaro_rank" ->
+      """WITH names AS (
+        |  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS block
+        |  FROM part),
+        | p AS (
+        |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |    jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |  FROM names a JOIN names b
+        |    ON a.block = b.block AND a.p_name < b.p_name)
+        |SELECT name_a, name_b, jw FROM p WHERE jw >= 0.8""".stripMargin,
 
     // same dictionary-first blocking (names are 'adjective noun', block =
     // the noun); both engines implement plain Levenshtein

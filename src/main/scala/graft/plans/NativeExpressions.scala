@@ -90,6 +90,17 @@ object NativeExpressions {
   def hyperplaneBands(vec: Column, planes: Seq[Array[Double]], bands: Int): Column =
     toCol(HyperplaneBands(toExpr(vec), planes.map(_.toSeq), bands))
 
+  /** Jaro-Winkler similarity of two strings — Spark has no built-in; the
+    * textbook formulation (match window ⌊max(l1,l2)/2⌋−1, transpositions
+    * halved, prefix boost p=0.1 up to 4 chars gated at jaro > 0.7, the
+    * divisions in (m/l1 + m/l2 + (m−t)/m)/3 order) is bit-identical to
+    * DuckDB's `jaro_winkler_similarity` — verified on all 2 016 dictionary
+    * pairs — so JW scores are value-checkable cross-engine. ASCII-safe by
+    * construction here (char-wise compare); non-BMP input would need
+    * code-point iteration like CharShingles. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    toCol(JaroWinkler(toExpr(a), toExpr(b)))
+
   /** Composite document quality score in one pass over the string —
     * replaces a 12-pass stack (3 regex scrubs + 2 tokenizations + HOF
     * folds) with a single char/token scan. Arithmetic is kept bit-identical
@@ -440,6 +451,66 @@ case class BigramRepetition(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): BigramRepetition = copy(child = c)
+}
+
+/** Jaro-Winkler similarity in one tight loop per row pair — the record-
+  * linkage scoring primitive (reference: string similarity joins in the
+  * Hernandez-Stolfo / Winkler linkage literature). See
+  * [[NativeExpressions.jaroWinkler]] for the cross-engine contract. */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val s1 = a.asInstanceOf[UTF8String].toString
+    val s2 = b.asInstanceOf[UTF8String].toString
+    val l1 = s1.length; val l2 = s2.length
+    // an empty side scores 0 EVEN WHEN BOTH ARE EMPTY — DuckDB's guard
+    // order, kept for the bit-parity contract (not the rapidfuzz 1.0)
+    if (l1 == 0 || l2 == 0) return 0.0d
+    val window = math.max(math.max(l1, l2) / 2 - 1, 0)
+    val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      val lo = math.max(0, i - window); val hi = math.min(l2, i + window + 1)
+      var j = lo
+      var found = false
+      while (j < hi && !found) {
+        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+          m1(i) = true; m2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0d
+    var t = 0; var k = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    t /= 2
+    // division order is part of the cross-engine contract — do not refactor
+    val jaro = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0d
+    if (jaro > 0.7d) {
+      var l = 0
+      val pmax = math.min(4, math.min(l1, l2))
+      while (l < pmax && s1.charAt(l) == s2.charAt(l)) l += 1
+      jaro + l * 0.1d * (1.0d - jaro)
+    } else jaro
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `bloom.mightContain(child)` over a string child. The sketch rides along
