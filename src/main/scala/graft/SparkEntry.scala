@@ -1504,6 +1504,36 @@ object SparkEntry {
           t(s, dir, "customer"), "c_nationkey"))
     }),
 
+    // top-20 three-step event paths (clickstream flow mining): two lags
+    // on the same user-hash exchange every sequence operator shares, then
+    // a count over the tiny path vocabulary; top-k is a TakeOrdered with
+    // the path string as tie-break, never a full sort
+    "q_event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("p1", lag(col("event_type"), 1).over(w))
+        .withColumn("p2", lag(col("event_type"), 2).over(w))
+        .where(col("p2").isNotNull)
+        .select(concat_ws(">", col("p2"), col("p1"), col("event_type")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(20)
+    }),
+
+    // per-document character-distribution entropy (micro-nat quantized,
+    // order-independent integer sum — the unigram-LM idiom at char level)
+    // via the native one-pass [[graft.plans.CharEntropy]] kernel; the
+    // oracle replays it with string_split + GROUP BY. The cheap
+    // mojibake/filler gate before tokenization
+    "q_char_entropy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.NativeExpressions.charEntropy(col("text")).as("__e"))
+        .where(col("__e").isNotNull)
+        .select(col("doc_id"), col("__e.n_cp").as("n_cp"),
+          col("__e.ent_unats").as("ent_unats"))
+    }),
+
     // per-user training sequences: the time-ordered LAST-8 event types,
     // joined into one string (the sequence-model feature-prep primitive).
     // One groupBy on the user key; ordering rides inside the row via
@@ -3223,6 +3253,33 @@ object SparkEntry {
         |  FROM names a JOIN names b
         |    ON a.block = b.block AND a.p_name < b.p_name)
         |SELECT name_a, name_b, dist, n_a, n_b FROM p WHERE dist <= 2""".stripMargin,
+
+    // same (ts, event_id) tie-break, same top-k ordering
+    "q_event_paths" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |    lag(event_type, 1) OVER w AS p1,
+        |    lag(event_type, 2) OVER w AS p2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*)::BIGINT AS n
+        |FROM l WHERE p2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""".stripMargin,
+
+    // code-point split + GROUP BY replay of the native kernel's
+    // per-character floor-quantized micro-nat contributions
+    "q_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents WHERE text <> ''),
+        | f AS (SELECT doc_id, ch, count(*)::BIGINT AS n FROM c GROUP BY 1, 2),
+        | t AS (SELECT doc_id, cast(sum(n) AS bigint) AS tot FROM f GROUP BY 1)
+        |SELECT f.doc_id, min(t.tot) AS n_cp,
+        |  cast(sum(cast(floor(
+        |    -(cast(n AS double) / cast(tot AS double)) *
+        |     ln(cast(n AS double) / cast(tot AS double)) * 1000000.0 + 0.5)
+        |    AS bigint)) AS bigint) AS ent_unats
+        |FROM f JOIN t ON f.doc_id = t.doc_id
+        |GROUP BY 1""".stripMargin,
 
     // DuckDB's list() honors ORDER BY inside the aggregate — the twin of
     // the struct-sort idiom (same (ts, event_id) tie-break)

@@ -90,6 +90,16 @@ object NativeExpressions {
   def hyperplaneBands(vec: Column, planes: Seq[Array[Double]], bands: Int): Column =
     toCol(HyperplaneBands(toExpr(vec), planes.map(_.toSeq), bands))
 
+  /** Character-distribution entropy per document: struct(n_cp, ent_unats)
+    * — total code points and Shannon entropy in MICRO-nats, each distinct
+    * character's −p·ln p contribution floor-quantized to a long BEFORE the
+    * sum so it is order-independent and replayable by a GROUP BY in any
+    * engine (the unigram-LM idiom at character level). Iterates CODE
+    * POINTS, matching DuckDB's `string_split(text, '')`. NULL for empty
+    * input. Low entropy flags repeated-char filler; high flags binary
+    * mojibake — the cheap quality gate between length and token checks. */
+  def charEntropy(text: Column): Column = toCol(CharEntropy(toExpr(text)))
+
   /** Jaro-Winkler similarity of two strings — Spark has no built-in; the
     * textbook formulation (match window ⌊max(l1,l2)/2⌋−1, transpositions
     * halved, prefix boost p=0.1 up to 4 chars gated at jaro > 0.7, the
@@ -451,6 +461,47 @@ case class BigramRepetition(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): BigramRepetition = copy(child = c)
+}
+
+/** Code-point frequency entropy in one pass per row — see
+  * [[NativeExpressions.charEntropy]] for the quantization contract. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_cp", LongType, nullable = false),
+    StructField("ent_unats", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    if (s.isEmpty) return null
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var i = 0
+    var total = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      total += 1
+      val slot = counts.computeIfAbsent(Integer.valueOf(cp), _ => Array(0L))
+      slot(0) += 1
+    }
+    var ent = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val n = it.next()(0)
+      val p = n.toDouble / total.toDouble
+      // per-character floor-quantized micro-nats, summed as longs —
+      // order-independent, identical to the oracle's GROUP BY replay
+      ent += math.floor(-p * math.log(p) * 1e6d + 0.5d).toLong
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    row.update(0, total)
+    row.update(1, ent)
+    row
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
 }
 
 /** Jaro-Winkler similarity in one tight loop per row pair — the record-

@@ -70,4 +70,20 @@ class EventOpsSpec extends SparkSpec {
       assert(tr.where(col("p") <= 0 || col("p") > 1).isEmpty)
     } finally { tr.unpersist(); () }
   }
+
+  test("three-step paths cover (len-2) windows per user and rank deterministically") {
+    val events = graft.sources.Tables.read(spark, dir, "events")
+    val paths = SparkEntry.queries("q_event_paths")(spark, dir).cache()
+    try {
+      assert(paths.count() <= 20)
+      // every path is three '>'-joined known event types
+      assert(paths.where(size(split(col("path"), ">")) =!= 3).isEmpty)
+      // total 3-windows = sum over users of max(len-2, 0); top-20 of a
+      // 125-path vocabulary must carry most of the mass — sanity-bound it
+      val totalWindows = events.groupBy("user_id").count()
+        .select(sum(greatest(col("count") - 2, lit(0L)))).head.getLong(0)
+      val top = paths.agg(sum("n")).head.getLong(0)
+      assert(top <= totalWindows && top > 0)
+    } finally { paths.unpersist(); () }
+  }
 }
