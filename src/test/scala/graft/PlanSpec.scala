@@ -310,4 +310,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject(limit=10"),
       s"fused output not TakeOrdered-bounded:\n${p.take(3000)}")
   }
+
+  test("trend slope: one fact exchange feeds one aggregation, no window, no join") {
+    val p = plan("q_trend_slope")
+    // the whole OLS reduces to grouped moment sums: one hash exchange on
+    // the group key between partial and final aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Window"), "OLS must not window the fact table")
+    assert(!p.contains("Join"), "OLS must not join")
+    // only the three needed columns reach the scan
+    assert(p.contains("ReadSchema: struct<o_totalprice:double," +
+      "o_orderdate:timestamp_ntz,o_orderpriority:string>"),
+      s"column pruning lost:\n${p.take(3000)}")
+  }
+
+  test("event transitions and paths ride the shared user-hash exchange") {
+    for (q <- Seq("q_event_transitions", "q_event_paths")) {
+      val p = plan(q)
+      // one user_id exchange for the lag window; the path/pair counting
+      // aggregates the tiny vocabulary afterwards (its exchange moves
+      // <= vocab rows per partition thanks to partial aggregation)
+      assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+        s"$q: expected exactly one user exchange:\n${p.take(3000)}")
+    }
+    // the top-k path list is TakeOrdered, never a global sort
+    assert(plan("q_event_paths").contains("TakeOrderedAndProject(limit=20"),
+      "path top-k must be TakeOrdered")
+  }
+
+  test("fuzzy linkage is dictionary-first: Levenshtein runs above the distinct-name aggregate") {
+    for (q <- Seq("q_fuzzy_match", "q_jaro_rank")) {
+      val p = plan(q)
+      // the name dictionary is built by aggregation (HashAggregate on
+      // p_name) and the block join is an equi-join — a plan where the
+      // similarity runs against raw part ROWS would lose the aggregate
+      // below the join, and a non-equi block would cartesian
+      assert(p.contains("HashAggregate"), s"$q: dictionary aggregate lost")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: block join degenerated to a product:\n${p.take(3000)}")
+    }
+  }
+
+  test("RI audit: every relation audits key-only scans") {
+    val p = plan("q_ri_audit")
+    // anti-joins on the key columns only — each child scan must read just
+    // its FK column (n_child counts ride the same scan)
+    assert(p.contains("ReadSchema: struct<o_custkey:bigint>"), p.take(3000))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      "lineitem audit must read only the FK column")
+  }
 }
