@@ -1603,6 +1603,41 @@ object SparkEntry {
         .where(col("jw") >= 0.8d)
     }),
 
+    // inclusion-dependency discovery (SPIDER/SINDY-style FK profiling):
+    // score candidate column pairs by the inclusion coefficient
+    // |distinct(child) ∩ distinct(parent)| / |distinct(child)| — true FKs
+    // score 1.0, reversed and spurious candidates fall below. Each
+    // candidate is two distinct sets and one key-only semi-join (the
+    // coefficient is one exact int/int division); at 100 TB swap the
+    // exact distincts for bottom-k sketches per column — same join shape
+    // over the sketch tables
+    "q_fk_discovery" -> ((s, dir) => {
+      def incl(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val c = child.select(col(ck).as("k")).where(col("k").isNotNull).distinct()
+        val p = parent.select(col(pk).as("k")).where(col("k").isNotNull).distinct()
+        c.agg(count(lit(1)).as("n_child_distinct"))
+          .join(c.join(p, Seq("k"), "left_semi")
+            .agg(count(lit(1)).as("n_matched")))
+          .select(lit(name).as("candidate"), col("n_child_distinct"),
+            col("n_matched"),
+            (col("n_matched").cast("double") /
+              col("n_child_distinct").cast("double")).as("inclusion"))
+      }
+      incl("orders.o_custkey->customer.c_custkey",
+          t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey")
+        .unionByName(incl("lineitem.l_partkey->part.p_partkey",
+          t(s, dir, "lineitem"), "l_partkey", t(s, dir, "part"), "p_partkey"))
+        .unionByName(incl("customer.c_nationkey->nation.n_nationkey",
+          t(s, dir, "customer"), "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
+        .unionByName(incl("events.user_id->customer.c_custkey",
+          t(s, dir, "events"), "user_id", t(s, dir, "customer"), "c_custkey"))
+        .unionByName(incl("customer.c_custkey->orders.o_custkey",
+          t(s, dir, "customer"), "c_custkey", t(s, dir, "orders"), "o_custkey"))
+        .unionByName(incl("part.p_size->nation.n_nationkey",
+          t(s, dir, "part"), "p_size", t(s, dir, "nation"), "n_nationkey"))
+    }),
+
     // record-linkage candidate pairs: DICTIONARY-first fuzzy match — the
     // distinct-value frame (64 names, not 2 000 parts) is what gets
     // blocked and compared, the classic scale move for string linkage; the
@@ -3196,6 +3231,36 @@ object SparkEntry {
         |  round(cast(num AS double)
         |    / sqrt(cast(den AS double) * cast(dyy AS double)), 6) AS pearson_r
         |FROM s""".stripMargin,
+
+    "q_fk_discovery" ->
+      """WITH cand(candidate, nc, nm) AS (
+        |  SELECT 'orders.o_custkey->customer.c_custkey',
+        |    (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT,
+        |    (SELECT count(DISTINCT o_custkey) FROM orders
+        |      WHERE o_custkey IN (SELECT c_custkey FROM customer))::BIGINT
+        |  UNION ALL SELECT 'lineitem.l_partkey->part.p_partkey',
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem),
+        |    (SELECT count(DISTINCT l_partkey) FROM lineitem
+        |      WHERE l_partkey IN (SELECT p_partkey FROM part))
+        |  UNION ALL SELECT 'customer.c_nationkey->nation.n_nationkey',
+        |    (SELECT count(DISTINCT c_nationkey) FROM customer),
+        |    (SELECT count(DISTINCT c_nationkey) FROM customer
+        |      WHERE c_nationkey IN (SELECT n_nationkey FROM nation))
+        |  UNION ALL SELECT 'events.user_id->customer.c_custkey',
+        |    (SELECT count(DISTINCT user_id) FROM events),
+        |    (SELECT count(DISTINCT user_id) FROM events
+        |      WHERE user_id IN (SELECT c_custkey FROM customer))
+        |  UNION ALL SELECT 'customer.c_custkey->orders.o_custkey',
+        |    (SELECT count(DISTINCT c_custkey) FROM customer),
+        |    (SELECT count(DISTINCT c_custkey) FROM customer
+        |      WHERE c_custkey IN (SELECT o_custkey FROM orders))
+        |  UNION ALL SELECT 'part.p_size->nation.n_nationkey',
+        |    (SELECT count(DISTINCT p_size) FROM part),
+        |    (SELECT count(DISTINCT p_size) FROM part
+        |      WHERE p_size IN (SELECT n_nationkey FROM nation)))
+        |SELECT candidate, nc AS n_child_distinct, nm AS n_matched,
+        |  cast(nm AS double) / cast(nc AS double) AS inclusion
+        |FROM cand""".stripMargin,
 
     "q_ri_audit" ->
       """WITH r AS (

@@ -50,6 +50,23 @@ class RelationalOpsSpec extends SparkSpec {
     } finally { audit.unpersist(); () }
   }
 
+  test("inclusion coefficients separate true FKs from the spurious candidate") {
+    val inc = SparkEntry.queries("q_fk_discovery")(spark, dir).cache()
+    try {
+      assert(inc.count() == 6)
+      // the three declared star-schema FKs must score exactly 1.0
+      val fks = Seq("orders.o_custkey->customer.c_custkey",
+        "lineitem.l_partkey->part.p_partkey",
+        "customer.c_nationkey->nation.n_nationkey")
+      assert(inc.where(col("candidate").isin(fks: _*) && col("inclusion") =!= 1.0).isEmpty)
+      // the value-domain coincidence scores strictly below 1
+      assert(inc.where(col("candidate") === "part.p_size->nation.n_nationkey")
+        .head.getAs[Double]("inclusion") < 1.0)
+      // coefficient identity: matched <= distinct, inclusion in (0, 1]
+      assert(inc.where(col("n_matched") > col("n_child_distinct")).isEmpty)
+    } finally { inc.unpersist(); () }
+  }
+
   test("fuzzy-match pairs are blocked, ordered, and within distance") {
     val pairs = SparkEntry.queries("q_fuzzy_match")(spark, dir).cache()
     try {
