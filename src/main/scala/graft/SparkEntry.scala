@@ -724,9 +724,7 @@ object SparkEntry {
             col("x.l_partkey") < col("y.l_partkey"))
         .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
         .agg(count(lit(1)).as("w")).where(col("w") >= 2)
-      val seed = pairs
-        .select(least(col("pa"), col("pb")).as("n")).agg(min(col("n")).as("node"))
-      graft.graph.GraphOps.bfsDistances(pairs, "pa", "pb", seed, maxHops = 4)
+      graft.graph.GraphOps.bfsFromMinNode(pairs, "pa", "pb", maxHops = 4)
         .select(col("node").as("node_id"), col("hops"))
     }),
 
