@@ -714,8 +714,8 @@ object SparkEntry {
     // hop-bounded BFS from the smallest co-purchase node: exact shortest
     // hop counts within 4 hops, as a fixed-iteration min-relax recurrence
     // (integers end-to-end, so the oracle replays the frontier expansion
-    // with a bounded recursive CTE). The seed is a one-row aggregate
-    // frame, never collected to the driver.
+    // with a bounded recursive CTE). The seed is a one-row aggregate over
+    // the ONCE-materialized edge frame, never collected to the driver.
     "q_bfs_dist" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()

@@ -100,6 +100,14 @@ object GraftExtensions {
       case Seq(c) => QualityScoreExpr(c, graft.functions.TextFunctions.englishStopwords)
       case args   => arity("quality_score", 1, args)
     }),
+    ("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity (bit-identical to DuckDB's)", {
+      case Seq(a, b) => JaroWinkler(a, b)
+      case args      => arity("jaro_winkler", 2, args)
+    }),
+    ("char_entropy", "char_entropy(str) - struct(n_cp, ent_unats): code points + micro-nat entropy", {
+      case Seq(c) => CharEntropy(c)
+      case args   => arity("char_entropy", 1, args)
+    }),
     ("cosine_similarity", "cosine_similarity(a, b) - cosine over float/double arrays", {
       case Seq(a, b) => CosineSimilarity(a, b)
       case args      => arity("cosine_similarity", 2, args)

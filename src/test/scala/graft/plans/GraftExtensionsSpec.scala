@@ -38,6 +38,14 @@ class GraftExtensionsSpec extends SparkSpec {
     val eu = spark.sql(
       "SELECT euclidean_distance(array(0.0d, 3.0d), array(4.0d, 0.0d)) AS e").as[Double].head()
     assert(eu == 5.0)
+
+    val jw = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS j").as[Double].head()
+    assert(jw == 0.9611111111111111)
+    val ent = spark.sql(
+      "SELECT char_entropy('aabb').n_cp AS n, char_entropy('aabb').ent_unats AS e")
+      .as[(Long, Long)].head()
+    assert(ent == ((4L, 693148L)))
   }
 
   test("sketch parameters must be integer literals") {
