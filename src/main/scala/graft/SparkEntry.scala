@@ -1267,16 +1267,19 @@ object SparkEntry {
 
     // event debounce: drop an event arriving within 10 minutes of the
     // PREVIOUS same-type event for the user (duplicate-fire telemetry
-    // cleanup). Time deltas compare exact integer micros (unix_micros /
+    // cleanup). Time deltas compare exact integer micros (Tables.tsMicros /
     // epoch_us) — a seconds cast would truncate sub-second gaps
-    // differently per engine. Same single user-hash exchange as q_scd2.
+    // differently per engine, and bare unix_micros is an analysis error on
+    // the fixture's TIMESTAMP_NTZ ts. Same single user-hash exchange as
+    // q_scd2.
     "q_event_dedup" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
         .orderBy(col("ts"), col("event_id"))
       t(s, dir, "events")
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .where(col("prev_ts").isNull ||
-          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 600000000L)
+          graft.sources.Tables.tsMicros(col("ts")) -
+            graft.sources.Tables.tsMicros(col("prev_ts")) > 600000000L)
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
     }),
 

@@ -1,18 +1,30 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
-/** Readers for the test-data star schema. The only normalization needed is
-  * `events.ts`: the file stores TIMESTAMP(NANOS), which Spark's vectorized
-  * parquet reader rejects. With `spark.sql.legacy.parquet.nanosAsLong=true`
-  * (set by every entry point here) the column arrives as nanos-since-epoch
-  * LongType; `div 1000` (integral — a double roundtrip would lose precision
-  * at 1e18 magnitudes) converts losslessly to microseconds, the values'
-  * true resolution. */
+/** Readers for the test-data star schema.
+  *
+  * `events.ts` RESOLUTION CONTRACT: the fixture has shipped `ts` as both
+  * TIMESTAMP(NANOS) (earlier rounds) and `timestamp[us]`/isAdjustedToUTC=
+  * false (current — Spark reads it as TIMESTAMP_NTZ). Nothing here may
+  * assume one of the two: [[normalizeEventTs]] dispatches on the type that
+  * actually arrived, and the streaming reader takes its schema from a batch
+  * footer read of the same directory (EventsStream.readStream) instead of
+  * hardcoding. Round 5 hardcoded the nanos shape and silently shrank every
+  * streamed event time 1000x — any new code touching `ts` goes through
+  * these two helpers. */
 object Tables {
 
   val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Exact integer micros-since-epoch for an event-time column of ANY of
+    * the shapes `ts` can arrive in (TIMESTAMP, TIMESTAMP_NTZ). The session
+    * time zone is pinned UTC in every entry point, so the NTZ->LTZ cast is
+    * value-preserving; `unix_micros` directly on an NTZ column is a
+    * DATATYPE_MISMATCH analysis error (what broke q_event_dedup in r5). */
+  def tsMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
@@ -34,10 +46,16 @@ object Tables {
       .format("parquet")
       .saveAsTable(tableName)
 
-  /** `ts` normalization shared by the batch and streaming event readers:
-    * TIMESTAMP(NANOS) surfaces as LongType under
-    * `spark.sql.legacy.parquet.nanosAsLong=true` and becomes a micros
-    * timestamp; an already-readable timestamp passes through. */
+  /** `ts` normalization shared by the batch and streaming event readers,
+    * dispatched on the type that ACTUALLY arrived (see the resolution
+    * contract above). A LongType `ts` can only mean TIMESTAMP(NANOS): the
+    * `nanosAsLong` conf is the single mechanism that surfaces a parquet
+    * timestamp as Long, and it applies to nanos columns alone — so the
+    * integral `div 1000` (a double roundtrip would lose precision at 1e18
+    * magnitudes) converts losslessly to micros. A native TIMESTAMP or
+    * TIMESTAMP_NTZ (the current fixture) passes through untouched —
+    * downstream micros arithmetic uses [[tsMicros]], which is safe for
+    * both. */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -9,15 +9,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class UserProfile(
     user_id: Long, n_events: Long, sum_value: Double, event_types: Set[String])
 
-/** The OPEN run carried as stream state by [[EventsStream.scd2Intervals]]. */
+/** The OPEN run carried as stream state by [[EventsStream.scd2Intervals]].
+  * Event times are `LocalDateTime` (encoder: TIMESTAMP_NTZ) so the typed
+  * state stays in the fixture's own naive event-time domain — the batch
+  * q_scd2 twin emits NTZ intervals, and `except`-equivalence needs the
+  * streamed schema to match it exactly. */
 final case class ScdRun(
     user_id: Long, run_id: Long, state: String,
-    valid_from: java.sql.Timestamp, n_events: Long)
+    valid_from: java.time.LocalDateTime, n_events: Long)
 
 /** A CLOSED interval emitted when a user's state changes. */
 final case class ScdInterval(
     user_id: Long, run_id: Long, state: String,
-    valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp,
+    valid_from: java.time.LocalDateTime, valid_to: java.time.LocalDateTime,
     n_events: Long)
 
 /** Structured-Streaming ingestion of the `events` table — the streaming
@@ -27,23 +31,24 @@ final case class ScdInterval(
   */
 object EventsStream {
 
-  /** On-disk schema: `ts` is TIMESTAMP(NANOS), surfaced as LongType under
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see graft.sources.Tables). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  def readStream(spark: SparkSession, dir: String): DataFrame =
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    // A streaming file source requires an explicit schema — take it from a
+    // batch footer read of the SAME directory rather than hardcoding. The
+    // fixture's ts resolution has changed across rounds (nanos -> micros
+    // NTZ); a stale hardcoded `ts: LongType` read micros values as nanos
+    // and shifted every streamed event time 1000x earlier (round-5 bug).
+    // The footer read is metadata-only: no row data is scanned.
+    val schema = spark.read.parquet(dir).schema
     // ts normalization shared with the batch reader (Tables.events) so the
-    // nanos->micros rule lives in exactly one place; if the fixture ever
-    // switches to a native TIMESTAMP, rawSchema must change with it (a
-    // streaming source requires an explicit schema)
+    // type-dispatch rule lives in exactly one place; then cast to TIMESTAMP
+    // (value-preserving under the pinned-UTC session): Spark's watermark
+    // REQUIRES TimestampType — an NTZ event-time column is an
+    // EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE analysis error. Batch readers
+    // keep the fixture's NTZ; only the streaming event-time layer widens.
     graft.sources.Tables.normalizeEventTs(
-      spark.readStream.schema(rawSchema).parquet(dir))
+        spark.readStream.schema(schema).parquet(dir))
+      .withColumn("ts", col("ts").cast(TimestampType))
+  }
 
   /** Tumbling-window counts/sums per event type; late data bounded by the
     * watermark so state stays finite at any volume. */
@@ -187,9 +192,13 @@ object EventsStream {
   def scd2Intervals(spark: SparkSession, events: DataFrame): Dataset[ScdInterval] = {
     import spark.implicits._
     events
-      .selectExpr("user_id", "event_type", "ts", "event_id")
+      // explicit NTZ cast so the typed LocalDateTime slot binds no matter
+      // which shape `ts` arrived in (NTZ passes through; an LTZ timestamp
+      // from a future nanos fixture converts value-preserving under the
+      // pinned-UTC session) — see Tables' resolution contract
+      .selectExpr("user_id", "event_type", "cast(ts as timestamp_ntz) as ts", "event_id")
       .na.drop(Seq("user_id", "ts", "event_id"))
-      .as[(Long, String, java.sql.Timestamp, Long)]
+      .as[(Long, String, java.time.LocalDateTime, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(advanceScd2)
@@ -197,11 +206,13 @@ object EventsStream {
 
   private[streaming] def advanceScd2(
       userId: Long,
-      rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
+      rows: Iterator[(Long, String, java.time.LocalDateTime, Long)],
       state: GroupState[ScdRun]): Iterator[ScdInterval] = {
-    // Timestamp.getTime is millis — the nanos field must join the sort key
-    // or micro-gapped events within one millisecond order arbitrarily
-    val sorted = rows.toIndexedSeq.sortBy(r => (r._3.getTime, r._3.getNanos, r._4))
+    // sort key carries full nano precision — a seconds- or millis-only key
+    // would order micro-gapped events arbitrarily (epochSecond*1e9 + nano
+    // stays far inside Long range for any representable fixture date)
+    val sorted = rows.toIndexedSeq.sortBy(r =>
+      (r._3.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L + r._3.getNano, r._4))
     var cur = state.getOption
     val out = scala.collection.mutable.ArrayBuffer.empty[ScdInterval]
     for ((u, tpe, ts, _) <- sorted) {

@@ -44,7 +44,8 @@ class EventOpsSpec extends SparkSpec {
     val withPrev = dropped.as("d").join(events.as("e"),
         col("d.user_id") === col("e.user_id") &&
         col("d.event_type") === col("e.event_type") &&
-        (unix_micros(col("d.ts")) - unix_micros(col("e.ts"))).between(0L, 600000000L) &&
+        (graft.sources.Tables.tsMicros(col("d.ts")) -
+          graft.sources.Tables.tsMicros(col("e.ts"))).between(0L, 600000000L) &&
         col("d.event_id") =!= col("e.event_id"))
       .select(col("d.event_id")).distinct()
     assert(withPrev.count() == dropped.count(),
