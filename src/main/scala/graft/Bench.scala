@@ -86,7 +86,14 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries (-1 sentinels) must not DEFLATE the total
     val total = results.values.filter(_ >= 0).sum
+    val failed = results.values.count(_ < 0)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the total goes in a SECOND, short, FINAL line: the driver keeps only
+    // a bounded tail of stdout, and with 120+ queries the per-query line
+    // alone overflows it — r5's single-line artifact lost its head (where
+    // "metric":"total" lived) and recorded parsed:null. A <120-byte last
+    // line survives any tail window.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

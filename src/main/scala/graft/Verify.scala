@@ -22,6 +22,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -36,8 +37,19 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        deleteRecursively(target) // no partial output either
+        // A failed query must be LOUD in the correctness artifact. Round 5
+        // silently deleted the output, so the driver emitted no row at all
+        // and a broken query read as "one fewer query". Instead: replace
+        // the output with a single-row sentinel whose schema can never
+        // match any oracle — the driver's own compare then surfaces the
+        // query as a red rows/schema/hash cell rather than vanishing it.
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        failures(name) = String.valueOf(e.getMessage).take(500)
+        deleteRecursively(target) // no partial output under the sentinel
+        import spark.implicits._
+        Seq((name, String.valueOf(e.getMessage).take(500)))
+          .toDF("verify_error_query", "verify_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -55,6 +67,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // human-readable failure manifest alongside the per-query sentinels
+    // (empty object on a clean run — its PRESENCE signals the run finished)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: ${failures.keys.mkString(", ")}")
+    }
     spark.stop()
   }
 }
