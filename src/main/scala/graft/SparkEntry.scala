@@ -696,9 +696,12 @@ object SparkEntry {
         .select(col("node").as("node_id"), col("label").as("community"))
     }),
 
-    // EXACT connected components on the co-purchase graph — the fixpoint
-    // version of q_label_prop (convergence via the monotone label-sum
-    // scalar); oracle = recursive reachability closure
+    // EXACT connected components on the co-purchase graph via alternating
+    // large-star/small-star contraction (Kiveris et al. 2014): O(log n)
+    // rounds on ANY topology, vs the min-label fixpoint twin
+    // (connectedComponentsMin, cross-validated in GraphOpsSpec) whose
+    // round count is the component diameter. Same deterministic
+    // integer-min output; oracle = recursive reachability closure
     "q_components" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -707,7 +710,7 @@ object SparkEntry {
             col("x.l_partkey") < col("y.l_partkey"))
         .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
         .agg(count(lit(1)).as("w")).where(col("w") >= 2)
-      graft.graph.GraphOps.connectedComponentsMin(pairs, "pa", "pb")
+      graft.graph.GraphOps.connectedComponentsStar(pairs, "pa", "pb")
         .select(col("node").as("node_id"), col("label").as("component"))
     }),
 

@@ -127,6 +127,19 @@ object GraphOps {
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // ENFORCE the documented no-dangling-node contract instead of trusting
+    // it: a node with in-edges but no out-edges silently leaks rank mass
+    // every iteration (its inflow is never redistributed), corrupting all
+    // downstream ranks with no error. One key-only anti-join, paid once per
+    // call — nothing at this check's scale survives to the per-iteration
+    // loop.
+    val dangling = e.select(col("dst").as("n")).distinct()
+      .join(e.select(col("src").as("n")).distinct(), Seq("n"), "left_anti")
+      .limit(1).collect()
+    require(dangling.isEmpty,
+      s"pageRankFixedPoint contract violated: node ${dangling.headOption.map(_.get(0)).orNull} " +
+        "has in-edges but no out-edges (dangling mass is not redistributed); " +
+        "pass the symmetric closure or drop sink nodes first")
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // deliberately NOT persisted: the unrolled plan contains this subtree
     // once per iteration, but its exchange is identical every time, so
@@ -240,8 +253,126 @@ object GraphOps {
       labels = next
     }
     require(converged, s"connected components did not converge in $maxRounds rounds" +
-      " — raise maxRounds or use a star-contraction variant for this diameter")
+      " — raise maxRounds or use connectedComponentsStar for this diameter")
     labels
+  }
+
+  /** EXACT connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the scale-safe replacement for
+    * [[connectedComponentsMin]]'s min-label fixpoint, whose round count is
+    * the component DIAMETER (a data property that can grow arbitrarily at
+    * 100 TB). Star contraction converges in O(log n) rounds on any
+    * topology, with the same per-round join shape.
+    *
+    * The working set is the canonically-oriented edge list `(u, v), u > v`.
+    * Per round, with m(x) = min of x's closed neighborhood:
+    *   large-star: every neighbor y > x re-attaches to m(x) — long chains
+    *     fold onto their local minima;
+    *   small-star: every neighbor y < x, and x itself, attach to m(x) —
+    *     each node acquires a direct edge to its current minimum.
+    * Both emit only (hi, lo)-oriented pairs by construction (m(x) <= x and
+    * m(x) <= every y in Gamma(x)), so no re-orientation pass is needed.
+    * The fixpoint is the star forest {(node, component-min)}: both steps
+    * map a star to itself, and the paper proves nothing else is stable.
+    *
+    * Determinism: every emitted edge is (id, min over a set of ids) — the
+    * same integer-min argument as the fixpoint twin, so the converged
+    * output is bit-identical in any engine and oracle-checkable by a
+    * recursive reachability CTE.
+    *
+    * Convergence detection is two-tier: a cheap scalar fingerprint
+    * (edge count + endpoint sum, one map-combined aggregate per round)
+    * gates an EXACT set-equality confirmation (count equality + one
+    * key-only anti-join) — the loop can only exit on proven set
+    * stability, and the exact check runs ~once, at the fixpoint itself.
+    *
+    * Scale: per round two grouped mins and two equi-joins on node keys —
+    * hash-partitioned, AQE-skew-splittable, pre-bucketable; each round's
+    * edge set is `localCheckpoint`ed (lineage cut; NOT persist — the
+    * CacheManager keys on canonicalized plans and would serve a rerun of
+    * an identically-built query from cache). The edge set only ever
+    * SHRINKS (dedup after contraction), so the heaviest round is the
+    * first. */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 40): DataFrame =
+    connectedComponentsStarWithRounds(edges, srcCol, dstCol, maxRounds)._1
+
+  /** [[connectedComponentsStar]] plus the round count it needed — the
+    * probe hook ScaleProbe uses to show rounds growing ~log(n), not
+    * linearly, across scale factors. */
+  def connectedComponentsStarWithRounds(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 40): (DataFrame, Int) = {
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    // the output must cover every endpoint of the ORIGINAL edge set; the
+    // contracted set loses interior nodes as chains fold
+    val allNodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
+
+    // closed-neighborhood minimum per node over both edge orientations
+    def mins(edgeSet: DataFrame): DataFrame =
+      edgeSet.select(col("u").as("x"), col("v").as("y"))
+        .union(edgeSet.select(col("v").as("x"), col("u").as("y")))
+        .groupBy(col("x"))
+        .agg(min(col("y")).as("nbMin"))
+        .select(col("x"), least(col("nbMin"), col("x")).as("m"))
+
+    def fingerprint(edgeSet: DataFrame): (Long, Long) = {
+      val r = edgeSet
+        .agg(count(lit(1)), coalesce(sum(col("u") + col("v")), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var fp = fingerprint(e)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      // large-star: (y, m(x)) for y > x. y > x >= m(x) implies y > m(x):
+      // oriented and loop-free by construction.
+      val sym1 = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val ls = sym1.join(mins(e), Seq("x"))
+        .where(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // small-star over the large-star output: (y, m(x)) for y < x, plus
+      // every node's own (x, m(x)) attachment; m(x) <= y <= x keeps the
+      // orientation, only exact self-loops (y = m or x = m) drop out
+      val sym2 = ls.select(col("u").as("x"), col("v").as("y"))
+        .union(ls.select(col("v").as("x"), col("u").as("y")))
+      val m2 = mins(ls)
+      val ss = sym2.where(col("y") < col("x")).join(m2, Seq("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .union(m2.select(col("x").as("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val fpNext = fingerprint(ss)
+      // fingerprint equality is only a GATE; termination requires proven
+      // set equality (equal counts + empty anti-join => equal sets)
+      converged = fpNext == fp &&
+        ss.join(e, Seq("u", "v"), "left_anti").limit(1).collect().isEmpty
+      fp = fpNext
+      e = ss
+    }
+    require(converged,
+      s"star-contraction components did not stabilize in $maxRounds rounds — " +
+        "this exceeds the O(log n) bound and indicates a bug or adversarial input")
+    // converged star forest: non-roots appear exactly once as u, pointing
+    // at the component minimum; roots never appear as u and label themselves
+    val labels = e.select(col("u").as("node"), col("v").as("label"))
+      .unionByName(
+        allNodes.join(e.select(col("u").as("node")), Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("label")))
+    (labels, round)
   }
 
   /** Hop-bounded BFS distances from a one-row seed frame as a fixed-

@@ -93,6 +93,48 @@ class GraphOpsSpec extends SparkSpec {
       20L -> 20L, 30L -> 20L))
   }
 
+  test("star-contraction CC labels path + pair graphs exactly") {
+    val e = Seq((4L, 2L), (6L, 4L), (6L, 8L), (10L, 8L), (30L, 20L)).toDF("s", "d")
+    val out = GraphOps.connectedComponentsStar(e, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 2L, 4L -> 2L, 6L -> 2L, 8L -> 2L, 10L -> 2L,
+      20L -> 20L, 30L -> 20L))
+  }
+
+  test("star-contraction CC converges in O(log n) rounds on a high-diameter path") {
+    // a 256-node path has diameter 255: the min-label fixpoint would need
+    // ~255 rounds (its 100-round guard aborts), star contraction a handful
+    val e = (1L until 256L).map(i => (i, i + 1)).toDF("s", "d")
+    val (labels, rounds) = GraphOps.connectedComponentsStarWithRounds(e, "s", "d")
+    assert(rounds <= 12, s"expected ~log2(256)=8 rounds, took $rounds")
+    val out = labels.as[(Long, Long)].collect().toMap
+    assert(out.size == 256 && out.values.forall(_ == 1L))
+  }
+
+  test("star-contraction CC agrees with the fixpoint twin and GraphX on a seeded random graph") {
+    val rnd = new scala.util.Random(1234)
+    val edges = Seq.fill(300)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter { case (a, b) => a != b }
+    val star = GraphOps.connectedComponentsStar(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    val fixpoint = GraphOps.connectedComponentsMin(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(star == fixpoint)
+    val gx = org.apache.spark.graphx.Graph
+      .fromEdgeTuples(spark.sparkContext.parallelize(edges), 0)
+      .connectedComponents().vertices.collect().toMap
+    assert(star == gx)
+  }
+
+  test("fixed-point PageRank rejects dangling nodes loudly") {
+    // node 3 has an in-edge but no out-edge: its mass would silently leak
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.pageRankFixedPoint(e, "src", "dst", iterations = 1)
+    }
+    assert(ex.getMessage.contains("dangling"))
+  }
+
   test("fixpoint CC agrees with GraphX connectedComponents on a seeded random graph") {
     // both algorithms label a component by its minimum vertex id, so the
     // outputs are directly comparable — an independent implementation
