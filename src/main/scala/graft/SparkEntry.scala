@@ -1561,29 +1561,22 @@ object SparkEntry {
 
     // sorted-neighborhood linkage (Hernandez-Stolfo): the OTHER classic
     // candidate-generation strategy next to q_fuzzy_match's blocking —
-    // sort the (distinct-value) dictionary ONCE by a cluster-friendly key
-    // and compare each entry only with its next 3 neighbors in sort
-    // order. The key is the token-REVERSED name (noun first): likely
-    // duplicates differ in the leading adjective, so raw string order
-    // scatters them while the reversed key makes them adjacent — key
-    // design is the method's whole game. On a dictionary the single
-    // global sort is cheap by construction (distinct values, not rows);
-    // at billions of distinct values, range-partition the sort and
-    // replicate w-1 boundary rows per partition — same window, zero skew
+    // sort the (distinct-value) dictionary by a cluster-friendly key and
+    // compare each entry only with its next 3 neighbors in sort order.
+    // The key is the token-REVERSED name (noun first): likely duplicates
+    // differ in the leading adjective, so raw string order scatters them
+    // while the reversed key makes them adjacent — key design is the
+    // method's whole game. The neighbor generation is DISTRIBUTED
+    // (Dedup.sortedNeighborhoodPairs): range partition + exact global
+    // rank + dense-rank band join — no single-partition window anywhere
+    // (PlanSpec asserts it), same pair set as the global sort
     "q_sorted_neighborhood" -> ((s, dir) => {
       val names = t(s, dir, "part")
-        .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+        .select(col("p_name")).distinct()
         .withColumn("skey",
           concat_ws(" ", reverse(split(col("p_name"), " "))))
-      val w = Window.orderBy(col("skey"))
-      val neighbors = names
-        .withColumn("nb1", lead(col("p_name"), 1).over(w))
-        .withColumn("nb2", lead(col("p_name"), 2).over(w))
-        .withColumn("nb3", lead(col("p_name"), 3).over(w))
-      neighbors
-        .select(col("p_name").as("name_a"),
-          explode(array_compact(array(col("nb1"), col("nb2"), col("nb3"))))
-            .as("name_b"))
+      graft.ext.Dedup.sortedNeighborhoodPairs(names, "skey", "p_name", window = 3)
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"))
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
         .where(col("dist") <= 2)
     }),
@@ -3373,7 +3366,7 @@ object SparkEntry {
         |    lead(p_name, 1) OVER w AS nb1,
         |    lead(p_name, 2) OVER w AS nb2,
         |    lead(p_name, 3) OVER w AS nb3
-        |  FROM names WINDOW w AS (ORDER BY skey)),
+        |  FROM names WINDOW w AS (ORDER BY skey, p_name)),
         | p AS (
         |  SELECT name_a,
         |    unnest(list_filter([nb1, nb2, nb3], x -> x IS NOT NULL)) AS name_b

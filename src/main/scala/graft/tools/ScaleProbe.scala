@@ -77,7 +77,7 @@ object ScaleProbe {
     // for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice")
     val ev0 = graft.sources.Tables.events(spark, dir)
@@ -221,6 +221,31 @@ object ScaleProbe {
       val tBfs = tq("q_bfs_dist"); val tFuzzy = tq("q_fuzzy_match")
       val tRi = tq("q_ri_audit")
       println(f"""SCALE_R5D {"factor":$f, "trend_slope":$tTrend%.2f, "event_transitions":$tTrans%.2f, "bfs_dist":$tBfs%.2f, "fuzzy_match":$tFuzzy%.2f, "ri_audit":$tRi%.2f}""")
+      }
+
+      // round-6: star-contraction components (time AND round count — the
+      // O(log n) claim made measurable; per-copy graphs are disjoint, so
+      // the factor scales component COUNT while round count should stay
+      // ~flat at the largest component's log-size) and the distributed
+      // sorted-neighborhood (the former single-reducer global window;
+      // part-name rotation grows its dictionary linearly with the factor)
+      if (groups("r6")) {
+      val liG = spark.read.parquet(s"$base/lineitem.parquet")
+        .select("l_orderkey", "l_partkey").distinct()
+      val pairsG = liG.as("x").join(liG.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+      var ccRounds = 0
+      val tCc = time {
+        val (lbl, r) = graft.graph.GraphOps
+          .connectedComponentsStarWithRounds(pairsG, "pa", "pb")
+        ccRounds = r
+        force(lbl)
+      }
+      val tSn = tq("q_sorted_neighborhood")
+      println(f"""SCALE_R6 {"factor":$f, "components_star":$tCc%.2f, "star_rounds":$ccRounds, "sorted_neighborhood":$tSn%.2f}""")
       }
     }
     spark.stop()

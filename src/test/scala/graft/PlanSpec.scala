@@ -338,6 +338,19 @@ class PlanSpec extends SparkSpec {
       "path top-k must be TakeOrdered")
   }
 
+  test("sorted-neighborhood has no single-partition exchange or global window") {
+    val p = plan("q_sorted_neighborhood")
+    // the r5 implementation ran Window.orderBy(skey) with no partitionBy —
+    // an Exchange SinglePartition funneling the dictionary through one
+    // reducer; the rank+band-join rewrite must keep every stage parallel
+    assert(!p.contains("SinglePartition"),
+      s"single-reducer stage crept back in:\n${p.take(3000)}")
+    // the only window is the per-range-bucket row_number
+    assert(p.contains("Window"), "per-partition rank window missing")
+    assert(p.contains("hashpartitioning(__pid"),
+      s"rank window is not partitioned by the range bucket:\n${p.take(3000)}")
+  }
+
   test("fuzzy linkage is dictionary-first: Levenshtein runs above the distinct-name aggregate") {
     for (q <- Seq("q_fuzzy_match", "q_jaro_rank")) {
       val p = plan(q)

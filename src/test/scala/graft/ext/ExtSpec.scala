@@ -891,4 +891,36 @@ class ExtSpec extends SparkSpec {
     assert(lf.count() == 4)
     assert(lf.where(col("value").isNull).count() == 1)
   }
+
+  test("distributed sorted-neighborhood equals the single-reducer global window") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(9)
+    // unique composite keys; input spread over several arbitrary partitions
+    val rows = (1 to 400).map(i => (f"k${rnd.nextInt(100)}%03d", f"id$i%04d"))
+    val df = rows.toDF("k", "id").repartition(7)
+    def naive(w: Int): Set[(String, String)] = {
+      val gw = Window.orderBy(col("k"), col("id"))
+      (1 to w).map(j => df.withColumn("b", lead(col("id"), j).over(gw))
+          .where(col("b").isNotNull).select(col("id"), col("b"))
+          .as[(String, String)].collect().toSet)
+        .reduce(_ ++ _)
+    }
+    val expected = naive(3)
+    val got = Dedup.sortedNeighborhoodPairs(df, "k", "id", window = 3, numPartitions = 13)
+      .as[(String, String)].collect()
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    assert(got.toSet == expected)
+    // degenerate bucketing: more range partitions than rows means empty
+    // and sub-window partitions everywhere — the classic boundary-
+    // replication scheme under-pairs here; the rank join must not
+    val tiny = rows.take(17).toDF("k", "id")
+    val gotTiny = Dedup.sortedNeighborhoodPairs(tiny, "k", "id", window = 3, numPartitions = 50)
+      .as[(String, String)].collect().toSet
+    val gwT = Window.orderBy(col("k"), col("id"))
+    val expTiny = (1 to 3).map(j => tiny.withColumn("b", lead(col("id"), j).over(gwT))
+        .where(col("b").isNotNull).select(col("id"), col("b"))
+        .as[(String, String)].collect().toSet)
+      .reduce(_ ++ _)
+    assert(gotTiny == expTiny)
+  }
 }
