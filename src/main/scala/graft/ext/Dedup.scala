@@ -152,14 +152,17 @@ object Dedup {
     * Two-tier execution: verified near-dup pair sets are tiny relative to
     * the corpus (LSH + verify has already reduced them), so up to
     * `localPairLimit` pairs the closure runs as a driver union-find and
-    * returns a broadcastable local relation — GraphX connected components
-    * costs ~3s of Pregel scheduling even on a 50-edge graph. Past the
-    * limit (pathological corpora at the 100 TB end) it falls back to
-    * GraphX, whose component id is the same minimum vertex id. The pair
-    * frame is persisted across the probe so the fallback never recomputes
-    * the (expensive) LSH pipeline; the default limit of 2M pairs costs
-    * roughly 150 MB of driver heap as collected Rows — size against
-    * `spark.driver.memory` if raising it. */
+    * returns a broadcastable local relation — any distributed CC pays
+    * seconds of scheduling even on a 50-edge graph. Past the limit
+    * (pathological corpora at the 100 TB end) it falls back to
+    * [[graft.graph.GraphOps.connectedComponentsStar]]: O(log n) rounds of
+    * pure equi-joins directly on the ORIGINAL id column (integer min and
+    * string min are equally deterministic), no dense-id translation, no
+    * RDDs — the same component-minimum contract as the local tier. The
+    * pair frame is persisted across the probe so the fallback never
+    * recomputes the (expensive) LSH pipeline; the default limit of 2M
+    * pairs costs roughly 150 MB of driver heap as collected Rows — size
+    * against `spark.driver.memory` if raising it. */
   def resolveDuplicateClusters(pairs: DataFrame, localPairLimit: Int = 2_000_000): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
@@ -199,36 +202,15 @@ object Dedup {
       slim.unpersist()
       spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
     } else {
-      import org.apache.spark.graphx.{Edge, Graph}
-      // dense translation ids in ascending id order: GraphX's component id
-      // is the min vid, which then maps back to the min original id
-      val ids = slim.select(col("id_a").as("id"))
-        .union(slim.select(col("id_b").as("id"))).distinct().orderBy(col("id"))
-      val vids = {
-        val schema = ids.schema.add("vid", org.apache.spark.sql.types.LongType, false)
-        val rdd = ids.rdd.zipWithIndex().map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-        }
-        spark.createDataFrame(rdd, schema)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      }
-      val translated = slim
-        .join(vids.select(col("id").as("id_a"), col("vid").as("vid_a")), Seq("id_a"))
-        .join(vids.select(col("id").as("id_b"), col("vid").as("vid_b")), Seq("id_b"))
-      val edgeRdd = translated.select(col("vid_a"), col("vid_b"))
-        .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-      val comps = Graph.fromEdges(edgeRdd, 0).connectedComponents()
-        .vertices.map { case (vid, comp) => (vid, comp) }
-        .toDF("vid", "comp")
-      // materialize the (small) cluster map so the persisted frames can be
-      // released before returning — same shape as GraphOps
-      val result = comps
-        .join(vids.select(col("vid"), col("id")), Seq("vid"))
-        .join(vids.select(col("vid").as("comp"), col("id").as("keep_id")), Seq("comp"))
-        .select(col("id"), col("keep_id"))
+      // distributed tier: star-contraction CC straight on the original id
+      // column — min over any orderable type is deterministic, so the
+      // cluster keeper is the component minimum exactly like the local tier
+      val result = graft.graph.GraphOps
+        .connectedComponentsStar(slim, "id_a", "id_b")
+        .select(col("node").as("id"), col("label").as("keep_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       result.count()
-      slim.unpersist(); vids.unpersist()
+      slim.unpersist()
       result
     }
   }

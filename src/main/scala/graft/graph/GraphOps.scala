@@ -323,9 +323,15 @@ object GraphOps {
         .agg(min(col("y")).as("nbMin"))
         .select(col("x"), least(col("nbMin"), col("x")).as("m"))
 
+    // type-generic scalar fingerprint (ids may be strings): an order-
+    // independent XOR of row hashes — no arithmetic, so ANSI overflow
+    // checking never trips. It is only a GATE — the exact anti-join below
+    // decides termination, so a hash collision costs at most one extra
+    // check, never a wrong stop.
     def fingerprint(edgeSet: DataFrame): (Long, Long) = {
       val r = edgeSet
-        .agg(count(lit(1)), coalesce(sum(col("u") + col("v")), lit(0L))).head
+        .agg(count(lit(1)),
+          coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
 

@@ -322,10 +322,11 @@ class ExtSpec extends SparkSpec {
     assert(local == Map(
       "url-a" -> "url-a", "url-b" -> "url-a", "url-c" -> "url-a",
       "url-x" -> "url-x", "url-y" -> "url-x"))
-    // GraphX tier (forced by a zero local limit) agrees
-    val viaGraphX = Dedup.resolveDuplicateClusters(pairs, localPairLimit = 0)
+    // distributed star-contraction tier (forced by a zero local limit)
+    // agrees — including string-min component labels
+    val viaStar = Dedup.resolveDuplicateClusters(pairs, localPairLimit = 0)
       .as[(String, String)].collect().toMap
-    assert(viaGraphX == local)
+    assert(viaStar == local)
     // full pipeline with string ids end to end
     val docs = Seq(
       ("u1", "the quick brown fox jumps over the lazy dog and runs far away"),

@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Regenerate LEAKCHECK.json with scan evidence.
+
+Scans every tracked text file under src/ (plus the top-level docs) for
+categories of strings that must never appear in a public, from-scratch
+engine: private package imports, non-public URLs/buckets, chat-archive
+links, credential-shaped tokens, and environment variables that would tie
+the code to any specific private infrastructure. The output carries the
+scan timestamp and the scanned-file count so a round bump in the artifact
+provably reflects a fresh run rather than a manual edit.
+
+Usage: python3 tools/leakcheck.py <round-number>
+"""
+import json
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+# category -> regex. Patterns are deliberately broad; hits are reviewed,
+# not auto-judged. Known-benign fixtures are filtered below.
+PATTERNS = {
+    # imports outside the public dependency surface (spark/scala/java/graft)
+    "internal-import": re.compile(
+        r"^\s*import\s+(?!org\.apache|org\.scalatest|org\.scalacheck|org\.json4s|"
+        r"scala\.|java\.|javax\.|graft\.|\w+\.implicits)[a-z][\w.]*\.[\w.{}, ]+$",
+        re.M),
+    # URLs that are not public OSS/infra documentation hosts
+    "internal-url": re.compile(
+        r"https?://(?!github\.com|raw\.githubusercontent\.com|spark\.apache\.org|"
+        r"issues\.apache\.org|docs\.oracle\.com|duckdb\.org|scala-lang\.org|"
+        r"www\.scala-sbt\.org|repo1\.maven\.org|arxiv\.org|doi\.org|dl\.acm\.org|"
+        r"en\.wikipedia\.org|localhost|127\.0\.0\.1|example\.com|www\.w3\.org|"
+        r"neo4j\.com|tigergraph\.com|graft\.local)[\w.-]+"),
+    # private-looking package roots in strings or configs
+    "internal-pkg2": re.compile(r"\b(?:com|net|io)\.(?!example\b)[a-z]+\.internal\b"),
+    # cloud bucket URIs
+    "internal-bucket": re.compile(r"\b(?:s3a?|gs|abfss?)://[\w.-]+"),
+    # chat-archive links
+    "slack-link": re.compile(r"slack\.com/archives|app\.slack\.com"),
+    # credential-shaped tokens
+    "api-key": re.compile(
+        r"\b(?:sk-[A-Za-z0-9]{20,}|AKIA[0-9A-Z]{16}|ghp_[A-Za-z0-9]{30,}|"
+        r"xox[bap]-[A-Za-z0-9-]{10,}|AIza[0-9A-Za-z_-]{30,})\b"),
+    # env vars beyond the documented SPARK_GRAFT_* / standard toolchain set
+    "axon-env": re.compile(
+        r"sys\.env(?:\.get(?:OrElse)?)?\(\s*\"(?!SPARK_)[A-Z][A-Z0-9_]*\""),
+}
+
+# benign fixtures/idioms reviewed and pinned (pattern, reason recorded here)
+ALLOW = [
+    re.compile(r"corp\.example\.com"),  # reserved example domain in PII tests
+]
+
+TEXT_SUFFIXES = {".scala", ".sbt", ".py", ".md", ".json", ".txt", ".sql", ".conf"}
+
+
+def tracked_files():
+    out = subprocess.run(["git", "ls-files"], cwd=ROOT, capture_output=True, text=True)
+    for line in out.stdout.splitlines():
+        p = ROOT / line
+        if p.suffix in TEXT_SUFFIXES and p.is_file() and "LEAKCHECK" not in p.name:
+            yield p
+
+
+def main():
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    hits = {k: [] for k in PATTERNS}
+    n_files = 0
+    for path in tracked_files():
+        n_files += 1
+        text = path.read_text(errors="replace")
+        for cat, rx in PATTERNS.items():
+            for m in rx.finditer(text):
+                frag = m.group(0)
+                if any(a.search(frag) for a in ALLOW):
+                    continue
+                line_no = text.count("\n", 0, m.start()) + 1
+                hits[cat].append(f"{path.relative_to(ROOT)}:{line_no}: {frag[:120]}")
+    result = {
+        "round": rnd,
+        "scanned_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "scanned_files": n_files,
+        "n_hits": sum(len(v) for v in hits.values()),
+        "hits": hits,
+    }
+    (ROOT / "LEAKCHECK.json").write_text(json.dumps(result, indent=2) + "\n")
+    print(f"scanned {n_files} files, {result['n_hits']} hits")
+
+
+if __name__ == "__main__":
+    main()
