@@ -875,6 +875,33 @@ object SparkEntry {
         lineTokens = 10)
     }),
 
+    // snapshot diff (dataset-versioning delta): classify every doc id as
+    // added / removed / changed between two corpus versions by comparing
+    // 16-byte content hashes in a full outer join on the id — the CDC
+    // primitive behind incremental re-training ("what actually changed
+    // since the last crawl"). Text never shuffles: each side reduces to
+    // (id, md5) before the join. The two versions are derived
+    // deterministically from the one fixture (previous = ids with
+    // doc_id%10<8, current = ids with doc_id%10>0, every doc_id%7==0 text
+    // amended), so the oracle replays both sides exactly.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def sig(df: DataFrame, side: String) = df
+        .select(col("doc_id"), md5(col("text")).as(s"h_$side"))
+      val prev = sig(docs.where(col("doc_id") % 10 < 8), "prev")
+      val cur = sig(docs.where(col("doc_id") % 10 > 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text"))), "cur")
+      prev.join(cur, Seq("doc_id"), "full_outer")
+        .withColumn("change",
+          when(col("h_prev").isNull, lit("added"))
+            .when(col("h_cur").isNull, lit("removed"))
+            .when(col("h_prev") =!= col("h_cur"), lit("changed")))
+        .where(col("change").isNotNull)
+        .select(col("doc_id"), col("change"))
+    }),
+
     // benchmark-contamination check: eval set = 5% md5-gated docs, corpus =
     // the rest; per-doc fraction of distinct word 3-grams that leak from
     // the eval set (broadcast bench grams — the corpus never shuffles on
@@ -1331,6 +1358,19 @@ object SparkEntry {
       val pairs = Dedup.minhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
       Dedup.resolveDuplicateClusters(pairs)
+    }),
+
+    // policy-driven dedup keeper: same near-dup clusters, but keep the
+    // LONGEST member (max n_chars, min doc_id tiebreak) instead of the
+    // min id — the curation rule real pipelines want ("keep the best
+    // copy"). Oracle replays the recursive closure + a rank-1 argmax
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+        shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
+      Dedup.keepBestPerCluster(
+        Dedup.resolveDuplicateClusters(pairs),
+        docs.select(col("doc_id").as("id"), col("n_chars").as("priority")))
     }),
 
     // the composed training-data cleaning funnel: sanitize -> quality
@@ -1865,6 +1905,28 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
         |SELECT src AS id, least(src, min(dst)) AS keep_id FROM reach GROUP BY src""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $charPairsSql,
+        | above AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+        | edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM above
+        |  UNION SELECT id_b, id_a FROM above),
+        | reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        | clusters AS (
+        |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        | ranked AS (
+        |  SELECT c.cluster_id, d.doc_id AS best_id,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+        |  FROM clusters c JOIN documents d ON c.id = d.doc_id)
+        |SELECT c.id, c.cluster_id, b.best_id
+        |FROM clusters c
+        |JOIN (SELECT cluster_id, best_id FROM ranked WHERE rn = 1) b USING (cluster_id)""".stripMargin,
 
     "q_leakage_safe_split" ->
       s"""WITH RECURSIVE $charPairsSql,
@@ -2766,6 +2828,22 @@ object SparkEntry {
         |  cast(sum(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS double)
         |    / cast(count(*) AS double) AS dup_line_ratio
         |FROM lines JOIN ldf USING (line) GROUP BY doc_id""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id, md5(text) AS h_prev FROM documents WHERE doc_id % 10 < 8),
+        | cur AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END) AS h_cur
+        |  FROM documents WHERE doc_id % 10 > 0)
+        |SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id,
+        |  CASE WHEN h_prev IS NULL THEN 'added'
+        |       WHEN h_cur IS NULL THEN 'removed'
+        |       WHEN h_prev <> h_cur THEN 'changed' END AS change
+        |FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
+        |WHERE CASE WHEN h_prev IS NULL THEN 'added'
+        |           WHEN h_cur IS NULL THEN 'removed'
+        |           WHEN h_prev <> h_cur THEN 'changed' END IS NOT NULL""".stripMargin,
 
     "q_contamination" ->
       """WITH g AS (

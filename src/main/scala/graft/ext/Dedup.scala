@@ -536,6 +536,33 @@ object Dedup {
       .where(col("containment") >= threshold)
   }
 
+  /** Policy-driven keeper selection over resolved duplicate clusters:
+    * instead of the cluster-minimum id (the [[resolveDuplicateClusters]]
+    * contract, chosen for oracle determinism), keep the member with the
+    * HIGHEST priority — the real curation policy ("keep the longest /
+    * highest-quality / newest copy") that id-based keeping cannot express.
+    * Deterministic: keeper = lexicographic min of (-priority, id), i.e.
+    * max priority with min-id tiebreak, so any engine agrees.
+    *
+    * `clusters` is [[resolveDuplicateClusters]] output (id, keep_id);
+    * `priority` carries (id, priority). Output: (id, cluster_id, best_id)
+    * for every clustered member.
+    *
+    * Scale: one equi-join to attach priorities, one map-combined
+    * min-struct aggregation per cluster (cluster count « member count),
+    * one broadcast-friendly join back — no windows, no skew-prone keys
+    * beyond the cluster id itself. */
+  def keepBestPerCluster(clusters: DataFrame, priority: DataFrame): DataFrame = {
+    val withP = clusters.join(priority, "id")
+    val best = withP
+      .groupBy(col("keep_id").as("cluster_id"))
+      .agg(min(struct((-col("priority")).as("np"), col("id").as("bid"))).as("b"))
+      .select(col("cluster_id"), col("b.bid").as("best_id"))
+    withP.select(col("id"), col("keep_id").as("cluster_id"))
+      .join(best, "cluster_id")
+      .select(col("id"), col("cluster_id"), col("best_id"))
+  }
+
   /** Sorted-neighborhood candidate pairs (Hernandez-Stolfo), DISTRIBUTED:
     * each record pairs with the next `window` records in global
     * `(keyCol, idCol)` sort order — without ever materializing a global

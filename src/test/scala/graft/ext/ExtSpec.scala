@@ -893,6 +893,19 @@ class ExtSpec extends SparkSpec {
     assert(lf.where(col("value").isNull).count() == 1)
   }
 
+  test("keepBestPerCluster selects max priority with min-id tiebreak") {
+    // cluster {1,2,3} (min id 1): doc 3 is longest -> best; cluster {7,9}:
+    // equal priority -> min id 7 wins the tiebreak
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "keep_id")
+    val prio = Seq((1L, 10L), (2L, 50L), (3L, 99L), (7L, 5L), (9L, 5L))
+      .toDF("id", "priority")
+    val out = Dedup.keepBestPerCluster(clusters, prio)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 7L), (9L, 7L, 7L)))
+  }
+
   test("distributed sorted-neighborhood equals the single-reducer global window") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(9)
