@@ -875,6 +875,26 @@ object SparkEntry {
         lineTokens = 10)
     }),
 
+    // curriculum sharding: EXACT global quality rank (longest docs first,
+    // doc_id tiebreak) and 10 equal-size ordered shards — the "train easy/
+    // clean data first" curriculum assignment. The rank comes from
+    // operators.GlobalRank (range partition + per-partition row_number +
+    // driver-bounded offsets), NOT a Window.orderBy: the naive global
+    // window is a single-reducer sort, the classic scale trap this
+    // operator exists to avoid (PlanSpec pins no-SinglePartition via the
+    // shared q_sorted_neighborhood machinery). Shard = rank*10 div N —
+    // exact integer arithmetic, so the oracle replays it with its own
+    // (verification-only) global window.
+    "q_curriculum" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val total = docs.count()
+      graft.operators.GlobalRank.withGlobalRank(
+          docs.select(col("doc_id"), col("n_chars")),
+          Seq(col("n_chars").desc, col("doc_id")), "rank")
+        .withColumn("shard", expr(s"(rank * 10) div ${total}L"))
+        .select(col("doc_id"), col("rank"), col("shard"))
+    }),
+
     // snapshot diff (dataset-versioning delta): classify every doc id as
     // added / removed / changed between two corpus versions by comparing
     // 16-byte content hashes in a full outer join on the id — the CDC
@@ -2828,6 +2848,17 @@ object SparkEntry {
         |  cast(sum(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS double)
         |    / cast(count(*) AS double) AS dup_line_ratio
         |FROM lines JOIN ldf USING (line) GROUP BY doc_id""".stripMargin,
+
+    // the oracle MAY use the single-reducer global window: it runs once at
+    // verification scale, while the Spark side must stay distributed
+    "q_curriculum" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rank
+        |  FROM documents)
+        |SELECT doc_id, rank,
+        |  (rank * 10) // (SELECT count(*) FROM documents) AS shard
+        |FROM r""".stripMargin,
 
     "q_snapshot_diff" ->
       """WITH prev AS (

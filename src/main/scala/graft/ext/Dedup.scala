@@ -567,53 +567,26 @@ object Dedup {
     * each record pairs with the next `window` records in global
     * `(keyCol, idCol)` sort order — without ever materializing a global
     * sort. A bare `Window.orderBy(key)` funnels the whole input through
-    * ONE reducer (Spark warns about exactly this); here the same pair set
-    * comes out of fully-parallel stages:
-    *
-    *  1. `repartitionByRange(key, id)` — range-ordered partitions, any
-    *     boundary placement (sampled boundaries need not be deterministic:
-    *     the pair SET below is boundary-invariant). Materialized once
-    *     (`localCheckpoint`) so the pid→count job and the rank job read
-    *     the SAME partitioning — re-sampled boundaries between two
-    *     computations would desynchronize the offsets.
-    *  2. exact global rank = per-partition row_number (a PARTITIONED
-    *     window) + cumulative partition-count offset. The offset table is
-    *     numPartitions rows — collected to the driver (bounded by
-    *     configuration, not data) and broadcast back.
-    *  3. neighbor pairs = an equi-join on the DENSE rank: left side
-    *     explodes j=1..window and matches rank+j. Dense integer keys hash
-    *     uniformly — no skew, no single partition, exact global-window
-    *     semantics at any bucket-size distribution (the classic
-    *     "replicate w-1 boundary rows" scheme silently under-pairs when a
-    *     partition holds fewer than w rows; the rank join has no such
-    *     failure mode).
+    * ONE reducer (Spark warns about exactly this); here the exact global
+    * rank comes from [[graft.operators.GlobalRank.withGlobalRank]]
+    * (range partition → per-partition row_number → driver-bounded
+    * cumulative offsets), and neighbor pairs are an equi-join on the
+    * DENSE rank: the left side explodes j=1..window and matches rank+j.
+    * Dense integer keys hash uniformly — no skew, no single partition,
+    * exact global-window semantics at any bucket-size distribution (the
+    * classic "replicate w-1 boundary rows" scheme silently under-pairs
+    * when a partition holds fewer than w rows; the rank join has no such
+    * failure mode).
     *
     * `(keyCol, idCol)` must be a unique composite (callers pass a distinct
     * dictionary) so the total order — and therefore the pair set — is
     * engine-independent and oracle-checkable. */
   def sortedNeighborhoodPairs(records: DataFrame, keyCol: String, idCol: String,
       window: Int, numPartitions: Int = 0): DataFrame = {
-    val spark = records.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
-    val ranged = records
-      .select(col(keyCol).as("__k"), col(idCol).as("__id"))
-      .repartitionByRange(n, col("__k"), col("__id"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    // running-sum offsets in pid order; empty partitions simply have no
-    // counts row (and contribute nothing)
-    var acc = 0L
-    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
-    val localW = Window.partitionBy(col("__pid")).orderBy(col("__k"), col("__id"))
-    val indexed = ranged
-      .withColumn("__lr", row_number().over(localW))
-      .join(broadcast(offDf), Seq("__pid"))
-      .select(col("__id"), (col("__off") + col("__lr") - 1L).as("__g"))
+    val indexed = graft.operators.GlobalRank.withGlobalRank(
+        records.select(col(keyCol).as("__k"), col(idCol).as("__id")),
+        Seq(col("__k"), col("__id")), "__g", numPartitions)
+      .select(col("__id"), col("__g"))
     val left = indexed.select(col("__g"), col("__id").as("id_a"))
       .withColumn("__j", explode(sequence(lit(1), lit(window))))
       .select(col("id_a"), (col("__g") + col("__j")).as("__g2"))

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact GLOBAL rank / quantile bucketing without a global sort.
+  *
+  * `row_number().over(Window.orderBy(...))` — and every operator built on
+  * it (ntile, global top-p trimming, curriculum sharding) — moves the
+  * whole input through ONE reducer. This operator produces the identical
+  * 0-based dense rank out of fully-parallel stages:
+  *
+  *  1. `repartitionByRange` on the sort key — range-ordered partitions;
+  *     boundary placement is sampled and need not be deterministic, since
+  *     the rank below is boundary-invariant. Materialized once
+  *     (`localCheckpoint`) so the count job and the rank job read the
+  *     same partitioning.
+  *  2. exact global rank = per-partition `row_number` (a PARTITIONED
+  *     window) + the cumulative count of all lower-range partitions. The
+  *     per-partition counts are numPartitions rows — bounded by
+  *     configuration, not data — collected to the driver and broadcast
+  *     back.
+  *
+  * The sort key must be a TOTAL order (append a unique tiebreak column)
+  * or ranks within ties are partition-placement-dependent.
+  *
+  * Used by [[graft.ext.Dedup.sortedNeighborhoodPairs]] (neighbor pairs =
+  * band join on the rank) and `q_curriculum` (quality-ordered shard
+  * assignment). */
+object GlobalRank {
+
+  /** Returns `df` plus `rankCol`: the exact 0-based global rank under
+    * `sortCols` lexicographic order. One range exchange + one partitioned
+    * window + one broadcast join — no single-partition stage (PlanSpec
+    * pins this). */
+  def withGlobalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(n, sortCols: _*)
+      .withColumn("__grk_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy(col("__grk_pid")).agg(count(lit(1)).as("__grk_c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // running-sum offsets in pid order; empty partitions have no row and
+    // contribute nothing
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__grk_pid", "__grk_off")
+    val localW = Window.partitionBy(col("__grk_pid")).orderBy(sortCols: _*)
+    ranged
+      .withColumn("__grk_lr", row_number().over(localW))
+      .join(broadcast(offDf), Seq("__grk_pid"))
+      .withColumn(rankCol, col("__grk_off") + col("__grk_lr") - 1L)
+      .drop("__grk_pid", "__grk_lr", "__grk_off")
+  }
+}

@@ -347,8 +347,16 @@ class PlanSpec extends SparkSpec {
       s"single-reducer stage crept back in:\n${p.take(3000)}")
     // the only window is the per-range-bucket row_number
     assert(p.contains("Window"), "per-partition rank window missing")
-    assert(p.contains("hashpartitioning(__pid"),
+    assert(p.contains("hashpartitioning(__grk_pid"),
       s"rank window is not partitioned by the range bucket:\n${p.take(3000)}")
+  }
+
+  test("curriculum sharding ranks globally with no single-partition stage") {
+    val p = plan("q_curriculum")
+    assert(!p.contains("SinglePartition"),
+      s"global rank degenerated to one reducer:\n${p.take(3000)}")
+    assert(p.contains("hashpartitioning(__grk_pid"),
+      "rank window is not partitioned by the range bucket")
   }
 
   test("fuzzy linkage is dictionary-first: Levenshtein runs above the distinct-name aggregate") {

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class GlobalRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withGlobalRank equals the single-reducer global row_number") {
+    val rnd = new scala.util.Random(21)
+    // heavy key duplication: the (k, id) tiebreak must make ranks exact
+    val rows = (1 to 500).map(i => (rnd.nextInt(20).toLong, i.toLong))
+    val df = rows.toDF("k", "id").repartition(9)
+    val got = GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")), "r",
+        numPartitions = 11)
+      .select("k", "id", "r").as[(Long, Long, Long)].collect().toSet
+    val naive = df.withColumn("r",
+        row_number().over(Window.orderBy(col("k"), col("id"))) - 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == naive)
+  }
+
+  test("withGlobalRank keeps every original column and handles descending keys") {
+    val df = Seq((5L, "a"), (9L, "b"), (1L, "c"), (9L, "a"))
+      .toDF("score", "tag")
+    val out = GlobalRank.withGlobalRank(df,
+        Seq(col("score").desc, col("tag")), "r", numPartitions = 3)
+      .as[(Long, String, Long)].collect().toSet
+    // order: (9,a)=0, (9,b)=1, (5,a)=2, (1,c)=3
+    assert(out == Set((9L, "a", 0L), (9L, "b", 1L), (5L, "a", 2L), (1L, "c", 3L)))
+  }
+
+  test("withGlobalRank with more partitions than rows stays exact") {
+    val df = Seq((3L, 1L), (1L, 2L), (2L, 3L)).toDF("k", "id")
+    val out = GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")), "r",
+        numPartitions = 40)
+      .select("k", "r").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+}
