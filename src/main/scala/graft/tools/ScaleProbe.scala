@@ -245,7 +245,14 @@ object ScaleProbe {
         force(lbl)
       }
       val tSn = tq("q_sorted_neighborhood")
-      println(f"""SCALE_R6 {"factor":$f, "components_star":$tCc%.2f, "star_rounds":$ccRounds, "sorted_neighborhood":$tSn%.2f}""")
+      // round-6 additions through their real query closures: the global
+      // rank (curriculum) works over the rotated corpus (linear rows),
+      // keep-best rides the minhash cluster pipeline, snapshot diff is
+      // two hash-reduced scans + one id join
+      val tCur = tq("q_curriculum")
+      val tKb = tq("q_dedup_keep_best")
+      val tSd = tq("q_snapshot_diff")
+      println(f"""SCALE_R6 {"factor":$f, "components_star":$tCc%.2f, "star_rounds":$ccRounds, "sorted_neighborhood":$tSn%.2f, "curriculum":$tCur%.2f, "keep_best":$tKb%.2f, "snapshot_diff":$tSd%.2f}""")
       }
     }
     spark.stop()
