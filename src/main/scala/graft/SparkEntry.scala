@@ -1359,6 +1359,32 @@ object SparkEntry {
           col("valid_to"), col("n_events"), col("is_current"))
     }),
 
+    // incremental aggregate maintenance (materialized-view pattern): the
+    // per-user stats state is built separately over the history (80% of
+    // events) and a delta batch (20%), then MERGED on state rows — the
+    // answer must equal a full recompute, which is exactly what the
+    // oracle runs. Merging works because every state column is algebraic:
+    // counts and INTEGER-cents sums merge by sum (long addition is
+    // order-independent — a double sum would not verify), first/last by
+    // min/max. At 100 TB the history is scanned once ever; maintenance
+    // cost tracks keys + delta, not history.
+    "q_incremental_agg" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      def state(df: DataFrame) = df.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_events"),
+        sum(cents(col("value"))).as("sum_cents"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+      val history = state(events.where(col("event_id") % 10 < 8))
+      val delta = state(events.where(col("event_id") % 10 >= 8))
+      graft.operators.Incremental.mergeStates(Seq(history, delta), Seq("user_id"),
+          Seq("n_events" -> "sum", "sum_cents" -> "sum",
+            "first_ts" -> "min", "last_ts" -> "max"))
+        .select(col("user_id"), col("n_events"),
+          (col("sum_cents").cast("double") / lit(100.0d)).as("sum_value"),
+          col("first_ts"), col("last_ts"))
+    }),
+
     // per-user aggregate profile — batch semantics of the streaming
     // flatMapGroupsWithState operator in graft.streaming
     "q_user_stats" -> ((s, dir) => {
@@ -3212,6 +3238,14 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         | count(DISTINCT event_type) AS n_types,
         | cast(sum(cast(floor(value * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS sum_value
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // the oracle IS the full recompute — the merge-equals-recompute
+    // contract is the whole point of the incremental operator
+    "q_incremental_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        | cast(sum(cast(floor(value * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS sum_value,
+        | min(ts) AS first_ts, max(ts) AS last_ts
         |FROM events GROUP BY user_id""".stripMargin,
 
     "q_sessions" ->
