@@ -1385,6 +1385,26 @@ object SparkEntry {
           col("first_ts"), col("last_ts"))
     }),
 
+    // the HOLISTIC counterpart of q_incremental_agg: per-type distinct
+    // users cannot merge as an algebraic state, so the state is an HLL
+    // sketch (DataSketches via hll_sketch_agg) and merge = sketch union —
+    // same history-scanned-once contract, bounded error instead of
+    // exactness. No SQL oracle by design (sketch internals are
+    // engine-specific); GroundTruthSpec bounds the estimate against the
+    // exact distinct count
+    "q_incremental_distinct" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      def state(df: DataFrame) = df.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val history = state(events.where(col("event_id") % 10 < 8))
+      val delta = state(events.where(col("event_id") % 10 >= 8))
+      history.unionByName(delta)
+        .groupBy(col("event_type"))
+        .agg(hll_union_agg(col("sk")).as("merged"))
+        .select(col("event_type"),
+          hll_sketch_estimate(col("merged")).as("approx_users"))
+    }),
+
     // per-user aggregate profile — batch semantics of the streaming
     // flatMapGroupsWithState operator in graft.streaming
     "q_user_stats" -> ((s, dir) => {

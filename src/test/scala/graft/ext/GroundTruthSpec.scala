@@ -138,6 +138,31 @@ class GroundTruthSpec extends SparkSpec {
     }
   }
 
+  test("incrementally-merged HLL sketch estimate matches the exact distinct count closely") {
+    // q_incremental_distinct merges history+delta HLL sketches; at the
+    // fixture's per-type cardinality (~150 users) the default-lgk sketch
+    // is near-exact — bound at 2%, and the merged estimate must also
+    // equal the single-pass sketch estimate (union of a partition IS the
+    // sketch contract)
+    import spark.implicits._
+    val got = graft.SparkEntry.queries("q_incremental_distinct")(spark, dir)
+      .as[(String, Double)].collect().toMap
+    val exact = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).cast("double").as("exact"))
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == exact.keySet && got.nonEmpty)
+    got.foreach { case (k, est) =>
+      assert(math.abs(est - exact(k)) / exact(k) <= 0.02,
+        s"$k: merged-HLL estimate $est vs exact ${exact(k)}")
+    }
+    val onePass = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .as[(String, Double)].collect().toMap
+    assert(got == onePass, "sketch union must equal the single-pass sketch")
+  }
+
   test("IVF drops NULL embeddings everywhere its SQL oracle does") {
     import spark.implicits._
     // corrupt rows: a NULL query vector and a NULL corpus vector. The
