@@ -252,7 +252,9 @@ object ScaleProbe {
       val tCur = tq("q_curriculum")
       val tKb = tq("q_dedup_keep_best")
       val tSd = tq("q_snapshot_diff")
-      println(f"""SCALE_R6 {"factor":$f, "components_star":$tCc%.2f, "star_rounds":$ccRounds, "sorted_neighborhood":$tSn%.2f, "curriculum":$tCur%.2f, "keep_best":$tKb%.2f, "snapshot_diff":$tSd%.2f}""")
+      val tIa = tq("q_incremental_agg")
+      val tId = tq("q_incremental_distinct")
+      println(f"""SCALE_R6 {"factor":$f, "components_star":$tCc%.2f, "star_rounds":$ccRounds, "sorted_neighborhood":$tSn%.2f, "curriculum":$tCur%.2f, "keep_best":$tKb%.2f, "snapshot_diff":$tSd%.2f, "incr_agg":$tIa%.2f, "incr_distinct":$tId%.2f}""")
       }
     }
     spark.stop()
