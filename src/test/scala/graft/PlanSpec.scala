@@ -351,6 +351,25 @@ class PlanSpec extends SparkSpec {
       s"rank window is not partitioned by the range bucket:\n${p.take(3000)}")
   }
 
+  test("incremental agg merge does partial aggregation and no raw-row rejoin") {
+    val p = plan("q_incremental_agg")
+    // both sub-states partial-aggregate before their exchange, and the
+    // merge itself is one aggregation over state rows — a plan with a
+    // join would mean the merge went back to raw rows
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("Join"), s"state merge must not rejoin raw rows:\n${p.take(3000)}")
+  }
+
+  test("snapshot diff shuffles content hashes, never document text") {
+    val p = plan("q_snapshot_diff")
+    // each side must reduce to (doc_id, md5) BELOW its exchange: the
+    // projected schema at the exchange carries the hash, not the text
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p.take(2000))
+    val exchangeIdx = p.indexOf("Exchange hashpartitioning(doc_id")
+    assert(exchangeIdx >= 0, s"id-keyed exchange missing:\n${p.take(3000)}")
+    assert(p.contains("md5"), "hash projection lost")
+  }
+
   test("curriculum sharding ranks globally with no single-partition stage") {
     val p = plan("q_curriculum")
     assert(!p.contains("SinglePartition"),
