@@ -143,6 +143,66 @@ object EventsStream {
       .parquet(outPath)
   }
 
+  /** Incrementally-maintained per-user aggregate STATE TABLE from the
+    * event stream — the streaming face of
+    * [[graft.operators.Incremental.mergeStates]] (the materialized-view
+    * pattern): each micro-batch aggregates to algebraic state rows
+    * (count + integer-cents sum, so the merge is exact) and folds them
+    * into the previous state.
+    *
+    * Exactly-once without a transactional store: state version N (the
+    * state AFTER batch N) is written to its own `batch_id=N` partition
+    * from state N-1 + batch N. A crash-replayed batch N recomputes from
+    * the same inputs and dynamically overwrites the same partition —
+    * idempotent, the same recipe as [[writeBatchPartition]]. Readers take
+    * the max-batch_id partition. Micro-batch ids are sequential per
+    * checkpoint lineage, which is what makes "previous = id - 1" sound. */
+  def maintainUserStats(
+      stream: DataFrame, statePath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    def stateOf(df: DataFrame): DataFrame = df
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(100.0d) + lit(0.5d)).cast("long")).as("sum_cents"))
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchState = stateOf(batch.toDF())
+        val merged =
+          if (batchId == 0L) batchState
+          else {
+            val prev = spark.read.parquet(statePath)
+              .where(col("batch_id") === (batchId - 1L))
+              .select("user_id", "n_events", "sum_cents")
+            graft.operators.Incremental.mergeStates(
+              Seq(prev, batchState), Seq("user_id"),
+              Seq("n_events" -> "sum", "sum_cents" -> "sum"))
+          }
+        merged
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(statePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Latest maintained state from [[maintainUserStats]]'s versioned
+    * partitions (one bounded max over the partition column). */
+  def latestUserStats(spark: SparkSession, statePath: String): DataFrame = {
+    val all = spark.read.parquet(statePath)
+    // the partition column comes back INT-inferred from directory names —
+    // cast before the scalar read
+    val latest = all.agg(max(col("batch_id").cast("long"))).head.getLong(0)
+    all.where(col("batch_id") === latest)
+      .select(col("user_id"), col("n_events"),
+        (col("sum_cents").cast("double") / lit(100.0d)).as("sum_value"))
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState`: per-user running
     * profile (event count, value sum, distinct-type count) emitted on every
     * update. The state object is bounded per user, so cluster-wide state is

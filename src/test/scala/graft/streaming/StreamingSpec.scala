@@ -226,6 +226,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("foreachBatch-maintained aggregate state equals the batch recompute across micro-batches") {
+    import spark.implicits._
+    // force MULTIPLE micro-batches (one per file) so the merge path — not
+    // just the batch-0 bootstrap — is exercised
+    val src = java.nio.file.Files.createTempDirectory("graft-incr-src")
+    val events = graft.sources.Tables.events(spark, dir)
+    events.where(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$src/part_a")
+    events.where(col("event_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$src/part_b")
+    val work = java.nio.file.Files.createTempDirectory("graft-incr")
+    val statePath = s"$work/state"
+    val ckpt = s"$work/ckpt"
+    val stream = {
+      val schema = spark.read.parquet(s"$src/part_a").schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/*")
+    }
+    val q = EventsStream.maintainUserStats(stream, statePath, ckpt)
+    q.awaitTermination()
+    // at least two versioned state partitions -> the merge path ran
+    val versions = spark.read.parquet(statePath)
+      .select("batch_id").distinct().count()
+    assert(versions >= 2, s"expected >=2 micro-batches, saw $versions")
+    val got = EventsStream.latestUserStats(spark, statePath)
+      .as[(Long, Long, Double)].collect().map { case (u, n, s) => (u, (n, s)) }.toMap
+    val expected = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100.0d + 0.5d).cast("long")).cast("double") / 100.0d).as("s"))
+      .as[(Long, Long, Double)].collect().map { case (u, n, s) => (u, (n, s)) }.toMap
+    assert(got == expected, "incrementally-maintained state differs from full recompute")
+    // restart on the same checkpoint: nothing new, state unchanged
+    val q2 = EventsStream.maintainUserStats(stream, statePath, ckpt)
+    q2.awaitTermination()
+    val got2 = EventsStream.latestUserStats(spark, statePath)
+      .as[(Long, Long, Double)].collect().map { case (u, n, s) => (u, (n, s)) }.toMap
+    assert(got2 == expected)
+  }
+
   test("streaming SCD2 emits exactly the batch operator's closed intervals") {
     val streamed = EventsStream.scd2Intervals(spark,
       EventsStream.readStream(spark, streamDir)).toDF()
