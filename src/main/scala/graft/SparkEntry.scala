@@ -887,10 +887,13 @@ object SparkEntry {
     // (verification-only) global window.
     "q_curriculum" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val total = docs.count()
-      graft.operators.GlobalRank.withGlobalRank(
-          docs.select(col("doc_id"), col("n_chars")),
-          Seq(col("n_chars").desc, col("doc_id")), "rank")
+      // the row total comes back from the rank operator's own
+      // partition-count pass — a literal, no extra scan, and no global
+      // scalar aggregate (whose final step is a single-partition exchange)
+      val (ranked, total) = graft.operators.GlobalRank.withGlobalRankAndCount(
+        docs.select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id")), "rank")
+      ranked
         .withColumn("shard", expr(s"(rank * 10) div ${total}L"))
         .select(col("doc_id"), col("rank"), col("shard"))
     }),

@@ -35,7 +35,16 @@ object GlobalRank {
     * window + one broadcast join — no single-partition stage (PlanSpec
     * pins this). */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0): DataFrame =
+    withGlobalRankAndCount(df, sortCols, rankCol, numPartitions)._1
+
+  /** [[withGlobalRank]] plus the TOTAL row count — already known on the
+    * driver from the per-partition counts, so rank-relative operators
+    * (quantile bucketing, top-p trims) get it as a literal for free: no
+    * extra scan, and no global scalar aggregate (whose final step is
+    * always a single-partition exchange). */
+  def withGlobalRankAndCount(df: DataFrame, sortCols: Seq[Column], rankCol: String,
+      numPartitions: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -52,10 +61,11 @@ object GlobalRank {
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("__grk_pid", "__grk_off")
     val localW = Window.partitionBy(col("__grk_pid")).orderBy(sortCols: _*)
-    ranged
+    val ranked = ranged
       .withColumn("__grk_lr", row_number().over(localW))
       .join(broadcast(offDf), Seq("__grk_pid"))
       .withColumn(rankCol, col("__grk_off") + col("__grk_lr") - 1L)
       .drop("__grk_pid", "__grk_lr", "__grk_off")
+    (ranked, acc)
   }
 }

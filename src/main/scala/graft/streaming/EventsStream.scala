@@ -156,7 +156,12 @@ object EventsStream {
     * the same inputs and dynamically overwrites the same partition —
     * idempotent, the same recipe as [[writeBatchPartition]]. Readers take
     * the max-batch_id partition. Micro-batch ids are sequential per
-    * checkpoint lineage, which is what makes "previous = id - 1" sound. */
+    * checkpoint lineage, which is what makes "previous = id - 1" sound.
+    *
+    * Retention: each batch adds one state version; long-running queries
+    * should prune partitions older than `batch_id = current - k` (any
+    * k >= 1 preserves the replay guarantee, which only ever reads
+    * id - 1) — the same compaction cadence note as CorpusStream. */
   def maintainUserStats(
       stream: DataFrame, statePath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
     def stateOf(df: DataFrame): DataFrame = df
