@@ -77,27 +77,52 @@ object Bench {
       val b = pass2.getOrElse(name, -1.0)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    // millisecond precision keeps the whole line under ~2 KB: the driver
-    // captures only a bounded tail of stdout, and full-precision doubles for
-    // ~70 queries overflow it, truncating the line mid-JSON (rounds 1-3 all
-    // recorded parsed:null for exactly this reason)
+    // millisecond precision keeps each line well under the driver's
+    // bounded stdout tail; full-precision doubles for ~70 queries overflow
+    // it, truncating mid-JSON (rounds 1-3 all recorded parsed:null for
+    // exactly this reason)
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // per-query timings go out in CHUNKS of ~30 queries per line: a single
+    // 127-query line overflows the driver's bounded tail and loses
+    // whichever end falls outside the window (r6 recovered only 78/127
+    // timings). Each chunk line is independently parseable JSON with its
+    // part index, so ANY surviving suffix of stdout yields complete,
+    // attributable timings for the queries it covers.
+    val chunks = results.toSeq.sortBy(_._1).grouped(30).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val qs = chunk.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries_chunk","part":${i + 1},"of":${chunks.size},"queries":$qs,"sf":"$sfDir"}""")
+    }
     // failed queries (-1 sentinels) must not DEFLATE the total
     val total = results.values.filter(_ >= 0).sum
     val failed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // the total goes in a SECOND, short, FINAL line: the driver keeps only
-    // a bounded tail of stdout, and with 120+ queries the per-query line
-    // alone overflows it — r5's single-line artifact lost its head (where
-    // "metric":"total" lived) and recorded parsed:null. A short last line
-    // survives any tail window. prev_round_same_host_control is the
-    // previous round's commit re-benched on THIS host right before this
-    // round's changes landed (SCALE.md "Host calibration") — the host
-    // drifts ~2x between rounds, so this constant is the only number the
-    // round's total may be compared against.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"prev_round_same_host_control":92.7,"sf":"$sfDir"}""")
+    // the total goes in a short FINAL line: the driver keeps only a
+    // bounded tail of stdout, and a short last line survives any tail
+    // window. prev_round_same_host_control is the previous round's commit
+    // re-benched on THIS host right before this round's changes landed
+    // (SCALE.md "Host calibration") — the host drifts ~2x between rounds,
+    // so that control is the only number this total may be compared
+    // against. It is a MEASUREMENT, so it is never baked into source
+    // (r6 hardcoded 92.7 and would have silently misdescribed every later
+    // artifact): it comes from the env var the calibration run exports, or
+    // from HOST_CONTROL.json written by the calibration run, and is
+    // OMITTED (loudly, on stderr) when neither exists.
+    val control: Option[String] = sys.env.get("SPARK_GRAFT_PREV_CONTROL")
+      .orElse {
+        val f = new java.io.File("HOST_CONTROL.json")
+        if (f.isFile) {
+          val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
+          "\"control_total_sec\"\\s*:\\s*([0-9.]+)".r
+            .findFirstMatchIn(txt).map(_.group(1))
+        } else None
+      }
+    if (control.isEmpty) System.err.println(
+      "[bench] WARNING: no same-host control (SPARK_GRAFT_PREV_CONTROL unset, " +
+        "no HOST_CONTROL.json) — omitting prev_round_same_host_control; " +
+        "cross-round total comparisons are invalid without it")
+    val controlField = control.map(c => s""","prev_round_same_host_control":$c""").getOrElse("")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed$controlField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

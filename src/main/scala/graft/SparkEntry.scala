@@ -26,6 +26,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.read(s, dir, name)
 
+  /** The co-purchase wedge projection shared by q_triangles /
+    * q_label_prop / q_components / q_bfs_dist: undirected part-part edges
+    * weighted by the number of orders both appear in, thresholded at
+    * minShared = 2 (hub pruning — keeps the projected graph sparse: 1.2M
+    * raw co-occurrence pairs -> 3.6k edges at sf0.1). The basket-size cap
+    * and its rationale live on [[graft.graph.GraphOps.coOccurrencePairs]];
+    * the oracle mirrors the cap (QUALIFY over the same window) so the
+    * SEMANTICS, not just the fixture results, agree — TPC-ish baskets are
+    * ≤ ~7 items, so at every test SF the cap is a no-op. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    graft.graph.GraphOps.coOccurrencePairs(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minShared = 2, maxGroupSize = 256)
+
   /** Integer cents via explicit IEEE arithmetic — the determinism-critical
     * rounding every money aggregate is built on (identical on any engine,
     * unlike double→decimal casts whose rounding differs between Spark and
@@ -663,21 +677,12 @@ object SparkEntry {
     }),
 
     // per-part triangle counts over the co-purchase graph (parts sharing
-    // >= 2 orders). The w >= 2 threshold is what keeps the projected graph
-    // sparse (1.2M raw co-occurrence pairs -> 3.6k edges at sf0.1) — the
-    // same hub-pruning any real co-occurrence projection needs; pairs per
-    // order are quadratic in basket size, so at 100 TB also cap basket
-    // size or pre-aggregate per order. Triangle closure itself is two
-    // equi-joins, integers end-to-end
+    // >= 2 orders; see coPurchaseEdges for the basket-size cap that
+    // bounds the projection's quadratic step). Triangle closure is
+    // DEGREE-ORIENTED wedge closing — O(m^1.5) wedge volume regardless of
+    // skew, equi-joins and integers end-to-end (GraphOps.triangleCounts)
     "q_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
-      graft.graph.GraphOps.triangleCounts(pairs, "pa", "pb")
+      graft.graph.GraphOps.triangleCounts(coPurchaseEdges(s, dir), "pa", "pb")
     }),
 
     // min-label propagation communities over the same co-purchase graph:
@@ -685,14 +690,7 @@ object SparkEntry {
     // components, bit-deterministic (integer min), so the oracle replays
     // the recurrence round by round like q_pagerank's
     "q_label_prop" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
-      graft.graph.GraphOps.labelPropagateMin(pairs, "pa", "pb", iterations = 5)
+      graft.graph.GraphOps.labelPropagateMin(coPurchaseEdges(s, dir), "pa", "pb", iterations = 5)
         .select(col("node").as("node_id"), col("label").as("community"))
     }),
 
@@ -703,14 +701,7 @@ object SparkEntry {
     // round count is the component diameter. Same deterministic
     // integer-min output; oracle = recursive reachability closure
     "q_components" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
-      graft.graph.GraphOps.connectedComponentsStar(pairs, "pa", "pb")
+      graft.graph.GraphOps.connectedComponentsStar(coPurchaseEdges(s, dir), "pa", "pb")
         .select(col("node").as("node_id"), col("label").as("component"))
     }),
 
@@ -720,14 +711,7 @@ object SparkEntry {
     // with a bounded recursive CTE). The seed is a one-row aggregate over
     // the ONCE-materialized edge frame, never collected to the driver.
     "q_bfs_dist" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .groupBy(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-        .agg(count(lit(1)).as("w")).where(col("w") >= 2)
-      graft.graph.GraphOps.bfsFromMinNode(pairs, "pa", "pb", maxHops = 4)
+      graft.graph.GraphOps.bfsFromMinNode(coPurchaseEdges(s, dir), "pa", "pb", maxHops = 4)
         .select(col("node").as("node_id"), col("hops"))
     }),
 
@@ -2490,7 +2474,10 @@ object SparkEntry {
     // same orientation (a < b, dedup), same wedge-close joins, same
     // per-node explode — triangles appear exactly once as a < b < c
     "q_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
         | e AS (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
@@ -2510,7 +2497,10 @@ object SparkEntry {
     // symmetric closure + self-loops, then 5 rounds of min-over-neighbors
     "q_label_prop" -> {
       val base =
-        """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        """WITH li AS (
+        |  SELECT l_orderkey, l_partkey
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
           | ed AS (
           |  SELECT x.l_partkey AS a, y.l_partkey AS b
           |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
@@ -2545,7 +2535,10 @@ object SparkEntry {
     // exact CC: min reachable id per node (self included via least) over
     // the same thresholded co-purchase edges
     "q_components" ->
-      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey, l_partkey
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
         | ed AS (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
@@ -3545,7 +3538,10 @@ object SparkEntry {
     // co-purchase edges; UNION dedups (node, d) states so the walk set
     // stays <= |V| * (maxHops + 1)
     "q_bfs_dist" ->
-      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey, l_partkey
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
         | ed AS (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey

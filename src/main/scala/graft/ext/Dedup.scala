@@ -553,8 +553,17 @@ object Dedup {
     * one broadcast-friendly join back — no windows, no skew-prone keys
     * beyond the cluster id itself. */
   def keepBestPerCluster(clusters: DataFrame, priority: DataFrame): DataFrame = {
-    val withP = clusters.join(priority, "id")
+    // LEFT join: a cluster member with no priority row must stay in the
+    // output (an inner join would silently drop it from both membership
+    // and best-id selection). Null-priority policy: missing priorities
+    // sort LAST (null-safe coalesce to +inf on the negated key), so an
+    // unprioritized member can never win keeper over a prioritized one,
+    // and an all-missing cluster falls back to the min-id keeper — the
+    // resolveDuplicateClusters contract.
+    val withP = clusters.join(priority, Seq("id"), "left")
     val best = withP
+      .withColumn("priority",
+        coalesce(col("priority").cast("double"), lit(Double.NegativeInfinity)))
       .groupBy(col("keep_id").as("cluster_id"))
       .agg(min(struct((-col("priority")).as("np"), col("id").as("bid"))).as("b"))
       .select(col("cluster_id"), col("b.bid").as("best_id"))
@@ -583,6 +592,9 @@ object Dedup {
     * engine-independent and oracle-checkable. */
   def sortedNeighborhoodPairs(records: DataFrame, keyCol: String, idCol: String,
       window: Int, numPartitions: Int = 0): DataFrame = {
+    // window <= 0 would make sequence(1, window) DESCEND ([1, 0], ...)
+    // and j = 0 then emits self-pairs (id_a == id_b) instead of nothing
+    require(window >= 1, s"sortedNeighborhoodPairs needs window >= 1, got $window")
     val indexed = graft.operators.GlobalRank.withGlobalRank(
         records.select(col(keyCol).as("__k"), col(idCol).as("__id")),
         Seq(col("__k"), col("__id")), "__g", numPartitions)

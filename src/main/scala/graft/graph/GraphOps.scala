@@ -452,34 +452,93 @@ object GraphOps {
     dist
   }
 
-  /** Per-node triangle counts as two DataFrame joins — the deterministic,
-    * oracle-checkable twin of the GraphX [[triangleCount]] path (integers
-    * end-to-end). Edges are read as UNDIRECTED: each is oriented to
-    * `(a, b), a < b` and deduplicated, so every triangle materializes
-    * exactly once as `a < b < c` (wedge `a-b-c` closed by `(a, c)`).
+  /** Co-occurrence pair projection: items sharing at least `minShared`
+    * groups become weighted undirected edges `(pa, pb, w)` with
+    * `pa < pb` — the projection under every co-purchase / co-citation /
+    * co-click graph.
     *
-    * Scale: the wedge join's volume is Σ_b outdeg(b)² under the id
-    * orientation — on skewed graphs orient by (degree, id) instead (the
-    * standard compact-forward bound, one extra degree join, same shape);
-    * the close join is wedge-proportional. Both are equi-joins on node
-    * keys: hash-partitioned, AQE-skew-splittable, never a cross join. */
+    * `maxGroupSize` caps the ONE quadratic step: pairs per group are
+    * (size choose 2), and the self-join's output volume is Σ_group size²
+    * BEFORE the weight threshold can shrink anything, so a single
+    * mega-group (one hot key in a real corpus — a crawler trap, a bot
+    * cart, a catalog-wide order) emits size²/2 rows from one join key;
+    * AQE splits the oversized shuffle partition but cannot shrink the
+    * join OUTPUT. Dropping groups above the cap is the standard
+    * projection policy (a 256-item basket says nothing about pairwise
+    * affinity) and bounds per-key join output at cap²/2 ≈ 32k rows — the
+    * planted-mega-basket ScaleProbe measures the capped projection flat
+    * where the uncapped join grows with hub², and the cap is an explicit,
+    * documented parameter rather than a silent drop.
+    *
+    * One shuffle: the group-size window partitions by the group key, the
+    * same key the self-join uses, so the exchange is planned once and
+    * reused for both join sides. */
+  def coOccurrencePairs(items: DataFrame, groupCol: String, itemCol: String,
+      minShared: Int = 2, maxGroupSize: Int = 256): DataFrame = {
+    require(maxGroupSize >= 2, s"maxGroupSize must be >= 2, got $maxGroupSize")
+    val g = items.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+      .withColumn("__gs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .where(col("__gs") <= maxGroupSize)
+      .select(col("g"), col("i"))
+    g.as("x").join(g.as("y"),
+        col("x.g") === col("y.g") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("pa"), col("y.i").as("pb"))
+      .agg(count(lit(1)).as("w")).where(col("w") >= minShared)
+  }
+
+  /** Per-node triangle counts via DEGREE-ORIENTED wedge closing (the
+    * compact-forward algorithm) — the deterministic, oracle-checkable twin
+    * of the GraphX [[triangleCount]] path (integers end-to-end). Edges are
+    * read as UNDIRECTED and deduplicated; each is then oriented from the
+    * endpoint with the smaller `(degree, id)` to the larger, so every
+    * triangle materializes exactly once as the wedge at its order-minimum
+    * vertex, closed by the oriented third edge.
+    *
+    * WHY degree orientation and not plain id order: the wedge join's
+    * volume is Σ_u outdeg(u)² under whatever orientation is chosen. Under
+    * id order a single hot vertex (one mega-basket in a co-occurrence
+    * projection) keeps its full degree as out-degree and contributes deg²
+    * wedge rows from one key — quadratic blowup AQE can split but not
+    * shrink. Under (degree, id) order every out-degree is bounded by
+    * O(√m) (a vertex only points at neighbors of ≥ its own degree, and
+    * there are at most √(2m) vertices of degree ≥ √(2m)), so the wedge
+    * volume is O(m^1.5) REGARDLESS of skew — the planted-mega-basket
+    * ScaleProbe measures exactly this staying flat where id orientation
+    * goes quadratic. Cost: one extra degree aggregation and join, same
+    * equi-join shape — hash-partitioned, AQE-skew-splittable, never a
+    * cross join. Output is identical (same triangle set) either way. */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // the wedge-close joins reference the oriented edge list three times;
-    // its exchange is identical in each, so ReuseExchange materializes it
-    // once (pinning it instead measured SLOWER — see pageRankFixedPoint)
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b")).distinct()
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.b") === col("e2.a"))
-      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
-    val out = tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+    // orient each edge u -> v with (du, u) < (dv, v); carry v's degree so
+    // the wedge pair-ordering below needs no further join
+    val oriented = withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+        .otherwise(
+          struct(col("b").as("u"), col("a").as("v"), col("da").as("dv"))).as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+    // wedges at the order-minimum vertex u: out-neighbor pair (v, w) taken
+    // once with (dv, v) < (dw, w); the close join matches the oriented
+    // edge v -> w, which exists for every triangle because v precedes w in
+    // the SAME total order the orientation used
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") &&
+          (col("x.dv") < col("y.dv") ||
+            (col("x.dv") === col("y.dv") && col("x.v") < col("y.v"))))
+      .select(col("x.u").as("a"), col("x.v").as("b"), col("y.v").as("c"))
+    val closing = oriented.select(col("u").as("b"), col("v").as("c"))
+    val tri = wedges.join(closing, Seq("b", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node_id"))
       .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
-
-    out
   }
 
   /** PageRank via GraphX Pregel implementation. */

@@ -35,23 +35,39 @@ object GlobalRank {
     * window + one broadcast join — no single-partition stage (PlanSpec
     * pins this). */
   def withGlobalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String,
-      numPartitions: Int = 0): DataFrame =
-    withGlobalRankAndCount(df, sortCols, rankCol, numPartitions)._1
+      numPartitions: Int = 0, reliable: Boolean = false): DataFrame =
+    withGlobalRankAndCount(df, sortCols, rankCol, numPartitions, reliable)._1
 
   /** [[withGlobalRank]] plus the TOTAL row count — already known on the
     * driver from the per-partition counts, so rank-relative operators
     * (quantile bucketing, top-p trims) get it as a literal for free: no
     * extra scan, and no global scalar aggregate (whose final step is
-    * always a single-partition exchange). */
+    * always a single-partition exchange).
+    *
+    * Fault tolerance: the range-partitioned frame must be MATERIALIZED
+    * (the count job and the rank job must read the SAME sampled boundary
+    * placement). The default `localCheckpoint(true)` truncates lineage
+    * and stores blocks UNREPLICATED on executor-local storage — losing
+    * any executor after materialization KILLS the job, because the
+    * truncated lineage cannot recompute the lost blocks. That trade is
+    * right for interactive/bench sessions; for long multi-hour jobs pass
+    * `reliable = true` to use `df.checkpoint(true)` instead, which writes
+    * the partitions to the fault-tolerant `spark.sparkContext
+    * .setCheckpointDir` storage (HDFS/S3 in a cluster) and survives
+    * executor loss at the cost of one write+read of the input. Requires
+    * a checkpoint dir to be set (fails loudly here, not mid-job). */
   def withGlobalRankAndCount(df: DataFrame, sortCols: Seq[Column], rankCol: String,
-      numPartitions: Int = 0): (DataFrame, Long) = {
+      numPartitions: Int = 0, reliable: Boolean = false): (DataFrame, Long) = {
     val spark = df.sparkSession
+    if (reliable) require(spark.sparkContext.getCheckpointDir.nonEmpty,
+      "GlobalRank(reliable = true) needs spark.sparkContext.setCheckpointDir — " +
+        "reliable checkpoints live on fault-tolerant storage, not executor disks")
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = df
+    val ranged0 = df
       .repartitionByRange(n, sortCols: _*)
       .withColumn("__grk_pid", spark_partition_id())
-      .localCheckpoint(true)
+    val ranged = if (reliable) ranged0.checkpoint(true) else ranged0.localCheckpoint(true)
     val counts = ranged.groupBy(col("__grk_pid")).agg(count(lit(1)).as("__grk_c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     // running-sum offsets in pid order; empty partitions have no row and

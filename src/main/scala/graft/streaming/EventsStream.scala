@@ -175,6 +175,27 @@ object EventsStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val batchState = stateOf(batch.toDF())
+        // batch 0 = a FRESH query (new checkpoint). Dynamic partition
+        // overwrite below only rewrites batch_id=0 — if statePath still
+        // holds higher-batch_id partitions from a previous run whose
+        // checkpoint was reset, latestUserStats (max batch_id) would
+        // silently keep serving the STALE state. A reset checkpoint with
+        // surviving state is a torn deployment: refuse it loudly rather
+        // than guess which of the two histories the caller meant to keep.
+        if (batchId == 0L) {
+          val root = new org.apache.hadoop.fs.Path(statePath)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(root)) {
+            val stale = fs.listStatus(root)
+              .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+              .filter(_ != "batch_id=0")
+            require(stale.isEmpty,
+              s"maintainUserStats: checkpoint restarts at batch 0 but $statePath " +
+                s"already holds state partitions [${stale.sorted.mkString(", ")}] from a " +
+                "previous run — delete the stale state (or keep the old checkpoint) " +
+                "before bootstrapping, or latestUserStats would keep serving it")
+          }
+        }
         val merged =
           if (batchId == 0L) batchState
           else {
@@ -201,8 +222,13 @@ object EventsStream {
   def latestUserStats(spark: SparkSession, statePath: String): DataFrame = {
     val all = spark.read.parquet(statePath)
     // the partition column comes back INT-inferred from directory names —
-    // cast before the scalar read
-    val latest = all.agg(max(col("batch_id").cast("long"))).head.getLong(0)
+    // cast before the scalar read. A state dir with no batch_id partitions
+    // yields a NULL max; getLong on it would NPE with no hint at the cause.
+    val maxRow = all.agg(max(col("batch_id").cast("long"))).head
+    require(!maxRow.isNullAt(0),
+      s"latestUserStats: $statePath contains no batch_id=N state partitions — " +
+        "run maintainUserStats (or point at its statePath, not its checkpoint)")
+    val latest = maxRow.getLong(0)
     all.where(col("batch_id") === latest)
       .select(col("user_id"), col("n_events"),
         (col("sum_cents").cast("double") / lit(100.0d)).as("sum_value"))

@@ -77,7 +77,7 @@ object ScaleProbe {
     // for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice")
     val ev0 = graft.sources.Tables.events(spark, dir)
@@ -255,6 +255,64 @@ object ScaleProbe {
       val tIa = tq("q_incremental_agg")
       val tId = tq("q_incremental_distinct")
       println(f"""SCALE_R6 {"factor":$f, "components_star":$tCc%.2f, "star_rounds":$ccRounds, "sorted_neighborhood":$tSn%.2f, "curriculum":$tCur%.2f, "keep_best":$tKb%.2f, "snapshot_diff":$tSd%.2f, "incr_agg":$tIa%.2f, "incr_distinct":$tId%.2f}""")
+      }
+
+      // round-7: the two skew defenses on the co-purchase wedge
+      // projection, each probed against its unprotected control arm on a
+      // PLANTED worst case (the organic TPC-ish fixture never triggers
+      // either — baskets are ≤ ~7 items — which is exactly why the probe
+      // plants one).
+      if (groups("r7")) {
+      import graft.graph.GraphOps
+      // (a) mega-basket: one order holding 2000·f distinct parts on top
+      // of the organic staged lineitem. The capped projection drops it
+      // (time stays flat, the organic-projection cost); the uncapped
+      // pair join must materialize (2000·f choose 2) ≈ 2e6·f² rows from
+      // that ONE join key — the quadratic arm, measured as rows + time.
+      val hub = 2000L * f
+      val mega = spark.range(hub).select(
+        lit(999_999_999L).as("l_orderkey"),
+        (col("id") + 500_000_000L).as("l_partkey"))
+      val liP = spark.read.parquet(s"$base/lineitem.parquet")
+        .select("l_orderkey", "l_partkey").unionByName(mega)
+      val tCapped = time(force(GraphOps.coOccurrencePairs(
+        liP, "l_orderkey", "l_partkey", minShared = 2, maxGroupSize = 256)))
+      var uncappedRows = 0L
+      val tUncapped = time {
+        val d = liP.distinct()
+        uncappedRows = force(d.as("x").join(d.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey")))
+      }
+      // (b) hot NODE in the projected graph: a star of 4000·f leaves
+      // around a mid-id hub plus a leaf ring (so triangle counts are
+      // nonzero). Degree orientation gives the hub out-degree 0 — wedge
+      // volume O(h) — while the id-oriented control arm routes
+      // (h/2)² ≈ 4e6·f² wedges through the hub's id. Same output either
+      // way (GraphOpsSpec pins equality); only the join volume differs.
+      val h = 4000L * f
+      val mid = h / 2
+      val ids = spark.range(h + 1).where(col("id") =!= mid)
+      val starE = ids.select(col("id").as("pa"), lit(mid).as("pb"))
+        .unionByName(ids.select(col("id").as("pa"), (col("id") + 1).as("pb"))
+          .where(col("pb") =!= mid && col("pb") <= h))
+      starE.write.mode("overwrite").parquet(s"$base/star_edges.parquet")
+      val starRead = spark.read.parquet(s"$base/star_edges.parquet")
+      val tTriDeg = time(force(GraphOps.triangleCounts(starRead, "pa", "pb")))
+      // control arm: the pre-r7 id-oriented closure (wedges through the
+      // MIDDLE vertex of each a<b<c path — volume Σ_b indeg·outdeg)
+      val tTriId = time {
+        val e = starRead.select(
+            least(col("pa"), col("pb")).as("a"),
+            greatest(col("pa"), col("pb")).as("b"))
+          .where(col("a") =!= col("b")).distinct()
+        force(e.as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b"))).as("node_id"))
+          .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles")))
+      }
+      println(f"""SCALE_R7 {"factor":$f, "mega_basket_items":$hub, "capped_proj":$tCapped%.2f, "uncapped_pair_join":$tUncapped%.2f, "uncapped_pair_rows":$uncappedRows, "star_leaves":$h, "tri_deg_oriented":$tTriDeg%.2f, "tri_id_oriented":$tTriId%.2f}""")
       }
     }
     spark.stop()

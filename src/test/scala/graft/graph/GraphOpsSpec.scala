@@ -173,6 +173,52 @@ class GraphOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
   }
 
+  test("degree-oriented triangle counts match the id-oriented closure on a hub graph") {
+    // mid-id hub star + leaf ring: the worst case for id orientation
+    // (wedges route through the hub's id) and the exact shape the
+    // degree-oriented implementation exists to bound. Output must be
+    // IDENTICAL — orientation changes join volume, never the result.
+    val h = 40L
+    val mid = h / 2
+    val ids = (0L to h).filter(_ != mid)
+    val star = ids.map(i => (i, mid)) ++
+      ids.map(i => (i, i + 1)).filter { case (_, b) => b != mid && b <= h }
+    val e = star.toDF("s", "d")
+    val mine = GraphOps.triangleCounts(e, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    val idOriented = {
+      val eo = e.select(least($"s", $"d").as("a"), greatest($"s", $"d").as("b"))
+        .where($"a" =!= $"b").distinct()
+      eo.as("e1").join(eo.as("e2"), $"e1.b" === $"e2.a")
+        .join(eo.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+        .select(explode(array($"e1.a", $"e1.b", $"e2.b")).as("n"))
+        .groupBy($"n").agg(count(lit(1)).as("c"))
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(mine == idOriented)
+    // every consecutive leaf pair closes a triangle with the hub
+    assert(mine(mid) == star.count { case (_, b) => b != mid })
+  }
+
+  test("coOccurrencePairs drops mega-groups at the cap and keeps the rest exact") {
+    // two orders of 3 items (pairs appear in both -> w = 2) plus one
+    // mega-basket of 30 items: with the cap at 29 the mega-basket
+    // contributes NOTHING; uncapped it would add (30 choose 2) pairs
+    val small = (1 to 2).flatMap(o => Seq(1L, 2L, 3L).map(p => (o.toLong, p)))
+    val mega = (1L to 30L).map(p => (99L, 100L + p))
+    val items = (small ++ mega).toDF("grp", "item")
+    val capped = GraphOps.coOccurrencePairs(items, "grp", "item",
+        minShared = 2, maxGroupSize = 29)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L)))
+    // raising the cap admits the mega-basket, but its pairs still fail
+    // the minShared threshold — the two defenses are independent
+    val uncapped = GraphOps.coOccurrencePairs(items, "grp", "item",
+        minShared = 2, maxGroupSize = 1000)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(uncapped == capped)
+  }
+
   test("hop-bounded BFS distances are exact and silent beyond the horizon") {
     // path 1-2-3-4 plus disconnected 5-6; mixed edge directions prove the
     // undirected symmetrization

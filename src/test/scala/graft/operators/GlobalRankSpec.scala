@@ -31,6 +31,33 @@ class GlobalRankSpec extends SparkSpec {
     assert(out == Set((9L, "a", 0L), (9L, "b", 1L), (5L, "a", 2L), (1L, "c", 3L)))
   }
 
+  test("reliable checkpoint path yields identical ranks and fails loudly without a dir") {
+    val rows = (1 to 200).map(i => ((i * 7 % 31).toLong, i.toLong))
+    val df = rows.toDF("k", "id").repartition(7)
+    // no checkpoint dir set -> the reliable path must fail AT PLANNING,
+    // not as a mid-job task failure
+    val prior = spark.sparkContext.getCheckpointDir
+    if (prior.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")), "r", reliable = true)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("grk_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val fast = GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")), "r",
+          numPartitions = 5)
+        .select("k", "id", "r").as[(Long, Long, Long)].collect().toSet
+      val safe = GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")), "r",
+          numPartitions = 5, reliable = true)
+        .select("k", "id", "r").as[(Long, Long, Long)].collect().toSet
+      assert(safe == fast)
+    } finally {
+      graft.etl.Context.deleteRecursively(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("withGlobalRank with more partitions than rows stays exact") {
     val df = Seq((3L, 1L), (1L, 2L), (2L, 3L)).toDF("k", "id")
     val out = GlobalRank.withGlobalRank(df, Seq(col("k"), col("id")), "r",
