@@ -1241,17 +1241,35 @@ object SparkEntry {
         .select(col("media_id"), col("mime"), col("n_bytes"))
     }),
 
-    // REAL media decode, pure JVM: payloads are valid BMP/WAV files
-    // synthesized from engine-portable hex expressions, then parsed back
-    // by the header decoder in the partition-batched mapPartitions path.
-    // The oracle rebuilds the same bytes in SQL and parses width/height/
-    // sample-rate/samples out of them with substr+endian arithmetic; the
-    // payload hash pins byte-for-byte construction equality, the decoded
-    // fields pin the parser. No decode stub left on this path.
+    // REAL media decode, pure JVM: payloads are valid BMP/WAV/PNG/JPEG
+    // files synthesized from engine-portable hex expressions, then parsed
+    // back by the header decoder in the partition-batched mapPartitions
+    // path (LE BITMAPINFOHEADER / RIFF chunk walk / BE IHDR / JPEG marker
+    // walk to SOF0). The oracle rebuilds the same bytes in SQL and parses
+    // width/height/sample-rate/samples out of them with substr+endian
+    // arithmetic; the payload hash pins byte-for-byte construction
+    // equality, the decoded fields pin the parsers. No decode stub left
+    // on this path.
     "q_media_decode" -> ((s, dir) => {
       val media = Multimodal.synthesizeMedia(
         t(s, dir, "documents").select(col("doc_id")), "doc_id")
       Multimodal.decodeMedia(media).toDF()
+    }),
+
+    // image near-duplicates: 64-bit dHash (row-gradient perceptual hash)
+    // over REAL decoded BMP pixel grids, paired through the SimHash
+    // Hamming-band LSH (recall 1.0 at Hamming <= 3 by the 4-band
+    // pigeonhole — same argument as q_simhash_near_dup). The fixture
+    // plants near-dups: images sharing doc_id%50 differ in at most one
+    // perturbed pixel (<= 4 dHash bits). The oracle rebuilds the BMP hex,
+    // reads every gray byte back at the decoder's offsets, recomputes all
+    // 64 comparison bits and takes exact all-pairs Hamming <= 3 — so the
+    // synthesis, the pixel decode, the hash and the LSH recall are all
+    // value-checked end to end.
+    "q_image_near_dup" -> ((s, dir) => {
+      val imgs = Multimodal.synthesizeGradientImages(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.imageNearDuplicates(imgs, maxHamming = 3)
     }),
 
     // event-time tumbling-window aggregation (batch form of the streaming
@@ -1789,13 +1807,15 @@ object SparkEntry {
       |  WHERE len(b.sh) > 0 AND len(r.sh) > 0)
       |SELECT new_id, ref_id, jaccard FROM x WHERE jaccard >= 0.5""".stripMargin
 
-  /** The q_media_decode oracle: rebuild the synthesized BMP/WAV payloads
-    * hex-for-hex (same `lpad∘hex` little-endian construction as
+  /** The q_media_decode oracle: rebuild the synthesized BMP/WAV/PNG/JPEG
+    * payloads hex-for-hex (same `lpad∘hex` endian constructions as
     * [[graft.ext.Multimodal.synthesizeMedia]]), then PARSE the decoded
     * fields back out of the built hex at the same byte offsets the JVM
-    * header parser reads. md5 over the hex (hex↔bytes is a bijection; this
-    * DuckDB build's md5 is VARCHAR-only) pins construction equality; the
-    * parsed fields pin the decoder. */
+    * header parser reads (LE for BMP/WAV, BE for PNG/JPEG — the JPEG
+    * offsets are fixed because the synthesized segment layout is; the JVM
+    * side still walks markers for real). md5 over the hex (hex↔bytes is a
+    * bijection; this DuckDB build's md5 is VARCHAR-only) pins construction
+    * equality; the parsed fields pin the decoder. */
   private val mediaDecodeOracleSql: String = {
     // little-endian 32-bit hex of a SQL integer expression
     def le32(v: String): String = {
@@ -1813,45 +1833,114 @@ object SparkEntry {
       val c = byteOff * 2 + 1
       s"('0x' || substr(hx, ${c + 2}, 2) || substr(hx, $c, 2))::BIGINT"
     }
+    // big-endian fields read straight off the hex
+    def be32p(byteOff: Int): String =
+      s"('0x' || substr(hx, ${byteOff * 2 + 1}, 8))::BIGINT"
+    def be16p(byteOff: Int): String =
+      s"('0x' || substr(hx, ${byteOff * 2 + 1}, 4))::BIGINT"
     s"""WITH p AS (
       |  SELECT cast(doc_id AS bigint) AS media_id,
-      |    doc_id % 2 = 0 AS is_bmp,
+      |    doc_id % 4 AS k,
       |    cast(doc_id % 7 + 1 AS bigint) AS w,
       |    cast(doc_id % 5 + 1 AS bigint) AS h,
       |    cast(8000 + (doc_id % 8) * 1000 AS bigint) AS sr,
       |    cast(doc_id % 400 + 1 AS bigint) AS ns,
+      |    cast(doc_id % 640 + 1 AS bigint) AS pngw,
+      |    cast(doc_id % 480 + 1 AS bigint) AS pngh,
+      |    cast(doc_id % 1920 + 1 AS bigint) AS jpgw,
+      |    cast(doc_id % 1080 + 1 AS bigint) AS jpgh,
       |    lpad(hex(doc_id % 256), 2, '0') AS fill
       |  FROM documents),
       | geom AS (SELECT *, cast(floor((w * 3 + 3) / 4) * 4 AS bigint) AS rowsize FROM p),
       | built AS (
-      |  SELECT media_id, is_bmp,
-      |    CASE WHEN is_bmp THEN
+      |  SELECT media_id, k,
+      |    CASE k
+      |    WHEN 0 THEN
       |      '424D' || ${le32("rowsize * h + 54")} || '00000000' || ${le32("54")} ||
       |      '28000000' || ${le32("w")} || ${le32("h")} || '0100' || '1800' ||
       |      '00000000' || ${le32("rowsize * h")} || '130B0000' || '130B0000' ||
       |      '00000000' || '00000000' || repeat(fill, cast(rowsize * h AS int))
-      |    ELSE
+      |    WHEN 1 THEN
       |      '52494646' || ${le32("ns * 2 + 36")} || '57415645' || '666D7420' ||
       |      ${le32("16")} || '0100' || '0100' || ${le32("sr")} || ${le32("sr * 2")} ||
       |      '0200' || '1000' || '64617461' || ${le32("ns * 2")} ||
       |      repeat(fill, cast(ns * 2 AS int))
+      |    WHEN 2 THEN
+      |      '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+      |      lpad(hex(pngw), 8, '0') || lpad(hex(pngh), 8, '0') || '08' || '02' ||
+      |      '000000' || '00000000' || '00000000' || '49454E44' || 'AE426082'
+      |    ELSE
+      |      'FFD8' || 'FFE0' || '0010' || '4A46494600' || '0101' || '00' ||
+      |      '0048' || '0048' || '00' || '00' ||
+      |      'FFC0' || '0011' || '08' || lpad(hex(jpgh), 4, '0') || lpad(hex(jpgw), 4, '0') ||
+      |      '03' || '012200' || '021101' || '031101' || 'FFD9'
       |    END AS hx
       |  FROM geom),
       | parsed AS (
-      |  SELECT media_id, is_bmp, hx,
+      |  SELECT media_id, k, hx,
       |    ${le32p(18)} AS bmp_w, ${le32p(22)} AS bmp_h,
-      |    ${le32p(24)} AS wav_sr, ${le16p(32)} AS wav_ba, ${le32p(40)} AS wav_ds
+      |    ${le32p(24)} AS wav_sr, ${le16p(32)} AS wav_ba, ${le32p(40)} AS wav_ds,
+      |    ${be32p(16)} AS png_w, ${be32p(20)} AS png_h,
+      |    ${be16p(25)} AS jpg_h, ${be16p(27)} AS jpg_w
       |  FROM built)
       |SELECT media_id,
-      |  CASE WHEN is_bmp THEN 'bmp' ELSE 'wav' END AS kind,
-      |  CASE WHEN is_bmp THEN cast(bmp_w AS int) END AS width,
-      |  CASE WHEN is_bmp THEN cast(bmp_h AS int) END AS height,
-      |  CASE WHEN NOT is_bmp THEN cast(wav_sr AS int) END AS sample_rate,
-      |  CASE WHEN NOT is_bmp THEN wav_ds // wav_ba END AS n_samples,
-      |  CASE WHEN NOT is_bmp THEN ((wav_ds // wav_ba) * 1000.0) / wav_sr END AS duration_ms,
+      |  CASE k WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' WHEN 2 THEN 'png' ELSE 'jpeg' END AS kind,
+      |  CASE WHEN k = 0 THEN cast(bmp_w AS int) WHEN k = 2 THEN cast(png_w AS int)
+      |       WHEN k = 3 THEN cast(jpg_w AS int) END AS width,
+      |  CASE WHEN k = 0 THEN cast(bmp_h AS int) WHEN k = 2 THEN cast(png_h AS int)
+      |       WHEN k = 3 THEN cast(jpg_h AS int) END AS height,
+      |  CASE WHEN k = 1 THEN cast(wav_sr AS int) END AS sample_rate,
+      |  CASE WHEN k = 1 THEN wav_ds // wav_ba END AS n_samples,
+      |  CASE WHEN k = 1 THEN ((wav_ds // wav_ba) * 1000.0) / wav_sr END AS duration_ms,
       |  md5(hx) AS payload_md5
       |FROM parsed""".stripMargin
   }
+
+  /** The q_image_near_dup oracle: rebuild the 9×8 gradient BMPs hex-for-
+    * hex ([[graft.ext.Multimodal.synthesizeGradientImages]]), read every
+    * gray byte back out of the built hex at the decoder's exact offsets
+    * (bottom-up rows, 28-byte stride, blue channel), recompute the 64
+    * dHash comparison bits, and take exact all-pairs Hamming ≤ 3 over the
+    * per-bit rows (64·pairs rows — integer-only, no 64-bit shifts, which
+    * overflow DuckDB's UBIGINT `<<`). Exact all-pairs == the Spark LSH
+    * output because 4-band pigeonhole recall at Hamming ≤ 3 is
+    * unconditional. */
+  private val imageNearDupOracleSql: String =
+    """WITH d AS (
+      |  SELECT cast(doc_id AS bigint) AS id, doc_id % 50 AS pid, doc_id // 50 AS v
+      |  FROM documents),
+      | cells AS (
+      |  SELECT id, ys, x,
+      |    CASE WHEN x = 9 THEN '00'
+      |         ELSE repeat(lpad(hex((pid * 37 + x * (13 + (pid % 11) * 23) +
+      |           (7 - ys) * 53 +
+      |           CASE WHEN v > 0 AND v % 9 = x AND v % 8 = (7 - ys)
+      |                THEN 40 ELSE 0 END) % 256), 2, '0'), 3)
+      |    END AS ph
+      |  FROM d, generate_series(0, 7) s(ys), generate_series(0, 9) t(x)),
+      | body AS (SELECT id, string_agg(ph, '' ORDER BY ys, x) AS bh FROM cells GROUP BY id),
+      | built AS (
+      |  SELECT id,
+      |    '424D' || '16010000' || '00000000' || '36000000' || '28000000' ||
+      |    '09000000' || '08000000' || '0100' || '1800' || '00000000' ||
+      |    'E0000000' || '130B0000' || '130B0000' || '00000000' || '00000000' ||
+      |    bh AS hx
+      |  FROM body),
+      | grid AS (
+      |  SELECT id, x, y,
+      |    ('0x' || substr(hx, (54 + (7 - y) * 28 + x * 3) * 2 + 1, 2))::BIGINT AS g
+      |  FROM built, generate_series(0, 8) gx(x), generate_series(0, 7) gy(y)),
+      | bits AS (
+      |  SELECT a.id, a.y * 8 + a.x AS bit,
+      |    CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS v
+      |  FROM grid a JOIN grid b ON a.id = b.id AND b.x = a.x + 1 AND b.y = a.y
+      |  WHERE a.x < 8),
+      | pairs AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |    sum(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END)::BIGINT AS hamming
+      |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.id < b.id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
 
   /** The full IVF top-k chain in SQL, ending in a `ranked` CTE — the
     * centroid gate, ONE Lloyd refinement pass, the argmin assignment, the
@@ -2062,6 +2151,7 @@ object SparkEntry {
     // decoder reads (LE reassembly via substr) — md5 over the hex pins the
     // bytes, the parsed fields pin the decode
     "q_media_decode" -> mediaDecodeOracleSql,
+    "q_image_near_dup" -> imageNearDupOracleSql,
 
     // the full cleaning funnel, replayed stage by stage: sanitize (scrub
     // pattern), the composite quality formula, exact dedup (min-id keeper),

@@ -120,18 +120,59 @@ object Multimodal {
       kind: String, width: Option[Int], height: Option[Int],
       sampleRate: Option[Int], nSamples: Option[Long], durationMs: Option[Double])
 
-  /** Pure-JVM container-header parser: BMP (BITMAPINFOHEADER dimensions)
-    * and WAV (RIFF chunk walk → fmt sample rate + data-chunk sample
-    * count). No codec libraries — exactly the header arithmetic any
-    * ingest-side media probe runs before handing payloads to a real
-    * decoder. None for unrecognized or truncated payloads (callers decide
-    * whether that is an error or a fallback). */
+  /** Pure-JVM container-header parser: BMP (BITMAPINFOHEADER dimensions),
+    * WAV (RIFF chunk walk → fmt sample rate + data-chunk sample count),
+    * PNG (signature + IHDR dimensions/depth) and JPEG (marker-segment walk
+    * to the first SOF frame header). No codec libraries — exactly the
+    * header arithmetic any ingest-side media probe runs before handing
+    * payloads to a real decoder. None for unrecognized or truncated
+    * payloads (callers decide whether that is an error or a fallback). */
   private[ext] def parseHeader(bytes: Array[Byte]): Option[MediaHeader] = {
     def u8(i: Int): Int = bytes(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
       ((u8(i + 3) & 0xffL) << 24)
-    if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long = ((u8(i) & 0xffL) << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)
+    val pngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (bytes.length >= 29 && bytes.take(8).sameElements(pngMagic)) {
+      // first chunk must be IHDR (PNG spec): big-endian width at 16,
+      // height at 20; bit depth / color type follow but MediaDecoded only
+      // carries dimensions
+      if (bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')
+        Some(MediaHeader("png", Some(be32(16).toInt), Some(be32(20).toInt),
+          None, None, None))
+      else None
+    } else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments from SOI to the first SOF frame header
+      // (C0-CF minus the non-frame C4/C8/CC): big-endian height at +5,
+      // width at +7 inside the segment. A real file's entropy-coded data
+      // only starts after SOS, and SOF always precedes SOS, so the walk
+      // never reads past a valid header. Long cursor for the same
+      // corrupt-length reason as the RIFF walk.
+      var pos = 2L
+      var out: Option[MediaHeader] = None
+      var bad = false
+      while (out.isEmpty && !bad && pos + 4 <= bytes.length) {
+        val p = pos.toInt
+        if (u8(p) != 0xff) bad = true
+        else {
+          val m = u8(p + 1)
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (p + 9 <= bytes.length)
+              out = Some(MediaHeader("jpeg", Some(be16(p + 7)), Some(be16(p + 5)),
+                None, None, None))
+            else bad = true
+          } else if (m == 0xd9 || m == 0xda) bad = true // EOI/SOS before any SOF
+          else {
+            val segLen = be16(p + 2)
+            if (segLen < 2) bad = true else pos += 2L + segLen
+          }
+        }
+      }
+      out
+    } else if (bytes.length >= 26 && bytes(0) == 'B' && bytes(1) == 'M') {
       // BITMAPINFOHEADER: signed LE32 width at 18, height at 22 (a negative
       // height encodes top-down row order; dimensions are the magnitudes)
       val w = le32(18).toInt
@@ -166,12 +207,14 @@ object Multimodal {
   }
 
   /** Synthesize REAL (parseable) media payloads deterministically from an
-    * id column — even-id rows become 24-bpp BMP images, odd-id rows 16-bit
-    * mono PCM WAVs, with id-derived dimensions / sample counts. Built
-    * entirely from engine-portable string/hex expressions (`lpad∘hex` +
-    * little-endian byte reordering + `unhex`), so a SQL oracle can rebuild
-    * the exact bytes and [[decodeMedia]]'s output is value-checkable
-    * md5-for-md5. Payload sizes stay tiny (≤ ~1 KB) by construction. */
+    * id column — `id % 4` picks the container: 24-bpp BMP, 16-bit mono PCM
+    * WAV, PNG (signature + IHDR + IEND), or baseline JPEG (SOI + JFIF
+    * APP0 + SOF0 + EOI), with id-derived dimensions / sample counts.
+    * Built entirely from engine-portable string/hex expressions
+    * (`lpad∘hex` + endian byte (re)ordering + `unhex`), so a SQL oracle
+    * can rebuild the exact bytes and [[decodeMedia]]'s output is
+    * value-checkable md5-for-md5. Payload sizes stay tiny (≤ ~1 KB) by
+    * construction. */
   def synthesizeMedia(df: DataFrame, idCol: String): DataFrame = {
     def le32(c: Column): Column = {
       val h = lpad(hex(c.cast("long")), 8, "0")
@@ -181,6 +224,9 @@ object Multimodal {
       val h = lpad(hex(c.cast("long")), 4, "0")
       concat(h.substr(3, 2), h.substr(1, 2))
     }
+    // PNG/JPEG fields are big-endian: the hex rendering IS the byte order
+    def be32(c: Column): Column = lpad(hex(c.cast("long")), 8, "0")
+    def be16(c: Column): Column = lpad(hex(c.cast("long")), 4, "0")
     val id = col(idCol).cast("long")
     val w = id % 7 + 1
     val h = id % 5 + 1
@@ -202,10 +248,33 @@ object Multimodal {
       le32(sr), le32(sr * 2), lit("0200"), lit("1000"),
       lit("64617461"), le32(dataSize),
       call_function("repeat", fill, dataSize.cast("int")))
-    df.select(
-      id.as("media_id"),
-      when(id % 2 === 0, lit("bmp")).otherwise(lit("wav")).as("kind"),
-      unhex(when(id % 2 === 0, bmpHex).otherwise(wavHex)).as("content"))
+    // PNG: signature, IHDR (8-bit truecolor; CRC zeroed — the header
+    // probe, like most, never validates chunk CRCs), empty IEND with its
+    // well-known constant CRC
+    val pngW = id % 640 + 1
+    val pngH = id % 480 + 1
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+      be32(pngW), be32(pngH), lit("08"), lit("02"), lit("000000"),
+      lit("00000000"), lit("00000000"), lit("49454E44"), lit("AE426082"))
+    // JPEG: SOI, JFIF APP0 (1.1, 72 dpi, no thumbnail), baseline SOF0
+    // with three 8-bit components (the dimensions a probe reads), EOI —
+    // no scan data needed for header probing
+    val jpgW = id % 1920 + 1
+    val jpgH = id % 1080 + 1
+    val jpgHex = concat(
+      lit("FFD8"),
+      lit("FFE0"), lit("0010"), lit("4A46494600"), lit("0101"), lit("00"),
+      lit("0048"), lit("0048"), lit("00"), lit("00"),
+      lit("FFC0"), lit("0011"), lit("08"), be16(jpgH), be16(jpgW),
+      lit("03"), lit("012200"), lit("021101"), lit("031101"),
+      lit("FFD9"))
+    val kind = element_at(
+      array(lit("bmp"), lit("wav"), lit("png"), lit("jpeg")),
+      (id % 4 + 1).cast("int"))
+    val hx = when(id % 4 === 0, bmpHex).when(id % 4 === 1, wavHex)
+      .when(id % 4 === 2, pngHex).otherwise(jpgHex)
+    df.select(id.as("media_id"), kind.as("kind"), unhex(hx).as("content"))
   }
 
   /** Header-decode a media table ((media_id, content BINARY) at minimum)
@@ -246,6 +315,125 @@ object Multimodal {
           }
         }
       }
+  }
+
+  /** Synthesize 9×8 24-bpp BMP images whose pixel GRID (not just header)
+    * is deterministic from the id — the image-near-dup fixture. Gray value
+    * at logical (x, y):
+    * `(pid·37 + x·(13 + (pid mod 11)·23) + y·53 + perturb) mod 256` with
+    * `pid = id mod 50` (images sharing a pid are near-identical) and
+    * `perturb = 40` at the single pixel `(v mod 9, v mod 8)` for variant
+    * `v = id div 50 > 0` — one perturbed pixel flips at most two dHash
+    * comparison bits, so same-pid variants land within Hamming ≤ 4 of
+    * each other (≤ 2 of the v=0 original). The x-gradient STEP is
+    * pid-dependent (not just the offset — a constant offset survives the
+    * mod in most comparisons and left cross-pid hashes near-identical;
+    * measured on the 500-doc fixture: step-varying gives 0 cross-pid
+    * pairs at Hamming ≤ 3 vs 3312 for offset-only, with all ~2250
+    * within-pid pairs kept). All three channels carry the gray byte; rows
+    * are stored bottom-up with the 28-byte stride BMP mandates for width
+    * 9. Same `lpad∘hex` construction as [[synthesizeMedia]], so a SQL
+    * oracle rebuilds the exact bytes and replays [[dHash64]] bit by
+    * bit. */
+  def synthesizeGradientImages(df: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol).cast("long")
+    val pid = id % 50
+    val v = floor(id / 50).cast("long")
+    def le32(c: Column): Column = {
+      val h = lpad(hex(c.cast("long")), 8, "0")
+      concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2), h.substr(1, 2))
+    }
+    def grayHex(x: Int, y: Int): Column = {
+      val base = pid * 37 + (pid % 11 * 23 + 13) * x + lit(y * 53)
+      val g = (base + when(v > 0 && v % 9 === x && v % 8 === y, 40).otherwise(0)) % 256
+      lpad(hex(g), 2, "0")
+    }
+    // body: 8 stored rows bottom-up (stored row ys = logical y 7-ys),
+    // 9 BGR pixels (all channels equal) + 1 padding byte to the 28-byte
+    // stride
+    val body = concat((0 until 8).flatMap { ys =>
+      val y = 7 - ys
+      (0 until 9).map(x => call_function("repeat", grayHex(x, y), lit(3))) :+
+        lit("00")
+    }: _*)
+    val hx = concat(
+      lit("424D"), le32(lit(224 + 54)), lit("00000000"), le32(lit(54)),
+      lit("28000000"), le32(lit(9)), le32(lit(8)), lit("0100"), lit("1800"),
+      lit("00000000"), le32(lit(224)), lit("130B0000"), lit("130B0000"),
+      lit("00000000"), lit("00000000"), body)
+    df.select(id.as("media_id"), unhex(hx).as("content"))
+  }
+
+  /** 64-bit difference hash (dHash) of a BMP payload: nearest-neighbor
+    * sample the blue channel onto a 9×8 grid, then bit `y·8 + x` is set
+    * iff `gray(x+1, y) > gray(x, y)` — the standard row-gradient
+    * perceptual hash, in pure integer arithmetic (floor-division
+    * sampling, byte compares) so any engine replays it bit for bit.
+    * None for payloads the BMP parser rejects or smaller than 1×1.
+    * Near-duplicate images differ in few bits; pair search reuses the
+    * SimHash Hamming-band machinery ([[imageNearDuplicates]]). */
+  private[ext] def dHash64(bytes: Array[Byte]): Option[Long] =
+    parseHeader(bytes) match {
+      case Some(MediaHeader("bmp", Some(w), Some(h), _, _, _)) if w >= 1 && h >= 1 =>
+        val stride = (w * 3 + 3) / 4 * 4
+        if (bytes.length < 54 + stride * h) None
+        else {
+          def gray(x: Int, y: Int): Int = {
+            // logical y counts from the top; BMP stores rows bottom-up
+            val off = 54 + (h - 1 - y) * stride + x * 3
+            bytes(off) & 0xff
+          }
+          var fp = 0L
+          var bit = 0
+          var y = 0
+          while (y < 8) {
+            val sy = y * h / 8
+            var x = 0
+            while (x < 8) {
+              val sxa = x * w / 9
+              val sxb = (x + 1) * w / 9
+              if (gray(sxb, sy) > gray(sxa, sy)) fp |= 1L << bit
+              bit += 1
+              x += 1
+            }
+            y += 1
+          }
+          Some(fp)
+        }
+      case _ => None
+    }
+
+  /** Image near-duplicate pairs via dHash + the SimHash Hamming-band LSH:
+    * fingerprints from [[dHash64]] in the partition-batched decode shape,
+    * 16-bit band bucketing, Hamming verify at `maxHamming` (≤ 3 is
+    * GUARANTEED recall: 3 flipped bits cannot touch all 4 bands).
+    * Undecodable payloads get a null fingerprint and exit at the band
+    * explode — they can never pair. Scale: the band join carries
+    * (band, bval, id) rows only — never payloads — and the verify join
+    * fetches two longs per candidate; the corpus is scanned once. */
+  def imageNearDuplicates(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    val spark = media.sparkSession
+    import spark.implicits._
+    val fps = media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (mid, b) =>
+        (mid, dHash64(if (b == null) Array.emptyByteArray else b))
+      }))
+      .toDF("id", "fp")
+      .select(col("id"), col("fp"))
+    val bandArr = when(col("fp").isNull, lit(null)).otherwise(H.simhashBands(col("fp")))
+    val buckets = fps.select(col("id"), posexplode(bandArr).as(Seq("band", "bval")))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"), Seq("band", "bval"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    candidates
+      .join(fps.select(col("id").as("id_a"), col("fp").as("fp_a")), "id_a")
+      .join(fps.select(col("id").as("id_b"), col("fp").as("fp_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        H.hamming64(col("fp_a"), col("fp_b")).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   /** STUB resize: clamp dimensions to fit (maxW, maxH) preserving aspect

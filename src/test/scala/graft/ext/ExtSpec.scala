@@ -613,31 +613,82 @@ class ExtSpec extends SparkSpec {
     }
   }
 
-  test("media decode: synthesized BMP/WAV payloads parse back to their formula fields") {
+  test("media decode: synthesized BMP/WAV/PNG/JPEG payloads parse back to their formula fields") {
     val ids = spark.range(0, 40).toDF("doc_id")
     val media = Multimodal.synthesizeMedia(ids, "doc_id")
     val out = Multimodal.decodeMedia(media).collect().map(d => d.media_id -> d).toMap
     assert(out.size == 40)
     (0L until 40L).foreach { id =>
       val d = out(id)
-      if (id % 2 == 0) {
-        assert(d.kind == "bmp", s"id=$id")
-        assert(d.width.contains((id % 7 + 1).toInt), s"id=$id got ${d.width}")
-        assert(d.height.contains((id % 5 + 1).toInt), s"id=$id got ${d.height}")
-        assert(d.sample_rate.isEmpty && d.n_samples.isEmpty && d.duration_ms.isEmpty)
-      } else {
-        val sr = (8000 + (id % 8) * 1000).toInt
-        val ns = id % 400 + 1
-        assert(d.kind == "wav", s"id=$id")
-        assert(d.sample_rate.contains(sr), s"id=$id got ${d.sample_rate}")
-        assert(d.n_samples.contains(ns), s"id=$id got ${d.n_samples}")
-        assert(d.duration_ms.contains(ns * 1000.0 / sr), s"id=$id")
-        assert(d.width.isEmpty && d.height.isEmpty)
+      (id % 4) match {
+        case 0 =>
+          assert(d.kind == "bmp", s"id=$id")
+          assert(d.width.contains((id % 7 + 1).toInt), s"id=$id got ${d.width}")
+          assert(d.height.contains((id % 5 + 1).toInt), s"id=$id got ${d.height}")
+          assert(d.sample_rate.isEmpty && d.n_samples.isEmpty && d.duration_ms.isEmpty)
+        case 1 =>
+          val sr = (8000 + (id % 8) * 1000).toInt
+          val ns = id % 400 + 1
+          assert(d.kind == "wav", s"id=$id")
+          assert(d.sample_rate.contains(sr), s"id=$id got ${d.sample_rate}")
+          assert(d.n_samples.contains(ns), s"id=$id got ${d.n_samples}")
+          assert(d.duration_ms.contains(ns * 1000.0 / sr), s"id=$id")
+          assert(d.width.isEmpty && d.height.isEmpty)
+        case 2 =>
+          assert(d.kind == "png", s"id=$id")
+          assert(d.width.contains((id % 640 + 1).toInt), s"id=$id got ${d.width}")
+          assert(d.height.contains((id % 480 + 1).toInt), s"id=$id got ${d.height}")
+          assert(d.sample_rate.isEmpty && d.n_samples.isEmpty)
+        case _ =>
+          assert(d.kind == "jpeg", s"id=$id")
+          assert(d.width.contains((id % 1920 + 1).toInt), s"id=$id got ${d.width}")
+          assert(d.height.contains((id % 1080 + 1).toInt), s"id=$id got ${d.height}")
+          assert(d.sample_rate.isEmpty && d.n_samples.isEmpty)
       }
       assert(d.payload_md5.length == 32)
     }
     // distinct payloads -> distinct hashes (the fill byte + dims vary by id)
     assert(out.values.map(_.payload_md5).toSet.size == 40)
+  }
+
+  test("JPEG marker walk skips unknown segments and survives truncation") {
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // SOI + COM segment + DQT-ish segment BEFORE SOF0: the walk must skip
+    // by each segment's declared length, not assume the synthesized layout
+    val com = Array(0xff.toByte, 0xfe.toByte) ++ be16(7) ++ "hello".getBytes
+    val dqt = Array(0xff.toByte, 0xdb.toByte) ++ be16(4) ++ Array[Byte](0, 1)
+    val sof = Array(0xff.toByte, 0xc0.toByte) ++ be16(11) ++ Array(8.toByte) ++
+      be16(600) ++ be16(800) ++ Array[Byte](1, 0x11, 0)
+    val jpg = Array(0xff.toByte, 0xd8.toByte) ++ com ++ dqt ++ sof ++
+      Array(0xff.toByte, 0xd9.toByte)
+    val hd = Multimodal.parseHeader(jpg)
+    assert(hd.exists(h => h.kind == "jpeg" &&
+      h.width.contains(800) && h.height.contains(600)))
+    // EOI before any SOF (no frame header) and a mid-segment truncation
+    // both quarantine instead of throwing
+    assert(Multimodal.parseHeader(
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte)).isEmpty)
+    assert(Multimodal.parseHeader(jpg.take(9)).isEmpty)
+  }
+
+  test("dHash image near-dup: planted same-pattern variants pair, distinct patterns do not") {
+    // ids 0..119 at pid = id % 50: ids {7, 57, 107} share pattern 7 with
+    // one perturbed pixel per variant -> within Hamming <= 4 of each
+    // other and <= 2 of the original; different pids share no pairs at
+    // the measured fixture (step-varying gradient)
+    val imgs = Multimodal.synthesizeGradientImages(
+      spark.range(0, 120).toDF("doc_id"), "doc_id")
+    val pairs = Multimodal.imageNearDuplicates(imgs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    // every pair shares a pattern id, and the planted (7, 57) pair is found
+    assert(pairs.forall { case (a, b, _) => a % 50 == b % 50 })
+    assert(pairs.exists { case (a, b, h) => a == 7L && b == 57L && h <= 2 })
+    // the fingerprint itself: variant differs from original in <= 2 bits
+    val fp = imgs.as[(Long, Array[Byte])].collect().toMap
+      .map { case (id, bytes) => id -> Multimodal.dHash64(bytes).get }
+    assert(java.lang.Long.bitCount(fp(7L) ^ fp(57L)) <= 2)
+    assert(java.lang.Long.bitCount(fp(7L) ^ fp(8L)) > 3)
   }
 
   test("WAV chunk walk survives a non-canonical layout; junk payloads quarantine") {
