@@ -220,6 +220,25 @@ object SparkEntry {
     // token-budget mixture planning: per-source corpus token counts vs a
     // 1B-token target under explicit mixture weights — "how many epochs of
     // each source does this mixture imply" (upsampled sources epoch > 1)
+    // tokenizer-faithful token counts: byte-level BPE (Sennrich 2016)
+    // trained deterministically on a BOUNDED fixture sample (doc_id < 50
+    // — a constant-size collect, the sample-based vocab training every
+    // production tokenizer uses), then applied per-row as a native
+    // expression. The oracle REPLAYS TRAINING ITSELF in SQL — 24 chained
+    // argmax + replace stages over the comma-wrapped hex rendering, where
+    // one `replace()` is exactly one left-to-right merge pass — then
+    // re-tokenizes every document with the learned merges, so the merge
+    // table and the counts are both value-checked (graft.functions.Bpe
+    // has the determinism contract).
+    "q_bpe_tokens" -> ((s, dir) => {
+      val sample = t(s, dir, "documents")
+        .where(col("doc_id") < 50 && col("text").isNotNull && length(col("text")) > 0)
+        .select(col("text")).collect().map(_.getString(0)).toSeq
+      val merges = graft.functions.Bpe.train(sample, numMerges = 24)
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+    }),
+
     "q_token_budget" -> ((s, dir) => {
       val weighted = t(s, dir, "documents")
         .groupBy(col("source"))
@@ -1896,6 +1915,47 @@ object SparkEntry {
       |FROM parsed""".stripMargin
   }
 
+  /** The q_bpe_tokens oracle: replay BPE TRAINING in SQL, then tokenize.
+    * Documents render as comma-wrapped hex symbols (`,61,,62,` …); each
+    * training stage takes the argmax adjacent pair — `ORDER BY count
+    * DESC, x, y` is the trainer's exact tiebreak, ASCII-lexicographic in
+    * both engines — and applies the merge with one `replace()`, which IS
+    * one left-to-right non-overlapping merge pass on that rendering (see
+    * [[graft.functions.Bpe]]). MATERIALIZED pins each stage: the default
+    * CTE inlining re-evaluates every referenced stage and the 24-deep
+    * chain goes exponential (measured: >120 s inlined, 0.14 s
+    * materialized). The coalesce sentinel ('~' is not a hex symbol) keeps
+    * a hypothetically-empty sample from turning `replace` NULL. */
+  private val bpeTokensOracleSql: String = {
+    val n = 24
+    val wrap = """regexp_replace(hex(text), '(..)', ',\1,', 'g')"""
+    def m(i: Int, s: String): String = s"coalesce((SELECT $s FROM m$i), '~')"
+    def step(i: Int): String =
+      s"replace(s, ',' || ${m(i, "x")} || ',,' || ${m(i, "y")} || ',', " +
+        s"',' || ${m(i, "x || y")} || ',')"
+    val sb = new StringBuilder
+    sb ++= "WITH s0 AS MATERIALIZED (SELECT " + wrap +
+      " AS s FROM documents WHERE doc_id < 50 AND text IS NOT NULL AND len(text) > 0)"
+    for (i <- 1 to n) {
+      sb ++= s""",
+ m$i AS MATERIALIZED (
+  SELECT t.ls[u.g] AS x, t.ls[u.g + 1] AS y, count(*) AS c
+  FROM (SELECT string_split(trim(s, ','), ',,') AS ls FROM s${i - 1}) t,
+       unnest(generate_series(1, len(t.ls) - 1)) AS u(g)
+  GROUP BY 1, 2 ORDER BY c DESC, x, y LIMIT 1),
+ s$i AS MATERIALIZED (SELECT ${step(i)} AS s FROM s${i - 1})"""
+    }
+    sb ++= s""",
+ a0 AS (SELECT doc_id, $wrap AS s FROM documents)"""
+    for (i <- 1 to n) {
+      sb ++= s""",
+ a$i AS (SELECT doc_id, ${step(i)} AS s FROM a${i - 1})"""
+    }
+    sb ++= s"""
+SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_tokens FROM a$n"""
+    sb.toString
+  }
+
   /** The q_image_near_dup oracle: rebuild the 9×8 gradient BMPs hex-for-
     * hex ([[graft.ext.Multimodal.synthesizeGradientImages]]), read every
     * gray byte back out of the built hex at the decoder's exact offsets
@@ -2152,6 +2212,7 @@ object SparkEntry {
     // bytes, the parsed fields pin the decode
     "q_media_decode" -> mediaDecodeOracleSql,
     "q_image_near_dup" -> imageNearDupOracleSql,
+    "q_bpe_tokens" -> bpeTokensOracleSql,
 
     // the full cleaning funnel, replayed stage by stage: sanitize (scrub
     // pattern), the composite quality formula, exact dedup (min-id keeper),

@@ -283,4 +283,52 @@ class GroundTruthSpec extends SparkSpec {
       .collect().map(_.getInt(0)).toSet
     assert(cids.subsetOf((0 until 16).toSet))
   }
+
+  test("BPE: merge-count monotonicity, zero-merge identity, wrapped-replace equivalence") {
+    import graft.functions.Bpe
+    val sample = docs.where(col("doc_id") < 50 && length(col("text")) > 0)
+      .select("text").collect().map(_.getString(0)).toSeq
+    assert(sample.nonEmpty)
+    val merges = Bpe.train(sample, numMerges = 24)
+    assert(merges.size == 24) // the fixture never runs out of pairs
+    // every merge's parts were producible when it was learned (rank order)
+    val known = scala.collection.mutable.Set((0 until 256).map(b => f"$b%02X"): _*)
+    merges.foreach { case (a, b) =>
+      assert(known(a) && known(b), s"merge ($a,$b) references an unknown symbol")
+      known += a + b
+    }
+    // token counts: 0 merges == byte count; counts NON-INCREASING as the
+    // merge table grows (each extra merge can only compact further) and
+    // strictly decreasing in total over the fixture
+    val texts = docs.select("text").limit(100).collect().map(_.getString(0))
+    def total(k: Int): Long = {
+      val mk = merges.take(k)
+      texts.map(t => countViaWrappedReplace(t, mk)).sum
+    }
+    val byKGrowingTable = Seq(0, 6, 12, 24).map(total)
+    assert(byKGrowingTable.head ==
+      texts.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong).sum)
+    assert(byKGrowingTable.sliding(2).forall { case Seq(a, b) => b <= a })
+    assert(byKGrowingTable.last < byKGrowingTable.head)
+    // the native int-array kernel equals the comma-wrapped String.replace
+    // reference — the EXACT semantics the SQL oracle replays
+    val spark2 = spark; import spark2.implicits._
+    val viaExpr = docs.where(col("doc_id") < 100)
+      .select(col("doc_id"), Bpe.tokenCount(col("text"), merges).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val viaReplace = docs.where(col("doc_id") < 100)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> countViaWrappedReplace(r.getString(1), merges)).toMap
+    assert(viaExpr == viaReplace)
+  }
+
+  /** The oracle's semantics verbatim: comma-wrapped hex symbols, one
+    * String.replace per merge (left-to-right non-overlapping — Java and
+    * SQL replace agree), count = separators / 2. */
+  private def countViaWrappedReplace(text: String, merges: Seq[(String, String)]): Long = {
+    var s = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f",${b & 0xff}%02X,").mkString
+    merges.foreach { case (a, b) => s = s.replace(s",$a,,$b,", s",$a$b,") }
+    s.count(_ == ',').toLong / 2
+  }
 }
