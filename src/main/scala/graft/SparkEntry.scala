@@ -1139,6 +1139,88 @@ object SparkEntry {
         .where(col("jaccard") >= 0.5)
     }),
 
+    // EXACT Jaccard-threshold join over the FULL corpus via prefix
+    // filtering (SSJoin/PPJoin) — the deterministic-recall alternative to
+    // the LSH families: rarest-first global token order, per-doc prefix of
+    // sz - ceil(t*sz) + 1 tokens, equi-join on prefix tokens (lossless by
+    // the overlap pigeonhole), exact-Jaccard verify. Same output contract
+    // as q_jaccard_pairs but corpus-wide — the oracle is all-pairs SQL,
+    // which is exactly the plan this operator exists to avoid.
+    "q_prefix_join" -> ((s, dir) => {
+      Dedup.prefixFilterJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        ngram = 3, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }),
+
+    // exact duplicated-substring coverage (sliding 40-char grams, the
+    // ExactSubstr signal): fraction of each doc's positions whose 40-gram
+    // also appears verbatim in ANOTHER doc — one md5-keyed shuffle; the
+    // 40-char texts never move, only their 16-byte hashes
+    "q_substring_dup" -> ((s, dir) => {
+      Dedup.duplicatedSpanProfile(t(s, dir, "documents"), "doc_id", "text", k = 40)
+        .select(col("doc_id"), col("n_positions"), col("n_dup_positions"),
+          col("dup_span_ratio"))
+    }),
+
+    // Misra-Gries mergeable heavy-hitters summary — the shuffle carries at
+    // most `capacity` counters per map task regardless of item
+    // cardinality. At capacity >= |distinct| (64 >> 5 event types) MG is
+    // provably exact and order-independent, which is what the count(*)
+    // oracle checks; the over-capacity guarantee band is pinned in
+    // GroundTruthSpec on the document word stream.
+    "q_heavy_hitters" -> ((s, dir) => {
+      t(s, dir, "events")
+        .agg(graft.plans.MisraGriesAggregator.misraGries(64)(col("event_type")).as("hh"))
+        .select(explode(col("hh")).as("x"))
+        .select(col("x.item").as("event_type"), col("x.est").as("cnt"))
+    }),
+
+    // k-anonymity by global-recoding ladder: publish each customer's QI at
+    // the finest level whose crowd holds >= 10 rows — (nation, segment) →
+    // (region, segment) → suppressed. Group counts are domain-bounded
+    // tables broadcast back onto one fact scan; no fact-side shuffle.
+    "q_k_anonymity" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      val base = cust
+        .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      graft.ext.Privacy.kAnonymizeLadder(base, k = 10,
+        levels = Seq(
+          Seq("qi_geo" -> col("n_name"), "qi_segment" -> col("c_mktsegment")),
+          Seq("qi_geo" -> col("r_name"), "qi_segment" -> col("c_mktsegment"))))
+        .select(col("c_custkey"), col("anon_level"), col("qi_geo"), col("qi_segment"))
+    }),
+
+    // Z-order layout audit: scale (part, supp) to 16-bit ordinals by the
+    // table max (integer div — exact on any engine, and SF-independent:
+    // the curve always spans all 32 bits), Morton-interleave, bucket by
+    // the top 6 curve bits (64 deterministic z-ranges = the files a
+    // clusterByZOrder write would cut), report the per-file min/max box a
+    // scan planner prunes against — all builtin bit ops, zero UDFs
+    "q_zorder" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = li.agg(max(col("l_partkey")).as("mp"), max(col("l_suppkey")).as("ms"))
+      val scaled = li.crossJoin(broadcast(m))
+        .select(expr("l_partkey * 65536 div (mp + 1)").as("zx"),
+          expr("l_suppkey * 65536 div (ms + 1)").as("zy"))
+      graft.operators.ZOrder.fileSkippingProfile(scaled, col("zx"), col("zy"),
+        numBuckets = 64)
+        .select(col("file_id"), col("n_rows"),
+          col("min_x"), col("max_x"), col("min_y"), col("max_y"))
+    }),
+
+    // size-balanced shard deal (snake draft on the exact global size
+    // rank): per-shard byte totals within one max-doc of each other —
+    // the epoch-straggler fix a modulo deal can't give; one range
+    // exchange via GlobalRank, no single-reducer window
+    "q_balanced_shards" -> ((s, dir) => {
+      Sampling.balancedShards(t(s, dir, "documents"), "doc_id", col("n_chars"), n = 10)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
+
     // DIRECTIONAL containment dedup (Broder's coverage): |A∩B| / |A| over
     // word-3-gram sets — catches "A is quoted inside B", which symmetric
     // Jaccard misses when |B| >> |A|. Computed as a posting-list join
@@ -3314,6 +3396,98 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |    END AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+
+    // the prefix-filter join is EXACT, so its oracle is the plan it
+    // replaces: all-pairs Jaccard over the full corpus (fine at verify
+    // scale; the whole point is that Spark never runs this shape)
+    "q_prefix_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS t
+        |  FROM documents),
+        | d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) = 0 THEN []
+        |         WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    END AS sh
+        |  FROM toks),
+        | d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+        | scored AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    cast(len(list_intersect(a.sh, b.sh)) AS double)
+        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.4""".stripMargin,
+
+    // DuckDB groups the gram STRING where Spark groups its md5 — identical
+    // partitions (md5 is injective absent collisions, the same assumption
+    // contentHash rides); min<>max replays the cross-doc test exactly
+    "q_substring_dup" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 40 + 2, 1))) AS i
+        |  FROM documents WHERE length(text) >= 40),
+        | grams AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 40) AS g FROM pos),
+        | dup AS (SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id))
+        |SELECT gr.doc_id,
+        |  count(*)::BIGINT AS n_positions,
+        |  count(d.g)::BIGINT AS n_dup_positions,
+        |  cast(count(d.g) AS double) / cast(count(*) AS double) AS dup_span_ratio
+        |FROM grams gr LEFT JOIN dup d USING (g)
+        |GROUP BY gr.doc_id""".stripMargin,
+
+    // capacity >= cardinality ⇒ Misra-Gries never evicts ⇒ estimates ARE
+    // the exact counts on every path — the oracle is plain count(*)
+    "q_heavy_hitters" ->
+      "SELECT event_type, count(*)::BIGINT AS cnt FROM events GROUP BY 1",
+
+    // same two-level crowd counts, same first-fit CASE — anonymity sets
+    // are counted over ALL rows at each level's projection
+    "q_k_anonymity" ->
+      """WITH base AS (
+        |  SELECT c.c_custkey, n.n_name AS geo0, r.r_name AS geo1, c.c_mktsegment AS seg
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey),
+        | c0 AS (SELECT geo0, seg, count(*) AS n0 FROM base GROUP BY 1, 2),
+        | c1 AS (SELECT geo1, seg, count(*) AS n1 FROM base GROUP BY 1, 2)
+        |SELECT b.c_custkey,
+        |  CASE WHEN n0 >= 10 THEN 0 WHEN n1 >= 10 THEN 1 ELSE 2 END AS anon_level,
+        |  CASE WHEN n0 >= 10 THEN geo0 WHEN n1 >= 10 THEN geo1 ELSE '*' END AS qi_geo,
+        |  CASE WHEN n0 >= 10 THEN seg WHEN n1 >= 10 THEN seg ELSE '*' END AS qi_segment
+        |FROM base b
+        |JOIN c0 USING (geo0, seg)
+        |JOIN c1 USING (geo1, seg)""".stripMargin,
+
+    // the same mask-ladder bit spread, replayed with DuckDB's integer
+    // & | << >> — Morton codes are pure bit arithmetic, so the oracle is
+    // bit-for-bit, not approximate
+    "q_zorder" ->
+      """WITH m AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
+        | s AS (SELECT (l_partkey * 65536) // (mp + 1) AS zx,
+        |              (l_suppkey * 65536) // (ms + 1) AS zy FROM lineitem, m),
+        | a AS (SELECT zx & 65535 AS x, zy & 65535 AS y, zx, zy FROM s),
+        | b AS (SELECT (x | (x << 8)) & 16711935 AS x, (y | (y << 8)) & 16711935 AS y, zx, zy FROM a),
+        | c AS (SELECT (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y, zx, zy FROM b),
+        | d AS (SELECT (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y, zx, zy FROM c),
+        | e AS (SELECT (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y, zx, zy FROM d),
+        | z AS (SELECT (x | (y << 1)) AS zval, zx, zy FROM e)
+        |SELECT zval >> 26 AS file_id, count(*)::BIGINT AS n_rows,
+        |  min(zx) AS min_x, max(zx) AS max_x,
+        |  min(zy) AS min_y, max(zy) AS max_y
+        |FROM z GROUP BY 1""".stripMargin,
+
+    // the oracle's single-reducer row_number is the very plan
+    // balancedShards avoids — same total order, same snake arithmetic
+    "q_balanced_shards" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+        |  FROM documents)
+        |SELECT CAST(CASE WHEN (rk // 10) % 2 = 0 THEN rk % 10
+        |            ELSE 9 - (rk % 10) END AS INTEGER) AS shard,
+        |  count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+        |FROM r GROUP BY 1""".stripMargin,
 
     // same 60 md5 bits mod the bucket count — pure integer arithmetic
     "q_feature_hash" ->

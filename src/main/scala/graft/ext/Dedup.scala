@@ -505,6 +505,51 @@ object Dedup {
         col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
   }
 
+  /** Per-doc EXACT duplicated-substring coverage at character
+    * granularity: for every position p of every document, is the k-char
+    * substring starting at p ALSO present in some OTHER document? This is
+    * the sliding-window (every offset) flavor of exact substring dedup
+    * from the training-data-dedup literature (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" — their ExactSubstr uses
+    * a suffix array; the k-gram formulation detects the same >= k-char
+    * verbatim overlaps and is shuffle-shaped), complementing
+    * [[duplicateLineProfile]], which only sees DISJOINT token windows and
+    * so misses overlaps that straddle a window boundary or start mid-line.
+    *
+    * Output: (id, n_positions, n_dup_positions, dup_span_ratio) — the
+    * ratio is the fraction of the doc covered by spans copied verbatim
+    * from elsewhere in the corpus, the standard curation signal for
+    * boilerplate/mirror removal.
+    *
+    * Scale: one shuffle, keyed by the 128-bit md5 of the gram (fixed
+    * 16-byte keys move, never the 40-char texts); "shared with another
+    * doc" is min(id) != max(id) within the key — no count-distinct
+    * buffer. Gram explosion is |text| rows per doc — bounded per-row
+    * work, and the reason the gram carries only its hash. Within-doc
+    * repeats do NOT count as duplication (min != max is false), matching
+    * the cross-doc semantics of the paper. */
+  def duplicatedSpanProfile(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 40): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    // the length guard keeps sequence() ascending (sequence(1, 0) would
+    // DESCEND) and drops docs too short to contain any k-gram
+    val grams = df
+      .where(length(col(textCol)) >= k)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), length(col(textCol)) - k + 1),
+          p => col(textCol).substr(p, lit(k)))).as("__gram"))
+      .select(col(idCol), unhex(md5(col("__gram"))).as("__gh"))
+    val w = Window.partitionBy(col("__gh"))
+    grams
+      .withColumn("__dup", min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_positions"),
+        sum(when(col("__dup"), lit(1L)).otherwise(lit(0L))).as("n_dup_positions"))
+      .withColumn("dup_span_ratio",
+        col("n_dup_positions").cast("double") / col("n_positions").cast("double"))
+  }
+
   /** DIRECTIONAL containment (Broder's coverage): `|A∩B| / |A|` over
     * word-n-gram sets, emitted for every ordered pair above `threshold` —
     * catches "A is quoted inside B", which symmetric Jaccard misses when
@@ -604,5 +649,99 @@ object Dedup {
       .select(col("id_a"), (col("__g") + col("__j")).as("__g2"))
     val right = indexed.select(col("__g").as("__g2"), col("__id").as("id_b"))
     left.join(right, Seq("__g2")).select(col("id_a"), col("id_b"))
+  }
+
+  /** EXACT set-similarity join via prefix filtering (PPJoin family,
+    * Chaudhuri/Ganjam/Kaushik SSJoin; Xiao et al. PPJoin) — every pair of
+    * documents whose word-`ngram`-shingle Jaccard is >= `threshold`,
+    * WITHOUT LSH's probabilistic recall and WITHOUT an all-pairs join.
+    *
+    * The filter is lossless: order all tokens by one global total order
+    * (ascending document frequency, token as tiebreak — rarest first,
+    * which minimizes candidate volume because prefixes then hold the
+    * LEAST-shared tokens); a set of size s keeps only its first
+    * `s - ceil(t*s) + 1` tokens as its prefix. If J(A,B) >= t, A and B
+    * MUST share a prefix token (pigeonhole on the overlap bound
+    * |A∩B| >= ceil(t/(1+t) * (|A|+|B|)) — see the SSJoin paper, Lemma 1),
+    * so the equi-join on prefix tokens has perfect recall; exact Jaccard
+    * verification then removes false candidates.
+    *
+    * Scale shape (the reason this exists next to the LSH variants):
+    *  - token ranks come from [[graft.operators.GlobalRank]] over the token
+    *    DICTIONARY (bounded by vocabulary, not corpus) — no single-reducer
+    *    window anywhere;
+    *  - prefix selection is a window partitioned BY DOC (narrow);
+    *  - the candidate join carries only (token_rank, id, size) — shingle
+    *    arrays are re-joined by id for the bounded verify step;
+    *  - a size filter (t*|B| <= |A|) prunes candidates before payloads
+    *    move: J(A,B) >= t forces |A|/|B| >= t for |A| <= |B|.
+    *    Candidate volume is Σ_prefix-token df², dominated by rare tokens
+    *    by construction of the order.
+    *
+    * Exactness makes it oracle-checkable against all-pairs SQL — the
+    * correctness twin q_jaccard_pairs covers a bounded subset; this runs
+    * the FULL corpus. Empty shingle sets are excluded (Jaccard with an
+    * empty set is 0 against any non-empty set — below any threshold — and
+    * the empty/empty pair is a dedup non-event handled by exactDedup). */
+  def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, threshold: Double = 0.4, numPartitions: Int = 0): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixFilterJaccardPairs needs threshold in (0, 1], got $threshold")
+    val docs = df.select(col(idCol).as("id"),
+        NativeExpressions.wordShingles(col(textCol), ngram).as("sh"))
+      .where(size(col("sh")) > 0)
+    // posting list: wordShingles output is already distinct per doc
+    val posts = docs.select(col("id"), explode(col("sh")).as("tok"))
+    // global token order: (document frequency asc, token) — a total order
+    // over the dictionary; GlobalRank keeps it single-reducer-free
+    val dict = posts.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val ranked = graft.operators.GlobalRank
+      .withGlobalRank(dict, Seq(col("__df").asc, col("tok").asc), "__trank", numPartitions)
+      .select(col("tok"), col("__trank"))
+    val sizes = docs.select(col("id"), size(col("sh")).cast("long").as("sz"))
+    // prefix of each doc: its (sz - ceil(t*sz) + 1) rarest tokens, with
+    // the in-doc position kept for the positional filter below
+    val perDoc = Window.partitionBy(col("id")).orderBy(col("__trank"))
+    val prefix = posts.join(ranked, Seq("tok")).join(sizes, Seq("id"))
+      .withColumn("__pos", row_number().over(perDoc))
+      .where(col("__pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("__trank"), col("id"), col("sz"), col("__pos"))
+    // candidates: share >= 1 prefix token, pruned by
+    //  (1) size ratio (|A| <= |B| and J >= t ⇒ |A| >= t|B|), at the join;
+    //  (2) PPJoin's positional filter: a match at in-doc positions
+    //      (pa, pb) bounds the overlap by min(szA-pa, szB-pb)+1 — the
+    //      shared token plus everything ranked after it on both sides —
+    //      which must reach the equivalent-overlap bound
+    //      ceil(t/(1+t) * (szA+szB)). The max bound over a pair's shared
+    //      prefix tokens rides the same aggregation that dedups the pair,
+    //      so the filter costs no extra shuffle and drops >half the
+    //      candidates before any payload moves.
+    val alpha = ceil(lit(threshold / (1.0d + threshold)) * (col("sz_a") + col("sz_b")))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.__trank") === col("b.__trank") && col("a.id") < col("b.id")
+          && col("a.sz") >= lit(threshold) * col("b.sz")
+          && col("b.sz") >= lit(threshold) * col("a.sz"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(max(least(col("a.sz") - col("a.__pos"), col("b.sz") - col("b.__pos")) + 1)
+        .as("__ub"))
+      .where(col("__ub") >= alpha)
+      .select(col("id_a"), col("id_b"))
+    // bounded verify on 64-bit-hashed shingle sets: an 8-byte long per
+    // shingle instead of the ~25-char gram text — the arrays that flow
+    // through the two verify joins shrink ~3x and intersect on cheap
+    // long equality. Hashing is injective in practice (a pair's union is
+    // ~10^2 elements against a 2^64 space; same md5-injectivity stance as
+    // contentHash) and the distinct-set Jaccard is unchanged under any
+    // injective map.
+    val hashed = docs.select(col("id"),
+      transform(col("sh"), s => xxhash64(s)).as("hs"))
+    cands
+      .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("jaccard", H.jaccard(col("hs_a"), col("hs_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 }

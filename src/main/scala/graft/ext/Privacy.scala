@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy operators for releasing curated datasets: k-anonymity auditing
+  * and generalization (Sweeney 2002; global-recoding ladder), the
+  * structured-data complement to the text-side PII scrubbing
+  * (`TextFunctions.piiCount` / q_pii_scrub).
+  */
+object Privacy {
+
+  /** k-anonymity by GLOBAL-RECODING LADDER: each row's quasi-identifier
+    * tuple is published at the FINEST level of `levels` whose group (over
+    * the whole table, at that level's projection) holds at least `k` rows;
+    * rows whose coarsest level still falls below `k` are suppressed (every
+    * QI replaced by `suppressed`).
+    *
+    * `levels` is ordered finest → coarsest; every level must emit the SAME
+    * output names (generalization replaces values — nation → region — not
+    * schema). Anonymity-set accounting: a level-L group is counted over
+    * ALL rows projected to level L, because a row published finer than L
+    * still reveals its level-L projection (a published nation implies the
+    * region) and so joins the coarser row's crowd.
+    *
+    * Returns the input plus `anon_level` (0-based; `levels.size` =
+    * suppressed) and the generalized QI output columns (as strings, so the
+    * suppression sentinel types uniformly).
+    *
+    * Scale shape: per level, one partial-aggregated groupBy over the QI
+    * projection — the count table is bounded by the QI DOMAIN, not the
+    * data, so Spark broadcasts it back (no fact-side shuffle; a window
+    * count would range-exchange the whole table per level). Joins are
+    * null-safe (`<=>`) so null QI values form their own group instead of
+    * silently failing the lookup. */
+  def kAnonymizeLadder(df: DataFrame, k: Int,
+      levels: Seq[Seq[(String, Column)]], suppressed: String = "*"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(levels.nonEmpty, "need at least one generalization level")
+    val names = levels.head.map(_._1)
+    require(levels.forall(_.map(_._1) == names),
+      "every level must emit the same QI output names")
+    var d = df
+    levels.zipWithIndex.foreach { case (lvl, i) =>
+      val cnt = df
+        .groupBy(lvl.map { case (n, c) => c.cast("string").as(s"__ka_k${i}_$n") }: _*)
+        .agg(count(lit(1)).as(s"__ka_n$i"))
+      val cond = lvl.map { case (n, c) => c.cast("string") <=> cnt(s"__ka_k${i}_$n") }
+        .reduce(_ && _)
+      d = d.join(cnt, cond, "left")
+        .drop(lvl.map { case (n, _) => s"__ka_k${i}_$n" }: _*)
+    }
+    val lvlExpr = levels.indices.foldRight(lit(levels.size): Column) { (i, coarser) =>
+      when(col(s"__ka_n$i") >= k, lit(i)).otherwise(coarser)
+    }
+    d = d.withColumn("anon_level", lvlExpr)
+    names.zipWithIndex.foreach { case (n, j) =>
+      val value = levels.indices.foldRight(lit(suppressed): Column) { (i, coarser) =>
+        when(col("anon_level") === i, levels(i)(j)._2.cast("string")).otherwise(coarser)
+      }
+      d = d.withColumn(n, value)
+    }
+    d.drop(levels.indices.map(i => s"__ka_n$i"): _*)
+  }
+
+  /** Audit view: group sizes at one QI projection with the at-risk flag —
+    * the "how exposed is this release" report kAnonymizeLadder acts on. */
+  def kAnonymityAudit(df: DataFrame, k: Int, qi: Seq[(String, Column)]): DataFrame =
+    df.groupBy(qi.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("group_size"))
+      .withColumn("at_risk", col("group_size") < k)
+}

@@ -183,4 +183,30 @@ object Sampling {
       .limit(k)
       .drop("__es_key")
   }
+
+  /** SIZE-BALANCED shard assignment by snake draft (boustrophedon
+    * first-fit on the size-sorted order): rank rows by (size desc, id),
+    * then deal rank r to shard `r % n` on even rounds and `n-1 - r % n`
+    * on odd rounds. For any size distribution the per-shard totals differ
+    * by at most one max-size item — the classic guarantee that makes
+    * training shards load-balance across data-parallel workers, where the
+    * naive `id % n` deal leaves heavy-tailed shards (one shard catches
+    * several giant docs and becomes the epoch straggler).
+    *
+    * Deterministic (exact global rank with an id tiebreak — any engine
+    * deals the same hands), and single-reducer-free: the rank comes from
+    * [[graft.operators.GlobalRank]], the deal is per-row integer
+    * arithmetic. One range exchange total. */
+  def balancedShards(df: DataFrame, idCol: String, size: Column, n: Int): DataFrame = {
+    require(n >= 1, s"shard count must be >= 1, got $n")
+    val ranked = graft.operators.GlobalRank.withGlobalRank(
+      df, Seq(size.desc, col(idCol).asc), "__brank")
+    // `div`, not `/`: Spark's / on longs is DOUBLE division
+    val round = expr(s"__brank div ${n.toLong}L")
+    val pos = col("__brank") % n
+    ranked
+      .withColumn("shard",
+        when(round % 2 === 0, pos).otherwise(lit(n - 1) - pos).cast("int"))
+      .drop("__brank")
+  }
 }

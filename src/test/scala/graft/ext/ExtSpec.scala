@@ -988,4 +988,75 @@ class ExtSpec extends SparkSpec {
       .reduce(_ ++ _)
     assert(gotTiny == expTiny)
   }
+
+  test("duplicatedSpanProfile counts cross-doc k-gram positions, not within-doc repeats") {
+    val k = 10
+    val shared = "ABCDEFGHIJKLMNOPQRS" // 19 chars → 10 k-grams, all shared by docs 1,2
+    val df = Seq(
+      (1L, shared + "xxxxx"),
+      (2L, "yyyyy" + shared),
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzz"),      // within-doc repeats only (z^24)
+      (4L, "short")                           // < k: no positions at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpanProfile(df, "doc_id", "text", k)
+      .select("doc_id", "n_positions", "n_dup_positions")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc1: 15 positions, the 10 spanning `shared` are duplicated
+    assert(got(1L) == (15L, 10L))
+    assert(got(2L) == (15L, 10L))
+    // doc3's z-grams repeat 15 times WITHIN the doc — zero cross-doc dups
+    assert(got(3L) == (15L, 0L))
+    assert(!got.contains(4L))
+  }
+
+  test("prefixFilterJaccardPairs finds planted near-dups exactly (no LSH miss mode)") {
+    val pairs = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
+      ngram = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)), "exact dup pair missing")
+    assert(pairs.contains((1L, 2L)), "near-dup pair missing")
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
+  }
+
+  test("balancedShards: totals within one max item; adversarial sizes beat the modulo deal") {
+    // heavy-tailed: a few giants and many small docs — the exact case
+    // where id % n piles giants onto the same shard
+    val rows = (1L to 100L).map(i => (i, if (i <= 4) 1000L else 10L))
+    val df = rows.toDF("id", "bytes").repartition(5)
+    val sharded = Sampling.balancedShards(df, "id", col("bytes"), n = 4)
+    val totals = sharded.groupBy("shard").agg(sum(col("bytes")).as("t"))
+      .select("shard", "t").as[(Int, Long)].collect().toMap
+    assert(totals.keySet == Set(0, 1, 2, 3))
+    assert(totals.values.max - totals.values.min <= 1000L,
+      s"imbalance exceeds one max item: $totals")
+    // snake determinism: rank 0..7 (giants then largest smalls) deal
+    // 0,1,2,3 then 3,2,1,0 — each shard gets exactly one giant
+    val giants = sharded.where(col("bytes") === 1000L)
+      .select("shard").as[Int].collect().sorted
+    assert(giants.sameElements(Array(0, 1, 2, 3)))
+  }
+
+  test("kAnonymizeLadder: finest sufficient level wins, coarser crowds include finer rows") {
+    import graft.ext.Privacy
+    // city -> country ladder; k = 3
+    // cityA has 3 rows (safe at level 0); cityB and cityC have 1-2 rows
+    // but share countryX with cityA: crowd(countryX) = 6 ⇒ level 1.
+    // cityD is alone in countryY ⇒ suppressed.
+    val df = Seq(
+      (1L, "cityA", "countryX"), (2L, "cityA", "countryX"), (3L, "cityA", "countryX"),
+      (4L, "cityB", "countryX"), (5L, "cityB", "countryX"), (6L, "cityC", "countryX"),
+      (7L, "cityD", "countryY")
+    ).toDF("id", "city", "country")
+    val out = Privacy.kAnonymizeLadder(df, k = 3,
+      levels = Seq(Seq("qi_geo" -> col("city")), Seq("qi_geo" -> col("country"))))
+      .select("id", "anon_level", "qi_geo").as[(Long, Int, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    Seq(1L, 2L, 3L).foreach(i => assert(out(i) == (0, "cityA")))
+    Seq(4L, 5L, 6L).foreach(i => assert(out(i) == (1, "countryX")))
+    assert(out(7L) == (2, "*"))
+    val audit = Privacy.kAnonymityAudit(df, k = 3, Seq("qi_geo" -> col("city")))
+      .where(col("at_risk")).select("qi_geo").as[String].collect().toSet
+    assert(audit == Set("cityB", "cityC", "cityD"))
+  }
 }

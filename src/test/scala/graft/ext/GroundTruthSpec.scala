@@ -77,6 +77,60 @@ class GroundTruthSpec extends SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("Misra-Gries: over-capacity estimates honor the N/(cap+1) band; at-capacity is exact") {
+    import graft.plans.MisraGriesAggregator
+    // over-capacity: document words (thousands of distinct) into 32 counters
+    val words = docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+    val n = words.count()
+    val cap = 32
+    val est = words.agg(MisraGriesAggregator.misraGries(cap)(col("w")).as("hh"))
+      .select(explode(col("hh")).as("x"))
+      .select(col("x.item"), col("x.est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = words.groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val eps = n.toDouble / (cap + 1)
+    assert(est.nonEmpty && est.size <= cap)
+    est.foreach { case (w, e) =>
+      val f = exact(w)
+      assert(e <= f && f <= e + eps, s"$w: est $e vs exact $f outside band eps=$eps")
+    }
+    // completeness: every item with support > eps MUST survive
+    exact.filter(_._2 > eps).keysIterator
+      .foreach(w => assert(est.contains(w), s"heavy hitter $w evicted"))
+    // at-capacity exactness: event types (5 distinct) into 64 counters
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val mg = ev.agg(MisraGriesAggregator.misraGries(64)(col("event_type")).as("hh"))
+      .select(explode(col("hh")).as("x"))
+      .select(col("x.item"), col("x.est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val cnt = ev.groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(mg == cnt)
+  }
+
+  test("prefix-filter join EQUALS brute-force all-pairs word-3-gram jaccard (lossless filter)") {
+    // the prefix filter is exact by the overlap pigeonhole — this is an
+    // equality against the quadratic plan on the REAL corpus, at a
+    // threshold low enough that candidates must survive size and prefix
+    // pruning from several different prefix tokens
+    val t = 0.4
+    val got = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", ngram = 3, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val d = docs.select(col("doc_id"),
+        NativeExpressions.wordShingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), H.jaccard(col("sh_a"), col("sh_b")).as("j"))
+      .where(col("j") >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "testdata should contain jaccard>=0.4 pairs")
+    assert(got == brute)
+  }
+
   test("minhash LSH pairs EQUAL exact all-pairs char-shingle jaccard on this corpus") {
     // the in-Spark twin of the DuckDB oracle: recall 1.0 is data-dependent.
     // With 128 hashes / 16 bands of 8, a pair AT the 0.5 threshold would
