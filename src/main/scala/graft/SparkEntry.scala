@@ -734,6 +734,16 @@ object SparkEntry {
         .select(col("node").as("node_id"), col("hops"))
     }),
 
+    // 3-core of the co-purchase graph by distributed batch peeling
+    // (membership + in-core degree): a deterministic set fixpoint —
+    // integers, no tie-breaks — so the oracle replays the peel as 16
+    // unrolled CTE rounds (the fixture's measured peeling depth is 10;
+    // past the fixpoint further peels are provable no-ops)
+    "q_k_core" -> ((s, dir) => {
+      graft.graph.GraphOps.kCore(coPurchaseEdges(s, dir), "pa", "pb", k = 3)
+        .select(col("node_id"), col("core_degree"))
+    }),
+
     // ---------------- LLM-pipeline extensions (north star) ----------------
 
     // exact dedup groups (hash-groupBy, deterministic min-id keeper)
@@ -1209,6 +1219,15 @@ object SparkEntry {
         numBuckets = 64)
         .select(col("file_id"), col("n_rows"),
           col("min_x"), col("max_x"), col("min_y"), col("max_y"))
+    }),
+
+    // unary functional-dependency discovery over the customer columns
+    // (TANE/Metanome's single-column case, next to q_fk_discovery's
+    // INCLUSION dependencies): one count-distinct aggregation per
+    // determinant covers all its dependents — 4 shuffles for 12 candidates
+    "q_fd_discovery" -> ((s, dir) => {
+      graft.ext.Profiling.functionalDependencies(t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
     }),
 
     // size-balanced shard deal (snake draft on the exact global size
@@ -2785,6 +2804,34 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |SELECT src AS node_id, least(src, min(dst)) AS component
         |FROM reach GROUP BY src""".stripMargin,
 
+    // the peel unrolled: deg_i over adj_{i-1}, keep edges whose BOTH ends
+    // have degree >= 3 — 16 rounds (fixture depth 10; extra rounds are
+    // no-ops at the fixpoint), then the in-core degree count. Every level
+    // is AS MATERIALIZED: each references its predecessor three times, so
+    // an inlining planner would otherwise expand the chain 3^16-fold
+    "q_k_core" -> {
+      val peels = (1 to 16).map { i =>
+        s""",
+           | deg$i AS MATERIALIZED (SELECT s, count(*)::BIGINT AS c FROM adj${i - 1} GROUP BY 1),
+           | adj$i AS MATERIALIZED (
+           |  SELECT x.s, x.d FROM adj${i - 1} x
+           |  JOIN deg$i da ON x.s = da.s
+           |  JOIN deg$i db ON x.d = db.s
+           |  WHERE da.c >= 3 AND db.c >= 3)""".stripMargin
+      }.mkString
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_partkey
+         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
+         | ed AS (
+         |  SELECT x.l_partkey AS a, y.l_partkey AS b
+         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+         |    AND x.l_partkey < y.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         | adj0 AS MATERIALIZED (SELECT a AS s, b AS d FROM ed UNION SELECT b AS s, a AS d FROM ed)$peels
+         |SELECT s AS node_id, count(*)::BIGINT AS core_degree FROM adj16 GROUP BY 1""".stripMargin
+    },
+
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate,
         | cast(sum(cast(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS revenue
@@ -3476,6 +3523,22 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |  min(zx) AS min_x, max(zx) AS max_x,
         |  min(zy) AS min_y, max(zy) AS max_y
         |FROM z GROUP BY 1""".stripMargin,
+
+    // every ordered pair replayed as a grouped count-distinct — same
+    // null semantics (count(DISTINCT) drops null dependents, the null
+    // determinant is one group)
+    "q_fd_discovery" -> {
+      val cols = Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      cols.flatMap { a =>
+        cols.filterNot(_ == a).map { b =>
+          s"""SELECT '$a' AS determinant, '$b' AS dependent,
+             |  count(*)::BIGINT AS n_det_values,
+             |  sum(CASE WHEN cd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+             |  (sum(CASE WHEN cd > 1 THEN 1 ELSE 0 END) = 0) AS holds
+             |FROM (SELECT $a, count(DISTINCT $b) AS cd FROM customer GROUP BY 1)""".stripMargin
+        }
+      }.mkString("\nUNION ALL\n")
+    },
 
     // the oracle's single-reducer row_number is the very plan
     // balancedShards avoids — same total order, same snake arithmetic

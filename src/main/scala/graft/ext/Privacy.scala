@@ -47,7 +47,12 @@ object Privacy {
         .agg(count(lit(1)).as(s"__ka_n$i"))
       val cond = lvl.map { case (n, c) => c.cast("string") <=> cnt(s"__ka_k${i}_$n") }
         .reduce(_ && _)
-      d = d.join(cnt, cond, "left")
+      // explicit broadcast: the count table is bounded by the QI DOMAIN
+      // by contract, but the static planner cannot know an aggregate's
+      // cardinality and would stage a sort-merge prelude that AQE only
+      // repairs at runtime — at 100 TB that prelude is a full fact-side
+      // exchange per level, so the hint is the plan, not an optimization
+      d = d.join(broadcast(cnt), cond, "left")
         .drop(lvl.map { case (n, _) => s"__ka_k${i}_$n" }: _*)
     }
     val lvlExpr = levels.indices.foldRight(lit(levels.size): Column) { (i, coarser) =>

@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structural data profiling: dependency discovery over column sets —
+  * the schema-inference complement to the value-level q_column_profile
+  * and the inclusion-dependency (FK) discovery of q_fk_discovery.
+  */
+object Profiling {
+
+  /** Single-column FUNCTIONAL-dependency discovery (the unary case of
+    * TANE/Metanome-style FD profiling): for every ordered pair
+    * `A -> B` over `cols`, `A` determines `B` iff no distinct `A` value
+    * maps to more than one non-null `B` value. Emits one row per
+    * candidate: determinant, dependent, the determinant's distinct-value
+    * count, how many determinant values VIOLATE (map to >= 2 dependent
+    * values), and whether the FD holds exactly.
+    *
+    * Null semantics follow SQL `count(DISTINCT ...)`: null dependents are
+    * ignored (a determinant value seen only with null `B` holds
+    * trivially); a null DETERMINANT is one group like any other — both
+    * choices replay identically in any engine, which keeps the operator
+    * oracle-checkable.
+    *
+    * Scale shape: ONE map-combined aggregation per determinant column
+    * covering ALL its dependents at once (`groupBy(A).agg(countDistinct
+    * (B1), countDistinct(B2), ...)`), then a second aggregation over the
+    * group rows — |cols| shuffles total for |cols|·(|cols|-1) candidates,
+    * not one per pair. The per-group state is one count-distinct buffer
+    * per dependent, bounded by that dependent's per-determinant
+    * cardinality (exactly what the FD test measures; a holding FD's
+    * buffer is a single value). */
+  def functionalDependencies(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    require(cols.size >= 2, s"need at least 2 columns, got $cols")
+    cols.flatMap { a =>
+      val deps = cols.filterNot(_ == a)
+      val cds = deps.map(b => countDistinct(col(b)).as(s"__cd_$b"))
+      val groups = df.groupBy(col(a)).agg(cds.head, cds.tail: _*)
+      val viols = deps.map(b =>
+        sum(when(col(s"__cd_$b") > 1, lit(1L)).otherwise(lit(0L))).as(s"__v_$b"))
+      val summary = groups.agg(count(lit(1)).as("__n_det"), viols: _*)
+      deps.map(b => summary.select(
+        lit(a).as("determinant"), lit(b).as("dependent"),
+        col("__n_det").as("n_det_values"),
+        col(s"__v_$b").as("n_violations"),
+        (col(s"__v_$b") === 0).as("holds")))
+    }.reduce(_.unionByName(_))
+  }
+}

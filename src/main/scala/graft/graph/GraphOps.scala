@@ -615,4 +615,67 @@ object GraphOps {
     result.unpersist(blocking = false); g.unpersist(blocking = false)
     out
   }
+
+  /** k-core decomposition by distributed batch peeling: repeatedly drop
+    * EVERY node of degree < k (and its edges) until the minimum degree is
+    * >= k; what survives is the (unique, maximal) k-core. Returns one row
+    * per surviving node with its IN-CORE degree.
+    *
+    * Core extraction is the standard graph-curation primitive this repo's
+    * dedup-cluster and co-occurrence pipelines feed: the k-core is where
+    * the statistically meaningful co-occurrence structure lives, while the
+    * peeled fringe is the long tail a sampler or a mega-cluster guard
+    * wants to treat separately.
+    *
+    * Scale shape: each round is one partial-aggregated degree count plus
+    * two anti-joins on the node key — all equi-joins, pre-bucketable, no
+    * driver data beyond a one-row emptiness probe. The adjacency only
+    * SHRINKS, so round cost is non-increasing. Round COUNT is the graph's
+    * peeling depth (number of "onion layers" below k) — small for
+    * real-world heavy-tailed graphs, but O(n) adversarially (a path with
+    * k=2 peels two ends per round), hence the loud `maxRounds` guard,
+    * same contract as [[connectedComponentsStar]].
+    *
+    * Determinism: membership and in-core degrees are a fixpoint of a
+    * deterministic set recurrence — no tie-breaks, no floats — so an
+    * oracle replays the peel as a chained-CTE unroll and equality is
+    * exact (q_k_core pins 16 unrolled peels against the fixture's
+    * measured depth of 10). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxRounds: Int = 100): DataFrame =
+    kCoreWithRounds(edges, srcCol, dstCol, k, maxRounds)._1
+
+  /** [[kCore]] plus the peel-round count (the ScaleProbe hook). */
+  def kCoreWithRounds(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxRounds: Int = 100): (DataFrame, Int) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .where(col("s") =!= col("d"))
+    // symmetric adjacency, deduplicated once; every round rewrites it in
+    // place (materialized — the count probe and the anti-joins must see
+    // one consistent set, and an unbounded lineage chain would otherwise
+    // replan the whole peel history every round)
+    var adj = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+      .distinct().localCheckpoint(true)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val low = adj.groupBy(col("s")).agg(count(lit(1)).as("__deg"))
+        .where(col("__deg") < k).select(col("s").as("n"))
+        .localCheckpoint(true) // probed once, anti-joined twice
+      if (low.limit(1).collect().isEmpty) done = true
+      else {
+        round += 1
+        adj = adj
+          .join(low.select(col("n").as("s")), Seq("s"), "left_anti")
+          .join(low.select(col("n").as("d")), Seq("d"), "left_anti")
+          .select(col("s"), col("d"))
+          .localCheckpoint(true)
+      }
+    }
+    require(done,
+      s"k-core peeling did not stabilize in $maxRounds rounds — the input's " +
+        "peeling depth exceeds the guard (adversarial chain-shaped graph?)")
+    (adj.groupBy(col("s").as("node_id")).agg(count(lit(1)).as("core_degree")), round)
+  }
 }

@@ -77,14 +77,15 @@ object ScaleProbe {
     // for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select("l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_extendedprice")
     val ev0 = graft.sources.Tables.events(spark, dir)
     val or0 = spark.read.parquet(s"$dir/orders.parquet")
     val pa0 = spark.read.parquet(s"$dir/part.parquet")
     val cu0 = spark.read.parquet(s"$dir/customer.parquet")
     val na0 = spark.read.parquet(s"$dir/nation.parquet")
+    val re0 = spark.read.parquet(s"$dir/region.parquet")
 
     for (f <- factors) {
       // stage the scaled corpus to parquet so every timed pipeline starts
@@ -107,6 +108,10 @@ object ScaleProbe {
       (0 until f).map(i => li0.select(
           (col("l_orderkey") + lit(i * 100_000_000L)).as("l_orderkey"),
           (col("l_partkey") + lit(i * 100_000_000L)).as("l_partkey"),
+          // suppkey offsets grow the z-order's second dimension's domain
+          // with the factor (a pinned domain would hide ordinal-scaling
+          // cost in the q_zorder probe)
+          (col("l_suppkey") + lit(i * 100_000_000L)).as("l_suppkey"),
           col("l_returnflag"),
           (col("l_extendedprice") + lit(i * 0.0001d)).as("l_extendedprice")))
         .reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$base/lineitem.parquet")
@@ -141,6 +146,7 @@ object ScaleProbe {
           .withColumn("c_custkey", col("c_custkey") + lit(i * 100_000_000L)))
         .reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$base/customer.parquet")
       na0.write.mode("overwrite").parquet(s"$base/nation.parquet")
+      re0.write.mode("overwrite").parquet(s"$base/region.parquet")
       val docs = spark.read.parquet(dPath)
       val emb = spark.read.parquet(ePath)
 
@@ -313,6 +319,39 @@ object ScaleProbe {
           .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles")))
       }
       println(f"""SCALE_R7 {"factor":$f, "mega_basket_items":$hub, "capped_proj":$tCapped%.2f, "uncapped_pair_join":$tUncapped%.2f, "uncapped_pair_rows":$uncappedRows, "star_leaves":$h, "tri_deg_oriented":$tTriDeg%.2f, "tri_id_oriented":$tTriId%.2f}""")
+      }
+
+      // round-7 second wave, all through the real query closures on the
+      // mirrored dir. Rotation makes the curves honest: prefix-join pair
+      // volume and substring-dup gram collisions stay linear (cross-copy
+      // tokens/grams are disjoint); the heavy-hitter dictionary is
+      // constant (event types don't rotate) so MG cost is pure scan; the
+      // k-anonymity crowd tables stay domain-bounded while the fact scan
+      // grows; z-order ordinals rescale to the growing suppkey domain;
+      // balanced-shards ranks linearly more rows through the same range
+      // exchange.
+      if (groups("r7b")) {
+      val tPfx = tq("q_prefix_join")
+      val tSub = tq("q_substring_dup")
+      val tHh = tq("q_heavy_hitters")
+      val tKa = tq("q_k_anonymity")
+      val tZo = tq("q_zorder")
+      val tBs = tq("q_balanced_shards")
+      // k-core over the scaled co-purchase projection: per-copy graphs
+      // are DISJOINT, so peel depth (round count) should stay flat while
+      // per-round cost grows linearly — the same claim shape as the
+      // star-contraction round probe
+      var kcRounds = 0
+      val tKc = time {
+        val pairs = graft.graph.GraphOps.coOccurrencePairs(
+          spark.read.parquet(s"$base/lineitem.parquet")
+            .select("l_orderkey", "l_partkey"),
+          "l_orderkey", "l_partkey", minShared = 2, maxGroupSize = 256)
+        val (core, r) = graft.graph.GraphOps.kCoreWithRounds(pairs, "pa", "pb", k = 3)
+        kcRounds = r
+        force(core)
+      }
+      println(f"""SCALE_R7B {"factor":$f, "prefix_join":$tPfx%.2f, "substring_dup":$tSub%.2f, "heavy_hitters":$tHh%.2f, "k_anonymity":$tKa%.2f, "zorder":$tZo%.2f, "balanced_shards":$tBs%.2f, "k_core":$tKc%.2f, "k_core_rounds":$kcRounds}""")
       }
     }
     spark.stop()

@@ -399,4 +399,64 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
       "lineitem audit must read only the FK column")
   }
+
+  test("prefix-filter join stays parallel: ranked dictionary, equi-joins only") {
+    val p = plan("q_prefix_join")
+    // token ranks ride GlobalRank (range buckets), never a global window
+    assert(!p.contains("SinglePartition"),
+      s"single-reducer stage in the prefix join:\n${p.take(3000)}")
+    assert(p.contains("hashpartitioning(__grk_pid"),
+      "dictionary rank window is not partitioned by the range bucket")
+    // candidate generation and verify are equi-joins — a product here
+    // would be the all-pairs plan this operator exists to avoid
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate join degenerated to a product:\n${p.take(3000)}")
+  }
+
+  test("substring-dup shuffles 16-byte gram hashes, never gram texts") {
+    val p = plan("q_substring_dup")
+    // the gram window is keyed by the md5 projection...
+    assert(p.contains("Exchange hashpartitioning(__gh"),
+      s"gram-hash exchange missing:\n${p.take(3000)}")
+    // ...and there are exactly two exchanges: gram window + per-doc agg
+    // (partial-aggregated). A third would mean the 40-char texts moved.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected 2 exchanges (gram + doc):\n${p.take(3000)}")
+  }
+
+  test("heavy hitters partial-aggregates MG summaries map-side") {
+    val p = plan("q_heavy_hitters")
+    // partial + final ObjectHashAggregate: each map task ships one
+    // <= capacity-entry summary, so the single final partition receives
+    // tasks x capacity rows — bounded by configuration, not data
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2,
+      s"partial/final MG aggregation pair missing:\n${p.take(3000)}")
+  }
+
+  test("k-anonymity broadcasts every crowd count and dimension onto one fact scan") {
+    val p = plan("q_k_anonymity")
+    // nation, region, and both level-count tables are domain-bounded —
+    // all four join back by broadcast; the fact side must never sort-merge
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      s"fact-side shuffle crept into the ladder:\n${p.take(3000)}")
+  }
+
+  test("z-order audit reads only the two dimension columns and aggregates once") {
+    val p = plan("q_zorder")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      s"scan reads more than the two curve dimensions:\n${p.take(3000)}")
+    // one hash exchange total: the file_id aggregation (partial-aggregated;
+    // the scalar max row rides a broadcast, not an exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly 1 hash exchange:\n${p.take(3000)}")
+  }
+
+  test("balanced shards rank has no single-partition stage") {
+    val p = plan("q_balanced_shards")
+    assert(!p.contains("SinglePartition"),
+      s"global size rank degenerated to one reducer:\n${p.take(3000)}")
+    assert(p.contains("hashpartitioning(__grk_pid"),
+      "rank window is not partitioned by the range bucket")
+  }
 }

@@ -1037,6 +1037,29 @@ class ExtSpec extends SparkSpec {
     assert(giants.sameElements(Array(0, 1, 2, 3)))
   }
 
+  test("functionalDependencies: exact hold/violation counts and null semantics") {
+    val df = Seq(
+      (1L, "a", Some("x")), (2L, "a", Some("x")), (3L, "b", Some("y")),
+      (4L, "b", Some("z")), (5L, "c", None)
+    ).toDF("id", "k", "v")
+    val fds = Profiling.functionalDependencies(df, Seq("id", "k", "v"))
+      .select("determinant", "dependent", "n_det_values", "n_violations", "holds")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(fds.size == 6)
+    // id is a key: determines everything
+    assert(fds(("id", "k")) == ((5L, 0L, true)))
+    assert(fds(("id", "v")) == ((5L, 0L, true)))
+    // k -> v: 'b' maps to {y, z} → 1 violating determinant of 3; 'c' maps
+    // only to null → NOT a violation (count-distinct null semantics)
+    assert(fds(("k", "v")) == ((3L, 1L, false)))
+    // k -> id: 'a' and 'b' each cover two ids → 2 violations
+    assert(fds(("k", "id")) == ((3L, 2L, false)))
+    // v -> k: the null determinant is its own (consistent) group
+    assert(fds(("v", "k")) == ((4L, 0L, true)))
+  }
+
   test("kAnonymizeLadder: finest sufficient level wins, coarser crowds include finer rows") {
     import graft.ext.Privacy
     // city -> country ladder; k = 3

@@ -238,4 +238,34 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(multi == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
+
+  test("kCore peels cascades: clique survives, triangle and tail peel at k=3") {
+    // K4 on 1-4 (every degree 3) + a triangle 10-12 (degrees 2) + a
+    // CASCADING appendage off the clique: 4-20, 20-21, 20-22, 21-22,
+    // 21-23. At k=3 round 1 peels the triangle, 22 (deg 2) and 23
+    // (deg 1); that drops 20 and 21 to deg < 3, so round 2 peels them —
+    // a genuine cascade — leaving the clique as the exact 3-core.
+    val e = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (4L, 20L), (20L, 21L), (20L, 22L), (21L, 22L), (21L, 23L)
+    ).toDF("s", "d")
+    val (core3, rounds) = GraphOps.kCoreWithRounds(e, "s", "d", k = 3)
+    val got = core3.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(rounds == 2, s"cascade should take exactly 2 peel rounds, got $rounds")
+    // k=2: only the pendant 23 peels; in-core degrees drop accordingly
+    val got2 = GraphOps.kCore(e, "s", "d", k = 2).as[(Long, Long)].collect().toMap
+    assert(got2.keySet == Set(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 22L))
+    assert(got2(10L) == 2L && got2(1L) == 3L && got2(20L) == 3L && got2(21L) == 2L)
+    // k=1 on a clean graph is a no-op: everything survives with its degree
+    val got1 = GraphOps.kCore(e, "s", "d", k = 1).as[(Long, Long)].collect().toMap
+    assert(got1.keySet.size == 11 && got1(23L) == 1L)
+    // loud guard on adversarial depth: a 30-path at k=2 peels 2 ends per
+    // round — maxRounds = 3 must fail loudly, not silently under-peel
+    val path = (1L until 30L).map(i => (i, i + 1)).toDF("s", "d")
+    val err = intercept[IllegalArgumentException](
+      GraphOps.kCore(path, "s", "d", k = 2, maxRounds = 3).collect())
+    assert(err.getMessage.contains("did not stabilize"))
+  }
 }
