@@ -702,10 +702,15 @@ object Dedup {
     // prefix of each doc: its (sz - ceil(t*sz) + 1) rarest tokens, with
     // the in-doc position kept for the positional filter below
     val perDoc = Window.partitionBy(col("id")).orderBy(col("__trank"))
+    // materialized once: BOTH sides of the candidate self-join read this
+    // frame, and without the checkpoint the whole dictionary-rank +
+    // window pipeline executes twice (structural re-use, same rationale
+    // as GlobalRank's materialization — not a data cache)
     val prefix = posts.join(ranked, Seq("tok")).join(sizes, Seq("id"))
       .withColumn("__pos", row_number().over(perDoc))
       .where(col("__pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("__trank"), col("id"), col("sz"), col("__pos"))
+      .localCheckpoint(true)
     // candidates: share >= 1 prefix token, pruned by
     //  (1) size ratio (|A| <= |B| and J >= t ⇒ |A| >= t|B|), at the join;
     //  (2) PPJoin's positional filter: a match at in-doc positions

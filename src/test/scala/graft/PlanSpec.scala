@@ -402,13 +402,24 @@ class PlanSpec extends SparkSpec {
 
   test("prefix-filter join stays parallel: ranked dictionary, equi-joins only") {
     val p = plan("q_prefix_join")
-    // token ranks ride GlobalRank (range buckets), never a global window
-    assert(!p.contains("SinglePartition"),
-      s"single-reducer stage in the prefix join:\n${p.take(3000)}")
-    assert(p.contains("hashpartitioning(__grk_pid"),
-      "dictionary rank window is not partitioned by the range bucket")
-    // candidate generation and verify are equi-joins — a product here
-    // would be the all-pairs plan this operator exists to avoid
+    // the prefix frame is materialized (both sides of the candidate
+    // self-join read it), so the final plan starts at the checkpoint
+    // scan; the dictionary-rank stage's no-single-reducer property is
+    // GlobalRank's, pinned via q_curriculum / q_sorted_neighborhood.
+    // Here: no single-partition DATA stage anywhere downstream (Spark's
+    // injected runtime bloom-filter subqueries do aggregate their sketch
+    // on one partition — that is a fixed-size sketch merge, not a data
+    // funnel, so it is the one allowed form), and candidate generation +
+    // verify are equi-joins — a product would be the all-pairs plan this
+    // operator exists to avoid
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
+      case (_, i) =>
+        val ctx = lines.slice(math.max(0, i - 2), i).mkString
+        assert(ctx.contains("bloom_filter_agg"),
+          s"non-bloom single-partition stage at plan line $i:\n${p.take(3000)}")
+    }
+    assert(p.contains("Scan ExistingRDD"), "materialized prefix frame missing")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidate join degenerated to a product:\n${p.take(3000)}")
   }
