@@ -81,4 +81,48 @@ object MisraGriesAggregator {
   def misraGries(capacity: Int): Column => Column = { item =>
     udaf(new MisraGriesAggregator(capacity), Encoders.STRING).apply(item)
   }
+
+  /** Column form of [[MisraGriesMergeAggregator]]:
+    * `misraGriesMerge(capacity)(itemCol, estCol)`. */
+  def misraGriesMerge(capacity: Int): (Column, Column) => Column = { (item, est) =>
+    udaf(new MisraGriesMergeAggregator(capacity), Encoders.product[ItemCount])
+      .apply(item, est)
+  }
+}
+
+/** Weighted RE-aggregation of already-summarized (item, est) counter rows
+  * — the merge half of Misra-Gries exposed as its own aggregator, so
+  * PERSISTED summaries compose: fold yesterday's state rows with today's
+  * batch summary and get exactly what [[MisraGriesAggregator.merge]]
+  * would have produced (each input row is the singleton summary
+  * {item: est}; adding it and evicting by the (capacity+1)-th largest IS
+  * the Agarwal et al. merge, so associativity and the error bound carry
+  * over unchanged). This is what incremental/streaming maintenance needs
+  * (EventsStream.maintainHeavyHitters): raw rows are seen once, ever;
+  * state merges cost O(counters), not O(history). */
+class MisraGriesMergeAggregator(capacity: Int)
+    extends Aggregator[ItemCount, Map[String, Long], Seq[ItemCount]] {
+  require(capacity > 0, "capacity must be positive")
+
+  private def addWeighted(m: Map[String, Long], item: String, w: Long): Map[String, Long] = {
+    val s = m.updated(item, m.getOrElse(item, 0L) + w)
+    if (s.size <= capacity) s
+    else {
+      val sub = s.valuesIterator.toArray.sorted(Ordering[Long].reverse).apply(capacity)
+      s.iterator.map { case (k, v) => (k, v - sub) }.filter(_._2 > 0L).toMap
+    }
+  }
+
+  override def zero: Map[String, Long] = Map.empty
+  override def reduce(m: Map[String, Long], x: ItemCount): Map[String, Long] =
+    addWeighted(m, x.item, x.est)
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    b.foldLeft(a) { case (acc, (k, v)) => addWeighted(acc, k, v) }
+  override def finish(m: Map[String, Long]): Seq[ItemCount] =
+    m.iterator.map { case (k, v) => ItemCount(k, v) }
+      .toVector.sortBy(ic => (-ic.est, ic.item))
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Seq[ItemCount]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ItemCount]]()
 }

@@ -234,6 +234,78 @@ object EventsStream {
         (col("sum_cents").cast("double") / lit(100.0d)).as("sum_value"))
   }
 
+  /** Streaming heavy-hitters maintenance: per micro-batch, summarize the
+    * batch's items into a Misra-Gries summary
+    * ([[graft.plans.MisraGriesAggregator]]) and fold it into the previous
+    * state VERSION with the weighted merge aggregator — raw events are
+    * seen once, ever; each batch's merge costs O(counters), and the state
+    * table is at most `capacity` rows per version. Same versioned-
+    * partition replay contract as [[maintainUserStats]] (overwriting
+    * batch_id = N re-reads N-1, so redelivery is idempotent), same
+    * batch-0 stale-state refusal. At capacity >= |distinct items| the
+    * maintained estimates are EXACT (no eviction on any path) — the
+    * configuration StreamingSpec pins against the batch recompute;
+    * below capacity the N/(capacity+1) guarantee band composes across
+    * merges (Agarwal et al., mergeable summaries). */
+  def maintainHeavyHitters(
+      stream: DataFrame, itemCol: String, statePath: String, checkpoint: String,
+      capacity: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.plans.MisraGriesAggregator.{misraGries, misraGriesMerge}
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val batchState = batch.toDF()
+          .agg(misraGries(capacity)(col(itemCol)).as("hh"))
+          .select(explode(col("hh")).as("x"))
+          .select(col("x.item").as("item"), col("x.est").as("est"))
+        if (batchId == 0L) {
+          val root = new org.apache.hadoop.fs.Path(statePath)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(root)) {
+            val stale = fs.listStatus(root)
+              .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+              .filter(_ != "batch_id=0")
+            require(stale.isEmpty,
+              s"maintainHeavyHitters: checkpoint restarts at batch 0 but $statePath " +
+                s"already holds state partitions [${stale.sorted.mkString(", ")}] from a " +
+                "previous run — delete the stale state (or keep the old checkpoint) " +
+                "before bootstrapping")
+          }
+        }
+        val merged =
+          if (batchId == 0L) batchState
+          else {
+            val prev = spark.read.parquet(statePath)
+              .where(col("batch_id") === (batchId - 1L))
+              .select("item", "est")
+            prev.unionByName(batchState)
+              .agg(misraGriesMerge(capacity)(col("item"), col("est")).as("hh"))
+              .select(explode(col("hh")).as("x"))
+              .select(col("x.item").as("item"), col("x.est").as("est"))
+          }
+        merged
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(statePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Latest maintained summary from [[maintainHeavyHitters]]. */
+  def latestHeavyHitters(spark: SparkSession, statePath: String): DataFrame = {
+    val all = spark.read.parquet(statePath)
+    val maxRow = all.agg(max(col("batch_id").cast("long"))).head
+    require(!maxRow.isNullAt(0),
+      s"latestHeavyHitters: $statePath contains no batch_id=N state partitions — " +
+        "run maintainHeavyHitters first")
+    all.where(col("batch_id") === maxRow.getLong(0)).select(col("item"), col("est"))
+  }
+
   /** Custom keyed state via `flatMapGroupsWithState`: per-user running
     * profile (event count, value sum, distinct-type count) emitted on every
     * update. The state object is bounded per user, so cluster-wide state is

@@ -110,6 +110,39 @@ class GroundTruthSpec extends SparkSpec {
     assert(mg == cnt)
   }
 
+  test("Misra-Gries MERGE of half-corpus summaries stays inside the composed band") {
+    import graft.plans.MisraGriesAggregator.{misraGries, misraGriesMerge}
+    // summarize two disjoint halves separately, then re-aggregate the
+    // persisted (item, est) rows — the maintenance path — and check the
+    // Agarwal et al. composed guarantee on the FULL stream:
+    // est <= f <= est + N/(cap+1)
+    val cap = 32
+    val words = docs.select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+    def summarize(half: org.apache.spark.sql.DataFrame) = half
+      .agg(misraGries(cap)(col("w")).as("hh"))
+      .select(explode(col("hh")).as("x"))
+      .select(col("x.item").as("item"), col("x.est").as("est"))
+    val merged = summarize(words.where(col("doc_id") % 2 === 0))
+      .unionByName(summarize(words.where(col("doc_id") % 2 === 1)))
+      .agg(misraGriesMerge(cap)(col("item"), col("est")).as("hh"))
+      .select(explode(col("hh")).as("x"))
+      .select(col("x.item"), col("x.est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = words.groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val n = exact.valuesIterator.sum
+    val eps = n.toDouble / (cap + 1)
+    assert(merged.nonEmpty && merged.size <= cap)
+    merged.foreach { case (w, e) =>
+      val f = exact(w)
+      assert(e <= f && f <= e + eps, s"$w: merged est $e vs exact $f, eps=$eps")
+    }
+    exact.filter(_._2 > eps).keysIterator
+      .foreach(w => assert(merged.contains(w), s"heavy hitter $w lost in the merge"))
+  }
+
   test("prefix-filter join EQUALS brute-force all-pairs word-3-gram jaccard (lossless filter)") {
     // the prefix filter is exact by the overlap pigeonhole — this is an
     // equality against the quadratic plan on the REAL corpus, at a

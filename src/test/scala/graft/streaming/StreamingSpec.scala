@@ -266,6 +266,44 @@ class StreamingSpec extends SparkSpec {
     assert(got2 == expected)
   }
 
+  test("stream-maintained Misra-Gries state equals the batch counts at exactness capacity") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-hh-src")
+    val events = graft.sources.Tables.events(spark, dir)
+    events.where(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$src/part_a")
+    events.where(col("event_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$src/part_b")
+    val work = java.nio.file.Files.createTempDirectory("graft-hh")
+    val statePath = s"$work/state"
+    val ckpt = s"$work/ckpt"
+    def stream = {
+      val schema = spark.read.parquet(s"$src/part_a").schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/*")
+    }
+    val q = EventsStream.maintainHeavyHitters(stream, "event_type", statePath, ckpt,
+      capacity = 64)
+    q.awaitTermination()
+    val versions = spark.read.parquet(statePath)
+      .select("batch_id").distinct().count()
+    assert(versions >= 2, s"expected >=2 micro-batches, saw $versions")
+    // capacity (64) >= |event types| (5): no eviction on any path, so the
+    // maintained summary IS the exact count table
+    val got = EventsStream.latestHeavyHitters(spark, statePath)
+      .as[(String, Long)].collect().toMap
+    val expected = events.groupBy(col("event_type")).count()
+      .as[(String, Long)].collect().toMap
+    assert(got == expected, "maintained MG state differs from full recompute")
+    // idempotent restart on the same checkpoint
+    val q2 = EventsStream.maintainHeavyHitters(stream, "event_type", statePath, ckpt,
+      capacity = 64)
+    q2.awaitTermination()
+    assert(EventsStream.latestHeavyHitters(spark, statePath)
+      .as[(String, Long)].collect().toMap == expected)
+  }
+
   test("streaming SCD2 emits exactly the batch operator's closed intervals") {
     val streamed = EventsStream.scd2Intervals(spark,
       EventsStream.readStream(spark, streamDir)).toDF()
