@@ -1184,6 +1184,15 @@ object SparkEntry {
           col("dup_span_ratio"))
     }),
 
+    // the duplicated REGIONS behind q_substring_dup's counts: maximal
+    // merged [start, end] spans of cross-doc verbatim text per doc —
+    // gaps-and-islands over the hit positions, two stacked windows on one
+    // doc exchange (the exact spans an ExactSubstr cutter would remove)
+    "q_dup_spans" -> ((s, dir) => {
+      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 40)
+        .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
+    }),
+
     // Misra-Gries mergeable heavy-hitters summary — the shuffle carries at
     // most `capacity` counters per map task regardless of item
     // cardinality. At capacity >= |distinct| (64 >> 5 event types) MG is
@@ -3515,6 +3524,31 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |  cast(count(d.g) AS double) / cast(count(*) AS double) AS dup_span_ratio
         |FROM grams gr LEFT JOIN dup d USING (g)
         |GROUP BY gr.doc_id""".stripMargin,
+
+    // the same islands, replayed: running max of span ends over the
+    // PRECEDING rows decides island breaks; sum of breaks numbers them
+    "q_dup_spans" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 40 + 2, 1))) AS i
+        |  FROM documents WHERE length(text) >= 40),
+        | grams AS (SELECT doc_id, i, substr(text, CAST(i AS INTEGER), 40) AS g FROM pos),
+        | dup AS (SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+        | hits AS (SELECT doc_id, i AS p FROM grams JOIN dup USING (g)),
+        | marked AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN max(p + 39) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |           OR p > max(p + 39) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM hits),
+        | isl AS (
+        |  SELECT doc_id, p,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM marked)
+        |SELECT doc_id, min(p) AS span_start, max(p + 39) AS span_end,
+        |  max(p + 39) - min(p) + 1 AS span_len
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
 
     // capacity >= cardinality ⇒ Misra-Gries never evicts ⇒ estimates ARE
     // the exact counts on every path — the oracle is plain count(*)

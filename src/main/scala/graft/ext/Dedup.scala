@@ -550,6 +550,36 @@ object Dedup {
         col("n_dup_positions").cast("double") / col("n_positions").cast("double"))
   }
 
+  /** The REGIONS behind [[duplicatedSpanProfile]]'s counts: every maximal
+    * verbatim-duplicated span per document, as (id, span_start, span_end)
+    * character ranges (1-based, inclusive) — the exact text an
+    * ExactSubstr-style cutter removes, not just how much of it there is.
+    * A position p is duplicated iff its k-gram appears in another doc;
+    * overlapping/adjacent hit intervals [p, p+k-1] merge via
+    * [[graft.operators.Intervals.mergeIntervals]]. Same single
+    * gram-hash exchange as the profile, plus the interval windows' doc
+    * exchange. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 40): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val grams = df
+      .where(length(col(textCol)) >= k)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(1), length(col(textCol)) - k + 1),
+          p => col(textCol).substr(p, lit(k)))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("__p"),
+        unhex(md5(col("col"))).as("__gh"))
+    val dup = grams.groupBy(col("__gh"))
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .where(col("__mn") =!= col("__mx"))
+      .select(col("__gh"))
+    val hits = grams.join(dup, Seq("__gh"))
+      .select(col(idCol), col("__p"))
+    graft.operators.Intervals
+      .mergeIntervals(hits, idCol, col("__p"), col("__p") + (k - 1))
+      .withColumn("span_len", col("span_end") - col("span_start") + 1)
+  }
+
   /** DIRECTIONAL containment (Broder's coverage): `|A∩B| / |A|` over
     * word-n-gram sets, emitted for every ordered pair above `threshold` —
     * catches "A is quoted inside B", which symmetric Jaccard misses when

@@ -1009,6 +1009,29 @@ class ExtSpec extends SparkSpec {
     assert(!got.contains(4L))
   }
 
+  test("duplicatedSpans merges hit positions into the exact maximal regions") {
+    val k = 10
+    val shared = "ABCDEFGHIJKLMNOPQRS" // 19 chars shared by docs 1,2
+    val df = Seq(
+      (1L, shared + "xxxxx"),           // hits at 1..10 -> one span [1, 19]
+      (2L, "yyyyy" + shared),           // hits at 6..15 -> one span [6, 24]
+      (3L, "zzzzzzzzzzzzzzzzzzzzzzzz")  // within-doc repeats only: no spans
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df, "doc_id", "text", k)
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 19L, 19L), (2L, 6L, 24L, 19L)))
+    // two DISJOINT shared regions in one doc stay two islands
+    val df2 = Seq(
+      (1L, shared + "xxxxxxxxxxxx" + shared),
+      (2L, shared)
+    ).toDF("doc_id", "text")
+    val spans2 = Dedup.duplicatedSpans(df2, "doc_id", "text", k)
+      .where(col("doc_id") === 1L)
+      .select("span_start", "span_end").as[(Long, Long)].collect().toSet
+    assert(spans2 == Set((1L, 19L), (32L, 50L)), s"got $spans2")
+  }
+
   test("prefixFilterJaccardPairs finds planted near-dups exactly (no LSH miss mode)") {
     val pairs = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text",
       ngram = 3, threshold = 0.5)

@@ -52,4 +52,22 @@ object SamplingProps extends Properties("Sampling") {
         .select("position", "id").as[(Long, Long)].collect().toMap
       pos.keys.toSeq.sorted == (0L until 100L) && pos == posRev
     }
+
+  property("balancedShards: exhaustive, deterministic, totals within one max item") =
+    forAll(Gen.choose(2, 8), Gen.listOfN(60, Gen.choose(1L, 5000L))) { (n, sizes) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val rows = sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = rows.toDF("id", "bytes").repartition(5)
+      val out = Sampling.balancedShards(df, "id", col("bytes"), n)
+        .select("id", "shard").as[(Long, Int)].collect().toMap
+      val totals = rows.groupBy(r => out(r._1)).map { case (_, rs) => rs.map(_._2).sum }
+      val outRev = Sampling.balancedShards(
+        df.orderBy(col("id").desc), "id", col("bytes"), n)
+        .select("id", "shard").as[(Long, Int)].collect().toMap
+      out.size == 60 &&                                  // every row dealt once
+        out.values.forall(s => s >= 0 && s < n) &&       // into a real shard
+        (totals.max - totals.min) <= sizes.max &&        // snake-draft balance bound
+        out == outRev                                    // input-order independent
+    }
 }
