@@ -1224,6 +1224,21 @@ object SparkEntry {
         .select(col("c_custkey"), col("anon_level"), col("qi_geo"), col("qi_segment"))
     }),
 
+    // l-diversity audit on top of the k-anonymity QI: each (nation,
+    // segment) crowd must also hold >= 3 distinct account-balance bands,
+    // or the crowd discloses its shared value (homogeneity attack) —
+    // one map-combined aggregation, bounded count-distinct buffers
+    "q_l_diversity" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      val base = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      graft.ext.Privacy.lDiversityAudit(base,
+        Seq("qi_geo" -> col("n_name"), "qi_segment" -> col("c_mktsegment")),
+        floor(col("c_acctbal") / lit(1000.0d)).cast("long"), l = 3)
+        .select(col("qi_geo"), col("qi_segment"), col("group_size"),
+          col("distinct_sensitive"), col("at_risk"))
+    }),
+
     // Z-order layout audit: scale (part, supp) to 16-bit ordinals by the
     // table max (integer div — exact on any engine, and SF-independent:
     // the curve always spans all 32 bits), Morton-interleave, bucket by
@@ -1270,6 +1285,26 @@ object SparkEntry {
     "q_fd_discovery" -> ((s, dir) => {
       graft.ext.Profiling.functionalDependencies(t(s, dir, "customer"),
         Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+    }),
+
+    // z-order over a CONTINUOUS dimension: the price axis gets an exact
+    // EQUAL-FREQUENCY ordinal (global rank * 65536 div n — skew-proof by
+    // construction, where fixed-width bins would collapse a skewed
+    // domain into a few cells), quantity scales directly; same Morton
+    // bucketing and min/max audit as q_zorder
+    "q_zorder_quantile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_extendedprice"), col("l_quantity"),
+          col("l_orderkey"), col("l_linenumber"))
+      val withOrd = graft.operators.ZOrder.withQuantileOrdinal(li,
+        Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc), "zx")
+      val scaled = withOrd.select(col("zx"),
+        expr("cast(l_quantity AS bigint) * 65536 div 51").as("zy"))
+      graft.operators.ZOrder.fileSkippingProfile(scaled, col("zx"), col("zy"),
+        numBuckets = 64)
+        .select(col("file_id"), col("n_rows"),
+          col("min_x"), col("max_x"), col("min_y"), col("max_y"))
     }),
 
     // size-balanced shard deal (snake draft on the exact global size
@@ -3573,6 +3608,15 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |JOIN c0 USING (geo0, seg)
         |JOIN c1 USING (geo1, seg)""".stripMargin,
 
+    // same grouped count-distinct over the same IEEE band arithmetic
+    "q_l_diversity" ->
+      """SELECT n.n_name AS qi_geo, c.c_mktsegment AS qi_segment,
+        |  count(*)::BIGINT AS group_size,
+        |  count(DISTINCT CAST(floor(c.c_acctbal / 1000.0) AS BIGINT))::BIGINT AS distinct_sensitive,
+        |  (count(DISTINCT CAST(floor(c.c_acctbal / 1000.0) AS BIGINT)) < 3) AS at_risk
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+
     // the same mask-ladder bit spread, replayed with DuckDB's integer
     // & | << >> — Morton codes are pure bit arithmetic, so the oracle is
     // bit-for-bit, not approximate
@@ -3616,6 +3660,28 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         }
       }.mkString("\nUNION ALL\n")
     },
+
+    // same 0-based rank (row_number - 1), same integer ordinal and
+    // Morton arithmetic; the oracle's global window is again the
+    // single-reducer plan GlobalRank exists to avoid
+    "q_zorder_quantile" ->
+      """WITH r AS (
+        |  SELECT l_quantity,
+        |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1 AS rk,
+        |    count(*) OVER () AS n
+        |  FROM lineitem),
+        | s AS (SELECT (rk * 65536) // n AS zx,
+        |              (CAST(l_quantity AS BIGINT) * 65536) // 51 AS zy FROM r),
+        | a AS (SELECT zx & 65535 AS x, zy & 65535 AS y, zx, zy FROM s),
+        | b AS (SELECT (x | (x << 8)) & 16711935 AS x, (y | (y << 8)) & 16711935 AS y, zx, zy FROM a),
+        | c AS (SELECT (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y, zx, zy FROM b),
+        | d AS (SELECT (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y, zx, zy FROM c),
+        | e AS (SELECT (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y, zx, zy FROM d),
+        | z AS (SELECT (x | (y << 1)) AS zval, zx, zy FROM e)
+        |SELECT zval >> 26 AS file_id, count(*)::BIGINT AS n_rows,
+        |  min(zx) AS min_x, max(zx) AS max_x,
+        |  min(zy) AS min_y, max(zy) AS max_y
+        |FROM z GROUP BY 1""".stripMargin,
 
     // the oracle's single-reducer row_number is the very plan
     // balancedShards avoids — same total order, same snake arithmetic

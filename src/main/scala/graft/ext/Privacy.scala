@@ -74,4 +74,23 @@ object Privacy {
     df.groupBy(qi.map { case (n, c) => c.as(n) }: _*)
       .agg(count(lit(1)).as("group_size"))
       .withColumn("at_risk", col("group_size") < k)
+
+  /** l-diversity audit (Machanavajjhala et al. 2007): k-anonymity alone
+    * fails to the HOMOGENEITY attack — a crowd of k rows that all share
+    * the same sensitive value still discloses it. Each QI group must also
+    * carry at least `l` DISTINCT sensitive values. One map-combined
+    * aggregation; the count-distinct buffer per group is bounded by the
+    * sensitive domain (swap in approx_count_distinct at 100 TB if the
+    * sensitive attribute is high-cardinality — the audit then flags
+    * conservatively within HLL error). Null sensitive values are ignored
+    * by count-distinct in any engine — an all-null group audits as
+    * diversity 0, i.e. maximally at risk, which is the safe reading. */
+  def lDiversityAudit(df: DataFrame, qi: Seq[(String, Column)],
+      sensitive: Column, l: Int): DataFrame = {
+    require(l >= 1, s"l must be >= 1, got $l")
+    df.groupBy(qi.map { case (n, c) => c.as(n) }: _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(sensitive).as("distinct_sensitive"))
+      .withColumn("at_risk", col("distinct_sensitive") < l)
+  }
 }

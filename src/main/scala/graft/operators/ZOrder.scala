@@ -51,6 +51,27 @@ object ZOrder {
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
   }
 
+  /** Rank-based (equal-frequency) ordinal for a CONTINUOUS or skewed
+    * dimension: `ordinal = rank * 2^bits div n` over the exact global
+    * rank. Fixed-width binning (`x * 2^bits div (max+1)`, the q_zorder
+    * path) puts most of a skewed domain into a few cells and the curve
+    * degenerates to a 1-D sort; the quantile ordinal splits the DATA
+    * uniformly by construction, whatever the value distribution — the
+    * standard prep for z-ordering prices, timestamps, sizes.
+    *
+    * `sortCols` must be a total order (append unique tiebreaks) —
+    * GlobalRank's contract — which also makes the ordinals, and any
+    * layout audit over them, engine-replayable. One range exchange via
+    * [[GlobalRank]]; n comes from the rank pass (no extra scan). */
+  def withQuantileOrdinal(df: DataFrame, sortCols: Seq[Column],
+      ordCol: String, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1, 16], got $bits")
+    val (ranked, n) = GlobalRank.withGlobalRankAndCount(df, sortCols, "__zq_rank")
+    ranked
+      .withColumn(ordCol, expr(s"__zq_rank * ${1L << bits}L div ${n}L"))
+      .drop("__zq_rank")
+  }
+
   /** Data-skipping audit: assign each row to a fixed z-range bucket
     * (top `log2(numBuckets)` bits of the 32-bit code — a DETERMINISTIC
     * bucketing, unlike sampled range boundaries, so results are

@@ -77,9 +77,10 @@ object ScaleProbe {
     // for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_extendedprice")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_returnflag", "l_extendedprice")
     val ev0 = graft.sources.Tables.events(spark, dir)
     val or0 = spark.read.parquet(s"$dir/orders.parquet")
     val pa0 = spark.read.parquet(s"$dir/part.parquet")
@@ -112,6 +113,7 @@ object ScaleProbe {
           // with the factor (a pinned domain would hide ordinal-scaling
           // cost in the q_zorder probe)
           (col("l_suppkey") + lit(i * 100_000_000L)).as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"),
           col("l_returnflag"),
           (col("l_extendedprice") + lit(i * 0.0001d)).as("l_extendedprice")))
         .reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$base/lineitem.parquet")
@@ -352,6 +354,21 @@ object ScaleProbe {
         force(core)
       }
       println(f"""SCALE_R7B {"factor":$f, "prefix_join":$tPfx%.2f, "substring_dup":$tSub%.2f, "heavy_hitters":$tHh%.2f, "k_anonymity":$tKa%.2f, "zorder":$tZo%.2f, "balanced_shards":$tBs%.2f, "k_core":$tKc%.2f, "k_core_rounds":$kcRounds}""")
+      }
+
+      // round-7 third wave through the real query closures. JSONL is
+      // timed on its SECOND call: the first pays the one-time staging
+      // write (the same once-per-dir discipline as the bucketed
+      // reference), so the recorded number is the read+aggregate path a
+      // warm pipeline actually runs.
+      if (groups("r7c")) {
+      val tDs = tq("q_dup_spans")
+      val tFd = tq("q_fd_discovery")
+      tq("q_jsonl_roundtrip") // staging write, unrecorded
+      val tJr = tq("q_jsonl_roundtrip")
+      val tLd = tq("q_l_diversity")
+      val tZq = tq("q_zorder_quantile")
+      println(f"""SCALE_R7C {"factor":$f, "dup_spans":$tDs%.2f, "fd_discovery":$tFd%.2f, "jsonl_roundtrip":$tJr%.2f, "l_diversity":$tLd%.2f, "zorder_quantile":$tZq%.2f}""")
       }
     }
     spark.stop()

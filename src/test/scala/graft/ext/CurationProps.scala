@@ -72,4 +72,28 @@ object CurationProps extends Properties("Curation") {
         bounds && plantedOk
       }
     }
+
+  property("prefix-filter join EQUALS brute force on arbitrary word-soup corpora") =
+    forAll(Gen.listOfN(25, doc), Gen.oneOf(0.3, 0.5, 0.7)) { (texts, t) =>
+      import graft.functions.{HashFunctions => H}
+      import graft.plans.NativeExpressions
+      // the lossless-filter claim, adversarially: tiny vocabulary means
+      // heavy token sharing, many near-threshold pairs, and sets small
+      // enough that prefix lengths hit their boundary cases
+      val df = docsDf(texts)
+      val got = Dedup.prefixFilterJaccardPairs(df, "doc_id", "text",
+        ngram = 3, threshold = t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val d = df.select(col("doc_id"),
+          NativeExpressions.wordShingles(col("text"), 3).as("sh"))
+        .where(size(col("sh")) > 0)
+      val brute = d.as("a").selectExpr("doc_id AS id_a", "sh AS sh_a")
+        .crossJoin(d.as("b").selectExpr("doc_id AS id_b", "sh AS sh_b"))
+        .where(col("id_a") < col("id_b"))
+        .where(H.jaccard(col("sh_a"), col("sh_b")) >= t)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == brute
+    }
 }

@@ -1105,4 +1105,24 @@ class ExtSpec extends SparkSpec {
       .where(col("at_risk")).select("qi_geo").as[String].collect().toSet
     assert(audit == Set("cityB", "cityC", "cityD"))
   }
+
+  test("lDiversityAudit flags homogeneous crowds k-anonymity misses") {
+    import graft.ext.Privacy
+    // cityA is 3-anonymous but HOMOGENEOUS (everyone shares disease d1);
+    // cityB is 3-anonymous AND 3-diverse; cityC's sensitive values are
+    // all null -> diversity 0, maximally at risk
+    val df = Seq(
+      (1L, "cityA", Some("d1")), (2L, "cityA", Some("d1")), (3L, "cityA", Some("d1")),
+      (4L, "cityB", Some("d1")), (5L, "cityB", Some("d2")), (6L, "cityB", Some("d3")),
+      (7L, "cityC", None), (8L, "cityC", None), (9L, "cityC", None)
+    ).toDF("id", "city", "disease")
+    val audit = Privacy.lDiversityAudit(df, Seq("qi_geo" -> col("city")),
+      col("disease"), l = 3)
+      .select("qi_geo", "group_size", "distinct_sensitive", "at_risk")
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(audit("cityA") == ((3L, 1L, true)), "homogeneous crowd must flag")
+    assert(audit("cityB") == ((3L, 3L, false)))
+    assert(audit("cityC") == ((3L, 0L, true)), "all-null sensitive is diversity 0")
+  }
 }

@@ -58,6 +58,30 @@ class ZOrderSpec extends SparkSpec {
     assert(lexSpan > 16384, "lexicographic control should NOT bound the y span")
   }
 
+  test("quantile ordinals split skewed data equal-frequency where fixed bins collapse") {
+    // heavy-tailed values: 99% tiny, 1% huge — fixed-width binning puts
+    // 99% of rows in ordinal 0; the rank ordinal spreads them uniformly
+    val rnd = new scala.util.Random(13)
+    val vals = (1L to 2048L).map(i =>
+      (i, if (i % 100 == 0) 1e9 + rnd.nextInt(1000) else rnd.nextDouble()))
+    val df = vals.toDF("id", "v").repartition(7)
+    val ords = ZOrder.withQuantileOrdinal(df, Seq(col("v").asc, col("id").asc), "ord", bits = 4)
+      .select("id", "ord").as[(Long, Long)].collect().toMap
+    assert(ords.values.forall(o => o >= 0 && o < 16))
+    val sizes = ords.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size == 16 && sizes.max == 128 && sizes.min == 128,
+      s"equal-frequency violated: ${sizes.toSeq.sorted}")
+    // input-order independence (total order via the id tiebreak)
+    val ordsRev = ZOrder.withQuantileOrdinal(df.orderBy(col("id").desc),
+      Seq(col("v").asc, col("id").asc), "ord", bits = 4)
+      .select("id", "ord").as[(Long, Long)].collect().toMap
+    assert(ords == ordsRev)
+    // the fixed-width control on the same values: one bucket hoards >98%
+    val fixedMax = df.select((col("v") * 16 / lit(1.1e9)).cast("long").as("b"))
+      .groupBy("b").count().agg(max("count")).as[Long].head()
+    assert(fixedMax > 2000, "control: fixed-width binning should collapse")
+  }
+
   test("clusterByZOrder yields numFiles partitions, each z-sorted") {
     val rnd = new scala.util.Random(11)
     val pts = (1 to 2000).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
