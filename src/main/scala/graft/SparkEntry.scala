@@ -91,6 +91,19 @@ object SparkEntry {
     path
   }
 
+  /** Stage the documents table as ORC once per (JVM, input dir) — the
+    * q_orc_roundtrip fixture, [[jsonlStagePath]]'s columnar sibling (ORC is
+    * the other columnar interchange format Spark ships a native vectorized
+    * reader for; a lakehouse migration reads exactly this way). */
+  private def orcStagePath(s: SparkSession, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val path = s"/tmp/graft_orc_$digest"
+    if (stagedRefs.add(path))
+      t(s, dir, "documents").write.mode("overwrite").orc(path)
+    path
+  }
+
   /** approx_percentile accuracy for the *_approx scale twins: rank error
     * ≤ n/accuracy per group. 10k keeps sketch memory a few hundred KB per
     * group regardless of domain cardinality — the continuous-column
@@ -1960,6 +1973,207 @@ object SparkEntry {
         .where(col("dist") <= 2)
         .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
           col("dist"), col("a.n_parts").as("n_a"), col("b.n_parts").as("n_b"))
+    }),
+
+    // link prediction on the co-purchase graph: common-neighbor count
+    // (integer-exact) + Adamic-Adar for every NON-adjacent pair — the
+    // "customers also bought" candidate generator. Wedges at the middle
+    // vertex with a stop-hub degree cap (see GraphOps.linkPrediction for
+    // the Σ deg² skew bound), one pair-keyed agg, one anti-join
+    "q_link_predict" -> ((s, dir) => {
+      graft.graph.GraphOps.linkPrediction(coPurchaseEdges(s, dir), "pa", "pb",
+        minShared = 2, maxDegree = 1024)
+        .select(col("u"), col("w"), col("common_neighbors"), col("adamic_adar"))
+    }),
+
+    // incremental EXACT median: the holistic counterpart q_incremental_agg
+    // (algebraic) and q_incremental_distinct (sketch) leave open — a
+    // per-(key, value) count table is a MERGEABLE state for any rank
+    // statistic when the domain is discrete (l_quantity: 50 values), so
+    // history is scanned once ever and the median recomputes exactly from
+    // merged state rows. Oracle = quantile_cont over the FULL table:
+    // merge(history, delta) == recompute, bit-for-bit
+    "q_incremental_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("qty"),
+          col("l_orderkey"))
+      val history = li.where(col("l_orderkey") % 10 =!= 0)
+      val delta = li.where(col("l_orderkey") % 10 === 0)
+      val merged = graft.operators.Incremental.mergeStates(
+        Seq(graft.operators.Incremental.valueCountState(history, Seq("l_returnflag"), "qty"),
+          graft.operators.Incremental.valueCountState(delta, Seq("l_returnflag"), "qty")),
+        Seq("l_returnflag", "qty"), Seq("cnt" -> "sum"))
+      graft.operators.Incremental.quantileFromCounts(merged, Seq("l_returnflag"), "qty", 0.5)
+        .select(col("l_returnflag"), col("quantile").as("median_qty"))
+    }),
+
+    // t-closeness audit — the third rung of the privacy ladder
+    // (q_k_anonymity crowd size, q_l_diversity value variety, now
+    // DISTRIBUTION distance): EMD of each QI group's account-balance-band
+    // distribution from the global one, ordered-metric closed form
+    "q_t_closeness" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      val base = cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+      graft.ext.Privacy.tClosenessAudit(base,
+        Seq("qi_geo" -> col("n_name"), "qi_segment" -> col("c_mktsegment")),
+        floor(col("c_acctbal") / lit(1000.0d)).cast("long"), t = 0.2)
+        .select(col("qi_geo"), col("qi_segment"), col("group_size"),
+          col("emd"), col("at_risk"))
+    }),
+
+    // exponentially weighted moving average per user at the last event —
+    // the sequential recurrence y_n = α·x_n + (1−α)·y_{n−1} in closed
+    // weighted-sum form (one window pass + one agg, a single user-hash
+    // exchange). α = 1/2 ON PURPOSE: every weight is a power of two, so
+    // pow() and the per-term products are EXACT in both engines and the
+    // oracle replays to the rounding digit
+    "q_ewma" -> ((s, dir) => {
+      graft.operators.TimeSeries.ewmaLast(t(s, dir, "events"),
+        Seq("user_id"), Seq(col("ts"), col("event_id")), col("value"), alpha = 0.5)
+        .select(col("user_id"), col("ewma"), col("n_points").as("n_events"))
+    }),
+
+    // rolling z-score anomaly flag over hourly event counts — the metric
+    // monitor every event pipeline runs. The z² statistic is computed as a
+    // RATIO OF INTEGERS ((n·x − S)² / (n·Q − S²), the population-variance
+    // identity cleared of fractions): one IEEE division per row, so the
+    // result is bit-exact cross-engine with no quantization at all —
+    // counts, sums and squares all stay longs until the final divide
+    "q_anomaly" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.operators.TimeSeries.rollingAnomaly(hourly, Seq("event_type"),
+        col("hour"), col("cnt"), lookback = 24, minPoints = 12, zThreshold = 2.0)
+        .select(col("event_type"), col("hour"), col("cnt"), col("z2"),
+          col("is_anomaly"))
+    }),
+
+    // ORC round-trip — q_jsonl_roundtrip's columnar sibling: documents
+    // written as ORC once, read back schema-explicit through Spark's
+    // vectorized ORC reader, proven content-identical to the parquet
+    // original by the same order-independent text-fingerprint xor
+    "q_orc_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).orc(orcStagePath(s, dir))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          bit_xor(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"))
+            .as("text_fp"))
+    }),
+
+    // deterministic negative sampling for contrastive training pairs:
+    // per anchor customer, candidate parts selected by a PORTABLE hash
+    // (md5 — both engines replay it) at ~1/40 rate, then the purchased
+    // set is anti-joined away. The anchor frame is broadcast (bounded by
+    // the sample gate); at 100 TB the candidate generator stays this
+    // shape — a hash-gated scan of the item dimension per anchor batch,
+    // never a materialized users × items grid
+    "q_negative_sample" -> ((s, dir) => {
+      val anchors = t(s, dir, "customer")
+        .where(col("c_custkey") % 100 === 0).select(col("c_custkey"))
+      val parts = t(s, dir, "part").select(col("p_partkey"))
+      val cand = parts.crossJoin(broadcast(anchors))
+        .where(conv(substring(md5(concat_ws("|",
+          col("c_custkey"), col("p_partkey"))), 1, 15), 16, 10).cast("long")
+          % 40 === 0)
+      val bought = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey")).distinct()
+      cand.join(bought,
+          cand("c_custkey") === bought("o_custkey") &&
+            cand("p_partkey") === bought("l_partkey"), "left_anti")
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_negatives"),
+          min(col("p_partkey")).as("min_part"), max(col("p_partkey")).as("max_part"),
+          bit_xor(col("p_partkey")).as("part_fp"))
+    }),
+
+    // compression-ratio quality signal (the Gopher/CCNet gate): DEFLATE
+    // bytes over raw UTF-8 bytes per document via the native expression —
+    // low ratio = boilerplate/filler, ratio near 1 = mojibake/binary.
+    // NO SQL oracle (DuckDB cannot deflate): rows-only check here, with
+    // the ordering/bounds properties pinned in ExtSpec
+    "q_compression_ratio" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          graft.plans.NativeExpressions.deflateSize(col("text")).as("deflate_bytes"),
+          octet_length(col("text")).cast("long").as("raw_bytes"))
+        .withColumn("ratio",
+          round(col("deflate_bytes").cast("double") / col("raw_bytes"), 6))
+    }),
+
+    // DeepWalk-style positive-pair walks on the co-purchase graph, fully
+    // deterministic (md5 choice — the oracle replays each step); every
+    // 20th node seeds a 4-step walk. See GraphOps.randomWalks for the
+    // one-ranked-adjacency, one-join-per-step plan shape
+    "q_random_walks" -> ((s, dir) => {
+      graft.graph.GraphOps.randomWalksFromNodes(coPurchaseEdges(s, dir),
+        "pa", "pb", col("node") % 20 === 0, steps = 4)
+        .select(col("walk_id"), col("step").cast("long").as("step"), col("node"))
+    }),
+
+    // Pearson correlation between event-type hourly series (over hours
+    // where both types fired — inner-join semantics, documented): all
+    // moments stay integer sums; r = num / (√A·√B) with each factor's
+    // sqrt and the final divide correctly rounded IEEE ops, so the value
+    // is bit-identical cross-engine with NO rounding contract. Factored
+    // √A·√B (not √(A·B)) keeps each radicand within long range ~100×
+    // longer than the fused product would
+    "q_correlation" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val j = hourly.as("x").join(hourly.as("y"),
+        col("x.hour") === col("y.hour") &&
+          col("x.event_type") < col("y.event_type"))
+      val g = j.groupBy(col("x.event_type").as("type_a"),
+          col("y.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x.cnt")).as("sx"), sum(col("y.cnt")).as("sy"),
+          sum(col("x.cnt") * col("y.cnt")).as("sxy"),
+          sum(col("x.cnt") * col("x.cnt")).as("sxx"),
+          sum(col("y.cnt") * col("y.cnt")).as("syy"))
+      val va = g("n") * g("sxx") - g("sx") * g("sx")
+      val vb = g("n") * g("syy") - g("sy") * g("sy")
+      g.where(va > 0 && vb > 0)
+        .select(col("type_a"), col("type_b"), col("n"),
+          ((g("n") * g("sxy") - g("sx") * g("sy")).cast("double") /
+            (sqrt(va.cast("double")) * sqrt(vb.cast("double")))).as("pearson_r"))
+    }),
+
+    // zone-map pruning effectiveness: the q_zorder file profile against a
+    // quarter-domain predicate box — how many of the 64 z-range files a
+    // min/max-pruning scan planner skips, and the selectivity inside the
+    // survivors. The report every clustering decision is judged by; both
+    // sides aggregate to single rows, the combine is a 1×1 cross join
+    "q_zone_prune" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val m = li.agg(max(col("l_partkey")).as("mp"), max(col("l_suppkey")).as("ms"))
+      val scaled = li.crossJoin(broadcast(m))
+        .select(expr("l_partkey * 65536 div (mp + 1)").as("zx"),
+          expr("l_suppkey * 65536 div (ms + 1)").as("zy"))
+      val prof = graft.operators.ZOrder.fileSkippingProfile(scaled,
+        col("zx"), col("zy"), numBuckets = 64)
+      val (loX, hiX, loY, hiY) = (16384L, 32767L, 16384L, 32767L)
+      val hits = col("min_x") <= hiX && col("max_x") >= loX &&
+        col("min_y") <= hiY && col("max_y") >= loY
+      val stats = prof.agg(
+        count(lit(1)).as("n_files"),
+        sum(when(hits, 1L).otherwise(0L)).as("n_files_scanned"),
+        sum(when(hits, col("n_rows")).otherwise(0L)).as("rows_scanned"),
+        sum(col("n_rows")).as("rows_total"))
+      val matched = scaled.where(col("zx").between(loX, hiX) &&
+          col("zy").between(loY, hiY))
+        .agg(count(lit(1)).as("rows_matched"))
+      stats.crossJoin(matched)
     })
   )
 
@@ -4084,6 +4298,216 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |  UNION
         |  SELECT e.b, r.d + 1 FROM reach r JOIN edges e ON e.a = r.node
         |  WHERE r.d < 4)
-        |SELECT node AS node_id, min(d) AS hops FROM reach GROUP BY node""".stripMargin
+        |SELECT node AS node_id, min(d) AS hops FROM reach GROUP BY node""".stripMargin,
+
+    // same capped edge projection as q_triangles; wedges at the middle
+    // vertex, stop-hub cap (a no-op at fixture scale, mirrored for
+    // semantic parity), NOT EXISTS for the non-adjacency contract
+    "q_link_predict" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
+        | e AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | adj AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e),
+        | deg AS (SELECT v, count(*)::BIGINT AS d FROM adj GROUP BY 1),
+        | ctr AS (SELECT adj.v, adj.n, deg.d FROM adj JOIN deg USING (v) WHERE d <= 1024),
+        | pairs AS (
+        |  SELECT x.n AS u, y.n AS w, count(*)::BIGINT AS common_neighbors,
+        |    round(sum(1.0 / ln(x.d)), 6) AS adamic_adar
+        |  FROM ctr x JOIN ctr y ON x.v = y.v AND x.n < y.n
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT u, w, common_neighbors, adamic_adar FROM pairs p
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = p.u AND e.b = p.w)""".stripMargin,
+
+    // the oracle recomputes from the FULL table — a hash match proves
+    // merge(history_state, delta_state) == recompute(history ∪ delta)
+    "q_incremental_median" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(cast(l_quantity AS bigint), 0.5) AS median_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_t_closeness" ->
+      """WITH base AS (
+        |  SELECT n_name AS qi_geo, c_mktsegment AS qi_segment,
+        |    cast(floor(c_acctbal / 1000.0) AS bigint) AS band
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        | cell AS (
+        |  SELECT qi_geo, qi_segment, band, count(*)::BIGINT AS gc
+        |  FROM base GROUP BY 1, 2, 3),
+        | bandc AS (SELECT band, count(*)::BIGINT AS bc FROM base GROUP BY 1),
+        | tot AS (SELECT sum(bc)::BIGINT AS total, count(*)::BIGINT AS nbands FROM bandc),
+        | grp AS (SELECT qi_geo, qi_segment, sum(gc)::BIGINT AS n FROM cell GROUP BY 1, 2),
+        | grid AS (
+        |  SELECT g.qi_geo, g.qi_segment, g.n, b.band, b.bc, t.total, t.nbands,
+        |    coalesce(c.gc, 0)::BIGINT AS gc
+        |  FROM grp g CROSS JOIN bandc b CROSS JOIN tot t
+        |  LEFT JOIN cell c ON c.qi_geo = g.qi_geo
+        |    AND c.qi_segment = g.qi_segment AND c.band = b.band),
+        | cums AS (
+        |  SELECT qi_geo, qi_segment, n, nbands,
+        |    CAST(sum(gc) OVER win AS DOUBLE) / n AS cq,
+        |    CAST(sum(bc) OVER win AS DOUBLE) / total AS cp
+        |  FROM grid
+        |  WINDOW win AS (PARTITION BY qi_geo, qi_segment ORDER BY band))
+        |SELECT qi_geo, qi_segment, n AS group_size,
+        |  round(sum(abs(cq - cp)) / (max(nbands) - 1), 6) AS emd,
+        |  round(sum(abs(cq - cp)) / (max(nbands) - 1), 6) > 0.2 AS at_risk
+        |FROM cums GROUP BY 1, 2, 3""".stripMargin,
+
+    // α = 1/2: pow(0.5, k) and each product are exact in both engines;
+    // only the final sum is order-sensitive, inside the 1e-6 round
+    "q_ewma" ->
+      """WITH r AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id,
+        |  round(sum(value * CASE WHEN rn = 1 THEN pow(0.5, n - 1)
+        |                         ELSE pow(0.5, n - rn) * 0.5 END), 6) AS ewma,
+        |  max(n)::BIGINT AS n_events
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // z² as a ratio of integers — no quantization anywhere; the single
+    // IEEE division is bit-identical cross-engine
+    "q_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | w AS (
+        |  SELECT event_type, hour, cnt,
+        |    count(*) OVER win AS n, sum(cnt) OVER win AS sx,
+        |    sum(cnt * cnt) OVER win AS sq
+        |  FROM hourly
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY hour
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, hour, cnt,
+        |  CAST((n * cnt - sx) * (n * cnt - sx) AS DOUBLE) / (n * sq - sx * sx) AS z2,
+        |  CAST((n * cnt - sx) * (n * cnt - sx) AS DOUBLE) / (n * sq - sx * sx) > 4.0
+        |    AS is_anomaly
+        |FROM w WHERE n >= 12 AND n * sq - sx * sx <> 0""".stripMargin,
+
+    // oracle reads the parquet side — a hash match certifies the whole
+    // ORC write → vectorized read cycle byte-preserves every text
+    "q_orc_roundtrip" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  bit_xor(cast(('0x' || substr(md5(text), 1, 15))::UBIGINT AS BIGINT)) AS text_fp
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_negative_sample" ->
+      """WITH anchors AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+        | cand AS (
+        |  SELECT a.c_custkey, p.p_partkey
+        |  FROM anchors a CROSS JOIN part p
+        |  WHERE cast(('0x' || substr(md5(a.c_custkey || '|' || p.p_partkey), 1, 15))::UBIGINT
+        |    AS BIGINT) % 40 = 0),
+        | bought AS (
+        |  SELECT DISTINCT o_custkey, l_partkey
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        | neg AS (
+        |  SELECT c.c_custkey, c.p_partkey FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM bought b
+        |    WHERE b.o_custkey = c.c_custkey AND b.l_partkey = c.p_partkey))
+        |SELECT c_custkey, count(*)::BIGINT AS n_negatives,
+        |  min(p_partkey) AS min_part, max(p_partkey) AS max_part,
+        |  bit_xor(p_partkey) AS part_fp
+        |FROM neg GROUP BY 1""".stripMargin,
+
+    // each step replayed as one join on (node, md5-choice rank) — the
+    // determinism contract in GraphOps.randomWalks, unrolled
+    "q_random_walks" -> {
+      val base =
+        """WITH li AS (
+          |  SELECT l_orderkey, l_partkey
+          |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+          |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
+          | ed AS (
+          |  SELECT x.l_partkey AS a, y.l_partkey AS b
+          |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+          |    AND x.l_partkey < y.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          | adj AS (
+          |  SELECT v, n,
+          |    row_number() OVER (PARTITION BY v ORDER BY n) AS rnk,
+          |    count(*) OVER (PARTITION BY v) AS deg
+          |  FROM (SELECT a AS v, b AS n FROM ed UNION ALL SELECT b, a FROM ed)),
+          | w0 AS (
+          |  SELECT node AS walk_id, node, 0::BIGINT AS step
+          |  FROM (SELECT DISTINCT a AS node FROM ed UNION SELECT DISTINCT b FROM ed)
+          |  WHERE node % 20 = 0)""".stripMargin
+      val steps = (1 to 4).map { s =>
+        s""",
+           | w$s AS (
+           |  SELECT f.walk_id, a.n AS node, $s::BIGINT AS step
+           |  FROM w${s - 1} f JOIN adj a ON a.v = f.node
+           |    AND a.rnk = cast(('0x' || substr(md5(f.walk_id || '|' || $s), 1, 15))::UBIGINT
+           |      AS BIGINT) % a.deg + 1)""".stripMargin
+      }.mkString
+      base + steps +
+        "\nSELECT walk_id, step, node FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1" +
+        " UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4)"
+    },
+
+    // integer moments; √A·√B then one divide — three correctly-rounded
+    // IEEE ops, bit-identical in any engine
+    "q_correlation" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | g AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    count(*)::BIGINT AS n,
+        |    sum(x.cnt)::BIGINT AS sx, sum(y.cnt)::BIGINT AS sy,
+        |    sum(x.cnt * y.cnt)::BIGINT AS sxy,
+        |    sum(x.cnt * x.cnt)::BIGINT AS sxx,
+        |    sum(y.cnt * y.cnt)::BIGINT AS syy
+        |  FROM hourly x JOIN hourly y ON x.hour = y.hour
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
+        |FROM g
+        |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin,
+
+    // the q_zorder profile CTE + the pruning aggregate; the row-level
+    // match count comes straight off the scaled frame
+    "q_zone_prune" ->
+      """WITH m AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
+        | s AS (SELECT (l_partkey * 65536) // (mp + 1) AS zx,
+        |              (l_suppkey * 65536) // (ms + 1) AS zy FROM lineitem, m),
+        | a AS (SELECT zx & 65535 AS x, zy & 65535 AS y, zx, zy FROM s),
+        | b AS (SELECT (x | (x << 8)) & 16711935 AS x, (y | (y << 8)) & 16711935 AS y, zx, zy FROM a),
+        | c AS (SELECT (x | (x << 4)) & 252645135 AS x, (y | (y << 4)) & 252645135 AS y, zx, zy FROM b),
+        | d AS (SELECT (x | (x << 2)) & 858993459 AS x, (y | (y << 2)) & 858993459 AS y, zx, zy FROM c),
+        | e AS (SELECT (x | (x << 1)) & 1431655765 AS x, (y | (y << 1)) & 1431655765 AS y, zx, zy FROM d),
+        | z AS (SELECT (x | (y << 1)) AS zval, zx, zy FROM e),
+        | prof AS (
+        |  SELECT zval >> 26 AS file_id, count(*)::BIGINT AS n_rows,
+        |    min(zx) AS min_x, max(zx) AS max_x,
+        |    min(zy) AS min_y, max(zy) AS max_y
+        |  FROM z GROUP BY 1),
+        | stats AS (
+        |  SELECT count(*)::BIGINT AS n_files,
+        |    sum(CASE WHEN min_x <= 32767 AND max_x >= 16384
+        |             AND min_y <= 32767 AND max_y >= 16384 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_files_scanned,
+        |    sum(CASE WHEN min_x <= 32767 AND max_x >= 16384
+        |             AND min_y <= 32767 AND max_y >= 16384 THEN n_rows ELSE 0 END)::BIGINT
+        |      AS rows_scanned,
+        |    sum(n_rows)::BIGINT AS rows_total
+        |  FROM prof),
+        | matched AS (
+        |  SELECT count(*)::BIGINT AS rows_matched FROM z
+        |  WHERE zx BETWEEN 16384 AND 32767 AND zy BETWEEN 16384 AND 32767)
+        |SELECT * FROM stats CROSS JOIN matched""".stripMargin
   )
 }

@@ -93,4 +93,48 @@ object Privacy {
         countDistinct(sensitive).as("distinct_sensitive"))
       .withColumn("at_risk", col("distinct_sensitive") < l)
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) for an ORDINAL
+    * sensitive attribute: l-diversity still leaks when a group's sensitive
+    * DISTRIBUTION skews far from the table's (a crowd with 3 distinct but
+    * all-low salaries discloses "low"). The distance is the Earth Mover's
+    * Distance under the ordered-distance metric — for an ordinal domain of
+    * B bands this is Σ|cumQ - cumP| / (B - 1), the closed form from the
+    * paper.
+    *
+    * Plan shape: two map-combined aggregations (per-group-per-band and
+    * global-per-band counts), then the EMD on the GROUPS × BANDS grid —
+    * post-aggregation data bounded by domain sizes, never by rows, so the
+    * band frames broadcast and the cross join that zero-fills missing
+    * (group, band) cells (EMD needs full support: a band absent from a
+    * group is probability 0, not an absent row) is a broadcast
+    * nested-loop over grid-sized inputs. Fractions are int/int IEEE
+    * divisions and the cum-sum spans ≤ B terms, so `round(·, 6)` is
+    * engine-stable. */
+  def tClosenessAudit(df: DataFrame, qi: Seq[(String, Column)],
+      sensitiveBand: Column, t: Double): DataFrame = {
+    require(t > 0.0 && t < 1.0, s"t must be in (0, 1), got $t")
+    val qiNames = qi.map(_._1)
+    val base = df.select(qi.map { case (n, c) => c.as(n) } :+
+      sensitiveBand.as("__band"): _*)
+    val perCell = base.groupBy((qiNames.map(col) :+ col("__band")): _*)
+      .agg(count(lit(1)).as("__gc"))
+    val perBand = base.groupBy(col("__band")).agg(count(lit(1)).as("__bc"))
+    val groups = perCell.groupBy(qiNames.map(col): _*).agg(sum(col("__gc")).as("__n"))
+    val bands = perBand.crossJoin(perBand.agg(sum(col("__bc")).as("__total"),
+      count(lit(1)).as("__nbands")))
+    // full-support grid: every (group, band) cell, zero-filled
+    val grid = groups.crossJoin(broadcast(bands))
+      .join(perCell, qiNames :+ "__band", "left")
+      .withColumn("__gc", coalesce(col("__gc"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiNames.map(col): _*).orderBy(col("__band"))
+    grid
+      .withColumn("__cum_q", sum(col("__gc")).over(w).cast("double") / col("__n"))
+      .withColumn("__cum_p", sum(col("__bc")).over(w).cast("double") / col("__total"))
+      .groupBy((qiNames.map(col) :+ col("__n").as("group_size")): _*)
+      .agg(round(sum(abs(col("__cum_q") - col("__cum_p"))) /
+        (max(col("__nbands")) - lit(1L)), 6).as("emd"))
+      .withColumn("at_risk", col("emd") > t)
+  }
 }

@@ -541,6 +541,118 @@ object GraphOps {
       .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Link-prediction scores for NON-adjacent node pairs: common-neighbor
+    * count (integer — oracle-exact) and Adamic-Adar (Σ 1/ln deg(v) over
+    * the shared neighbors v; the classic down-weighting of promiscuous
+    * middle vertices).
+    *
+    * Plan shape: wedges at the MIDDLE vertex — the symmetric adjacency
+    * joined with itself on the center, neighbor pair taken once with
+    * u < w — then one (u, w)-keyed aggregation and a left-anti join
+    * against the existing edge set (a predicted link is by definition a
+    * pair NOT yet connected). All equi-joins, one exchange each.
+    *
+    * `maxDegree` caps the quadratic step the same way
+    * [[coOccurrencePairs]]' maxGroupSize does: wedge volume is
+    * Σ_v deg(v)², so one hub emits deg² pairs from a single join key —
+    * and a hub's neighborhood carries ~no pairwise signal anyway (its
+    * Adamic-Adar weight 1/ln(deg) is already ≈ 0). Dropping middle
+    * vertices above the cap bounds per-key join output at cap² and is
+    * the standard stop-hub policy; it is an explicit parameter, and the
+    * fixture graphs sit far below it so every test SF is cap-invariant.
+    * `minShared` bounds OUTPUT volume (pairs sharing one neighbor are
+    * noise at any scale). */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+      minShared: Int = 2, maxDegree: Int = 1024): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val adj = e.select(col("a").as("v"), col("b").as("n"))
+      .union(e.select(col("b").as("v"), col("a").as("n")))
+    val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val center = adj.join(deg, "v").where(col("d") <= maxDegree)
+    val pairs = center.as("x").join(center.as("y"),
+        col("x.v") === col("y.v") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("u"), col("y.n").as("w"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        round(sum(lit(1.0d) / log(col("x.d"))), 6).as("adamic_adar"))
+      .where(col("common_neighbors") >= minShared)
+    pairs.join(e, pairs("u") === e("a") && pairs("w") === e("b"), "left_anti")
+  }
+
+  /** Deterministic random walks — the DeepWalk/node2vec positive-pair
+    * generator, engine-replayable: the "random" neighbor choice at step s
+    * of walk w is `md5(w || '|' || s) mod deg(current)` over the node's
+    * id-ordered neighbor list, so any engine (and the SQL oracle) replays
+    * the exact walk. Output is one row per (walk_id, step, node),
+    * step 0 = the seed.
+    *
+    * Plan shape: the symmetric adjacency is ranked ONCE (one window over
+    * the node-hash exchange, neighbor rank + degree together) and
+    * materialized; each step is then one equi-join of the frontier against
+    * it on (node, rank) — `steps` joins total, no recursion, no driver
+    * loop. At 100 TB the adjacency frame is the natural bucketing target
+    * (bucket by `v`) making every step exchange-free on the adjacency
+    * side; the frontier stays walk-count-sized, independent of |E|. */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, steps: Int): DataFrame = {
+    val adj = rankedAdjacency(edges, srcCol, dstCol)
+    walkLoop(adj, seeds.select(col(seedCol).as("walk_id"),
+      col(seedCol).as("node"), lit(0).as("step")), steps)
+  }
+
+  /** [[randomWalks]] seeded by a predicate over the graph's OWN node set
+    * (`nodeFilter` references the `node` column) — seeds derive from the
+    * already-materialized adjacency, so a caller-built seed frame does not
+    * re-run the (possibly expensive) edge derivation a second time: the
+    * same one-materialization rationale as [[bfsFromMinNode]]. */
+  def randomWalksFromNodes(edges: DataFrame, srcCol: String, dstCol: String,
+      nodeFilter: org.apache.spark.sql.Column, steps: Int): DataFrame = {
+    val adj = rankedAdjacency(edges, srcCol, dstCol)
+    val frontier0 = adj.select(col("v").as("node")).distinct()
+      .where(nodeFilter)
+      .select(col("node").as("walk_id"), col("node"), lit(0).as("step"))
+    walkLoop(adj, frontier0, steps)
+  }
+
+  /** Symmetric adjacency with per-node id-ordered neighbor rank + degree,
+    * materialized once: both walk windows share one node-hash exchange. */
+  private def rankedAdjacency(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("v")).orderBy(col("n"))
+    e.select(col("a").as("v"), col("b").as("n"))
+      .union(e.select(col("b").as("v"), col("a").as("n")))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("v"))))
+      .localCheckpoint(true)
+  }
+
+  private def walkLoop(adj: DataFrame, frontier0: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    // portable per-(walk, step) choice: low 60 bits of md5, non-negative
+    def choice(walk: org.apache.spark.sql.Column, step: Int): org.apache.spark.sql.Column =
+      pmod(conv(substring(md5(concat_ws("|", walk, lit(step))), 1, 15), 16, 10)
+        .cast("long"), col("deg"))
+    var frontier = frontier0
+    var out = frontier
+    for (s <- 1 to steps) {
+      frontier = frontier
+        .join(adj, frontier("node") === adj("v"))
+        .where(col("rnk") === choice(col("walk_id"), s) + 1)
+        .select(col("walk_id"), col("n").as("node"), lit(s).as("step"))
+      out = out.unionByName(frontier)
+    }
+    out
+  }
+
   /** PageRank via GraphX Pregel implementation. */
   def pageRank(nodes: DataFrame, edges: DataFrame, tol: Double = 0.001): DataFrame = {
     val spark = nodes.sparkSession

@@ -42,4 +42,44 @@ object Incremental {
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Mergeable state for EXACT holistic aggregates over a DISCRETE value
+    * domain: the per-(key, value) count table. Unlike a sketch state this
+    * is exact — any rank statistic (median, any quantile, mode) recomputes
+    * losslessly from the merged counts — and it merges with plain count
+    * addition, so [[mergeStates]] with one "sum" op folds a delta batch in
+    * at cost ∝ |keys| × |domain|, never the history size. The state is
+    * bounded by the DISTINCT value count per key (l_quantity: 50); for
+    * continuous domains use a sketch (KLL/approx_percentile) instead —
+    * same pipeline shape, bounded error. */
+  def valueCountState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-key linear-interpolated quantile (quantile_cont semantics: rank
+    * position p = (n-1)·q, result = v_lo + frac·(v_hi - v_lo)) computed
+    * from a value-count state — one window pass over STATE rows (already
+    * key-partitioned and tiny relative to the raw data), no re-scan of
+    * history. Values at 0-based rank r satisfy cum - cnt <= r < cum. */
+  def quantileFromCounts(state: DataFrame, keys: Seq[String], valueCol: String,
+      q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(valueCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+    val ranked = state
+      .withColumn("__cum", sum(col("cnt")).over(w))
+      .withColumn("__n", sum(col("cnt")).over(wAll))
+      .withColumn("__p", (col("__n") - lit(1L)).cast("double") * lit(q))
+      .withColumn("__lo", floor(col("__p")).cast("long"))
+      .withColumn("__hi", ceil(col("__p")).cast("long"))
+    ranked.groupBy(keys.map(col): _*)
+      .agg(
+        min(when(col("__cum") > col("__lo"), col(valueCol))).cast("double").as("__vlo"),
+        min(when(col("__cum") > col("__hi"), col(valueCol))).cast("double").as("__vhi"),
+        min(col("__p") - floor(col("__p"))).as("__frac"))
+      .select((keys.map(col) :+
+        (col("__vlo") + col("__frac") * (col("__vhi") - col("__vlo")))
+          .as("quantile")): _*)
+  }
 }

@@ -144,6 +144,17 @@ object NativeExpressions {
 
   /** Euclidean distance over two float/double array columns. */
   def euclidean(a: Column, b: Column): Column = toCol(EuclideanDistance(toExpr(a), toExpr(b)))
+
+  /** DEFLATE-compressed byte size of the string's UTF-8 bytes (zlib level
+    * 6, the Gopher/CCNet compression-ratio quality signal: highly
+    * compressible text is boilerplate/filler, incompressible text is
+    * mojibake or binary spill). Deterministic for a fixed zlib build —
+    * java.util.zip ships with the JVM — but NOT replayable from SQL, so
+    * queries built on it are rows-only checks with property-test bounds
+    * (repetitive ≪ natural ≪ random), not hash oracles. NULL in, NULL
+    * out; sizing is a length, so the scan stays one pass per row with a
+    * reused per-thread Deflater. */
+  def deflateSize(text: Column): Column = toCol(DeflateSize(toExpr(text)))
 }
 
 /** SplitMix64 — deterministic per-slot hash-family constants, plus the one
@@ -846,4 +857,39 @@ case class EuclideanDistance(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): EuclideanDistance =
     copy(left = l, right = r)
+}
+
+/** DEFLATE size of the UTF-8 bytes — see [[NativeExpressions.deflateSize]]
+  * for the determinism contract. The Deflater is per-thread (reset between
+  * rows, never shared across tasks): allocation per row would dominate the
+  * scan, a shared instance would race. */
+case class DeflateSize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "deflate_size"
+
+  @transient private lazy val local =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(6, /* nowrap = */ true)
+    }
+  @transient private lazy val buf =
+    new ThreadLocal[Array[Byte]] {
+      override def initialValue(): Array[Byte] = new Array[Byte](64 * 1024)
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val d = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val b = buf.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(b)
+    java.lang.Long.valueOf(total)
+  }
+
+  override protected def withNewChildInternal(c: Expression): DeflateSize = copy(child = c)
 }

@@ -163,12 +163,54 @@ object EventsStream {
     * k >= 1 preserves the replay guarantee, which only ever reads
     * id - 1) — the same compaction cadence note as CorpusStream. */
   def maintainUserStats(
-      stream: DataFrame, statePath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    def stateOf(df: DataFrame): DataFrame = df
-      .groupBy(col("user_id"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(floor(col("value") * lit(100.0d) + lit(0.5d)).cast("long")).as("sum_cents"))
+      stream: DataFrame, statePath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainMergeableState(stream, statePath, checkpoint,
+      stateOf = _.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(floor(col("value") * lit(100.0d) + lit(0.5d)).cast("long")).as("sum_cents")),
+      stateCols = Seq("user_id", "n_events", "sum_cents"),
+      keys = Seq("user_id"),
+      ops = Seq("n_events" -> "sum", "sum_cents" -> "sum"))
+
+  /** Stream-maintained PER-VALUE count state — the streaming face of
+    * [[graft.operators.Incremental.valueCountState]], which makes EXACT
+    * holistic statistics (median, any quantile, mode) incrementally
+    * maintainable over a discrete domain: raw events are seen once, each
+    * batch folds value counts into the versioned state, and
+    * [[latestValueQuantile]] recomputes the exact rank statistic from
+    * state rows (∝ keys × domain, never history). Values are discretized
+    * by `floor(value)` — the banding contract that keeps the domain (and
+    * so the state) bounded. */
+  def maintainValueCounts(
+      stream: DataFrame, statePath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainMergeableState(stream, statePath, checkpoint,
+      stateOf = df => graft.operators.Incremental.valueCountState(
+        df.withColumn("value_band", floor(col("value")).cast("long")),
+        Seq("event_type"), "value_band"),
+      stateCols = Seq("event_type", "value_band", "cnt"),
+      keys = Seq("event_type", "value_band"),
+      ops = Seq("cnt" -> "sum"))
+
+  /** Exact per-type quantile served from [[maintainValueCounts]]' latest
+    * state version — percentile-over-history at state-table cost. */
+  def latestValueQuantile(spark: SparkSession, statePath: String,
+      q: Double): DataFrame =
+    graft.operators.Incremental.quantileFromCounts(
+      latestStateVersion(spark, statePath, "maintainValueCounts")
+        .select("event_type", "value_band", "cnt"),
+      Seq("event_type"), "value_band", q)
+
+  /** The shared versioned-partition maintenance recipe: state version N
+    * (state AFTER batch N) = merge(version N−1, stateOf(batch N)), written
+    * by dynamic overwrite to its own `batch_id=N` partition — idempotent
+    * under crash-replay (see [[maintainUserStats]]' scaladoc for the
+    * exactly-once argument; the batch-0 guard refuses a reset checkpoint
+    * over surviving state, the torn-deployment case). */
+  private def maintainMergeableState(stream: DataFrame, statePath: String,
+      checkpoint: String, stateOf: DataFrame => DataFrame,
+      stateCols: Seq[String], keys: Seq[String],
+      ops: Seq[(String, String)]): org.apache.spark.sql.streaming.StreamingQuery = {
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -178,10 +220,10 @@ object EventsStream {
         // batch 0 = a FRESH query (new checkpoint). Dynamic partition
         // overwrite below only rewrites batch_id=0 — if statePath still
         // holds higher-batch_id partitions from a previous run whose
-        // checkpoint was reset, latestUserStats (max batch_id) would
-        // silently keep serving the STALE state. A reset checkpoint with
-        // surviving state is a torn deployment: refuse it loudly rather
-        // than guess which of the two histories the caller meant to keep.
+        // checkpoint was reset, the latest-state readers (max batch_id)
+        // would silently keep serving the STALE state. A reset checkpoint
+        // with surviving state is a torn deployment: refuse it loudly
+        // rather than guess which history the caller meant to keep.
         if (batchId == 0L) {
           val root = new org.apache.hadoop.fs.Path(statePath)
           val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -190,10 +232,10 @@ object EventsStream {
               .map(_.getPath.getName).filter(_.startsWith("batch_id="))
               .filter(_ != "batch_id=0")
             require(stale.isEmpty,
-              s"maintainUserStats: checkpoint restarts at batch 0 but $statePath " +
+              s"maintainMergeableState: checkpoint restarts at batch 0 but $statePath " +
                 s"already holds state partitions [${stale.sorted.mkString(", ")}] from a " +
                 "previous run — delete the stale state (or keep the old checkpoint) " +
-                "before bootstrapping, or latestUserStats would keep serving it")
+                "before bootstrapping, or the latest-state reader would keep serving it")
           }
         }
         val merged =
@@ -201,10 +243,8 @@ object EventsStream {
           else {
             val prev = spark.read.parquet(statePath)
               .where(col("batch_id") === (batchId - 1L))
-              .select("user_id", "n_events", "sum_cents")
-            graft.operators.Incremental.mergeStates(
-              Seq(prev, batchState), Seq("user_id"),
-              Seq("n_events" -> "sum", "sum_cents" -> "sum"))
+              .select(stateCols.map(col): _*)
+            graft.operators.Incremental.mergeStates(Seq(prev, batchState), keys, ops)
           }
         merged
           .withColumn("batch_id", lit(batchId))
@@ -217,22 +257,23 @@ object EventsStream {
       .start()
   }
 
-  /** Latest maintained state from [[maintainUserStats]]'s versioned
-    * partitions (one bounded max over the partition column). */
-  def latestUserStats(spark: SparkSession, statePath: String): DataFrame = {
+  /** Max-version state partition, with the no-state NPE guard. */
+  private def latestStateVersion(spark: SparkSession, statePath: String,
+      producer: String): DataFrame = {
     val all = spark.read.parquet(statePath)
-    // the partition column comes back INT-inferred from directory names —
-    // cast before the scalar read. A state dir with no batch_id partitions
-    // yields a NULL max; getLong on it would NPE with no hint at the cause.
     val maxRow = all.agg(max(col("batch_id").cast("long"))).head
     require(!maxRow.isNullAt(0),
-      s"latestUserStats: $statePath contains no batch_id=N state partitions — " +
-        "run maintainUserStats (or point at its statePath, not its checkpoint)")
-    val latest = maxRow.getLong(0)
-    all.where(col("batch_id") === latest)
+      s"latestStateVersion: $statePath contains no batch_id=N state partitions — " +
+        s"run $producer (or point at its statePath, not its checkpoint)")
+    all.where(col("batch_id") === maxRow.getLong(0))
+  }
+
+  /** Latest maintained state from [[maintainUserStats]]'s versioned
+    * partitions (one bounded max over the partition column). */
+  def latestUserStats(spark: SparkSession, statePath: String): DataFrame =
+    latestStateVersion(spark, statePath, "maintainUserStats")
       .select(col("user_id"), col("n_events"),
         (col("sum_cents").cast("double") / lit(100.0d)).as("sum_value"))
-  }
 
   /** Streaming heavy-hitters maintenance: per micro-batch, summarize the
     * batch's items into a Misra-Gries summary

@@ -77,7 +77,7 @@ object ScaleProbe {
     // for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_returnflag", "l_extendedprice")
@@ -369,6 +369,37 @@ object ScaleProbe {
       val tLd = tq("q_l_diversity")
       val tZq = tq("q_zorder_quantile")
       println(f"""SCALE_R7C {"factor":$f, "dup_spans":$tDs%.2f, "fd_discovery":$tFd%.2f, "jsonl_roundtrip":$tJr%.2f, "l_diversity":$tLd%.2f, "zorder_quantile":$tZq%.2f}""")
+      }
+
+      // round-7 fourth wave through the real query closures. The staging
+      // keeps each curve honest: link-prediction wedges stay linear
+      // (per-copy co-purchase graphs are disjoint), the incremental-median
+      // state grows with the copies' disjoint returnflag×quantity domain
+      // (quantity is shared but flags aren't rotated — state rows grow
+      // sub-linearly, merge cost ∝ state), EWMA partitions grow with the
+      // offset user ids, anomaly windows grow rows under a CONSTANT type
+      // dictionary, negative sampling's anchor × part grid grows on both
+      // sides (the hash gate keeps candidates ∝ grid/40), ORC is timed on
+      // its second call (first pays the one-time staging write, same
+      // discipline as JSONL), and the deflate scan is pure per-row work.
+      if (groups("r7d")) {
+      val tLp = tq("q_link_predict")
+      val tIm = tq("q_incremental_median")
+      val tTc = tq("q_t_closeness")
+      val tEw = tq("q_ewma")
+      val tAn = tq("q_anomaly")
+      val tNs = tq("q_negative_sample")
+      tq("q_orc_roundtrip") // staging write, unrecorded
+      val tOrc = tq("q_orc_roundtrip")
+      val tCr = tq("q_compression_ratio")
+      // wave 2: walk frontiers stay seed-count-sized against the linearly
+      // growing ranked adjacency; correlation's pair grid is type² —
+      // constant — over linearly more hours; zone-prune aggregates the
+      // 64-file profile both ways
+      val tRw = tq("q_random_walks")
+      val tCo = tq("q_correlation")
+      val tZp = tq("q_zone_prune")
+      println(f"""SCALE_R7D {"factor":$f, "link_predict":$tLp%.2f, "incremental_median":$tIm%.2f, "t_closeness":$tTc%.2f, "ewma":$tEw%.2f, "anomaly":$tAn%.2f, "negative_sample":$tNs%.2f, "orc_roundtrip":$tOrc%.2f, "compression_ratio":$tCr%.2f, "random_walks":$tRw%.2f, "correlation":$tCo%.2f, "zone_prune":$tZp%.2f}""")
       }
     }
     spark.stop()

@@ -470,4 +470,81 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(__grk_pid"),
       "rank window is not partitioned by the range bucket")
   }
+
+  test("link prediction wedges through equi-joins, never a cartesian") {
+    val p = plan("q_link_predict")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge join degenerated:\n${p.take(3000)}")
+    // the non-adjacency contract is a hash anti-join, not a filter scan
+    assert(p.contains("LeftAnti"), s"anti-join lost:\n${p.take(3000)}")
+  }
+
+  test("incremental median works on state rows: partial agg + window on the state exchange") {
+    val p = plan("q_incremental_median")
+    // the value-count states partial-aggregate before their exchange
+    assert(p.contains("HashAggregate") && p.contains("partial_count"),
+      s"state build lost map-side combine:\n${p.take(3000)}")
+    assert(!p.contains("SinglePartition"),
+      s"quantile fold degenerated to one reducer:\n${p.take(3000)}")
+  }
+
+  test("t-closeness grid joins stay broadcast (domain-bounded frames only)") {
+    val p = plan("q_t_closeness")
+    // nation dim, the band frame, the totals row and the zero-fill join
+    // are all bounded by domain sizes; the only exchanges are the two
+    // count aggregations and the per-group window — the fact table itself
+    // must never sort-merge against anything
+    assert(!p.contains("SortMergeJoin"),
+      s"a domain-bounded frame fell off the broadcast path:\n${p.take(3000)}")
+  }
+
+  test("negative sampling broadcasts the anchor frame under the hash gate") {
+    val p = plan("q_negative_sample")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"anchor grid must be broadcast-side:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"anchor grid shuffled into a cartesian:\n${p.take(3000)}")
+    assert(p.contains("LeftAnti"), "purchased-set exclusion must be an anti-join")
+  }
+
+  test("ewma and anomaly ride one key exchange each (window + agg share it)") {
+    for ((q, key) <- Seq("q_ewma" -> "user_id", "q_anomaly" -> "event_type")) {
+      val p = plan(q)
+      assert(!p.contains("SinglePartition"), s"$q grew a single-reducer stage")
+      val n = s"Exchange hashpartitioning\\($key".r.findAllIn(p).size
+      assert(n >= 1 && ("Exchange hashpartitioning".r.findAllIn(p).size <= 2),
+        s"$q should shuffle on $key (plus at most the pre-agg), got:\n${p.take(3000)}")
+    }
+  }
+
+  test("compression ratio is a zero-shuffle per-row projection") {
+    val p = plan("q_compression_ratio")
+    assert(!p.contains("Exchange"),
+      s"a per-row quality scan must not shuffle:\n${p.take(3000)}")
+  }
+
+  test("random walks: ranked adjacency is materialized once, steps are equi-joins") {
+    val p = plan("q_random_walks")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"walk step degenerated:\n${p.take(3000)}")
+    // the localCheckpointed adjacency shows up as reused RDD scans — the
+    // per-step joins must NOT re-derive the window (one Window total
+    // would mean re-derivation; zero means the checkpoint is upstream)
+    assert(!p.contains("Window"),
+      s"a step join re-derived the adjacency ranking:\n${p.take(3000)}")
+  }
+
+  test("correlation: hour-pair join is an equi-join over the hourly aggregate") {
+    val p = plan("q_correlation")
+    assert(!p.contains("CartesianProduct"),
+      s"series join degenerated:\n${p.take(3000)}")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"moment sums lost map-side combine:\n${p.take(3000)}")
+  }
+
+  test("zone-prune reads only the two curve dimensions on both arms") {
+    val p = plan("q_zone_prune")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
+      s"scan reads more than the curve dimensions:\n${p.take(3000)}")
+  }
 }

@@ -1125,4 +1125,51 @@ class ExtSpec extends SparkSpec {
     assert(audit("cityB") == ((3L, 3L, false)))
     assert(audit("cityC") == ((3L, 0L, true)), "all-null sensitive is diversity 0")
   }
+
+  test("tClosenessAudit: EMD flags concentrated groups l-diversity passes") {
+    import graft.ext.Privacy
+    // bands {0, 1}; groups A and C mirror each other (2+2), group B is
+    // all band-0 — the global distribution is (8/12, 4/12), so
+    // EMD(A) = EMD(C) = |1/2 − 2/3| = 1/6, EMD(B) = |1 − 2/3| = 1/3.
+    // NOTE B has NO band-1 row: the zero-filled grid cell is what makes
+    // its cumulative reach 1.0 at band 0 — the case a naive join drops.
+    val df = Seq(
+      ("A", 0L), ("A", 0L), ("A", 1L), ("A", 1L),
+      ("B", 0L), ("B", 0L), ("B", 0L), ("B", 0L),
+      ("C", 0L), ("C", 0L), ("C", 1L), ("C", 1L))
+      .toDF("g", "band")
+    val audit = Privacy.tClosenessAudit(df, Seq("qi" -> col("g")), col("band"), t = 0.25)
+      .select("qi", "group_size", "emd", "at_risk")
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(audit("A") == ((4L, r6(1.0 / 6), false)))
+    assert(audit("C") == ((4L, r6(1.0 / 6), false)))
+    assert(audit("B") == ((4L, r6(1.0 / 3), true)),
+      "the concentrated group must flag at t = 0.25")
+  }
+
+  test("deflate ratio orders repetitive < natural < incompressible") {
+    import graft.plans.NativeExpressions
+    val repetitive = "spark " * 400
+    val natural = (1 to 40).map(i =>
+      s"document $i carries a distinct sentence about topic ${i * 37 % 19} " +
+        s"with varying words like ${"abcdefghij".drop(i % 10)}").mkString(". ")
+    // digits of an LCG — no repeated structure deflate can exploit
+    val noise = Iterator.iterate(48271L)(x => x * 48271L % 2147483647L)
+      .take(800).map(x => (x % 94 + 33).toChar).mkString
+    val df = Seq(("rep", repetitive), ("nat", natural), ("rnd", noise))
+      .toDF("k", "text")
+      .select(col("k"),
+        (NativeExpressions.deflateSize(col("text")).cast("double") /
+          octet_length(col("text"))).as("ratio"))
+    val r = df.as[(String, Double)].collect().toMap
+    assert(r("rep") < 0.05, s"repetitive text must crush, got ${r("rep")}")
+    assert(r("rep") < r("nat") && r("nat") < r("rnd"),
+      s"ordering violated: $r")
+    assert(r("rnd") > 0.8, s"pseudo-random text must resist, got ${r("rnd")}")
+    // null-safety and determinism across evaluation sites
+    val again = df.as[(String, Double)].collect().toMap
+    assert(r == again, "deflate must be deterministic")
+  }
 }

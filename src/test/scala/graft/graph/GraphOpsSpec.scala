@@ -268,4 +268,64 @@ class GraphOpsSpec extends SparkSpec {
       GraphOps.kCore(path, "s", "d", k = 2, maxRounds = 3).collect())
     assert(err.getMessage.contains("did not stabilize"))
   }
+
+  test("linkPrediction scores exactly the non-adjacent pairs, hand-checked") {
+    // square 1-2-4-3-1 with diagonal 2-3 and pendant 4-5:
+    // non-adjacent pairs: (1,4) cn={2,3}, (1,5) cn={}, (2,5) cn={4},
+    // (3,5) cn={4} — at minShared=2 only (1,4) survives.
+    // deg: 1→2, 2→3, 3→3, 4→3, 5→1; AA(1,4) = 1/ln3 + 1/ln3
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val got = GraphOps.linkPrediction(e, "s", "d", minShared = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (u, w, cn, aa) = got.head
+    assert((u, w, cn) == ((1L, 4L, 2L)))
+    val expectAa = math.floor(2.0 / math.log(3.0) * 1e6 + 0.5) / 1e6
+    assert(math.abs(aa - expectAa) < 1e-9)
+    // at minShared=1 the single-witness pairs appear too, adjacency
+    // still excluded (no edge pair ever scores)
+    val all = GraphOps.linkPrediction(e, "s", "d", minShared = 1)
+      .select("u", "w").as[(Long, Long)].collect().toSet
+    assert(all == Set((1L, 4L), (2L, 5L), (3L, 5L)))
+    // the stop-hub cap silences centers above the degree bound
+    // stop-hub cap at 2 drops centers 2/3/4 (deg 3); the only surviving
+    // wedge (2,3) at center 1 is adjacent, so the output is empty
+    val capped = GraphOps.linkPrediction(e, "s", "d", minShared = 1, maxDegree = 2)
+      .select("u", "w").as[(Long, Long)].collect().toSet
+    assert(capped.isEmpty,
+      s"pairs witnessed only by capped-out centers must vanish, got $capped")
+  }
+
+  test("randomWalks: every hop is an edge, length is exact, and replays identically") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val seeds = Seq(1L, 4L).toDF("node")
+    val walks = GraphOps.randomWalks(e, "s", "d", seeds, "node", steps = 3)
+      .as[(Long, Long, Int)].collect().toSet // (walk_id, node, step)
+    // two walks, each with steps 0..3 and exactly one node per step
+    val byWalk = walks.groupBy(_._1)
+    assert(byWalk.keySet == Set(1L, 4L))
+    byWalk.foreach { case (w, rows) =>
+      assert(rows.map(_._3).toSeq.sorted == Seq(0, 1, 2, 3), s"walk $w steps")
+      assert(rows.head._1 == w)
+    }
+    // every consecutive hop must be a real edge
+    val adj = Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Set((a, b), (b, a)) }
+    byWalk.foreach { case (w, rows) =>
+      val path = rows.toSeq.sortBy(_._3).map(_._2)
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(adj.contains((a, b)), s"walk $w hopped a non-edge $a->$b")
+      }
+    }
+    // determinism: a second evaluation is bit-identical
+    val again = GraphOps.randomWalks(e, "s", "d", seeds, "node", steps = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(walks == again)
+    // a seed outside the graph contributes only its step-0 row
+    val stray = GraphOps.randomWalks(e, "s", "d", Seq(99L).toDF("node"), "node", 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(stray == Seq((99L, 99L, 0)))
+  }
 }

@@ -46,4 +46,37 @@ class IncrementalSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("non-algebraic"))
   }
+
+  test("quantileFromCounts replays percentile() exactly, odd/even/interpolated") {
+    // key a: n=4 (even, interpolated midpoint); key b: n=5 (odd, exact
+    // middle); key c: n=1; key d: heavy duplicates (counts > 1 per value)
+    val all = Seq(
+      ("a", 1L), ("a", 3L), ("a", 7L), ("a", 10L),
+      ("b", 5L), ("b", 1L), ("b", 9L), ("b", 3L), ("b", 7L),
+      ("c", 42L),
+      ("d", 2L), ("d", 2L), ("d", 2L), ("d", 8L), ("d", 8L), ("d", 9L))
+      .toDF("k", "v")
+    for (q <- Seq(0.5, 0.25, 0.9, 0.0, 1.0)) {
+      val st = Incremental.valueCountState(all, Seq("k"), "v")
+      val got = Incremental.quantileFromCounts(st, Seq("k"), "v", q)
+        .as[(String, Double)].collect().toMap
+      val want = all.groupBy("k")
+        .agg(expr(s"percentile(v, $q)").as("p"))
+        .as[(String, Double)].collect().toMap
+      assert(got == want, s"q=$q")
+    }
+  }
+
+  test("median from MERGED value-count states equals full recompute") {
+    val all = (1 to 100).map(i => (s"k${i % 3}", (i * 7 % 13).toLong)).toDF("k", "v")
+    val hist = Incremental.valueCountState(all.where(col("v") < 6), Seq("k"), "v")
+    val delta = Incremental.valueCountState(all.where(col("v") >= 6), Seq("k"), "v")
+    val merged = Incremental.mergeStates(Seq(hist, delta), Seq("k", "v"),
+      Seq("cnt" -> "sum"))
+    val got = Incremental.quantileFromCounts(merged, Seq("k"), "v", 0.5)
+      .as[(String, Double)].collect().toMap
+    val want = all.groupBy("k").agg(expr("percentile(v, 0.5)").as("p"))
+      .as[(String, Double)].collect().toMap
+    assert(got == want)
+  }
 }

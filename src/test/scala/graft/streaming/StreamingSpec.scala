@@ -304,6 +304,45 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap == expected)
   }
 
+  test("stream-maintained value counts serve the exact median of all history") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-vc-src")
+    val events = graft.sources.Tables.events(spark, dir)
+    events.where(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$src/part_a")
+    events.where(col("event_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$src/part_b")
+    val work = java.nio.file.Files.createTempDirectory("graft-vc")
+    val statePath = s"$work/state"
+    val ckpt = s"$work/ckpt"
+    def stream = {
+      val schema = spark.read.parquet(s"$src/part_a").schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/*")
+    }
+    val q = EventsStream.maintainValueCounts(stream, statePath, ckpt)
+    q.awaitTermination()
+    val versions = spark.read.parquet(statePath)
+      .select("batch_id").distinct().count()
+    assert(versions >= 2, s"expected >=2 micro-batches, saw $versions")
+    // the maintained state serves the EXACT median of the full history —
+    // the holistic stat algebraic states cannot give
+    val got = EventsStream.latestValueQuantile(spark, statePath, 0.5)
+      .as[(String, Double)].collect().toMap
+    val expected = events
+      .withColumn("value_band", floor(col("value")).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value_band, 0.5)").as("p"))
+      .as[(String, Double)].collect().toMap
+    assert(got == expected, "maintained-state median differs from full recompute")
+    // idempotent restart on the same checkpoint
+    val q2 = EventsStream.maintainValueCounts(stream, statePath, ckpt)
+    q2.awaitTermination()
+    assert(EventsStream.latestValueQuantile(spark, statePath, 0.5)
+      .as[(String, Double)].collect().toMap == expected)
+  }
+
   test("streaming SCD2 emits exactly the batch operator's closed intervals") {
     val streamed = EventsStream.scd2Intervals(spark,
       EventsStream.readStream(spark, streamDir)).toDF()
