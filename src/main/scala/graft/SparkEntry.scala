@@ -40,6 +40,27 @@ object SparkEntry {
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
       "l_orderkey", "l_partkey", minShared = 2, maxGroupSize = 256)
 
+  /** The co-purchase projection STAGED once per (JVM, input dir) — the
+    * production posture SCALE.md's graph notes promise: eight graph
+    * queries (triangles, components, label-prop, BFS, PageRank, k-core,
+    * link prediction, random walks) consume the same derived edge set, so
+    * deriving it per query re-runs the distinct + cap-window + self-join
+    * + weight-agg pipeline eight times over the same lineitem scan. One
+    * parquet write (same once-per-dir discipline and staging set as
+    * [[bucketedRefTable]]/[[jsonlStagePath]]) turns every graph query's
+    * input into a plain columnar scan; at 100 TB this staged table is the
+    * bucketing target (bucket by `pa`) that makes per-round graph joins
+    * exchange-free on the edge side. Row-identical to
+    * [[coPurchaseEdges]], so every oracle is untouched. */
+  private def stagedCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val path = s"/tmp/graft_copurchase_$digest"
+    if (stagedRefs.add(path))
+      coPurchaseEdges(s, dir).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** Integer cents via explicit IEEE arithmetic — the determinism-critical
     * rounding every money aggregate is built on (identical on any engine,
     * unlike double→decimal casts whose rounding differs between Spark and
@@ -726,7 +747,7 @@ object SparkEntry {
     // DEGREE-ORIENTED wedge closing — O(m^1.5) wedge volume regardless of
     // skew, equi-joins and integers end-to-end (GraphOps.triangleCounts)
     "q_triangles" -> ((s, dir) => {
-      graft.graph.GraphOps.triangleCounts(coPurchaseEdges(s, dir), "pa", "pb")
+      graft.graph.GraphOps.triangleCounts(stagedCoPurchaseEdges(s, dir), "pa", "pb")
     }),
 
     // min-label propagation communities over the same co-purchase graph:
@@ -734,7 +755,7 @@ object SparkEntry {
     // components, bit-deterministic (integer min), so the oracle replays
     // the recurrence round by round like q_pagerank's
     "q_label_prop" -> ((s, dir) => {
-      graft.graph.GraphOps.labelPropagateMin(coPurchaseEdges(s, dir), "pa", "pb", iterations = 5)
+      graft.graph.GraphOps.labelPropagateMin(stagedCoPurchaseEdges(s, dir), "pa", "pb", iterations = 5)
         .select(col("node").as("node_id"), col("label").as("community"))
     }),
 
@@ -745,7 +766,7 @@ object SparkEntry {
     // round count is the component diameter. Same deterministic
     // integer-min output; oracle = recursive reachability closure
     "q_components" -> ((s, dir) => {
-      graft.graph.GraphOps.connectedComponentsStar(coPurchaseEdges(s, dir), "pa", "pb")
+      graft.graph.GraphOps.connectedComponentsStar(stagedCoPurchaseEdges(s, dir), "pa", "pb")
         .select(col("node").as("node_id"), col("label").as("component"))
     }),
 
@@ -755,7 +776,7 @@ object SparkEntry {
     // with a bounded recursive CTE). The seed is a one-row aggregate over
     // the ONCE-materialized edge frame, never collected to the driver.
     "q_bfs_dist" -> ((s, dir) => {
-      graft.graph.GraphOps.bfsFromMinNode(coPurchaseEdges(s, dir), "pa", "pb", maxHops = 4)
+      graft.graph.GraphOps.bfsFromMinNode(stagedCoPurchaseEdges(s, dir), "pa", "pb", maxHops = 4)
         .select(col("node").as("node_id"), col("hops"))
     }),
 
@@ -765,7 +786,7 @@ object SparkEntry {
     // unrolled CTE rounds (the fixture's measured peeling depth is 10;
     // past the fixpoint further peels are provable no-ops)
     "q_k_core" -> ((s, dir) => {
-      graft.graph.GraphOps.kCore(coPurchaseEdges(s, dir), "pa", "pb", k = 3)
+      graft.graph.GraphOps.kCore(stagedCoPurchaseEdges(s, dir), "pa", "pb", k = 3)
         .select(col("node_id"), col("core_degree"))
     }),
 
@@ -1981,7 +2002,7 @@ object SparkEntry {
     // vertex with a stop-hub degree cap (see GraphOps.linkPrediction for
     // the Σ deg² skew bound), one pair-keyed agg, one anti-join
     "q_link_predict" -> ((s, dir) => {
-      graft.graph.GraphOps.linkPrediction(coPurchaseEdges(s, dir), "pa", "pb",
+      graft.graph.GraphOps.linkPrediction(stagedCoPurchaseEdges(s, dir), "pa", "pb",
         minShared = 2, maxDegree = 1024)
         .select(col("u"), col("w"), col("common_neighbors"), col("adamic_adar"))
     }),
@@ -2069,28 +2090,41 @@ object SparkEntry {
             .as("text_fp"))
     }),
 
-    // deterministic negative sampling for contrastive training pairs:
-    // per anchor customer, candidate parts selected by a PORTABLE hash
-    // (md5 — both engines replay it) at ~1/40 rate, then the purchased
-    // set is anti-joined away. The anchor frame is broadcast (bounded by
-    // the sample gate); at 100 TB the candidate generator stays this
-    // shape — a hash-gated scan of the item dimension per anchor batch,
-    // never a materialized users × items grid
+    // deterministic negative sampling for contrastive training pairs,
+    // BOUNDED end to end: each anchor customer draws from ONE
+    // pseudo-random residue class of the item catalog (bucket equi-join —
+    // anchor bucket by portable md5, part bucket by partkey % 40 — so
+    // candidate volume is grid/40 WITHOUT ever evaluating a hash on the
+    // full anchors × items grid), purchased pairs are anti-joined away,
+    // and a per-anchor top-k on a cheap integer mix hash caps the output
+    // at k negatives per anchor — the real training-data contract
+    // (k negatives per positive), which keeps output ∝ anchors no matter
+    // how large the catalog grows. WindowGroupLimit prunes the rank
+    // before any shuffle
     "q_negative_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val anchors = t(s, dir, "customer")
         .where(col("c_custkey") % 100 === 0).select(col("c_custkey"))
-      val parts = t(s, dir, "part").select(col("p_partkey"))
-      val cand = parts.crossJoin(broadcast(anchors))
-        .where(conv(substring(md5(concat_ws("|",
-          col("c_custkey"), col("p_partkey"))), 1, 15), 16, 10).cast("long")
-          % 40 === 0)
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("c_custkey").cast("string")), 1, 15), 16, 10)
+            .cast("long"), lit(40L)))
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey"), pmod(col("p_partkey"), lit(40L)).as("bucket"))
+      val cand = parts.join(broadcast(anchors), "bucket")
       val bought = t(s, dir, "orders")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey"), col("l_partkey")).distinct()
-      cand.join(bought,
-          cand("c_custkey") === bought("o_custkey") &&
-            cand("p_partkey") === bought("l_partkey"), "left_anti")
-        .groupBy(col("c_custkey"))
+      val neg = cand.join(bought,
+        cand("c_custkey") === bought("o_custkey") &&
+          cand("p_partkey") === bought("l_partkey"), "left_anti")
+      // deterministic pseudo-random order per anchor: integer mix both
+      // engines compute exactly (values < 2^40, no overflow)
+      val mix = pmod(col("c_custkey") * lit(2654435761L) +
+        col("p_partkey") * lit(40503L), lit(1000003L))
+      val ranked = neg.withColumn("rn", row_number().over(
+        Window.partitionBy(col("c_custkey")).orderBy(mix, col("p_partkey"))))
+        .where(col("rn") <= 50)
+      ranked.groupBy(col("c_custkey"))
         .agg(count(lit(1)).as("n_negatives"),
           min(col("p_partkey")).as("min_part"), max(col("p_partkey")).as("max_part"),
           bit_xor(col("p_partkey")).as("part_fp"))
@@ -2115,9 +2149,32 @@ object SparkEntry {
     // 20th node seeds a 4-step walk. See GraphOps.randomWalks for the
     // one-ranked-adjacency, one-join-per-step plan shape
     "q_random_walks" -> ((s, dir) => {
-      graft.graph.GraphOps.randomWalksFromNodes(coPurchaseEdges(s, dir),
+      graft.graph.GraphOps.randomWalksFromNodes(stagedCoPurchaseEdges(s, dir),
         "pa", "pb", col("node") % 20 === 0, steps = 4)
         .select(col("walk_id"), col("step").cast("long").as("step"), col("node"))
+    }),
+
+    // visit-count centrality from the sampled walks — stationary-ish
+    // visit mass without a fixpoint: one agg over the walk table
+    "q_walk_centrality" -> ((s, dir) => {
+      graft.graph.GraphOps.randomWalksFromNodes(stagedCoPurchaseEdges(s, dir),
+        "pa", "pb", col("node") % 20 === 0, steps = 4)
+        .groupBy(col("node").as("node_id"))
+        .agg(count(lit(1)).as("visits"),
+          countDistinct(col("walk_id")).as("n_walks"))
+    }),
+
+    // skip-gram training pairs: (center, context) co-occurrences within
+    // walk-window 2 — the DeepWalk/node2vec positive-pair extraction; one
+    // walk_id equi-join (walk tables are seed-sized, never |E|-sized)
+    "q_skipgram_pairs" -> ((s, dir) => {
+      val walks = graft.graph.GraphOps.randomWalksFromNodes(
+        stagedCoPurchaseEdges(s, dir), "pa", "pb", col("node") % 20 === 0, steps = 4)
+      walks.as("x").join(walks.as("y"),
+          col("x.walk_id") === col("y.walk_id") &&
+            (col("y.step") - col("x.step")).isin(1, 2))
+        .groupBy(col("x.node").as("node_a"), col("y.node").as("node_b"))
+        .agg(count(lit(1)).as("n_pairs"))
     }),
 
     // Pearson correlation between event-type hourly series (over hours
@@ -2147,6 +2204,147 @@ object SparkEntry {
         .select(col("type_a"), col("type_b"), col("n"),
           ((g("n") * g("sxy") - g("sx") * g("sy")).cast("double") /
             (sqrt(va.cast("double")) * sqrt(vb.cast("double")))).as("pearson_r"))
+    }),
+
+    // Newman modularity of the label-prop communities over the staged
+    // co-purchase graph — the partition-quality score community detection
+    // is judged by, computed fraction-free (integer sums, one division;
+    // see GraphOps.modularity)
+    "q_modularity" -> ((s, dir) => {
+      val edges = stagedCoPurchaseEdges(s, dir)
+      val labels = graft.graph.GraphOps.labelPropagateMin(edges, "pa", "pb",
+        iterations = 5)
+      graft.graph.GraphOps.modularity(edges, "pa", "pb", labels, "node", "label")
+    }),
+
+    // degree assortativity of the co-purchase graph — hub-mixing in one
+    // number, integer moments + three IEEE ops (GraphOps.assortativity)
+    "q_assortativity" -> ((s, dir) => {
+      graft.graph.GraphOps.assortativity(stagedCoPurchaseEdges(s, dir), "pa", "pb")
+    }),
+
+    // global clustering coefficient = closed / all triplets, fraction-free:
+    // Σ per-node triangle counts is exactly 3T, wedge total Σd(d−1) is
+    // exactly 2W — C = 2·Σn_tri / Σd(d−1) is one integer ratio, and the
+    // triangle/wedge totals divide out exactly (both divisibilities are
+    // structural). Rides the degree-oriented closure + the staged edges
+    "q_clustering_coeff" -> ((s, dir) => {
+      val edges = stagedCoPurchaseEdges(s, dir)
+      val tri = graft.graph.GraphOps.triangleCounts(edges, "pa", "pb")
+        .agg(coalesce(sum(col("n_triangles")), lit(0L)).as("tri3"))
+      val e = edges.select(least(col("pa"), col("pb")).as("a"),
+          greatest(col("pa"), col("pb")).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+      val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val wed = deg.agg(sum(col("d") * (col("d") - 1)).as("w2"),
+        count(lit(1)).as("n_nodes"))
+      tri.crossJoin(wed)
+        .select((col("tri3") / 3).cast("long").as("total_triangles"),
+          (col("w2") / 2).cast("long").as("wedges"), col("n_nodes"),
+          ((lit(2L) * col("tri3")).cast("double") / col("w2")).as("global_cc"))
+    }),
+
+    // composite FD discovery — the lattice level q_fd_discovery's unary
+    // pass cannot see: (orderkey, linenumber) is the lineitem PRIMARY KEY
+    // (holds for every dependent) while each component alone fails
+    "q_fd_composite" -> ((s, dir) => {
+      graft.ext.Profiling.compositeFunctionalDependencies(t(s, dir, "lineitem"),
+        Seq(
+          (("l_orderkey", "l_linenumber"), Seq("l_partkey", "l_quantity")),
+          (("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_shipdate"))))
+    }),
+
+    // adjacent-token PMI collocations (micro-nat quantized, minCount 5,
+    // top 50) — the keyphrase/compound-term extractor; see
+    // TextAnalysis.pmiBigrams for the determinism contract
+    "q_pmi_bigrams" -> ((s, dir) => {
+      TextAnalysis.pmiBigrams(t(s, dir, "documents"), "text", minCount = 5, k = 50)
+    }),
+
+    // funnel latency: first view → first subsequent purchase per user,
+    // exact integer-micros percentiles over the converted population —
+    // the timing half q_funnel's stage counts leave out
+    "q_funnel_latency" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val v = e.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .where(col("ts") > col("first_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+      p.join(v, Seq("user_id"))
+        .select((graft.sources.Tables.tsMicros(col("first_purchase")) -
+          graft.sources.Tables.tsMicros(col("first_view"))).as("lat_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile(lat_us, 0.5)").as("p50_us"),
+          expr("percentile(lat_us, 0.9)").as("p90_us"),
+          min(col("lat_us")).as("min_us"), max(col("lat_us")).as("max_us"))
+    }),
+
+    // last-touch marketing attribution: every purchase credits the most
+    // recent preceding view/click by the same user within 7 days (the
+    // as-of-join shape, resolved as one user equi-join + one per-purchase
+    // window — both ride a single user-hash exchange); credits aggregate
+    // per touch type with integer-cents revenue. Tie-break (ts, event_id)
+    // makes the winner deterministic in any engine
+    "q_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"), col("value").as("p_value"))
+      val touches = ev.where(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+          col("event_id").as("t_id"), col("event_type").as("touch_type"))
+      val joined = purchases.join(touches,
+        col("p_user") === col("t_user") &&
+          col("t_ts") <= col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+      val w = Window.partitionBy(col("p_id"))
+        .orderBy(col("t_ts").desc, col("t_id").desc)
+      joined.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("p_value")).as("attributed_revenue"))
+    }),
+
+    // null repair by group median: nulls are PLANTED deterministically
+    // ((l_orderkey·7 + l_linenumber) % 13 — the oracle plants the same),
+    // then imputed from each returnflag's exact median of the surviving
+    // values — the median table is domain-bounded and broadcasts onto one
+    // fact scan (the q_winsorize shape, with percentile instead of caps)
+    "q_impute_median" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          when((col("l_orderkey") * 7 + col("l_linenumber")) % 13 === 0, lit(null))
+            .otherwise(col("l_quantity")).as("qty"))
+      val med = li.where(col("qty").isNotNull)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(qty, 0.5)").as("med"))
+      li.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("qty").isNull.as("was_null"),
+          coalesce(col("qty"), col("med")).as("filled"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("was_null").cast("long")).as("n_imputed"),
+          dsum(col("filled")).as("sum_filled"))
+    }),
+
+    // blocklist safety screen via one Aho-Corasick pass per document:
+    // total + distinct matches over a term list with NESTED and
+    // OVERLAPPING members ("an" ⊂ "can" ⊂ "scan"; "tab" ⊂ "table") —
+    // the positional-count oracle proves every overlap fires. One scan,
+    // cost independent of |terms|; per-term regex passes are the
+    // anti-pattern at 100 TB
+    "q_blocklist" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.NativeExpressions.blocklistCounts(col("text"),
+            BlocklistTerms).as("b"))
+        .where(col("b.total_hits") > 0)
+        .select(col("doc_id"), col("b.total_hits").as("total_hits"),
+          col("b.distinct_terms").cast("long").as("distinct_terms"))
     }),
 
     // zone-map pruning effectiveness: the q_zorder file profile against a
@@ -2479,6 +2677,79 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
       |  SELECT query_id, neighbor_id, cosine,
       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
       |  FROM scored)""".stripMargin
+
+  /** q_blocklist's term list: deliberately nested ("an" ⊂ "can" ⊂ "scan",
+    * "tab" ⊂ "table") and overlap-prone, so the oracle equality proves the
+    * Aho-Corasick output-link walk fires EVERY ending term at every
+    * position — the cases a naive first-match scanner drops. */
+  private val BlocklistTerms = Seq("scan", "can", "an", "table", "tab", "order")
+
+  /** The 5-round min-label-propagation chain in SQL, ending in CTEs `ed`
+    * (the capped co-purchase edges, a < b) and `l5` (node → community) —
+    * shared by the q_label_prop and q_modularity oracles. */
+  private val labelPropChainSql: String = {
+    val base =
+      """li AS (
+        |  SELECT l_orderkey, l_partkey
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
+        | ed AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | es AS (
+        |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
+        |  UNION SELECT a, a FROM (SELECT a FROM ed UNION SELECT b AS a FROM ed)),
+        | l0 AS (SELECT a AS node, a AS label FROM es WHERE a = b)""".stripMargin
+    val steps = (1 to 5).map { i =>
+      s""",
+         | l$i AS (
+         |  SELECT es.a AS node, min(l.label) AS label
+         |  FROM es JOIN l${i - 1} l ON l.node = es.b GROUP BY 1)""".stripMargin
+    }.mkString
+    base + steps
+  }
+
+  /** The deterministic-walk chain in SQL, ending in a `walks` CTE — the
+    * capped co-purchase projection, the id-ordered ranked adjacency, and
+    * each of the four md5-choice steps replayed exactly as
+    * [[graft.graph.GraphOps.randomWalks]] computes them. Shared by the
+    * q_random_walks / q_walk_centrality / q_skipgram_pairs oracles. */
+  private val walksChainSql: String = {
+    val base =
+      """li AS (
+        |  SELECT l_orderkey, l_partkey
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
+        | ed AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | adj AS (
+        |  SELECT v, n,
+        |    row_number() OVER (PARTITION BY v ORDER BY n) AS rnk,
+        |    count(*) OVER (PARTITION BY v) AS deg
+        |  FROM (SELECT a AS v, b AS n FROM ed UNION ALL SELECT b, a FROM ed)),
+        | w0 AS (
+        |  SELECT node AS walk_id, node, 0::BIGINT AS step
+        |  FROM (SELECT DISTINCT a AS node FROM ed UNION SELECT DISTINCT b FROM ed)
+        |  WHERE node % 20 = 0)""".stripMargin
+    val steps = (1 to 4).map { s =>
+      s""",
+         | w$s AS (
+         |  SELECT f.walk_id, a.n AS node, $s::BIGINT AS step
+         |  FROM w${s - 1} f JOIN adj a ON a.v = f.node
+         |    AND a.rnk = cast(('0x' || substr(md5(f.walk_id || '|' || $s), 1, 15))::UBIGINT
+         |      AS BIGINT) % a.deg + 1)""".stripMargin
+    }.mkString
+    base + steps +
+      """,
+        | walks AS (
+        |  SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2
+        |  UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4)""".stripMargin
+  }
 
   /** DuckDB-runnable oracles, column-aliased identically to the Spark side.
     * Omitted keys (hash/LSH/stub-based ops) get the driver's weaker
@@ -3038,29 +3309,34 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
 
     // the recurrence replayed round by round (q_pagerank's pattern):
     // symmetric closure + self-loops, then 5 rounds of min-over-neighbors
-    "q_label_prop" -> {
-      val base =
-        """WITH li AS (
-        |  SELECT l_orderkey, l_partkey
-        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
-          | ed AS (
-          |  SELECT x.l_partkey AS a, y.l_partkey AS b
-          |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
-          |    AND x.l_partkey < y.l_partkey
-          |  GROUP BY 1, 2 HAVING count(*) >= 2),
-          | es AS (
-          |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
-          |  UNION SELECT a, a FROM (SELECT a FROM ed UNION SELECT b AS a FROM ed)),
-          | l0 AS (SELECT a AS node, a AS label FROM es WHERE a = b)""".stripMargin
-      val steps = (1 to 5).map { i =>
-        s""",
-           | l$i AS (
-           |  SELECT es.a AS node, min(l.label) AS label
-           |  FROM es JOIN l${i - 1} l ON l.node = es.b GROUP BY 1)""".stripMargin
-      }.mkString
-      base + steps + "\nSELECT node AS node_id, label AS community FROM l5"
-    },
+    "q_label_prop" ->
+      (s"WITH $labelPropChainSql" +
+        "\nSELECT node AS node_id, label AS community FROM l5"),
+
+    // Newman modularity of the q_label_prop communities, fraction-free:
+    // every sum stays an integer, one final IEEE division
+    "q_modularity" ->
+      (s"WITH $labelPropChainSql" +
+        """,
+          | lab AS (SELECT node AS n, label AS c FROM l5),
+          | mm AS (SELECT count(*)::BIGINT AS m FROM ed),
+          | intra AS (
+          |  SELECT sum(CASE WHEN la.c IS NOT NULL AND la.c = lb.c THEN 1 ELSE 0 END)::BIGINT
+          |    AS intra_edges
+          |  FROM ed LEFT JOIN lab la ON la.n = ed.a LEFT JOIN lab lb ON lb.n = ed.b),
+          | deg AS (
+          |  SELECT n, count(*)::BIGINT AS d
+          |  FROM (SELECT a AS n FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1),
+          | degc AS (
+          |  SELECT lab.c, sum(d)::BIGINT AS deg_c
+          |  FROM deg JOIN lab ON lab.n = deg.n GROUP BY 1),
+          | sq AS (
+          |  SELECT sum(deg_c * deg_c)::BIGINT AS sum_deg_sq,
+          |    count(*)::BIGINT AS n_communities FROM degc)
+          |SELECT mm.m, intra.intra_edges, sq.n_communities,
+          |  CAST(4 * mm.m * intra.intra_edges - sq.sum_deg_sq AS DOUBLE)
+          |    / (4 * mm.m * mm.m) AS modularity
+          |FROM mm, intra, sq""".stripMargin),
 
     // per-key counts, then one-row stats; ⌈a/b⌉ as pure integer
     // arithmetic, share as one int/int IEEE division
@@ -4402,58 +4678,51 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |FROM documents GROUP BY 1""".stripMargin,
 
     "q_negative_sample" ->
-      """WITH anchors AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+      """WITH anchors AS (
+        |  SELECT c_custkey,
+        |    cast(('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::UBIGINT AS BIGINT) % 40
+        |      AS bucket
+        |  FROM customer WHERE c_custkey % 100 = 0),
         | cand AS (
         |  SELECT a.c_custkey, p.p_partkey
-        |  FROM anchors a CROSS JOIN part p
-        |  WHERE cast(('0x' || substr(md5(a.c_custkey || '|' || p.p_partkey), 1, 15))::UBIGINT
-        |    AS BIGINT) % 40 = 0),
+        |  FROM anchors a JOIN part p ON p.p_partkey % 40 = a.bucket),
         | bought AS (
         |  SELECT DISTINCT o_custkey, l_partkey
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         | neg AS (
         |  SELECT c.c_custkey, c.p_partkey FROM cand c
         |  WHERE NOT EXISTS (SELECT 1 FROM bought b
-        |    WHERE b.o_custkey = c.c_custkey AND b.l_partkey = c.p_partkey))
+        |    WHERE b.o_custkey = c.c_custkey AND b.l_partkey = c.p_partkey)),
+        | ranked AS (
+        |  SELECT c_custkey, p_partkey FROM neg
+        |  QUALIFY row_number() OVER (PARTITION BY c_custkey
+        |    ORDER BY (c_custkey * 2654435761 + p_partkey * 40503) % 1000003, p_partkey)
+        |    <= 50)
         |SELECT c_custkey, count(*)::BIGINT AS n_negatives,
         |  min(p_partkey) AS min_part, max(p_partkey) AS max_part,
         |  bit_xor(p_partkey) AS part_fp
-        |FROM neg GROUP BY 1""".stripMargin,
+        |FROM ranked GROUP BY 1""".stripMargin,
 
     // each step replayed as one join on (node, md5-choice rank) — the
     // determinism contract in GraphOps.randomWalks, unrolled
-    "q_random_walks" -> {
-      val base =
-        """WITH li AS (
-          |  SELECT l_orderkey, l_partkey
-          |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
-          |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
-          | ed AS (
-          |  SELECT x.l_partkey AS a, y.l_partkey AS b
-          |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
-          |    AND x.l_partkey < y.l_partkey
-          |  GROUP BY 1, 2 HAVING count(*) >= 2),
-          | adj AS (
-          |  SELECT v, n,
-          |    row_number() OVER (PARTITION BY v ORDER BY n) AS rnk,
-          |    count(*) OVER (PARTITION BY v) AS deg
-          |  FROM (SELECT a AS v, b AS n FROM ed UNION ALL SELECT b, a FROM ed)),
-          | w0 AS (
-          |  SELECT node AS walk_id, node, 0::BIGINT AS step
-          |  FROM (SELECT DISTINCT a AS node FROM ed UNION SELECT DISTINCT b FROM ed)
-          |  WHERE node % 20 = 0)""".stripMargin
-      val steps = (1 to 4).map { s =>
-        s""",
-           | w$s AS (
-           |  SELECT f.walk_id, a.n AS node, $s::BIGINT AS step
-           |  FROM w${s - 1} f JOIN adj a ON a.v = f.node
-           |    AND a.rnk = cast(('0x' || substr(md5(f.walk_id || '|' || $s), 1, 15))::UBIGINT
-           |      AS BIGINT) % a.deg + 1)""".stripMargin
-      }.mkString
-      base + steps +
-        "\nSELECT walk_id, step, node FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1" +
-        " UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4)"
-    },
+    "q_random_walks" ->
+      (s"WITH $walksChainSql\n" +
+        "SELECT walk_id, step, node FROM walks"),
+
+    // visit counts over the identical walk table — centrality estimation
+    // from sampled walks (the PageRank-adjacent signal DeepWalk uses)
+    "q_walk_centrality" ->
+      (s"WITH $walksChainSql\n" +
+        "SELECT node AS node_id, count(*)::BIGINT AS visits," +
+        " count(DISTINCT walk_id)::BIGINT AS n_walks FROM walks GROUP BY 1"),
+
+    // skip-gram (center, context) pair frequencies within walk-window 2
+    "q_skipgram_pairs" ->
+      (s"WITH $walksChainSql\n" +
+        """SELECT x.node AS node_a, y.node AS node_b, count(*)::BIGINT AS n_pairs
+          |FROM walks x JOIN walks y ON x.walk_id = y.walk_id
+          |  AND y.step - x.step IN (1, 2)
+          |GROUP BY 1, 2""".stripMargin),
 
     // integer moments; √A·√B then one divide — three correctly-rounded
     // IEEE ops, bit-identical in any engine
@@ -4477,6 +4746,178 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
         |FROM g
         |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin,
+
+    // both-direction endpoint degrees; the same √A·√B Pearson form as
+    // q_correlation — integer moments, three IEEE ops
+    "q_assortativity" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
+        | ed AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | deg AS (
+        |  SELECT n, count(*)::BIGINT AS d
+        |  FROM (SELECT a AS n FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1),
+        | sym AS (
+        |  SELECT da.d AS x, db.d AS y
+        |  FROM ed JOIN deg da ON da.n = ed.a JOIN deg db ON db.n = ed.b
+        |  UNION ALL
+        |  SELECT db.d, da.d
+        |  FROM ed JOIN deg da ON da.n = ed.a JOIN deg db ON db.n = ed.b),
+        | g AS (
+        |  SELECT count(*)::BIGINT AS mm, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |    sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+        |    sum(y * y)::BIGINT AS syy
+        |  FROM sym)
+        |SELECT mm // 2 AS m,
+        |  CASE WHEN mm * sxx - sx * sx <= 0 OR mm * syy - sy * sy <= 0 THEN NULL
+        |       ELSE CAST(mm * sxy - sx * sy AS DOUBLE) /
+        |         (sqrt(CAST(mm * sxx - sx * sx AS DOUBLE)) *
+        |          sqrt(CAST(mm * syy - sy * sy AS DOUBLE)))
+        |  END AS assortativity
+        |FROM g""".stripMargin,
+
+    // triangle CTE shared with q_triangles' oracle; the ratio of the two
+    // structural integer totals
+    "q_clustering_coeff" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
+        | e AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | tri AS (
+        |  SELECT count(*)::BIGINT AS t
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        | deg AS (
+        |  SELECT n, count(*)::BIGINT AS d
+        |  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        | wed AS (
+        |  SELECT sum(d * (d - 1))::BIGINT AS w2, count(*)::BIGINT AS n_nodes
+        |  FROM deg)
+        |SELECT tri.t AS total_triangles, wed.w2 // 2 AS wedges, wed.n_nodes,
+        |  CAST(6 * tri.t AS DOUBLE) / wed.w2 AS global_cc
+        |FROM tri, wed""".stripMargin,
+
+    // one grouped count-distinct per determinant PAIR, all dependents
+    // sharing its exchange — same replay shape as q_fd_discovery
+    "q_fd_composite" -> {
+      val cands = Seq(
+        (("l_orderkey", "l_linenumber"), Seq("l_partkey", "l_quantity")),
+        (("l_returnflag", "l_linestatus"), Seq("l_quantity", "l_shipdate")))
+      cands.flatMap { case ((a, b), deps) =>
+        deps.map { c =>
+          s"""SELECT '$a,$b' AS determinant, '$c' AS dependent,
+             |  count(*)::BIGINT AS n_det_values,
+             |  sum(CASE WHEN cd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violations,
+             |  sum(CASE WHEN cd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+             |FROM (SELECT count(DISTINCT $c) AS cd FROM lineitem GROUP BY $a, $b)""".stripMargin
+        }
+      }.mkString("\nUNION ALL\n")
+    },
+
+    // same tokenization as q_bigrams; totals from the PRE-filter counts;
+    // the ln ratio assembled in the identical left-associative order
+    "q_pmi_bigrams" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS toks
+        |  FROM documents),
+        | u AS (SELECT unnest(toks) AS w FROM t),
+        | uni AS (SELECT w, count(*)::BIGINT AS nw FROM u GROUP BY 1),
+        | b AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bigram
+        |  FROM t WHERE len(toks) >= 2),
+        | bi_all AS (
+        |  SELECT string_split(bigram, ' ')[1] AS wa, string_split(bigram, ' ')[2] AS wb,
+        |    count(*)::BIGINT AS nab
+        |  FROM b GROUP BY 1, 2),
+        | tot AS (
+        |  SELECT (SELECT sum(nw) FROM uni)::BIGINT AS n_uni,
+        |    (SELECT sum(nab) FROM bi_all)::BIGINT AS n_bi),
+        | bi AS (SELECT * FROM bi_all WHERE nab >= 5)
+        |SELECT bi.wa, bi.wb, bi.nab,
+        |  cast(floor(ln((bi.nab::DOUBLE * tot.n_uni * tot.n_uni) /
+        |    (tot.n_bi::DOUBLE * ua.nw * ub.nw)) * 1000000.0 + 0.5) AS BIGINT) AS pmi_unats
+        |FROM bi JOIN uni ua ON ua.w = bi.wa JOIN uni ub ON ub.w = bi.wb CROSS JOIN tot
+        |ORDER BY pmi_unats DESC, wa ASC, wb ASC LIMIT 50""".stripMargin,
+
+    "q_funnel_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS fv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | p AS (
+        |  SELECT e.user_id, min(e.ts) AS fp
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > v.fv GROUP BY 1),
+        | lat AS (
+        |  SELECT epoch_us(fp) - epoch_us(fv) AS lat_us
+        |  FROM p JOIN v USING (user_id))
+        |SELECT count(*)::BIGINT AS n_converted,
+        |  quantile_cont(lat_us, 0.5) AS p50_us,
+        |  quantile_cont(lat_us, 0.9) AS p90_us,
+        |  min(lat_us) AS min_us, max(lat_us) AS max_us
+        |FROM lat""".stripMargin,
+
+    // the as-of credit replayed with QUALIFY; 7 days in event-time micros
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id, value AS p_value
+        |  FROM events WHERE event_type = 'purchase'),
+        | t AS (
+        |  SELECT user_id AS t_user, ts AS t_ts, event_id AS t_id,
+        |    event_type AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        | credited AS (
+        |  SELECT p.p_id, p.p_value, t.touch_type
+        |  FROM p JOIN t ON p.p_user = t.t_user
+        |    AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+        |  QUALIFY row_number() OVER (PARTITION BY p.p_id
+        |    ORDER BY t.t_ts DESC, t.t_id DESC) = 1)
+        |SELECT touch_type, count(*)::BIGINT AS n_purchases,
+        |  cast(sum(cast(floor(p_value * 100.0 + 0.5) AS bigint)) AS double) / 100.0
+        |    AS attributed_revenue
+        |FROM credited GROUP BY 1""".stripMargin,
+
+    // identical planted-null rule, exact median from the survivors
+    "q_impute_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN (l_orderkey * 7 + l_linenumber) % 13 = 0 THEN NULL
+        |         ELSE l_quantity END AS qty
+        |  FROM lineitem),
+        | med AS (
+        |  SELECT l_returnflag, quantile_cont(qty, 0.5) AS med
+        |  FROM li WHERE qty IS NOT NULL GROUP BY 1)
+        |SELECT li.l_returnflag, count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN qty IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_imputed,
+        |  cast(sum(cast(floor(coalesce(qty, med) * 100.0 + 0.5) AS bigint)) AS double)
+        |    / 100.0 AS sum_filled
+        |FROM li JOIN med ON li.l_returnflag = med.l_returnflag
+        |GROUP BY 1""".stripMargin,
+
+    // positional replay: a match STARTING at position i in SQL is the
+    // same set AC counts by END position — every overlap and nested term
+    // appears in both
+    "q_blocklist" -> {
+      val vals = BlocklistTerms.map(t => s"('$t')").mkString(", ")
+      s"""WITH terms(term) AS (VALUES $vals),
+        | d AS (SELECT doc_id, lower(text) AS t, length(text) AS l FROM documents),
+        | g AS (SELECT doc_id, t, unnest(generate_series(1, l)) AS i FROM d),
+        | m AS (
+        |  SELECT g.doc_id, tm.term
+        |  FROM g JOIN terms tm ON substr(g.t, g.i, length(tm.term)) = tm.term)
+        |SELECT doc_id, count(*)::BIGINT AS total_hits,
+        |  count(DISTINCT term)::BIGINT AS distinct_terms
+        |FROM m GROUP BY 1""".stripMargin
+    },
 
     // the q_zorder profile CTE + the pruning aggregate; the row-level
     // match count comes straight off the scaled frame

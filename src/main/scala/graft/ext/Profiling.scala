@@ -48,4 +48,31 @@ object Profiling {
         (col(s"__v_$b") === 0).as("holds")))
     }.reduce(_.unionByName(_))
   }
+
+  /** COMPOSITE functional dependencies — the TANE lattice level the unary
+    * pass cannot see: `(a, b) → c` can hold where neither `a → c` nor
+    * `b → c` does. Same one-aggregation-per-determinant shape, grouped by
+    * the column PAIR; all dependents of one determinant share its
+    * exchange, and the count-distinct buffers are bounded by dependent
+    * cardinality per group. Null semantics inherit from count-distinct
+    * (an all-null dependent group is not a violation; a null determinant
+    * component forms its own group via groupBy's null handling). */
+  def compositeFunctionalDependencies(df: DataFrame,
+      candidates: Seq[((String, String), Seq[String])]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one (pair -> dependents) candidate")
+    candidates.map { case ((a, b), deps) =>
+      require(deps.nonEmpty && !deps.contains(a) && !deps.contains(b),
+        s"dependents of ($a, $b) must be non-empty and disjoint from the pair")
+      val cds = deps.map(c => countDistinct(col(c)).as(s"__cd_$c"))
+      val groups = df.groupBy(col(a), col(b)).agg(cds.head, cds.tail: _*)
+      val viols = deps.map(c =>
+        sum(when(col(s"__cd_$c") > 1, lit(1L)).otherwise(lit(0L))).as(s"__v_$c"))
+      val summary = groups.agg(count(lit(1)).as("__n_det"), viols: _*)
+      deps.map(c => summary.select(
+        lit(s"$a,$b").as("determinant"), lit(c).as("dependent"),
+        col("__n_det").as("n_det_values"),
+        col(s"__v_$c").as("n_violations"),
+        (col(s"__v_$c") === 0).as("holds"))).reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -235,6 +235,52 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Adjacent-token PMI (pointwise mutual information) — the collocation
+    * / keyphrase signal: PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p from
+    * corpus counts, i.e. ln( (n_ab·N_uni²) / (N_bi·n_a·n_b) ). Counts are
+    * exact integer aggregations; the single ln is quantized to MICRO-NATS
+    * (the CharEntropy/unigram-LM house idiom) with the ratio assembled in
+    * one fixed left-associative double expression, so any engine replays
+    * the value. `minCount` kills the low-frequency PMI explosion (a
+    * hapax pair maxes PMI by construction — the standard filter); top-k
+    * orders by (pmi desc, pair) as a TakeOrdered, never a full sort.
+    *
+    * Scale: two exchanges (unigram + bigram counts, both map-combined,
+    * both vocabulary-bounded); the count joins are equi-joins on words.
+    * Overflow note: n_ab·N_uni² is computed in DOUBLE (exact for counts
+    * to 2^26 — beyond that the ratio is still correct to 1 ulp, inside
+    * the 1e-6 quantization). */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Long = 5,
+      k: Int = 50): DataFrame = {
+    val toks = T.tokens(lower(col(textCol)))
+    val tokTable = df.select(toks.as("__toks"))
+    val uni = tokTable.select(explode(col("__toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("nw"))
+    val biAll = tokTable.where(size(col("__toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(a.as("wa"), b.as("wb")))).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("nab"))
+    // p(ab) is over ALL bigram positions — totals come from the
+    // unfiltered counts; minCount only gates which pairs are REPORTED
+    val bi = biAll.where(col("nab") >= minCount)
+    val totals = uni.agg(sum(col("nw")).as("n_uni")).crossJoin(
+      biAll.agg(sum(col("nab")).as("n_bi")))
+    val scored = bi
+      .join(uni.select(col("w").as("wa"), col("nw").as("na")), Seq("wa"))
+      .join(uni.select(col("w").as("wb"), col("nw").as("nb")), Seq("wb"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_unats",
+        floor(log((col("nab").cast("double") * col("n_uni") * col("n_uni")) /
+          (col("n_bi").cast("double") * col("na") * col("nb"))) * lit(1e6d) +
+          lit(0.5d)).cast("long"))
+    scored.select(col("wa"), col("wb"), col("nab"), col("pmi_unats"))
+      .orderBy(col("pmi_unats").desc, col("wa").asc, col("wb").asc)
+      .limit(k)
+  }
+
   /** Benchmark-contamination check: for each corpus document, the fraction
     * of its distinct word `n`-grams that also occur anywhere in `benchDf`
     * (the eval/benchmark set). High overlap flags training documents that

@@ -582,6 +582,79 @@ object GraphOps {
     pairs.join(e, pairs("u") === e("a") && pairs("w") === e("b"), "left_anti")
   }
 
+  /** Newman modularity of a community assignment over an undirected
+    * graph — the partition-quality score every community detection is
+    * judged by. Computed fraction-free:
+    * Q = Σ_c (in_c/m − (deg_c/2m)²) = (4m·Σ in_c − Σ deg_c²) / 4m²,
+    * so every term stays an INTEGER sum (intra-community edge count,
+    * per-community degree totals, edge count) until one final IEEE
+    * division — bit-identical in any engine, no rounding contract.
+    *
+    * Plan shape: two label equi-joins onto the edge list, one grouped
+    * degree aggregation, three scalar reductions — everything after the
+    * joins is domain-bounded (communities, not edges). `labels` carries
+    * (node, label); nodes missing a label drop from scoring (their edges
+    * count toward m — an unlabeled endpoint is by definition not
+    * intra-community). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val lab = labels.select(col(nodeCol).as("n"), col(labelCol).as("c"))
+    val labeled = e
+      .join(lab.select(col("n").as("a"), col("c").as("ca")), Seq("a"), "left")
+      .join(lab.select(col("n").as("b"), col("c").as("cb")), Seq("b"), "left")
+    val mAndIn = labeled.agg(count(lit(1)).as("m"),
+      sum(when(col("ca").isNotNull && col("ca") === col("cb"), 1L)
+        .otherwise(0L)).as("intra_edges"))
+    val degSq = e.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .join(lab, Seq("n"))
+      .groupBy(col("c")).agg(sum(col("d")).as("deg_c"))
+      .agg(sum(col("deg_c") * col("deg_c")).as("sum_deg_sq"),
+        count(lit(1)).as("n_communities"))
+    mAndIn.crossJoin(degSq)
+      .select(col("m"), col("intra_edges"), col("n_communities"),
+        ((lit(4L) * col("m") * col("intra_edges") - col("sum_deg_sq")).cast("double") /
+          (lit(4L) * col("m") * col("m"))).as("modularity"))
+  }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the edge list (each undirected edge counted in
+    * both directions, the standard convention) — positive for hub-to-hub
+    * networks, negative for hub-and-spoke. Same fraction-free discipline
+    * as [[modularity]] and the q_correlation pipeline: all five moments
+    * are INTEGER sums; r = (M·Σxy − Σx·Σy) / (√(M·Σx² − (Σx)²) ·
+    * √(M·Σy² − (Σy)²)) is three correctly-rounded IEEE ops, bit-identical
+    * in any engine. Two degree equi-joins + one scalar reduce. */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val both = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+    val sym = both.select(col("da").as("x"), col("db").as("y"))
+      .unionByName(both.select(col("db").as("x"), col("da").as("y")))
+    val g = sym.agg(count(lit(1)).as("mm"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val va = g("mm") * g("sxx") - g("sx") * g("sx")
+    val vb = g("mm") * g("syy") - g("sy") * g("sy")
+    g.select((col("mm") / 2).cast("long").as("m"),
+      when(va <= 0 || vb <= 0, lit(null).cast("double"))
+        .otherwise((g("mm") * g("sxy") - g("sx") * g("sy")).cast("double") /
+          (sqrt(va.cast("double")) * sqrt(vb.cast("double"))))
+        .as("assortativity"))
+  }
+
   /** Deterministic random walks — the DeepWalk/node2vec positive-pair
     * generator, engine-replayable: the "random" neighbor choice at step s
     * of walk w is `md5(w || '|' || s) mod deg(current)` over the node's

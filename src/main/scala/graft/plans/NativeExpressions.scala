@@ -155,6 +155,15 @@ object NativeExpressions {
     * out; sizing is a length, so the scan stays one pass per row with a
     * reused per-thread Deflater. */
   def deflateSize(text: Column): Column = toCol(DeflateSize(toExpr(text)))
+
+  /** Aho-Corasick multi-term scan: struct(total_hits, distinct_terms) of
+    * case-insensitive blocklist matches in ONE pass per row — every match
+    * end-position fires (overlapping + nested terms included), the
+    * positional semantics a SQL oracle replays. O(chars + matches) per
+    * row however large the term list — the safety-screening primitive
+    * where per-term contains()/regex passes scale with |terms|. */
+  def blocklistCounts(text: Column, terms: Seq[String]): Column =
+    toCol(MultiTermCount(toExpr(text), terms))
 }
 
 /** SplitMix64 — deterministic per-slot hash-family constants, plus the one
@@ -892,4 +901,88 @@ case class DeflateSize(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): DeflateSize = copy(child = c)
+}
+
+/** Aho-Corasick multi-pattern scan — see
+  * [[NativeExpressions.blocklistCounts]]. The automaton (goto + failure +
+  * output links over lowercase chars) is built lazily ONCE per executor
+  * from the serialized term list; matching is then a single pass per row,
+  * O(chars + matches) REGARDLESS of how many terms the blocklist holds —
+  * the property that makes safety screening viable at 100 TB where
+  * |terms| sequential regex/contains passes are not. Counts EVERY match
+  * end-position (overlapping and nested terms all fire), the textbook AC
+  * semantics the SQL oracle replays positionally. Char-wise (ASCII-safe)
+  * like JaroWinkler; non-BMP input would need code-point states. */
+case class MultiTermCount(child: Expression, terms: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  require(terms.nonEmpty && terms.forall(_.nonEmpty),
+    "blocklist needs at least one non-empty term")
+  override def dataType: DataType = StructType(Seq(
+    StructField("total_hits", LongType, nullable = false),
+    StructField("distinct_terms", IntegerType, nullable = false)))
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "multi_term_count"
+
+  @transient private lazy val automaton = MultiTermCount.build(terms)
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val (goto, fail, out) = automaton
+    val hitsPerTerm = new Array[Long](terms.size)
+    var state = 0
+    var i = 0
+    while (i < s.length) {
+      val c = Character.toLowerCase(s.charAt(i))
+      var st = state
+      while (st != 0 && !goto(st).contains(c)) st = fail(st)
+      state = goto(st).getOrElse(c, 0)
+      var o = state
+      while (o != 0) { // follow output links: every term ending here fires
+        out(o).foreach(t => hitsPerTerm(t) += 1)
+        o = fail(o)
+      }
+      i += 1
+    }
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    row.update(0, hitsPerTerm.sum)
+    row.update(1, hitsPerTerm.count(_ > 0))
+    row
+  }
+
+  override protected def withNewChildInternal(c: Expression): MultiTermCount = copy(child = c)
+}
+
+private object MultiTermCount {
+  /** Goto/fail/output tables; states are trie nodes, 0 = root. */
+  def build(terms: Seq[String]): (Array[Map[Char, Int]], Array[Int], Array[List[Int]]) = {
+    val goto = scala.collection.mutable.ArrayBuffer(Map.empty[Char, Int])
+    val out = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    terms.zipWithIndex.foreach { case (term, ti) =>
+      var st = 0
+      term.toLowerCase.foreach { c =>
+        goto(st).get(c) match {
+          case Some(nxt) => st = nxt
+          case None =>
+            goto += Map.empty; out += Nil
+            val nxt = goto.size - 1
+            goto(st) = goto(st).updated(c, nxt)
+            st = nxt
+        }
+      }
+      out(st) = ti :: out(st)
+    }
+    val fail = new Array[Int](goto.size)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    goto(0).values.foreach { s => fail(s) = 0; queue += s }
+    while (queue.nonEmpty) {
+      val r = queue.dequeue()
+      goto(r).foreach { case (c, s) =>
+        queue += s
+        var st = fail(r)
+        while (st != 0 && !goto(st).contains(c)) st = fail(st)
+        fail(s) = goto(st).get(c).filter(_ != s).getOrElse(0)
+      }
+    }
+    (goto.toArray, fail, out.toArray)
+  }
 }

@@ -77,7 +77,7 @@ object ScaleProbe {
     // for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_returnflag", "l_extendedprice")
@@ -383,6 +383,11 @@ object ScaleProbe {
       // its second call (first pays the one-time staging write, same
       // discipline as JSONL), and the deflate scan is pure per-row work.
       if (groups("r7d")) {
+      // the first graph query stages the shared co-purchase projection
+      // (once per JVM+dir) — warm it unrecorded so each curve below times
+      // the operator, not the one-time staging write (the ORC/JSONL
+      // discipline)
+      tq("q_walk_centrality")
       val tLp = tq("q_link_predict")
       val tIm = tq("q_incremental_median")
       val tTc = tq("q_t_closeness")
@@ -400,6 +405,29 @@ object ScaleProbe {
       val tCo = tq("q_correlation")
       val tZp = tq("q_zone_prune")
       println(f"""SCALE_R7D {"factor":$f, "link_predict":$tLp%.2f, "incremental_median":$tIm%.2f, "t_closeness":$tTc%.2f, "ewma":$tEw%.2f, "anomaly":$tAn%.2f, "negative_sample":$tNs%.2f, "orc_roundtrip":$tOrc%.2f, "compression_ratio":$tCr%.2f, "random_walks":$tRw%.2f, "correlation":$tCo%.2f, "zone_prune":$tZp%.2f}""")
+      }
+
+      // round-7 fifth wave: the AC blocklist scan is pure per-row work
+      // over linearly more documents; the walk-derived queries ride the
+      // staged projection (warmed above when r7d ran — warm again here so
+      // the group stands alone); attribution is one user join + window;
+      // imputation is a broadcast-median fact scan
+      if (groups("r7e")) {
+      tq("q_walk_centrality") // stages the shared projection if r7d didn't
+      val tBl = tq("q_blocklist")
+      val tWc = tq("q_walk_centrality")
+      val tSg = tq("q_skipgram_pairs")
+      val tAt = tq("q_attribution")
+      val tIp = tq("q_impute_median")
+      // wave 6: modularity reuses the staged projection + label rounds;
+      // PMI is two vocabulary-bounded count exchanges; funnel latency is
+      // two keyed min-aggregations and a single-row percentile
+      val tMo = tq("q_modularity")
+      val tPm = tq("q_pmi_bigrams")
+      val tFl = tq("q_funnel_latency")
+      val tAs = tq("q_assortativity")
+      val tFc = tq("q_fd_composite")
+      println(f"""SCALE_R7E {"factor":$f, "blocklist":$tBl%.2f, "walk_centrality":$tWc%.2f, "skipgram_pairs":$tSg%.2f, "attribution":$tAt%.2f, "impute_median":$tIp%.2f, "modularity":$tMo%.2f, "pmi_bigrams":$tPm%.2f, "funnel_latency":$tFl%.2f, "assortativity":$tAs%.2f, "fd_composite":$tFc%.2f}""")
       }
     }
     spark.stop()

@@ -498,13 +498,17 @@ class PlanSpec extends SparkSpec {
       s"a domain-bounded frame fell off the broadcast path:\n${p.take(3000)}")
   }
 
-  test("negative sampling broadcasts the anchor frame under the hash gate") {
+  test("negative sampling: bucket equi-join, anti-join, pre-shuffle top-k prune") {
     val p = plan("q_negative_sample")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      s"anchor grid must be broadcast-side:\n${p.take(3000)}")
-    assert(!p.contains("CartesianProduct"),
-      s"anchor grid shuffled into a cartesian:\n${p.take(3000)}")
+    // candidate generation must be a bucket EQUI-join (broadcast anchors),
+    // never a gated cross product over the full anchors × items grid
+    assert(p.contains("BroadcastHashJoin"),
+      s"anchor bucket join must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation degenerated to a grid scan:\n${p.take(3000)}")
     assert(p.contains("LeftAnti"), "purchased-set exclusion must be an anti-join")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-anchor top-k must prune before the rank shuffle:\n${p.take(3000)}")
   }
 
   test("ewma and anomaly ride one key exchange each (window + agg share it)") {
@@ -546,5 +550,26 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_zone_prune")
     assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"),
       s"scan reads more than the curve dimensions:\n${p.take(3000)}")
+  }
+
+  test("blocklist is a zero-shuffle scan until the final aggregation-free filter") {
+    val p = plan("q_blocklist")
+    assert(!p.contains("Exchange"),
+      s"a per-row AC scan must not shuffle:\n${p.take(3000)}")
+  }
+
+  test("attribution: equi-join on user, top-1 credit pruned pre-shuffle") {
+    val p = plan("q_attribution")
+    assert(!p.contains("CartesianProduct") && !p.contains("SinglePartition"),
+      s"as-of credit degenerated:\n${p.take(3000)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn=1 must prune per purchase before the rank shuffle:\n${p.take(3000)}")
+  }
+
+  test("imputation broadcasts the median table onto one fact scan") {
+    val p = plan("q_impute_median")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      s"the domain-bounded median frame fell off the broadcast path:\n${p.take(3000)}")
   }
 }

@@ -1083,6 +1083,21 @@ class ExtSpec extends SparkSpec {
     assert(fds(("v", "k")) == ((4L, 0L, true)))
   }
 
+  test("composite FD holds where both unary components fail") {
+    import graft.ext.Profiling
+    val df = Seq((1L, 1L, "x"), (1L, 2L, "y"), (2L, 1L, "z"), (2L, 1L, "z"),
+      (2L, 2L, "x")).toDF("a", "b", "c")
+    // unary: a -> c fails (a=1 covers {x,y}; a=2 covers {z,x});
+    // composite: (a,b) -> c holds on every pair group
+    val unary = Profiling.functionalDependencies(df, Seq("a", "c"))
+      .where(col("determinant") === "a").select("holds").as[Boolean].collect()
+    assert(unary.toSeq == Seq(false))
+    val comp = Profiling.compositeFunctionalDependencies(df,
+      Seq((("a", "b"), Seq("c"))))
+      .as[(String, String, Long, Long, Boolean)].collect()
+    assert(comp.toSeq == Seq(("a,b", "c", 4L, 0L, true)), s"got ${comp.toSeq}")
+  }
+
   test("kAnonymizeLadder: finest sufficient level wins, coarser crowds include finer rows") {
     import graft.ext.Privacy
     // city -> country ladder; k = 3
@@ -1147,6 +1162,47 @@ class ExtSpec extends SparkSpec {
     assert(audit("C") == ((4L, r6(1.0 / 6), false)))
     assert(audit("B") == ((4L, r6(1.0 / 3), true)),
       "the concentrated group must flag at t = 0.25")
+  }
+
+  test("pmiBigrams replays the quantized PMI formula; totals are pre-filter") {
+    val docs = Seq("alpha beta gamma", "alpha beta delta", "alpha beta")
+      .toDF("text")
+    val out = TextAnalysis.pmiBigrams(docs, "text", minCount = 2, k = 10)
+      .as[(String, String, Long, Long)].collect()
+    assert(out.length == 1, s"only (alpha, beta) reaches minCount, got ${out.toSeq}")
+    val (wa, wb, nab, unats) = out.head
+    assert((wa, wb, nab) == (("alpha", "beta", 3L)))
+    // N_uni = 8 tokens, N_bi = 5 positions (pre-filter — the 1-count
+    // bigrams still count toward p(ab)'s denominator)
+    val expected = math.floor(
+      math.log((3.0 * 8 * 8) / (5.0 * 3 * 3)) * 1e6 + 0.5).toLong
+    assert(unats == expected, s"got $unats want $expected")
+  }
+
+  test("blocklist AC scan equals brute-force positional counts, overlaps included") {
+    import graft.plans.NativeExpressions
+    val terms = Seq("scan", "can", "an", "table", "tab", "order")
+    val docs = Seq(
+      (1L, "a scan can tab tablet"),     // "scan" fires an+can+scan; "tablet" fires tab+table
+      (2L, "SCAN ORDER Table"),          // case-insensitive
+      (3L, "anananan"),                  // overlapping "an" × 4
+      (4L, "nothing of note here"),      // zero hits? "no" not a term; but "an"? no
+      (5L, ""))
+    val got = docs.toDF("id", "text")
+      .select(col("id"), NativeExpressions.blocklistCounts(col("text"), terms).as("b"))
+      .select(col("id"), col("b.total_hits"), col("b.distinct_terms"))
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // brute force: count every start position of every term, lowercase
+    val want = docs.map { case (id, text) =>
+      val t = text.toLowerCase
+      val perTerm = terms.map(term =>
+        (0 to t.length - term.length).count(i => t.regionMatches(i, term, 0, term.length)))
+      id -> ((perTerm.map(_.toLong).sum, perTerm.count(_ > 0)))
+    }.toMap
+    assert(got == want, s"got $got want $want")
+    // the planted overlap facts hold (guards the oracle's semantics too)
+    assert(got(3L) == ((4L, 1)), "overlapping 'an' must fire at every position")
+    assert(got(1L)._2 >= 5, "'scan'+'tablet' must fire the nested terms")
   }
 
   test("deflate ratio orders repetitive < natural < incompressible") {

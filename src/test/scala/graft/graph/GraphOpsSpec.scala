@@ -297,6 +297,37 @@ class GraphOpsSpec extends SparkSpec {
       s"pairs witnessed only by capped-out centers must vanish, got $capped")
   }
 
+  test("modularity replays the closed form on two bridged triangles") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("s", "d")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L), (6L, 20L))
+      .toDF("node", "c")
+    val r = GraphOps.modularity(e, "s", "d", labels, "node", "c")
+      .as[(Long, Long, Long, Double)].collect().head
+    // m=7, intra=6, deg_c = 7 each → Q = (4·7·6 − 98) / 196 = 70/196
+    assert(r == ((7L, 6L, 2L, 70.0 / 196.0)), s"got $r")
+    // an unlabeled endpoint makes its edges non-intra and leaves its
+    // degree out of deg_c — the documented left-join semantics
+    val partial = labels.where(col("node") =!= 6L)
+    val r2 = GraphOps.modularity(e, "s", "d", partial, "node", "c")
+      .as[(Long, Long, Long, Double)].collect().head
+    // intra = 3 + 1 (only 4-5 remains in c2); deg² = 49 + 25
+    assert(r2 == ((7L, 4L, 2L, (4.0 * 7 * 4 - 74) / 196.0)), s"got $r2")
+  }
+
+  test("assortativity is exactly -1 on a path's ends and NULL on a regular graph") {
+    // path 1-2-3: endpoint degrees anti-correlate perfectly
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val r = GraphOps.assortativity(path, "s", "d")
+      .as[(Long, Option[Double])].collect().head
+    assert(r == ((2L, Some(-1.0))), s"got $r")
+    // K3: every degree equal -> zero variance -> undefined, surfaced NULL
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    val r2 = GraphOps.assortativity(k3, "s", "d")
+      .as[(Long, Option[Double])].collect().head
+    assert(r2 == ((3L, None)), s"got $r2")
+  }
+
   test("randomWalks: every hop is an edge, length is exact, and replays identically") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
       .toDF("s", "d")
