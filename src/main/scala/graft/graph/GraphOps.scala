@@ -691,7 +691,14 @@ object GraphOps {
   }
 
   /** Symmetric adjacency with per-node id-ordered neighbor rank + degree,
-    * materialized once: both walk windows share one node-hash exchange. */
+    * materialized once: both walk windows share one node-hash exchange.
+    * Fault-tolerance note (same trade-off as GlobalRank's default):
+    * `localCheckpoint` truncates lineage but is NOT replicated — losing an
+    * executor during the walk loop forces a job restart rather than a
+    * partition recompute. Acceptable for a frame that lives for a handful
+    * of frontier joins; a long-running job should stage the adjacency to
+    * reliable storage instead (the staged-projection pattern the
+    * SparkEntry graph queries use). */
   private def rankedAdjacency(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
     val e = edges.select(

@@ -201,6 +201,33 @@ object EventsStream {
         .select("event_type", "value_band", "cnt"),
       Seq("event_type"), "value_band", q)
 
+  /** Stream-maintained per-(type, hour) event counts — the incremental
+    * input the q_anomaly monitor needs: each micro-batch's hourly counts
+    * fold into the versioned state (hours at a batch boundary merge by
+    * count addition), so the full hourly history is servable without
+    * ever rescanning raw events. */
+  def maintainHourlyCounts(
+      stream: DataFrame, statePath: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    maintainMergeableState(stream, statePath, checkpoint,
+      stateOf = _.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt")),
+      stateCols = Seq("hour", "event_type", "cnt"),
+      keys = Seq("hour", "event_type"),
+      ops = Seq("cnt" -> "sum"))
+
+  /** Rolling z² anomaly flags over the maintained hourly counts — the
+    * streaming face of the batch q_anomaly query: same
+    * [[graft.operators.TimeSeries.rollingAnomaly]] operator, fed from
+    * state rows instead of a raw-event scan, so the monitor's cost is
+    * hours × types regardless of event volume. */
+  def latestHourlyAnomalies(spark: SparkSession, statePath: String,
+      lookback: Int = 24, minPoints: Int = 12,
+      zThreshold: Double = 2.0): DataFrame =
+    graft.operators.TimeSeries.rollingAnomaly(
+      latestStateVersion(spark, statePath, "maintainHourlyCounts")
+        .select("event_type", "hour", "cnt"),
+      Seq("event_type"), col("hour"), col("cnt"), lookback, minPoints, zThreshold)
+
   /** The shared versioned-partition maintenance recipe: state version N
     * (state AFTER batch N) = merge(version N−1, stateOf(batch N)), written
     * by dynamic overwrite to its own `batch_id=N` partition — idempotent

@@ -80,7 +80,8 @@ object ScaleProbe {
       .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-        "l_quantity", "l_returnflag", "l_extendedprice")
+        "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate",
+        "l_extendedprice")
     val ev0 = graft.sources.Tables.events(spark, dir)
     val or0 = spark.read.parquet(s"$dir/orders.parquet")
     val pa0 = spark.read.parquet(s"$dir/part.parquet")
@@ -114,7 +115,7 @@ object ScaleProbe {
           // cost in the q_zorder probe)
           (col("l_suppkey") + lit(i * 100_000_000L)).as("l_suppkey"),
           col("l_linenumber"), col("l_quantity"),
-          col("l_returnflag"),
+          col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
           (col("l_extendedprice") + lit(i * 0.0001d)).as("l_extendedprice")))
         .reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$base/lineitem.parquet")
       // events pass through Tables.events FIRST so ts is staged as a micros
@@ -427,7 +428,8 @@ object ScaleProbe {
       val tFl = tq("q_funnel_latency")
       val tAs = tq("q_assortativity")
       val tFc = tq("q_fd_composite")
-      println(f"""SCALE_R7E {"factor":$f, "blocklist":$tBl%.2f, "walk_centrality":$tWc%.2f, "skipgram_pairs":$tSg%.2f, "attribution":$tAt%.2f, "impute_median":$tIp%.2f, "modularity":$tMo%.2f, "pmi_bigrams":$tPm%.2f, "funnel_latency":$tFl%.2f, "assortativity":$tAs%.2f, "fd_composite":$tFc%.2f}""")
+      val tCc2 = tq("q_clustering_coeff")
+      println(f"""SCALE_R7E {"factor":$f, "blocklist":$tBl%.2f, "walk_centrality":$tWc%.2f, "skipgram_pairs":$tSg%.2f, "attribution":$tAt%.2f, "impute_median":$tIp%.2f, "modularity":$tMo%.2f, "pmi_bigrams":$tPm%.2f, "funnel_latency":$tFl%.2f, "assortativity":$tAs%.2f, "fd_composite":$tFc%.2f, "clustering_coeff":$tCc2%.2f}""")
       }
     }
     spark.stop()

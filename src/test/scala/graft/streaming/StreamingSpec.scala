@@ -343,6 +343,41 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Double)].collect().toMap == expected)
   }
 
+  test("stream-maintained hourly counts serve the same anomalies as the batch monitor") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-an-src")
+    val events = graft.sources.Tables.events(spark, dir)
+    events.where(col("event_id") % 2 === 0).coalesce(1)
+      .write.parquet(s"$src/part_a")
+    events.where(col("event_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$src/part_b")
+    val work = java.nio.file.Files.createTempDirectory("graft-an")
+    val statePath = s"$work/state"
+    def stream = {
+      val schema = spark.read.parquet(s"$src/part_a").schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/*")
+    }
+    EventsStream.maintainHourlyCounts(stream, statePath, s"$work/ckpt")
+      .awaitTermination()
+    // the split by event_id parity scatters every hour across BOTH
+    // micro-batches — the merged state must still equal the full
+    // recompute, so the streamed monitor flags the same rows
+    val got = EventsStream.latestHourlyAnomalies(spark, statePath)
+      .select("event_type", "hour", "cnt", "z2", "is_anomaly")
+      .as[(String, java.time.LocalDateTime, Long, Double, Boolean)].collect().toSet
+    val batchHourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val want = graft.operators.TimeSeries.rollingAnomaly(batchHourly,
+        Seq("event_type"), col("hour"), col("cnt"), 24, 12, 2.0)
+      .select("event_type", "hour", "cnt", "z2", "is_anomaly")
+      .as[(String, java.time.LocalDateTime, Long, Double, Boolean)].collect().toSet
+    assert(got == want, "streamed anomaly board differs from batch recompute")
+    assert(want.nonEmpty, "fixture should produce at least one scored row")
+  }
+
   test("streaming SCD2 emits exactly the batch operator's closed intervals") {
     val streamed = EventsStream.scd2Intervals(spark,
       EventsStream.readStream(spark, streamDir)).toDF()
