@@ -2222,6 +2222,26 @@ object SparkEntry {
             (sqrt(va.cast("double")) * sqrt(vb.cast("double")))).as("pearson_r"))
     }),
 
+    // incremental maintenance of the co-purchase projection ITSELF — the
+    // piece that keeps stagedCoPurchaseEdges fresh at 100 TB without
+    // rescanning history: per-order pair counts are a mergeable state
+    // (an order's items all arrive together, so pairs never straddle the
+    // history/delta boundary and count addition is exact), the weight
+    // threshold applies AFTER the merge (thresholding inside the state
+    // would silently drop pairs whose support only clears minShared once
+    // combined — counts ARE the state, the filter is the view). Oracle =
+    // full recompute: merge(history, delta) == rebuild, hash-exact
+    "q_incremental_copurchase" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      def pairState(df: DataFrame) = graft.graph.GraphOps.coOccurrencePairs(
+        df, "l_orderkey", "l_partkey", minShared = 1, maxGroupSize = 256)
+      val merged = graft.operators.Incremental.mergeStates(
+        Seq(pairState(li.where(col("l_orderkey") % 10 =!= 0)),
+          pairState(li.where(col("l_orderkey") % 10 === 0))),
+        Seq("pa", "pb"), Seq("w" -> "sum"))
+      merged.where(col("w") >= 2)
+    }),
+
     // Newman modularity of the label-prop communities over the staged
     // co-purchase graph — the partition-quality score community detection
     // is judged by, computed fraction-free (integer sums, one division;
@@ -4762,6 +4782,17 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS pearson_r
         |FROM g
         |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0""".stripMargin,
+
+    // the oracle REBUILDS from scratch — equality proves the state merge
+    "q_incremental_copurchase" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256)
+        |SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*)::BIGINT AS w
+        |FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  AND x.l_partkey < y.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // both-direction endpoint degrees; the same √A·√B Pearson form as
     // q_correlation — integer moments, three IEEE ops

@@ -429,7 +429,8 @@ object ScaleProbe {
       val tAs = tq("q_assortativity")
       val tFc = tq("q_fd_composite")
       val tCc2 = tq("q_clustering_coeff")
-      println(f"""SCALE_R7E {"factor":$f, "blocklist":$tBl%.2f, "walk_centrality":$tWc%.2f, "skipgram_pairs":$tSg%.2f, "attribution":$tAt%.2f, "impute_median":$tIp%.2f, "modularity":$tMo%.2f, "pmi_bigrams":$tPm%.2f, "funnel_latency":$tFl%.2f, "assortativity":$tAs%.2f, "fd_composite":$tFc%.2f, "clustering_coeff":$tCc2%.2f}""")
+      val tIc = tq("q_incremental_copurchase")
+      println(f"""SCALE_R7E {"factor":$f, "blocklist":$tBl%.2f, "walk_centrality":$tWc%.2f, "skipgram_pairs":$tSg%.2f, "attribution":$tAt%.2f, "impute_median":$tIp%.2f, "modularity":$tMo%.2f, "pmi_bigrams":$tPm%.2f, "funnel_latency":$tFl%.2f, "assortativity":$tAs%.2f, "fd_composite":$tFc%.2f, "clustering_coeff":$tCc2%.2f, "incremental_copurchase":$tIc%.2f}""")
       }
     }
     spark.stop()

@@ -67,6 +67,32 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("co-occurrence pair states merge exactly; threshold AFTER merge, not inside") {
+    // orders 1 (history) and 10 (delta) both hold {7, 8}: the pair's
+    // support is 1 in each state and only clears minShared = 2 combined —
+    // thresholding inside the states would silently lose it
+    val li = Seq((1L, 7L), (1L, 8L), (1L, 9L), (10L, 7L), (10L, 8L), (2L, 5L), (2L, 6L))
+      .toDF("o", "p")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      graft.graph.GraphOps.coOccurrencePairs(df, "o", "p", minShared = 1)
+    val merged = Incremental.mergeStates(
+        Seq(state(li.where(col("o") < 10)), state(li.where(col("o") === 10))),
+        Seq("pa", "pb"), Seq("w" -> "sum"))
+      .where(col("w") >= 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val full = graft.graph.GraphOps.coOccurrencePairs(li, "o", "p", minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged == full && merged == Set((7L, 8L, 2L)),
+      s"merged=$merged full=$full")
+    // the anti-pattern drops the boundary-straddling pair
+    val thresholdedInside = Incremental.mergeStates(
+        Seq(graft.graph.GraphOps.coOccurrencePairs(li.where(col("o") < 10), "o", "p", minShared = 2),
+          graft.graph.GraphOps.coOccurrencePairs(li.where(col("o") === 10), "o", "p", minShared = 2)),
+        Seq("pa", "pb"), Seq("w" -> "sum"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(thresholdedInside.isEmpty, "pre-merge thresholding must lose the pair (the documented hazard)")
+  }
+
   test("median from MERGED value-count states equals full recompute") {
     val all = (1 to 100).map(i => (s"k${i % 3}", (i * 7 % 13).toLong)).toDF("k", "v")
     val hist = Incremental.valueCountState(all.where(col("v") < 6), Seq("k"), "v")
