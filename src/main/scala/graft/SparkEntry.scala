@@ -2408,6 +2408,65 @@ object SparkEntry {
           col("zy").between(loY, hiY))
         .agg(count(lit(1)).as("rows_matched"))
       stats.crossJoin(matched)
+    }),
+
+    // strongly connected components of a DIRECTED graph (trim + FW-BW
+    // coloring peels, GraphOps.stronglyConnectedComponents) — the directed
+    // twin of q_components. Edges: part -> next part in pick order within
+    // each order (lag over (orderkey, linenumber) — LINEAR in lineitems,
+    // never the deg² wedge projection); cycles arise because pick orders
+    // disagree across orders. Endpoint domain capped at partkey <= 400 so
+    // the oracle's recursive mutual-reachability closure stays
+    // |nodes|·|reach|-bounded; the operator itself never materializes a
+    // closure — per round it is node-keyed joins/aggs only
+    "q_scc" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      val e = t(s, dir, "lineitem")
+        .where(col("l_partkey") <= 400)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("prev", lag(col("l_partkey"), 1).over(w))
+        .where(col("prev").isNotNull && col("prev") =!= col("l_partkey"))
+        .select(col("prev").as("src"), col("l_partkey").as("dst"))
+        .distinct()
+      graft.graph.GraphOps.stronglyConnectedComponents(e, "src", "dst")
+        .withColumn("scc_size",
+          count(lit(1)).over(Window.partitionBy(col("scc"))))
+    }),
+
+    // small-file compaction planning (the OPTIMIZE/bin-pack maintenance
+    // pass every 100 TB table needs): one "file" per ship date with a
+    // size estimate, time-ordered EXCLUSIVE prefix sum via the distributed
+    // GlobalRank.withGlobalCumSum (range exchange + partitioned window +
+    // broadcast offsets — no single-reducer ORDER BY window, PlanSpec
+    // pins it), bin = prefix div target. Time-ordered packing keeps each
+    // output file a contiguous date range, so zone-map pruning on ship
+    // date survives compaction
+    "q_compaction_plan" -> ((s, dir) => {
+      val target = 32768.0d // 32 KiB target output size
+      val files = t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("file_date"))
+        .agg((count(lit(1)) * 120L + sum(col("l_partkey") % 64L))
+          .as("size_bytes"))
+      val withCum = graft.operators.GlobalRank.withGlobalCumSum(
+        files, Seq(col("file_date")), col("size_bytes"), "cum_before")
+      withCum
+        .withColumn("bin", floor(col("cum_before") / target).cast("long"))
+        .withColumn("bin_bytes",
+          sum(col("size_bytes")).over(Window.partitionBy(col("bin"))))
+        .withColumn("files_in_bin",
+          count(lit(1)).over(Window.partitionBy(col("bin"))))
+    }),
+
+    // REAL audio decode: synthesized 16-bit mono PCM WAVs (per-sample
+    // deterministic signal, Multimodal.synthesizePcmWav) run through the
+    // actual RIFF-walk + int16 decode + stat loop (Multimodal.audioStats).
+    // The oracle replays the signal's CLOSED FORM, not the parser — so a
+    // byte-order / offset / sign bug in the decoder fails the hash. All
+    // integer outputs; one narrow mapPartitions scan, no shuffle
+    "q_audio_stats" -> ((s, dir) => {
+      val media = Multimodal.synthesizePcmWav(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.audioStats(media).toDF()
     })
   )
 
@@ -4996,6 +5055,78 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         | matched AS (
         |  SELECT count(*)::BIGINT AS rows_matched FROM z
         |  WHERE zx BETWEEN 16384 AND 32767 AND zy BETWEEN 16384 AND 32767)
-        |SELECT * FROM stats CROSS JOIN matched""".stripMargin
+        |SELECT * FROM stats CROSS JOIN matched""".stripMargin,
+
+    // same lag/filter pipeline, then SCC from first principles: recursive
+    // reachability closure -> mutual pairs -> scc = min mutually-reachable
+    // id (the label convention the operator guarantees). The closure is
+    // oracle-side only and bounded by the partkey <= 400 domain cap
+    "q_scc" ->
+      """WITH RECURSIVE lagd AS (
+        |  SELECT lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS src,
+        |    l_partkey AS dst
+        |  FROM lineitem WHERE l_partkey <= 400),
+        | e AS (SELECT DISTINCT src, dst FROM lagd WHERE src IS NOT NULL AND src <> dst),
+        | nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        | reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        | mutual AS (
+        |  SELECT r1.src AS u, r1.dst AS v
+        |  FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src),
+        | lab AS (
+        |  SELECT n.node, least(n.node, coalesce(min(m.v), n.node)) AS scc
+        |  FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+        |  GROUP BY n.node)
+        |SELECT node, scc, count(*) OVER (PARTITION BY scc)::BIGINT AS scc_size
+        |FROM lab""".stripMargin,
+
+    // identical per-file size estimate, exclusive running sum (the
+    // single-reducer ORDER BY window the Spark side exists to avoid is
+    // FINE oracle-side), identical bin arithmetic: both engines divide
+    // exact integers < 2^53 by 32768.0 in IEEE doubles
+    "q_compaction_plan" ->
+      """WITH f AS (
+        |  SELECT l_shipdate AS file_date,
+        |    (count(*) * 120 + sum(l_partkey % 64))::BIGINT AS size_bytes
+        |  FROM lineitem GROUP BY 1),
+        | c AS (
+        |  SELECT file_date, size_bytes,
+        |    coalesce(sum(size_bytes) OVER (ORDER BY file_date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+        |  FROM f),
+        | b AS (SELECT *, cast(floor(cum_before / 32768.0) AS bigint) AS bin FROM c)
+        |SELECT file_date, size_bytes, cum_before, bin,
+        |  sum(size_bytes) OVER (PARTITION BY bin)::BIGINT AS bin_bytes,
+        |  count(*) OVER (PARTITION BY bin)::BIGINT AS files_in_bin
+        |FROM b""".stripMargin,
+
+    // the SIGNAL's closed form, not the decoder: unsigned pattern
+    // u_i = (id*131 + i*7919) mod 65536, signed value u - 65536 when
+    // u >= 32768; stats in exact integers. A constant series 0..349
+    // cross-joined then filtered below each id's sample count — no
+    // lateral dependence needed
+    "q_audio_stats" ->
+      """WITH p AS (
+        |  SELECT cast(doc_id AS bigint) AS media_id,
+        |    cast(8000 + (doc_id % 8) * 1000 AS int) AS sample_rate,
+        |    cast(doc_id % 300 + 50 AS bigint) AS ns
+        |  FROM documents),
+        | s AS (
+        |  SELECT media_id, sample_rate, ns,
+        |    (media_id * 131 + g.i * 7919) % 65536 AS u
+        |  FROM p, generate_series(0, 349) AS g(i) WHERE g.i < p.ns),
+        | v AS (
+        |  SELECT media_id, sample_rate, ns,
+        |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x
+        |  FROM s)
+        |SELECT media_id, sample_rate, ns AS n_samples,
+        |  max(abs(x))::BIGINT AS peak_abs,
+        |  sum(abs(x))::BIGINT AS sum_abs,
+        |  sum(x * x)::BIGINT AS sum_sq,
+        |  sum(CASE WHEN abs(x) >= 32000 THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
+        |  sum(CASE WHEN abs(x) < 256 THEN 1 ELSE 0 END)::BIGINT AS n_silent
+        |FROM v GROUP BY 1, 2, 3""".stripMargin
   )
 }

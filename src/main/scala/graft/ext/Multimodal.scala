@@ -28,6 +28,20 @@ final case class MediaDecoded(
     duration_ms: Option[Double],
     payload_md5: String)
 
+/** One PCM-decoded audio row ([[Multimodal.audioStats]]): pure-INTEGER
+  * sample statistics (peak / Σ|v| / Σv² / clip / near-silence counts), so
+  * RMS-style quality gates compose downstream in exact arithmetic and an
+  * oracle can replay every value bit-for-bit. */
+final case class AudioStats(
+    media_id: Long,
+    sample_rate: Int,
+    n_samples: Long,
+    peak_abs: Long,
+    sum_abs: Long,
+    sum_sq: Long,
+    n_clipped: Long,
+    n_silent: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus batch-shaped decode/feature-extract operators.
   *
@@ -459,6 +473,127 @@ object Multimodal {
         keepBytes.cast("long").as("n_bytes"),
         newW.as("width"),
         newH.as("height")).as("meta"))
+  }
+
+  /** Synthesize WAV payloads whose PCM BODY (not just the header) varies
+    * per sample — the audio-analysis fixture [[audioStats]] decodes for
+    * real. 16-bit mono, id-derived sample rate/count, and a deterministic
+    * full-swing sawtooth-family signal: unsigned 16-bit pattern
+    * `u_i = (id·131 + i·7919) mod 65536`, stored little-endian (signed
+    * value = u − 65536 when u ≥ 32768). Built from the same engine-portable
+    * `lpad∘hex` pieces as [[synthesizeMedia]] — per-sample hex via
+    * `sequence → transform → array_join`, no UDF — so a SQL oracle replays
+    * the closed form of the signal and checks the DECODER, not a copy of
+    * it. Payloads stay ≤ ~750 bytes (50–349 samples). */
+  def synthesizePcmWav(df: DataFrame, idCol: String): DataFrame = {
+    def le32(c: Column): Column = {
+      val h = lpad(hex(c.cast("long")), 8, "0")
+      concat(h.substr(7, 2), h.substr(5, 2), h.substr(3, 2), h.substr(1, 2))
+    }
+    def le16(c: Column): Column = {
+      val h = lpad(hex(c.cast("long")), 4, "0")
+      concat(h.substr(3, 2), h.substr(1, 2))
+    }
+    val id = col(idCol).cast("long")
+    val sr = lit(8000L) + (id % 8) * 1000L
+    val ns = id % 300 + 50
+    val dataSize = ns * 2
+    val sampleHex = array_join(
+      transform(sequence(lit(0L), ns - 1),
+        i => le16((id * 131L + i * 7919L) % 65536L)), "")
+    val wavHex = concat(
+      lit("52494646"), le32(dataSize + 36), lit("57415645"),
+      lit("666D7420"), le32(lit(16)), lit("0100"), lit("0100"),
+      le32(sr), le32(sr * 2), lit("0200"), lit("1000"),
+      lit("64617461"), le32(dataSize),
+      sampleHex)
+    df.select(id.as("media_id"), unhex(wavHex).as("content"))
+  }
+
+  /** Amplitude a silence/clipping gate treats as "clipped" (|v| at or past
+    * ~97.7% of int16 full scale) and "near-silent" (|v| below 1/128 full
+    * scale). Fixed, documented constants — part of the operator contract,
+    * replayed by the oracle. */
+  val ClipThreshold = 32000
+  val SilenceThreshold = 256
+
+  /** REAL PCM decode + per-clip sample statistics over 16-bit mono WAV
+    * payloads — the audio arm of the multimodal family, and deliberately
+    * NOT a stub: the RIFF chunk walk, LE int16 decode, and stat loop are
+    * the actual arithmetic an audio-quality gate runs before any model
+    * sees a clip. All outputs are integers ([[AudioStats]]) so downstream
+    * RMS/loudness gates (`sum_sq / n_samples`), clip-ratio filters and the
+    * oracle all replay exactly.
+    *
+    * Non-WAV / truncated / non-16-bit-mono payloads yield NO row —
+    * quarantine by anti-joining output ids against input ids (the same
+    * convention [[dHash64]] uses for undecodable images; [[decodeMedia]]
+    * is the operator that KEEPS bad rows, with kind = "unknown"). A data
+    * chunk shorter than its declared size is decoded to the bytes actually
+    * present (truncated uploads are data, not task failures).
+    *
+    * Scale: one narrow `mapPartitions` scan, [[BatchSize]]-grouped like
+    * every decode kernel here (a real codec amortizes init per batch); no
+    * shuffle, no state. */
+  def audioStats(media: DataFrame): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { case (id, bytes) =>
+            pcmStats(id, if (bytes == null) Array.emptyByteArray else bytes)
+          }
+        }
+      }
+  }
+
+  /** The [[audioStats]] kernel for one payload: RIFF walk (same corrupt-
+    * size-safe Long cursor as [[parseHeader]]) → require 16-bit mono PCM →
+    * single pass over LE int16 samples. */
+  private[ext] def pcmStats(id: Long, bytes: Array[Byte]): Option[AudioStats] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16u(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+      ((u8(i + 3) & 0xffL) << 24)
+    if (bytes.length < 44 ||
+      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
+      return None
+    var pos = 12L
+    var sampleRate = -1; var bitsPerSample = -1; var channels = -1
+    var dataOff = -1; var dataSize = -1L
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val p = pos.toInt
+      val chunkId = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(p + 4)
+      if (chunkId == "fmt " && pos + 8 + 16 <= bytes.length) {
+        channels = le16u(p + 10)
+        sampleRate = le32(p + 12).toInt
+        bitsPerSample = le16u(p + 22)
+      } else if (chunkId == "data") { dataOff = p + 8; dataSize = size }
+      pos += 8L + size + (size & 1L)
+    }
+    if (sampleRate <= 0 || dataOff < 0 || bitsPerSample != 16 || channels != 1)
+      return None
+    // decode what is actually present: truncated data chunks are data
+    val avail = math.min(dataSize, (bytes.length - dataOff).toLong)
+    val n = (avail / 2L).toInt
+    var i = 0
+    var peak = 0L; var sumAbs = 0L; var sumSq = 0L
+    var clipped = 0L; var silent = 0L
+    while (i < n) {
+      val v = le16u(dataOff + 2 * i).toShort.toInt
+      val a = math.abs(v.toLong) // |Short.MinValue| = 32768 needs the long
+      if (a > peak) peak = a
+      sumAbs += a
+      sumSq += a * a
+      if (a >= ClipThreshold) clipped += 1
+      if (a < SilenceThreshold) silent += 1
+      i += 1
+    }
+    Some(AudioStats(id, sampleRate, n.toLong, peak, sumAbs, sumSq, clipped, silent))
   }
 
   /** STUB frame sampling for video payloads: every `everyN`-th fixed-size

@@ -84,4 +84,51 @@ object GlobalRank {
       .drop("__grk_pid", "__grk_lr", "__grk_off")
     (ranked, acc)
   }
+
+  /** Returns `df` plus `cumCol`: the exact EXCLUSIVE global running sum of
+    * `valueCol` (a long) under `sortCols` lexicographic order — the
+    * distributed prefix-sum twin of [[withGlobalRank]], and the scale-safe
+    * replacement for `sum(v).over(Window.orderBy(...))`, whose unpartitioned
+    * window is one reducer holding the whole input.
+    *
+    * Same two-job shape: range exchange → per-partition sums (numPartitions
+    * rows to the driver — bounded by configuration, not data) → broadcast
+    * running offsets → per-partition windowed prefix sum + offset. The sort
+    * key must be a TOTAL order or ties make the prefix placement-dependent.
+    * Exclusive (first row sums nothing) because every consumer so far —
+    * size-based bin packing, offset assignment — wants "bytes BEFORE me";
+    * the inclusive form is `cum + value` in one projection.
+    *
+    * Fault tolerance: same `reliable` trade as [[withGlobalRankAndCount]]
+    * (local checkpoint blocks are unreplicated; pass `reliable = true` with
+    * a checkpoint dir for long jobs). */
+  def withGlobalCumSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+      cumCol: String, numPartitions: Int = 0, reliable: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    if (reliable) require(spark.sparkContext.getCheckpointDir.nonEmpty,
+      "GlobalRank(reliable = true) needs spark.sparkContext.setCheckpointDir — " +
+        "reliable checkpoints live on fault-tolerant storage, not executor disks")
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged0 = df
+      .withColumn("__grk_v", valueCol.cast("long"))
+      .repartitionByRange(n, sortCols: _*)
+      .withColumn("__grk_pid", spark_partition_id())
+    val ranged = if (reliable) ranged0.checkpoint(true) else ranged0.localCheckpoint(true)
+    val sums = ranged.groupBy(col("__grk_pid"))
+      .agg(sum(col("__grk_v")).as("__grk_s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sums.map { case (pid, s) => val o = (pid, acc); acc += s; o }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__grk_pid", "__grk_off")
+    val localW = Window.partitionBy(col("__grk_pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val summed = ranged
+      .withColumn("__grk_ps", coalesce(sum(col("__grk_v")).over(localW), lit(0L)))
+      .join(broadcast(offDf), Seq("__grk_pid"))
+      .withColumn(cumCol, col("__grk_off") + col("__grk_ps"))
+      .drop("__grk_pid", "__grk_ps", "__grk_off", "__grk_v")
+    summed
+  }
 }

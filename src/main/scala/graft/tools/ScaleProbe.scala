@@ -77,7 +77,7 @@ object ScaleProbe {
     // for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate",
@@ -431,6 +431,38 @@ object ScaleProbe {
       val tCc2 = tq("q_clustering_coeff")
       val tIc = tq("q_incremental_copurchase")
       println(f"""SCALE_R7E {"factor":$f, "blocklist":$tBl%.2f, "walk_centrality":$tWc%.2f, "skipgram_pairs":$tSg%.2f, "attribution":$tAt%.2f, "impute_median":$tIp%.2f, "modularity":$tMo%.2f, "pmi_bigrams":$tPm%.2f, "funnel_latency":$tFl%.2f, "assortativity":$tAs%.2f, "fd_composite":$tFc%.2f, "clustering_coeff":$tCc2%.2f, "incremental_copurchase":$tIc%.2f}""")
+      }
+
+      // round-7 sixth wave: SCC is probed on the UNFILTERED consecutive-
+      // pick digraph (the query's partkey<=400 oracle cap would pin the
+      // probe to copy 0 — staged copies offset partkeys, so the capped
+      // query can't grow; the operator must). Disjoint copies scale the
+      // SCC COUNT, not any component's depth, so peel/round counts should
+      // stay flat while per-round join cost grows linearly — the star-CC
+      // claim shape, directed. Compaction keeps a CONSTANT file count
+      // (ship-date domain doesn't grow) over linearly more rows — the
+      // groupBy dominates, the prefix sum is date-domain-bounded. Audio
+      // stats is a pure per-row decode scan over linearly more documents.
+      if (groups("r7f")) {
+      var sccPeels = 0; var sccRounds = 0
+      val tScc = time {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+        val e = spark.read.parquet(s"$base/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+          .withColumn("prev", lag(col("l_partkey"), 1).over(w))
+          .where(col("prev").isNotNull && col("prev") =!= col("l_partkey"))
+          .select(col("prev").as("src"), col("l_partkey").as("dst"))
+          .distinct()
+        val (labels, p, r) = graft.graph.GraphOps
+          .stronglyConnectedComponentsWithStats(e, "src", "dst",
+            maxPeels = 60, maxRounds = 2000)
+        sccPeels = p; sccRounds = r
+        force(labels)
+      }
+      val tCp = tq("q_compaction_plan")
+      val tAu = tq("q_audio_stats")
+      println(f"""SCALE_R7F {"factor":$f, "scc":$tScc%.2f, "scc_peels":$sccPeels, "scc_rounds":$sccRounds, "compaction_plan":$tCp%.2f, "audio_stats":$tAu%.2f}""")
       }
     }
     spark.stop()

@@ -378,6 +378,29 @@ class PlanSpec extends SparkSpec {
       "rank window is not partitioned by the range bucket")
   }
 
+  test("compaction plan rides the distributed prefix sum, never a global window") {
+    val p = plan("q_compaction_plan")
+    // `sum(v).over(Window.orderBy(date))` would be an Exchange
+    // SinglePartition holding every file row; the GlobalRank prefix sum
+    // must keep the per-range-bucket window + broadcast offsets shape
+    assert(!p.contains("SinglePartition"),
+      s"prefix sum degenerated to one reducer:\n${p.take(3000)}")
+    assert(p.contains("hashpartitioning(__grk_pid"),
+      "prefix-sum window is not partitioned by the range bucket")
+    assert(p.contains("BroadcastHashJoin"),
+      "partition offsets must join by broadcast")
+  }
+
+  test("SCC stage plans are node-keyed joins and aggregates only") {
+    // the operator is iterative/driver-coordinated, so pin the shape of
+    // its one potentially-degenerate stage: the edge projection feeding it
+    // (lag window partitioned by order, never unpartitioned)
+    val q = SparkEntry.queries("q_scc")
+    val p = q(spark, dir).queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"),
+      s"SCC output stage grew a product:\n${p.take(3000)}")
+  }
+
   test("fuzzy linkage is dictionary-first: Levenshtein runs above the distinct-name aggregate") {
     for (q <- Seq("q_fuzzy_match", "q_jaro_rank")) {
       val p = plan(q)

@@ -1228,4 +1228,53 @@ class ExtSpec extends SparkSpec {
     val again = df.as[(String, Double)].collect().toMap
     assert(r == again, "deflate must be deterministic")
   }
+
+  test("audio stats: real PCM decode matches the signal's closed form") {
+    val ids = (0L to 24L).toSeq
+    val media = Multimodal.synthesizePcmWav(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.audioStats(media).collect().map(a => a.media_id -> a).toMap
+    assert(got.keySet == ids.toSet)
+    ids.foreach { id =>
+      val ns = id % 300 + 50
+      val sr = (8000 + (id % 8) * 1000).toInt
+      var peak = 0L; var sumAbs = 0L; var sumSq = 0L; var clip = 0L; var sil = 0L
+      (0L until ns).foreach { i =>
+        val u = (id * 131L + i * 7919L) % 65536L
+        val x = if (u >= 32768L) u - 65536L else u
+        val a = math.abs(x)
+        if (a > peak) peak = a
+        sumAbs += a; sumSq += a * a
+        if (a >= Multimodal.ClipThreshold) clip += 1
+        if (a < Multimodal.SilenceThreshold) sil += 1
+      }
+      assert(got(id) == AudioStats(id, sr, ns, peak, sumAbs, sumSq, clip, sil),
+        s"decoder disagrees with the closed form for id $id")
+    }
+  }
+
+  test("audio stats: malformed and unsupported payloads are omitted, not fatal") {
+    // not RIFF at all
+    assert(Multimodal.pcmStats(1L, Array.fill[Byte](64)(0x41)).isEmpty)
+    // too short to hold a header
+    assert(Multimodal.pcmStats(2L, Array[Byte]('R', 'I', 'F', 'F')).isEmpty)
+    // take a real payload and flip it to stereo (fmt channels at offset 22)
+    val real = Multimodal.synthesizePcmWav(Seq(7L).toDF("doc_id"), "doc_id")
+      .select("content").as[Array[Byte]].head()
+    val stereo = real.clone(); stereo(22) = 2
+    assert(Multimodal.pcmStats(7L, stereo).isEmpty,
+      "non-mono must be rejected, not mis-decoded")
+    // 8-bit (fmt bitsPerSample at offset 34)
+    val eightBit = real.clone(); eightBit(34) = 8
+    assert(Multimodal.pcmStats(7L, eightBit).isEmpty)
+    // a truncated data chunk decodes the samples actually present
+    val cut = real.take(real.length - 11)
+    val full = Multimodal.pcmStats(7L, real).get
+    val part = Multimodal.pcmStats(7L, cut).get
+    assert(part.n_samples == full.n_samples - 6,
+      s"11 missing bytes = 5.5 samples -> 6 fewer whole samples, " +
+        s"got ${part.n_samples} vs ${full.n_samples}")
+    assert(part.sample_rate == full.sample_rate)
+    // the decoded prefix agrees with the full decode's running stats
+    assert(part.sum_sq <= full.sum_sq && part.peak_abs <= full.peak_abs)
+  }
 }

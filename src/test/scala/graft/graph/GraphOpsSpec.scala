@@ -359,4 +359,74 @@ class GraphOpsSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSeq
     assert(stray == Seq((99L, 99L, 0)))
   }
+
+  private def sccMap(edges: Seq[(Long, Long)]): (Map[Long, Long], Int, Int) = {
+    val e = edges.toDF("src", "dst")
+    val (labels, peels, rounds) =
+      GraphOps.stronglyConnectedComponentsWithStats(e, "src", "dst")
+    (labels.as[(Long, Long)].collect().toMap, peels, rounds)
+  }
+
+  test("SCC: two 3-cycles joined by a one-way bridge stay separate") {
+    val (m, _, _) = sccMap(Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), // cycle A
+      (3L, 4L), // one-way bridge — no path back
+      (4L, 5L), (5L, 6L), (6L, 4L))) // cycle B
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L)
+    assert(m(4L) == 4L && m(5L) == 4L && m(6L) == 4L)
+  }
+
+  test("SCC: a DAG resolves entirely inside the first trim peel") {
+    val (m, peels, _) = sccMap(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (2L, 4L)))
+    assert(m == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    assert(peels == 1, s"trim-to-fixpoint should finish a DAG in one peel, took $peels")
+  }
+
+  test("SCC: a single directed n-cycle is one component labeled by its min") {
+    val n = 20
+    val (m, _, _) = sccMap((0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)))
+    assert(m.size == n)
+    assert(m.values.toSet == Set(0L))
+  }
+
+  test("SCC: matches a brute-force transitive-closure oracle on a random digraph") {
+    val rnd = new scala.util.Random(1234)
+    val n = 12
+    val edges = (for {
+      a <- 0 until n; b <- 0 until n
+      if a != b && rnd.nextDouble() < 0.18
+    } yield (a.toLong, b.toLong)).toSeq
+    // Floyd-Warshall reachability closure
+    val reach = Array.fill(n, n)(false)
+    edges.foreach { case (a, b) => reach(a.toInt)(b.toInt) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map { v =>
+      val mutual = nodes.filter(u =>
+        u == v || (reach(v.toInt)(u.toInt) && reach(u.toInt)(v.toInt)))
+      v -> mutual.min
+    }.toMap
+    val (m, _, _) = sccMap(edges)
+    assert(m == expected)
+  }
+
+  test("SCC: self-loop-only input has no non-trivial edges and yields nothing") {
+    val (m, _, _) = sccMap(Seq((5L, 5L)))
+    assert(m.isEmpty)
+  }
+
+  test("SCC: nested SCCs across a chain retire in few peels") {
+    // three 3-cycles chained by one-way bridges: c0 -> c1 -> c2. Coloring
+    // floods the max id forward, so the DOWNSTREAM cycle resolves first;
+    // each peel retires at least one cycle plus the newly-trimmable rest.
+    def cycle(base: Long) = Seq((base, base + 1), (base + 1, base + 2), (base + 2, base))
+    val edges = cycle(0L) ++ cycle(10L) ++ cycle(20L) ++ Seq((2L, 10L), (12L, 20L))
+    val (m, peels, _) = sccMap(edges)
+    assert(m(0L) == 0L && m(1L) == 0L && m(2L) == 0L)
+    assert(m(10L) == 10L && m(11L) == 10L && m(12L) == 10L)
+    assert(m(20L) == 20L && m(21L) == 20L && m(22L) == 20L)
+    assert(peels <= 4, s"expected few peels on a 3-chain of SCCs, took $peels")
+  }
 }

@@ -65,4 +65,29 @@ class GlobalRankSpec extends SparkSpec {
       .select("k", "r").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
+
+  test("withGlobalCumSum equals the single-reducer exclusive prefix sum") {
+    val rnd = new scala.util.Random(77)
+    val rows = (1 to 400).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val df = rows.toDF("id", "v").repartition(7)
+    val got = GlobalRank.withGlobalCumSum(df, Seq(col("id")), col("v"), "c",
+        numPartitions = 9)
+      .select("id", "v", "c").as[(Long, Long, Long)].collect().toSet
+    val naive = df.withColumn("c",
+        coalesce(sum(col("v")).over(
+          Window.orderBy(col("id")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == naive)
+    // exclusive: the first row in key order sums nothing
+    assert(got.find(_._1 == 1L).get._3 == 0L)
+  }
+
+  test("withGlobalCumSum with empty and tiny partitions stays exact") {
+    val df = Seq((5L, 10L), (1L, 20L), (3L, 30L)).toDF("id", "v")
+    val out = GlobalRank.withGlobalCumSum(df, Seq(col("id")), col("v"), "c",
+        numPartitions = 40)
+      .select("id", "c").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 3L -> 20L, 5L -> 50L))
+  }
 }
