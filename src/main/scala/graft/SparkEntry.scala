@@ -2467,6 +2467,81 @@ object SparkEntry {
       val media = Multimodal.synthesizePcmWav(
         t(s, dir, "documents").select(col("doc_id")), "doc_id")
       Multimodal.audioStats(media).toDF()
+    }),
+
+    // MERGE INTO (lakehouse upsert): APPLY a CDC delta — updates, deletes,
+    // inserts, at most one op per key with delete-wins precedence — to the
+    // current snapshot in ONE id-keyed full-outer join. The complement of
+    // q_snapshot_diff (which COMPUTES a delta). Same shuffle discipline:
+    // both sides reduce to (id, md5, op) BEFORE the join, so document text
+    // never crosses the exchange; output op marks each surviving row
+    // K(ept)/U(pdated)/I(nserted) for the audit trail a production MERGE
+    // emits as metrics
+    "q_merge_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // deterministic delta derived from the same table: re-cased updates,
+      // deletes, and out-of-domain inserts
+      val upserts = base
+        .withColumn("op",
+          when(col("doc_id") % 11 === 3, "D")
+            .when(col("doc_id") % 7 === 0, "U"))
+        .where(col("op").isNotNull)
+        .select(col("doc_id"),
+          when(col("op") === "U", upper(col("text"))).as("text"), col("op"))
+      val inserts = base.where(col("doc_id") % 13 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new:"), col("text")).as("text"), lit("I").as("op"))
+      val delta = upserts.unionByName(inserts)
+        .select(col("doc_id"), md5(col("text")).as("d_md5"), col("op"))
+      val snap = base.select(col("doc_id"), md5(col("text")).as("b_md5"))
+      snap.join(delta, Seq("doc_id"), "full_outer")
+        .where(coalesce(col("op"), lit("")) =!= "D")
+        .select(col("doc_id"),
+          coalesce(col("d_md5"), col("b_md5")).as("text_md5"),
+          coalesce(col("op"), lit("K")).as("op"))
+    }),
+
+    // SKETCH-based inclusion-dependency discovery — the 100 TB swap
+    // q_fk_discovery's comment promises, made real: per column ONE
+    // bottom-k sample of the md5-hash order (k = 256 rows per side, a
+    // TakeOrdered — bounded by configuration, not key cardinality), and
+    // the containment estimate |S_u ∩ C ∩ P| / |S_u ∩ C| computed
+    // entirely on sketch rows. The bottom-k of the UNION hash order is a
+    // uniform sample of C ∪ P, so membership rates within it estimate
+    // |C ∩ P| / |C| with ~1/sqrt(k) error — and when |C ∪ P| <= k the
+    // sketch IS the full key set and the estimate is EXACT
+    // (GroundTruthSpec pins equality with q_fk_discovery at sf0.001 and
+    // the error band on a planted larger domain). md5 hex order is
+    // engine-portable, so the oracle replays sample selection row-for-row
+    "q_fk_sketch" -> ((s, dir) => {
+      val k = 256
+      def sk(df: DataFrame, key: String): DataFrame =
+        df.where(col(key).isNotNull)
+          .select(md5(col(key).cast("string")).as("h")).distinct()
+      def est(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val c = sk(child, ck)
+        val p = sk(parent, pk)
+        val u = c.unionByName(p).distinct().orderBy(col("h")).limit(k)
+        u.join(c.select(col("h"), lit(1).as("in_c")), Seq("h"), "left")
+          .join(p.select(col("h"), lit(1).as("in_p")), Seq("h"), "left")
+          .agg(count(lit(1)).as("n_union_sample"),
+            sum(coalesce(col("in_c"), lit(0))).as("n_child_sample"),
+            sum(when(col("in_c") === 1 && col("in_p") === 1, 1L)
+              .otherwise(0L)).as("n_both"))
+          .select(lit(name).as("candidate"), col("n_union_sample"),
+            col("n_child_sample"), col("n_both"),
+            (col("n_both").cast("double") /
+              col("n_child_sample").cast("double")).as("containment_est"))
+      }
+      est("orders.o_custkey->customer.c_custkey",
+          t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey")
+        .unionByName(est("lineitem.l_partkey->part.p_partkey",
+          t(s, dir, "lineitem"), "l_partkey", t(s, dir, "part"), "p_partkey"))
+        .unionByName(est("customer.c_nationkey->nation.n_nationkey",
+          t(s, dir, "customer"), "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
+        .unionByName(est("part.p_size->nation.n_nationkey",
+          t(s, dir, "part"), "p_size", t(s, dir, "nation"), "n_nationkey"))
     })
   )
 
@@ -5127,6 +5202,61 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |  sum(x * x)::BIGINT AS sum_sq,
         |  sum(CASE WHEN abs(x) >= 32000 THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
         |  sum(CASE WHEN abs(x) < 256 THEN 1 ELSE 0 END)::BIGINT AS n_silent
-        |FROM v GROUP BY 1, 2, 3""".stripMargin
+        |FROM v GROUP BY 1, 2, 3""".stripMargin,
+
+    // same deterministic delta (delete-wins CASE order), same pre-join
+    // hash reduction, same full-outer apply. upper()/md5 are
+    // byte-identical across engines on the fixture's ASCII text
+    "q_merge_upsert" ->
+      """WITH b AS (SELECT doc_id, text FROM documents),
+        | upserts AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 3 THEN NULL ELSE upper(text) END AS text,
+        |    CASE WHEN doc_id % 11 = 3 THEN 'D' ELSE 'U' END AS op
+        |  FROM b WHERE doc_id % 11 = 3 OR doc_id % 7 = 0),
+        | inserts AS (
+        |  SELECT doc_id + 1000000 AS doc_id, 'new:' || text AS text, 'I' AS op
+        |  FROM b WHERE doc_id % 13 = 5),
+        | delta AS (
+        |  SELECT doc_id, md5(text) AS d_md5, op FROM upserts
+        |  UNION ALL
+        |  SELECT doc_id, md5(text) AS d_md5, op FROM inserts),
+        | snap AS (SELECT doc_id, md5(text) AS b_md5 FROM b)
+        |SELECT coalesce(snap.doc_id, delta.doc_id) AS doc_id,
+        |  coalesce(d_md5, b_md5) AS text_md5,
+        |  coalesce(op, 'K') AS op
+        |FROM snap FULL OUTER JOIN delta ON snap.doc_id = delta.doc_id
+        |WHERE coalesce(op, '') <> 'D'""".stripMargin,
+
+    // identical per-candidate sketch: distinct md5 hash sets, bottom-256
+    // of the union order, membership flags, one ratio. md5 hex strings
+    // sort identically in both engines (lowercase hex, binary collation)
+    "q_fk_sketch" -> fkSketchOracleSql
   )
+
+  /** The q_fk_sketch oracle, generated per candidate (same four
+    * child->parent pairs, same k = 256). */
+  private val fkSketchOracleSql: String = {
+    def cand(name: String, childTbl: String, ck: String,
+        parentTbl: String, pk: String): String =
+      s"""SELECT '$name' AS candidate, n_union_sample, n_child_sample, n_both, containment_est FROM (
+         |WITH c AS (SELECT DISTINCT md5(cast($ck AS varchar)) AS h FROM $childTbl WHERE $ck IS NOT NULL),
+         | p AS (SELECT DISTINCT md5(cast($pk AS varchar)) AS h FROM $parentTbl WHERE $pk IS NOT NULL),
+         | u AS (SELECT h FROM (SELECT h FROM c UNION SELECT h FROM p) ORDER BY h LIMIT 256),
+         | j AS (SELECT u.h, c.h IS NOT NULL AS in_c, p.h IS NOT NULL AS in_p
+         |       FROM u LEFT JOIN c ON u.h = c.h LEFT JOIN p ON u.h = p.h)
+         |SELECT count(*)::BIGINT AS n_union_sample,
+         |  sum(CASE WHEN in_c THEN 1 ELSE 0 END)::BIGINT AS n_child_sample,
+         |  sum(CASE WHEN in_c AND in_p THEN 1 ELSE 0 END)::BIGINT AS n_both,
+         |  cast(sum(CASE WHEN in_c AND in_p THEN 1 ELSE 0 END) AS double) /
+         |  cast(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS double) AS containment_est
+         |FROM j)""".stripMargin
+    Seq(
+      ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("part.p_size->nation.n_nationkey", "part", "p_size", "nation", "n_nationkey"))
+      .map((cand _).tupled)
+      .mkString("", "\nUNION ALL\n", "")
+  }
 }

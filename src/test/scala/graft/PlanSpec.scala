@@ -378,6 +378,16 @@ class PlanSpec extends SparkSpec {
       "rank window is not partitioned by the range bucket")
   }
 
+  test("merge upsert shuffles content hashes, never document text") {
+    val p = plan("q_merge_upsert")
+    // same discipline as q_snapshot_diff: both sides reduce to
+    // (doc_id, md5, op) BELOW the full-outer exchange
+    assert(p.contains("FullOuter"), p.take(2000))
+    assert(p.contains("Exchange hashpartitioning(doc_id"),
+      s"id-keyed exchange missing:\n${p.take(3000)}")
+    assert(p.contains("md5"), "hash projection lost")
+  }
+
   test("compaction plan rides the distributed prefix sum, never a global window") {
     val p = plan("q_compaction_plan")
     // `sum(v).over(Window.orderBy(date))` would be an Exchange

@@ -418,4 +418,37 @@ class GroundTruthSpec extends SparkSpec {
     merges.foreach { case (a, b) => s = s.replace(s",$a,,$b,", s",$a$b,") }
     s.count(_ == ',').toLong / 2
   }
+
+  test("bottom-k FK sketch: exact when domains fit in k, bounded error when they don't") {
+    val spark2 = spark; import spark2.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // at sf0.001 every candidate's |C ∪ P| <= 256, so the sketch holds the
+    // FULL key set and the estimate must EQUAL the exact inclusion
+    val est = graft.SparkEntry.queries("q_fk_sketch")(spark, dir)
+      .select("candidate", "containment_est").as[(String, Double)].collect().toMap
+    val exact = graft.SparkEntry.queries("q_fk_discovery")(spark, dir)
+      .select("candidate", "inclusion").as[(String, Double)].collect().toMap
+    est.foreach { case (cand, e) =>
+      assert(exact.contains(cand) || cand == "part.p_size->nation.n_nationkey")
+      exact.get(cand).foreach(x =>
+        assert(e == x, s"$cand: sketch $e != exact $x with full-set sketch"))
+    }
+    // planted larger-than-k domains: child 0..3999 with only evens kept by
+    // the parent (true containment 0.5); a k=256 hash sample estimates it
+    // within the ~4/sqrt(k) band
+    val child = (0L until 4000L).toDF("ck")
+    val parent = (0L until 4000L by 2).toDF("pk")
+    val k = 256
+    val c = child.select(md5(col("ck").cast("string")).as("h")).distinct()
+    val p = parent.select(md5(col("pk").cast("string")).as("h")).distinct()
+    val u = c.unionByName(p).distinct().orderBy(col("h")).limit(k)
+    val row = u.join(c.select(col("h"), lit(1).as("in_c")), Seq("h"), "left")
+      .join(p.select(col("h"), lit(1).as("in_p")), Seq("h"), "left")
+      .agg(sum(coalesce(col("in_c"), lit(0))).as("nc"),
+        sum(when(col("in_c") === 1 && col("in_p") === 1, 1L).otherwise(0L)).as("nb"))
+      .head()
+    val estimate = row.getLong(1).toDouble / row.getLong(0).toDouble
+    assert(math.abs(estimate - 0.5) < 4.0 / math.sqrt(k),
+      s"containment estimate $estimate outside the sampling band around 0.5")
+  }
 }
