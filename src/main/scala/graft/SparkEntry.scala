@@ -2420,7 +2420,8 @@ object SparkEntry {
     // |nodes|·|reach|-bounded; the operator itself never materializes a
     // closure — per round it is node-keyed joins/aggs only
     "q_scc" -> ((s, dir) => {
-      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"))
       val e = t(s, dir, "lineitem")
         .where(col("l_partkey") <= 400)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
@@ -2542,6 +2543,60 @@ object SparkEntry {
           t(s, dir, "customer"), "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
         .unionByName(est("part.p_size->nation.n_nationkey",
           t(s, dir, "part"), "p_size", t(s, dir, "nation"), "n_nationkey"))
+    }),
+
+    // topological layers of the SCC condensation: contract the components
+    // of the repeat-co-pick precedence digraph (edge multiplicity >= 2
+    // denoises one-off orderings, leaving real DAG structure — 4 layers
+    // on the fixture), then assign each component its longest-path depth
+    // from the DAG sources — the dependency-scheduling wave structure
+    // (which batches can run in parallel, how deep the chain is). Layers
+    // via GraphOps.condensationLayers (driver Kahn under the probe bound,
+    // monotone distributed fixpoint above it, tier equality pinned); the
+    // oracle replays a recursive walk with UNION dedup, bounded by
+    // components x depth
+    "q_topo_layers" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"))
+      val edges = t(s, dir, "lineitem")
+        .where(col("l_partkey") <= 2000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("prev", lag(col("l_partkey"), 1).over(w))
+        .where(col("prev").isNotNull && col("prev") =!= col("l_partkey"))
+        .groupBy(col("prev").as("src"), col("l_partkey").as("dst"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2)
+        .select(col("src"), col("dst"))
+      val labels = graft.graph.GraphOps
+        .stronglyConnectedComponents(edges, "src", "dst")
+      val layers = graft.graph.GraphOps
+        .condensationLayers(edges, "src", "dst", labels)
+      labels.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))
+        .join(layers, Seq("scc"))
+    }),
+
+    // ANN tuning curve: macro recall@5 of the IVF index at nprobe
+    // 1/2/4/8 against ONE shared brute-force ground truth — the
+    // recall-vs-cost trade a 100 TB index is tuned by, as one query.
+    // Identical index (nlist=16, one refine pass) per point, so the
+    // curve isolates the probe budget; the oracle replays the whole
+    // chain per point (the q_ivf_recall machinery, parameterized).
+    // Monotonicity of the curve is additionally pinned in ExtSpec
+    "q_ann_tuning" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      Seq(1, 2, 4, 8).map { np =>
+        val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 5, nlist = 16, nprobe = np, refineIters = 1)
+        Similarity.recallReport(exact, approx, k = 5)
+          .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("total_hits"))
+          .select(lit(np).as("nprobe"), col("n_queries"), col("total_hits"),
+            (col("total_hits").cast("double") /
+              (col("n_queries") * 5L).cast("double")).as("macro_recall"))
+      }.reduce(_.unionByName(_))
     })
   )
 
@@ -2777,8 +2832,8 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
     * that case bit-faithful); (dist, centroid_id) and
     * (cosine DESC, neighbor_id) tie-breaks. Shared by the
     * q_embed_ivf_topk and q_ivf_recall oracles. */
-  private val ivfChainSql: String =
-    """params AS (
+  private def ivfChainSql(nprobe: Int = 8): String =
+    s"""params AS (
       |  SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
       | cand AS (
       |  SELECT cast(vec_id AS varchar) AS sid,
@@ -2835,7 +2890,7 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
       |                              list_transform(range(1, len(q.qvec) + 1), i -> q.qvec[i] - ct.cvec[i]))),
       |        ct.centroid_id) AS rn
       |    FROM q CROSS JOIN cent ct)
-      |  WHERE rn <= 8),
+      |  WHERE rn <= $nprobe),
       | scored AS (
       |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
       |    CASE WHEN sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(p.qvec, p.qvec)) = 0 THEN 0.0
@@ -4085,14 +4140,14 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
     // assignment, probes, in-bucket top-k — so the approximation itself is
     // value-checked, not just bounded by a recall report
     "q_embed_ivf_topk" ->
-      s"""WITH $ivfChainSql
+      s"""WITH ${ivfChainSql()}
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine_r, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
 
     // recall@5 of the SQL-rebuilt IVF against the SQL exact top-5: the
     // report's values are themselves oracle-checked now
     "q_ivf_recall" ->
-      s"""WITH $ivfChainSql,
+      s"""WITH ${ivfChainSql()},
         | approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
         | escored AS (
         |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
@@ -5138,7 +5193,7 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
     // oracle-side only and bounded by the partkey <= 400 domain cap
     "q_scc" ->
       """WITH RECURSIVE lagd AS (
-        |  SELECT lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS src,
+        |  SELECT lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS src,
         |    l_partkey AS dst
         |  FROM lineitem WHERE l_partkey <= 400),
         | e AS (SELECT DISTINCT src, dst FROM lagd WHERE src IS NOT NULL AND src <> dst),
@@ -5231,8 +5286,83 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
     // identical per-candidate sketch: distinct md5 hash sets, bottom-256
     // of the union order, membership flags, one ratio. md5 hex strings
     // sort identically in both engines (lowercase hex, binary collation)
-    "q_fk_sketch" -> fkSketchOracleSql
+    "q_fk_sketch" -> fkSketchOracleSql,
+
+    // one full chain replay per nprobe point, each in its own subquery
+    // scope, unioned — same exact ground truth every point
+    "q_ann_tuning" -> annTuningOracleSql,
+
+    // the q_scc closure machinery on the denoised (multiplicity >= 2)
+    // precedence digraph, extended by the condensation walk: contract
+    // labels, take distinct cross-component edges, then a recursive
+    // longest-path walk from the sources with UNION dedup ((node, depth)
+    // pairs are bounded by components x depth)
+    "q_topo_layers" ->
+      """WITH RECURSIVE lagd AS (
+        |  SELECT lag(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS src,
+        |    l_partkey AS dst
+        |  FROM lineitem WHERE l_partkey <= 2000),
+        | e AS (
+        |  SELECT src, dst FROM lagd WHERE src IS NOT NULL AND src <> dst
+        |  GROUP BY src, dst HAVING count(*) >= 2),
+        | nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        | reach AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        | mutual AS (
+        |  SELECT r1.src AS u, r1.dst AS v
+        |  FROM reach r1 JOIN reach r2 ON r1.src = r2.dst AND r1.dst = r2.src),
+        | lab AS (
+        |  SELECT n.node, least(n.node, coalesce(min(m.v), n.node)) AS scc
+        |  FROM nodes n LEFT JOIN mutual m ON m.u = n.node
+        |  GROUP BY n.node),
+        | ce AS (
+        |  SELECT DISTINCT la.scc AS cu, lb.scc AS cv
+        |  FROM e JOIN lab la ON la.node = e.src JOIN lab lb ON lb.node = e.dst
+        |  WHERE la.scc <> lb.scc),
+        | comps AS (SELECT DISTINCT scc FROM lab),
+        | walk AS (
+        |  SELECT scc AS node, 0 AS d FROM comps
+        |  WHERE scc NOT IN (SELECT cv FROM ce)
+        |  UNION
+        |  SELECT ce.cv, w.d + 1 FROM walk w JOIN ce ON ce.cu = w.node),
+        | layers AS (SELECT node AS scc, max(d) AS layer FROM walk GROUP BY 1)
+        |SELECT l.scc, count(*)::BIGINT AS n_members, min(layers.layer)::BIGINT AS layer
+        |FROM lab l JOIN layers ON layers.scc = l.scc
+        |GROUP BY l.scc""".stripMargin
   )
+
+  /** The q_ann_tuning oracle: the q_ivf_recall chain instantiated per
+    * nprobe point (shared exact ground-truth definition inside each
+    * scope), aggregated to the macro recall row the Spark side emits. */
+  private def annTuningOracleSql: String =
+    Seq(1, 2, 4, 8).map { np =>
+      s"""SELECT * FROM (
+         |WITH ${ivfChainSql(np)},
+         | approx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+         | escored AS (
+         |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+         |    CASE WHEN sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)) = 0 THEN 0.0
+         |         ELSE list_dot_product(c.vec, q.qvec) / (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)))
+         |    END AS cosine
+         |  FROM corpus c CROSS JOIN q WHERE c.vec_id <> q.qid),
+         | exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |    FROM escored)
+         |  WHERE rank <= 5),
+         | per_q AS (
+         |  SELECT e.query_id, count(a.neighbor_id)::BIGINT AS n_hits
+         |  FROM exact e LEFT JOIN approx a
+         |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |  GROUP BY e.query_id)
+         |SELECT $np AS nprobe, count(*)::BIGINT AS n_queries,
+         |  sum(n_hits)::BIGINT AS total_hits,
+         |  cast(sum(n_hits) AS double) / cast(count(*) * 5 AS double) AS macro_recall
+         |FROM per_q)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "")
 
   /** The q_fk_sketch oracle, generated per candidate (same four
     * child->parent pairs, same k = 256). */

@@ -871,6 +871,92 @@ object GraphOps {
     (adj.groupBy(col("s").as("node_id")).agg(count(lit(1)).as("core_degree")), round)
   }
 
+  /** Strongly connected components, two-tier (the
+    * [[graft.ext.Dedup]] cluster-resolution pattern): a bounded probe
+    * (`limit(n+1).count()` — edge rows reach the driver only AFTER the
+    * local tier is chosen) decides between a driver-local iterative
+    * Tarjan (exact, one pass, for edge sets under `driverEdgeLimit` —
+    * domain-capped dependency/transition graphs live here, and the
+    * distributed recurrence's ~2 jobs × rounds overhead would dominate
+    * them) and the distributed FW-BW peeling of
+    * [[stronglyConnectedComponentsWithStats]] for everything larger.
+    * Identical labels either way (min member id; GraphOpsSpec pins
+    * tier equality). */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxPeels: Int = 40, maxRounds: Int = 400,
+      driverEdgeLimit: Int = 2000000): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val small = e.limit(driverEdgeLimit + 1).count() <= driverEdgeLimit
+    if (small) tarjanDriver(e)
+    else stronglyConnectedComponentsWithStats(e, "a", "b", maxPeels, maxRounds)._1
+  }
+
+  /** Driver-local tier: iterative Tarjan (explicit stack — recursion
+    * would blow the JVM stack at ~10k-node cycles) over a collected,
+    * bounded edge list. Output labels = min member id, the same
+    * convention as the distributed tier and the undirected operators. */
+  private def tarjanDriver(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val edgeRows = e.collect().map(r => (r.get(0), r.get(1)))
+    val nodes = (edgeRows.map(_._1) ++ edgeRows.map(_._2)).distinct
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val adj = Array.fill(n)(List.empty[Int])
+    edgeRows.foreach { case (a, b) => val i = idx(a); adj(i) = idx(b) :: adj(i) }
+    val index = Array.fill(n)(-1)
+    val low = Array.fill(n)(0)
+    val onStack = Array.fill(n)(false)
+    val stack = new scala.collection.mutable.ArrayDeque[Int]()
+    val comp = Array.fill(n)(-1)
+    var counter = 0
+    var nComp = 0
+    // explicit DFS frames: (node, remaining neighbors)
+    val frames = new scala.collection.mutable.ArrayDeque[(Int, List[Int])]()
+    for (root <- 0 until n if index(root) < 0) {
+      index(root) = counter; low(root) = counter; counter += 1
+      stack.prepend(root); onStack(root) = true
+      frames.prepend((root, adj(root)))
+      while (frames.nonEmpty) {
+        val (v, rest) = frames.removeHead()
+        rest match {
+          case w :: tail =>
+            frames.prepend((v, tail))
+            if (index(w) < 0) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stack.prepend(w); onStack(w) = true
+              frames.prepend((w, adj(w)))
+            } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+          case Nil =>
+            if (low(v) == index(v)) {
+              var done = false
+              while (!done) {
+                val w = stack.removeHead(); onStack(w) = false
+                comp(w) = nComp
+                done = w == v
+              }
+              nComp += 1
+            }
+            frames.headOption.foreach { case (parent, _) =>
+              low(parent) = math.min(low(parent), low(v))
+            }
+        }
+      }
+    }
+    // label every SCC by its minimum member (generic ordering: Spark's
+    // own ordering on the id column, applied after the frame is rebuilt)
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until n).map(i =>
+      org.apache.spark.sql.Row(nodes(i), comp(i))).asJava
+    val idType = e.schema("a").dataType
+    val df = spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", idType, nullable = false),
+        org.apache.spark.sql.types.StructField("__c", org.apache.spark.sql.types.IntegerType, nullable = false))))
+    val labels = df.groupBy(col("__c")).agg(min(col("node")).as("scc"))
+    df.join(broadcast(labels), Seq("__c")).select(col("node"), col("scc"))
+  }
+
   /** EXACT strongly connected components of a DIRECTED edge list —
     * trim / forward-color / backward-sweep peeling (the FW-BW–coloring
     * family: Fleischer–Hendrickson–Pinar 2000, Orzan 2004, Slota et al.
@@ -908,14 +994,13 @@ object GraphOps {
     * fixpoint needs forward-set-depth rounds (a directed n-cycle needs n).
     * `maxRounds` is the loud guard; graphs that trip it need a
     * partition-local Tarjan contraction first (documented trade, not
-    * hidden). */
-  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
-      dstCol: String, maxPeels: Int = 40, maxRounds: Int = 400): DataFrame =
-    stronglyConnectedComponentsWithStats(edges, srcCol, dstCol, maxPeels, maxRounds)._1
-
-  /** [[stronglyConnectedComponents]] plus (peel count, total round count)
-    * — the ScaleProbe hook. Output: (node, scc) over every endpoint of the
-    * non-self-loop edge set. */
+    * hidden).
+    *
+    * Returns the labels plus (peel count, total round count) — the
+    * ScaleProbe hook. Output: (node, scc) over every endpoint of the
+    * non-self-loop edge set. Callers who don't pick tiers by hand should
+    * use [[stronglyConnectedComponents]] (bounded driver Tarjan below the
+    * probe limit, this operator above it). */
   def stronglyConnectedComponentsWithStats(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxPeels: Int = 40, maxRounds: Int = 400): (DataFrame, Int, Int) = {
@@ -1012,5 +1097,117 @@ object GraphOps {
         "(each peel retires every current pivot's SCC; tripping this needs " +
         "an adversarial chain of nested SCCs)")
     (assigned, peels, rounds)
+  }
+
+  /** Topological LAYERS of the SCC condensation: contract each strongly
+    * connected component (labels from [[stronglyConnectedComponents]]) to
+    * one node — the condensation is a DAG by construction — and assign
+    * every component its longest-path depth from the DAG's sources (the
+    * scheduling wave a dependency executor would run it in; sources are
+    * layer 0). The standard longest-path recurrence as a DataFrame
+    * fixpoint: layers only INCREASE and are bounded by condensation depth,
+    * so Σ layer is monotone and one scalar per round detects the fixpoint
+    * (the [[connectedComponentsMin]] convergence trick, maximizing). The
+    * self-loop fold keeps one layer-frame reference per round.
+    *
+    * Scale: condensation edges are two label joins + one distinct off the
+    * original edge list; per round one equi-join + grouped max, all keyed
+    * on component ids. Round count = condensation depth — for a DAG of
+    * depth d that is d rounds, the honest bound (a dependency graph deeper
+    * than `maxDepth` is almost certainly a cycle that SCC contraction
+    * should have folded; the guard fails loudly rather than looping).
+    *
+    * Two-tier like [[stronglyConnectedComponents]]: when the probed
+    * condensation (components + cross edges) fits under
+    * `driverNodeLimit`, a driver-local Kahn longest-path pass replaces
+    * depth-many distributed rounds — condensations are usually tiny even
+    * when the underlying graph is not. */
+  def condensationLayers(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, maxDepth: Int = 100,
+      driverNodeLimit: Int = 2000000): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).distinct()
+    val ce = e
+      .join(labels.select(col("node").as("a"), col("scc").as("cu")), Seq("a"))
+      .join(labels.select(col("node").as("b"), col("scc").as("cv")), Seq("b"))
+      .where(col("cu") =!= col("cv"))
+      .select(col("cu"), col("cv")).distinct()
+      .localCheckpoint(true)
+    val comps = labels.select(col("scc")).distinct().localCheckpoint(true)
+    val small =
+      comps.limit(driverNodeLimit + 1).count() <= driverNodeLimit &&
+        ce.limit(driverNodeLimit + 1).count() <= driverNodeLimit
+    if (small) return kahnLayersDriver(comps, ce, maxDepth)
+    // weighted self-loop fold: w=0 keeps own layer, w=1 relaxes in-edges
+    val esym = ce.select(col("cu").as("a"), col("cv").as("b"), lit(1L).as("w"))
+      .unionByName(comps.select(col("scc").as("a"), col("scc").as("b"), lit(0L).as("w")))
+      .localCheckpoint(true)
+    var layer = comps.select(col("scc").as("node"), lit(0L).as("layer"))
+      .localCheckpoint(true)
+    var mass = 0L
+    var converged = false
+    var round = 0
+    while (!converged && round < maxDepth) {
+      round += 1
+      val next = esym
+        .join(layer.select(col("node").as("a"), col("layer").as("la")), Seq("a"))
+        .groupBy(col("b"))
+        .agg(max(col("la") + col("w")).as("layer"))
+        .select(col("b").as("node"), col("layer"))
+        .localCheckpoint(true)
+      val nextMass = next.agg(sum(col("layer"))).head.getLong(0)
+      converged = nextMass == mass
+      mass = nextMass
+      layer = next
+    }
+    require(converged,
+      s"condensation depth exceeds $maxDepth — the SCC labels fed in do " +
+        "not contract every cycle (wrong labels?) or the DAG is " +
+        "adversarially deep; raise maxDepth")
+    layer.select(col("node").as("scc"), col("layer"))
+  }
+
+  /** Driver tier for [[condensationLayers]]: Kahn topological order with
+    * longest-path relaxation over the collected condensation. Cycles in
+    * the input (= wrong SCC labels) leave nodes unprocessed and fail the
+    * same loud way the distributed guard does. */
+  private def kahnLayersDriver(comps: DataFrame, ce: DataFrame,
+      maxDepth: Int): DataFrame = {
+    val spark = comps.sparkSession
+    val nodes = comps.collect().map(_.get(0))
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val adj = Array.fill(n)(List.empty[Int])
+    val indeg = Array.fill(n)(0)
+    ce.collect().foreach { r =>
+      val u = idx(r.get(0)); val v = idx(r.get(1))
+      adj(u) = v :: adj(u); indeg(v) += 1
+    }
+    val layer = Array.fill(n)(0L)
+    val queue = scala.collection.mutable.Queue(
+      (0 until n).filter(indeg(_) == 0): _*)
+    var processed = 0
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      processed += 1
+      adj(u).foreach { v =>
+        if (layer(u) + 1 > layer(v)) layer(v) = layer(u) + 1
+        indeg(v) -= 1
+        if (indeg(v) == 0) queue.enqueue(v)
+      }
+    }
+    require(processed == n,
+      "condensation contains a cycle — the SCC labels fed in do not " +
+        "contract every cycle (wrong labels?)")
+    require(n == 0 || layer.max <= maxDepth,
+      s"condensation depth ${if (n == 0) 0 else layer.max} exceeds $maxDepth")
+    import scala.jdk.CollectionConverters._
+    val rows = (0 until n).map(i =>
+      org.apache.spark.sql.Row(nodes(i), layer(i))).asJava
+    spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("scc",
+          comps.schema("scc").dataType, nullable = false),
+        org.apache.spark.sql.types.StructField("layer",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }

@@ -447,7 +447,7 @@ object ScaleProbe {
       var sccPeels = 0; var sccRounds = 0
       val tScc = time {
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+          .partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("l_partkey"))
         val e = spark.read.parquet(s"$base/lineitem.parquet")
           .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
           .withColumn("prev", lag(col("l_partkey"), 1).over(w))

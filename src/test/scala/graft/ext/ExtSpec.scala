@@ -1229,6 +1229,17 @@ class ExtSpec extends SparkSpec {
     assert(r == again, "deflate must be deterministic")
   }
 
+  test("ANN tuning curve: macro recall is monotone in the probe budget") {
+    val curve = graft.SparkEntry.queries("q_ann_tuning")(spark, "/root/testdata/sf0.001")
+      .select("nprobe", "macro_recall")
+      .as[(Int, Double)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    curve.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(b >= a, s"recall fell as probes grew: ${curve.mkString(", ")}")
+    }
+    assert(curve.last._2 > 0.5, s"nprobe=8 of nlist=16 should recall most: ${curve.last}")
+  }
+
   test("audio stats: real PCM decode matches the signal's closed form") {
     val ids = (0L to 24L).toSeq
     val media = Multimodal.synthesizePcmWav(ids.toDF("doc_id"), "doc_id")

@@ -410,11 +410,48 @@ class GraphOpsSpec extends SparkSpec {
     }.toMap
     val (m, _, _) = sccMap(edges)
     assert(m == expected)
+    // tier equality: the bounded driver Tarjan (the default path for
+    // edge sets under the probe limit) produces the identical labels
+    val viaTarjan = GraphOps
+      .stronglyConnectedComponents(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(viaTarjan == expected)
   }
 
   test("SCC: self-loop-only input has no non-trivial edges and yields nothing") {
     val (m, _, _) = sccMap(Seq((5L, 5L)))
     assert(m.isEmpty)
+  }
+
+  test("SCC: a cycle longer than the round guard fails loudly, never silently") {
+    val e = (0 until 30).map(i => (i.toLong, ((i + 1) % 30).toLong)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.stronglyConnectedComponentsWithStats(e, "src", "dst",
+        maxPeels = 40, maxRounds = 10)
+    }
+    assert(ex.getMessage.contains("maxRounds"),
+      s"guard message must name the knob: ${ex.getMessage}")
+  }
+
+  test("condensation layers: longest-path depth over the contracted DAG") {
+    // cycle A {0,1,2} -> singleton 10 -> cycle B {20,21,22}, plus a direct
+    // A -> B shortcut: B's layer is the LONGEST path (2), not the shortcut
+    val edges = Seq(
+      (0L, 1L), (1L, 2L), (2L, 0L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (2L, 10L), (10L, 20L), (0L, 20L),
+      (30L, 31L)) // detached pair of singletons: layers 0 and 1
+      .toDF("src", "dst")
+    val labels = GraphOps.stronglyConnectedComponents(edges, "src", "dst")
+    val layers = GraphOps.condensationLayers(edges, "src", "dst", labels)
+      .as[(Long, Long)].collect().toMap
+    assert(layers == Map(0L -> 0L, 10L -> 1L, 20L -> 2L, 30L -> 0L, 31L -> 1L))
+    // tier equality: forcing the distributed fixpoint (driverNodeLimit=0)
+    // yields the identical layer map
+    val distributed = GraphOps.condensationLayers(edges, "src", "dst", labels,
+        driverNodeLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == layers)
   }
 
   test("SCC: nested SCCs across a chain retire in few peels") {
