@@ -378,6 +378,15 @@ class PlanSpec extends SparkSpec {
       "rank window is not partitioned by the range bucket")
   }
 
+  test("fk sketch: bottom-k sampling is TakeOrdered, never a global sort") {
+    val p = plan("q_fk_sketch")
+    // orderBy(h).limit(k) must plan as per-partition top-k + bounded merge
+    // (TakeOrderedAndProject) — a full Sort + GlobalLimit would move every
+    // distinct key through one ordering stage
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k lost its pre-shuffle pruning:\n${p.take(3000)}")
+  }
+
   test("merge upsert shuffles content hashes, never document text") {
     val p = plan("q_merge_upsert")
     // same discipline as q_snapshot_diff: both sides reduce to
