@@ -2597,6 +2597,18 @@ object SparkEntry {
             (col("total_hits").cast("double") /
               (col("n_queries") * 5L).cast("double")).as("macro_recall"))
       }.reduce(_.unionByName(_))
+    }),
+
+    // product-quantization codes (Similarity.pqEncode): 64 floats -> 4
+    // codebook ids + the quantization error, the IVF-PQ memory-compression
+    // layout. Codebooks are deterministic md5-stride donor samples, so the
+    // oracle rebuilds codebooks, per-subspace argmins (dist, cid
+    // tie-break) and the FIXED-ORDER error sum in SQL; encoding itself is
+    // one narrow unrolled-literal projection, no shuffle
+    "q_pq_codes" -> ((s, dir) => {
+      Similarity.pqEncode(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", dim = 64, nsub = 4, ncent = 16)
     })
   )
 
@@ -5291,6 +5303,46 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
     // one full chain replay per nprobe point, each in its own subquery
     // scope, unioned — same exact ground truth every point
     "q_ann_tuning" -> annTuningOracleSql,
+
+    // codebooks from the same md5-stride donor sample (salt 'pq:'),
+    // per-(vector, subspace) argmin with (dist, cid) tie-break, error
+    // re-added in the Spark side's exact left-associated order
+    "q_pq_codes" ->
+      """WITH params AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+        | cand AS (
+        |  SELECT cast(vec_id AS varchar) AS sid,
+        |    list_transform(embedding, x -> cast(x AS double)) AS v
+        |  FROM embeddings, params
+        |  WHERE embedding IS NOT NULL
+        |    AND ('0x' || substr(md5('pq:' || cast(vec_id AS varchar)), 1, 15))::UBIGINT % stride = 0),
+        | donors AS (
+        |  SELECT row_number() OVER (ORDER BY sid) - 1 AS cid, v
+        |  FROM cand QUALIFY row_number() OVER (ORDER BY sid) <= 16),
+        | corpus AS (
+        |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        | subs AS (SELECT unnest(range(4)) AS sub),
+        | dists AS (
+        |  SELECT c.vec_id, s.sub, d.cid,
+        |    sqrt(list_dot_product(
+        |      list_transform(range(1, 17), i -> c.v[s.sub * 16 + i] - d.v[s.sub * 16 + i]),
+        |      list_transform(range(1, 17), i -> c.v[s.sub * 16 + i] - d.v[s.sub * 16 + i]))) AS dist
+        |  FROM corpus c CROSS JOIN subs s CROSS JOIN donors d),
+        | best AS (
+        |  SELECT vec_id, sub, cid, dist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+        |    FROM dists)
+        |  WHERE rn = 1)
+        |SELECT vec_id,
+        |  max(CASE WHEN sub = 0 THEN cid END)::INT AS c0,
+        |  max(CASE WHEN sub = 1 THEN cid END)::INT AS c1,
+        |  max(CASE WHEN sub = 2 THEN cid END)::INT AS c2,
+        |  max(CASE WHEN sub = 3 THEN cid END)::INT AS c3,
+        |  round(((max(CASE WHEN sub = 0 THEN dist END)
+        |        + max(CASE WHEN sub = 1 THEN dist END))
+        |        + max(CASE WHEN sub = 2 THEN dist END))
+        |        + max(CASE WHEN sub = 3 THEN dist END), 4) AS err_r
+        |FROM best GROUP BY vec_id""".stripMargin,
 
     // the q_scc closure machinery on the denoised (multiplicity >= 2)
     // precedence digraph, extended by the condensation walk: contract

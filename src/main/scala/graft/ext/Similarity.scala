@@ -324,6 +324,64 @@ object Similarity {
     * Scale: posexplode is a narrow per-row expansion (×dims, no shuffle);
     * the rollup groups on `dim` — at most `dims` groups, map-side combined
     * to one row per partition per dim before the (tiny) exchange. */
+  /** Product-quantization encoding — the memory-compression half of the
+    * ANN story ([[ivfTopK]] is the candidate-pruning half; together they
+    * are the standard IVF-PQ layout, Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011). The vector is cut into
+    * `nsub` contiguous subspaces; each subspace is encoded as the id of
+    * its nearest codebook entry, so a `dim`-float vector compresses to
+    * `nsub` small ints (64 floats -> 4 bytes here, 64:1) while ADC
+    * distance lookups stay centroid-table-sized.
+    *
+    * Codebooks are DETERMINISTIC hash-stride samples (the
+    * [[sampleCentroids]] idiom, salt "pq:"): `ncent` donor vectors chosen
+    * by the portable md5 gate, each codebook = the donors' slice of that
+    * subspace. Sampled codebooks trade a little quantization error for
+    * exact cross-engine replayability — the oracle rebuilds codebooks,
+    * argmins, and the error sum value-for-value in SQL (k-means-refined
+    * codebooks would be the quality upgrade; every consumer is agnostic
+    * to how the codebook was trained).
+    *
+    * Output: (id, c0..c{nsub-1}, err_r) where err_r rounds the FIXED-ORDER
+    * sum of per-subspace distances (left-associated — the oracle adds in
+    * the same order; unordered SQL sum() over doubles would not replay).
+    *
+    * Scale: donors are collected once (ncent rows, configuration-bounded)
+    * and unrolled as literals; encoding is ONE narrow projection per row —
+    * `array_min` over per-centroid distance structs per subspace, no
+    * crossJoin, no window, no shuffle (PlanSpec pins the shape). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nsub: Int = 4, ncent: Int = 16): DataFrame = {
+    require(dim % nsub == 0, s"dim $dim must split evenly into $nsub subspaces")
+    val sw = dim / nsub
+    val n = corpus.count()
+    val stride = math.max(n / ncent, 1L)
+    val gate = graft.functions.HashFunctions.md5PrefixLong("pq:", col(idCol), 15)
+    val donors = corpus
+      .where(col(vecCol).isNotNull && gate % stride === 0)
+      .select(col(idCol).cast("string").as("__sid"), col(vecCol).as("__v"))
+      .collect().sortBy(_.getString(0)).take(ncent)
+      .map(_.getSeq[Float](1))
+    require(donors.nonEmpty, "no codebook donors sampled")
+    val bests = (0 until nsub).map { s =>
+      val cands = donors.zipWithIndex.map { case (v, cid) =>
+        struct(
+          graft.plans.NativeExpressions.euclidean(
+            slice(col(vecCol), s * sw + 1, sw),
+            typedlit(v.slice(s * sw, (s + 1) * sw))).as("dist"),
+          lit(cid).as("cid"))
+      }
+      array_min(array(cands.toIndexedSeq: _*)).as(s"__b$s")
+    }
+    val withBests = corpus.where(col(vecCol).isNotNull)
+      .select((col(idCol) +: bests).toIndexedSeq: _*)
+    val codeCols = (0 until nsub).map(s => col(s"__b$s.cid").as(s"c$s"))
+    val errSum = (0 until nsub).map(s => col(s"__b$s.dist"))
+      .reduce(_ + _) // left-associated: ((d0 + d1) + d2) + d3
+    withBests.select(
+      (col(idCol) +: codeCols :+ round(errSum, 4).as("err_r")).toIndexedSeq: _*)
+  }
+
   def dimensionStats(df: DataFrame, vecCol: String): DataFrame = {
     val fp = floor(col("v").cast("double") * lit(1e6d) + lit(0.5d)).cast("long")
     df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))

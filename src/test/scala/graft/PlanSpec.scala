@@ -387,6 +387,17 @@ class PlanSpec extends SparkSpec {
       s"bottom-k lost its pre-shuffle pruning:\n${p.take(3000)}")
   }
 
+  test("PQ encoding is a zero-shuffle unrolled-literal projection") {
+    val p = plan("q_pq_codes")
+    // codebooks are collected and unrolled as literals; the encode itself
+    // must stay one narrow scan — any Exchange means the argmin degenerated
+    // to a join or window
+    assert(!p.contains("Exchange"),
+      s"PQ encode grew a shuffle:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"PQ encode joined instead of unrolling:\n${p.take(3000)}")
+  }
+
   test("merge upsert shuffles content hashes, never document text") {
     val p = plan("q_merge_upsert")
     // same discipline as q_snapshot_diff: both sides reduce to

@@ -1229,6 +1229,27 @@ class ExtSpec extends SparkSpec {
     assert(r == again, "deflate must be deterministic")
   }
 
+  test("PQ encode: codes in range, donors quantize losslessly, deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding",
+      dim = 64, nsub = 4, ncent = 16)
+    val rows = codes.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (1 to 4).foreach(i => assert(r.getInt(i) >= 0 && r.getInt(i) < 16,
+        s"code out of range: $r"))
+      assert(r.getDouble(5) >= 0.0)
+    }
+    // a donor vector's own slices sit in every codebook: err must be 0
+    val zeroErr = rows.filter(_.getDouble(5) == 0.0)
+    assert(zeroErr.nonEmpty, "at least the donors themselves must encode losslessly")
+    // determinism across evaluations
+    val again = Similarity.pqEncode(emb, "vec_id", "embedding",
+      dim = 64, nsub = 4, ncent = 16).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("ANN tuning curve: macro recall is monotone in the probe budget") {
     val curve = graft.SparkEntry.queries("q_ann_tuning")(spark, "/root/testdata/sf0.001")
       .select("nprobe", "macro_recall")
