@@ -2609,6 +2609,20 @@ object SparkEntry {
       Similarity.pqEncode(
         t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", dim = 64, nsub = 4, ncent = 16)
+    }),
+
+    // ADC top-5 over the PQ codes (Similarity.pqTopK) — the search half
+    // of IVF-PQ: queries stay un-quantized, the corpus scan reads 4 code
+    // ints per row and each subspace distance is an element_at lookup
+    // into the query's unrolled literal distance table. Rank by
+    // (ascending approximate L2, neighbor id); the oracle replays codes,
+    // lookup tables, the fixed-order sum and the rank
+    "q_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.pqTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, dim = 64, nsub = 4, ncent = 16)
     })
   )
 
@@ -5343,6 +5357,60 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |        + max(CASE WHEN sub = 2 THEN dist END))
         |        + max(CASE WHEN sub = 3 THEN dist END), 4) AS err_r
         |FROM best GROUP BY vec_id""".stripMargin,
+
+    // the q_pq_codes chain extended by the ADC join: per-query lookup
+    // tables (q x sub x cid distances), code lookup, fixed-order sum,
+    // (adc, neighbor) rank
+    "q_pq_topk" ->
+      """WITH params AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+        | cand AS (
+        |  SELECT cast(vec_id AS varchar) AS sid,
+        |    list_transform(embedding, x -> cast(x AS double)) AS v
+        |  FROM embeddings, params
+        |  WHERE embedding IS NOT NULL
+        |    AND ('0x' || substr(md5('pq:' || cast(vec_id AS varchar)), 1, 15))::UBIGINT % stride = 0),
+        | donors AS (
+        |  SELECT row_number() OVER (ORDER BY sid) - 1 AS cid, v
+        |  FROM cand QUALIFY row_number() OVER (ORDER BY sid) <= 16),
+        | corpus AS (
+        |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        | subs AS (SELECT unnest(range(4)) AS sub),
+        | dists AS (
+        |  SELECT c.vec_id, s.sub, d.cid,
+        |    sqrt(list_dot_product(
+        |      list_transform(range(1, 17), i -> c.v[s.sub * 16 + i] - d.v[s.sub * 16 + i]),
+        |      list_transform(range(1, 17), i -> c.v[s.sub * 16 + i] - d.v[s.sub * 16 + i]))) AS dist
+        |  FROM corpus c CROSS JOIN subs s CROSS JOIN donors d),
+        | best AS (
+        |  SELECT vec_id, sub, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+        |    FROM dists)
+        |  WHERE rn = 1),
+        | q AS (
+        |  SELECT vec_id AS qid, list_transform(embedding, x -> cast(x AS double)) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+        | qlut AS (
+        |  SELECT q.qid, s.sub, d.cid,
+        |    sqrt(list_dot_product(
+        |      list_transform(range(1, 17), i -> q.qv[s.sub * 16 + i] - d.v[s.sub * 16 + i]),
+        |      list_transform(range(1, 17), i -> q.qv[s.sub * 16 + i] - d.v[s.sub * 16 + i]))) AS qdist
+        |  FROM q CROSS JOIN subs s CROSS JOIN donors d),
+        | adc AS (
+        |  SELECT l.qid AS query_id, b.vec_id AS neighbor_id,
+        |    ((max(CASE WHEN b.sub = 0 THEN l.qdist * l.qdist END)
+        |     + max(CASE WHEN b.sub = 1 THEN l.qdist * l.qdist END))
+        |     + max(CASE WHEN b.sub = 2 THEN l.qdist * l.qdist END))
+        |     + max(CASE WHEN b.sub = 3 THEN l.qdist * l.qdist END) AS d
+        |  FROM best b JOIN qlut l ON l.sub = b.sub AND l.cid = b.cid
+        |  WHERE b.vec_id <> l.qid
+        |  GROUP BY 1, 2),
+        | ranked AS (
+        |  SELECT query_id, neighbor_id, d,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+        |  FROM adc)
+        |SELECT query_id, neighbor_id, round(d, 4) AS adc_r, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
 
     // the q_scc closure machinery on the denoised (multiplicity >= 2)
     // precedence digraph, extended by the condensation walk: contract

@@ -354,15 +354,7 @@ object Similarity {
       dim: Int, nsub: Int = 4, ncent: Int = 16): DataFrame = {
     require(dim % nsub == 0, s"dim $dim must split evenly into $nsub subspaces")
     val sw = dim / nsub
-    val n = corpus.count()
-    val stride = math.max(n / ncent, 1L)
-    val gate = graft.functions.HashFunctions.md5PrefixLong("pq:", col(idCol), 15)
-    val donors = corpus
-      .where(col(vecCol).isNotNull && gate % stride === 0)
-      .select(col(idCol).cast("string").as("__sid"), col(vecCol).as("__v"))
-      .collect().sortBy(_.getString(0)).take(ncent)
-      .map(_.getSeq[Float](1))
-    require(donors.nonEmpty, "no codebook donors sampled")
+    val donors = pqDonors(corpus, idCol, vecCol, ncent)
     val bests = (0 until nsub).map { s =>
       val cands = donors.zipWithIndex.map { case (v, cid) =>
         struct(
@@ -380,6 +372,78 @@ object Similarity {
       .reduce(_ + _) // left-associated: ((d0 + d1) + d2) + d3
     withBests.select(
       (col(idCol) +: codeCols :+ round(errSum, 4).as("err_r")).toIndexedSeq: _*)
+  }
+
+  /** The deterministic donor sample behind [[pqEncode]]/[[pqTopK]]:
+    * md5-stride gate (salt "pq:"), string-sorted ids, first `ncent` —
+    * the [[sampleCentroids]] idiom, collected (ncent rows, bounded by
+    * configuration). */
+  private def pqDonors(corpus: DataFrame, idCol: String, vecCol: String,
+      ncent: Int): Array[Seq[Float]] = {
+    val n = corpus.count()
+    val stride = math.max(n / ncent, 1L)
+    val gate = graft.functions.HashFunctions.md5PrefixLong("pq:", col(idCol), 15)
+    val donors = corpus
+      .where(col(vecCol).isNotNull && gate % stride === 0)
+      .select(col(idCol).cast("string").as("__sid"), col(vecCol).as("__v"))
+      .collect().sortBy(_.getString(0)).take(ncent)
+      .map(_.getSeq[Float](1))
+    require(donors.nonEmpty, "no codebook donors sampled")
+    donors
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes — the
+    * search half of IVF-PQ: the query stays un-quantized, every corpus
+    * vector is represented by its `nsub` codebook ids, and the distance
+    * is the fixed-order sum of per-subspace query→codebook-entry
+    * distances. At 100 TB this is the point of PQ: the scan reads
+    * `nsub` SMALL INTS per corpus row (not `dim` floats) and each
+    * distance is a table lookup — here the per-query lookup tables are
+    * unrolled as `element_at` over literal distance arrays (nsub × ncent
+    * expressions per query side, codegen-friendly), so the plan is the
+    * same broadcast-queries × narrow-corpus-scan shape as
+    * [[bruteForceTopK]] with the corpus side now code-width.
+    *
+    * Deterministic end to end (codes, lookup, fixed-order sum, (adc,
+    * neighbor) rank tie-break) — the oracle replays every value.
+    * Returns (query_id, neighbor_id, adc_r, rank), rank ≤ k by ASCENDING
+    * approximate L2. */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, dim: Int, nsub: Int = 4, ncent: Int = 16): DataFrame = {
+    require(dim % nsub == 0, s"dim $dim must split evenly into $nsub subspaces")
+    val sw = dim / nsub
+    val donors = pqDonors(corpus, idCol, vecCol, ncent)
+    val codes = pqEncode(corpus, idCol, vecCol, dim, nsub, ncent)
+      .select(col(idCol).as("neighbor_id") +:
+        (0 until nsub).map(s => col(s"c$s")): _*)
+    val q = queries.where(col(qvecCol).isNotNull)
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("__qvec"))
+    // per subspace: the query's distance to EVERY codebook entry, as one
+    // literal-unrolled array — the ADC lookup table as a column
+    val lut = (0 until nsub).map { s =>
+      array(donors.map(d =>
+        graft.plans.NativeExpressions.euclidean(
+          slice(col("__qvec"), s * sw + 1, sw),
+          typedlit(d.slice(s * sw, (s + 1) * sw)))).toIndexedSeq: _*)
+    }
+    // classical ADC: the SQUARED subspace distances sum to the squared
+    // distance between the query and the code's reconstruction (Jégou
+    // eq. 13). Squared op-for-op on the sqrt'ed kernel output — the
+    // oracle squares its sqrt the same way, keeping IEEE equality
+    val adc = (0 until nsub).map { s =>
+      val e = element_at(lut(s), col(s"c$s") + 1)
+      e * e
+    }.reduce(_ + _) // fixed order
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id"))
+    codes.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__adc"), 4).as("adc_r"), col("rank"))
   }
 
   def dimensionStats(df: DataFrame, vecCol: String): DataFrame = {
