@@ -462,7 +462,14 @@ object ScaleProbe {
       }
       val tCp = tq("q_compaction_plan")
       val tAu = tq("q_audio_stats")
-      println(f"""SCALE_R7F {"factor":$f, "scc":$tScc%.2f, "scc_peels":$sccPeels, "scc_rounds":$sccRounds, "compaction_plan":$tCp%.2f, "audio_stats":$tAu%.2f}""")
+      // PQ encode: a pure per-row unrolled-literal projection — linear by
+      // construction. (q_pq_topk is NOT probed through the staged dirs:
+      // the staging grows the % 50 query set linearly alongside the
+      // corpus, so its probe curve would measure the quadratic
+      // queries x corpus grid, not the operator — the production axis is
+      // corpus with a bounded query batch.)
+      val tPq = tq("q_pq_codes")
+      println(f"""SCALE_R7F {"factor":$f, "scc":$tScc%.2f, "scc_peels":$sccPeels, "scc_rounds":$sccRounds, "compaction_plan":$tCp%.2f, "audio_stats":$tAu%.2f, "pq_codes":$tPq%.2f}""")
       }
     }
     spark.stop()
