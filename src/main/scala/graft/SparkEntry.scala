@@ -2623,6 +2623,31 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.pqTopK(emb, "vec_id", "embedding",
         queries, "qid", "qvec", k = 5, dim = 64, nsub = 4, ncent = 16)
+    }),
+
+    // content-defined chunking + chunk-level dedup report
+    // (Dedup.contentDefinedChunks): documents cut at window-hash
+    // boundaries, so identical passages chunk identically corpus-wide;
+    // the report is the storage story a dataset-versioning system quotes
+    // (distinct/total chunk chars = the delta-store footprint). Chunking
+    // is one narrow projection; both aggregates are map-combined; the
+    // 1x1 combine is a broadcast cross join
+    "q_cdc_dedup" -> ((s, dir) => {
+      val chunks = Dedup.contentDefinedChunks(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", window = 16, mask = 64)
+      val tot = chunks.agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("total_chunks"),
+        sum(length(col("chunk"))).as("total_chars"))
+      val dis = chunks
+        .groupBy(md5(col("chunk")).as("h"))
+        .agg(min(length(col("chunk"))).as("len"))
+        .agg(count(lit(1)).as("distinct_chunks"),
+          sum(col("len")).as("distinct_chars"))
+      tot.crossJoin(dis)
+        .withColumn("dedup_ratio",
+          col("distinct_chars").cast("double") / col("total_chars").cast("double"))
     })
   )
 
@@ -5411,6 +5436,46 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |  FROM adc)
         |SELECT query_id, neighbor_id, round(d, 4) AS adc_r, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // same window-hash boundary rule (this build's generate_series takes
+    // no lateral bounds — a constant 10k ceiling is filtered down to each
+    // text's length; both engines' substr/length count code points), then
+    // lead()-paired segments and the same two aggregates
+    "q_cdc_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, length(text) AS n FROM documents WHERE text IS NOT NULL),
+        | pos AS (
+        |  SELECT doc_id, text, n, g.i AS pos
+        |  FROM base, generate_series(16, 10000) AS g(i) WHERE g.i <= n),
+        | bnd AS (
+        |  SELECT doc_id, pos FROM pos
+        |  WHERE ('0x' || substr(md5('cdc:' || substr(text, pos - 15, 16)), 1, 15))::UBIGINT % 64 = 0),
+        | starts AS (
+        |  SELECT doc_id, 1 AS s FROM base
+        |  UNION ALL
+        |  SELECT doc_id, pos + 1 AS s FROM bnd),
+        | segs AS (
+        |  SELECT doc_id, s,
+        |    lead(s) OVER (PARTITION BY doc_id ORDER BY s) - 1 AS e0
+        |  FROM starts),
+        | chunks AS (
+        |  SELECT sg.doc_id,
+        |    substr(b.text, sg.s::INT, (coalesce(sg.e0, b.n) - sg.s + 1)::INT) AS chunk
+        |  FROM segs sg JOIN base b USING (doc_id)
+        |  WHERE coalesce(sg.e0, b.n) >= sg.s),
+        | tot AS (
+        |  SELECT count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |    count(*)::BIGINT AS total_chunks,
+        |    sum(length(chunk))::BIGINT AS total_chars
+        |  FROM chunks),
+        | dis AS (
+        |  SELECT count(*)::BIGINT AS distinct_chunks,
+        |    sum(len)::BIGINT AS distinct_chars
+        |  FROM (SELECT md5(chunk) AS h, min(length(chunk)) AS len
+        |        FROM chunks GROUP BY 1))
+        |SELECT n_docs, total_chunks, total_chars, distinct_chunks, distinct_chars,
+        |  cast(distinct_chars AS double) / cast(total_chars AS double) AS dedup_ratio
+        |FROM tot CROSS JOIN dis""".stripMargin,
 
     // the q_scc closure machinery on the denoised (multiplicity >= 2)
     // precedence digraph, extended by the condensation walk: contract

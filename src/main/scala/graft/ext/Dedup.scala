@@ -797,4 +797,58 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Content-defined chunking (Manber 1994 / the LBFS–rsync–restic
+    * family): cut each document where the hash of the trailing `window`
+    * characters ≡ 0 (mod `mask`) — boundaries are a pure function of
+    * LOCAL content, so an insertion early in a document shifts only the
+    * chunk it lands in, and identical passages in different documents
+    * produce identical chunks. That is the property fixed-size chunking
+    * lacks and the reason dataset-versioning / delta-storage systems
+    * chunk this way: chunk-level dedup then collapses shared passages
+    * corpus-wide.
+    *
+    * Expected chunk length ≈ `mask` characters (boundary probability
+    * 1/mask per position). The rolling hash is the engine-portable
+    * md5-window form (salt "cdc:") rather than a gear/rabin recurrence:
+    * one md5 per position instead of one multiply — measurably slower
+    * per char, but an external SQL engine replays boundary selection
+    * EXACTLY, which is the correctness contract everything here trades
+    * toward; the production swap to a gear hash changes one expression.
+    *
+    * Scale: one narrow per-row projection (per-position window hashes
+    * live inside a `transform` over the row's own text — no explode, no
+    * shuffle); the output is (id, chunk_idx, chunk) rows for downstream
+    * group-bys. Both substr and length count CODE POINTS in Spark and
+    * DuckDB, so the contract survives non-ASCII text. */
+  def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 16, mask: Int = 64): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(mask >= 2, s"mask must be >= 2, got $mask")
+    val text = col(textCol)
+    val n = coalesce(length(text).cast("long"), lit(0L))
+    // candidate boundary AFTER position i (1-based, i >= window):
+    // hash(text[i-window+1 .. i]) ≡ 0 (mod mask). The pos guards also
+    // neutralize Spark's DESCENDING sequence(a, b) when b < a (texts
+    // shorter than the window must yield no boundary, not a reversed
+    // position walk)
+    val bounds = filter(
+      transform(
+        sequence(lit(window.toLong), greatest(n, lit(window.toLong))),
+        i => struct(
+          (H.md5PrefixLong("cdc:",
+            text.substr((i - lit(window - 1)).cast("int"), lit(window)), 15)
+            % mask).as("m"),
+          i.as("pos"))),
+      s => s("m") === 0 && s("pos") >= lit(window.toLong) && s("pos") <= n)
+    val boundPos = transform(bounds, s => s("pos"))
+    val starts = concat(array(lit(1L)), transform(boundPos, p => p + 1L))
+    val ends = concat(boundPos, array(coalesce(length(text).cast("long"), lit(0L))))
+    val chunks = filter(
+      zip_with(starts, ends, (s, e) =>
+        when(e >= s, text.substr(s.cast("int"), (e - s + 1L).cast("int")))),
+      c => c.isNotNull)
+    docs.where(text.isNotNull)
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+  }
 }

@@ -1229,6 +1229,40 @@ class ExtSpec extends SparkSpec {
     assert(r == again, "deflate must be deterministic")
   }
 
+  test("content-defined chunking: shared passages chunk identically, edits stay local") {
+    // deterministic pseudo-text long enough to carry several boundaries
+    // (expected boundary every ~64 chars)
+    def txt(seed: Long, n: Int): String =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
+        .map(x => ('a' + math.floorMod(x >>> 33, 26)).toChar).take(n).mkString
+    val shared = txt(42L, 400)
+    val docs = Seq(
+      (1L, txt(7L, 120) + shared),
+      (2L, txt(99L, 95) + shared), // different prefix, same long tail
+      (3L, "short")
+    ).toDF("doc_id", "text")
+    val chunks = Dedup.contentDefinedChunks(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // reassembly: chunks concatenate back to the exact text per doc
+    val byDoc = chunks.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._2).map(_._3).mkString }
+    assert(byDoc(1L) == txt(7L, 120) + shared)
+    assert(byDoc(3L) == "short")
+    // the shared tail must produce shared chunks despite different
+    // prefixes — boundaries are local content, not absolute offsets
+    val c1 = chunks.filter(_._1 == 1L).map(_._3).toSet
+    val c2 = chunks.filter(_._1 == 2L).map(_._3).toSet
+    assert((c1 & c2).nonEmpty, "no chunk shared between docs with a common 400-char tail")
+    // a front edit shifts only the leading chunk(s): all but <= 2 of the
+    // original doc's chunks survive verbatim
+    val edited = Seq((9L, "X" + byDoc(1L))).toDF("doc_id", "text")
+    val cEdit = Dedup.contentDefinedChunks(edited, "doc_id", "text")
+      .collect().map(_.getString(2)).toSet
+    val orig = chunks.filter(_._1 == 1L).map(_._3)
+    assert(orig.count(cEdit.contains) >= orig.length - 2,
+      s"front insertion rewrote ${orig.count(!cEdit.contains(_))} of ${orig.length} chunks")
+  }
+
   test("PQ encode: codes in range, donors quantize losslessly, deterministic") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
