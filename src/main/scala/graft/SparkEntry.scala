@@ -2648,6 +2648,38 @@ object SparkEntry {
       tot.crossJoin(dis)
         .withColumn("dedup_ratio",
           col("distinct_chars").cast("double") / col("total_chars").cast("double"))
+    }),
+
+    // chunk-level snapshot delta (the rsync/delta-store transfer bill):
+    // apply the same deterministic edit set as q_merge_upsert, chunk BOTH
+    // snapshot versions content-defined, and count the v2 chunks whose
+    // hash the v1 chunk store already holds — an update re-transfers only
+    // the chunks its edit touched, everything else is a cache hit. The
+    // anti-join carries 16-byte hashes, never chunk text
+    "q_cdc_delta" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val upserts = base
+        .withColumn("op",
+          when(col("doc_id") % 11 === 3, "D").when(col("doc_id") % 7 === 0, "U"))
+      val v2 = upserts.where(col("op").isNull || col("op") === "U")
+        .select(col("doc_id"),
+          when(col("op") === "U", upper(col("text"))).otherwise(col("text")).as("text"))
+        .unionByName(base.where(col("doc_id") % 13 === 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new:"), col("text")).as("text")))
+      def store(df: DataFrame): DataFrame =
+        Dedup.contentDefinedChunks(df, "doc_id", "text", window = 16, mask = 64)
+          .groupBy(md5(col("chunk")).as("h"))
+          .agg(min(length(col("chunk"))).as("len"))
+      val s1 = store(base)
+      val s2 = store(v2)
+      val fresh = s2.join(s1.select(col("h")), Seq("h"), "left_anti")
+      s2.agg(count(lit(1)).as("v2_chunks"), sum(col("len")).as("v2_chars"))
+        .crossJoin(fresh.agg(
+          coalesce(count(lit(1)), lit(0L)).as("new_chunks"),
+          coalesce(sum(col("len")), lit(0L)).as("new_chars")))
+        .withColumn("transfer_ratio",
+          col("new_chars").cast("double") / col("v2_chars").cast("double"))
     })
   )
 
@@ -5477,6 +5509,32 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |  cast(distinct_chars AS double) / cast(total_chars AS double) AS dedup_ratio
         |FROM tot CROSS JOIN dis""".stripMargin,
 
+    // both snapshot versions chunked by the shared store chain (v2 = the
+    // q_merge_upsert edit set materialized as text), hash-only anti-join
+    "q_cdc_delta" ->
+      s"""WITH v2src AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+         |  FROM documents WHERE NOT (doc_id % 11 = 3)
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, 'new:' || text AS text
+         |  FROM documents WHERE doc_id % 13 = 5),
+         | ${cdcStoreSql("v1_", "documents")},
+         | ${cdcStoreSql("v2_", "v2src")},
+         | fresh AS (
+         |  SELECT s2.h, s2.len FROM v2_store s2
+         |  LEFT JOIN v1_store s1 ON s1.h = s2.h WHERE s1.h IS NULL),
+         | tot AS (
+         |  SELECT count(*)::BIGINT AS v2_chunks, sum(len)::BIGINT AS v2_chars
+         |  FROM v2_store),
+         | nw AS (
+         |  SELECT coalesce(count(*), 0)::BIGINT AS new_chunks,
+         |    coalesce(sum(len), 0)::BIGINT AS new_chars
+         |  FROM fresh)
+         |SELECT v2_chunks, v2_chars, new_chunks, new_chars,
+         |  cast(new_chars AS double) / cast(v2_chars AS double) AS transfer_ratio
+         |FROM tot CROSS JOIN nw""".stripMargin,
+
     // the q_scc closure machinery on the denoised (multiplicity >= 2)
     // precedence digraph, extended by the condensation walk: contract
     // labels, take distinct cross-component edges, then a recursive
@@ -5517,6 +5575,34 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |FROM lab l JOIN layers ON layers.scc = l.scc
         |GROUP BY l.scc""".stripMargin
   )
+
+  /** One content-defined chunk store (hash, len) as a CTE chain under a
+    * name prefix — shared by the q_cdc_delta oracle's two snapshot
+    * versions. */
+  private def cdcStoreSql(pfx: String, srcCte: String): String =
+    s"""${pfx}base AS (
+       |  SELECT doc_id, text, length(text) AS n FROM $srcCte WHERE text IS NOT NULL),
+       | ${pfx}pos AS (
+       |  SELECT doc_id, text, n, g.i AS pos
+       |  FROM ${pfx}base, generate_series(16, 10000) AS g(i) WHERE g.i <= n),
+       | ${pfx}bnd AS (
+       |  SELECT doc_id, pos FROM ${pfx}pos
+       |  WHERE ('0x' || substr(md5('cdc:' || substr(text, pos - 15, 16)), 1, 15))::UBIGINT % 64 = 0),
+       | ${pfx}starts AS (
+       |  SELECT doc_id, 1 AS s FROM ${pfx}base
+       |  UNION ALL
+       |  SELECT doc_id, pos + 1 AS s FROM ${pfx}bnd),
+       | ${pfx}segs AS (
+       |  SELECT doc_id, s, lead(s) OVER (PARTITION BY doc_id ORDER BY s) - 1 AS e0
+       |  FROM ${pfx}starts),
+       | ${pfx}chunks AS (
+       |  SELECT sg.doc_id,
+       |    substr(b.text, sg.s::INT, (coalesce(sg.e0, b.n) - sg.s + 1)::INT) AS chunk
+       |  FROM ${pfx}segs sg JOIN ${pfx}base b USING (doc_id)
+       |  WHERE coalesce(sg.e0, b.n) >= sg.s),
+       | ${pfx}store AS (
+       |  SELECT md5(chunk) AS h, min(length(chunk)) AS len
+       |  FROM ${pfx}chunks GROUP BY 1)""".stripMargin
 
   /** The q_ann_tuning oracle: the q_ivf_recall chain instantiated per
     * nprobe point (shared exact ground-truth definition inside each
