@@ -2680,6 +2680,31 @@ object SparkEntry {
           coalesce(sum(col("len")), lit(0L)).as("new_chars")))
         .withColumn("transfer_ratio",
           col("new_chars").cast("double") / col("v2_chars").cast("double"))
+    }),
+
+    // leakage-safe out-of-fold target encoding (the supervised-feature
+    // twin of q_leakage_safe_split's discipline): the encoder table maps
+    // (category, fold) to the target mean computed WITHOUT that fold's
+    // own rows — subtracting the fold's sums from the category totals, so
+    // one grouped aggregation feeds every fold and no row ever sees its
+    // own target. Exact integer cents until the single final division;
+    // single-fold categories (n_out = 0) are unencodable by definition
+    // and excluded on both sides
+    "q_target_encode" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority").as("cat"),
+        (col("o_orderkey") % 5).as("fold"),
+        cents(col("o_totalprice")).as("y"))
+      val byCatFold = o.groupBy(col("cat"), col("fold"))
+        .agg(count(lit(1)).as("n_f"), sum(col("y")).as("s_f"))
+      val byCat = byCatFold.groupBy(col("cat"))
+        .agg(sum(col("n_f")).as("n_all"), sum(col("s_f")).as("s_all"))
+      byCatFold.join(byCat, Seq("cat"))
+        .where(col("n_all") > col("n_f"))
+        .select(col("cat"), col("fold"), col("n_f"),
+          (col("n_all") - col("n_f")).as("n_out"),
+          round((col("s_all") - col("s_f")).cast("double") /
+            (col("n_all") - col("n_f")).cast("double"), 6).as("enc_out_cents"))
     })
   )
 
@@ -5534,6 +5559,26 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
          |SELECT v2_chunks, v2_chars, new_chunks, new_chars,
          |  cast(new_chars AS double) / cast(v2_chars AS double) AS transfer_ratio
          |FROM tot CROSS JOIN nw""".stripMargin,
+
+    // identical integer-cents sums, identical subtract-own-fold
+    // arithmetic, one final IEEE division rounded to 6
+    "q_target_encode" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS cat, o_orderkey % 5 AS fold,
+        |    cast(floor(o_totalprice * 100.0 + 0.5) AS bigint) AS y
+        |  FROM orders),
+        | f AS (
+        |  SELECT cat, fold, count(*)::BIGINT AS n_f, sum(y)::BIGINT AS s_f
+        |  FROM o GROUP BY 1, 2),
+        | c AS (
+        |  SELECT cat, sum(n_f)::BIGINT AS n_all, sum(s_f)::BIGINT AS s_all
+        |  FROM f GROUP BY 1)
+        |SELECT f.cat, f.fold, f.n_f,
+        |  (c.n_all - f.n_f)::BIGINT AS n_out,
+        |  round(cast(c.s_all - f.s_f AS double) /
+        |        cast(c.n_all - f.n_f AS double), 6) AS enc_out_cents
+        |FROM f JOIN c ON f.cat = c.cat
+        |WHERE c.n_all > f.n_f""".stripMargin,
 
     // the q_scc closure machinery on the denoised (multiplicity >= 2)
     // precedence digraph, extended by the condensation walk: contract

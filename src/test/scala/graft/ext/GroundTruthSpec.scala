@@ -419,6 +419,26 @@ class GroundTruthSpec extends SparkSpec {
     s.count(_ == ',').toLong / 2
   }
 
+  test("out-of-fold target encoding never sees its own fold (direct recompute)") {
+    val spark2 = spark; import spark2.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val enc = graft.SparkEntry.queries("q_target_encode")(spark, dir)
+      .select("cat", "fold", "enc_out_cents")
+      .as[(String, Long, Double)].collect()
+      .map { case (c, f, e) => (c, f) -> e }.toMap
+    val rows = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderpriority"), (col("o_orderkey") % 5).as("fold"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("y"))
+      .as[(String, Long, Long)].collect()
+    enc.foreach { case ((cat, fold), e) =>
+      val out = rows.filter(r => r._1 == cat && r._2 != fold).map(_._3)
+      val direct = BigDecimal(out.sum.toDouble / out.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(e - direct) < 1e-9,
+        s"($cat, fold $fold): encoder $e != leave-fold-out mean $direct")
+    }
+  }
+
   test("bottom-k FK sketch: exact when domains fit in k, bounded error when they don't") {
     val spark2 = spark; import spark2.implicits._
     val dir = "/root/testdata/sf0.001"
