@@ -2633,9 +2633,15 @@ object SparkEntry {
     // is one narrow projection; both aggregates are map-combined; the
     // 1x1 combine is a broadcast cross join
     "q_cdc_dedup" -> ((s, dir) => {
+      // the fixture corpus is ONE parquet row group — without a spread
+      // the ~1.5M per-position window hashes run on one core (7.7 s at
+      // sf0.1 vs ~1.5 s spread). A real 100 TB corpus arrives in
+      // thousands of files and needs no repartition; this one round-robin
+      // exchange is the single-file-fixture artifact, documented here
+      val spread = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
       val chunks = Dedup.contentDefinedChunks(
-        t(s, dir, "documents").select(col("doc_id"), col("text")),
-        "doc_id", "text", window = 16, mask = 64)
+        spread, "doc_id", "text", window = 16, mask = 64)
       val tot = chunks.agg(
         countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("total_chunks"),
@@ -2657,7 +2663,10 @@ object SparkEntry {
     // the chunks its edit touched, everything else is a cache hit. The
     // anti-join carries 16-byte hashes, never chunk text
     "q_cdc_delta" -> ((s, dir) => {
+      // same single-file-fixture spread as q_cdc_dedup (both versions
+      // chunk the full corpus; the hashes dominate)
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
       val upserts = base
         .withColumn("op",
           when(col("doc_id") % 11 === 3, "D").when(col("doc_id") % 7 === 0, "U"))

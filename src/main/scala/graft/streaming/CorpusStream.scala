@@ -143,4 +143,37 @@ object CorpusStream {
     }
     query
   }
+
+  /** Stream-maintained content-defined CHUNK STORE — the versioned-state
+    * form of `q_cdc_dedup`'s report and the ingestion half of a
+    * dataset-versioning pipeline: each micro-batch of documents is
+    * chunked ([[graft.ext.Dedup.contentDefinedChunks]], same window/mask
+    * contract), reduced to (chunk md5, refcount, length) and folded into
+    * the previous state version with plain sum/min merges — document
+    * text is read ONCE ever; merge cost tracks the store size plus the
+    * batch's chunk count, never ingestion history. Rides
+    * [[EventsStream.maintainMergeableState]], so it inherits the
+    * versioned-partition exactly-once replay contract and the batch-0
+    * stale-state refusal. A batch's transfer bill is the set of hashes
+    * NEW to the store — anti-join state version N against N−1 (both are
+    * plain partitions) — and [[latestChunkStoreStats]] reports the
+    * current footprint. */
+  def maintainChunkStore(stream: DataFrame, statePath: String,
+      checkpoint: String, window: Int = 16, mask: Int = 64): StreamingQuery =
+    EventsStream.maintainMergeableState(stream, statePath, checkpoint,
+      stateOf = b => Dedup.contentDefinedChunks(b, "doc_id", "text", window, mask)
+        .groupBy(md5(col("chunk")).as("h"))
+        .agg(count(lit(1)).as("n_refs"), min(length(col("chunk"))).as("len")),
+      stateCols = Seq("h", "n_refs", "len"),
+      keys = Seq("h"),
+      ops = Seq("n_refs" -> "sum", "len" -> "min"))
+
+  /** Current chunk-store footprint from the latest maintained version:
+    * (distinct_chunks, distinct_chars, total_refs) — distinct_chars is
+    * the delta-store bill, total_refs the logical corpus volume. */
+  def latestChunkStoreStats(spark: SparkSession, statePath: String): DataFrame =
+    EventsStream.latestStateVersion(spark, statePath, "maintainChunkStore")
+      .agg(count(lit(1)).as("distinct_chunks"),
+        sum(col("len")).as("distinct_chars"),
+        sum(col("n_refs")).as("total_refs"))
 }

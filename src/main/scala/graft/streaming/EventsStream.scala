@@ -234,7 +234,7 @@ object EventsStream {
     * under crash-replay (see [[maintainUserStats]]' scaladoc for the
     * exactly-once argument; the batch-0 guard refuses a reset checkpoint
     * over surviving state, the torn-deployment case). */
-  private def maintainMergeableState(stream: DataFrame, statePath: String,
+  private[streaming] def maintainMergeableState(stream: DataFrame, statePath: String,
       checkpoint: String, stateOf: DataFrame => DataFrame,
       stateCols: Seq[String], keys: Seq[String],
       ops: Seq[(String, String)]): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -285,7 +285,7 @@ object EventsStream {
   }
 
   /** Max-version state partition, with the no-state NPE guard. */
-  private def latestStateVersion(spark: SparkSession, statePath: String,
+  private[streaming] def latestStateVersion(spark: SparkSession, statePath: String,
       producer: String): DataFrame = {
     val all = spark.read.parquet(statePath)
     val maxRow = all.agg(max(col("batch_id").cast("long"))).head

@@ -405,4 +405,36 @@ class StreamingSpec extends SparkSpec {
       .where(col("n") =!= col("count"))
     assert(joined.count() == 0)
   }
+
+  test("stream-maintained chunk store equals the batch content-defined recompute") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-cdc-src")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.where(col("doc_id") % 2 === 0).coalesce(1).write.parquet(s"$src/part_a")
+    docs.where(col("doc_id") % 2 === 1).coalesce(1).write.parquet(s"$src/part_b")
+    val work = java.nio.file.Files.createTempDirectory("graft-cdc-state")
+    val statePath = s"$work/state"
+    def stream = {
+      val schema = spark.read.parquet(s"$src/part_a").schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/*")
+    }
+    val q = CorpusStream.maintainChunkStore(stream, statePath, s"$work/ckpt")
+    q.awaitTermination()
+    val versions = spark.read.parquet(statePath)
+      .select("batch_id").distinct().count()
+    assert(versions >= 2, s"expected >=2 micro-batches, saw $versions")
+    val got = CorpusStream.latestChunkStoreStats(spark, statePath)
+      .as[(Long, Long, Long)].head()
+    // batch recompute over the whole corpus at once
+    val chunks = graft.ext.Dedup.contentDefinedChunks(docs, "doc_id", "text")
+    val store = chunks.groupBy(md5(col("chunk")).as("h"))
+      .agg(count(lit(1)).as("n_refs"), min(length(col("chunk"))).as("len"))
+    val expected = store.agg(count(lit(1)), sum(col("len")), sum(col("n_refs")))
+      .as[(Long, Long, Long)].head()
+    assert(got == expected,
+      s"maintained chunk store $got differs from batch recompute $expected")
+  }
 }
