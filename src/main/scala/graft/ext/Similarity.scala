@@ -417,22 +417,27 @@ object Similarity {
     val codes = pqEncode(corpus, idCol, vecCol, dim, nsub, ncent)
       .select(col(idCol).as("neighbor_id") +:
         (0 until nsub).map(s => col(s"c$s")): _*)
+    // per subspace: the query's distance to EVERY codebook entry —
+    // MATERIALIZED on the (tiny) query side BEFORE the join, so each
+    // lookup table is computed once per QUERY, not once per (query,
+    // corpus-row) pair. This is the point of ADC: per scanned code the
+    // work is nsub array lookups + adds, never distance math
     val q = queries.where(col(qvecCol).isNotNull)
-      .select(col(qidCol).as("query_id"), col(qvecCol).as("__qvec"))
-    // per subspace: the query's distance to EVERY codebook entry, as one
-    // literal-unrolled array — the ADC lookup table as a column
-    val lut = (0 until nsub).map { s =>
-      array(donors.map(d =>
-        graft.plans.NativeExpressions.euclidean(
-          slice(col("__qvec"), s * sw + 1, sw),
-          typedlit(d.slice(s * sw, (s + 1) * sw)))).toIndexedSeq: _*)
-    }
+      .select(col(qidCol).as("query_id") +:
+        (0 until nsub).map { s =>
+          array(donors.map(d =>
+            graft.plans.NativeExpressions.euclidean(
+              slice(col(qvecCol), s * sw + 1, sw),
+              typedlit(d.slice(s * sw, (s + 1) * sw)))).toIndexedSeq: _*)
+            .as(s"__lut$s")
+        }: _*)
+      .localCheckpoint(true) // bounded (one row per query); compute LUTs once
     // classical ADC: the SQUARED subspace distances sum to the squared
     // distance between the query and the code's reconstruction (Jégou
     // eq. 13). Squared op-for-op on the sqrt'ed kernel output — the
     // oracle squares its sqrt the same way, keeping IEEE equality
     val adc = (0 until nsub).map { s =>
-      val e = element_at(lut(s), col(s"c$s") + 1)
+      val e = element_at(col(s"__lut$s"), col(s"c$s") + 1)
       e * e
     }.reduce(_ + _) // fixed order
     val w = Window.partitionBy(col("query_id"))
