@@ -1519,6 +1519,18 @@ object SparkEntry {
       Multimodal.imageNearDuplicates(imgs, maxHamming = 3)
     }),
 
+    // image near-dup CLUSTERS: the dHash-Hamming pair graph resolved to
+    // min-id components by the SAME two-tier cluster machinery text dedup
+    // uses (bounded driver union-find -> star-contraction fallback) —
+    // image dedup gets the identical keeper semantics, and the oracle the
+    // identical recursive-closure convention
+    "q_image_dup_clusters" -> ((s, dir) => {
+      val imgs = Multimodal.synthesizeGradientImages(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Dedup.resolveDuplicateClusters(
+        Multimodal.imageNearDuplicates(imgs, maxHamming = 3))
+    }),
+
     // event-time tumbling-window aggregation (batch form of the streaming
     // hourly agg — same transform feeds readStream in graft.streaming)
     "q_events_hourly" -> ((s, dir) => {
@@ -2897,8 +2909,11 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
     * overflow DuckDB's UBIGINT `<<`). Exact all-pairs == the Spark LSH
     * output because 4-band pigeonhole recall at Hamming ≤ 3 is
     * unconditional. */
-  private val imageNearDupOracleSql: String =
-    """WITH d AS (
+  /** The dHash pair derivation (payload rebuild → pixel grid → dHash
+    * bits → banded pairs → hamming) as a CTE chain ending in `pairs` —
+    * shared by the q_image_near_dup and q_image_dup_clusters oracles. */
+  private val imagePairChainSql: String =
+    """d AS (
       |  SELECT cast(doc_id AS bigint) AS id, doc_id % 50 AS pid, doc_id // 50 AS v
       |  FROM documents),
       | cells AS (
@@ -2931,8 +2946,26 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
       |  SELECT a.id AS id_a, b.id AS id_b,
       |    sum(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END)::BIGINT AS hamming
       |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.id < b.id
-      |  GROUP BY 1, 2)
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private val imageNearDupOracleSql: String =
+    s"""WITH $imagePairChainSql
       |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin
+
+  /** The q_image_dup_clusters oracle: the pair chain plus the recursive
+    * min-reachable closure (the q_near_dup_clusters convention, over
+    * dHash-Hamming edges instead of Jaccard edges). */
+  private val imageDupClustersOracleSql: String =
+    s"""WITH RECURSIVE $imagePairChainSql,
+      | above AS (SELECT id_a, id_b FROM pairs WHERE hamming <= 3),
+      | edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM above
+      |  UNION SELECT id_b, id_a FROM above),
+      | reach(src, dst) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+      |SELECT src AS id, least(src, min(dst)) AS keep_id FROM reach GROUP BY src""".stripMargin
 
   /** The full IVF top-k chain in SQL, ending in a `ranked` CTE — the
     * centroid gate, ONE Lloyd refinement pass, the argmin assignment, the
@@ -3217,6 +3250,7 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
     // bytes, the parsed fields pin the decode
     "q_media_decode" -> mediaDecodeOracleSql,
     "q_image_near_dup" -> imageNearDupOracleSql,
+    "q_image_dup_clusters" -> imageDupClustersOracleSql,
     "q_bpe_tokens" -> bpeTokensOracleSql,
 
     // the full cleaning funnel, replayed stage by stage: sanitize (scrub
