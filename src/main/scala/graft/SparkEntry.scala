@@ -1519,6 +1519,51 @@ object SparkEntry {
       Multimodal.imageNearDuplicates(imgs, maxHamming = 3)
     }),
 
+    // hour-of-week SEASONAL deviation profile: trim to exactly 4 full
+    // weeks from the first event (uniform cell occupancy), densify the
+    // (type, hour-index) grid to zero-filled cells (the q_gap_fill
+    // discipline — missing hours are data, not absent rows), baseline
+    // each (type, hour-of-week) cell over its 4 weekly observations, and
+    // report the top-50 deviations by the FRACTION-FREE integer score
+    // |4·cnt − Σcell| — the weekly-pattern monitor q_anomaly's rolling
+    // window cannot express (a quiet Sunday 3am is normal seasonally,
+    // anomalous to a rolling mean). Pure integers end to end; top-k is
+    // TakeOrdered with a total-order tie-break
+    "q_seasonal_profile" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val us = graft.sources.Tables.tsMicros(col("ts"))
+      val t0 = ev.agg(min(us).as("t0"))
+      val hourUs = 3600000000L
+      val inWin = ev.crossJoin(broadcast(t0))
+        .where(us < col("t0") + lit(28L * 24L * hourUs))
+        .select(col("event_type"),
+          // one IEEE division + floor, replayed op-for-op by the oracle:
+          // deltas <= 2.4e12 us are exact doubles and quotients near an
+          // integer k sit ~1e-10 away — far outside double spacing at
+          // magnitude ~672, so floor never flips
+          floor((us - col("t0")).cast("double") / lit(hourUs.toDouble))
+            .cast("long").as("hour_idx"))
+      val sparse = inWin.groupBy(col("event_type"), col("hour_idx"))
+        .agg(count(lit(1)).as("cnt"))
+      // dense zero-filled skeleton: 672 hours x the type dictionary
+      val hours = t0.select(explode(sequence(lit(0L), lit(28L * 24L - 1L))).as("hour_idx"))
+      val types = ev.select(col("event_type")).distinct()
+      val dense = hours.crossJoin(broadcast(types))
+        .join(sparse, Seq("event_type", "hour_idx"), "left")
+        .select(col("event_type"), col("hour_idx"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .withColumn("how", (col("hour_idx") % (7L * 24L)).cast("long"))
+      val base = dense.groupBy(col("event_type"), col("how"))
+        .agg(sum(col("cnt")).as("cell_sum"), count(lit(1)).as("n_obs"))
+      dense.join(base, Seq("event_type", "how"))
+        .select(col("event_type"), col("hour_idx"), col("how"), col("cnt"),
+          col("cell_sum"),
+          (col("cnt") * col("n_obs") - col("cell_sum")).as("dev_scaled"))
+        .orderBy(abs(col("dev_scaled")).desc, col("event_type"),
+          col("hour_idx"))
+        .limit(50)
+    }),
+
     // image near-dup CLUSTERS: the dHash-Hamming pair graph resolved to
     // min-id components by the SAME two-tier cluster machinery text dedup
     // uses (bounded driver union-find -> star-contraction fallback) —
@@ -3251,6 +3296,38 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
     "q_media_decode" -> mediaDecodeOracleSql,
     "q_image_near_dup" -> imageNearDupOracleSql,
     "q_image_dup_clusters" -> imageDupClustersOracleSql,
+
+    // same 4-full-week trim, same floor(double) hour indexing, same dense
+    // zero-filled grid and fraction-free deviation; top-50 under the
+    // identical (|dev|, type, hour) total order
+    "q_seasonal_profile" ->
+      """WITH t0 AS (SELECT min(epoch_us(ts)) AS t0 FROM events),
+        | inwin AS (
+        |  SELECT event_type,
+        |    cast(floor((epoch_us(ts) - t0.t0) / 3600000000.0) AS bigint) AS hour_idx
+        |  FROM events, t0
+        |  WHERE epoch_us(ts) < t0.t0 + 28 * 24 * 3600000000),
+        | sparse AS (
+        |  SELECT event_type, hour_idx, count(*)::BIGINT AS cnt
+        |  FROM inwin GROUP BY 1, 2),
+        | hours AS (SELECT g.i::BIGINT AS hour_idx FROM generate_series(0, 671) g(i)),
+        | types AS (SELECT DISTINCT event_type FROM events),
+        | dense AS (
+        |  SELECT t.event_type, h.hour_idx,
+        |    coalesce(s.cnt, 0)::BIGINT AS cnt,
+        |    (h.hour_idx % 168)::BIGINT AS how
+        |  FROM hours h CROSS JOIN types t
+        |  LEFT JOIN sparse s
+        |    ON s.event_type = t.event_type AND s.hour_idx = h.hour_idx),
+        | base AS (
+        |  SELECT event_type, how, sum(cnt)::BIGINT AS cell_sum,
+        |    count(*)::BIGINT AS n_obs
+        |  FROM dense GROUP BY 1, 2)
+        |SELECT d.event_type, d.hour_idx, d.how, d.cnt, b.cell_sum,
+        |  (d.cnt * b.n_obs - b.cell_sum)::BIGINT AS dev_scaled
+        |FROM dense d JOIN base b ON d.event_type = b.event_type AND d.how = b.how
+        |ORDER BY abs(d.cnt * b.n_obs - b.cell_sum) DESC, d.event_type, d.hour_idx
+        |LIMIT 50""".stripMargin,
     "q_bpe_tokens" -> bpeTokensOracleSql,
 
     // the full cleaning funnel, replayed stage by stage: sanitize (scrub
