@@ -1519,6 +1519,40 @@ object SparkEntry {
       Multimodal.imageNearDuplicates(imgs, maxHamming = 3)
     }),
 
+    // graded retrieval evaluation: nDCG@10 of the IVF index (nprobe 4 —
+    // deliberately mid-curve, so the metric has something to measure)
+    // against the exact ideal. Gains are EXACT-rank-derived integers
+    // (rel = 11 − exact_rank for the true top-10, else 0); the DCG sum is
+    // a FIXED-ORDER 10-term chain with discount reciprocals embedded as
+    // identical double literals in both engines (generated from one
+    // Scala computation — engine log2's last ulp never enters). Extends
+    // the recall family (hit counting) with the graded, position-aware
+    // metric ranking teams actually tune on
+    "q_retrieval_ndcg" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10)
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10, nlist = 16, nprobe = 4, refineIters = 1)
+      val rel = approx.select(col("query_id"), col("neighbor_id"), col("rank"))
+        .join(exact.select(col("query_id"), col("neighbor_id"),
+          (lit(11L) - col("rank")).as("rel")),
+          Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"), col("rank"), coalesce(col("rel"), lit(0L)).as("rel"))
+      val pivots = (1 to 10).map(i =>
+        max(when(col("rank") === i, col("rel"))).as(s"t$i"))
+      val dcg = (1 to 10).map(i =>
+        coalesce(col(s"t$i"), lit(0L)).cast("double") * lit(NdcgRecip(i)))
+        .reduce(_ + _) // left-associated, same chain as the oracle
+      rel.groupBy(col("query_id"))
+        .agg(pivots.head, pivots.tail: _*)
+        .select(col("query_id"),
+          round(dcg, 6).as("dcg_r"),
+          round(dcg / lit(NdcgIdeal), 6).as("ndcg_r"))
+    }),
+
     // hour-of-week SEASONAL deviation profile: trim to exactly 4 full
     // weeks from the first event (uniform cell occupancy), densify the
     // (type, hour-index) grid to zero-filled cells (the q_gap_fill
@@ -5519,6 +5553,7 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
     // one full chain replay per nprobe point, each in its own subquery
     // scope, unioned — same exact ground truth every point
     "q_ann_tuning" -> annTuningOracleSql,
+    "q_retrieval_ndcg" -> retrievalNdcgOracleSql,
 
     // codebooks from the same md5-stride donor sample (salt 'pq:'),
     // per-(vector, subspace) argmin with (dist, cid) tie-break, error
@@ -5768,6 +5803,49 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
        | ${pfx}store AS (
        |  SELECT md5(chunk) AS h, min(length(chunk)) AS len
        |  FROM ${pfx}chunks GROUP BY 1)""".stripMargin
+
+  /** nDCG@10 discount reciprocals 1/log2(i+1), computed ONCE in Scala and
+    * embedded as full-precision literals in both the Spark plan and the
+    * generated oracle SQL — Double.toString round-trips, so both engines
+    * multiply by bit-identical constants. */
+  private val NdcgRecip: Map[Int, Double] =
+    (1 to 10).map(i => i -> 1.0 / (math.log(i + 1.0) / math.log(2.0))).toMap
+
+  /** Ideal DCG@10: the exact top-10 in order, rel = 11-i — same fixed
+    * left-associated chain as the per-query DCG. */
+  private val NdcgIdeal: Double =
+    (1 to 10).map(i => (11 - i).toDouble * NdcgRecip(i)).reduce(_ + _)
+
+  /** The q_retrieval_ndcg oracle: the nprobe-4 IVF chain, the exact
+    * top-10 grades, and the identical fixed-order DCG chain with the same
+    * literal reciprocals. */
+  private def retrievalNdcgOracleSql: String = {
+    val dcgChain = (1 to 10).map(i =>
+      s"(coalesce(max(CASE WHEN rank = $i THEN rel END), 0)::DOUBLE * ${NdcgRecip(i)})")
+      .reduce((a, b) => s"($a + $b)")
+    s"""WITH ${ivfChainSql(4)},
+       | approx AS (SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10),
+       | escored AS (
+       |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+       |    CASE WHEN sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)) = 0 THEN 0.0
+       |         ELSE list_dot_product(c.vec, q.qvec) / (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)))
+       |    END AS cosine
+       |  FROM corpus c CROSS JOIN q WHERE c.vec_id <> q.qid),
+       | exact AS (
+       |  SELECT query_id, neighbor_id, 11 - rank AS rel FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM escored)
+       |  WHERE rank <= 10),
+       | graded AS (
+       |  SELECT a.query_id, a.rank, coalesce(e.rel, 0)::BIGINT AS rel
+       |  FROM approx a LEFT JOIN exact e
+       |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id)
+       |SELECT query_id,
+       |  round($dcgChain, 6) AS dcg_r,
+       |  round($dcgChain / $NdcgIdeal, 6) AS ndcg_r
+       |FROM graded GROUP BY query_id""".stripMargin
+  }
 
   /** The q_ann_tuning oracle: the q_ivf_recall chain instantiated per
     * nprobe point (shared exact ground-truth definition inside each
