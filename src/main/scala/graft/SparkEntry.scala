@@ -1519,6 +1519,37 @@ object SparkEntry {
       Multimodal.imageNearDuplicates(imgs, maxHamming = 3)
     }),
 
+    // MMR diversification rerank (Retrieval.mmrRerank): greedy top-5 from
+    // the exact top-10, each pick maximizing lambda*rel −
+    // (1−lambda)*max-sim-to-picked — the cure for result lists full of
+    // near-copies of one answer. Five unrolled query-keyed rounds over
+    // candidate-bounded frames; the oracle replays the rounds as chained
+    // CTEs with the IDENTICAL weight literals (1.0−0.7 is
+    // 0.30000000000000004 in IEEE — both engines get that exact literal
+    // from one Scala subtraction)
+    "q_mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cand = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
+      val cv = cand.select(col("query_id"), col("neighbor_id"))
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("v")),
+          Seq("neighbor_id"))
+      val half = cv.as("a").join(cv.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.neighbor_id") < col("b.neighbor_id"))
+        .select(col("a.query_id").as("query_id"),
+          col("a.neighbor_id").as("n1"), col("b.neighbor_id").as("n2"),
+          graft.plans.NativeExpressions.cosine(col("a.v"), col("b.v")).as("sim"))
+      val sims = half.unionByName(half.select(col("query_id"),
+        col("n2").as("n1"), col("n1").as("n2"), col("sim")))
+      graft.ext.Retrieval.mmrRerank(cand, sims, k = 5, lambda = MmrLambda)
+        .select(col("query_id"), col("neighbor_id"), col("mmr_rank"),
+          round(col("score"), 6).as("score_r"))
+    }),
+
     // graded retrieval evaluation: nDCG@10 of the IVF index (nprobe 4 —
     // deliberately mid-curve, so the metric has something to measure)
     // against the exact ideal. Gains are EXACT-rank-derived integers
@@ -5554,6 +5585,7 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
     // scope, unioned — same exact ground truth every point
     "q_ann_tuning" -> annTuningOracleSql,
     "q_retrieval_ndcg" -> retrievalNdcgOracleSql,
+    "q_mmr_rerank" -> mmrOracleSql,
 
     // codebooks from the same md5-stride donor sample (salt 'pq:'),
     // per-(vector, subspace) argmin with (dist, cid) tie-break, error
@@ -5803,6 +5835,88 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
        | ${pfx}store AS (
        |  SELECT md5(chunk) AS h, min(length(chunk)) AS len
        |  FROM ${pfx}chunks GROUP BY 1)""".stripMargin
+
+  /** MMR weights, shared by the plan and the generated oracle. lambda is
+    * the literal 0.7; the diversity weight is the ONE Scala subtraction
+    * `1.0 - 0.7` (= 0.30000000000000004 in IEEE), interpolated verbatim
+    * into the SQL so both engines weight with bit-identical constants. */
+  private val MmrLambda: Double = 0.7
+  private val MmrOneMinus: Double = 1.0 - MmrLambda
+
+  /** The q_mmr_rerank oracle: exact top-10 candidates + pairwise sims,
+    * then the five greedy rounds unrolled as chained CTEs — anti-join the
+    * picked set, grouped max of sims to picked, literal-weighted score,
+    * rank-1 pick under (score DESC, id). */
+  private def mmrOracleSql: String = {
+    val lam = MmrLambda.toString
+    val om = MmrOneMinus.toString
+    def cos(a: String, b: String): String =
+      s"""CASE WHEN sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)) = 0 THEN 0.0
+         |       ELSE list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))
+         |  END""".stripMargin
+    val rounds = (2 to 5).map { r =>
+      val pk = (1 until r).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+      s""" rem$r AS (
+         |  SELECT c.* FROM cand10 c
+         |  LEFT JOIN ($pk) p
+         |    ON p.query_id = c.query_id AND p.neighbor_id = c.neighbor_id
+         |  WHERE p.neighbor_id IS NULL),
+         | ms$r AS (
+         |  SELECT rm.query_id, rm.neighbor_id, rm.rel, max(sp.sim) AS ms
+         |  FROM rem$r rm
+         |  JOIN ($pk) p ON p.query_id = rm.query_id
+         |  JOIN simp sp ON sp.query_id = rm.query_id
+         |    AND sp.n1 = rm.neighbor_id AND sp.n2 = p.neighbor_id
+         |  GROUP BY 1, 2, 3),
+         | sel$r AS (
+         |  SELECT query_id, neighbor_id, $r AS mmr_rank, score FROM (
+         |    SELECT query_id, neighbor_id, $lam * rel - $om * ms AS score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY $lam * rel - $om * ms DESC, neighbor_id) AS rn
+         |    FROM ms$r)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, list_transform(embedding, x -> cast(x AS double)) AS qvec
+       |  FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+       | corpus AS (
+       |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS vec
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       | escored AS (
+       |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+       |    ${cos("c.vec", "q.qvec")} AS cosine
+       |  FROM corpus c CROSS JOIN q WHERE c.vec_id <> q.qid),
+       | cand10 AS (
+       |  SELECT query_id, neighbor_id, cosine AS rel FROM (
+       |    SELECT query_id, neighbor_id, cosine,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM escored)
+       |  WHERE rank <= 10),
+       | cv AS (
+       |  SELECT cd.query_id, cd.neighbor_id, co.vec
+       |  FROM cand10 cd JOIN corpus co ON co.vec_id = cd.neighbor_id),
+       | half AS (
+       |  SELECT a.query_id, a.neighbor_id AS n1, b.neighbor_id AS n2,
+       |    ${cos("a.vec", "b.vec")} AS sim
+       |  FROM cv a JOIN cv b
+       |    ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id),
+       | simp AS (
+       |  SELECT query_id, n1, n2, sim FROM half
+       |  UNION ALL
+       |  SELECT query_id, n2 AS n1, n1 AS n2, sim FROM half),
+       | sel1 AS (
+       |  SELECT query_id, neighbor_id, 1 AS mmr_rank, score FROM (
+       |    SELECT query_id, neighbor_id, $lam * rel AS score,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY $lam * rel DESC, neighbor_id) AS rn
+       |    FROM cand10)
+       |  WHERE rn = 1),
+       |$rounds
+       |SELECT query_id, neighbor_id, mmr_rank, round(score, 6) AS score_r
+       |FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+       |      UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+       |      UNION ALL SELECT * FROM sel5)""".stripMargin
+  }
 
   /** nDCG@10 discount reciprocals 1/log2(i+1), computed ONCE in Scala and
     * embedded as full-precision literals in both the Spark plan and the

@@ -40,4 +40,62 @@ object Retrieval {
       .orderBy(col("rrf").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversification rerank: greedily pick `k` results where pick r
+    * maximizes `lambda·rel − (1−lambda)·max sim-to-already-picked` — the
+    * standard cure for top-k lists full of near-duplicates of one answer.
+    *
+    * Greedy selection is inherently SEQUENTIAL, so the k rounds are
+    * UNROLLED as k DataFrame stages (k is a small constant — 5 here —
+    * never data-sized): each round anti-joins the picked set, takes the
+    * grouped max of sims to picked members (max over a set is
+    * order-independent in IEEE — no fold-order contract needed), forms
+    * the score as one literal-weighted chain, and selects per query by
+    * `row_number` under the (score DESC, id) total order. Every stage is
+    * query-keyed joins over candidate-bounded frames (≤ topN rows per
+    * query), so the whole rerank costs k small shuffles regardless of
+    * corpus size — candidates, not the corpus, enter the rerank.
+    *
+    * `candidates`: (query_id, neighbor_id, rel). `sims`: one SYMMETRIC
+    * row per ordered candidate pair (query_id, n1, n2, sim) — callers
+    * build it from the candidate vectors (bounded: ≤ topN² per query).
+    * Deterministic end-to-end; an oracle replays the unrolled rounds as
+    * k chained CTEs with identical literals. */
+  def mmrRerank(candidates: DataFrame, sims: DataFrame, k: Int,
+      lambda: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val lam = lit(lambda)
+    val oneMinus = lit(1.0d - lambda) // one Scala subtraction, shared as a literal
+    val c = candidates.select(col("query_id"), col("neighbor_id"),
+      col("rel").cast("double").as("rel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score").desc, col("neighbor_id"))
+    // round 1: no picked set — score is lambda*rel (the -0 term elided
+    // identically on the oracle side)
+    var picked = c.withColumn("__score", lam * col("rel"))
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("query_id"), col("neighbor_id"),
+        lit(1).as("mmr_rank"), col("__score").as("score"))
+    for (r <- 2 to k) {
+      val remaining = c.join(
+        picked.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val maxSim = remaining
+        .join(picked.select(col("query_id"), col("neighbor_id").as("n2")),
+          Seq("query_id"))
+        .join(sims.select(col("query_id"), col("n1").as("neighbor_id"),
+          col("n2"), col("sim")), Seq("query_id", "neighbor_id", "n2"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("rel"))
+        .agg(max(col("sim")).as("__ms"))
+      val next = maxSim
+        .withColumn("__score", lam * col("rel") - oneMinus * col("__ms"))
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(r).as("mmr_rank"), col("__score").as("score"))
+      picked = picked.unionByName(next)
+    }
+    picked
+  }
 }

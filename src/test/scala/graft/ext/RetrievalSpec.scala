@@ -33,4 +33,26 @@ class RetrievalSpec extends SparkSpec {
     // doc 5 holds rank 5 in a and rank 1 in b — the highest fused score
     assert(out.collect().head.getLong(0) == 5L)
   }
+
+  test("MMR rerank trades a near-copy for a diverse hit; pure relevance would not") {
+    // candidates: A1 (rel .95), A2 (rel .94, near-copy of A1), B (rel .80,
+    // unrelated). Relevance-greedy top-2 = {A1, A2}; MMR at lambda .7 must
+    // pick B second: .7*.94 − .3*.98 = .364 < .7*.80 − .3*.10 = .53
+    val cand = Seq((1L, 10L, 0.95), (1L, 11L, 0.94), (1L, 20L, 0.80))
+      .toDF("query_id", "neighbor_id", "rel")
+    val half = Seq((1L, 10L, 11L, 0.98), (1L, 10L, 20L, 0.10), (1L, 11L, 20L, 0.10))
+      .toDF("query_id", "n1", "n2", "sim")
+    val sims = half.unionByName(half.select(col("query_id"),
+      col("n2").as("n1"), col("n1").as("n2"), col("sim")))
+    val picks = Retrieval.mmrRerank(cand, sims, k = 3, lambda = 0.7)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getInt(2), r.getLong(1)))
+    assert(picks.toSeq == Seq((1, 10L), (2, 20L), (3, 11L)),
+      s"expected diverse pick order, got ${picks.toSeq}")
+    // a query with fewer candidates than k yields exactly its candidates
+    val tiny = Retrieval.mmrRerank(
+      Seq((2L, 5L, 0.5)).toDF("query_id", "neighbor_id", "rel"),
+      sims.where(lit(false)), k = 3, lambda = 0.7).collect()
+    assert(tiny.length == 1 && tiny.head.getInt(2) == 1)
+  }
 }
