@@ -77,4 +77,29 @@ class TimeSeriesSpec extends SparkSpec {
       lookback = 4, minPoints = 2).select("t").as[Long].collect()
     assert(out.toSet == Set(4L), "only the window with variance survives")
   }
+
+  test("seasonal profile surfaces a planted silenced hour-of-week as the top deviation") {
+    // synthetic 4-week corpus: type "m", steady 10 events per hour, except
+    // hour-of-week 50 in week 2 only, which is fully silenced — exactly
+    // the seasonal signal a rolling monitor averages away. Feed the
+    // q_seasonal_profile pipeline via a temp events table.
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val rows = for {
+      h <- 0 until (28 * 24)
+      if !(h % 168 == 50 && h / 168 == 1) // silence week-2's hour-of-week 50
+      i <- 0 until 10
+    } yield (h.toLong * 10 + i, base.plusHours(h.toLong), 1L, "m", 1.0d, "{}")
+    val dirTmp = java.nio.file.Files.createTempDirectory("graft-seasonal").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dirTmp/events.parquet")
+    val top = graft.SparkEntry.queries("q_seasonal_profile")(spark, dirTmp)
+      .collect()
+    val first = top.head
+    // the silenced cell: hour_idx = 168 + 50 = 218, cnt 0, cell_sum 30,
+    // dev = 0*4 - 30 = -30; the three sibling weeks read +10 each... their
+    // dev = 10*4 - 30 = +10. Top |dev| must be the silenced cell.
+    assert(first.getAs[Long]("hour_idx") == 218L &&
+      first.getAs[Long]("dev_scaled") == -30L,
+      s"expected the silenced cell on top, got $first")
+  }
 }
