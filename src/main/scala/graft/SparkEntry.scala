@@ -1503,6 +1503,22 @@ object SparkEntry {
       Multimodal.decodeMedia(media).toDF()
     }),
 
+    // video frame sampling: synthesize GVI1 raw-video payloads (header +
+    // grayscale frames; frame f = fill byte (id*7+f*31)%256 with its
+    // first pixel perturbed by +f), then uniform-stride sample at most 6
+    // frames per clip in one mapPartitions pass — stride
+    // ceil(n_frames/6), always keeping frame 0. Emits exact integer luma
+    // sums, the derived mean, and md5 over each frame's hex rendering,
+    // so the oracle replays byte construction, the stride rule, and the
+    // per-frame statistics end to end. Scale: no shuffle; only sampled
+    // frames are touched (offset-seek slicing stands where a keyframe
+    // seek would).
+    "q_frame_sample" -> ((s, dir) => {
+      val vids = Multimodal.synthesizeVideo(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.sampleVideoFrames(vids, targetFrames = 6).toDF()
+    }),
+
     // image near-duplicates: 64-bit dHash (row-gradient perceptual hash)
     // over REAL decoded BMP pixel grids, paired through the SimHash
     // Hamming-band LSH (recall 1.0 at Hamming <= 3 by the 4-band
@@ -2181,6 +2197,21 @@ object SparkEntry {
           col("emd"), col("at_risk"))
     }),
 
+    // ε-differentially-private count release (geometric mechanism,
+    // ε = 1): per-(segment, nation) customer counts plus two-sided-
+    // geometric noise from a 256-entry quantized inverse-CDF table,
+    // clamped at 0. Noise is drawn deterministically per group key from
+    // the portable md5-prefix family — the sticky-noise discipline that
+    // stops averaging attacks across re-runs, and what lets the oracle
+    // replay the release exactly (it consumes the SAME integer noise
+    // table, generated by the same Scala function). One map-combined
+    // aggregation; the noise lookup is a literal-array projection.
+    "q_dp_release" -> ((s, dir) => {
+      graft.ext.Privacy.dpNoisyCounts(
+        t(s, dir, "customer"), Seq("c_mktsegment", "c_nationkey"),
+        epsilon = 1.0, seed = "dp1:")
+    }),
+
     // exponentially weighted moving average per user at the last event —
     // the sequential recurrence y_n = α·x_n + (1−α)·y_{n−1} in closed
     // weighted-sum form (one window pass + one agg, a single user-hash
@@ -2362,6 +2393,18 @@ object SparkEntry {
           pairState(li.where(col("l_orderkey") % 10 === 0))),
         Seq("pa", "pb"), Seq("w" -> "sum"))
       merged.where(col("w") >= 2)
+    }),
+
+    // market-basket association rules over order baskets: both directed
+    // rules per co-purchase pair, confidence and lift from distinct-
+    // counted supports, N via a one-row broadcast (no driver collect).
+    // Same capped basket projection as the graph queries (the one
+    // quadratic step is bounded by maxGroupSize); ratios are raw IEEE
+    // long/long divisions so the oracle replays them bit-for-bit
+    "q_assoc_rules" -> ((s, dir) => {
+      graft.ext.MarketBasket.associationRules(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minShared = 2, maxGroupSize = 256)
     }),
 
     // Newman modularity of the label-prop communities over the staged
@@ -3361,6 +3404,36 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
     "q_media_decode" -> mediaDecodeOracleSql,
     "q_image_near_dup" -> imageNearDupOracleSql,
     "q_image_dup_clusters" -> imageDupClustersOracleSql,
+
+    // the GVI1 raw-video fixture replayed in SQL: same id-derived
+    // geometry, the stride rule ceil(nf/6) as (nf+5)//6, per-frame fill
+    // and perturbed-first-pixel bytes rebuilt as hex — md5 over the hex
+    // pins the frame bytes, the integer luma sum pins the decoder's
+    // arithmetic, unnest(generate_series) replays the sampled indices
+    "q_frame_sample" ->
+      """WITH p AS (
+        |  SELECT cast(doc_id AS bigint) AS media_id,
+        |    cast(doc_id % 4 + 2 AS bigint) AS w,
+        |    cast(doc_id % 3 + 2 AS bigint) AS h,
+        |    cast(doc_id % 23 + 1 AS bigint) AS nf
+        |  FROM documents),
+        | s AS (SELECT *, (nf + 5) // 6 AS stride FROM p),
+        | f AS (
+        |  SELECT media_id, w, h, nf,
+        |    unnest(generate_series(0, nf - 1, stride)) AS fi
+        |  FROM s),
+        | px AS (
+        |  SELECT *, (media_id * 7 + fi * 31) % 256 AS fill,
+        |    (media_id * 7 + fi * 31 + fi) % 256 AS first
+        |  FROM f)
+        |SELECT media_id, cast(fi AS int) AS frame_idx,
+        |  cast(nf AS int) AS n_frames, cast(w AS int) AS width,
+        |  cast(h AS int) AS height,
+        |  first + fill * (w * h - 1) AS luma_sum,
+        |  (first + fill * (w * h - 1)) / cast(w * h AS double) AS mean_luma,
+        |  md5(lpad(hex(first), 2, '0') ||
+        |      repeat(lpad(hex(fill), 2, '0'), cast(w * h - 1 AS int))) AS frame_md5
+        |FROM px""".stripMargin,
 
     // same 4-full-week trim, same floor(double) hour indexing, same dense
     // zero-filled grid and fraction-free deviation; top-50 under the
@@ -5125,6 +5198,25 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |  quantile_cont(cast(l_quantity AS bigint), 0.5) AS median_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
 
+    // the release replayed exactly: same counts, same md5-prefix noise
+    // index, and the SAME 256 integer noise literals (both engines get
+    // them from one geometricNoiseTable call — the quantile math runs
+    // once on the driver, never in either engine)
+    "q_dp_release" -> {
+      val tbl = graft.ext.Privacy.geometricNoiseTable(1.0).mkString(", ")
+      s"""WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey, count(*)::BIGINT AS tc
+        |  FROM customer GROUP BY 1, 2),
+        | nz AS (
+        |  SELECT *, ('0x' || substr(md5('dp1:' || c_mktsegment || ':' ||
+        |    cast(c_nationkey AS varchar)), 1, 8))::BIGINT % 256 AS idx
+        |  FROM g)
+        |SELECT c_mktsegment, c_nationkey,
+        |  greatest(tc + ([$tbl])[cast(idx AS int) + 1], 0)::BIGINT AS noisy_count,
+        |  cast(1.0 AS double) AS epsilon
+        |FROM nz""".stripMargin
+    },
+
     "q_t_closeness" ->
       """WITH base AS (
         |  SELECT n_name AS qi_geo, c_mktsegment AS qi_segment,
@@ -5275,6 +5367,35 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
         |  AND x.l_partkey < y.l_partkey
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // same capped baskets, supports as distinct-counted longs, both rule
+    // directions via UNION ALL, ratios as the same long/long IEEE
+    // divisions the Spark side emits
+    "q_assoc_rules" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
+        | n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_groups FROM li),
+        | supp AS (
+        |  SELECT l_partkey AS i, count(*)::BIGINT AS supp FROM li GROUP BY 1),
+        | pairs AS (
+        |  SELECT x.l_partkey AS pa, y.l_partkey AS pb, count(*)::BIGINT AS pair_supp
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | directed AS (
+        |  SELECT pa AS antecedent, pb AS consequent, pair_supp FROM pairs
+        |  UNION ALL
+        |  SELECT pb AS antecedent, pa AS consequent, pair_supp FROM pairs)
+        |SELECT d.antecedent, d.consequent, d.pair_supp,
+        |  sa.supp AS ante_supp, sc.supp AS cons_supp, n.n_groups,
+        |  d.pair_supp / cast(sa.supp AS double) AS confidence,
+        |  (d.pair_supp * n.n_groups) / cast(sa.supp * sc.supp AS double) AS lift
+        |FROM directed d
+        |  JOIN supp sa ON sa.i = d.antecedent
+        |  JOIN supp sc ON sc.i = d.consequent
+        |  CROSS JOIN n""".stripMargin,
 
     // both-direction endpoint degrees; the same √A·√B Pearson form as
     // q_correlation — integer moments, three IEEE ops

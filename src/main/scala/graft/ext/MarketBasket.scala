@@ -1,0 +1,61 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-basket rule mining over (group, item) co-occurrence — the
+  * classic association-rules surface (Agrawal et al., VLDB '94 semantics
+  * restricted to pairwise rules, which is what co-purchase / co-citation /
+  * co-click analytics actually deploy): for every ordered item pair
+  * (antecedent → consequent) co-occurring in at least `minShared` groups,
+  *
+  *   confidence = supp(a,b) / supp(a)
+  *   lift       = supp(a,b) · N / (supp(a) · supp(b))
+  *
+  * with all supports counted over DISTINCT (group, item) pairs and N =
+  * number of (capped) groups.
+  *
+  * Scale shape (same discipline as
+  * [[graft.graph.GraphOps.coOccurrencePairs]], whose capped basket
+  * projection this reuses verbatim): the ONE quadratic step — the
+  * per-group self-join — is bounded by `maxGroupSize` (a 256-item basket
+  * says nothing about pairwise affinity; cap²/2 ≈ 32k rows per key
+  * worst-case), so a single hot group cannot emit deg² pairs. Everything
+  * else is linear: one distinct exchange on (g, i) whose partitioning the
+  * group-size window AND both self-join sides reuse, one pair aggregation,
+  * one item-support aggregation, and two equi-joins onto the (already
+  * minShared-thresholded, hence much smaller) rule frame. N arrives as a
+  * one-row broadcast cross join — no driver collect. Ratios are raw IEEE
+  * long/long divisions (bit-identical across engines; no rounding). */
+object MarketBasket {
+
+  def associationRules(items: DataFrame, groupCol: String, itemCol: String,
+      minShared: Int = 2, maxGroupSize: Int = 256): DataFrame = {
+    require(maxGroupSize >= 2, s"maxGroupSize must be >= 2, got $maxGroupSize")
+    val g = items.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+      .withColumn("__gs", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .where(col("__gs") <= maxGroupSize)
+      .select(col("g"), col("i"))
+    val nGroups = g.agg(countDistinct(col("g")).as("n_groups"))
+    val supp = g.groupBy(col("i")).agg(count(lit(1)).as("supp"))
+    val pairs = g.as("x").join(g.as("y"),
+        col("x.g") === col("y.g") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("pa"), col("y.i").as("pb"))
+      .agg(count(lit(1)).as("pair_supp")).where(col("pair_supp") >= minShared)
+    // every undirected co-occurrence yields two candidate rules
+    val directed = pairs.select(col("pa").as("antecedent"),
+        col("pb").as("consequent"), col("pair_supp"))
+      .unionAll(pairs.select(col("pb").as("antecedent"),
+        col("pa").as("consequent"), col("pair_supp")))
+    directed
+      .join(supp.select(col("i").as("antecedent"), col("supp").as("ante_supp")), "antecedent")
+      .join(supp.select(col("i").as("consequent"), col("supp").as("cons_supp")), "consequent")
+      .crossJoin(broadcast(nGroups))
+      .select(col("antecedent"), col("consequent"), col("pair_supp"),
+        col("ante_supp"), col("cons_supp"), col("n_groups"),
+        (col("pair_supp") / col("ante_supp").cast("double")).as("confidence"),
+        ((col("pair_supp") * col("n_groups")) /
+          (col("ante_supp") * col("cons_supp")).cast("double")).as("lift"))
+  }
+}

@@ -608,4 +608,109 @@ object Multimodal {
         i => substring(col("content"), (i * frameBytes * everyN + 1).cast("int"), lit(frameBytes))))
         .as(Seq("frame_idx", "frame_bytes")))
   }
+
+  // ---------------------------------------------------------------------
+  // Raw-video frame sampling (parseable container, oracle-replayable)
+  // ---------------------------------------------------------------------
+
+  /** The "GVI1" raw-video fixture container (this repo's test format, in
+    * the spirit of y4m: header + uncompressed grayscale frames):
+    *
+    *   bytes 0-3   magic "GVI1" (47 56 49 31)
+    *   bytes 4-5   width,  big-endian u16
+    *   bytes 6-7   height, big-endian u16
+    *   bytes 8-9   n_frames, big-endian u16
+    *   then n_frames frames of width*height luma bytes each.
+    *
+    * Synthesized deterministically from an id so a SQL oracle can replay
+    * every byte: w = id%4+2, h = id%3+2, n_frames = id%23+1; frame f is
+    * fill byte (id*7 + f*31) % 256 everywhere EXCEPT its first pixel,
+    * (fill + f) % 256 — so per-frame means differ from the fill and a
+    * lazy "read byte 0" decoder is caught. Built from engine-portable
+    * hex expressions (`transform` over a frame sequence + `array_join` +
+    * `unhex`), same approach as [[synthesizeMedia]]. Payloads stay ≤ ~460
+    * bytes (5*4*23). */
+  def synthesizeVideo(df: DataFrame, idCol: String): DataFrame = {
+    def be16(c: Column): Column = lpad(hex(c.cast("long")), 4, "0")
+    val id = col(idCol).cast("long")
+    val w = id % 4 + 2
+    val h = id % 3 + 2
+    val nf = id % 23 + 1
+    val frameHex = transform(sequence(lit(0L), nf - 1), f => {
+      val fill = lpad(hex((id * 7 + f * 31) % 256), 2, "0")
+      val first = lpad(hex((id * 7 + f * 31 + f) % 256), 2, "0")
+      concat(first, call_function("repeat", fill, (w * h - 1).cast("int")))
+    })
+    val hx = concat(lit("47564931"), be16(w), be16(h), be16(nf),
+      array_join(frameHex, ""))
+    df.select(id.as("media_id"), unhex(hx).as("content"))
+  }
+
+  /** Uniform-stride frame sampling over GVI1 payloads: parse the header,
+    * take frames 0, s, 2s, … with s = ceil(n_frames / targetFrames) (so at
+    * most `targetFrames` frames survive, always including frame 0), and
+    * emit per-frame statistics a curation pipeline filters on — exact mean
+    * luma (as sum/count integers plus the double) and md5 over the frame's
+    * uppercase-hex rendering (bijective with the bytes; VARCHAR md5 is
+    * what the oracle engine can recompute).
+    *
+    * Scale shape: one `mapPartitions` pass, no shuffle — each payload is
+    * decoded once and only the sampled frames are touched (the slicer
+    * seeks straight to offset 10 + idx*w*h). A real codec swaps into the
+    * same per-batch loop; keyframe-seeking replaces the offset arithmetic.
+    * Malformed payloads (bad magic / truncated) are dropped, the same
+    * quarantine contract as [[decodeMedia]]. */
+  def sampleVideoFrames(video: DataFrame, targetFrames: Int): Dataset[FrameStats] = {
+    require(targetFrames >= 1, s"targetFrames must be >= 1, got $targetFrames")
+    val spark = video.sparkSession
+    import spark.implicits._
+    video.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) => sampleOneVideo(id, bytes, targetFrames) }
+      }
+  }
+
+  private val HexDigits = "0123456789ABCDEF".toCharArray
+
+  private def sampleOneVideo(
+      id: Long, bytes: Array[Byte], targetFrames: Int): Iterator[FrameStats] = {
+    if (bytes == null || bytes.length < 10 ||
+      bytes(0) != 'G' || bytes(1) != 'V' || bytes(2) != 'I' || bytes(3) != '1')
+      return Iterator.empty
+    def be16u(off: Int): Int = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    val w = be16u(4); val h = be16u(6); val nf = be16u(8)
+    val frameSize = w * h
+    if (frameSize == 0 || bytes.length < 10 + nf.toLong * frameSize) return Iterator.empty
+    val stride = math.max(1, (nf + targetFrames - 1) / targetFrames)
+    Iterator.range(0, nf, stride).map { f =>
+      val off = 10 + f * frameSize
+      var sum = 0L
+      val hexSb = new java.lang.StringBuilder(frameSize * 2)
+      var i = 0
+      while (i < frameSize) {
+        val b = bytes(off + i) & 0xff
+        sum += b
+        hexSb.append(HexDigits(b >>> 4)).append(HexDigits(b & 0xf))
+        i += 1
+      }
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(hexSb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      FrameStats(id, f, nf, w, h, sum, sum.toDouble / frameSize,
+        md5.map(b => f"$b%02x").mkString)
+    }
+  }
 }
+
+/** One sampled video frame ([[Multimodal.sampleVideoFrames]]): exact
+  * integer luma sum plus the derived mean, and md5 over the frame's
+  * uppercase-hex rendering tying the stats to the exact bytes read. */
+final case class FrameStats(
+    media_id: Long,
+    frame_idx: Int,
+    n_frames: Int,
+    width: Int,
+    height: Int,
+    luma_sum: Long,
+    mean_luma: Double,
+    frame_md5: String)

@@ -137,4 +137,69 @@ object Privacy {
         (max(col("__nbands")) - lit(1L)), 6).as("emd"))
       .withColumn("at_risk", col("emd") > t)
   }
+
+  // -------------------------------------------------------------------
+  // Differentially-private count release
+  // -------------------------------------------------------------------
+
+  /** Number of quantization buckets for the noise table: noise is drawn
+    * by inverse-CDF at the 256 bucket midpoints, so each table entry is
+    * the exact geometric-mechanism quantile for its 1/256-wide slice. */
+  val DpQuantBuckets = 256
+
+  /** Quantized inverse CDF of the TWO-SIDED GEOMETRIC distribution with
+    * ratio α = e^(-ε) — the geometric mechanism of Ghosh, Roughgarden &
+    * Sundararajan (STOC 2009), the discrete (and for counts, utility-
+    * optimal) twin of Laplace noise: P(n) = (1−α)/(1+α)·α^|n|. Entry k is
+    * the smallest n with CDF(n) ≥ (k+0.5)/buckets. The table is tiny
+    * integers (ε = 1 ⇒ range ≈ ±6), computed once on the driver; the
+    * doubles involved never leave the driver, so engine-portability of
+    * `exp`/`pow` is irrelevant — both release and oracle consume the SAME
+    * integer literals. */
+  def geometricNoiseTable(epsilon: Double, buckets: Int = DpQuantBuckets): IndexedSeq[Int] = {
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    val alpha = math.exp(-epsilon)
+    val c = (1 - alpha) / (1 + alpha)
+    val span = 64 // CDF mass beyond |64| is ~alpha^64, below any bucket edge
+    (0 until buckets).map { k =>
+      val u = (k + 0.5) / buckets
+      var cdf = 0.0
+      var n = -span
+      var ans = span
+      var found = false
+      while (n <= span && !found) {
+        cdf += c * math.pow(alpha, math.abs(n))
+        if (cdf >= u) { ans = n; found = true }
+        n += 1
+      }
+      ans
+    }
+  }
+
+  /** ε-differentially-private group-count release: per-group counts plus
+    * geometric-mechanism noise (sensitivity 1 — one individual moves one
+    * count by one), clamped at 0 (post-processing, which never weakens
+    * DP). Noise is drawn DETERMINISTICALLY per group key from the
+    * md5-prefix hash family — the "sticky noise" discipline real count-
+    * release systems use so re-running the same release replays the same
+    * noise instead of handing an attacker fresh draws to average away
+    * (and what lets the SQL oracle replay the release bit-for-bit; a
+    * production deployment rotates `seed` per release period, NOT per
+    * run). Scale: one map-side-combined aggregation; the noise lookup is
+    * a 256-literal array projection, no second scan, no shuffle beyond
+    * the count's own. */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+      seed: String): DataFrame = {
+    val table = geometricNoiseTable(epsilon)
+    val key = concat_ws(":", groupCols.map(c => col(c).cast("string")): _*)
+    val idx = (graft.functions.HashFunctions
+      .md5PrefixLong(seed, key, 8) % table.size).cast("int")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__true_count"))
+      .select(groupCols.map(col) ++ Seq(
+        greatest(col("__true_count") +
+          element_at(array(table.map(lit): _*), idx + 1), lit(0L))
+          .as("noisy_count"),
+        lit(epsilon).as("epsilon")): _*)
+  }
 }

@@ -651,6 +651,40 @@ class ExtSpec extends SparkSpec {
     assert(out.values.map(_.payload_md5).toSet.size == 40)
   }
 
+  test("video frame sampling: stride rule, exact luma, malformed quarantine") {
+    val ids = spark.range(0, 30).toDF("doc_id")
+    val vids = Multimodal.synthesizeVideo(ids, "doc_id")
+    val out = Multimodal.sampleVideoFrames(vids, targetFrames = 6).collect()
+      .groupBy(_.media_id).map { case (k, v) => k -> v.sortBy(_.frame_idx) }
+    assert(out.size == 30)
+    (0L until 30L).foreach { id =>
+      val fs = out(id)
+      val w = (id % 4 + 2).toInt; val h = (id % 3 + 2).toInt
+      val nf = (id % 23 + 1).toInt
+      val stride = math.max(1, (nf + 5) / 6)
+      val wantIdx = (0 until nf by stride).toSeq
+      assert(fs.map(_.frame_idx).toSeq == wantIdx, s"id=$id")
+      assert(fs.forall(f => f.width == w && f.height == h && f.n_frames == nf))
+      assert(fs.length <= 6 && fs.head.frame_idx == 0)
+      fs.foreach { f =>
+        val fill = ((id * 7 + f.frame_idx * 31) % 256).toInt
+        val first = ((id * 7 + f.frame_idx * 31 + f.frame_idx) % 256).toInt
+        assert(f.luma_sum == first.toLong + fill.toLong * (w * h - 1), s"id=$id f=${f.frame_idx}")
+        assert(f.mean_luma == f.luma_sum.toDouble / (w * h))
+        assert(f.frame_md5.length == 32)
+      }
+    }
+    // a clip long enough to need stride > 1 actually subsamples
+    assert(out(22L).length < out(22L).head.n_frames)
+    // malformed payloads (bad magic / truncated) quarantine to zero rows
+    import spark.implicits._
+    val junk = Seq(
+      (100L, "nope".getBytes),
+      (101L, Array[Byte]('G', 'V', 'I', '1', 0, 2, 0, 2, 0, 9))) // claims 9 frames, has none
+      .toDF("media_id", "content")
+    assert(Multimodal.sampleVideoFrames(junk, 6).count() == 0)
+  }
+
   test("JPEG marker walk skips unknown segments and survives truncation") {
     def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     // SOI + COM segment + DQT-ish segment BEFORE SOF0: the walk must skip
@@ -1374,5 +1408,68 @@ class ExtSpec extends SparkSpec {
     assert(part.sample_rate == full.sample_rate)
     // the decoded prefix agrees with the full decode's running stats
     assert(part.sum_sq <= full.sum_sq && part.peak_abs <= full.peak_abs)
+  }
+
+  test("association rules: hand-computed confidence/lift, cap drops mega-groups") {
+    import spark.implicits._
+    val items = Seq(
+      (1, "A"), (1, "B"), (1, "C"),
+      (2, "A"), (2, "B"),
+      (3, "A"), (3, "C"),
+      (4, "B"), (4, "D"),
+      (2, "A") // duplicate (group, item) row: supports count DISTINCT pairs
+    ).toDF("g", "i")
+    val rules = MarketBasket.associationRules(items, "g", "i",
+        minShared = 2, maxGroupSize = 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // pairs >= 2: (A,B)=2, (A,C)=2; N=4; supp A=3 B=3 C=2
+    assert(rules.keySet == Set("A" -> "B", "B" -> "A", "A" -> "C", "C" -> "A"))
+    val ab = rules("A" -> "B")
+    assert(ab.getLong(2) == 2L && ab.getLong(3) == 3L && ab.getLong(4) == 3L)
+    assert(ab.getAs[Double]("confidence") == 2.0 / 3.0)
+    assert(ab.getAs[Double]("lift") == 8.0 / 9.0)
+    val ca = rules("C" -> "A")
+    assert(ca.getAs[Double]("confidence") == 1.0)
+    assert(ca.getAs[Double]("lift") == (2.0 * 4.0) / (2.0 * 3.0))
+    // a 300-item mega-group is dropped whole: no rule mentions its items
+    val mega = (0 until 300).map(k => (99, s"M$k")).toDF("g", "i")
+    val capped = MarketBasket.associationRules(items.unionAll(mega), "g", "i",
+      minShared = 2, maxGroupSize = 256)
+    assert(capped.where(col("antecedent").startsWith("M")).count() == 0)
+    // and the surviving rules are unchanged (N still counts only capped groups)
+    assert(capped.count() == 4)
+  }
+
+  test("dp release: noise table is a valid quantile function, release is deterministic") {
+    val tbl = Privacy.geometricNoiseTable(1.0)
+    assert(tbl.length == 256)
+    // a quantile function is monotone, symmetric for this symmetric
+    // distribution, and centered: the middle buckets draw zero noise
+    assert(tbl.sliding(2).forall(p => p(0) <= p(1)))
+    assert(tbl(127) == 0 && tbl(128) == 0)
+    assert(tbl.zip(tbl.reverse).forall { case (a, b) => a == -b })
+    // ε=1 geometric noise is tiny integers, and its quantized mean is ~0
+    assert(tbl.head >= -10 && tbl.last <= 10)
+    assert(math.abs(tbl.sum) <= 2)
+    // tighter ε (more privacy) never shrinks the tail quantile
+    assert(Privacy.geometricNoiseTable(0.3).last >= tbl.last)
+
+    import spark.implicits._
+    val df = (0 until 400).map(k => (s"seg${k % 4}", k % 7)).toDF("seg", "nat")
+    val rel = Privacy.dpNoisyCounts(df, Seq("seg", "nat"), epsilon = 1.0, seed = "t:")
+    val again = Privacy.dpNoisyCounts(df, Seq("seg", "nat"), epsilon = 1.0, seed = "t:")
+    val a = rel.orderBy("seg", "nat").collect().toSeq
+    assert(a == again.orderBy("seg", "nat").collect().toSeq) // sticky noise
+    assert(a.length == 28)
+    // noisy counts stay within the table's worst-case deviation of truth
+    // (true counts here are 14 or 15) and never go negative
+    a.foreach { r =>
+      val nc = r.getAs[Long]("noisy_count")
+      assert(nc >= 0 && math.abs(nc - 14) <= 11, r.toString)
+    }
+    // a different seed redraws: at least one of 28 groups moves
+    val other = Privacy.dpNoisyCounts(df, Seq("seg", "nat"), 1.0, "u:")
+      .orderBy("seg", "nat").collect().toSeq
+    assert(other != a)
   }
 }
