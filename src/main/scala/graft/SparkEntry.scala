@@ -1038,6 +1038,17 @@ object SparkEntry {
       TextAnalysis.invertedIndex(t(s, dir, "documents"), "doc_id", "text", maxPostings = 20)
     }),
 
+    // exact phrase query over positional postings — the search capability
+    // bag-of-words ranking (q_bm25) cannot express: "table hash" as
+    // ADJACENT tokens (the fixture has docs carrying the phrase twice,
+    // so n_matches > 1 is exercised). Posting explode is filtered to the
+    // query's own terms before any join; (doc, pos)-adjacency equi-join;
+    // per-doc match counts + first hit position
+    "q_phrase_search" -> ((s, dir) => {
+      TextAnalysis.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+        Seq("table", "hash"))
+    }),
+
     // vocabulary-free featurization: tokens → 512 hash buckets, sparse
     // (doc, bucket, count) rows; no fitted dictionary, so every shard of
     // a 100 TB corpus featurizes independently
@@ -1721,6 +1732,34 @@ object SparkEntry {
           graft.sources.Tables.tsMicros(col("ts")) -
             graft.sources.Tables.tsMicros(col("prev_ts")) > 600000000L)
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    }),
+
+    // absence-constrained sequence detection (the MATCH_RECOGNIZE-shaped
+    // pattern a funnel can't express): purchases whose nearest preceding
+    // view is within 1 hour with NO click after that view — "impulse
+    // purchase". ONE window pass computes both last-view and last-click
+    // micros over the same (user, ts, event_id) frame (current row
+    // excluded), so the negative condition costs no anti-join and no
+    // second exchange; ties at the same microsecond resolve by the
+    // deterministic (ts, event_id) order both engines share
+    "q_pattern_match" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val us = graft.sources.Tables.tsMicros(col("ts"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("last_view_us",
+          max(when(col("event_type") === "view", us)).over(w))
+        .withColumn("last_click_us",
+          max(when(col("event_type") === "click", us)).over(w))
+        .where(col("event_type") === "purchase" &&
+          col("last_view_us").isNotNull &&
+          us - col("last_view_us") <= 3600000000L &&
+          (col("last_click_us").isNull ||
+            col("last_click_us") <= col("last_view_us")))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          (us - col("last_view_us")).as("us_since_view"))
     }),
 
     // SCD2 interval building: collapse each user's event stream into
@@ -4118,6 +4157,26 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |  substring(md5('q' || coalesce(cast(doc_id AS varchar), chr(0) || 'null')), 1, 8),
         |  doc_id) <= 30""".stripMargin,
 
+    // positions are 1-based list indices over the SAME empty-filtered
+    // token list; adjacency replayed as g+1/g+2 self-joins; Spark's
+    // 0-based posexplode meets the oracle at min(g) - 1
+    "q_phrase_search" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS ls
+        |  FROM documents),
+        | pos AS (
+        |  SELECT doc_id, g, ls[g] AS term
+        |  FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS g FROM tok)),
+        | m AS (
+        |  SELECT a.doc_id, a.g AS p0
+        |  FROM pos a
+        |  JOIN pos b ON b.doc_id = a.doc_id AND b.g = a.g + 1
+        |  WHERE a.term = 'table' AND b.term = 'hash')
+        |SELECT doc_id, count(*)::BIGINT AS n_matches,
+        |  (min(p0) - 1)::BIGINT AS first_pos
+        |FROM m GROUP BY 1""".stripMargin,
+
     "q_inverted_index" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -4837,6 +4896,22 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |    lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_ts
         |  FROM events)
         |WHERE prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 600000000""".stripMargin,
+
+    // same one-window-pass pattern: both conditional maxima over the
+    // identical (ts, event_id)-ordered frame excluding the current row
+    "q_pattern_match" ->
+      """SELECT user_id, event_id, ts,
+        |  epoch_us(ts) - last_view_us AS us_since_view
+        |FROM (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER w AS last_view_us,
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER w AS last_click_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+        |  AND epoch_us(ts) - last_view_us <= 3600000000
+        |  AND (last_click_us IS NULL OR last_click_us <= last_view_us)""".stripMargin,
 
     // same lag-gate + running-sum run ids, same (ts, event_id) tie-break;
     // run_id is cast to bigint (DuckDB window sums integers as int128)

@@ -589,4 +589,48 @@ object TextAnalysis {
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Exact PHRASE search over a positional posting list — the capability
+    * BM25/TF-IDF ranking cannot express (bag-of-words scoring finds docs
+    * containing "hash" and "join" anywhere; a phrase query finds "hash
+    * join" as adjacent tokens). Token positions are indexed AFTER
+    * empty-token removal (the same token family every text operator
+    * here uses), the k-word phrase becomes k−1 adjacency self-joins on
+    * (doc, position), and matches aggregate to per-doc occurrence counts
+    * plus the first hit position.
+    *
+    * Scale shape: the posting explode is filtered to the phrase's own
+    * terms BEFORE any join — a k-term query touches k posting lists, not
+    * the corpus (the standard inverted-index query plan). Each adjacency
+    * step is a (doc_id, pos) equi-join between frames already shrunk to
+    * single-term postings, carrying only (doc_id, p0) forward; join keys
+    * hash-partition, no window, no driver state. Stop-word-heavy phrases
+    * inherit the usual positional-index skew answer: the hottest term's
+    * list is still bounded by corpus term frequency, and AQE splits the
+    * oversized partitions. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    require(phrase.forall(_.nonEmpty), "phrase terms must be non-empty")
+    val postings = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(T.tokens(lower(col(textCol)))).as(Seq("pos", "term")))
+      .where(col("term").isin(phrase: _*)) // term filter BEFORE any join
+    def listOf(term: String, as: String) =
+      postings.where(col("term") === term)
+        .select(col("doc_id"), col("pos").as(as))
+    val base = listOf(phrase.head, "p0")
+    // explicit aliases at every step: the k posting frames share one
+    // lineage, so bare column refs would trip ambiguous-self-join checks
+    val chained = phrase.zipWithIndex.drop(1).foldLeft(base) {
+      case (acc, (term, i)) =>
+        acc.as("l").join(listOf(term, s"p$i").as("r"),
+            col("l.doc_id") === col("r.doc_id") &&
+            col(s"r.p$i") === col("l.p0") + i)
+          .select(col("l.doc_id").as("doc_id"), col("l.p0").as("p0"))
+    }
+    chained.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("p0")).cast("long").as("first_pos"))
+  }
 }

@@ -87,4 +87,48 @@ class EventOpsSpec extends SparkSpec {
       assert(top <= totalWindows && top > 0)
     } finally { paths.unpersist(); () }
   }
+
+  test("pattern match: view->purchase within 1h with no intervening click") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(mins: Int) = new java.sql.Timestamp(t0.getTime + mins * 60000L)
+    val events = Seq(
+      // u1: view then purchase 30 min later, no click -> MATCH
+      (1L, "u1", "view", at(0)),
+      (2L, "u1", "purchase", at(30)),
+      // u2: view, click, purchase -> click between kills it
+      (3L, "u2", "view", at(0)),
+      (4L, "u2", "click", at(10)),
+      (5L, "u2", "purchase", at(20)),
+      // u3: view then purchase 2h later -> outside window
+      (6L, "u3", "view", at(0)),
+      (7L, "u3", "purchase", at(120)),
+      // u4: click BEFORE the view does not disqualify -> MATCH
+      (8L, "u4", "click", at(0)),
+      (9L, "u4", "view", at(5)),
+      (10L, "u4", "purchase", at(15)),
+      // u5: purchase with no view at all
+      (11L, "u5", "purchase", at(10))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val us = graft.sources.Tables.tsMicros(col("ts"))
+    val out = events
+      .withColumn("last_view_us", max(when(col("event_type") === "view", us)).over(w))
+      .withColumn("last_click_us", max(when(col("event_type") === "click", us)).over(w))
+      .where(col("event_type") === "purchase" && col("last_view_us").isNotNull &&
+        us - col("last_view_us") <= 3600000000L &&
+        (col("last_click_us").isNull || col("last_click_us") <= col("last_view_us")))
+      .select(col("user_id"), (us - col("last_view_us")).as("us_since_view"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("u1", "u4"))
+    assert(out("u1") == 30L * 60 * 1000000)
+    assert(out("u4") == 10L * 60 * 1000000)
+    // the registered query runs end-to-end on the fixture
+    val q = SparkEntry.queries("q_pattern_match")(spark, dir)
+    assert(q.columns.toSeq ==
+      Seq("user_id", "event_id", "ts", "us_since_view"))
+    assert(q.where(col("us_since_view") > 3600000000L || col("us_since_view") < 0).isEmpty)
+  }
 }

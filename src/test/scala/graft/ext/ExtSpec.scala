@@ -1472,4 +1472,25 @@ class ExtSpec extends SparkSpec {
       .orderBy("seg", "nat").collect().toSeq
     assert(other != a)
   }
+
+  test("phrase search: adjacency not bag-of-words, overlaps count, positions exact") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x a b c y a b c a b"), // "a b c" at filtered positions 1 and 5
+      (2L, "c b a a c b"),         // all three terms present, never adjacent
+      (3L, "  a   b c  "),         // whitespace runs collapse; match at 0
+      (4L, null.asInstanceOf[String]),
+      (5L, "a b")                  // prefix only
+    ).toDF("doc_id", "text")
+    val hits = TextAnalysis.phraseSearch(corpus, "doc_id", "text", Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 2 would match under bag-of-words ranking; phrase search rejects it
+    assert(hits.keySet == Set(1L, 3L))
+    assert(hits(1L) == (2L, 1L))
+    assert(hits(3L) == (1L, 0L))
+    // overlapping occurrences each count: "a a a" has two "a a" starts
+    val rep = Seq((9L, "a a a")).toDF("doc_id", "text")
+    val r = TextAnalysis.phraseSearch(rep, "doc_id", "text", Seq("a", "a")).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L)
+  }
 }
