@@ -1868,6 +1868,30 @@ object SparkEntry {
         docs.select(col("doc_id").as("id"), col("n_chars").as("priority")))
     }),
 
+    // field-level survivorship (MDM golden record) — the step AFTER the
+    // row-level keeper q_dedup_keep_best: each cluster merges into one
+    // record whose fields follow per-field rules (name from the LATEST
+    // non-null version, segment from the EARLIEST, balance as the max).
+    // The fixture fans each customer into 1-3 source-system versions
+    // with deterministically planted nulls and version-suffixed values,
+    // so the rules pick DIFFERENT members per field. One cluster-keyed
+    // map-combinable aggregation (struct-argmax per rule; no windows)
+    "q_golden_record" -> ((s, dir) => {
+      val k = col("c_custkey")
+      val v = col("v")
+      val recs = t(s, dir, "customer")
+        .select(k, col("c_name"), col("c_mktsegment"), col("c_acctbal"),
+          explode(sequence(lit(0L), k.cast("long") % 3)).as("v"))
+        .select(k, v,
+          when((k + v * 7) % 3 =!= 0,
+            concat(col("c_name"), lit("-v"), v)).as("name"),
+          when((k + v * 5) % 4 =!= 0,
+            concat(col("c_mktsegment"), lit("/"), v)).as("segment"),
+          (col("c_acctbal") + v).as("acctbal"))
+      Dedup.goldenRecords(recs, "c_custkey", "v",
+        Seq("name" -> "latest", "segment" -> "earliest", "acctbal" -> "max"))
+    }),
+
     // the composed training-data cleaning funnel: sanitize -> quality
     // filter -> exact dedup -> near-dup removal, reported as per-stage
     // survivor counts — value-checked end-to-end by the q_clean_corpus
@@ -3337,6 +3361,25 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |  UNION
         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
         |SELECT src AS id, least(src, min(dst)) AS keep_id FROM reach GROUP BY src""".stripMargin,
+
+    // same planted versions, survivorship replayed as arg_max/arg_min
+    // FILTER non-null (the unique per-cluster version number makes the
+    // Spark struct-argmax and DuckDB arg_max the same function)
+    "q_golden_record" ->
+      """WITH recs AS (
+        |  SELECT c_custkey, v,
+        |    CASE WHEN (c_custkey + v * 7) % 3 <> 0
+        |      THEN c_name || '-v' || cast(v AS varchar) END AS name,
+        |    CASE WHEN (c_custkey + v * 5) % 4 <> 0
+        |      THEN c_mktsegment || '/' || cast(v AS varchar) END AS segment,
+        |    c_acctbal + v AS acctbal
+        |  FROM (SELECT *, unnest(generate_series(0, c_custkey % 3)) AS v
+        |        FROM customer))
+        |SELECT c_custkey, count(*)::BIGINT AS n_records,
+        |  arg_max(name, v) FILTER (WHERE name IS NOT NULL) AS name,
+        |  arg_min(segment, v) FILTER (WHERE segment IS NOT NULL) AS segment,
+        |  max(acctbal) AS acctbal
+        |FROM recs GROUP BY 1""".stripMargin,
 
     "q_dedup_keep_best" ->
       s"""WITH RECURSIVE $charPairsSql,

@@ -665,6 +665,50 @@ object Dedup {
       .select(col("id"), col("cluster_id"), col("best_id"))
   }
 
+  /** FIELD-LEVEL survivorship — the step after [[keepBestPerCluster]]'s
+    * row-level keeper: instead of keeping one member row whole, merge a
+    * GOLDEN RECORD per cluster where each field comes from the member the
+    * field's own rule selects (MDM survivorship in the Talend/Informatica
+    * sense). Rules per field:
+    *
+    *   - "latest":   value from the highest-`priorityCol` member where
+    *                 the field is NON-NULL (a null in a newer version
+    *                 never shadows an older real value)
+    *   - "earliest": same with the lowest priority (first-seen wins)
+    *   - "max"/"min": extreme of the field's non-null values, ignoring
+    *                 priority (e.g. widest coverage, highest balance)
+    *
+    * `priorityCol` must order members uniquely within a cluster (version
+    * number, ingest sequence) — with unique priorities the struct-max is
+    * a pure argmax and never tie-breaks on the value, so any engine
+    * replays it (the SQL twin is `arg_max(f, pr) FILTER (f IS NOT
+    * NULL)`).
+    *
+    * Scale: ONE cluster-keyed aggregation, fully map-side combinable —
+    * every rule is an ordinary max/min over (priority, value) structs, so
+    * a billion-row cluster column still partial-aggregates before the
+    * exchange; no windows, no joins, no per-cluster collect. */
+  def goldenRecords(records: DataFrame, clusterCol: String,
+      priorityCol: String, rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "at least one survivorship rule required")
+    val pr = col(priorityCol)
+    val aggs = rules.map { case (f, rule) =>
+      require(f != priorityCol && f != clusterCol,
+        s"field $f cannot be the priority or cluster column")
+      val v = col(f)
+      (rule match {
+        case "latest"   => max(when(v.isNotNull, struct(pr, v))).getField(f)
+        case "earliest" => min(when(v.isNotNull, struct(pr, v))).getField(f)
+        case "max"      => max(v)
+        case "min"      => min(v)
+        case other => throw new IllegalArgumentException(
+          s"unknown survivorship rule '$other' for field $f")
+      }).as(f)
+    }
+    records.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_records"), aggs: _*)
+  }
+
   /** Sorted-neighborhood candidate pairs (Hernandez-Stolfo), DISTRIBUTED:
     * each record pairs with the next `window` records in global
     * `(keyCol, idCol)` sort order — without ever materializing a global

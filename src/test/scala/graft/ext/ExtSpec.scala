@@ -1493,4 +1493,37 @@ class ExtSpec extends SparkSpec {
     val r = TextAnalysis.phraseSearch(rep, "doc_id", "text", Seq("a", "a")).head()
     assert(r.getLong(1) == 2L && r.getLong(2) == 0L)
   }
+
+  test("golden record: per-field rules pick different members, nulls never shadow") {
+    import spark.implicits._
+    val recs = Seq(
+      // cluster 1: name null in the newest version -> latest falls back to v2;
+      // segment earliest non-null is v2 (v1's is null); balance max is v1's
+      (1L, 1L, Option("alice-v1"), Option.empty[String], Option(50.0)),
+      (1L, 2L, Option("alice-v2"), Option("retail"), Option(10.0)),
+      (1L, 3L, Option.empty[String], Option("corp"), Option(20.0)),
+      // cluster 2: single version, all fields present
+      (2L, 1L, Option("bob"), Option("auto"), Option(7.0)),
+      // cluster 3: a field null in EVERY version stays null in the golden record
+      (3L, 1L, Option.empty[String], Option("x"), Option.empty[Double]),
+      (3L, 2L, Option.empty[String], Option("y"), Option.empty[Double])
+    ).toDF("cluster", "v", "name", "segment", "bal")
+    val golden = Dedup.goldenRecords(recs, "cluster", "v",
+        Seq("name" -> "latest", "segment" -> "earliest", "bal" -> "max"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c1 = golden(1L)
+    assert(c1.getAs[Long]("n_records") == 3L)
+    assert(c1.getAs[String]("name") == "alice-v2")   // v3 null skipped
+    assert(c1.getAs[String]("segment") == "retail")  // earliest non-null = v2
+    assert(c1.getAs[Double]("bal") == 50.0)          // max ignores priority
+    assert(golden(2L).getAs[String]("name") == "bob")
+    val c3 = golden(3L)
+    assert(c3.isNullAt(c3.fieldIndex("name")) && c3.isNullAt(c3.fieldIndex("bal")))
+    assert(c3.getAs[String]("segment") == "x")
+    // unknown rules fail loudly
+    intercept[IllegalArgumentException] {
+      Dedup.goldenRecords(recs, "cluster", "v", Seq("name" -> "newest"))
+    }
+    ()
+  }
 }
