@@ -1000,6 +1000,26 @@ object SparkEntry {
         .select(col("doc_id"), col("change"))
     }),
 
+    // per-COLUMN structural drift between two snapshots (complement of
+    // the row-level q_snapshot_diff): null-rate jumps, cardinality
+    // shifts, value-length drift — the report that gates a new crawl
+    // before training. The cur snapshot plants all three: lang nulled at
+    // doc_id%13, source collapsed to 'mirror' at %5, text lengthened at
+    // %7. One unpivot scan per snapshot, then a |cols|-row join
+    "q_profile_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val prev = docs.where(col("doc_id") % 10 < 8)
+      val cur = docs.where(col("doc_id") % 10 > 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        .withColumn("lang", when(col("doc_id") % 13 === 0,
+          lit(null).cast("string")).otherwise(col("lang")))
+        .withColumn("source", when(col("doc_id") % 5 === 0,
+          lit("mirror")).otherwise(col("source")))
+      graft.operators.Profile.profileDrift(prev, cur,
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+    }),
+
     // benchmark-contamination check: eval set = 5% md5-gated docs, corpus =
     // the rest; per-doc fraction of distinct word 3-grams that leak from
     // the eval set (broadcast bench grams — the corpus never shuffles on
@@ -4441,6 +4461,39 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |SELECT doc_id, rank,
         |  (rank * 10) // (SELECT count(*) FROM documents) AS shard
         |FROM r""".stripMargin,
+
+    // both snapshot profiles generated from one column list (UNION ALL
+    // per column over the varchar rendering), exact distincts, avg char
+    // lengths, and the same IEEE rate/length deltas
+    "q_profile_drift" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      def prof(src: String, p: String) = cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS ${p}_rows,
+           |    sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS ${p}_nulls,
+           |    count(DISTINCT v)::BIGINT AS ${p}_distinct,
+           |    avg(length(v)) AS ${p}_avg_len
+           |  FROM (SELECT cast($c AS varchar) AS v FROM $src)""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH prev AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+         | cur0 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+         |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE lang END AS lang,
+         |    CASE WHEN doc_id % 5 = 0 THEN 'mirror' ELSE source END AS source,
+         |    n_chars
+         |  FROM documents WHERE doc_id % 10 > 0),
+         | pp AS (
+         |  ${prof("prev", "prev")}),
+         | cc AS (
+         |  ${prof("cur0", "cur")})
+         |SELECT col_name, prev_rows, cur_rows, prev_nulls, cur_nulls,
+         |  cur_nulls / cast(cur_rows AS double) -
+         |    prev_nulls / cast(prev_rows AS double) AS null_rate_delta,
+         |  prev_distinct, cur_distinct,
+         |  cur_distinct - prev_distinct AS distinct_delta,
+         |  cur_avg_len - prev_avg_len AS avg_len_delta
+         |FROM pp JOIN cc USING (col_name)""".stripMargin
+    },
 
     "q_snapshot_diff" ->
       """WITH prev AS (
