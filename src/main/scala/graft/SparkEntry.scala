@@ -61,6 +61,23 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** The capped distinct (order, part) basket projection STAGED once per
+    * (JVM, input dir) — q_assoc_rules consumes it four ways (both pair
+    * self-join sides, each support side, N), and without staging each
+    * consumer replays the distinct + cap-window pipeline over lineitem.
+    * Same discipline as [[stagedCoPurchaseEdges]]. */
+  private def stagedBaskets(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val path = s"/tmp/graft_baskets_$digest"
+    if (stagedRefs.add(path))
+      graft.ext.MarketBasket.cappedBaskets(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", maxGroupSize = 256)
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** Integer cents via explicit IEEE arithmetic — the determinism-critical
     * rounding every money aggregate is built on (identical on any engine,
     * unlike double→decimal casts whose rounding differs between Spark and
@@ -2483,11 +2500,13 @@ object SparkEntry {
     // counted supports, N via a one-row broadcast (no driver collect).
     // Same capped basket projection as the graph queries (the one
     // quadratic step is bounded by maxGroupSize); ratios are raw IEEE
-    // long/long divisions so the oracle replays them bit-for-bit
+    // long/long divisions so the oracle replays them bit-for-bit. The
+    // basket frame is STAGED once (four consumers: both self-join sides,
+    // supports, N), and the pair aggregation runs once — both rule
+    // directions explode from the same pair rows
     "q_assoc_rules" -> ((s, dir) => {
-      graft.ext.MarketBasket.associationRules(
-        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
-        "l_orderkey", "l_partkey", minShared = 2, maxGroupSize = 256)
+      graft.ext.MarketBasket.associationRulesFromBaskets(
+        stagedBaskets(s, dir), minShared = 2)
     }),
 
     // Newman modularity of the label-prop communities over the staged

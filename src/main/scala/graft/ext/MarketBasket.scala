@@ -30,24 +30,41 @@ import org.apache.spark.sql.functions._
   * long/long divisions (bit-identical across engines; no rounding). */
 object MarketBasket {
 
-  def associationRules(items: DataFrame, groupCol: String, itemCol: String,
-      minShared: Int = 2, maxGroupSize: Int = 256): DataFrame = {
+  /** The capped DISTINCT basket projection (g, i) every rule metric is
+    * counted over — the shared first stage (identical semantics to
+    * coOccurrencePairs' projection). Exposed so callers can STAGE it
+    * once (parquet/cache) when several derivations consume it: the
+    * un-staged plan would otherwise replay the distinct + cap-window
+    * pipeline for the pair join, each support side, and N. */
+  def cappedBaskets(items: DataFrame, groupCol: String, itemCol: String,
+      maxGroupSize: Int = 256): DataFrame = {
     require(maxGroupSize >= 2, s"maxGroupSize must be >= 2, got $maxGroupSize")
-    val g = items.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    items.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
       .withColumn("__gs", count(lit(1)).over(Window.partitionBy(col("g"))))
       .where(col("__gs") <= maxGroupSize)
       .select(col("g"), col("i"))
+  }
+
+  /** Rules from an already-capped (g, i) basket frame — see the object
+    * doc for semantics. The quadratic pair aggregation runs ONCE: both
+    * rule directions come from exploding each undirected pair into its
+    * two orientations (an `unionAll` of two pair derivations would
+    * re-run the self-join for each branch). */
+  def associationRulesFromBaskets(g: DataFrame, minShared: Int = 2): DataFrame = {
     val nGroups = g.agg(countDistinct(col("g")).as("n_groups"))
     val supp = g.groupBy(col("i")).agg(count(lit(1)).as("supp"))
     val pairs = g.as("x").join(g.as("y"),
         col("x.g") === col("y.g") && col("x.i") < col("y.i"))
       .groupBy(col("x.i").as("pa"), col("y.i").as("pb"))
       .agg(count(lit(1)).as("pair_supp")).where(col("pair_supp") >= minShared)
-    // every undirected co-occurrence yields two candidate rules
-    val directed = pairs.select(col("pa").as("antecedent"),
-        col("pb").as("consequent"), col("pair_supp"))
-      .unionAll(pairs.select(col("pb").as("antecedent"),
-        col("pa").as("consequent"), col("pair_supp")))
+    // every undirected co-occurrence yields two candidate rules — one
+    // explode over the SAME pair rows, not a second pair pipeline
+    val directed = pairs.select(explode(array(
+        struct(col("pa").as("antecedent"), col("pb").as("consequent")),
+        struct(col("pb").as("antecedent"), col("pa").as("consequent")))).as("d"),
+        col("pair_supp"))
+      .select(col("d.antecedent").as("antecedent"),
+        col("d.consequent").as("consequent"), col("pair_supp"))
     directed
       .join(supp.select(col("i").as("antecedent"), col("supp").as("ante_supp")), "antecedent")
       .join(supp.select(col("i").as("consequent"), col("supp").as("cons_supp")), "consequent")
@@ -58,4 +75,9 @@ object MarketBasket {
         ((col("pair_supp") * col("n_groups")) /
           (col("ante_supp") * col("cons_supp")).cast("double")).as("lift"))
   }
+
+  def associationRules(items: DataFrame, groupCol: String, itemCol: String,
+      minShared: Int = 2, maxGroupSize: Int = 256): DataFrame =
+    associationRulesFromBaskets(
+      cappedBaskets(items, groupCol, itemCol, maxGroupSize), minShared)
 }

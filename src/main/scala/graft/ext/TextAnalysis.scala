@@ -612,10 +612,19 @@ object TextAnalysis {
       phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
     require(phrase.forall(_.nonEmpty), "phrase terms must be non-empty")
-    val postings = df
+    val raw = df
       .select(col(idCol).as("doc_id"),
         posexplode(T.tokens(lower(col(textCol)))).as(Seq("pos", "term")))
       .where(col("term").isin(phrase: _*)) // term filter BEFORE any join
+    // materialize the filtered postings ONCE: a k-word phrase otherwise
+    // re-tokenizes the whole corpus k times (once per posting branch).
+    // localCheckpoint (GlobalRank's trade-off, documented there): blocks
+    // are executor-local, so an executor loss re-runs the query — the
+    // right trade for an interactive search; a standing index pipeline
+    // materializes the positional index to storage instead (that is
+    // exactly what invertedIndex produces, extended with positions)
+    val postings =
+      if (phrase.length > 1) raw.localCheckpoint(true) else raw
     def listOf(term: String, as: String) =
       postings.where(col("term") === term)
         .select(col("doc_id"), col("pos").as(as))

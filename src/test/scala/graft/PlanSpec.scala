@@ -625,4 +625,61 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"the domain-bounded median frame fell off the broadcast path:\n${p.take(3000)}")
   }
+
+  test("frame sampling is one shuffle-free pass reading only the id column") {
+    val p = plan("q_frame_sample")
+    assert(!p.contains("Exchange"),
+      s"per-payload frame sampling must not shuffle:\n${p.take(3000)}")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"video synthesis should scan only doc_id:\n${p.take(3000)}")
+    assert(p.contains("MapPartitions"), "the batch-shaped decode loop is gone")
+  }
+
+  test("dp release is one map-combined aggregation, noise as a projection") {
+    val p = plan("q_dp_release")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("partial_count"), "count lost map-side combine")
+  }
+
+  test("golden record is one cluster aggregation with map-side partials, no window") {
+    val p = plan("q_golden_record")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(p.contains("partial_max") && p.contains("partial_min"),
+      s"struct-argmax lost map-side combine:\n${p.take(3000)}")
+    assert(!p.contains("Window"), "survivorship must not need a window")
+  }
+
+  test("phrase search tokenizes once and joins term-filtered postings only") {
+    val p = plan("q_phrase_search")
+    // the corpus explode happens once: posting branches read the
+    // checkpointed postings RDD, not a re-tokenized scan per term
+    assert(!p.contains("Generate posexplode"),
+      s"postings were re-derived instead of reused:\n${p.take(3000)}")
+    assert("Scan ExistingRDD".r.findAllIn(p).size == 2,
+      s"expected both posting branches on the checkpoint:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"term-filtered postings should broadcast:\n${p.take(3000)}")
+  }
+
+  test("association rules: staged baskets, one pair aggregation, pruned support scans") {
+    val p = plan("q_assoc_rules")
+    // the cap-window pipeline ran at staging time, not in the query
+    assert(!p.contains("Window"),
+      s"basket cap must come pre-staged, not recomputed:\n${p.take(3000)}")
+    // ONE pair self-join (both rule directions explode from its output)
+    assert("BroadcastHashJoin \\[g".r.findAllIn(p).size == 1,
+      s"the quadratic pair join must run once:\n${p.take(3000)}")
+    // support/N consumers read only the columns they need from the stage
+    assert(p.contains("ReadSchema: struct<i:bigint>") &&
+      p.contains("ReadSchema: struct<g:bigint>"),
+      s"staged-basket scans lost column pruning:\n${p.take(3000)}")
+  }
+
+  test("profile drift: one scan per snapshot, map-side partials under the distinct") {
+    val p = plan("q_profile_drift")
+    assert("FileScan parquet".r.findAllIn(p).size == 2,
+      s"each snapshot must be profiled in a single unpivot scan:\n${p.take(3000)}")
+    assert(p.contains("Expand"), "unpivot shape lost")
+    assert(p.contains("partial_count"), "profile aggs lost map-side combine")
+  }
 }
