@@ -176,4 +176,46 @@ object CorpusStream {
       .agg(count(lit(1)).as("distinct_chunks"),
         sum(col("len")).as("distinct_chars"),
         sum(col("n_refs")).as("total_refs"))
+
+  /** Stream-maintained EXACT column profile — the continuous form of
+    * [[graft.operators.Profile.columnProfile]] for an always-ingesting
+    * corpus: the state is the per-(column, rendered value) count table
+    * (the [[graft.operators.Incremental.valueCountState]] idea applied
+    * to profiling), which merges with plain count addition, so every
+    * profile statistic — including EXACT distinct counts, which no
+    * algebraic per-batch state can give — recomputes losslessly from
+    * state ∝ |cols| × |distinct values|, never from history. Raw rows
+    * are read once ever; each micro-batch folds in at merge cost
+    * ∝ state size + batch distincts. For genuinely unbounded value
+    * domains swap the value key for a sketch (HLL state), same
+    * pipeline shape, bounded error — the q_approx_distinct trade. */
+  def maintainColumnProfile(stream: DataFrame, statePath: String,
+      checkpoint: String, cols: Seq[String]): StreamingQuery =
+    EventsStream.maintainMergeableState(stream, statePath, checkpoint,
+      stateOf = b => {
+        val p = b.select(cols.map(c => col(c).cast("string").as(c)): _*)
+        p.unpivot(Array.empty[org.apache.spark.sql.Column],
+            cols.map(col).toArray, "col_name", "value")
+          .groupBy(col("col_name"), col("value"))
+          .agg(count(lit(1)).as("cnt"))
+      },
+      stateCols = Seq("col_name", "value", "cnt"),
+      keys = Seq("col_name", "value"),
+      ops = Seq("cnt" -> "sum"))
+
+  /** Serve the profile from the latest maintained state version — row
+    * and value equal to the batch [[graft.operators.Profile
+    * .columnProfile]] over everything ingested (avg_len divides the
+    * same exact long sums the batch Average divides). */
+  def latestColumnProfile(spark: SparkSession, statePath: String): DataFrame =
+    EventsStream.latestStateVersion(spark, statePath, "maintainColumnProfile")
+      .groupBy(col("col_name"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+        count(when(col("value").isNotNull, lit(1))).as("n_distinct"),
+        (sum(when(col("value").isNotNull, length(col("value")) * col("cnt")))
+          .cast("double") /
+          sum(when(col("value").isNotNull, col("cnt"))).cast("double"))
+          .as("avg_len"))
 }

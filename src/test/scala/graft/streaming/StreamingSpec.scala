@@ -437,4 +437,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected,
       s"maintained chunk store $got differs from batch recompute $expected")
   }
+
+  test("stream-maintained column profile equals the batch profile over all history") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val src = java.nio.file.Files.createTempDirectory("graft-prof-src")
+    // plant nulls in one shard so the null-count path is exercised
+    docs.where(col("doc_id") % 2 === 0)
+      .withColumn("lang", when(col("doc_id") % 6 === 0,
+        lit(null).cast("string")).otherwise(col("lang")))
+      .coalesce(1).write.parquet(s"$src/part_a")
+    docs.where(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(s"$src/part_b")
+    val work = java.nio.file.Files.createTempDirectory("graft-prof")
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    def stream = {
+      val schema = spark.read.parquet(s"$src/part_a").schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$src/*")
+    }
+    val q = CorpusStream.maintainColumnProfile(stream, s"$work/state", s"$work/ckpt", cols)
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$work/state")
+      .select("batch_id").distinct().count() >= 2, "expected >=2 micro-batches")
+    val all = spark.read.parquet(s"$src/part_a").unionByName(
+      spark.read.parquet(s"$src/part_b"))
+    val got = CorpusStream.latestColumnProfile(spark, s"$work/state")
+      .orderBy("col_name").collect().toSeq
+    val expected = graft.operators.Profile.columnProfile(all, cols)
+      .orderBy("col_name").collect().toSeq
+    assert(got == expected,
+      s"maintained profile differs from batch recompute:\n$got\nvs\n$expected")
+    // the planted nulls actually registered
+    assert(got.find(_.getString(0) == "lang").get.getLong(2) > 0)
+  }
 }
