@@ -117,6 +117,47 @@ object SparkEntry {
     name
   }
 
+  /** Stage documents HIVE-PARTITIONED by lang once per (JVM, input
+    * dir) — the standard 100 TB layout move for a column every query
+    * filters on: `lang=en/` directories make the filter a PARTITION
+    * filter, so a one-language query never opens the other languages'
+    * files at all (directory-level pruning, cheaper than any row-group
+    * zone map). q_partition_prune pins `PartitionFilters` non-empty in
+    * its plan. */
+  private def partitionedDocsPath(s: SparkSession, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val path = s"/tmp/graft_docs_bylang_$digest"
+    if (stagedRefs.add(path))
+      t(s, dir, "documents").write.mode("overwrite")
+        .partitionBy("lang").parquet(path)
+    path
+  }
+
+  /** Stage two SCHEMA-DRIFTED document snapshots once per (JVM, input
+    * dir): v1 carries (doc_id, text) only — an early export before the
+    * lang/source columns existed — v2 the full schema. The disjoint id
+    * ranges make the union well-defined; q_schema_evolution reads both
+    * with `mergeSchema` and the missing v1 columns surface as nulls,
+    * the contract a long-lived 100 TB dataset's readers depend on as
+    * its schema accretes columns. */
+  private def schemaDriftPaths(s: SparkSession, dir: String): (String, String) = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val p1 = s"/tmp/graft_docs_v1_$digest"
+    val p2 = s"/tmp/graft_docs_v2_$digest"
+    if (stagedRefs.add(p1)) {
+      val docs = t(s, dir, "documents")
+      docs.where(col("doc_id") % 10 < 8)
+        .select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(p1)
+      docs.where(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .write.mode("overwrite").parquet(p2)
+    }
+    (p1, p2)
+  }
+
   /** Stage the documents table as JSONL once per (JVM, input dir) — the
     * q_jsonl_roundtrip fixture. Same staging discipline (and set) as
     * [[bucketedRefTable]]: the one-time write is not charged to every
@@ -1015,6 +1056,30 @@ object SparkEntry {
             .when(col("h_prev") =!= col("h_cur"), lit("changed")))
         .where(col("change").isNotNull)
         .select(col("doc_id"), col("change"))
+    }),
+
+    // partition-pruned one-language scan over the lang=…/ hive layout:
+    // the lang filter is a PARTITION filter (directory pruning — the
+    // other languages' files are never opened; PlanSpec pins
+    // PartitionFilters non-empty and PushedFilters lang-free)
+    "q_partition_prune" -> ((s, dir) => {
+      s.read.parquet(partitionedDocsPath(s, dir))
+        .where(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    }),
+
+    // schema-evolution read: v1 (pre-lang/source export) + v2 unified
+    // via mergeSchema — missing v1 columns surface as nulls, the
+    // contract readers of an accreting 100 TB dataset depend on. The
+    // grouped report separates pre-schema rows (null source) per lang
+    "q_schema_evolution" -> ((s, dir) => {
+      val (p1, p2) = schemaDriftPaths(s, dir)
+      s.read.option("mergeSchema", "true").parquet(p1, p2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("source").isNull, lit(1L)).otherwise(lit(0L))).as("n_preschema"),
+          sum(length(col("text"))).as("total_chars"))
     }),
 
     // per-COLUMN structural drift between two snapshots (complement of
@@ -4534,6 +4599,29 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |SELECT doc_id, rank,
         |  (rank * 10) // (SELECT count(*) FROM documents) AS shard
         |FROM r""".stripMargin,
+
+    // the layout is derived data: the oracle aggregates documents
+    // directly — a hash match proves the partitioned write+read+prune
+    // cycle preserved every row of the pruned language
+    "q_partition_prune" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars
+        |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin,
+
+    // the two staged exports replayed as a projection union — v1 rows
+    // carry NULL lang/source exactly as mergeSchema surfaces them
+    "q_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, cast(NULL AS varchar) AS lang,
+        |    cast(NULL AS varchar) AS source
+        |  FROM documents WHERE doc_id % 10 < 8
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source
+        |  FROM documents WHERE doc_id % 10 >= 8)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_preschema,
+        |  sum(length(text))::BIGINT AS total_chars
+        |FROM u GROUP BY 1""".stripMargin,
 
     // both snapshot profiles generated from one column list (UNION ALL
     // per column over the varchar rendering), exact distincts, avg char

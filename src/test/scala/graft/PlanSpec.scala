@@ -675,6 +675,17 @@ class PlanSpec extends SparkSpec {
       s"staged-basket scans lost column pruning:\n${p.take(3000)}")
   }
 
+  test("partition prune: lang is a PARTITION filter, absent from the data path") {
+    val p = plan("q_partition_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang must prune at the directory level:\n${p.take(3000)}")
+    assert(p.contains("(lang") && p.contains("= en)"), p.take(3000))
+    // the scan reads only the aggregation's columns; lang never appears
+    // as a data filter because it is not IN the files
+    assert(p.contains("ReadSchema: struct<source:string,n_chars:bigint>"),
+      s"column pruning lost on the partitioned layout:\n${p.take(3000)}")
+  }
+
   test("profile drift: one scan per snapshot, map-side partials under the distinct") {
     val p = plan("q_profile_drift")
     assert("FileScan parquet".r.findAllIn(p).size == 2,
