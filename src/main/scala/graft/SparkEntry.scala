@@ -854,6 +854,21 @@ object SparkEntry {
         .select(col("node").as("node_id"), col("hops"))
     }),
 
+    // sampled harmonic closeness centrality (Eppstein-Wang estimator
+    // shape): per-source BFS from an md5-gated ~3% node sample,
+    // distances truncated at 4 hops, the harmonic sum computed
+    // fraction-free as Σ 12/d integers + ONE final division — no float
+    // summation order to disagree on. Sample size and hop cap are the
+    // two explicit scale knobs; the frontier is (seed, node)-keyed
+    "q_closeness" -> ((s, dir) => {
+      val edges = stagedCoPurchaseEdges(s, dir)
+      val seeds = edges.select(col("pa").as("seed"))
+        .union(edges.select(col("pb").as("seed"))).distinct()
+        .where(graft.functions.HashFunctions
+          .md5PrefixLong("cc:", col("seed"), 8) % 29 === 0)
+      graft.graph.GraphOps.harmonicCloseness(edges, "pa", "pb", seeds, maxHops = 4)
+    }),
+
     // 3-core of the co-purchase graph by distributed batch peeling
     // (membership + in-core degree): a deterministic set fixpoint —
     // integers, no tie-breaks — so the oracle replays the peel as 16
@@ -5552,6 +5567,33 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |  SELECT e.b, r.d + 1 FROM reach r JOIN edges e ON e.a = r.node
         |  WHERE r.d < 4)
         |SELECT node AS node_id, min(d) AS hops FROM reach GROUP BY node""".stripMargin,
+
+    // same capped projection; per-seed recursive closure with the depth
+    // guard, the same md5 seed gate, 12//d integer terms, one division
+    "q_closeness" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT l_orderkey, l_partkey
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
+        | ed AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | edges AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+        | seeds AS (
+        |  SELECT DISTINCT a AS node FROM edges
+        |  WHERE ('0x' || substr(md5('cc:' || cast(a AS varchar)), 1, 8))::BIGINT % 29 = 0),
+        | reach(seed, node, d) AS (
+        |  SELECT node, node, 0::BIGINT FROM seeds
+        |  UNION
+        |  SELECT r.seed, e.b, r.d + 1 FROM reach r JOIN edges e ON e.a = r.node
+        |  WHERE r.d < 4),
+        | dist AS (SELECT seed, node, min(d) AS hops FROM reach GROUP BY 1, 2)
+        |SELECT node AS node_id, count(*)::BIGINT AS n_reached,
+        |  sum(12 // hops)::BIGINT AS harmonic_num,
+        |  cast(sum(12 // hops) AS double) / cast(12 AS double) AS harmonic
+        |FROM dist WHERE hops > 0 GROUP BY 1""".stripMargin,
 
     // same capped edge projection as q_triangles; wedges at the middle
     // vertex, stop-hub cap (a no-op at fixture scale, mirrored for

@@ -422,6 +422,62 @@ object GraphOps {
     relaxRounds(eSelf, seeds.select(col("node"), lit(0L).as("hops")), maxHops)
   }
 
+  /** Multi-source BFS with PER-SOURCE distances: (seed, node, hops) for
+    * every node within `maxHops` of each seed — the primitive sampled
+    * centrality estimators are built from ([[harmonicCloseness]]), where
+    * [[bfsDistances]]' collective-min over the seed set would be wrong.
+    *
+    * Scale shape: the frontier is keyed (seed, node), so total work is
+    * Σ_seed |B(seed, maxHops)| — the SAMPLE SIZE is the scale knob, and
+    * each round is one (node ~ edge) equi-join plus a min-combine
+    * aggregation, both hash-partitioned and map-side combined. Self-loop
+    * weight-0 edges make the plain join-min recurrence monotone (settled
+    * distances survive each round without a union). The edge frame is
+    * checkpointed once (same rationale as [[bfsDistances]]). */
+  def multiSourceBfs(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .where(col("a") =!= col("b")).distinct()
+      .select(col("a"), col("b"), lit(1L).as("w"))
+    val eSelf = e.unionByName(
+      e.select(col("a")).distinct().select(col("a"), col("a").as("b"), lit(0L).as("w")))
+      .localCheckpoint(true)
+    var d = seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
+    var i = 0
+    while (i < maxHops) {
+      d = d.as("d").join(eSelf.as("e"), col("d.node") === col("e.a"))
+        .select(col("d.seed").as("seed"), col("e.b").as("node"),
+          (col("d.hops") + col("e.w")).as("hops"))
+        .groupBy(col("seed"), col("node")).agg(min(col("hops")).as("hops"))
+      i += 1
+    }
+    d
+  }
+
+  /** Sampled HARMONIC closeness centrality (Boldi-Vigna's centrality of
+    * choice for disconnected graphs — unreachable nodes contribute 0
+    * instead of poisoning the mean): per node, Σ_seed 1/d(seed, node)
+    * over a seed SAMPLE, distances truncated at `maxHops` (the
+    * Eppstein-Wang estimator shape: sampling bounds work, truncation
+    * bounds rounds; both knobs are explicit). Fraction-free determinism:
+    * the sum is computed as Σ lcm(1..maxHops)/d — every term an EXACT
+    * integer — and divided back out once, so any engine replays it
+    * bit-for-bit with no float-summation-order contract. */
+  def harmonicCloseness(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, maxHops: Int): DataFrame = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val denom = (1 to maxHops).foldLeft(1L)((l, h) => l / gcd(l, h) * h)
+    multiSourceBfs(edges, srcCol, dstCol, seeds, maxHops)
+      .where(col("hops") > 0)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr(s"$denom div hops")).as("harmonic_num"))
+      .select(col("node").as("node_id"), col("n_reached"), col("harmonic_num"),
+        (col("harmonic_num").cast("double") / lit(denom.toDouble)).as("harmonic"))
+  }
+
   /** [[bfsDistances]] seeded at the graph's minimum node id, derived from
     * the ALREADY-materialized edge frame — a caller-built seed aggregate
     * over the raw edge derivation would re-run that (possibly expensive)

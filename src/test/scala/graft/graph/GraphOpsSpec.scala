@@ -466,4 +466,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(m(20L) == 20L && m(21L) == 20L && m(22L) == 20L)
     assert(peels <= 4, s"expected few peels on a 3-chain of SCCs, took $peels")
   }
+
+  test("multi-source BFS keeps per-seed distances; harmonic closeness sums exactly") {
+    import spark.implicits._
+    // path 1-2-3-4-5-6 plus isolated pair 8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (8L, 9L))
+      .toDF("s", "d")
+    val seeds = Seq(1L, 5L).toDF("seed")
+    val dist = GraphOps.multiSourceBfs(edges, "s", "d", seeds, maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // per-seed, not collective-min: node 4 is 3 from seed 1 AND 1 from seed 5
+    assert(dist((1L, 4L)) == 3L && dist((5L, 4L)) == 1L)
+    assert(dist((1L, 1L)) == 0L && dist((5L, 2L)) == 3L)
+    // truncation: node 6 is 5 hops from seed 1 -> absent for that seed
+    assert(!dist.contains((1L, 6L)) && dist((5L, 6L)) == 1L)
+    // unreachable component never appears
+    assert(!dist.keys.exists(k => k._2 == 8L || k._2 == 9L))
+
+    val close = GraphOps.harmonicCloseness(edges, "s", "d", seeds, maxHops = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // node 4: 1/3 (from 1) + 1/1 (from 5) = (4+12)/12; lcm(1..3)=6 -> num=2+6=8, /6
+    assert(close(4L) == ((2L, 8L, 8.0 / 6.0)))
+    // node 3: 1/2 + 1/2 -> num 3+3=6
+    assert(close(3L) == ((2L, 6L, 1.0)))
+    // node 1: its own seed distance is 0 (self-distances never count) and
+    // seed 5 sits 4 hops away (truncated) -> absent from the report
+    assert(!close.contains(1L))
+    ()
+  }
 }
