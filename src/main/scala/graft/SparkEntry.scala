@@ -1073,6 +1073,21 @@ object SparkEntry {
         .select(col("doc_id"), col("change"))
     }),
 
+    // offline classifier evaluation: exact tie-aware ROC AUC (integer
+    // Mann-Whitney — per distinct score, positives pair with negatives
+    // strictly below + half the ties; ONE final division) plus the
+    // confusion counts and precision/recall/F1 at the n_chars >= 306
+    // operating point, label = "is English". The cumulative step joins
+    // the SMALL per-distinct-score frame, never the rows — score-domain
+    // bounded, no global window, no single partition
+    "q_classifier_eval" -> ((s, dir) => {
+      graft.ext.Evaluation.binaryClassifierReport(
+        t(s, dir, "documents"),
+        labelCol = col("lang") === "en",
+        scoreCol = col("n_chars"),
+        threshold = lit(306L))
+    }),
+
     // partition-pruned one-language scan over the lang=…/ hive layout:
     // the lang filter is a PARTITION filter (directory pruning — the
     // other languages' files are never opened; PlanSpec pins
@@ -4614,6 +4629,38 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |SELECT doc_id, rank,
         |  (rank * 10) // (SELECT count(*) FROM documents) AS shard
         |FROM r""".stripMargin,
+
+    // identical integer U statistic and threshold counts, the same
+    // single divisions ("precision" quoted — reserved word there)
+    "q_classifier_eval" ->
+      """WITH r AS (
+        |  SELECT (lang = 'en') AS y, n_chars AS s, n_chars >= 306 AS pred
+        |  FROM documents),
+        | conf AS (
+        |  SELECT
+        |    sum(CASE WHEN y AND pred THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN NOT y AND pred THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |    sum(CASE WHEN y AND NOT pred THEN 1 ELSE 0 END)::BIGINT AS fn,
+        |    sum(CASE WHEN NOT y AND NOT pred THEN 1 ELSE 0 END)::BIGINT AS tn
+        |  FROM r),
+        | byscore AS (
+        |  SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
+        |    sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n
+        |  FROM r GROUP BY 1),
+        | below AS (
+        |  SELECT a.s, a.p, a.n, coalesce(sum(b.n), 0)::BIGINT AS neg_below
+        |  FROM byscore a LEFT JOIN byscore b ON b.s < a.s
+        |  GROUP BY 1, 2, 3),
+        | auc AS (
+        |  SELECT sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg,
+        |    sum(p * neg_below * 2 + p * n)::BIGINT AS auc_num
+        |  FROM below)
+        |SELECT n_pos, n_neg, tp, fp, fn, tn,
+        |  cast(auc_num AS double) / cast(n_pos * n_neg * 2 AS double) AS auc,
+        |  cast(tp AS double) / cast(tp + fp AS double) AS "precision",
+        |  cast(tp AS double) / cast(tp + fn AS double) AS recall,
+        |  cast(tp * 2 AS double) / cast(tp * 2 + fp + fn AS double) AS f1
+        |FROM conf CROSS JOIN auc""".stripMargin,
 
     // the layout is derived data: the oracle aggregates documents
     // directly — a hash match proves the partitioned write+read+prune

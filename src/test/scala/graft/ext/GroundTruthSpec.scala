@@ -471,4 +471,27 @@ class GroundTruthSpec extends SparkSpec {
     assert(math.abs(estimate - 0.5) < 4.0 / math.sqrt(k),
       s"containment estimate $estimate outside the sampling band around 0.5")
   }
+  test("classifier report: hand-computed tie-aware AUC and threshold metrics") {
+    import spark.implicits._
+    // pos scores {1,2}, neg {2,3}: of the 4 pos-neg pairs only the (2,2)
+    // tie contributes (half) -> AUC = 0.5/4 = 0.125
+    val df = Seq((1L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("score", "label")
+    val r = Evaluation.binaryClassifierReport(df, col("label"), col("score"),
+      lit(2L)).head()
+    assert(r.getAs[Double]("auc") == 0.125)
+    // threshold >= 2: tp=1 (the 2+), fp=2 (2-, 3-), fn=1 (1+), tn=0
+    assert(r.getAs[Long]("tp") == 1 && r.getAs[Long]("fp") == 2 &&
+      r.getAs[Long]("fn") == 1 && r.getAs[Long]("tn") == 0)
+    assert(r.getAs[Double]("precision") == 1.0 / 3.0)
+    assert(r.getAs[Double]("recall") == 0.5)
+    assert(r.getAs[Double]("f1") == 2.0 / 5.0)
+    // a perfect separator scores AUC exactly 1.0, an inverted one 0.0
+    val sep = Seq((10L, true), (9L, true), (2L, false), (1L, false))
+      .toDF("score", "label")
+    assert(Evaluation.binaryClassifierReport(sep, col("label"), col("score"),
+      lit(5L)).head().getAs[Double]("auc") == 1.0)
+    assert(Evaluation.binaryClassifierReport(sep, !col("label"), col("score"),
+      lit(5L)).head().getAs[Double]("auc") == 0.0)
+  }
 }
