@@ -1088,6 +1088,18 @@ object SparkEntry {
         threshold = lit(306L))
     }),
 
+    // decile gains/lift triage: "keep the top-k% by score — what share
+    // of positives is captured?" Exact 0-based global rank (range
+    // partition + broadcast offsets, no single reducer), integer `div`
+    // bucketing, cumulative step on the broadcast 10-row frame; every
+    // rate one IEEE division of integer products
+    "q_decile_lift" -> ((s, dir) => {
+      graft.ext.Evaluation.decileLift(
+        t(s, dir, "documents"),
+        labelCol = col("lang") === "en",
+        scoreCol = col("n_chars"), idCol = col("doc_id"))
+    }),
+
     // partition-pruned one-language scan over the lang=…/ hive layout:
     // the lang filter is a PARTITION filter (directory pruning — the
     // other languages' files are never opened; PlanSpec pins
@@ -4629,6 +4641,30 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |SELECT doc_id, rank,
         |  (rank * 10) // (SELECT count(*) FROM documents) AS shard
         |FROM r""".stripMargin,
+
+    // same 0-based rank (row_number − 1 under the identical total
+    // order), same integer `//` buckets and single divisions
+    "q_decile_lift" ->
+      """WITH r AS (
+        |  SELECT (lang = 'en') AS y,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+        |  FROM documents),
+        | t AS (SELECT count(*)::BIGINT AS total FROM r),
+        | b AS (
+        |  SELECT (r.r * 10) // t.total AS bucket, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS pos
+        |  FROM r, t GROUP BY 1),
+        | tot AS (SELECT sum(n)::BIGINT AS tot_n, sum(pos)::BIGINT AS tot_pos FROM b),
+        | c AS (
+        |  SELECT a.bucket, a.n, a.pos, sum(b2.pos)::BIGINT AS cum_pos
+        |  FROM b a JOIN b b2 ON b2.bucket <= a.bucket
+        |  GROUP BY 1, 2, 3)
+        |SELECT c.bucket, c.n, c.pos, c.cum_pos,
+        |  cast(c.pos AS double) / cast(c.n AS double) AS pos_rate,
+        |  cast(c.pos * tot.tot_n AS double) /
+        |    cast(c.n * tot.tot_pos AS double) AS lift,
+        |  cast(c.cum_pos AS double) / cast(tot.tot_pos AS double) AS cum_capture
+        |FROM c, tot""".stripMargin,
 
     // identical integer U statistic and threshold counts, the same
     // single divisions ("precision" quoted — reserved word there)

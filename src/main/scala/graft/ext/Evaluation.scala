@@ -57,4 +57,45 @@ object Evaluation {
       ((col("tp") * 2).cast("double") /
         (col("tp") * 2 + col("fp") + col("fn")).cast("double")).as("f1"))
   }
+
+  /** Decile lift / cumulative-gains analysis — "if we keep only the
+    * top-k% by this score, what fraction of the positives do we
+    * capture?", the triage report that decides a quality score's keep
+    * threshold. Rows are ranked score-DESC by the distributed exact
+    * global rank (range partition + broadcast offsets — no single
+    * reducer; ties broken by `idCol` so both engines bucket
+    * identically), bucket = ((rank−1)·buckets) div total. Per-bucket and
+    * cumulative counts are integers; rate/lift/capture are single IEEE
+    * divisions of integer products. The cumulative step self-joins the
+    * `buckets`-row frame — constant-size, broadcast. */
+  def decileLift(df: DataFrame, labelCol: Column, scoreCol: Column,
+      idCol: Column, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val rows = df.select(labelCol.cast("boolean").as("y"),
+      scoreCol.as("s"), idCol.as("id"))
+    val (ranked, total) = graft.operators.GlobalRank.withGlobalRankAndCount(
+      rows, Seq(col("s").desc, col("id")), "r")
+    val byBucket = ranked
+      // the exact rank is 0-based; `div` keeps the bucket arithmetic in
+      // integers (a double divide would wobble near bucket edges at
+      // billion-row totals)
+      .select(col("y"), expr(s"(r * $buckets) div ${total}L").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+    val totals = byBucket.agg(sum(col("n")).as("tot_n"), sum(col("pos")).as("tot_pos"))
+    val cum = byBucket.as("a")
+      .join(broadcast(byBucket.select(col("bucket").as("b2"), col("pos").as("p2"))),
+        col("b2") <= col("a.bucket"))
+      .select(col("a.bucket").as("bucket"), col("a.n").as("n"),
+        col("a.pos").as("pos"), col("p2"))
+      .groupBy(col("bucket"), col("n"), col("pos"))
+      .agg(sum(col("p2")).as("cum_pos"))
+    cum.crossJoin(broadcast(totals)).select(
+      col("bucket"), col("n"), col("pos"), col("cum_pos"),
+      (col("pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+      ((col("pos") * col("tot_n")).cast("double") /
+        (col("n") * col("tot_pos")).cast("double")).as("lift"),
+      (col("cum_pos").cast("double") / col("tot_pos").cast("double")).as("cum_capture"))
+  }
 }

@@ -494,4 +494,20 @@ class GroundTruthSpec extends SparkSpec {
     assert(Evaluation.binaryClassifierReport(sep, !col("label"), col("score"),
       lit(5L)).head().getAs[Double]("auc") == 0.0)
   }
+
+  test("decile lift: balanced buckets, capture monotone to 1.0, counts conserve") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val d = Evaluation.decileLift(docs, col("lang") === "en",
+        col("n_chars"), col("doc_id"))
+      .orderBy("bucket").collect()
+    assert(d.length == 10 && d.map(_.getLong(0)).toSeq == (0L to 9L))
+    // equal-frequency buckets within one row of each other
+    val ns = d.map(_.getLong(1))
+    assert(ns.max - ns.min <= 1, ns.toSeq.toString)
+    // cumulative capture is monotone and exhaustive
+    val cap = d.map(_.getAs[Double]("cum_capture"))
+    assert(cap.sliding(2).forall(p => p(0) <= p(1)) && cap.last == 1.0)
+    // conservation: per-bucket positives sum to the cumulative tail
+    assert(d.map(_.getLong(2)).sum == d.last.getLong(3))
+  }
 }
