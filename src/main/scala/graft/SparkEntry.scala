@@ -854,6 +854,19 @@ object SparkEntry {
         .select(col("node").as("node_id"), col("hops"))
     }),
 
+    // 3-truss of the co-purchase graph (edge-level cohesion, one notch
+    // stronger than the k-core): peel every triangle-free edge to the
+    // fixpoint, reporting survivors with in-truss support. Each round
+    // re-derives the degree orientation on the shrinking edge set, so
+    // the wedge join keeps its O(m^1.5) skew bound all the way down.
+    // (k = 3 is the fixture-honest choice: the 4-truss of this graph is
+    // EMPTY — almost no co-purchase edge sits in two triangles — and an
+    // empty oracle row set certifies nothing; the K4 cascade at k = 4/5
+    // is pinned in GraphOpsSpec instead.)
+    "q_k_truss" -> ((s, dir) => {
+      graft.graph.GraphOps.kTruss(stagedCoPurchaseEdges(s, dir), "pa", "pb", k = 3)
+    }),
+
     // sampled harmonic closeness centrality (Eppstein-Wang estimator
     // shape): per-source BFS from an md5-gated ~3% node sample,
     // distances truncated at 4 hops, the harmonic sum computed
@@ -5650,6 +5663,38 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |  SELECT e.b, r.d + 1 FROM reach r JOIN edges e ON e.a = r.node
         |  WHERE r.d < 4)
         |SELECT node AS node_id, min(d) AS hops FROM reach GROUP BY node""".stripMargin,
+
+    // the peel unrolled: measured convergence is 1 drop round at this
+    // fixture; 3 rounds are unrolled (extra rounds are no-ops on a
+    // converged set), then the final support recomputes on the
+    // stabilized edges — same left-join/zero-coalesce as the operator
+    "q_k_truss" -> {
+      def peel(i: Int) =
+        s""", tri$i AS (
+           |  SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e$i e1
+           |  JOIN e$i e2 ON e1.b = e2.a
+           |  JOIN e$i e3 ON e3.a = e1.a AND e3.b = e2.b),
+           | sup$i AS (
+           |  SELECT a, b, count(*)::BIGINT AS sup FROM (
+           |    SELECT x AS a, y AS b FROM tri$i
+           |    UNION ALL SELECT x, z FROM tri$i
+           |    UNION ALL SELECT y, z FROM tri$i) GROUP BY 1, 2),
+           | e${i + 1} AS (SELECT a, b FROM sup$i WHERE sup >= 1)""".stripMargin
+      s"""WITH li AS (
+         |  SELECT l_orderkey, l_partkey
+         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
+         | e0 AS (
+         |  SELECT x.l_partkey AS a, y.l_partkey AS b
+         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+         |    AND x.l_partkey < y.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2)
+         |${peel(0)}
+         |${peel(1)}
+         |${peel(2)}
+         |SELECT e.a, e.b, coalesce(f.sup, 0) AS support
+         |FROM e3 e LEFT JOIN sup2 f USING (a, b)""".stripMargin
+    },
 
     // same capped projection; per-seed recursive closure with the depth
     // guard, the same md5 seed gate, 12//d integer terms, one division

@@ -927,6 +927,92 @@ object GraphOps {
     (adj.groupBy(col("s").as("node_id")).agg(count(lit(1)).as("core_degree")), round)
   }
 
+  /** k-truss decomposition by batch peeling — the EDGE-level cohesion
+    * twin of [[kCore]]: repeatedly drop every edge supported by fewer
+    * than k−2 triangles until the support fixpoint; the survivors are
+    * the (unique, maximal) k-truss, the standard "community core"
+    * extraction one notch stronger than the k-core (every k-truss edge
+    * is in the (k−1)-core, not vice versa). Returns surviving canonical
+    * (a < b) edges with their IN-TRUSS support.
+    *
+    * Scale shape per round: one degree aggregation + the DEGREE-ORIENTED
+    * wedge-close join of [[triangleCounts]] (out-degrees bounded by
+    * O(√m) regardless of skew — the same hot-node defense, re-derived
+    * each round on the shrinking edge set), one per-edge support
+    * aggregation, one anti-join. The edge set only shrinks. Round count
+    * is the truss peeling depth — small on real graphs, O(m)
+    * adversarially, hence the loud `maxRounds` guard (the
+    * [[kCore]]/[[connectedComponentsStar]] contract).
+    *
+    * Determinism: a fixpoint of a set recurrence — no tie-breaks, no
+    * floats — so the oracle replays the peel as unrolled CTEs and
+    * equality is exact. */
+  def kTrussWithRounds(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxRounds: Int = 100): (DataFrame, Int) = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    // per-edge triangle support on the CURRENT edge set, degree-oriented
+    def support(ed: DataFrame): DataFrame = {
+      val deg = ed.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val wd = ed
+        .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      // orient from the (degree, id)-smaller endpoint
+      val oriented = wd.select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+      val tris = oriented.as("o1")
+        .join(oriented.as("o2"),
+          col("o1.u") === col("o2.u") && col("o1.v") < col("o2.v"))
+        .select(col("o1.u").as("u"), col("o1.v").as("v1"), col("o2.v").as("v2"))
+        .join(ed.as("c"),
+          col("c.a") === least(col("v1"), col("v2")) &&
+          col("c.b") === greatest(col("v1"), col("v2")))
+        .select(col("u"), col("v1"), col("v2"))
+      tris.select(explode(array(
+          struct(least(col("u"), col("v1")).as("a"), greatest(col("u"), col("v1")).as("b")),
+          struct(least(col("u"), col("v2")).as("a"), greatest(col("u"), col("v2")).as("b")),
+          struct(least(col("v1"), col("v2")).as("a"), greatest(col("v1"), col("v2")).as("b"))))
+          .as("ed"))
+        .select(col("ed.a").as("a"), col("ed.b").as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+    }
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val sup = support(e)
+      // an edge missing from the support frame is in zero triangles —
+      // the left join + coalesce keeps it visible to the < k-2 drop
+      val low = e.join(sup, Seq("a", "b"), "left")
+        .where(coalesce(col("sup"), lit(0L)) < (k - 2).toLong)
+        .select(col("a"), col("b")).localCheckpoint(true)
+      if (low.limit(1).collect().isEmpty) done = true
+      else {
+        round += 1
+        e = e.join(low, Seq("a", "b"), "left_anti")
+          .localCheckpoint(true)
+      }
+    }
+    require(done,
+      s"k-truss peeling did not stabilize in $maxRounds rounds — truss depth " +
+        "exceeds the guard (adversarial edge chain?)")
+    (e.join(support(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("sup"), lit(0L)).as("support")),
+      round)
+  }
+
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxRounds: Int = 100): DataFrame =
+    kTrussWithRounds(edges, srcCol, dstCol, k, maxRounds)._1
+
   /** Strongly connected components, two-tier (the
     * [[graft.ext.Dedup]] cluster-resolution pattern): a bounded probe
     * (`limit(n+1).count()` — edge rows reach the driver only AFTER the

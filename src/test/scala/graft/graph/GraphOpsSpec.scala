@@ -495,4 +495,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(!close.contains(1L))
     ()
   }
+
+  test("k-truss: K4 survives at k=4, cascading peel empties weak structure") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every edge in 2 triangles), a triangle {5,6,7}
+    // hanging off node 4 via edge 4-5, and a pendant edge 7-8
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val tri = Seq((5L, 6L), (6L, 7L), (5L, 7L))
+    val edges = (k4 ++ tri ++ Seq((4L, 5L), (7L, 8L))).toDF("s", "d")
+    val (t4, rounds4) = GraphOps.kTrussWithRounds(edges, "s", "d", k = 4)
+    val got4 = t4.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // only K4 survives k=4; every surviving edge keeps support 2
+    assert(got4.keySet == k4.toSet, got4.toString)
+    assert(got4.values.forall(_ == 2L))
+    assert(rounds4 >= 1) // the bridge/pendant/triangle fringe peeled away
+    // k=3 keeps both triangles' edges (support >= 1) but peels the
+    // bridge 4-5 and pendant 7-8 (zero triangles)
+    val got3 = GraphOps.kTruss(edges, "s", "d", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got3 == (k4 ++ tri).toSet)
+    // k=5 on K4: each edge has support 2 < 3 -> everything peels; the
+    // operator returns the empty truss rather than erroring
+    assert(GraphOps.kTruss(edges, "s", "d", k = 5).isEmpty)
+  }
 }
