@@ -359,6 +359,31 @@ object SparkEntry {
         graft.functions.Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
     }),
 
+    // sequence packing on the REAL token budget: same concat-and-chunk
+    // layout as q_pack_sequences, but the per-doc counts are the
+    // byte-level BPE tokenizer's (trained on the same bounded sample as
+    // q_bpe_tokens) — the budget a production packer actually fills
+    // sequences against, not a whitespace proxy. One user window pass
+    // per source shard; the oracle replays training, tokenization AND
+    // the cumulative layout
+    "q_pack_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sample = docs
+        .where(col("doc_id") < 50 && col("text").isNotNull && length(col("text")) > 0)
+        .select(col("text")).collect().map(_.getString(0)).toSeq
+      val merges = graft.functions.Bpe.train(sample, numMerges = 24)
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.select(col("doc_id"), col("source"),
+          graft.functions.Bpe.tokenCount(col("text"), merges)
+            .cast("long").as("n_tokens"))
+        .where(col("n_tokens").isNotNull && col("n_tokens") > 0)
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("pack_id", expr("cum_before div 2048"))
+        .withColumn("offset", col("cum_before") % 2048)
+        .drop("cum_before")
+    }),
+
     "q_token_budget" -> ((s, dir) => {
       val weighted = t(s, dir, "documents")
         .groupBy(col("source"))
@@ -3299,7 +3324,7 @@ object SparkEntry {
     * chain goes exponential (measured: >120 s inlined, 0.14 s
     * materialized). The coalesce sentinel ('~' is not a hex symbol) keeps
     * a hypothetically-empty sample from turning `replace` NULL. */
-  private val bpeTokensOracleSql: String = {
+  private def bpeOracleSql(finalSelect: String => String): String = {
     val n = 24
     val wrap = """regexp_replace(hex(text), '(..)', ',\1,', 'g')"""
     def m(i: Int, s: String): String = s"coalesce((SELECT $s FROM m$i), '~')"
@@ -3319,15 +3344,33 @@ object SparkEntry {
  s$i AS MATERIALIZED (SELECT ${step(i)} AS s FROM s${i - 1})"""
     }
     sb ++= s""",
- a0 AS (SELECT doc_id, $wrap AS s FROM documents)"""
+ a0 AS (SELECT doc_id, source, $wrap AS s FROM documents)"""
     for (i <- 1 to n) {
       sb ++= s""",
- a$i AS (SELECT doc_id, ${step(i)} AS s FROM a${i - 1})"""
+ a$i AS (SELECT doc_id, source, ${step(i)} AS s FROM a${i - 1})"""
     }
-    sb ++= s"""
-SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_tokens FROM a$n"""
+    sb ++= finalSelect(s"a$n")
     sb.toString
   }
+
+  private val bpeTokensOracleSql: String = bpeOracleSql(last => s"""
+SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_tokens FROM $last""")
+
+  /** q_pack_bpe: the same replayed tokenizer, then the pack layout as a
+    * per-source cumulative window over BPE counts (HUGEINT window sum
+    * cast back to BIGINT before the div/mod). */
+  private val packBpeOracleSql: String = bpeOracleSql(last => s"""
+, cnt AS (
+  SELECT doc_id, source,
+    ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_tokens
+  FROM $last)
+SELECT doc_id, source, n_tokens,
+  cum_before // 2048 AS pack_id, cum_before % 2048 AS offset
+FROM (
+  SELECT doc_id, source, n_tokens,
+    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+  FROM cnt WHERE n_tokens IS NOT NULL AND n_tokens > 0)""")
 
   /** The q_image_near_dup oracle: rebuild the 9×8 gradient BMPs hex-for-
     * hex ([[graft.ext.Multimodal.synthesizeGradientImages]]), read every
@@ -3762,6 +3805,7 @@ SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_token
         |ORDER BY abs(d.cnt * b.n_obs - b.cell_sum) DESC, d.event_type, d.hour_idx
         |LIMIT 50""".stripMargin,
     "q_bpe_tokens" -> bpeTokensOracleSql,
+    "q_pack_bpe" -> packBpeOracleSql,
 
     // the full cleaning funnel, replayed stage by stage: sanitize (scrub
     // pattern), the composite quality formula, exact dedup (min-id keeper),

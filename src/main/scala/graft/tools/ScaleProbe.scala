@@ -77,7 +77,7 @@ object ScaleProbe {
     // for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate",
@@ -494,6 +494,29 @@ object ScaleProbe {
       val tPt = tq("q_pattern_match")
       val tPd = tq("q_profile_drift")
       println(f"""SCALE_R7G {"factor":$f, "frame_sample":$tFs%.2f, "assoc_rules":$tAr%.2f, "dp_release":$tDp%.2f, "golden_record":$tGr%.2f, "phrase_search":$tPs%.2f, "pattern_match":$tPt%.2f, "profile_drift":$tPd%.2f}""")
+      }
+
+      // round-7 eighth wave. Axes: closeness and k-truss ride the staged
+      // co-purchase projection (disjoint per-copy graphs — seed count
+      // and triangle structure scale with copies, truss peel depth does
+      // not); the ER pipeline's global ranks and jw scoring grow with
+      // the rotated part dictionary; classifier eval's AUC join is
+      // score-domain-bounded while its scan grows; decile lift is the
+      // exact-rank machinery end to end; partition-prune reads ONE
+      // language's directories of a corpus that grows linearly;
+      // pack_bpe is a per-source window over native-BPE-counted rows
+      // (warm the staged partitioned layout outside the timing, as r7g
+      // does for baskets).
+      if (groups("r7h")) {
+      tq("q_partition_prune") // stage the lang=... layout unrecorded
+      val tPp = tq("q_partition_prune")
+      val tCl = tq("q_closeness")
+      val tKt = tq("q_k_truss")
+      val tEr = tq("q_er_pipeline")
+      val tCe = tq("q_classifier_eval")
+      val tDl = tq("q_decile_lift")
+      val tPb = tq("q_pack_bpe")
+      println(f"""SCALE_R7H {"factor":$f, "partition_prune":$tPp%.2f, "closeness":$tCl%.2f, "k_truss":$tKt%.2f, "er_pipeline":$tEr%.2f, "classifier_eval":$tCe%.2f, "decile_lift":$tDl%.2f, "pack_bpe":$tPb%.2f}""")
       }
     }
     spark.stop()
