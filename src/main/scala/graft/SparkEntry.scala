@@ -1126,6 +1126,18 @@ object SparkEntry {
         threshold = lit(306L))
     }),
 
+    // sliced (per-language) AUC — the fairness report an aggregate AUC
+    // hides a weak group behind: same integer Mann-Whitney per group,
+    // group-local range join on per-group distinct scores, one-class
+    // groups excluded
+    "q_grouped_auc" -> ((s, dir) => {
+      graft.ext.Evaluation.groupedAuc(
+        t(s, dir, "documents"),
+        groupCol = col("lang"),
+        labelCol = locate("spark", col("text")) > 0,
+        scoreCol = col("n_chars"))
+    }),
+
     // decile gains/lift triage: "keep the top-k% by score — what share
     // of positives is captured?" Exact 0-based global rank (range
     // partition + broadcast offsets, no single reducer), integer `div`
@@ -4698,6 +4710,25 @@ FROM (
         |SELECT doc_id, rank,
         |  (rank * 10) // (SELECT count(*) FROM documents) AS shard
         |FROM r""".stripMargin,
+
+    // same per-group U statistic (position() is the LOCATE twin), same
+    // exclusions and single division
+    "q_grouped_auc" ->
+      """WITH r AS (
+        |  SELECT lang AS g, (position('spark' IN text) > 0) AS y, n_chars AS s
+        |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+        | bysc AS (
+        |  SELECT g, s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
+        |    sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n
+        |  FROM r GROUP BY 1, 2),
+        | below AS (
+        |  SELECT a.g, a.s, a.p, a.n, coalesce(sum(b.n), 0)::BIGINT AS neg_below
+        |  FROM bysc a LEFT JOIN bysc b ON b.g = a.g AND b.s < a.s
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT g AS group_key, sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg,
+        |  cast(sum(p * neg_below * 2 + p * n) AS double) /
+        |    cast(sum(p) * sum(n) * 2 AS double) AS auc
+        |FROM below GROUP BY 1 HAVING sum(p) > 0 AND sum(n) > 0""".stripMargin,
 
     // same 0-based rank (row_number − 1 under the identical total
     // order), same integer `//` buckets and single divisions

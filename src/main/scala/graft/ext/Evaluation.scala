@@ -58,6 +58,38 @@ object Evaluation {
         (col("tp") * 2 + col("fp") + col("fn")).cast("double")).as("f1"))
   }
 
+  /** Per-group (sliced) AUC — the fairness/segment report: does the
+    * scorer rank equally well inside every language / source / cohort,
+    * or is the aggregate AUC hiding a group it fails on? Same integer
+    * Mann-Whitney construction as [[binaryClassifierReport]], with every
+    * frame keyed by the group — the cumulative join is a group-local
+    * range join over the per-group DISTINCT-score frame (bounded by
+    * score-domain cardinality per group, hash-partitioned on the group
+    * key). Groups with only one class are excluded (AUC undefined). */
+  def groupedAuc(df: DataFrame, groupCol: Column, labelCol: Column,
+      scoreCol: Column): DataFrame = {
+    val rows = df.select(groupCol.as("g"), labelCol.cast("boolean").as("y"),
+        scoreCol.as("s"))
+      .where(col("g").isNotNull && col("y").isNotNull)
+    val byScore = rows.groupBy(col("g"), col("s")).agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+      sum(when(col("y"), 0L).otherwise(1L)).as("n"))
+    val below = byScore.as("a")
+      .join(byScore.select(col("g").as("g2"), col("s").as("s2"), col("n").as("n2")),
+        col("g2") === col("a.g") && col("s2") < col("a.s"), "left")
+      .select(col("a.g").as("g"), col("a.s").as("s"),
+        col("a.p").as("p"), col("a.n").as("n"), col("n2"))
+      .groupBy(col("g"), col("s"), col("p"), col("n"))
+      .agg(coalesce(sum(col("n2")), lit(0L)).as("neg_below"))
+    below.groupBy(col("g"))
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        sum(col("p") * col("neg_below") * 2 + col("p") * col("n")).as("auc_num"))
+      .where(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("g").as("group_key"), col("n_pos"), col("n_neg"),
+        (col("auc_num").cast("double") /
+          (col("n_pos") * col("n_neg") * 2).cast("double")).as("auc"))
+  }
+
   /** Decile lift / cumulative-gains analysis — "if we keep only the
     * top-k% by this score, what fraction of the positives do we
     * capture?", the triage report that decides a quality score's keep
