@@ -1126,6 +1126,41 @@ object SparkEntry {
         threshold = lit(306L))
     }),
 
+    // the one-row DATASET CARD: the summary block a curated-corpus
+    // release ships with — volume, source/language makeup, exact-dup
+    // rate, length stats — every field either an integer count, an
+    // argmax, or one IEEE division (no entropy: ln() is not a
+    // cross-engine contract). Three map-combined aggregations (corpus,
+    // md5-group dup counts, language argmax) joined as one-row
+    // broadcasts
+    "q_dataset_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      val dups = docs.groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") - 1).as("exact_dup_docs"))
+      val topLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .agg(max(struct(col("c"), col("lang"))).as("t"))
+        .select(col("t.lang").as("top_lang"), col("t.c").as("top_lang_docs"))
+      base.crossJoin(broadcast(dups)).crossJoin(broadcast(topLang)).select(
+        col("n_docs"), col("n_sources"), col("n_langs"), col("total_chars"),
+        col("min_chars"), col("max_chars"),
+        (col("total_chars").cast("double") / col("n_docs").cast("double"))
+          .as("mean_chars"),
+        col("exact_dup_docs"),
+        (col("exact_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_rate"),
+        col("top_lang"), col("top_lang_docs"),
+        (col("top_lang_docs").cast("double") / col("n_docs").cast("double"))
+          .as("top_lang_share"))
+    }),
+
     // sliced (per-language) AUC — the fairness report an aggregate AUC
     // hides a weak group behind: same integer Mann-Whitney per group,
     // group-local range join on per-group distinct scores, one-class
@@ -4710,6 +4745,32 @@ FROM (
         |SELECT doc_id, rank,
         |  (rank * 10) // (SELECT count(*) FROM documents) AS shard
         |FROM r""".stripMargin,
+
+    // counts, md5-group dup totals, struct-max language argmax, and the
+    // same single divisions
+    "q_dataset_card" ->
+      """WITH base AS (
+        |  SELECT count(*)::BIGINT AS n_docs,
+        |    count(DISTINCT source)::BIGINT AS n_sources,
+        |    count(DISTINCT lang)::BIGINT AS n_langs,
+        |    sum(n_chars)::BIGINT AS total_chars,
+        |    min(n_chars)::BIGINT AS min_chars,
+        |    max(n_chars)::BIGINT AS max_chars
+        |  FROM documents),
+        | dups AS (
+        |  SELECT sum(c - 1)::BIGINT AS exact_dup_docs
+        |  FROM (SELECT count(*) AS c FROM documents GROUP BY md5(text))),
+        | top AS (
+        |  SELECT lang AS top_lang, c AS top_lang_docs
+        |  FROM (SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY 1)
+        |  ORDER BY c DESC, lang DESC LIMIT 1)
+        |SELECT n_docs, n_sources, n_langs, total_chars, min_chars, max_chars,
+        |  cast(total_chars AS double) / cast(n_docs AS double) AS mean_chars,
+        |  exact_dup_docs,
+        |  cast(exact_dup_docs AS double) / cast(n_docs AS double) AS dup_rate,
+        |  top_lang, top_lang_docs,
+        |  cast(top_lang_docs AS double) / cast(n_docs AS double) AS top_lang_share
+        |FROM base, dups, top""".stripMargin,
 
     // same per-group U statistic (position() is the LOCATE twin), same
     // exclusions and single division
