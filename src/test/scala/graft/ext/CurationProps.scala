@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.scalacheck.{Gen, Properties}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 import org.apache.spark.sql.functions._
 import graft.SparkTestSession
 
@@ -95,5 +95,47 @@ object CurationProps extends Properties("Curation") {
         .select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       got == brute
+    }
+
+  // profile drift of a snapshot against ITSELF is exactly zero in every
+  // delta column — the null-rate/cardinality/length arithmetic has no
+  // hidden asymmetry
+  property("profileDriftSelfIsZero") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.choose(0L, 30L),
+        Gen.option(Gen.alphaNumStr.map(_.take(8)))))) { rows =>
+      import spark.implicits._
+      rows.nonEmpty ==> {
+        val df = rows.toDF("id", "v")
+        val d = graft.operators.Profile.profileDrift(df, df, Seq("id", "v")).collect()
+        d.forall { r =>
+          r.getAs[Double]("null_rate_delta") == 0.0 &&
+          r.getAs[Long]("distinct_delta") == 0L &&
+          (r.isNullAt(r.fieldIndex("avg_len_delta")) ||
+            r.getAs[Double]("avg_len_delta") == 0.0)
+        }
+      }
+    }
+
+  // association-rule identities on arbitrary baskets: confidence in
+  // (0, 1], lift symmetric across the two directions of a pair, and
+  // support conservation (pair_supp <= min(ante_supp, cons_supp))
+  property("assocRuleIdentities") =
+    forAll(Gen.listOfN(30, Gen.zip(Gen.choose(1, 8), Gen.choose(1, 10)))) { rows =>
+      import spark.implicits._
+      rows.nonEmpty ==> {
+        val items = rows.map { case (g, i) => (g, s"i$i") }.toDF("g", "i")
+        val r = MarketBasket.associationRules(items, "g", "i",
+          minShared = 1, maxGroupSize = 256).collect()
+        val byPair = r.map(x => (x.getString(0), x.getString(1)) -> x).toMap
+        r.forall { x =>
+          val conf = x.getAs[Double]("confidence")
+          val lift = x.getAs[Double]("lift")
+          val rev = byPair(x.getString(1) -> x.getString(0))
+          conf > 0 && conf <= 1.0 &&
+          lift == rev.getAs[Double]("lift") &&
+          x.getAs[Long]("pair_supp") <= math.min(
+            x.getAs[Long]("ante_supp"), x.getAs[Long]("cons_supp"))
+        }
+      }
     }
 }
