@@ -77,7 +77,7 @@ object ScaleProbe {
     // for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate",
@@ -517,6 +517,16 @@ object ScaleProbe {
       val tDl = tq("q_decile_lift")
       val tPb = tq("q_pack_bpe")
       println(f"""SCALE_R7H {"factor":$f, "partition_prune":$tPp%.2f, "closeness":$tCl%.2f, "k_truss":$tKt%.2f, "er_pipeline":$tEr%.2f, "classifier_eval":$tCe%.2f, "decile_lift":$tDl%.2f, "pack_bpe":$tPb%.2f}""")
+      }
+
+      // round-7 ninth (final) wave: the sliced-AUC join is bounded by
+      // per-group score domains (groups constant, scans linear); the
+      // dataset card is three map-combined aggregations whose only
+      // growing term is the md5 dup-group exchange.
+      if (groups("r7i")) {
+      val tGa = tq("q_grouped_auc")
+      val tDc = tq("q_dataset_card")
+      println(f"""SCALE_R7I {"factor":$f, "grouped_auc":$tGa%.2f, "dataset_card":$tDc%.2f}""")
       }
     }
     spark.stop()
