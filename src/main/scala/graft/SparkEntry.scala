@@ -2772,6 +2772,37 @@ object SparkEntry {
       graft.graph.GraphOps.assortativity(stagedCoPurchaseEdges(s, dir), "pa", "pb")
     }),
 
+    // log2-binned degree distribution of the co-purchase graph — the
+    // heavy-tail audit (is this a power law? where does the hub mass
+    // sit?) that sizes skew defenses BEFORE they're needed. The bin is
+    // exact integer arithmetic: floor(log2 d) = length(bin(d)) − 1 on
+    // both engines — no float log in sight
+    "q_degree_distribution" -> ((s, dir) => {
+      val deg = stagedCoPurchaseEdges(s, dir)
+        .select(explode(array(col("pa"), col("pb"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val buckets = deg
+        .select((length(bin(col("d"))) - 1).cast("long").as("bucket"), col("d"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+      buckets.crossJoin(broadcast(buckets.agg(sum(col("n_nodes")).as("total"))))
+        .select(col("bucket"), col("n_nodes"), col("min_deg"), col("max_deg"),
+          (col("n_nodes").cast("double") / col("total").cast("double")).as("share"))
+    }),
+
+    // per-community conductance of the label-prop partition — the
+    // localized cut-quality score the single global modularity number
+    // cannot give: which community leaks. Unlabeled endpoints count as
+    // leakage; integer cut/volume sums, one division per community
+    "q_conductance" -> ((s, dir) => {
+      val edges = stagedCoPurchaseEdges(s, dir)
+      val labels = graft.graph.GraphOps.labelPropagateMin(edges, "pa", "pb",
+        iterations = 5)
+      graft.graph.GraphOps.conductance(edges, "pa", "pb",
+        labels, "node", "label")
+    }),
+
     // global clustering coefficient = closed / all triplets, fraction-free:
     // Σ per-node triangle counts is exactly 3T, wedge total Σd(d−1) is
     // exactly 2W — C = 2·Σn_tri / Σd(d−1) is one integer ratio, and the
@@ -4314,6 +4345,60 @@ FROM (
           |  CAST(4 * mm.m * intra.intra_edges - sq.sum_deg_sq AS DOUBLE)
           |    / (4 * mm.m * mm.m) AS modularity
           |FROM mm, intra, sq""".stripMargin),
+
+    // same capped projection and degree aggregation; the same
+    // length(bin())-1 integer log2
+    "q_degree_distribution" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey
+        |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
+        | ed AS (
+        |  SELECT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |    AND x.l_partkey < y.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        | deg AS (
+        |  SELECT n, count(*)::BIGINT AS d
+        |  FROM (SELECT a AS n FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1),
+        | g AS (
+        |  SELECT (length(bin(d)) - 1)::BIGINT AS bucket,
+        |    count(*)::BIGINT AS n_nodes,
+        |    min(d)::BIGINT AS min_deg, max(d)::BIGINT AS max_deg
+        |  FROM deg GROUP BY 1),
+        | t AS (SELECT sum(n_nodes)::BIGINT AS total FROM g)
+        |SELECT bucket, n_nodes, min_deg, max_deg,
+        |  cast(n_nodes AS double) / cast(total AS double) AS share
+        |FROM g, t""".stripMargin,
+
+    // same label chain; straddling edges explode to both communities,
+    // volumes from member degrees, the guarded min-side division
+    "q_conductance" ->
+      (s"WITH $labelPropChainSql" +
+        """,
+          | lab AS (SELECT node AS n, label AS c FROM l5),
+          | led AS (
+          |  SELECT ed.a, ed.b, la.c AS ca, lb.c AS cb
+          |  FROM ed LEFT JOIN lab la ON la.n = ed.a
+          |    LEFT JOIN lab lb ON lb.n = ed.b),
+          | cuts AS (
+          |  SELECT c, count(*)::BIGINT AS cut FROM (
+          |    SELECT unnest([ca, cb]) AS c FROM led
+          |    WHERE ca IS NULL OR cb IS NULL OR ca <> cb)
+          |  WHERE c IS NOT NULL GROUP BY 1),
+          | deg AS (
+          |  SELECT n, count(*)::BIGINT AS d
+          |  FROM (SELECT a AS n FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1),
+          | vol AS (
+          |  SELECT lab.c, count(*)::BIGINT AS n_nodes, sum(d)::BIGINT AS volume
+          |  FROM deg JOIN lab ON lab.n = deg.n GROUP BY 1),
+          | tot AS (SELECT (count(*) * 2)::BIGINT AS total_volume FROM ed)
+          |SELECT vol.c AS community, n_nodes, volume,
+          |  coalesce(cut, 0)::BIGINT AS cut,
+          |  CASE WHEN least(volume, total_volume - volume) = 0 THEN NULL
+          |  ELSE cast(coalesce(cut, 0) AS double) /
+          |    cast(least(volume, total_volume - volume) AS double) END AS conductance
+          |FROM vol LEFT JOIN cuts ON cuts.c = vol.c CROSS JOIN tot""".stripMargin),
 
     // per-key counts, then one-row stats; ⌈a/b⌉ as pure integer
     // arithmetic, share as one int/int IEEE division

@@ -677,6 +677,50 @@ object GraphOps {
           (lit(4L) * col("m") * col("m"))).as("modularity"))
   }
 
+  /** Per-community CONDUCTANCE — the cut-quality score [[modularity]]'s
+    * single global number cannot localize: for each community C,
+    * φ(C) = cut(C) / min(vol(C), vol(V∖C)), where cut counts edges with
+    * exactly one endpoint in C and vol sums member degrees. Low
+    * conductance = a well-separated community; a high-φ outlier is the
+    * community a partition-quality audit flags for re-clustering.
+    * Unlabeled endpoints count toward the cut (a half-labeled edge IS
+    * leakage out of C). Fraction-free until one IEEE division per
+    * community. Shape: one degree aggregation, two label joins on the
+    * edge list, two grouped sums — all equi-joins on node/community
+    * keys, plus a one-row total-volume broadcast. */
+  def conductance(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val lab = labels.select(col(nodeCol).as("n"), col(labelCol).as("c"))
+    val labeled = e
+      .join(lab.select(col("n").as("a"), col("c").as("ca")), Seq("a"), "left")
+      .join(lab.select(col("n").as("b"), col("c").as("cb")), Seq("b"), "left")
+    // each edge contributes to the cut of BOTH communities it straddles
+    val cuts = labeled
+      .where(col("ca").isNull || col("cb").isNull || col("ca") =!= col("cb"))
+      .select(explode(array(col("ca"), col("cb"))).as("c"))
+      .where(col("c").isNotNull)
+      .groupBy(col("c")).agg(count(lit(1)).as("cut"))
+    val vol = e.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .join(lab, Seq("n"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("volume"))
+    val total = e.agg((count(lit(1)) * 2).as("total_volume"))
+    vol.join(cuts, Seq("c"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("c").as("community"), col("n_nodes"), col("volume"),
+        coalesce(col("cut"), lit(0L)).as("cut"),
+        // a community spanning the whole graph has no outside: φ undefined
+        when(least(col("volume"), col("total_volume") - col("volume")) === 0,
+          lit(null))
+          .otherwise(coalesce(col("cut"), lit(0L)).cast("double") /
+            least(col("volume"), col("total_volume") - col("volume")).cast("double"))
+          .as("conductance"))
+  }
+
   /** Degree assortativity (Newman 2002): the Pearson correlation of
     * endpoint degrees over the edge list (each undirected edge counted in
     * both directions, the standard convention) — positive for hub-to-hub

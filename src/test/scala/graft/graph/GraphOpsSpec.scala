@@ -496,6 +496,30 @@ class GraphOpsSpec extends SparkSpec {
     ()
   }
 
+  test("conductance: hand-computed cuts, unlabeled endpoints count as leakage") {
+    import spark.implicits._
+    // two triangles bridged at 3-4, pendant 7 hanging off 6 UNLABELED
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L), (6L, 7L)).toDF("s", "d")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("node", "lbl")
+    val phi = GraphOps.conductance(edges, "s", "d", labels, "node", "lbl")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = phi("A")
+    // vol(A) = 2+2+3 = 7, cut(A) = the bridge; total volume = 16
+    assert(a.getAs[Long]("n_nodes") == 3 && a.getAs[Long]("volume") == 7)
+    assert(a.getAs[Long]("cut") == 1)
+    assert(a.getAs[Double]("conductance") == 1.0 / 7.0)
+    val b = phi("B")
+    // vol(B) = 3+2+3 = 8; cut(B) = bridge + the half-labeled pendant edge
+    assert(b.getAs[Long]("volume") == 8 && b.getAs[Long]("cut") == 2)
+    assert(b.getAs[Double]("conductance") == 2.0 / 8.0)
+    // one community spanning everything -> undefined, not a divide-by-zero
+    val all = (1L to 7L).map(n => (n, "X")).toDF("node", "lbl")
+    val whole = GraphOps.conductance(edges, "s", "d", all, "node", "lbl").head()
+    assert(whole.isNullAt(whole.fieldIndex("conductance")))
+  }
+
   test("k-truss: K4 survives at k=4, cascading peel empties weak structure") {
     import spark.implicits._
     // K4 on {1,2,3,4} (every edge in 2 triangles), a triangle {5,6,7}
