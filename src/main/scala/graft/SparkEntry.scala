@@ -1806,6 +1806,31 @@ object SparkEntry {
           round(col("score"), 6).as("score_r"))
     }),
 
+    // MRR@10 of the IVF index: per query, where does the approximate
+    // list place the TRUE nearest (non-self) neighbor — the
+    // single-answer retrieval metric alongside recall (hit counting)
+    // and nDCG (graded). rr is ONE IEEE division per query (0.0 when
+    // the target misses the top-10); no cross-query float sum exists to
+    // disagree on — the aggregate mean is the consumer's single
+    // division over these rows
+    "q_mrr" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val target = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10, nlist = 16, nprobe = 4, refineIters = 1)
+      val hit = approx.join(target, Seq("query_id", "neighbor_id"))
+        .select(col("query_id"), col("rank").cast("long").as("target_rank"))
+      queries.select(col("qid").as("query_id"))
+        .join(hit, Seq("query_id"), "left")
+        .select(col("query_id"), col("target_rank"),
+          when(col("target_rank").isNull, lit(0.0d))
+            .otherwise(lit(1.0d) / col("target_rank").cast("double")).as("rr"))
+    }),
+
     // graded retrieval evaluation: nDCG@10 of the IVF index (nprobe 4 —
     // deliberately mid-curve, so the metric has something to measure)
     // against the exact ideal. Gains are EXACT-rank-derived integers
@@ -6483,6 +6508,7 @@ FROM (
     // scope, unioned — same exact ground truth every point
     "q_ann_tuning" -> annTuningOracleSql,
     "q_retrieval_ndcg" -> retrievalNdcgOracleSql,
+    "q_mrr" -> mrrOracleSql,
     "q_mmr_rerank" -> mmrOracleSql,
 
     // codebooks from the same md5-stride donor sample (salt 'pq:'),
@@ -6858,6 +6884,32 @@ FROM (
        |  round($dcgChain / $NdcgIdeal, 6) AS ndcg_r
        |FROM graded GROUP BY query_id""".stripMargin
   }
+
+  /** The q_mrr oracle: the same nprobe-4 IVF chain, the exact non-self
+    * top-1 target, and the identical single division per query. */
+  private def mrrOracleSql: String =
+    s"""WITH ${ivfChainSql(4)},
+       | approx AS (SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10),
+       | escored AS (
+       |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+       |    CASE WHEN sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)) = 0 THEN 0.0
+       |         ELSE list_dot_product(c.vec, q.qvec) / (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)))
+       |    END AS cosine
+       |  FROM corpus c CROSS JOIN q WHERE c.vec_id <> q.qid),
+       | target AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM escored)
+       |  WHERE rank = 1),
+       | hit AS (
+       |  SELECT a.query_id, a.rank::BIGINT AS target_rank
+       |  FROM approx a JOIN target t
+       |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
+       |SELECT q.qid AS query_id, h.target_rank,
+       |  CASE WHEN h.target_rank IS NULL THEN cast(0 AS double)
+       |  ELSE cast(1 AS double) / h.target_rank END AS rr
+       |FROM q LEFT JOIN hit h ON h.query_id = q.qid""".stripMargin
 
   /** The q_ann_tuning oracle: the q_ivf_recall chain instantiated per
     * nprobe point (shared exact ground-truth definition inside each
