@@ -26,6 +26,20 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.read(s, dir, name)
 
+  /** Loud guard for oracles whose DuckDB side carries a CONSTANT position
+    * ceiling (this DuckDB build's `generate_series` accepts neither
+    * lateral nor subquery bounds): if any document outgrows the unrolled
+    * window the two engines would diverge SILENTLY — fail the query
+    * instead. `limit(1)` bounds the probe: the scan short-circuits on the
+    * first offender, and at verify scale the frame is already in cache. */
+  private def assertOracleTextCeiling(df: DataFrame, query: String,
+      ceiling: Int = 10000): Unit = {
+    val over = df.where(length(col("text")) > ceiling).limit(1).count()
+    require(over == 0, s"$query: a document exceeds the oracle's constant " +
+      s"generate_series ceiling ($ceiling chars) — raise the oracle's unroll " +
+      "bound before trusting this fixture")
+  }
+
   /** The co-purchase wedge projection shared by q_triangles /
     * q_label_prop / q_components / q_bfs_dist: undirected part-part edges
     * weighted by the number of orders both appear in, thresholded at
@@ -889,7 +903,14 @@ object SparkEntry {
     // empty oracle row set certifies nothing; the K4 cascade at k = 4/5
     // is pinned in GraphOpsSpec instead.)
     "q_k_truss" -> ((s, dir) => {
-      graft.graph.GraphOps.kTruss(stagedCoPurchaseEdges(s, dir), "pa", "pb", k = 3)
+      // the oracle unrolls exactly 3 peel rounds — if a fixture ever
+      // needs a deeper peel the two engines would silently diverge, so
+      // assert the measured depth against the oracle's unroll here
+      val (truss, rounds) = graft.graph.GraphOps.kTrussWithRounds(
+        stagedCoPurchaseEdges(s, dir), "pa", "pb", k = 3)
+      require(rounds <= 3, s"q_k_truss peeled $rounds rounds but the " +
+        "oracle unrolls only 3 — deepen the oracle CTE before trusting this fixture")
+      truss
     }),
 
     // sampled harmonic closeness centrality (Eppstein-Wang estimator
@@ -3209,6 +3230,11 @@ object SparkEntry {
       // exchange is the single-file-fixture artifact, documented here
       val spread = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism)
+      // the oracle's generate_series ceiling is a CONSTANT 10k (this
+      // DuckDB build takes neither lateral nor subquery bounds) — the
+      // Spark chunker is unbounded, so assert the fixture fits the
+      // oracle's window instead of silently diverging on longer docs
+      assertOracleTextCeiling(spread, "q_cdc_dedup")
       val chunks = Dedup.contentDefinedChunks(
         spread, "doc_id", "text", window = 16, mask = 64)
       val tot = chunks.agg(
@@ -3236,6 +3262,9 @@ object SparkEntry {
       // chunk the full corpus; the hashes dominate)
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism)
+      // same 10k oracle-ceiling contract as q_cdc_dedup (v2's "new:" and
+      // upper() edits never lengthen a doc past the margin the guard keeps)
+      assertOracleTextCeiling(base, "q_cdc_delta", ceiling = 9996)
       val upserts = base
         .withColumn("op",
           when(col("doc_id") % 11 === 3, "D").when(col("doc_id") % 7 === 0, "U"))
@@ -4930,7 +4959,7 @@ FROM (
     "q_classifier_eval" ->
       """WITH r AS (
         |  SELECT (lang = 'en') AS y, n_chars AS s, n_chars >= 306 AS pred
-        |  FROM documents),
+        |  FROM documents WHERE lang IS NOT NULL),
         | conf AS (
         |  SELECT
         |    sum(CASE WHEN y AND pred THEN 1 ELSE 0 END)::BIGINT AS tp,

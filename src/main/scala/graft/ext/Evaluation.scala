@@ -27,8 +27,13 @@ object Evaluation {
 
   def binaryClassifierReport(df: DataFrame, labelCol: Column, scoreCol: Column,
       threshold: Column): DataFrame = {
+    // one population for BOTH halves of the report: drop NULL labels up
+    // front (the confusion when()-guards already skipped them, but the
+    // AUC negative count's otherwise(1) branch would have counted a NULL
+    // label as a negative — the two halves would disagree on n_neg)
     val rows = df.select(labelCol.cast("boolean").as("y"),
-      scoreCol.as("s"), (scoreCol >= threshold).as("pred"))
+        scoreCol.as("s"), (scoreCol >= threshold).as("pred"))
+      .where(col("y").isNotNull)
     // confusion counts at the operating threshold — one scan
     val conf = rows.agg(
       sum(when(col("y") && col("pred"), 1L).otherwise(0L)).as("tp"),

@@ -72,8 +72,12 @@ object MarketBasket {
       .select(col("antecedent"), col("consequent"), col("pair_supp"),
         col("ante_supp"), col("cons_supp"), col("n_groups"),
         (col("pair_supp") / col("ante_supp").cast("double")).as("confidence"),
-        ((col("pair_supp") * col("n_groups")) /
-          (col("ante_supp") * col("cons_supp")).cast("double")).as("lift"))
+        // cast BEFORE multiplying: pair_supp*n_groups (and ante*cons) as
+        // 64-bit products overflow silently at billion-row supports with
+        // ANSI off; below 2^53 the double product is exact, so the ratio
+        // is unchanged on any fixture the oracle replays
+        ((col("pair_supp").cast("double") * col("n_groups")) /
+          (col("ante_supp").cast("double") * col("cons_supp"))).as("lift"))
   }
 
   def associationRules(items: DataFrame, groupCol: String, itemCol: String,

@@ -68,8 +68,15 @@ object Retrieval {
     require(k >= 1, s"k must be >= 1, got $k")
     val lam = lit(lambda)
     val oneMinus = lit(1.0d - lambda) // one Scala subtraction, shared as a literal
+    // materialize BOTH inputs once: they are candidate-bounded (≤ topN
+    // rows / ≤ topN² pair rows per query) but their LINEAGE usually
+    // embeds the brute-force top-k over the whole corpus — without the
+    // cut, every one of the k unrolled rounds re-runs that scan (the
+    // round-7 board measured q_mmr_rerank at ~13 s for exactly this;
+    // the checkpoint drops the corpus scan count from ~2k to 2)
     val c = candidates.select(col("query_id"), col("neighbor_id"),
-      col("rel").cast("double").as("rel"))
+      col("rel").cast("double").as("rel")).localCheckpoint(true)
+    val simsM = sims.localCheckpoint(true)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__score").desc, col("neighbor_id"))
     // round 1: no picked set — score is lambda*rel (the -0 term elided
@@ -85,7 +92,7 @@ object Retrieval {
       val maxSim = remaining
         .join(picked.select(col("query_id"), col("neighbor_id").as("n2")),
           Seq("query_id"))
-        .join(sims.select(col("query_id"), col("n1").as("neighbor_id"),
+        .join(simsM.select(col("query_id"), col("n1").as("neighbor_id"),
           col("n2"), col("sim")), Seq("query_id", "neighbor_id", "n2"))
         .groupBy(col("query_id"), col("neighbor_id"), col("rel"))
         .agg(max(col("sim")).as("__ms"))

@@ -115,8 +115,12 @@ object GlobalRank {
       .repartitionByRange(n, sortCols: _*)
       .withColumn("__grk_pid", spark_partition_id())
     val ranged = if (reliable) ranged0.checkpoint(true) else ranged0.localCheckpoint(true)
+    // NULL contract: a NULL valueCol contributes 0 to the running sum (its
+    // row still receives a cum value) — coalesce both here and in the
+    // per-partition window below, or an all-NULL range partition would
+    // return a NULL partition sum and NPE at getLong.
     val sums = ranged.groupBy(col("__grk_pid"))
-      .agg(sum(col("__grk_v")).as("__grk_s"))
+      .agg(coalesce(sum(col("__grk_v")), lit(0L)).as("__grk_s"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = sums.map { case (pid, s) => val o = (pid, acc); acc += s; o }
