@@ -3322,7 +3322,7 @@ object SparkEntry {
     * against exact all-pairs Jaccard, so their output must EQUAL the exact
     * ≥-threshold pair set (hash-match ⇒ precision and recall both 1.0). */
   private def charShingleSql(src: String): String =
-    s"""sh AS (
+    s"""sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    CASE WHEN len(s) = 0 THEN []
       |         WHEN len(s) <= 5 THEN [s]
@@ -3330,17 +3330,29 @@ object SparkEntry {
       |    END AS sh
       |  FROM (SELECT doc_id, lower(text) AS s FROM $src))""".stripMargin
 
-  /** Exact all-pairs char-shingle Jaccard (id_a < id_b, empty-shingle docs
-    * excluded exactly as the LSH banding excludes them). Raw double — the
-    * int/int IEEE division is bit-identical between Spark and DuckDB. */
+  /** Exact char-shingle Jaccard over every pair sharing ≥ 1 shingle
+    * (id_a < id_b, empty-shingle docs excluded exactly as the LSH banding
+    * excludes them). A zero-intersection pair has jaccard 0, below every
+    * downstream ≥-threshold consumer, so the posting-list equi-join is
+    * result-identical to the naive all-pairs list_intersect form — and
+    * turns the oracle from O(n²) list ops into one grouped join (the
+    * round-7 board spent ~265 s of DuckDB time re-evaluating the naive
+    * form across this CTE's four consumers; now < 1 s each). |∩| comes
+    * from the join group count, |∪| = |A| + |B| − |∩|; the final int/int
+    * IEEE division is bit-identical between Spark and DuckDB. CTEs are
+    * MATERIALIZED: DuckDB inlines multiply-referenced CTEs by default,
+    * re-evaluating the pair pipeline once per reference. */
   private val charPairsSql: String =
     s"""${charShingleSql("documents")},
-      | pairs AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    cast(len(list_intersect(a.sh, b.sh)) AS double)
-      |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)""".stripMargin
+      | shm AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS g
+      |  FROM sh WHERE len(sh) > 0),
+      | pairs AS MATERIALIZED (
+      |  SELECT id_a, id_b, cast(i AS double) / (na + nb - i) AS jaccard
+      |  FROM (
+      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+      |      count(*)::BIGINT AS i
+      |    FROM shm a JOIN shm b ON a.g = b.g AND a.doc_id < b.doc_id
+      |    GROUP BY 1, 2, 3, 4))""".stripMargin
 
   /** Exact all-CROSS-pairs jaccard over the doc_id<400 / ≥400 corpus split
     * — the shared ground truth for every cross-corpus dedup variant
@@ -3348,12 +3360,15 @@ object SparkEntry {
     * loses nothing. */
   private val crossPairsOracleSql: String =
     s"""WITH ${charShingleSql("documents")},
+      | shm AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS g
+      |  FROM sh WHERE len(sh) > 0),
       | x AS (
-      |  SELECT b.doc_id AS new_id, r.doc_id AS ref_id,
-      |    cast(len(list_intersect(b.sh, r.sh)) AS double)
-      |      / len(list_distinct(list_concat(b.sh, r.sh))) AS jaccard
-      |  FROM sh b JOIN sh r ON b.doc_id >= 400 AND r.doc_id < 400
-      |  WHERE len(b.sh) > 0 AND len(r.sh) > 0)
+      |  SELECT new_id, ref_id, cast(i AS double) / (nb + nr - i) AS jaccard
+      |  FROM (
+      |    SELECT b.doc_id AS new_id, r.doc_id AS ref_id, b.n AS nb, r.n AS nr,
+      |      count(*)::BIGINT AS i
+      |    FROM shm b JOIN shm r ON b.g = r.g AND b.doc_id >= 400 AND r.doc_id < 400
+      |    GROUP BY 1, 2, 3, 4))
       |SELECT new_id, ref_id, jaccard FROM x WHERE jaccard >= 0.5""".stripMargin
 
   /** The q_media_decode oracle: rebuild the synthesized BMP/WAV/PNG/JPEG
@@ -3401,7 +3416,7 @@ object SparkEntry {
       |    lpad(hex(doc_id % 256), 2, '0') AS fill
       |  FROM documents),
       | geom AS (SELECT *, cast(floor((w * 3 + 3) / 4) * 4 AS bigint) AS rowsize FROM p),
-      | built AS (
+      | built AS MATERIALIZED (
       |  SELECT media_id, k,
       |    CASE k
       |    WHEN 0 THEN
@@ -3529,24 +3544,24 @@ FROM (
       |                THEN 40 ELSE 0 END) % 256), 2, '0'), 3)
       |    END AS ph
       |  FROM d, generate_series(0, 7) s(ys), generate_series(0, 9) t(x)),
-      | body AS (SELECT id, string_agg(ph, '' ORDER BY ys, x) AS bh FROM cells GROUP BY id),
-      | built AS (
+      | body AS MATERIALIZED (SELECT id, string_agg(ph, '' ORDER BY ys, x) AS bh FROM cells GROUP BY id),
+      | built AS MATERIALIZED (
       |  SELECT id,
       |    '424D' || '16010000' || '00000000' || '36000000' || '28000000' ||
       |    '09000000' || '08000000' || '0100' || '1800' || '00000000' ||
       |    'E0000000' || '130B0000' || '130B0000' || '00000000' || '00000000' ||
       |    bh AS hx
       |  FROM body),
-      | grid AS (
+      | grid AS MATERIALIZED (
       |  SELECT id, x, y,
       |    ('0x' || substr(hx, (54 + (7 - y) * 28 + x * 3) * 2 + 1, 2))::BIGINT AS g
       |  FROM built, generate_series(0, 8) gx(x), generate_series(0, 7) gy(y)),
-      | bits AS (
+      | bits AS MATERIALIZED (
       |  SELECT a.id, a.y * 8 + a.x AS bit,
       |    CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS v
       |  FROM grid a JOIN grid b ON a.id = b.id AND b.x = a.x + 1 AND b.y = a.y
       |  WHERE a.x < 8),
-      | pairs AS (
+      | pairs AS MATERIALIZED (
       |  SELECT a.id AS id_a, b.id AS id_b,
       |    sum(CASE WHEN a.v <> b.v THEN 1 ELSE 0 END)::BIGINT AS hamming
       |  FROM bits a JOIN bits b ON a.bit = b.bit AND a.id < b.id
@@ -3668,16 +3683,16 @@ FROM (
     * shared by the q_label_prop and q_modularity oracles. */
   private val labelPropChainSql: String = {
     val base =
-      """li AS (
+      """li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
-        | ed AS (
+        | ed AS MATERIALIZED (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
         |    AND x.l_partkey < y.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        | es AS (
+        | es AS MATERIALIZED (
         |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
         |  UNION SELECT a, a FROM (SELECT a FROM ed UNION SELECT b AS a FROM ed)),
         | l0 AS (SELECT a AS node, a AS label FROM es WHERE a = b)""".stripMargin
@@ -3697,16 +3712,16 @@ FROM (
     * q_random_walks / q_walk_centrality / q_skipgram_pairs oracles. */
   private val walksChainSql: String = {
     val base =
-      """li AS (
+      """li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
-        | ed AS (
+        | ed AS MATERIALIZED (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
         |    AND x.l_partkey < y.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        | adj AS (
+        | adj AS MATERIALIZED (
         |  SELECT v, n,
         |    row_number() OVER (PARTITION BY v ORDER BY n) AS rnk,
         |    count(*) OVER (PARTITION BY v) AS deg
@@ -3741,7 +3756,7 @@ FROM (
     "q_near_dup_clusters" ->
       s"""WITH RECURSIVE $charPairsSql,
         | above AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
-        | edges AS (
+        | edges AS MATERIALIZED (
         |  SELECT id_a AS a, id_b AS b FROM above
         |  UNION SELECT id_b, id_a FROM above),
         | reach(src, dst) AS (
@@ -3772,14 +3787,14 @@ FROM (
     "q_dedup_keep_best" ->
       s"""WITH RECURSIVE $charPairsSql,
         | above AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
-        | edges AS (
+        | edges AS MATERIALIZED (
         |  SELECT id_a AS a, id_b AS b FROM above
         |  UNION SELECT id_b, id_a FROM above),
         | reach(src, dst) AS (
         |  SELECT a, b FROM edges
         |  UNION
         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-        | clusters AS (
+        | clusters AS MATERIALIZED (
         |  SELECT src AS id, least(src, min(dst)) AS cluster_id
         |  FROM reach GROUP BY src),
         | ranked AS (
@@ -3794,7 +3809,7 @@ FROM (
     "q_leakage_safe_split" ->
       s"""WITH RECURSIVE $charPairsSql,
         | above AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
-        | edges AS (
+        | edges AS MATERIALIZED (
         |  SELECT id_a AS a, id_b AS b FROM above
         |  UNION SELECT id_b, id_a FROM above),
         | reach(src, dst) AS (
@@ -3819,12 +3834,14 @@ FROM (
 
     "q_cross_dedup" ->
       s"""WITH ${charShingleSql("documents")},
+        | shm AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS g
+        |  FROM sh WHERE len(sh) > 0),
         | dup AS (
-        |  SELECT DISTINCT b.doc_id
-        |  FROM sh b JOIN sh r ON b.doc_id >= 400 AND r.doc_id < 400
-        |  WHERE len(b.sh) > 0 AND len(r.sh) > 0
-        |    AND cast(len(list_intersect(b.sh, r.sh)) AS double)
-        |        / len(list_distinct(list_concat(b.sh, r.sh))) >= 0.5)
+        |  SELECT DISTINCT new_id AS doc_id FROM (
+        |    SELECT b.doc_id AS new_id, b.n AS nb, r.n AS nr, count(*)::BIGINT AS i
+        |    FROM shm b JOIN shm r ON b.g = r.g AND b.doc_id >= 400 AND r.doc_id < 400
+        |    GROUP BY b.doc_id, r.doc_id, 2, 3)
+        |  WHERE cast(i AS double) / (nb + nr - i) >= 0.5)
         |SELECT doc_id, md5(text) AS text_hash FROM documents
         |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
 
@@ -3974,17 +3991,20 @@ FROM (
         |              ELSE cast(len(list_filter(lowtoks, x -> x IN ('the','of','and','to','in','a','is','that','for','it','was','on','are','with','as','at','be','this','have','from'))) AS double)
         |                   / cast(len(lowtoks) AS double) END) * 3.0, 1.0)) / 5.0 AS quality
         |  FROM m),
-        | quality_docs AS (SELECT doc_id, text FROM q WHERE quality >= 0.2),
-        | exact_keep AS (
+        | quality_docs AS MATERIALIZED (SELECT doc_id, text FROM q WHERE quality >= 0.2),
+        | exact_keep AS MATERIALIZED (
         |  SELECT min(doc_id) AS doc_id, min(text) AS text FROM quality_docs GROUP BY text),
         | ${charShingleSql("exact_keep")},
-        | pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
-        |    AND cast(len(list_intersect(a.sh, b.sh)) AS double)
-        |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8),
-        | edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        | shm AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS g
+        |  FROM sh WHERE len(sh) > 0),
+        | pairs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+        |      count(*)::BIGINT AS i
+        |    FROM shm a JOIN shm b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2, 3, 4)
+        |  WHERE cast(i AS double) / (na + nb - i) >= 0.8),
+        | edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
         | reach(src, dst) AS (
         |  SELECT a, b FROM edges
         |  UNION
@@ -4009,12 +4029,15 @@ FROM (
         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
         |    END AS sh
         |  FROM toks),
+        | shm AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS g
+        |  FROM d WHERE len(sh) > 0),
         | pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    cast(len(list_intersect(a.sh, b.sh)) AS double)
-        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id
-        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |  SELECT id_a, id_b, cast(i AS double) / (na + nb - i) AS jaccard
+        |  FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+        |      count(*)::BIGINT AS i
+        |    FROM shm a JOIN shm b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2, 3, 4))
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3""".stripMargin,
 
     "q_embed_near_dup" ->
@@ -4350,11 +4373,11 @@ FROM (
     // same orientation (a < b, dedup), same wedge-close joins, same
     // per-node explode — triangles appear exactly once as a < b < c
     "q_triangles" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
-        | e AS (
+        | e AS MATERIALIZED (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
         |    AND x.l_partkey < y.l_partkey
@@ -4403,11 +4426,11 @@ FROM (
     // same capped projection and degree aggregation; the same
     // length(bin())-1 integer log2
     "q_degree_distribution" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
-        | ed AS (
+        | ed AS MATERIALIZED (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
         |    AND x.l_partkey < y.l_partkey
@@ -4470,16 +4493,16 @@ FROM (
     // exact CC: min reachable id per node (self included via least) over
     // the same thresholded co-purchase edges
     "q_components" ->
-      """WITH RECURSIVE li AS (
+      """WITH RECURSIVE li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
-        | ed AS (
+        | ed AS MATERIALIZED (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
         |    AND x.l_partkey < y.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        | edges AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+        | edges AS MATERIALIZED (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
         | reach(src, dst) AS (
         |  SELECT a, b FROM edges
         |  UNION
@@ -4502,11 +4525,11 @@ FROM (
            |  JOIN deg$i db ON x.d = db.s
            |  WHERE da.c >= 3 AND db.c >= 3)""".stripMargin
       }.mkString
-      s"""WITH li AS (
+      s"""WITH li AS MATERIALIZED (
          |  SELECT l_orderkey, l_partkey
          |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
          |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
-         | ed AS (
+         | ed AS MATERIALIZED (
          |  SELECT x.l_partkey AS a, y.l_partkey AS b
          |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
          |    AND x.l_partkey < y.l_partkey
@@ -5295,14 +5318,20 @@ FROM (
         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
         |    END AS sh
         |  FROM toks),
+        | shm AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS g
+        |  FROM d WHERE len(sh) > 0),
         | scored AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 1.0
-        |         ELSE cast(len(list_intersect(a.sh, b.sh)) AS double)
-        |              / len(list_distinct(list_concat(a.sh, b.sh)))
-        |    END AS jaccard
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5""".stripMargin,
+        |  SELECT id_a, id_b, cast(i AS double) / (na + nb - i) AS jaccard
+        |  FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+        |      count(*)::BIGINT AS i
+        |    FROM shm a JOIN shm b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2, 3, 4)),
+        | empt AS (SELECT doc_id FROM d WHERE len(sh) = 0)
+        |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+        |UNION ALL
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jaccard
+        |FROM empt a JOIN empt b ON a.doc_id < b.doc_id""".stripMargin,
 
     // the prefix-filter join is EXACT, so its oracle is the plan it
     // replaces: all-pairs Jaccard over the full corpus (fine at verify
@@ -5319,12 +5348,15 @@ FROM (
         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
         |    END AS sh
         |  FROM toks),
-        | d2 AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0),
+        | shm AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS g
+        |  FROM d WHERE len(sh) > 0),
         | scored AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    cast(len(list_intersect(a.sh, b.sh)) AS double)
-        |      / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-        |  FROM d2 a JOIN d2 b ON a.doc_id < b.doc_id)
+        |  SELECT id_a, id_b, cast(i AS double) / (na + nb - i) AS jaccard
+        |  FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+        |      count(*)::BIGINT AS i
+        |    FROM shm a JOIN shm b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2, 3, 4))
         |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.4""".stripMargin,
 
     // DuckDB groups the gram STRING where Spark groups its md5 — identical
@@ -5789,7 +5821,7 @@ FROM (
         |  SELECT cast(p_partkey AS bigint) AS rec_id, p_name AS name,
         |    cast(floor(p_retailprice * 100 + 0.5) AS bigint) AS price_cents
         |  FROM part),
-        | recs AS (
+        | recs AS MATERIALIZED (
         |  SELECT * FROM base
         |  UNION ALL
         |  SELECT rec_id + 10000000, name || ' xx', price_cents + 5
@@ -5811,10 +5843,10 @@ FROM (
         |  UNION
         |  SELECT a.rec_id, b.rec_id, a.name, b.name
         |  FROM ranked2 a JOIN ranked2 b ON b.g BETWEEN a.g + 1 AND a.g + 3),
-        | scored AS (
+        | scored AS MATERIALIZED (
         |  SELECT id_a, id_b FROM cand
         |  WHERE jaro_winkler_similarity(na, nb) >= 0.9),
-        | edges AS (
+        | edges AS MATERIALIZED (
         |  SELECT id_a AS a, id_b AS b FROM scored
         |  UNION SELECT id_b, id_a FROM scored),
         | reach(src, dst) AS (
@@ -5922,16 +5954,16 @@ FROM (
     // co-purchase edges; UNION dedups (node, d) states so the walk set
     // stays <= |V| * (maxHops + 1)
     "q_bfs_dist" ->
-      """WITH RECURSIVE li AS (
+      """WITH RECURSIVE li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
-        | ed AS (
+        | ed AS MATERIALIZED (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
         |    AND x.l_partkey < y.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        | edges AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+        | edges AS MATERIALIZED (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
         | reach(node, d) AS (
         |  SELECT min(a), 0::BIGINT FROM edges
         |  UNION
@@ -5944,22 +5976,26 @@ FROM (
     // converged set), then the final support recomputes on the
     // stabilized edges — same left-join/zero-coalesce as the operator
     "q_k_truss" -> {
+      // every CTE MATERIALIZED: DuckDB inlines multiply-referenced CTEs,
+      // and each peel round references the previous edge set three times
+      // and its triangle set three more — the naive unroll re-evaluated
+      // the projection ~3^rounds times (532 s at sf0.01; 0.5 s hinted)
       def peel(i: Int) =
-        s""", tri$i AS (
+        s""", tri$i AS MATERIALIZED (
            |  SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e$i e1
            |  JOIN e$i e2 ON e1.b = e2.a
            |  JOIN e$i e3 ON e3.a = e1.a AND e3.b = e2.b),
-           | sup$i AS (
+           | sup$i AS MATERIALIZED (
            |  SELECT a, b, count(*)::BIGINT AS sup FROM (
            |    SELECT x AS a, y AS b FROM tri$i
            |    UNION ALL SELECT x, z FROM tri$i
            |    UNION ALL SELECT y, z FROM tri$i) GROUP BY 1, 2),
-           | e${i + 1} AS (SELECT a, b FROM sup$i WHERE sup >= 1)""".stripMargin
-      s"""WITH li AS (
+           | e${i + 1} AS MATERIALIZED (SELECT a, b FROM sup$i WHERE sup >= 1)""".stripMargin
+      s"""WITH li AS MATERIALIZED (
          |  SELECT l_orderkey, l_partkey
          |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
          |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
-         | e0 AS (
+         | e0 AS MATERIALIZED (
          |  SELECT x.l_partkey AS a, y.l_partkey AS b
          |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
          |    AND x.l_partkey < y.l_partkey
@@ -5974,16 +6010,16 @@ FROM (
     // same capped projection; per-seed recursive closure with the depth
     // guard, the same md5 seed gate, 12//d integer terms, one division
     "q_closeness" ->
-      """WITH RECURSIVE li AS (
+      """WITH RECURSIVE li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
-        | ed AS (
+        | ed AS MATERIALIZED (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
         |    AND x.l_partkey < y.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        | edges AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+        | edges AS MATERIALIZED (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
         | seeds AS (
         |  SELECT DISTINCT a AS node FROM edges
         |  WHERE ('0x' || substr(md5('cc:' || cast(a AS varchar)), 1, 8))::BIGINT % 29 = 0),
@@ -6002,16 +6038,16 @@ FROM (
     // vertex, stop-hub cap (a no-op at fixture scale, mirrored for
     // semantic parity), NOT EXISTS for the non-adjacency contract
     "q_link_predict" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
-        | e AS (
+        | e AS MATERIALIZED (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
         |    AND x.l_partkey < y.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
-        | adj AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e),
+        | adj AS MATERIALIZED (SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e),
         | deg AS (SELECT v, count(*)::BIGINT AS d FROM adj GROUP BY 1),
         | ctr AS (SELECT adj.v, adj.n, deg.d FROM adj JOIN deg USING (v) WHERE d <= 1024),
         | pairs AS (
@@ -6059,7 +6095,7 @@ FROM (
         | bandc AS (SELECT band, count(*)::BIGINT AS bc FROM base GROUP BY 1),
         | tot AS (SELECT sum(bc)::BIGINT AS total, count(*)::BIGINT AS nbands FROM bandc),
         | grp AS (SELECT qi_geo, qi_segment, sum(gc)::BIGINT AS n FROM cell GROUP BY 1, 2),
-        | grid AS (
+        | grid AS MATERIALIZED (
         |  SELECT g.qi_geo, g.qi_segment, g.n, b.band, b.bc, t.total, t.nbands,
         |    coalesce(c.gc, 0)::BIGINT AS gc
         |  FROM grp g CROSS JOIN bandc b CROSS JOIN tot t
@@ -6190,7 +6226,7 @@ FROM (
 
     // the oracle REBUILDS from scratch — equality proves the state merge
     "q_incremental_copurchase" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256)
@@ -6203,7 +6239,7 @@ FROM (
     // directions via UNION ALL, ratios as the same long/long IEEE
     // divisions the Spark side emits
     "q_assoc_rules" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
@@ -6231,11 +6267,11 @@ FROM (
     // both-direction endpoint degrees; the same √A·√B Pearson form as
     // q_correlation — integer moments, three IEEE ops
     "q_assortativity" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
-        | ed AS (
+        | ed AS MATERIALIZED (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
         |    AND x.l_partkey < y.l_partkey
@@ -6265,11 +6301,11 @@ FROM (
     // triangle CTE shared with q_triangles' oracle; the ratio of the two
     // structural integer totals
     "q_clustering_coeff" ->
-      """WITH li AS (
+      """WITH li AS MATERIALIZED (
         |  SELECT l_orderkey, l_partkey
         |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |  QUALIFY count(*) OVER (PARTITION BY l_orderkey) <= 256),
-        | e AS (
+        | e AS MATERIALIZED (
         |  SELECT x.l_partkey AS a, y.l_partkey AS b
         |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
         |    AND x.l_partkey < y.l_partkey
@@ -6839,7 +6875,7 @@ FROM (
        |  SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
        |    ${cos("c.vec", "q.qvec")} AS cosine
        |  FROM corpus c CROSS JOIN q WHERE c.vec_id <> q.qid),
-       | cand10 AS (
+       | cand10 AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, cosine AS rel FROM (
        |    SELECT query_id, neighbor_id, cosine,
        |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -6853,7 +6889,7 @@ FROM (
        |    ${cos("a.vec", "b.vec")} AS sim
        |  FROM cv a JOIN cv b
        |    ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id),
-       | simp AS (
+       | simp AS MATERIALIZED (
        |  SELECT query_id, n1, n2, sim FROM half
        |  UNION ALL
        |  SELECT query_id, n2 AS n1, n1 AS n2, sim FROM half),
