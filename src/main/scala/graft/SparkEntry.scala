@@ -1780,6 +1780,54 @@ object SparkEntry {
       Multimodal.sampleVideoFrames(vids, targetFrames = 6).toDF()
     }),
 
+    // HTML boilerplate extraction (WebText.extract): each doc wrapped in
+    // the deterministic page template (nav/script/style/aside/footer
+    // chrome varying by id), then title / clean text / anchor-text link
+    // density recovered by the regex extractor — the raw-web → text
+    // stage in front of every dedup/quality operator here. Pure per-row
+    // projections, no shuffle; the clean text travels as md5 so the
+    // result stays narrow. The oracle rebuilds the same page with
+    // string concatenation and replays the same RE2-safe regexes.
+    "q_html_extract" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.ext.WebText.synthesizeHtml(col("doc_id"),
+          coalesce(col("text"), lit(""))).as("html"))
+      graft.ext.WebText.extract(docs, "doc_id", "html")
+        .select(col("doc_id"), col("title"), md5(col("text_clean")).as("text_hash"),
+          col("text_len"), col("link_density"), col("n_links"))
+    }),
+
+    // outgoing-link normalization (WebText.links): hrefs exploded from
+    // the same synthesized pages, relative links resolved against the
+    // page host, scheme+host lowercased, default port and fragment
+    // stripped, registrable domain approximated as the last two labels
+    // — the canonical key web-scale URL dedup joins on. One explode +
+    // per-row string ops; no shuffle.
+    "q_url_normalize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.ext.WebText.synthesizeHtml(col("doc_id"),
+          coalesce(col("text"), lit(""))).as("html"))
+      graft.ext.WebText.links(docs, "doc_id", "html", "corp.example.com")
+    }),
+
+    // registrable-domain rollup over the normalized link table — the
+    // domain-level statistics a source-quota/blocklist stage keys on
+    // (pair with q_source_quota for the cap itself). Exact integer
+    // aggregates only (sums/counts — no float mean, whose summation
+    // order no two engines share); one hash exchange on the domain key
+    "q_domain_profile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.ext.WebText.synthesizeHtml(col("doc_id"),
+          coalesce(col("text"), lit(""))).as("html"))
+      val pg = graft.ext.WebText.extract(docs, "doc_id", "html")
+        .select(col("doc_id"), col("text_len"))
+      val lk = graft.ext.WebText.links(docs, "doc_id", "html", "corp.example.com")
+      lk.join(pg, "doc_id").groupBy(col("domain")).agg(
+        countDistinct(col("doc_id")).as("n_pages"),
+        count(lit(1)).as("n_links"),
+        sum(col("text_len")).as("total_text_chars"))
+    }),
+
     // image near-duplicates: 64-bit dHash (row-gradient perceptual hash)
     // over REAL decoded BMP pixel grids, paired through the SimHash
     // Hamming-band LSH (recall 1.0 at Hamming <= 3 by the 4-band
@@ -3371,6 +3419,28 @@ object SparkEntry {
       |    GROUP BY 1, 2, 3, 4))
       |SELECT new_id, ref_id, jaccard FROM x WHERE jaccard >= 0.5""".stripMargin
 
+  /** The deterministic page template of [[graft.ext.WebText.synthesizeHtml]]
+    * rebuilt with SQL concatenation — shared by the q_html_extract /
+    * q_url_normalize oracles (doc_id ≥ 0, so `%` equals Spark's pmod). */
+  private val htmlPagesSql: String =
+    // concatenation operators sit at line ENDS: this fragment is
+    // interpolated into strings that call .stripMargin AFTERWARDS, and a
+    // line-leading '||' would lose its first pipe to that strip
+    """pages AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    '<html><head><title>Doc ' || cast(doc_id AS varchar) || '</title>' ||
+      |    '<script>var id=' || cast(doc_id AS varchar) || ';track(id);</script>' ||
+      |    '<style>.m{margin:0} nav a{color:#00f}</style></head><body>' ||
+      |    '<nav><a href="/home">Home</a> <a href="/s?ref=' ||
+      |    cast(doc_id % 7 AS varchar) || '">Section</a></nav>' ||
+      |    '<div id="main"><p>' || coalesce(text, '') || '</p></div>' ||
+      |    '<aside><a href="HTTPS://Links.Example.COM:443/p/' ||
+      |    cast(doc_id % 13 AS varchar) || '#frag">more ' ||
+      |    cast(doc_id % 13 AS varchar) ||
+      |    '</a></aside><footer>(c) corp ' || cast(doc_id % 100 AS varchar) ||
+      |    '</footer></body></html>' AS html
+      |  FROM documents)""".stripMargin
+
   /** The q_media_decode oracle: rebuild the synthesized BMP/WAV/PNG/JPEG
     * payloads hex-for-hex (same `lpad∘hex` endian constructions as
     * [[graft.ext.Multimodal.synthesizeMedia]]), then PARSE the decoded
@@ -3891,6 +3961,100 @@ FROM (
     "q_media_decode" -> mediaDecodeOracleSql,
     "q_image_near_dup" -> imageNearDupOracleSql,
     "q_image_dup_clusters" -> imageDupClustersOracleSql,
+
+    // the synthesized page rebuilt with string concatenation, then the
+    // same RE2-safe extraction regexes replayed (DuckDB regexp_replace
+    // needs the explicit 'g' flag where Spark's is global by default);
+    // both engines' \s classes are extended with \x0b explicitly
+    "q_html_extract" ->
+      s"""WITH $htmlPagesSql,
+        | nb AS (
+        |  SELECT doc_id, html,
+        |    regexp_replace(regexp_replace(html,
+        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS noblocks
+        |  FROM pages),
+        | ex AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(regexp_replace(noblocks, '<[^>]*>', ' ', 'g'),
+        |      '[\\s\\x0b]+', ' ', 'g')) AS clean,
+        |    trim(regexp_replace(regexp_replace(
+        |      array_to_string(regexp_extract_all(noblocks,
+        |        '(?s)<a [^>]*>(.*?)</a>', 1), ' '),
+        |      '<[^>]*>', ' ', 'g'), '[\\s\\x0b]+', ' ', 'g')) AS atext
+        |  FROM nb)
+        |SELECT doc_id,
+        |  regexp_extract(html, '(?s)<title>(.*?)</title>', 1) AS title,
+        |  md5(clean) AS text_hash,
+        |  length(clean)::BIGINT AS text_len,
+        |  cast(length(atext) AS double)
+        |    / cast(greatest(length(clean), 1) AS double) AS link_density,
+        |  len(regexp_extract_all(html, '(?s)<a [^>]*>', 0))::BIGINT AS n_links
+        |FROM ex""".stripMargin,
+
+    // same pages; hrefs exploded, the normalization chain replayed
+    // step-for-step (RE2 backrefs are \\1-style where Spark's are $1)
+    "q_url_normalize" ->
+      s"""WITH $htmlPagesSql,
+        | hr AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(html, '<a [^>]*href="([^"]*)"', 1)) AS href
+        |  FROM pages),
+        | ab AS (
+        |  SELECT doc_id, href,
+        |    CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+        |         ELSE 'https://corp.example.com' || href END AS aurl
+        |  FROM hr),
+        | nf AS (SELECT doc_id, href, regexp_replace(aurl, '#.*$$', '') AS u FROM ab),
+        | sl AS (
+        |  SELECT doc_id, href,
+        |    lower(regexp_extract(u, '^([^:]+)://', 1)) || '://'
+        |      || lower(regexp_extract(u, '^[^:]+://([^/?#]*)', 1))
+        |      || regexp_extract(u, '^[^:]+://[^/?#]*(.*)$$', 1) AS u2
+        |  FROM nf),
+        | np AS (
+        |  SELECT doc_id, href,
+        |    regexp_replace(regexp_replace(u2,
+        |      '^(https://[^/?#:]*):443((?:[/?].*)?)$$', '\\1\\2'),
+        |      '^(http://[^/?#:]*):80((?:[/?].*)?)$$', '\\1\\2') AS url_norm
+        |  FROM sl)
+        |SELECT doc_id, href, url_norm,
+        |  regexp_extract(regexp_extract(url_norm, '^[^:]+://([^/?#:]*)', 1),
+        |    '([^.]+\\.[^.]+)$$', 1) AS domain
+        |FROM np""".stripMargin,
+
+    // link rows re-derived (href → domain only), joined to the page text
+    // lengths, aggregated with exact integers — same join/agg as Spark
+    "q_domain_profile" ->
+      s"""WITH $htmlPagesSql,
+        | hr AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(html, '<a [^>]*href="([^"]*)"', 1)) AS href
+        |  FROM pages),
+        | np AS (
+        |  SELECT doc_id,
+        |    CASE WHEN regexp_matches(href, '(?i)^https?://')
+        |         THEN lower(regexp_extract(href, '^[^:]+://([^/?#:]*)', 1))
+        |         ELSE 'corp.example.com' END AS host
+        |  FROM hr),
+        | lk AS (
+        |  SELECT doc_id, regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+        |  FROM np),
+        | nb AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(html,
+        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS noblocks
+        |  FROM pages),
+        | pg AS (
+        |  SELECT doc_id,
+        |    length(trim(regexp_replace(regexp_replace(noblocks, '<[^>]*>', ' ', 'g'),
+        |      '[\\s\\x0b]+', ' ', 'g')))::BIGINT AS text_len
+        |  FROM nb)
+        |SELECT lk.domain, count(DISTINCT lk.doc_id)::BIGINT AS n_pages,
+        |  count(*)::BIGINT AS n_links, sum(pg.text_len)::BIGINT AS total_text_chars
+        |FROM lk JOIN pg USING (doc_id)
+        |GROUP BY 1""".stripMargin,
 
     // the GVI1 raw-video fixture replayed in SQL: same id-derived
     // geometry, the stride rule ceil(nf/6) as (nf+5)//6, per-frame fill

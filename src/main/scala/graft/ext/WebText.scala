@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Raw-web → text: the FIRST stage of every web-corpus curation
+  * pipeline (boilerplate removal + link extraction + URL
+  * normalization), as pure codegen'd column expressions — no UDFs, no
+  * external parser. The heuristics are the public ones every extractor
+  * family uses (strip non-content blocks, tag-strip, whitespace
+  * collapse, anchor-text link density as the boilerplate signal;
+  * cf. the density measures popularized by the jusText/boilerpipe
+  * line of work).
+  *
+  * Fixture contract: the test tables carry plain text, so
+  * [[synthesizeHtml]] wraps each document in a DETERMINISTIC page
+  * template (nav/script/style/aside/footer chrome derived from the
+  * id — same discipline as `Multimodal.synthesizeMedia`, which builds
+  * BMP/WAV bytes). Extraction then runs against real markup, and the
+  * oracle rebuilds the same page with string concatenation and replays
+  * the same regexes — so equality certifies the EXTRACTOR, not the
+  * synthesizer. A regex-visible subtlety both engines share: Java and
+  * RE2 both support `(?s)` dotall and lazy `.*?`, and every pattern
+  * here stays inside that common dialect.
+  *
+  * Scale shape: everything is a per-row projection — one narrow scan,
+  * no shuffle, whole-stage codegen end to end. At 100 TB this is the
+  * map stage in front of the dedup/quality pipeline; nothing here
+  * widens rows beyond the extracted text.
+  */
+object WebText {
+
+  /** Deterministic page chrome around a text column. Chrome varies by
+    * id (`%` families) so extraction can't pass by accident: the nav
+    * link set, the aside's external link, and the footer all differ
+    * per doc. No entities beyond plain ASCII, so tag-stripping alone
+    * recovers the body text. */
+  def synthesizeHtml(idCol: Column, textCol: Column): Column = {
+    val id = idCol.cast("string")
+    def m(k: Int) = pmod(idCol, lit(k)).cast("string")
+    concat(
+      lit("<html><head><title>Doc "), id, lit("</title>"),
+      lit("<script>var id="), id, lit(";track(id);</script>"),
+      lit("<style>.m{margin:0} nav a{color:#00f}</style></head><body>"),
+      lit("<nav><a href=\"/home\">Home</a> <a href=\"/s?ref="),
+      m(7), lit("\">Section</a></nav>"),
+      lit("<div id=\"main\"><p>"), textCol, lit("</p></div>"),
+      lit("<aside><a href=\"HTTPS://Links.Example.COM:443/p/"),
+      m(13), lit("#frag\">more "), m(13),
+      lit("</a></aside><footer>(c) corp "), m(100),
+      lit("</footer></body></html>"))
+  }
+
+  private def stripBlocks(html: Column): Column =
+    regexp_replace(
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+
+  private def stripTags(c: Column): Column = regexp_replace(c, "<[^>]*>", " ")
+
+  private def collapseWs(c: Column): Column =
+    trim(regexp_replace(c, "[\\s\\u000b]+", " "))
+
+  /** Boilerplate-removal report per page:
+    * title, cleaned text, its length, anchor-text link density
+    * (chars of text inside `<a>` / chars of all text — int/int one
+    * IEEE division), and the link count. `textCol` must hold markup
+    * (pair with [[synthesizeHtml]] on plain-text fixtures). */
+  def extract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val noBlocks = stripBlocks(col(htmlCol))
+    val clean = collapseWs(stripTags(noBlocks))
+    // anchor inner text: join captured groups of every <a ...>inner</a>
+    val anchorText = collapseWs(stripTags(
+      array_join(regexp_extract_all(noBlocks,
+        lit("(?s)<a [^>]*>(.*?)</a>"), lit(1)), " ")))
+    df.select(
+      col(idCol),
+      regexp_extract(col(htmlCol), "(?s)<title>(.*?)</title>", 1).as("title"),
+      clean.as("text_clean"),
+      length(clean).cast("long").as("text_len"),
+      (length(anchorText).cast("double") /
+        greatest(length(clean), lit(1)).cast("double")).as("link_density"),
+      size(regexp_extract_all(col(htmlCol), lit("(?s)<a [^>]*>"), lit(0)))
+        .cast("long").as("n_links"))
+  }
+
+  /** Outgoing links per page, normalized — the URL canonicalization
+    * every web-dedup keys on: lowercase scheme+host, default port
+    * stripped, fragment stripped, relative hrefs resolved against the
+    * page's base URL (string-prefix resolution: the synthesized hrefs
+    * are root-relative, which is the overwhelmingly common shape), and
+    * the registrable domain approximated as the last two host labels
+    * (the full public-suffix list is a broadcast lookup in production —
+    * documented, not shipped). One explode, then per-row string ops. */
+  def links(df: DataFrame, idCol: String, htmlCol: String,
+      baseHost: String): DataFrame = {
+    val hrefs = regexp_extract_all(col(htmlCol),
+      lit("<a [^>]*href=\"([^\"]*)\""), lit(1))
+    val exploded = df.select(col(idCol), explode(hrefs).as("href"))
+    // scheme+host lowercased; path/query case-PRESERVED (paths are
+    // case-sensitive); :443/:80 dropped only with their scheme's default
+    val absolute = when(col("href").rlike("(?i)^https?://"),
+        col("href"))
+      .otherwise(concat(lit(s"https://$baseHost"), col("href")))
+    val noFrag = regexp_replace(absolute, "#.*$", "")
+    val schemeLower = concat(
+      lower(regexp_extract(noFrag, "^([^:]+)://", 1)), lit("://"),
+      lower(regexp_extract(noFrag, "^[^:]+://([^/?#]*)", 1)),
+      regexp_extract(noFrag, "^[^:]+://[^/?#]*(.*)$", 1))
+    // no lookahead: the oracle replays these in RE2, which has none —
+    // capture the (possibly empty) tail and re-emit it instead
+    val noDefPort = regexp_replace(
+      regexp_replace(schemeLower,
+        "^(https://[^/?#:]*):443((?:[/?].*)?)$", "$1$2"),
+      "^(http://[^/?#:]*):80((?:[/?].*)?)$", "$1$2")
+    val host = regexp_extract(noDefPort, "^[^:]+://([^/?#:]*)", 1)
+    exploded.select(
+      col(idCol), col("href"),
+      noDefPort.as("url_norm"),
+      regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"))
+  }
+}
