@@ -131,6 +131,51 @@ object SparkEntry {
     name
   }
 
+  /** Stage orders and customer CO-BUCKETED on the customer key (16
+    * buckets, sorted in-bucket), once per (JVM, input dir) — the layout
+    * that makes the fact-dimension join exchange-free on BOTH sides: at
+    * 100 TB the bucketed write is paid once and every later join on the
+    * key reads buckets in place (q_bucket_join pins the plan; the same
+    * move backs [[bucketedRefTable]] for the dedup reference corpus). */
+  private def bucketedJoinTables(s: SparkSession, dir: String): (String, String) = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val to = s"graft_bkt_orders_$digest"
+    val tc = s"graft_bkt_customer_$digest"
+    if (stagedRefs.add(to)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse").stripPrefix("file:")
+      Seq(to, tc).foreach { n =>
+        s.sql(s"DROP TABLE IF EXISTS $n")
+        graft.etl.Context.deleteRecursively(java.nio.file.Paths.get(wh, n))
+      }
+      graft.sources.Tables.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        to, "o_custkey", 16)
+      graft.sources.Tables.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        tc, "o_custkey", 16)
+    }
+    (to, tc)
+  }
+
+  /** Stage the image dHash fingerprints once per (JVM, input dir): the
+    * BMP synth + decode + hash pass is the expensive image scan, and BOTH
+    * image-similarity queries (near-dup pairs, duplicate clusters) consume
+    * the identical (id, fp) frame — at 100 TB this staged 16-byte-per-row
+    * table is what an image pipeline stores, decodes being paid once per
+    * corpus, not per consumer. Row-identical to deriving in place, so the
+    * exact all-pairs oracles are untouched. */
+  private def stagedImageFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val path = s"/tmp/graft_imgfp_$digest"
+    if (stagedRefs.add(path))
+      Multimodal.imageFingerprints(Multimodal.synthesizeGradientImages(
+          t(s, dir, "documents").select(col("doc_id")), "doc_id"))
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** Stage documents HIVE-PARTITIONED by lang once per (JVM, input
     * dir) — the standard 100 TB layout move for a column every query
     * filters on: `lang=en/` directories make the filter a PARTITION
@@ -1810,6 +1855,20 @@ object SparkEntry {
       graft.ext.WebText.links(docs, "doc_id", "html", "corp.example.com")
     }),
 
+    // co-bucketed fact-dimension join: both sides staged bucketed on the
+    // customer key, so the join itself moves NOTHING (PlanSpec pins zero
+    // o_custkey exchanges with broadcast disabled) — the only shuffle
+    // left is the final segment rollup. Revenue follows the cents
+    // pattern (floor(x*100+0.5) summed as long: double→decimal rounding
+    // differs between engines, integer cents do not)
+    "q_bucket_join" -> ((s, dir) => {
+      val (to, tc) = bucketedJoinTables(s, dir)
+      s.table(to).join(s.table(tc), "o_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("revenue_cents"))
+    }),
+
     // registrable-domain rollup over the normalized link table — the
     // domain-level statistics a source-quota/blocklist stage keys on
     // (pair with q_source_quota for the cap itself). Exact integer
@@ -1839,9 +1898,8 @@ object SparkEntry {
     // synthesis, the pixel decode, the hash and the LSH recall are all
     // value-checked end to end.
     "q_image_near_dup" -> ((s, dir) => {
-      val imgs = Multimodal.synthesizeGradientImages(
-        t(s, dir, "documents").select(col("doc_id")), "doc_id")
-      Multimodal.imageNearDuplicates(imgs, maxHamming = 3)
+      Multimodal.nearDuplicatesFromFingerprints(
+        stagedImageFingerprints(s, dir), maxHamming = 3)
     }),
 
     // MMR diversification rerank (Retrieval.mmrRerank): greedy top-5 from
@@ -1985,10 +2043,9 @@ object SparkEntry {
     // image dedup gets the identical keeper semantics, and the oracle the
     // identical recursive-closure convention
     "q_image_dup_clusters" -> ((s, dir) => {
-      val imgs = Multimodal.synthesizeGradientImages(
-        t(s, dir, "documents").select(col("doc_id")), "doc_id")
       Dedup.resolveDuplicateClusters(
-        Multimodal.imageNearDuplicates(imgs, maxHamming = 3))
+        Multimodal.nearDuplicatesFromFingerprints(
+          stagedImageFingerprints(s, dir), maxHamming = 3))
     }),
 
     // event-time tumbling-window aggregation (batch form of the streaming
@@ -4022,6 +4079,13 @@ FROM (
         |  regexp_extract(regexp_extract(url_norm, '^[^:]+://([^/?#:]*)', 1),
         |    '([^.]+\\.[^.]+)$$', 1) AS domain
         |FROM np""".stripMargin,
+
+    // bucketing is layout-only: the oracle is the plain join + rollup
+    "q_bucket_join" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+        |  sum(cast(floor(o_totalprice * 100 + 0.5) AS bigint))::BIGINT AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
 
     // link rows re-derived (href → domain only), joined to the page text
     // lengths, aggregated with exact integers — same join/agg as Spark

@@ -425,17 +425,31 @@ object Multimodal {
     * explode — they can never pair. Scale: the band join carries
     * (band, bval, id) rows only — never payloads — and the verify join
     * fetches two longs per candidate; the corpus is scanned once. */
-  def imageNearDuplicates(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    import graft.functions.{HashFunctions => H}
+  /** (id, fp) dHash fingerprints for a media frame — the decode-once
+    * product every image-similarity consumer shares: at 100 TB the
+    * decode+hash pass is the expensive scan, so it runs ONCE and the
+    * fingerprints (16 bytes/row) are what gets stored and re-joined
+    * (SparkEntry stages exactly this frame for the near-dup and cluster
+    * queries). Undecodable payloads keep a null fingerprint. */
+  def imageFingerprints(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val fps = media.select(col("media_id"), col("content"))
+    media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { case (mid, b) =>
         (mid, dHash64(if (b == null) Array.emptyByteArray else b))
       }))
       .toDF("id", "fp")
       .select(col("id"), col("fp"))
+  }
+
+  def imageNearDuplicates(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    nearDuplicatesFromFingerprints(imageFingerprints(media), maxHamming)
+
+  /** The banding/verify half of [[imageNearDuplicates]], over an already
+    * materialized (id, fp) frame. */
+  def nearDuplicatesFromFingerprints(fps: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import graft.functions.{HashFunctions => H}
     val bandArr = when(col("fp").isNull, lit(null)).otherwise(H.simhashBands(col("fp")))
     val buckets = fps.select(col("id"), posexplode(bandArr).as(Seq("band", "bval")))
     val candidates = buckets.as("a")

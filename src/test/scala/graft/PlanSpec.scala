@@ -101,6 +101,27 @@ class PlanSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("q_bucket_join joins co-bucketed tables without exchanging either side") {
+    // run once to stage the bucketed pair, then pin the plan with
+    // broadcast off — under broadcast the bucketing would be invisible
+    // at this SF and the pin would prove nothing
+    SparkEntry.queries("q_bucket_join")(spark, dir).collect()
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val p = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      SparkEntry.queries("q_bucket_join")(spark, dir)
+        .queryExecution.executedPlan.toString()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert(p.contains("Bucketed: true"), p.take(3000))
+    // the join key moves nothing: the ONLY exchange is the final
+    // mktsegment rollup — an o_custkey hashpartitioning would mean the
+    // bucketed layout was ignored and the fact table reshuffles at scale
+    assert(!p.contains("hashpartitioning(o_custkey"),
+      s"join-side exchange found:\n${p.take(3000)}")
+    assert("Exchange hashpartitioning\\(c_mktsegment".r.findAllIn(p).size == 1,
+      p.take(3000))
+  }
+
   test("bucketed cross-dedup joins the staged reference with zero reference-side exchange") {
     val p = plan("q_cross_dedup_bucketed")
     // the staged reference must be read bucketed IN PLACE …
