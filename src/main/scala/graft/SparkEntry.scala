@@ -1503,6 +1503,14 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
 
+    // per-doc trigram novelty: share of a doc's distinct 3-grams first
+    // seen in THIS doc (min-doc-id attribution) — the incremental-
+    // information rank a dedup-aware sampler uses; a verbatim copy of an
+    // earlier doc scores 0. One gram-keyed exchange + per-doc rollup
+    "q_ngram_novelty" -> ((s, dir) => {
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id", "text", n = 3)
+    }),
+
     // exact word-3-gram Jaccard over a bounded doc set — the value-checked
     // twin of the LSH pipelines (their verify step uses this same jaccard)
     "q_jaccard_pairs" -> ((s, dir) => {
@@ -4267,6 +4275,30 @@ FROM (
         |    FROM shm a JOIN shm b ON a.g = b.g AND a.doc_id < b.doc_id
         |    GROUP BY 1, 2, 3, 4))
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3""".stripMargin,
+
+    // same trigram dialect; first occurrence = integer min over the gram
+    // partition, novelty one int/int division — gram-less docs emit no row
+    "q_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS t
+        |  FROM documents),
+        | d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) = 0 THEN []
+        |         WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    END AS sh
+        |  FROM toks),
+        | g AS (SELECT doc_id, unnest(sh) AS gram FROM d WHERE len(sh) > 0),
+        | w AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY gram) AS first_id
+        |  FROM g)
+        |SELECT doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  cast(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS double)
+        |    / cast(count(*) AS double) AS novelty
+        |FROM w GROUP BY 1""".stripMargin,
 
     "q_embed_near_dup" ->
       """WITH e AS (

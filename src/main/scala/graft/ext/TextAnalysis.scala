@@ -100,6 +100,35 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
   }
 
+  /** Per-document word-n-gram NOVELTY: the share of a doc's DISTINCT
+    * n-grams whose first corpus occurrence (minimum doc id) is this doc —
+    * the incremental-information signal a dedup-aware sampler ranks on
+    * (a verbatim copy of an earlier doc scores 0, fresh text scores ~1;
+    * cf. the n-gram-overlap decontamination family, attribution-side).
+    *
+    * Deterministic: first-occurrence is an integer min under the stable
+    * id order, novelty one int/int IEEE division. Docs producing zero
+    * grams (empty/NULL text) have no novelty row — mirrored by the
+    * oracle. Scale: ONE gram-keyed exchange (distinct grams per doc, the
+    * window min rides the same partitioning), then the per-doc rollup;
+    * gram rows carry (id, gram) only, never text. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.NativeExpressions
+    val grams = df.select(col(idCol).as("__id"),
+      explode(array_distinct(NativeExpressions.wordShingles(col(textCol), n)))
+        .as("gram"))
+    val w = Window.partitionBy(col("gram"))
+    grams.withColumn("__first", min(col("__id")).over(w))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("__id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("__id").as(idCol), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+  }
+
   /** Concat-and-chunk sequence packing (the GPT-style "pack the token
     * stream into fixed-length training sequences" step): documents are
     * laid out in deterministic order inside each shard, and each doc gets

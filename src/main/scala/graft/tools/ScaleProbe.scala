@@ -77,7 +77,7 @@ object ScaleProbe {
     // for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate",
@@ -517,6 +517,28 @@ object ScaleProbe {
       val tDl = tq("q_decile_lift")
       val tPb = tq("q_pack_bpe")
       println(f"""SCALE_R7H {"factor":$f, "partition_prune":$tPp%.2f, "closeness":$tCl%.2f, "k_truss":$tKt%.2f, "er_pipeline":$tEr%.2f, "classifier_eval":$tCe%.2f, "decile_lift":$tDl%.2f, "pack_bpe":$tPb%.2f}""")
+      }
+
+      // round-8 wave. Axes: the three web queries are per-row regex
+      // projections (+ one domain exchange for the rollup) over linearly
+      // more pages — flat-per-row is the claim; the bucket join is timed
+      // on its SECOND call (first pays the one-time bucketed staging
+      // write, the JSONL/ORC discipline) and its join moves no fact rows;
+      // the image FINGERPRINT scan (synth+decode+dHash — the expensive
+      // image pass the staged fp table amortizes) is probed instead of
+      // the near-dup pair join, whose PAIR volume under copies is a
+      // fixture artifact (doc_id%50 repeats per copy, multiplying planted
+      // dup groups — a real corpus grows groups, not group sizes).
+      if (groups("r8")) {
+      val tHe = tq("q_html_extract")
+      val tUn = tq("q_url_normalize")
+      val tDo = tq("q_domain_profile")
+      tq("q_bucket_join") // bucketed staging write, unrecorded
+      val tBj = tq("q_bucket_join")
+      val tFp = time(force(graft.ext.Multimodal.imageFingerprints(
+        graft.ext.Multimodal.synthesizeGradientImages(
+          docs.select(col("doc_id")), "doc_id"))))
+      println(f"""SCALE_R8 {"factor":$f, "html_extract":$tHe%.2f, "url_normalize":$tUn%.2f, "domain_profile":$tDo%.2f, "bucket_join":$tBj%.2f, "image_fingerprints":$tFp%.2f}""")
       }
 
       // round-7 ninth (final) wave: the sliced-AUC join is bounded by

@@ -24,6 +24,25 @@ class ExtSpec extends SparkSpec {
     assert(dupGroup.sameElements(Array(1L)))
   }
 
+  test("ngramNovelty: exact copy scores 0, first occurrence and fresh text score 1") {
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 4 is a verbatim copy of doc 1: every trigram first occurs in 1
+    assert(out(4L).getAs[Double]("novelty") === 0.0)
+    assert(out(1L).getAs[Double]("novelty") === 1.0)
+    // doc 3 shares no trigram with anything
+    assert(out(3L).getAs[Double]("novelty") === 1.0)
+    // doc 2 differs from 1 only in the last word: exactly its final
+    // trigrams ("on running quickly" etc.) are novel, the shared prefix
+    // trigrams are attributed to doc 1
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_novel") > 0 &&
+      r2.getAs[Long]("n_novel") < r2.getAs[Long]("n_grams"))
+    // doc 5 has < 3 tokens: its single whole-string gram is its own
+    assert(out(5L).getAs[Long]("n_grams") === 1L)
+    assert(out(5L).getAs[Double]("novelty") === 1.0)
+  }
+
   test("multi-column content hash has no boundary or null collisions") {
     val df = Seq(
       (1L, "ab", "c"), (2L, "a", "bc"),      // boundary shift
