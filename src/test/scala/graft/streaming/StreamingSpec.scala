@@ -53,6 +53,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.where(col("c_mktsegment").isNotNull).count() > 0)
   }
 
+  test("the web-extraction stage runs unchanged as a stateless stream") {
+    // WebText is pure per-row projections, so the identical code path is
+    // streaming-safe with no watermark/state: the raw-web → text stage
+    // drops into a readStream ingest as-is — pin that by equality with
+    // the batch result over the same files
+    import graft.ext.WebText
+    val d = java.nio.file.Files.createTempDirectory("graft-webstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def wrap(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      WebText.synthesizeHtml(col("doc_id"),
+        coalesce(col("text"), lit(""))).as("html"))
+    val got = EventsStream.runToMemory(spark,
+      WebText.extract(wrap(spark.readStream.schema(schema).parquet(d.toString)),
+        "doc_id", "html"), "web_extract_test")
+    val batch = WebText.extract(wrap(spark.read.parquet(s"$dir/documents.parquet")),
+      "doc_id", "html")
+    assert(got.count() == batch.count())
+    val cols = Seq("doc_id", "title", "text_clean", "text_len", "n_links")
+      .map(col)
+    assert(got.select(cols: _*).except(batch.select(cols: _*)).count() == 0)
+    assert(batch.select(cols: _*).except(got.select(cols: _*)).count() == 0)
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered events") {
     // stage the events file twice: every event is delivered twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft-stream-dup")
