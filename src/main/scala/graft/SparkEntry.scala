@@ -1895,6 +1895,24 @@ object SparkEntry {
         sum(col("text_len")).as("total_text_chars"))
     }),
 
+    // Deequ-shaped declarative data-quality gate: six constraint kinds
+    // over orders (completeness, range, pattern, domain, uniqueness,
+    // referential integrity) — every row-level constraint folds into ONE
+    // map-combined aggregation pass (adding a constraint adds a column,
+    // not a scan); the FK check is the only join (key-only anti-join).
+    // Integer counts + one IEEE division per row keep the report
+    // engine-replayable
+    "q_expectations" -> ((s, dir) => {
+      import graft.ext.Expectations._
+      evaluate(t(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 1000000.0),
+        Matches("o_orderpriority", "^[1-5]-"),
+        IsIn("o_orderstatus", Seq("F", "O", "P")),
+        Unique(Seq("o_orderkey")),
+        ForeignKey("o_custkey", t(s, dir, "customer"), "c_custkey")))
+    }),
+
     // image near-duplicates: 64-bit dHash (row-gradient perceptual hash)
     // over REAL decoded BMP pixel grids, paired through the SimHash
     // Hamming-band LSH (recall 1.0 at Hamming <= 3 by the 4-band
@@ -4087,6 +4105,49 @@ FROM (
         |  regexp_extract(regexp_extract(url_norm, '^[^:]+://([^/?#:]*)', 1),
         |    '([^.]+\\.[^.]+)$$', 1) AS domain
         |FROM np""".stripMargin,
+
+    // each constraint's counts replayed as one aggregate row; the FK row
+    // counts non-orphans the same anti-join way ("constraint" quoted —
+    // reserved word there)
+    "q_expectations" ->
+      """WITH u AS (
+        |  SELECT 0::BIGINT AS ord, 'not_null(o_custkey)' AS c,
+        |    sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n,
+        |    count(*)::BIGINT AS d, 1.0 AS threshold
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 1, 'in_range(o_totalprice)',
+        |    sum(CASE WHEN o_totalprice BETWEEN 0.0 AND 1000000.0 THEN 1 ELSE 0 END)::BIGINT,
+        |    sum(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END)::BIGINT, 1.0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 2, 'matches(o_orderpriority)',
+        |    sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END)::BIGINT,
+        |    sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END)::BIGINT, 1.0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 3, 'is_in(o_orderstatus)',
+        |    sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 1 ELSE 0 END)::BIGINT,
+        |    sum(CASE WHEN o_orderstatus IS NOT NULL THEN 1 ELSE 0 END)::BIGINT, 1.0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 4, 'unique(o_orderkey)',
+        |    count(DISTINCT o_orderkey)::BIGINT, count(*)::BIGINT, 1.0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 5, 'foreign_key(o_custkey)',
+        |    sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(*)::BIGINT, 1.0
+        |  FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey)
+        |SELECT ord, c AS "constraint", n AS observed_num, d AS observed_den,
+        |  threshold,
+        |  CASE WHEN d > 0 THEN cast(n AS double) / cast(d AS double)
+        |       ELSE 1.0 END AS rate,
+        |  (CASE WHEN d > 0 THEN cast(n AS double) / cast(d AS double)
+        |        ELSE 1.0 END) >= threshold AS passed
+        |FROM u""".stripMargin,
 
     // bucketing is layout-only: the oracle is the plain join + rollup
     "q_bucket_join" ->

@@ -43,6 +43,36 @@ class ExtSpec extends SparkSpec {
     assert(out(5L).getAs[Double]("novelty") === 1.0)
   }
 
+  test("Expectations: planted violations are counted and flagged exactly") {
+    import Expectations._
+    val rows = Seq(
+      (1L, java.lang.Long.valueOf(10L), "F", 5.0),
+      (2L, java.lang.Long.valueOf(20L), "O", -1.0),   // range violation
+      (3L, null.asInstanceOf[java.lang.Long], "X", 7.0), // null key + bad status
+      (3L, java.lang.Long.valueOf(99L), "F", 8.0)     // dup id + FK orphan
+    ).toDF("id", "custkey", "status", "price")
+    val ref = Seq(10L, 20L).toDF("c_custkey")
+    val rep = evaluate(rows, Seq(
+        NotNull("custkey"),
+        InRange("price", 0.0, 100.0),
+        IsIn("status", Seq("F", "O")),
+        Unique(Seq("id")),
+        ForeignKey("custkey", ref, "c_custkey")))
+      .collect().map(r => r.getAs[String]("constraint") -> r).toMap
+    def nd(c: String) = (rep(c).getAs[Long]("observed_num"), rep(c).getAs[Long]("observed_den"))
+    assert(nd("not_null(custkey)") === (3L, 4L))
+    assert(nd("in_range(price)") === (3L, 4L))
+    assert(nd("is_in(status)") === (3L, 4L))
+    assert(nd("unique(id)") === (3L, 4L))
+    assert(nd("foreign_key(custkey)") === (2L, 3L)) // 99 is an orphan; null skipped
+    assert(rep.values.forall(!_.getAs[Boolean]("passed")))
+    // and a fully clean table passes everything
+    val clean = evaluate(rows.where(col("id") === 1L), Seq(
+      NotNull("custkey"), Unique(Seq("id")),
+      ForeignKey("custkey", ref, "c_custkey")))
+    assert(clean.where(!col("passed")).count() === 0)
+  }
+
   test("multi-column content hash has no boundary or null collisions") {
     val df = Seq(
       (1L, "ab", "c"), (2L, "a", "bc"),      // boundary shift
