@@ -1895,6 +1895,50 @@ object SparkEntry {
         sum(col("text_len")).as("total_text_chars"))
     }),
 
+    // dynamic partition pruning over the lang-partitioned layout: the
+    // dim side's selective filter is only known at RUNTIME, and Spark
+    // turns the broadcast join's key set into a PartitionFilters entry
+    // on the fact scan — at 100 TB the fact table opens ONLY the two
+    // matching lang directories instead of all of them (PlanSpec pins
+    // `dynamicpruning` in the scan). The oracle is the equivalent
+    // static filter — DPP is an access-path property, not a semantic one
+    "q_dynamic_prune" -> ((s, dir) => {
+      val facts = s.read.parquet(partitionedDocsPath(s, dir))
+      val dim = s.read.parquet(s"$dir/documents.parquet")
+        .where(col("lang").isin("en", "de"))
+        .select(col("lang")).distinct()
+      facts.join(dim, Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+    }),
+
+    // corrupt-record quarantine on a JSONL ingest: lines synthesized
+    // in-engine, ~1/13 decisively corrupted (leading '!' — malformed for
+    // ANY parser, so the two engines can't disagree on salvageability the
+    // way truncation-tail parsers might), parsed with the null-on-corrupt
+    // contract (get_json_object), valid lines rolled up per parsed lang
+    // and corrupt lines quarantined with their payload size — the
+    // PERMISSIVE-ingest accounting a 100 TB raw-feed pipeline runs. One
+    // per-row projection + one bucket exchange
+    "q_jsonl_quarantine" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val line0 = concat(lit("{\"id\":"), col("doc_id").cast("string"),
+        lit(",\"lang\":\""), col("lang"),
+        lit("\",\"len\":"), col("n_chars").cast("string"), lit("}"))
+      val line = when(col("doc_id") % 13 === 7, concat(lit("!"), line0))
+        .otherwise(line0)
+      val withLine = docs.select(line.as("line"))
+      val lang = get_json_object(col("line"), "$.lang")
+      val len = get_json_object(col("line"), "$.len").cast("long")
+      withLine.select(
+          when(lang.isNull, lit("__corrupt__")).otherwise(lang).as("bucket"),
+          when(lang.isNull, length(col("line")).cast("long")).otherwise(len).as("w"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("w")).as("total_len"))
+    }),
+
     // Deequ-shaped declarative data-quality gate: six constraint kinds
     // over orders (completeness, range, pattern, domain, uniqueness,
     // referential integrity) — every row-level constraint folds into ONE
@@ -4105,6 +4149,33 @@ FROM (
         |  regexp_extract(regexp_extract(url_norm, '^[^:]+://([^/?#:]*)', 1),
         |    '([^.]+\\.[^.]+)$$', 1) AS domain
         |FROM np""".stripMargin,
+
+    // same synthesized lines; this engine ERRORS on malformed extraction
+    // where Spark returns null, so validity gates through json_valid
+    "q_jsonl_quarantine" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN doc_id % 13 = 7 THEN '!' ELSE '' END ||
+        |    '{"id":' || cast(doc_id AS varchar) || ',"lang":"' || lang ||
+        |    '","len":' || cast(n_chars AS varchar) || '}' AS line
+        |  FROM documents),
+        | p AS (
+        |  SELECT
+        |    CASE WHEN json_valid(line)
+        |         THEN json_extract_string(line, '$.lang')
+        |         ELSE '__corrupt__' END AS bucket,
+        |    CASE WHEN json_valid(line)
+        |         THEN cast(json_extract_string(line, '$.len') AS BIGINT)
+        |         ELSE length(line)::BIGINT END AS w
+        |  FROM l)
+        |SELECT bucket, count(*)::BIGINT AS n_lines, sum(w)::BIGINT AS total_len
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // the static-filter equivalent of the runtime-pruned join
+    "q_dynamic_prune" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS total_chars
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY 1""".stripMargin,
 
     // each constraint's counts replayed as one aggregate row; the FK row
     // counts non-orphans the same anti-join way ("constraint" quoted —

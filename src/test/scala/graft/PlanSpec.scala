@@ -101,6 +101,14 @@ class PlanSpec extends SparkSpec {
     assert(joined.count() > 0)
   }
 
+  test("q_dynamic_prune's fact scan carries a runtime dynamicpruning partition filter") {
+    val p = plan("q_dynamic_prune")
+    // the dim side's runtime key set must reach the fact scan as a
+    // partition filter — the access-path property that lets a 100 TB
+    // fact table open only the matching lang directories
+    assert(p.contains("dynamicpruning"), p.take(3000))
+  }
+
   test("q_bucket_join joins co-bucketed tables without exchanging either side") {
     // run once to stage the bucketed pair, then pin the plan with
     // broadcast off — under broadcast the bucketing would be invisible
