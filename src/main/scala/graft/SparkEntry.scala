@@ -1423,6 +1423,41 @@ object SparkEntry {
         .select(col("doc_id"), col("rep_id"), col("split"))
     }),
 
+    // the AUDIT for the split above — the check a release gate actually
+    // runs: for every near-dup pair, do the two docs land in the same
+    // split? Cluster-keyed assignment must leak ZERO pairs by
+    // construction; the naive per-doc hash split (the control arm, same
+    // gate keyed on the doc's own id) leaks ~1−Σp² of them. Pairs are
+    // localCheckpointed once (they feed both arms — small id-pair rows,
+    // but their lineage is the whole minhash pipeline)
+    "q_split_leakage_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+          shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      val clusters = Dedup.resolveDuplicateClusters(pairs)
+      val rep = docs.select(col("doc_id"))
+        .join(clusters.select(col("id").as("doc_id"), col("keep_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("rep_id"))
+      val ratios = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      val safe = Sampling.splitAssign(rep, "rep_id", ratios, seed = "sp")
+        .select(col("doc_id"), col("split"))
+      val naive = Sampling.splitAssign(
+          docs.select(col("doc_id"), col("doc_id").as("rep_id")),
+          "rep_id", ratios, seed = "sp")
+        .select(col("doc_id"), col("split"))
+      def audit(assign: DataFrame, method: String): DataFrame = pairs
+        .join(assign.select(col("doc_id").as("id_a"), col("split").as("s1")), "id_a")
+        .join(assign.select(col("doc_id").as("id_b"), col("split").as("s2")), "id_b")
+        .agg(count(lit(1)).as("n_dup_pairs"),
+          sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L)).as("n_cross_split"))
+        .select(lit(method).as("method"), col("n_dup_pairs"), col("n_cross_split"),
+          (col("n_cross_split").cast("double") /
+            col("n_dup_pairs").cast("double")).as("leakage_rate"))
+      audit(safe, "cluster_safe").unionByName(audit(naive, "naive_hash"))
+    }),
+
     // incremental dedup: today's batch (docs 400+) against the already-
     // ingested reference (docs <400) — batch survivors only. Value-checked:
     // the oracle recomputes exact all-cross-pairs char-5-gram Jaccard in
@@ -4023,6 +4058,49 @@ FROM (
         |       WHEN substring(md5('sp' || coalesce(cast(rep_id AS varchar), chr(0) || 'null')), 1, 8) < 'e6666666' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM rep""".stripMargin,
+
+    // the audit replayed: exact pairs, the same closure + both split
+    // gates, leakage as one int/int division per method row
+    "q_split_leakage_audit" ->
+      s"""WITH RECURSIVE $charPairsSql,
+        | above AS MATERIALIZED (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+        | edges AS MATERIALIZED (
+        |  SELECT id_a AS a, id_b AS b FROM above
+        |  UNION SELECT id_b, id_a FROM above),
+        | reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        | keeper AS (
+        |  SELECT src AS id, least(src, min(dst)) AS keep_id FROM reach GROUP BY src),
+        | rep AS (
+        |  SELECT d.doc_id, coalesce(k.keep_id, d.doc_id) AS rep_id
+        |  FROM documents d LEFT JOIN keeper k ON d.doc_id = k.id),
+        | safe AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5('sp' || coalesce(cast(rep_id AS varchar), chr(0) || 'null')), 1, 8) < 'cccccccc' THEN 'train'
+        |         WHEN substring(md5('sp' || coalesce(cast(rep_id AS varchar), chr(0) || 'null')), 1, 8) < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM rep),
+        | naive AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5('sp' || coalesce(cast(doc_id AS varchar), chr(0) || 'null')), 1, 8) < 'cccccccc' THEN 'train'
+        |         WHEN substring(md5('sp' || coalesce(cast(doc_id AS varchar), chr(0) || 'null')), 1, 8) < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        | m AS (
+        |  SELECT 'cluster_safe' AS method, sa.split AS s1, sb.split AS s2
+        |  FROM above a JOIN safe sa ON sa.doc_id = a.id_a
+        |              JOIN safe sb ON sb.doc_id = a.id_b
+        |  UNION ALL
+        |  SELECT 'naive_hash', na.split, nb.split
+        |  FROM above a JOIN naive na ON na.doc_id = a.id_a
+        |              JOIN naive nb ON nb.doc_id = a.id_b)
+        |SELECT method, count(*)::BIGINT AS n_dup_pairs,
+        |  sum(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END)::BIGINT AS n_cross_split,
+        |  cast(sum(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END) AS double)
+        |    / cast(count(*) AS double) AS leakage_rate
+        |FROM m GROUP BY 1""".stripMargin,
 
     "q_cross_dedup_bloom" -> crossPairsOracleSql,
 
