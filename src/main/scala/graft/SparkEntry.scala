@@ -2053,6 +2053,16 @@ object SparkEntry {
           round(col("score"), 6).as("score_r"))
     }),
 
+    // embedding-space anisotropy audit (Similarity.embeddingProfile):
+    // the cosine-to-centroid distribution every team checks before
+    // trusting cosine ANN — a cone-collapsed space piles all mass into
+    // the top bins. Centroid = micro-quantized exact mean (bigint sums,
+    // one division/dim); cosines micro-quantized BEFORE binning so bin
+    // edges are integer arithmetic; report rows are pure integers
+    "q_embedding_stats" -> ((s, dir) => {
+      Similarity.embeddingProfile(t(s, dir, "embeddings"), "vec_id", "embedding")
+    }),
+
     // MRR@10 of the IVF index: per query, where does the approximate
     // list place the TRUE nearest (non-self) neighbor — the
     // single-answer retrieval metric alongside recall (hit counting)
@@ -4238,6 +4248,30 @@ FROM (
         |  regexp_extract(regexp_extract(url_norm, '^[^:]+://([^/?#:]*)', 1),
         |    '([^.]+\\.[^.]+)$$', 1) AS domain
         |FROM np""".stripMargin,
+
+    // centroid rebuilt from the same bigint micro-sums; three sequential
+    // list folds = the same IEEE op sequence as the fused kernel
+    "q_embedding_stats" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS vec
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        | m0 AS (
+        |  SELECT pos, cast(sum(cast(floor(x * 1000000.0 + 0.5) AS bigint)) AS double)
+        |    / (count(*) * 1000000.0) AS m
+        |  FROM (SELECT unnest(vec) AS x, unnest(range(1, len(vec) + 1)) AS pos FROM v)
+        |  GROUP BY pos),
+        | mv AS (SELECT list(m ORDER BY pos) AS mean_vec FROM m0),
+        | c AS (
+        |  SELECT CASE WHEN sqrt(list_dot_product(v.vec, v.vec))
+        |              * sqrt(list_dot_product(mean_vec, mean_vec)) = 0 THEN 0.0
+        |         ELSE list_dot_product(v.vec, mean_vec)
+        |           / (sqrt(list_dot_product(v.vec, v.vec))
+        |              * sqrt(list_dot_product(mean_vec, mean_vec))) END AS cos
+        |  FROM v, mv),
+        | q AS (SELECT cast(floor(cos * 1000000.0 + 0.5) AS bigint) AS cm FROM c)
+        |SELECT least(greatest((cm + 1000000) * 10 // 2000000, 0), 9)::BIGINT AS cos_bin,
+        |  count(*)::BIGINT AS n_vectors, sum(cm)::BIGINT AS sum_cos_micro
+        |FROM q GROUP BY 1""".stripMargin,
 
     // same synthesized lines; this engine ERRORS on malformed extraction
     // where Spark returns null, so validity gates through json_valid

@@ -466,4 +466,40 @@ object Similarity {
         round(col("sum_fp").cast("double") / (col("n").cast("double") * lit(1e6d)), 6)
           .as("mean"))
   }
+
+  /** Anisotropy profile of an embedding corpus: the distribution of
+    * cosine(vector, corpus centroid) — the QC check run before trusting
+    * cosine ANN over the space (a cone-collapsed space concentrates all
+    * mass in the top bins; Ethayarajh 2019 made this the standard
+    * embedding diagnostic). The centroid is the micro-quantized exact
+    * mean ([[refineCentroids]]'s discipline: per-dim bigint sums, one
+    * division — order-independent, so any engine rebuilds it
+    * bit-identically); cosines are micro-quantized BEFORE binning so the
+    * bin boundary is integer arithmetic, and the report is integer
+    * counts + integer micro-sums only.
+    *
+    * Scale: one posexplode aggregation for the centroid (rows × dims,
+    * map-combined), one broadcast of the single-row mean, one per-row
+    * cosine scan, one bins-sized rollup — no corpus shuffle. */
+  def embeddingProfile(emb: DataFrame, idCol: String, vecCol: String,
+      bins: Int = 10): DataFrame = {
+    import graft.plans.NativeExpressions
+    val v = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast("array<double>").as("vec"))
+    val mean = v.select(posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg((sum(floor(col("x") * lit(1.0e6d) + lit(0.5d)).cast("long"))
+        .cast("double") / (count(lit(1)) * lit(1.0e6d))).as("m"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("pm.m").as("mean_vec"))
+    v.crossJoin(broadcast(mean))
+      .select(floor(NativeExpressions.cosine(col("vec"), col("mean_vec"))
+        * lit(1.0e6d) + lit(0.5d)).cast("long").as("cm"))
+      .select(least(greatest(
+          expr(s"(cm + 1000000) * $bins div 2000000"), lit(0L)),
+          lit((bins - 1).toLong)).as("cos_bin"),
+        col("cm"))
+      .groupBy(col("cos_bin"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("cm")).as("sum_cos_micro"))
+  }
 }
