@@ -462,6 +462,29 @@ object SparkEntry {
         .drop("cum_before")
     }),
 
+    // tokenizer fertility per language — BPE tokens per whitespace word,
+    // THE multilingual-tokenizer QC number (a language with fertility 3×
+    // another pays 3× the context budget for the same text; the standard
+    // audit before fixing a vocab). Same deterministically-trained merge
+    // table as q_bpe_tokens; integer sums, one division per lang row
+    "q_tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sample = docs
+        .where(col("doc_id") < 50 && col("text").isNotNull && length(col("text")) > 0)
+        .select(col("text")).collect().map(_.getString(0)).toSeq
+      val merges = graft.functions.Bpe.train(sample, numMerges = 24)
+      docs.where(col("text").isNotNull)
+        .select(col("lang"),
+          graft.functions.Bpe.tokenCount(col("text"), merges).cast("long").as("bpe"),
+          TF.tokenCount(col("text")).cast("long").as("ws"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("bpe")).as("bpe_tokens"),
+          sum(col("ws")).as("ws_tokens"))
+        .withColumn("fertility",
+          when(col("ws_tokens") > 0,
+            col("bpe_tokens").cast("double") / col("ws_tokens").cast("double")))
+    }),
+
     "q_token_budget" -> ((s, dir) => {
       val weighted = t(s, dir, "documents")
         .groupBy(col("source"))
@@ -3756,6 +3779,22 @@ object SparkEntry {
   private val bpeTokensOracleSql: String = bpeOracleSql(last => s"""
 SELECT doc_id, ((len(s) - len(replace(s, ',', ''))) // 2)::BIGINT AS n_bpe_tokens FROM $last""")
 
+  /** The fertility rollup on top of the replayed BPE chain: join back to
+    * documents for lang and the whitespace word count (the q_token_budget
+    * formula), then integer sums + one guarded division per lang. */
+  private val tokenizerFertilityOracleSql: String = bpeOracleSql(last => s"""
+, f AS (
+  SELECT d.lang,
+    ((len(a.s) - len(replace(a.s, ',', ''))) // 2)::BIGINT AS bpe,
+    len(list_filter(string_split_regex(d.text, '[\\s\\x0b]+'), x -> x <> ''))::BIGINT AS ws
+  FROM $last a JOIN documents d USING (doc_id)
+  WHERE d.text IS NOT NULL)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(bpe)::BIGINT AS bpe_tokens,
+  sum(ws)::BIGINT AS ws_tokens,
+  CASE WHEN sum(ws) > 0
+       THEN cast(sum(bpe) AS double) / cast(sum(ws) AS double) END AS fertility
+FROM f GROUP BY 1""")
+
   /** q_pack_bpe: the same replayed tokenizer, then the pack layout as a
     * per-source cumulative window over BPE counts (HUGEINT window sum
     * cast back to BIGINT before the div/mod). */
@@ -4446,6 +4485,7 @@ FROM (
         |LIMIT 50""".stripMargin,
     "q_bpe_tokens" -> bpeTokensOracleSql,
     "q_pack_bpe" -> packBpeOracleSql,
+    "q_tokenizer_fertility" -> tokenizerFertilityOracleSql,
 
     // the full cleaning funnel, replayed stage by stage: sanitize (scrub
     // pattern), the composite quality formula, exact dedup (min-id keeper),
