@@ -1576,6 +1576,17 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
 
+    // per-SOURCE top terms (the c-TF-IDF-style mixture/cluster labeling
+    // move: treat each source as one "document", rank its terms by
+    // in-source frequency with cross-source df as the tie-break) — the
+    // label a corpus-mixture report prints next to each source's row.
+    // Same integer ordering contract as q_top_terms, re-keyed
+    "q_source_top_terms" -> ((s, dir) => {
+      TextAnalysis.topTerms(
+        t(s, dir, "documents").select(col("source"), col("text")),
+        "source", "text", k = 5)
+    }),
+
     // per-doc trigram novelty: share of a doc's distinct 3-grams first
     // seen in THIS doc (min-doc-id attribution) — the incremental-
     // information rank a dedup-aware sampler uses; a verbatim copy of an
@@ -2074,6 +2085,25 @@ object SparkEntry {
       graft.ext.Retrieval.mmrRerank(cand, sims, k = 5, lambda = MmrLambda)
         .select(col("query_id"), col("neighbor_id"), col("mmr_rank"),
           round(col("score"), 6).as("score_r"))
+    }),
+
+    // exact equi-depth histogram boundaries (the ANALYZE histogram a
+    // cost-based optimizer loads): bucket i's upper bound = the value at
+    // global sorted position n·i/k, via the distributed exact rank (range
+    // exchange + partitioned window + broadcast offsets — no global sort,
+    // no single reducer). The emitted VALUE at a position is tie-
+    // invariant, so ranking on the value alone is safe here even though
+    // tied ranks themselves are placement-dependent. Money as cents
+    "q_equidepth_hist" -> ((s, dir) => {
+      import s.implicits._
+      val k = 8
+      val vals = t(s, dir, "lineitem")
+        .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      val (ranked, n) = graft.operators.GlobalRank.withGlobalRankAndCount(
+        vals, Seq(col("cents")), "r")
+      val posDf = (1 to k).map(i => (n * i / k - 1, i.toLong)).toDF("r", "bucket")
+      ranked.join(broadcast(posDf), "r")
+        .select(col("bucket"), col("cents").as("upper_cents"))
     }),
 
     // embedding-space anisotropy audit (Similarity.embeddingProfile):
@@ -4288,6 +4318,21 @@ FROM (
         |    '([^.]+\\.[^.]+)$$', 1) AS domain
         |FROM np""".stripMargin,
 
+    // same positions out of one (windowed) global order — the value at a
+    // sorted position is tie-invariant, so the two engines' different
+    // tie placements cannot disagree
+    "q_equidepth_hist" ->
+      """WITH v AS (
+        |  SELECT cast(floor(l_extendedprice * 100 + 0.5) AS bigint) AS cents
+        |  FROM lineitem),
+        | r AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS r FROM v),
+        | n AS (SELECT count(*) AS n FROM v),
+        | pos AS (
+        |  SELECT g.i AS bucket, (n.n * g.i) // 8 - 1 AS p
+        |  FROM generate_series(1, 8) g(i), n)
+        |SELECT pos.bucket::BIGINT AS bucket, r.cents AS upper_cents
+        |FROM pos JOIN r ON r.r = pos.p""".stripMargin,
+
     // centroid rebuilt from the same bigint micro-sums; three sequential
     // list folds = the same IEEE op sequence as the fused kernel
     "q_embedding_stats" ->
@@ -5264,6 +5309,21 @@ FROM (
         |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rank
         |  FROM tf JOIN dfreq ON tf.term = dfreq.term)
         |SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // the same rank replayed with the source as the grouping key
+    "q_source_top_terms" ->
+      """WITH terms AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '')) AS term
+        |  FROM documents),
+        | tf AS (SELECT source, term, count(*) AS tf FROM terms GROUP BY source, term),
+        | dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        | ranked AS (
+        |  SELECT tf.source AS source, tf.term AS term, tf.tf AS tf, dfreq.df AS df,
+        |    row_number() OVER (PARTITION BY tf.source
+        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rank
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term)
+        |SELECT source, term, tf, df, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
     "q_tfidf" ->
       """WITH terms AS (

@@ -77,7 +77,7 @@ object ScaleProbe {
     // for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8", "r8b"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate",
@@ -539,6 +539,32 @@ object ScaleProbe {
         graft.ext.Multimodal.synthesizeGradientImages(
           docs.select(col("doc_id")), "doc_id"))))
       println(f"""SCALE_R8 {"factor":$f, "html_extract":$tHe%.2f, "url_normalize":$tUn%.2f, "domain_profile":$tDo%.2f, "bucket_join":$tBj%.2f, "image_fingerprints":$tFp%.2f}""")
+      }
+
+      // round-8 second wave. Axes: expectations is one map-combined scan
+      // + a key-only FK anti-join (linear, dims constant); dynamic-prune
+      // reads ONE language's partition dirs of a linearly growing layout
+      // (warm the staged layout first, the partition-prune discipline);
+      // quarantine and fertility are per-row scans (fertility's BPE
+      // kernel is the heavy one — the merge table is CONSTANT, trained
+      // once on the bounded doc_id<50 sample); novelty is one gram
+      // exchange growing linearly (rotation keeps cross-copy grams
+      // disjoint, so first-occurrence attribution stays within copies);
+      // embedding_stats is a rows x dims aggregation + per-row cosine;
+      // the split audit rides the staged pair set (warm it via the
+      // cheapest consumer first so the probe times the audit, not the
+      // one-time staging write).
+      if (groups("r8b")) {
+      val tEx = tq("q_expectations")
+      tq("q_partition_prune") // stage the lang=... layout unrecorded
+      val tDy = tq("q_dynamic_prune")
+      val tJq = tq("q_jsonl_quarantine")
+      val tNo = tq("q_ngram_novelty")
+      val tEs = tq("q_embedding_stats")
+      val tTf = tq("q_tokenizer_fertility")
+      tq("q_minhash_near_dup") // stage the pair set unrecorded
+      val tSa = tq("q_split_leakage_audit")
+      println(f"""SCALE_R8B {"factor":$f, "expectations":$tEx%.2f, "dynamic_prune":$tDy%.2f, "jsonl_quarantine":$tJq%.2f, "ngram_novelty":$tNo%.2f, "embedding_stats":$tEs%.2f, "tokenizer_fertility":$tTf%.2f, "split_leakage_audit":$tSa%.2f}""")
       }
 
       // round-7 ninth (final) wave: the sliced-AUC join is bounded by
