@@ -2101,6 +2101,9 @@ object SparkEntry {
         .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
       val (ranked, n) = graft.operators.GlobalRank.withGlobalRankAndCount(
         vals, Seq(col("cents")), "r")
+      // fewer rows than buckets would silently drop boundary positions
+      // (n·i/k−1 repeats or goes negative) — fail loudly instead
+      require(n >= k, s"q_equidepth_hist: $n rows < $k buckets")
       val posDf = (1 to k).map(i => (n * i / k - 1, i.toLong)).toDF("r", "bucket")
       ranked.join(broadcast(posDf), "r")
         .select(col("bucket"), col("cents").as("upper_cents"))

@@ -59,7 +59,7 @@ object Expectations {
     * (constraint, observed_num, observed_den, rate, passed) rows in the
     * given order (`ord` carries it through any engine's sort). */
   def evaluate(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
-    val spark = df.sparkSession
+    require(expectations.nonEmpty, "evaluate needs at least one expectation")
     // (aggregate numerator, denominator, threshold) per one-pass constraint
     val onePass = expectations.zipWithIndex.collect {
       case (e: NotNull, i) =>
@@ -80,12 +80,16 @@ object Expectations {
     val aggCols = onePass.flatMap { case (i, _, num, den, _) =>
       Seq(num.as(s"__n$i"), den.as(s"__d$i"))
     }
-    val one = df.agg(aggCols.head, aggCols.tail: _*)
-    val onePassReport = onePass.map { case (i, nm, _, _, thr) =>
-      one.select(lit(i.toLong).as("ord"), lit(nm).as("constraint"),
-        col(s"__n$i").cast("long").as("observed_num"),
-        col(s"__d$i").cast("long").as("observed_den"),
-        lit(thr).as("threshold"))
+    // an FK-only expectation list has no one-pass aggregates — skip the
+    // scan entirely rather than building an empty agg()
+    val onePassReport = if (onePass.isEmpty) Seq.empty else {
+      val one = df.agg(aggCols.head, aggCols.tail: _*)
+      onePass.map { case (i, nm, _, _, thr) =>
+        one.select(lit(i.toLong).as("ord"), lit(nm).as("constraint"),
+          col(s"__n$i").cast("long").as("observed_num"),
+          col(s"__d$i").cast("long").as("observed_den"),
+          lit(thr).as("threshold"))
+      }
     }
     // FK orphan counts: one key-only anti-join each; pass = zero orphans
     val fkReport = expectations.zipWithIndex.collect {
