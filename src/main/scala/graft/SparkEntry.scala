@@ -2354,6 +2354,45 @@ object SparkEntry {
           col("valid_to"), col("n_events"), col("is_current"))
     }),
 
+    // point-in-time (PIT) join — the feature-store correctness move: each
+    // purchase is enriched with the dimension version VALID AT ITS EVENT
+    // TIME, never a later one (joining the current version would leak
+    // future state into training features). The dimension is the SCD2
+    // run history of a user's view-derived tier; purchases BEFORE the
+    // user's first view keep a NULL tier (the honest "no profile yet"
+    // row a leaky join would silently backfill). Equi-join on the user
+    // key + interval containment — per-user versions × purchases, never
+    // a cross product; both sides co-partition on user_id at scale
+    "q_pit_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * 10).cast("long").as("tier"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val runs = views
+        .withColumn("chg",
+          when(lag(col("tier"), 1).over(w).isNull ||
+            lag(col("tier"), 1).over(w) =!= col("tier"), 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("chg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val w2 = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+      val dim = runs.groupBy(col("user_id"), col("run_id"))
+        .agg(min(col("tier")).as("tier"), min(col("ts")).as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+        .select(col("user_id").as("d_user"), col("tier"),
+          col("valid_from"), col("valid_to"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      purchases.join(dim,
+          purchases("user_id") === dim("d_user") &&
+            dim("valid_from") <= purchases("ts") &&
+            (dim("valid_to").isNull || purchases("ts") < dim("valid_to")),
+          "left")
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+    }),
+
     // incremental aggregate maintenance (materialized-view pattern): the
     // per-user stats state is built separately over the history (80% of
     // events) and a delta batch (20%), then MERGED on state rows — the
@@ -6229,6 +6268,42 @@ FROM (
         |  lead(valid_from) OVER w2 IS NULL AS is_current
         |FROM iv
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)""".stripMargin,
+
+    // the same tier-run dimension and containment join; a LEFT join so
+    // the pre-first-view purchases keep their NULL-tier row
+    "q_pit_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id,
+        |    cast(floor(value * 10) AS bigint) AS tier
+        |  FROM events WHERE event_type = 'view'),
+        | o AS (
+        |  SELECT user_id, ts, event_id, tier,
+        |    CASE WHEN lag(tier) OVER w IS NULL
+        |           OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+        |  FROM v
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | r AS (
+        |  SELECT user_id, tier, ts,
+        |    cast(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS bigint) AS run_id
+        |  FROM o),
+        | iv AS (
+        |  SELECT user_id, run_id, min(tier) AS tier, min(ts) AS valid_from
+        |  FROM r GROUP BY 1, 2),
+        | dim AS (
+        |  SELECT user_id, tier, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+        |  FROM iv),
+        | p AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT d.tier,
+        |  count(*)::BIGINT AS n_purchases,
+        |  sum(cast(floor(p.value * 100 + 0.5) AS bigint))::BIGINT AS value_cents
+        |FROM p LEFT JOIN dim d
+        |  ON d.user_id = p.user_id AND d.valid_from <= p.ts
+        |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+        |GROUP BY 1""".stripMargin,
 
     "q_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
