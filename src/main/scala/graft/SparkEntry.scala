@@ -2354,6 +2354,43 @@ object SparkEntry {
           col("valid_to"), col("n_events"), col("is_current"))
     }),
 
+    // trailing-window feature materialization: per event, the user's
+    // activity count and spend over the PRECEDING 7 days (range frame on
+    // the micros axis — a row frame would be wrong under irregular event
+    // spacing). The per-user window is one hash exchange + in-partition
+    // sort; integer micros and cents keep the frame edges and sums exact
+    "q_rolling_features" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val tsUs = graft.sources.Tables.tsMicros(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+        .rangeBetween(-7L * 86400L * 1000000L, 0L)
+      ev.select(col("event_id"), col("user_id"), tsUs.as("__us"),
+          floor(col("value") * 100 + 0.5).cast("long").as("__cents"))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("cents_7d", sum(col("__cents")).over(w))
+        .select(col("event_id"), col("user_id"), col("n_7d"), col("cents_7d"))
+    }),
+
+    // future-window label generation — the training-label counterpart of
+    // the PIT join: for each view, did the user purchase within the NEXT
+    // 24 hours (strictly after the view — the label window must not see
+    // the labeling instant itself)? Per-user equi-join + time-range
+    // predicate, grouped to one 0/1 label per view
+    "q_label_window" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val tsUs = graft.sources.Tables.tsMicros(col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), tsUs.as("v_us"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), tsUs.as("p_us"))
+      views.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_us") > col("v_us") &&
+            col("p_us") <= col("v_us") + 86400L * 1000000L, "left")
+        .groupBy(col("event_id"))
+        .agg(max(when(col("p_us").isNotNull, 1L).otherwise(0L)).as("label"))
+    }),
+
     // point-in-time (PIT) join — the feature-store correctness move: each
     // purchase is enriched with the dimension version VALID AT ITS EVENT
     // TIME, never a later one (joining the current version would leak
@@ -6268,6 +6305,34 @@ FROM (
         |  lead(valid_from) OVER w2 IS NULL AS is_current
         |FROM iv
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)""".stripMargin,
+
+    // the same micros axis (epoch_us) and numeric RANGE frame
+    "q_rolling_features" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    cast(floor(value * 100 + 0.5) AS bigint) AS cents
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w::BIGINT AS n_7d,
+        |  sum(cents) OVER w::BIGINT AS cents_7d
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // same strict-future window; LEFT JOIN + max replays the EXISTS
+    "q_label_window" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS v_us
+        |  FROM events WHERE event_type = 'view'),
+        | p AS (
+        |  SELECT user_id AS p_user, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT v.event_id,
+        |  max(CASE WHEN p.p_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS label
+        |FROM v LEFT JOIN p
+        |  ON p.p_user = v.user_id AND p.p_us > v.v_us
+        |  AND p.p_us <= v.v_us + 86400000000
+        |GROUP BY 1""".stripMargin,
 
     // the same tier-run dimension and containment join; a LEFT join so
     // the pre-first-view purchases keep their NULL-tier row
