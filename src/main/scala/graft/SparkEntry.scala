@@ -2354,6 +2354,22 @@ object SparkEntry {
           col("valid_to"), col("n_events"), col("is_current"))
     }),
 
+    // calibration / reliability curve for the q_classifier_eval scorer:
+    // per integer score bin, observed positive rate vs bin population —
+    // the diagram read before trusting a threshold. Binning is integer
+    // arithmetic on the raw score (no float edges), counts are exact,
+    // one IEEE division per bin row
+    "q_calibration_curve" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .where(col("lang").isNotNull)
+        .select(least(floor(col("n_chars") / 100).cast("long"), lit(9L)).as("bin"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+        .withColumn("pos_rate",
+          col("n_pos").cast("double") / col("n").cast("double"))
+    }),
+
     // trailing-window feature materialization: per event, the user's
     // activity count and spend over the PRECEDING 7 days (range frame on
     // the micros axis — a row frame would be wrong under irregular event
@@ -6305,6 +6321,15 @@ FROM (
         |  lead(valid_from) OVER w2 IS NULL AS is_current
         |FROM iv
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)""".stripMargin,
+
+    "q_calibration_curve" ->
+      """SELECT least(cast(floor(n_chars / 100) AS bigint), 9) AS bin,
+        |  count(*)::BIGINT AS n,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+        |  cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS double)
+        |    / cast(count(*) AS double) AS pos_rate
+        |FROM documents WHERE lang IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     // the same micros axis (epoch_us) and numeric RANGE frame
     "q_rolling_features" ->
