@@ -77,7 +77,7 @@ object ScaleProbe {
     // for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8", "r8b"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8", "r8b", "r8c"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate",
@@ -565,6 +565,26 @@ object ScaleProbe {
       tq("q_minhash_near_dup") // stage the pair set unrecorded
       val tSa = tq("q_split_leakage_audit")
       println(f"""SCALE_R8B {"factor":$f, "expectations":$tEx%.2f, "dynamic_prune":$tDy%.2f, "jsonl_quarantine":$tJq%.2f, "ngram_novelty":$tNo%.2f, "embedding_stats":$tEs%.2f, "tokenizer_fertility":$tTf%.2f, "split_leakage_audit":$tSa%.2f}""")
+      }
+
+      // round-8 third wave. Axes: the PIT join and label window are
+      // per-user equi-joins with range predicates (users and their
+      // events both grow linearly; per-user version/purchase counts are
+      // constant under user-offset staging); rolling features is one
+      // user exchange + in-partition range frame; calibration and the
+      // source-term rank are bounded-key rollups over linear scans; the
+      // equi-depth histogram is the distributed rank machinery end to
+      // end (range exchange + partitioned window + broadcast offsets —
+      // the probe would expose any single-reducer regression
+      // immediately).
+      if (groups("r8c")) {
+      val tPj = tq("q_pit_join")
+      val tRf = tq("q_rolling_features")
+      val tLw = tq("q_label_window")
+      val tCc = tq("q_calibration_curve")
+      val tSt = tq("q_source_top_terms")
+      val tEd = tq("q_equidepth_hist")
+      println(f"""SCALE_R8C {"factor":$f, "pit_join":$tPj%.2f, "rolling_features":$tRf%.2f, "label_window":$tLw%.2f, "calibration_curve":$tCc%.2f, "source_top_terms":$tSt%.2f, "equidepth_hist":$tEd%.2f}""")
       }
 
       // round-7 ninth (final) wave: the sliced-AUC join is bounded by

@@ -76,11 +76,11 @@ class WebTextSpec extends SparkSpec {
   }
 
   test("non-default port and http:80 handling") {
-    val df = Seq((1L, "<a href=\"http://X.Y:80/q\">a</a>" +
-      "<a href=\"https://h.io:8443/z\">b</a>")).toDF("doc_id", "html")
+    val df = Seq((1L, "<a href=\"http://X.Y.test:80/q\">a</a>" +
+      "<a href=\"https://h.test:8443/z\">b</a>")).toDF("doc_id", "html")
     val out = WebText.links(df, "doc_id", "html", "corp.example.com")
       .orderBy(col("href")).collect()
-    assert(out(0).getAs[String]("url_norm") === "http://x.y/q")
-    assert(out(1).getAs[String]("url_norm") === "https://h.io:8443/z")
+    assert(out(0).getAs[String]("url_norm") === "http://x.y.test/q")
+    assert(out(1).getAs[String]("url_norm") === "https://h.test:8443/z")
   }
 }

@@ -33,7 +33,11 @@ PATTERNS = {
         r"https?://(?!github\.com|raw\.githubusercontent\.com|spark\.apache\.org|"
         r"issues\.apache\.org|docs\.oracle\.com|duckdb\.org|scala-lang\.org|"
         r"www\.scala-sbt\.org|repo1\.maven\.org|arxiv\.org|doi\.org|dl\.acm\.org|"
-        r"en\.wikipedia\.org|localhost|127\.0\.0\.1|example\.com|www\.w3\.org|"
+        r"en\.wikipedia\.org|localhost|127\.0\.0\.1|www\.w3\.org|"
+        # RFC 2606/6761 reserved names (example.com and subdomains, the
+        # .example/.test/.invalid TLDs) are documentation fixtures by
+        # definition, never real endpoints
+        r"(?:[\w.-]+\.)?example\.com|[\w.-]+\.(?:example|test|invalid)(?![\w.])|"
         r"neo4j\.com|tigergraph\.com|graft\.local)[\w.-]+"),
     # private-looking package roots in strings or configs
     "internal-pkg2": re.compile(r"\b(?:com|net|io)\.(?!example\b)[a-z]+\.internal\b"),
