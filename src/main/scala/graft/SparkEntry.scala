@@ -2354,6 +2354,45 @@ object SparkEntry {
           col("valid_to"), col("n_events"), col("is_current"))
     }),
 
+    // the raw-web capstone funnel — the whole ingest chain composed:
+    // synthesized HTML pages → boilerplate extraction → content gate
+    // (low link density + minimum text) → exact dedup on the CLEAN text
+    // → near-dedup survivors → the kept set's whitespace-token total
+    // (what actually lands in the training mix). Every stage row is a
+    // count off the previous stage's frame — the funnel report a corpus
+    // release ships. Near-dedup reuses the minhash pipeline at 0.8 on
+    // the cleaned text; the oracle replays extraction + gates + the
+    // posting-list exact pairs + the closure
+    "q_web_corpus_funnel" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"),
+        graft.ext.WebText.synthesizeHtml(col("doc_id"),
+          coalesce(col("text"), lit(""))).as("html"))
+      val ex = graft.ext.WebText.extract(pages, "doc_id", "html")
+        .select(col("doc_id"), col("text_clean"), col("text_len"),
+          col("link_density"))
+      val gated = ex.where(col("link_density") <= 0.5 && col("text_len") >= 50)
+      val exact = gated.groupBy(col("text_clean"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val pairs = Dedup.minhashNearDuplicates(
+        exact.select(col("doc_id"), col("text_clean").as("text")),
+        "doc_id", "text", shingleSize = 5, numHashes = 128, bands = 16,
+        threshold = 0.8)
+      val dropped = Dedup.resolveDuplicateClusters(pairs)
+        .where(col("id") =!= col("keep_id")).select(col("id").as("doc_id"))
+      val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
+      pages.agg(count(lit(1)).as("n"))
+        .select(lit("0_pages").as("stage"), col("n"))
+        .unionByName(gated.agg(count(lit(1)).as("n"))
+          .select(lit("1_content_gate").as("stage"), col("n")))
+        .unionByName(exact.agg(count(lit(1)).as("n"))
+          .select(lit("2_exact_dedup").as("stage"), col("n")))
+        .unionByName(kept.agg(count(lit(1)).as("n"))
+          .select(lit("3_near_dedup").as("stage"), col("n")))
+        .unionByName(kept.agg(
+            coalesce(sum(TF.tokenCount(col("text_clean")).cast("long")), lit(0L)).as("n"))
+          .select(lit("4_kept_tokens").as("stage"), col("n")))
+    }),
+
     // calibration / reliability curve for the q_classifier_eval scorer:
     // per integer score bin, observed positive rate vs bin population —
     // the diagram read before trusting a threshold. Binning is integer
@@ -6321,6 +6360,64 @@ FROM (
         |  lead(valid_from) OVER w2 IS NULL AS is_current
         |FROM iv
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)""".stripMargin,
+
+    // the funnel replayed: same pages, same extraction regexes, same
+    // gates, exact-pair near-dedup (recall 1.0 on this corpus's planted
+    // pairs), the same closure-minimum drop rule
+    "q_web_corpus_funnel" ->
+      s"""WITH RECURSIVE $htmlPagesSql,
+        | nb AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(html,
+        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS noblocks
+        |  FROM pages),
+        | ex AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(noblocks, '<[^>]*>', ' ', 'g'),
+        |      '[\\s\\x0b]+', ' ', 'g')) AS clean,
+        |    trim(regexp_replace(regexp_replace(
+        |      array_to_string(regexp_extract_all(noblocks,
+        |        '(?s)<a [^>]*>(.*?)</a>', 1), ' '),
+        |      '<[^>]*>', ' ', 'g'), '[\\s\\x0b]+', ' ', 'g')) AS atext
+        |  FROM nb),
+        | gated AS MATERIALIZED (
+        |  SELECT doc_id, clean FROM ex
+        |  WHERE cast(length(atext) AS double)
+        |      / cast(greatest(length(clean), 1) AS double) <= 0.5
+        |    AND length(clean) >= 50),
+        | exact AS MATERIALIZED (
+        |  SELECT min(doc_id) AS doc_id, clean FROM gated GROUP BY clean),
+        | ${charShingleSql("(SELECT doc_id, clean AS text FROM exact)")},
+        | shm AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS g
+        |  FROM sh WHERE len(sh) > 0),
+        | prs AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+        |      count(*)::BIGINT AS i
+        |    FROM shm a JOIN shm b ON a.g = b.g AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2, 3, 4)
+        |  WHERE cast(i AS double) / (na + nb - i) >= 0.8),
+        | edges AS MATERIALIZED (
+        |  SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+        | reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        | drop_ids AS MATERIALIZED (
+        |  SELECT src AS doc_id FROM reach GROUP BY src
+        |  HAVING src > least(src, min(dst))),
+        | kept AS MATERIALIZED (
+        |  SELECT e.doc_id, e.clean FROM exact e
+        |  WHERE e.doc_id NOT IN (SELECT doc_id FROM drop_ids))
+        |SELECT '0_pages' AS stage, (SELECT count(*) FROM pages)::BIGINT AS n
+        |UNION ALL SELECT '1_content_gate', (SELECT count(*) FROM gated)
+        |UNION ALL SELECT '2_exact_dedup', (SELECT count(*) FROM exact)
+        |UNION ALL SELECT '3_near_dedup', (SELECT count(*) FROM kept)
+        |UNION ALL SELECT '4_kept_tokens',
+        |  (SELECT coalesce(sum(len(list_filter(
+        |     string_split_regex(clean, '[\\s\\x0b]+'), x -> x <> ''))), 0)::BIGINT
+        |   FROM kept)""".stripMargin,
 
     "q_calibration_curve" ->
       """SELECT least(cast(floor(n_chars / 100) AS bigint), 9) AS bin,
