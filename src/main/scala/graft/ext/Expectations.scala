@@ -84,12 +84,17 @@ object Expectations {
     // scan entirely rather than building an empty agg()
     val onePassReport = if (onePass.isEmpty) Seq.empty else {
       val one = df.agg(aggCols.head, aggCols.tail: _*)
-      onePass.map { case (i, nm, _, _, thr) =>
-        one.select(lit(i.toLong).as("ord"), lit(nm).as("constraint"),
+      // EXPLODE the single aggregate row into the report rows — a
+      // union of per-row one.select(...) would repeat the aggregate
+      // subtree once per constraint and the "one pass" claim would be
+      // false in the physical plan (PlanSpec counts the fact scans)
+      val rows = onePass.map { case (i, nm, _, _, thr) =>
+        struct(lit(i.toLong).as("ord"), lit(nm).as("constraint"),
           col(s"__n$i").cast("long").as("observed_num"),
           col(s"__d$i").cast("long").as("observed_den"),
           lit(thr).as("threshold"))
       }
+      Seq(one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*")))
     }
     // FK orphan counts: one key-only anti-join each; pass = zero orphans
     val fkReport = expectations.zipWithIndex.collect {

@@ -340,6 +340,44 @@ class PlanSpec extends SparkSpec {
       s"fused output not TakeOrdered-bounded:\n${p.take(3000)}")
   }
 
+  test("html extraction is a zero-shuffle per-row projection") {
+    val p = plan("q_html_extract")
+    assert(!p.contains("Exchange"),
+      s"the raw-web map stage must not shuffle:\n${p.take(2000)}")
+  }
+
+  test("rolling features ride exactly one user exchange") {
+    val p = plan("q_rolling_features")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+  }
+
+  test("temporal joins (PIT, label window) never degrade to a nested-loop product") {
+    for (q <- Seq("q_pit_join", "q_label_window")) {
+      val p = plan(q)
+      // the range predicates must ride the user equi-key join as
+      // post-join conditions — a missing equi-key would surface as a
+      // nested-loop/cartesian whose cost is users² at scale
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(2000)}")
+    }
+  }
+
+  test("equi-depth histogram has no single-partition stage (distributed rank)") {
+    val p = plan("q_equidepth_hist")
+    assert(!p.contains("SinglePartition"),
+      s"the rank must stay partitioned:\n${p.take(3000)}")
+  }
+
+  test("expectations: one-pass constraints share a single fact aggregation") {
+    val p = plan("q_expectations")
+    // orders is scanned exactly 3x: the fused one-pass aggregate and the
+    // FK check's orphan + total legs — a 4th scan would mean a
+    // constraint stopped folding into the shared pass
+    val scans = "orders\\.parquet".r.findAllIn(p).size
+    assert(scans == 3, s"expected 3 orders scans, got $scans:\n${p.take(3000)}")
+  }
+
   test("trend slope: one fact exchange feeds one aggregation, no window, no join") {
     val p = plan("q_trend_slope")
     // the whole OLS reduces to grouped moment sums: one hash exchange on
