@@ -73,6 +73,29 @@ object CurationProps extends Properties("Curation") {
       }
     }
 
+  property("cluster-keyed split NEVER leaks a near-dup pair across splits") =
+    forAll(Gen.listOfN(10, doc), Gen.choose(0, 4)) { (texts, dupSeed) =>
+      // plant guaranteed near-dups: append each text again under a new id
+      // (exact copies are the adversarial case for a leaky split)
+      val planted = texts ++ texts.take(dupSeed + 1)
+      val docs = docsDf(planted)
+      val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", 5, 64, 8, 0.5)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Dedup.resolveDuplicateClusters(pairs)
+      val rep = docs.select(col("doc_id"))
+        .join(clusters.select(col("id").as("doc_id"), col("keep_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("keep_id"), col("doc_id")).as("rep_id"))
+      val assign = Sampling.splitAssign(rep, "rep_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = "sp")
+      val cross = pairs
+        .join(assign.select(col("doc_id").as("id_a"), col("split").as("s1")), "id_a")
+        .join(assign.select(col("doc_id").as("id_b"), col("split").as("s2")), "id_b")
+        .where(col("s1") =!= col("s2"))
+      cross.count() == 0L
+    }
+
   property("prefix-filter join EQUALS brute force on arbitrary word-soup corpora") =
     forAll(Gen.listOfN(25, doc), Gen.oneOf(0.3, 0.5, 0.7)) { (texts, t) =>
       import graft.functions.{HashFunctions => H}
