@@ -448,7 +448,10 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
-        round(col("__adc"), 4).as("adc_r"), col("rank"))
+        round(col("__adc"), 4).as("adc_r"),
+        // long like every other emitted rank — the oracle's row_number is
+        // BIGINT and an int32 here is the board's one dtype mismatch
+        col("rank").cast("long").as("rank"))
   }
 
   def dimensionStats(df: DataFrame, vecCol: String): DataFrame = {
