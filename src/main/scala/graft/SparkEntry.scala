@@ -2409,6 +2409,22 @@ object SparkEntry {
           col("n_pos").cast("double") / col("n").cast("double"))
     }),
 
+    // freshness/staleness gate: per event type, how far its latest event
+    // lags the feed's global latest — the ingest-health row a pipeline
+    // checks before publishing a snapshot (a silently stalled source
+    // shows up as a growing lag, not an error). Integer micros
+    // throughout; the global max joins back as a broadcast single row
+    "q_freshness_gate" -> ((s, dir) => {
+      val tsUs = graft.sources.Tables.tsMicros(col("ts"))
+      val perType = t(s, dir, "events")
+        .groupBy(col("event_type")).agg(max(tsUs).as("latest_us"))
+      val global = perType.agg(max(col("latest_us")).as("global_us"))
+      perType.crossJoin(broadcast(global))
+        .select(col("event_type"),
+          expr("(global_us - latest_us) div 3600000000").as("lag_hours"),
+          (col("global_us") - col("latest_us") <= 72L * 3600000000L).as("fresh"))
+    }),
+
     // trailing-window feature materialization: per event, the user's
     // activity count and spend over the PRECEDING 7 days (range frame on
     // the micros axis — a row frame would be wrong under irregular event
@@ -6418,6 +6434,16 @@ FROM (
         |  (SELECT coalesce(sum(len(list_filter(
         |     string_split_regex(clean, '[\\s\\x0b]+'), x -> x <> ''))), 0)::BIGINT
         |   FROM kept)""".stripMargin,
+
+    "q_freshness_gate" ->
+      """WITH t AS (
+        |  SELECT event_type, max(epoch_us(ts)) AS latest_us
+        |  FROM events GROUP BY 1),
+        | g AS (SELECT max(latest_us) AS global_us FROM t)
+        |SELECT event_type,
+        |  ((g.global_us - t.latest_us) // 3600000000)::BIGINT AS lag_hours,
+        |  (g.global_us - t.latest_us) <= 259200000000 AS fresh
+        |FROM t, g""".stripMargin,
 
     "q_calibration_curve" ->
       """SELECT least(cast(floor(n_chars / 100) AS bigint), 9) AS bin,
