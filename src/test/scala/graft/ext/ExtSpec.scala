@@ -1378,7 +1378,7 @@ class ExtSpec extends SparkSpec {
     val nq = queries.count()
     assert(adc.count() == nq * 5, "every query needs a full top-5")
     adc.groupBy("query_id").agg(collect_list("rank").as("rs")).collect()
-      .foreach(r => assert(r.getSeq[Int](1).sorted == Seq(1, 2, 3, 4, 5)))
+      .foreach(r => assert(r.getSeq[Long](1).sorted == Seq(1L, 2L, 3L, 4L, 5L)))
     // On iid-random vectors PQ cannot rank (distance concentration makes
     // every cross-distance ~equal while quantization noise stays large)
     // — measured recall ~5% ≈ chance, which is a property of the DATA,
