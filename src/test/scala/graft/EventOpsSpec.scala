@@ -131,4 +131,53 @@ class EventOpsSpec extends SparkSpec {
       Seq("user_id", "event_id", "ts", "us_since_view"))
     assert(q.where(col("us_since_view") > 3600000000L || col("us_since_view") < 0).isEmpty)
   }
+
+  test("PIT join semantics: a purchase sees the version valid AT its time, never a later one") {
+    import spark.implicits._
+    import graft.ext.{Expectations => _}
+    // hand-built history: user 1's tier changes v=1 at t=100s, v=2 at
+    // t=300s. Purchases at 50s (pre-profile), 100s (boundary: the NEW
+    // version is valid AT its start), 200s (inside v=1), 300s (boundary
+    // of v=2), 400s (inside v=2, the open interval).
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val rows = Seq(
+      (1L, 1L, "view", ts(100), 0.1),   // floor(0.1*10)=1 -> tier 1
+      (2L, 1L, "view", ts(300), 0.2),   // tier 2
+      (10L, 1L, "purchase", ts(50), 1.0),
+      (11L, 1L, "purchase", ts(100), 1.0),
+      (12L, 1L, "purchase", ts(200), 1.0),
+      (13L, 1L, "purchase", ts(300), 1.0),
+      (14L, 1L, "purchase", ts(400), 1.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val d = java.nio.file.Files.createTempDirectory("graft-pit").toString
+    rows.withColumn("props", lit(null).cast("string"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("q_pit_join")(spark, d)
+      .collect().map(r => Option(r.getAs[java.lang.Long]("tier")).map(_.toLong) ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("value_cents"))).toMap
+    // 50s: NULL (pre-profile); 100s + 200s: tier 1; 300s + 400s: tier 2
+    assert(out(None) == ((1L, 100L)))
+    assert(out(Some(1L)) == ((2L, 200L)))
+    assert(out(Some(2L)) == ((2L, 200L)))
+  }
+
+  test("label window boundaries: strictly future, inclusive at exactly +24h") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val day = 86400L
+    val rows = Seq(
+      // u1: purchase exactly AT the view instant -> NOT a label (strict future)
+      (1L, 1L, "view", ts(1000), 0.0), (2L, 1L, "purchase", ts(1000), 1.0),
+      // u2: purchase exactly at +24h -> label 1 (inclusive end)
+      (3L, 2L, "view", ts(1000), 0.0), (4L, 2L, "purchase", ts(1000 + day), 1.0),
+      // u3: purchase 1s past +24h -> label 0
+      (5L, 3L, "view", ts(1000), 0.0), (6L, 3L, "purchase", ts(1001 + day), 1.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val d = java.nio.file.Files.createTempDirectory("graft-lw").toString
+    rows.withColumn("props", lit(null).cast("string"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("q_label_window")(spark, d)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("label")).toMap
+    assert(out == Map(1L -> 0L, 3L -> 1L, 5L -> 0L))
+  }
 }
