@@ -73,6 +73,27 @@ class ExtSpec extends SparkSpec {
     assert(clean.where(!col("passed")).count() === 0)
   }
 
+  test("embeddingProfile: bins partition the corpus; a collapsed space concentrates in the top bin") {
+    val varied = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f)), (4L, Array(0.6f, 0.8f)),
+      (5L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val prof = Similarity.embeddingProfile(varied, "vec_id", "embedding").collect()
+    // nulls excluded, every non-null vector lands in exactly one bin
+    assert(prof.map(_.getAs[Long]("n_vectors")).sum === 4L)
+    assert(prof.forall(r => { val b = r.getAs[Long]("cos_bin"); b >= 0 && b <= 9 }))
+    // an anisotropy-collapsed space: every vector identical -> cosine to
+    // the centroid is exactly 1 -> all mass in bin 9, micro-sum = n*1e6
+    val collapsed = (1L to 6L).map(i => (i, Array(0.5f, 0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cp = Similarity.embeddingProfile(collapsed, "vec_id", "embedding").collect()
+    assert(cp.length === 1)
+    assert(cp(0).getAs[Long]("cos_bin") === 9L)
+    assert(cp(0).getAs[Long]("n_vectors") === 6L)
+    assert(cp(0).getAs[Long]("sum_cos_micro") === 6000000L)
+  }
+
   test("multi-column content hash has no boundary or null collisions") {
     val df = Seq(
       (1L, "ab", "c"), (2L, "a", "bc"),      // boundary shift
