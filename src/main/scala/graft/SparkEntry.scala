@@ -1587,6 +1587,18 @@ object SparkEntry {
         "source", "text", k = 5)
     }),
 
+    // batch-over-reference novelty: the same doc split as q_cross_dedup
+    // (reference < 400, batch ≥ 400), scoring how much trigram-level NEW
+    // information each batch doc adds over the already-ingested corpus —
+    // the complement of cross-corpus dedup (which only catches
+    // whole-document copies). Reference reduces to its distinct gram set
+    "q_cross_novelty" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.crossCorpusNovelty(
+        d.where(col("doc_id") >= 400), d.where(col("doc_id") < 400),
+        "doc_id", "text", n = 3)
+    }),
+
     // per-doc trigram novelty: share of a doc's distinct 3-grams first
     // seen in THIS doc (min-doc-id attribution) — the incremental-
     // information rank a dedup-aware sampler uses; a verbatim copy of an
@@ -4771,6 +4783,30 @@ FROM (
         |    FROM shm a JOIN shm b ON a.g = b.g AND a.doc_id < b.doc_id
         |    GROUP BY 1, 2, 3, 4))
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3""".stripMargin,
+
+    // same trigram dialect; the reference gram set via anti-membership
+    "q_cross_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS t
+        |  FROM documents),
+        | d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) = 0 THEN []
+        |         WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    END AS sh
+        |  FROM toks),
+        | ref AS MATERIALIZED (
+        |  SELECT DISTINCT unnest(sh) AS gram FROM d WHERE doc_id < 400 AND len(sh) > 0),
+        | b AS (
+        |  SELECT doc_id, unnest(sh) AS gram FROM d WHERE doc_id >= 400 AND len(sh) > 0)
+        |SELECT b.doc_id, count(*)::BIGINT AS n_grams,
+        |  sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  cast(sum(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END) AS double)
+        |    / cast(count(*) AS double) AS novelty
+        |FROM b LEFT JOIN ref r ON b.gram = r.gram
+        |GROUP BY 1""".stripMargin,
 
     // same trigram dialect; first occurrence = integer min over the gram
     // partition, novelty one int/int division — gram-less docs emit no row

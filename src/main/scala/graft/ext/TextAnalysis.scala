@@ -129,6 +129,33 @@ object TextAnalysis {
           .as("novelty"))
   }
 
+  /** [[ngramNovelty]] against a REFERENCE corpus instead of self: per
+    * batch doc, the share of its distinct n-grams absent from the
+    * already-ingested reference — the ingest-time "incremental
+    * information" score that decides whether a new source is worth its
+    * storage (the attribution-side complement of cross-corpus near-dup,
+    * which only finds whole-document copies). One distinct-gram frame
+    * per side, one gram-keyed LEFT join (the reference side reduces to
+    * its distinct gram set — posting-list sized, never document-sized),
+    * one per-doc rollup. */
+  def crossCorpusNovelty(batch: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    import graft.plans.NativeExpressions
+    def grams(df: DataFrame) = df.select(col(idCol).as("__id"),
+      explode(array_distinct(NativeExpressions.wordShingles(col(textCol), n)))
+        .as("gram"))
+    val refGrams = grams(reference).select(col("gram")).distinct()
+      .withColumn("__seen", lit(1L))
+    grams(batch)
+      .join(refGrams, Seq("gram"), "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("__id").as(idCol), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .as("novelty"))
+  }
+
   /** Concat-and-chunk sequence packing (the GPT-style "pack the token
     * stream into fixed-length training sequences" step): documents are
     * laid out in deterministic order inside each shard, and each doc gets
