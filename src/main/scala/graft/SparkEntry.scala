@@ -2443,6 +2443,42 @@ object SparkEntry {
           (col("global_us") - col("latest_us") <= 72L * 3600000000L).as("fresh"))
     }),
 
+    // purged, embargoed temporal 5-fold CV plan (López de Prado's purged
+    // k-fold): equal-width test windows over the event-time axis, a 6 h
+    // embargo purged from BOTH edges so the 24 h label window
+    // (q_label_window) and trailing features (q_rolling_features) cannot
+    // straddle a fold boundary. Exact integer micros arithmetic only —
+    // window bounds via long `div`, counts as conditional sums; the audit
+    // invariant test_n + train_n + purged_n = total holds per fold
+    "q_purged_folds" -> ((s, dir) => {
+      graft.ext.Sampling.purgedTimeFolds(
+        t(s, dir, "events"),
+        graft.sources.Tables.tsMicros(col("ts")),
+        k = 5, embargoUs = 6L * 3600L * 1000000L)
+    }),
+
+    // right-to-be-forgotten scoping report: erase subjects (custkey ≡ 1
+    // mod 97), cascade through the FK chain (orders by o_custkey,
+    // lineitem by the affected ORDER keys, events by user_id), and count
+    // would-be-deleted vs retained rows per table — the audit a deletion
+    // job publishes before the destructive pass. Cascaded key sets are
+    // derived explicitly (keys-only semi-join), each fact table is
+    // scanned once reading only its key column
+    "q_erasure_audit" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val subj = cust.where(col("c_custkey") % 97 === 1)
+        .select(col("c_custkey").as("k"))
+      val ordKeys = ord
+        .join(subj.select(col("k").as("o_custkey")), Seq("o_custkey"), "left_semi")
+        .select(col("o_orderkey").as("k"))
+      graft.ext.Privacy.erasureAudit(Seq(
+        ("customer", cust, "c_custkey", subj),
+        ("events", t(s, dir, "events"), "user_id", subj),
+        ("lineitem", t(s, dir, "lineitem"), "l_orderkey", ordKeys),
+        ("orders", ord, "o_custkey", subj)))
+    }),
+
     // trailing-window feature materialization: per event, the user's
     // activity count and spend over the PRECEDING 7 days (range frame on
     // the micros axis — a row frame would be wrong under irregular event
@@ -6486,6 +6522,59 @@ FROM (
         |  ((g.global_us - t.latest_us) // 3600000000)::BIGINT AS lag_hours,
         |  (g.global_us - t.latest_us) <= 259200000000 AS fresh
         |FROM t, g""".stripMargin,
+
+    // identical integer-micros fold bounds (long // replays Spark's div on
+    // these non-negative operands) and the same conditional count rollup
+    "q_purged_folds" ->
+      """WITH s AS (
+        |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) + 1 AS hi
+        |  FROM events),
+        | b AS (
+        |  SELECT f.fold,
+        |    lo + ((hi - lo) * f.fold) // 5 AS test_lo_us,
+        |    lo + ((hi - lo) * (f.fold + 1)) // 5 AS test_hi_us
+        |  FROM (SELECT unnest(range(0, 5)) AS fold) f, s),
+        | e AS (SELECT epoch_us(ts) AS us FROM events)
+        |SELECT b.fold::BIGINT AS fold, b.test_lo_us, b.test_hi_us,
+        |  sum(CASE WHEN us >= test_lo_us AND us < test_hi_us
+        |      THEN 1 ELSE 0 END)::BIGINT AS test_n,
+        |  sum(CASE WHEN us < test_lo_us - 21600000000
+        |        OR us >= test_hi_us + 21600000000
+        |      THEN 1 ELSE 0 END)::BIGINT AS train_n,
+        |  (count(*) - sum(CASE WHEN us >= test_lo_us AND us < test_hi_us
+        |      THEN 1 ELSE 0 END)
+        |    - sum(CASE WHEN us < test_lo_us - 21600000000
+        |        OR us >= test_hi_us + 21600000000
+        |      THEN 1 ELSE 0 END))::BIGINT AS purged_n
+        |FROM e, b GROUP BY 1, 2, 3""".stripMargin,
+
+    // same subject predicate and explicit FK cascade; affected = IN the
+    // (distinct'd) erase-key set, retained = the complement
+    "q_erasure_audit" ->
+      """WITH subj AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 1),
+        | okeys AS (
+        |  SELECT o_orderkey AS k FROM orders
+        |  WHERE o_custkey IN (SELECT k FROM subj))
+        |SELECT 'customer' AS table_name,
+        |  sum(CASE WHEN c_custkey IN (SELECT k FROM subj) THEN 1 ELSE 0 END)::BIGINT AS affected_rows,
+        |  sum(CASE WHEN c_custkey IN (SELECT k FROM subj) THEN 0 ELSE 1 END)::BIGINT AS retained_rows
+        |FROM customer
+        |UNION ALL
+        |SELECT 'events',
+        |  sum(CASE WHEN user_id IN (SELECT k FROM subj) THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN user_id IN (SELECT k FROM subj) THEN 0 ELSE 1 END)::BIGINT
+        |FROM events
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  sum(CASE WHEN l_orderkey IN (SELECT k FROM okeys) THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN l_orderkey IN (SELECT k FROM okeys) THEN 0 ELSE 1 END)::BIGINT
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders',
+        |  sum(CASE WHEN o_custkey IN (SELECT k FROM subj) THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN o_custkey IN (SELECT k FROM subj) THEN 0 ELSE 1 END)::BIGINT
+        |FROM orders""".stripMargin,
 
     "q_calibration_curve" ->
       """SELECT least(cast(floor(n_chars / 100) AS bigint), 9) AS bin,

@@ -202,4 +202,39 @@ object Privacy {
           .as("noisy_count"),
         lit(epsilon).as("epsilon")): _*)
   }
+
+  /** Right-to-be-forgotten erasure-propagation audit: given, per table, a
+    * frame of keys slated for deletion (the caller derives CASCADED key
+    * sets — e.g. the order keys of erased customers — so the FK chain is
+    * explicit in the plan, not hidden in this operator), report how many
+    * rows each table would lose and keep. This is the scoping report a
+    * GDPR/CCPA deletion job publishes BEFORE the destructive pass, and
+    * re-runs after it expecting affected_rows = 0.
+    *
+    * Each table entry is (name, table, keyCol, eraseKeys) where eraseKeys
+    * is a single-column frame (any column name; duplicates fine — it is
+    * distinct'd here).
+    *
+    * Scale: per table ONE keys-only scan (the join reads just keyCol —
+    * column pruning reaches the parquet footer) left-joined against the
+    * distinct'd key set, then one map-combined conditional count; no
+    * second per-table pass for totals, no broadcast assumption (at 100 TB
+    * an erase set can be millions of subjects — the equi-join shuffles
+    * keys only, and Spark still broadcasts it when it IS small). */
+  def erasureAudit(tables: Seq[(String, DataFrame, String, DataFrame)]): DataFrame = {
+    require(tables.nonEmpty, "need at least one table to audit")
+    tables.map { case (name, df, keyCol, eraseKeys) =>
+      val keys = eraseKeys
+        .select(eraseKeys.columns.head).distinct()
+        .withColumnRenamed(eraseKeys.columns.head, keyCol)
+        .withColumn("__hit", lit(1))
+      df.select(col(keyCol))
+        .join(keys, Seq(keyCol), "left")
+        .agg(
+          sum(when(col("__hit") === 1, 1L).otherwise(0L)).as("affected_rows"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("retained_rows"))
+        .select(lit(name).as("table_name"),
+          col("affected_rows"), col("retained_rows"))
+    }.reduce(_ unionByName _)
+  }
 }

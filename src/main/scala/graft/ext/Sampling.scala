@@ -209,4 +209,57 @@ object Sampling {
         when(round % 2 === 0, pos).otherwise(lit(n - 1) - pos).cast("int"))
       .drop("__brank")
   }
+
+  /** PURGED, EMBARGOED temporal K-fold plan (the time-series
+    * cross-validation discipline of López de Prado's purged k-fold): the
+    * observed time axis `[min_ts, max_ts+1)` is cut into `k` equal-width
+    * contiguous test windows; for each fold, rows inside the window are
+    * TEST, rows at least `embargoUs` away from BOTH window edges are
+    * TRAIN, and the two embargo margins are PURGED — dropped from both
+    * sides so label windows / trailing features that straddle a fold
+    * boundary (see q_label_window / q_rolling_features) cannot leak
+    * test-period information into the training folds. Returns the audit
+    * frame a release gate checks: per fold, the window bounds and the
+    * exact test/train/purged row counts (test_n + train_n + purged_n =
+    * total rows, every fold).
+    *
+    * Determinism: everything is exact integer micros arithmetic — window
+    * bounds come from `lo + (span·fold) div k` (long `div`, identical to
+    * DuckDB `//` for the non-negative operands here), counts are
+    * conditional long sums. No doubles anywhere.
+    *
+    * Scale: one broadcast of the k-row bounds frame onto a single scan of
+    * the input (the ×k row multiplication stays narrow and map-combines
+    * into k groups before the one tiny exchange); the bounds themselves
+    * need just a min/max agg. No window functions, no range exchange, no
+    * driver collect. */
+  def purgedTimeFolds(
+      df: DataFrame, tsUs: Column, k: Int, embargoUs: Long): DataFrame = {
+    require(k >= 2, s"fold count must be >= 2, got $k")
+    require(embargoUs >= 0, s"embargo must be >= 0, got $embargoUs")
+    val stats = df.agg(min(tsUs).as("__lo"), (max(tsUs) + lit(1L)).as("__hi"))
+    val bounds = df.sparkSession.range(k).toDF("fold")
+      .crossJoin(broadcast(stats))
+      .selectExpr(
+        "fold",
+        s"__lo + ((__hi - __lo) * fold) div ${k.toLong}L AS test_lo_us",
+        s"__lo + ((__hi - __lo) * (fold + 1)) div ${k.toLong}L AS test_hi_us")
+    val us = col("__us")
+    df.select(tsUs.as("__us"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(col("fold"))
+      .agg(
+        max(col("test_lo_us")).as("test_lo_us"),
+        max(col("test_hi_us")).as("test_hi_us"),
+        sum(when(us >= col("test_lo_us") && us < col("test_hi_us"), 1L)
+          .otherwise(0L)).as("test_n"),
+        sum(when(us < col("test_lo_us") - lit(embargoUs) ||
+          us >= col("test_hi_us") + lit(embargoUs), 1L)
+          .otherwise(0L)).as("train_n"),
+        count(lit(1)).as("__total"))
+      .select(col("fold"), col("test_lo_us"), col("test_hi_us"),
+        col("test_n"), col("train_n"),
+        (col("__total") - col("test_n") - col("train_n")).as("purged_n"))
+      .orderBy(col("fold"))
+  }
 }

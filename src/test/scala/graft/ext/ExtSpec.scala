@@ -1164,6 +1164,48 @@ class ExtSpec extends SparkSpec {
     assert(giants.sameElements(Array(0, 1, 2, 3)))
   }
 
+  test("purgedTimeFolds: partition of rows, embargo purges both edges, bounds tile the axis") {
+    // 100 rows at micros 0,10,20,...,990; k=4 → span 991, windows ~247us;
+    // embargo 30us purges rows within 30us of either window edge
+    val df = (0L until 100L).map(i => Tuple1(i * 10L)).toDF("us")
+    val out = Sampling.purgedTimeFolds(df, col("us"), k = 4, embargoUs = 30L)
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == 4)
+    // bounds tile [0, 991) exactly: fold k+1 starts where fold k ends
+    assert(out.head.getLong(1) == 0L && out.last.getLong(2) == 991L)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) == b.getLong(1), "fold windows must tile")
+    }
+    out.foreach { r =>
+      val (testN, trainN, purgedN) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(testN + trainN + purgedN == 100L,
+        s"fold ${r.getLong(0)} not a partition: $r")
+      assert(purgedN > 0L, "30us embargo over 10us spacing must purge rows")
+    }
+    // zero embargo purges nothing anywhere
+    val noEmbargo = Sampling.purgedTimeFolds(df, col("us"), k = 4, embargoUs = 0L)
+      .agg(sum(col("purged_n"))).collect().head.getLong(0)
+    assert(noEmbargo == 0L)
+  }
+
+  test("erasureAudit: cascaded counts exact, duplicate erase keys counted once") {
+    val users = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("uid", "name")
+    val orders = Seq((10L, 1L), (11L, 1L), (12L, 3L)).toDF("oid", "o_uid")
+    val subj = Seq(1L, 1L).toDF("k") // duplicate on purpose
+    val ordKeys = orders.join(subj.select(col("k").as("o_uid")), Seq("o_uid"), "left_semi")
+      .select(col("oid").as("k"))
+    val out = Privacy.erasureAudit(Seq(
+      ("users", users, "uid", subj),
+      ("orders", orders, "o_uid", subj),
+      ("order_items", Seq((10L, 1), (12L, 2), (99L, 3)).toDF("oid", "qty"),
+        "oid", ordKeys)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("users") == (1L, 2L))
+    assert(out("orders") == (2L, 1L))
+    // items of orders 10,11 are erased; 12 belongs to user 3, 99 unknown
+    assert(out("order_items") == (1L, 2L))
+  }
+
   test("functionalDependencies: exact hold/violation counts and null semantics") {
     val df = Seq(
       (1L, "a", Some("x")), (2L, "a", Some("x")), (3L, "b", Some("y")),
