@@ -1103,6 +1103,15 @@ object SparkEntry {
       TextAnalysis.unigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // bigram-LM cross-entropy (the KenLM-proxy CCNet quality filter):
+    // interpolated p(w|v) = 0.75·c(vw)/c(v·) + 0.25·(c(w)+1)/(N+V), per-
+    // (doc,bigram) contributions milli-nat-quantized before the integer
+    // per-doc sum — same determinism discipline as q_unigram_lm, one
+    // order of context better at separating fluent text from gibberish
+    "q_bigram_lm" -> ((s, dir) => {
+      TextAnalysis.bigramCrossEntropy(t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // DSIR-style importance weights: log-likelihood ratio of each doc under
     // the target domain's (source = src0) unigram LM vs the raw pool's,
     // Laplace-smoothed over the joint vocabulary; milli-nat quantized longs
@@ -5586,6 +5595,41 @@ FROM (
         |  round(cast(sum(cast(floor(cast(tf AS double) * ln(n_total / cast(ctf AS double)) * 1000.0 + 0.5) AS bigint)) AS double)
         |        / (cast(sum(tf) AS double) * 1000.0), 6) AS xent
         |FROM lm, n GROUP BY doc_id""".stripMargin,
+
+    // identical interpolated-bigram arithmetic: λ = 0.75 (binary-exact),
+    // context/bigram counts via the same two sum-windows, Laplace unigram
+    // backoff joined on wb, milli-nat floor before the integer sum
+    "q_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '[\s\x0b]+'), x -> x <> '') AS tl
+        |  FROM documents),
+        | uni AS (
+        |  SELECT term, count(*)::BIGINT AS nw
+        |  FROM (SELECT unnest(tl) AS term FROM toks) GROUP BY 1),
+        | tot AS (
+        |  SELECT (SELECT cast(sum(len(tl)) AS double) FROM toks) AS n_total,
+        |         (SELECT cast(count(*) AS double) FROM uni) AS v),
+        | bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tl)),
+        |    i -> {'wa': tl[i], 'wb': tl[i + 1]})) AS p
+        |  FROM toks WHERE len(tl) >= 2),
+        | tf AS (
+        |  SELECT doc_id, p.wa AS wa, p.wb AS wb, count(*)::BIGINT AS tf
+        |  FROM bg GROUP BY 1, 2, 3),
+        | m AS (
+        |  SELECT doc_id, wa, wb, tf,
+        |    sum(tf) OVER (PARTITION BY wa, wb) AS cab,
+        |    sum(tf) OVER (PARTITION BY wa) AS cctx
+        |  FROM tf),
+        | j AS (SELECT m.*, uni.nw AS nb FROM m JOIN uni ON uni.term = m.wb)
+        |SELECT doc_id, cast(sum(tf) AS bigint) AS n_bigrams,
+        |  round(cast(sum(cast(floor(cast(tf AS double) *
+        |      ln(0.75 * (cast(cab AS double) / cast(cctx AS double)) +
+        |         0.25 * ((cast(nb AS double) + 1.0) / (n_total + v))) *
+        |      (-1000.0) + 0.5) AS bigint)) AS double)
+        |    / (cast(sum(tf) AS double) * 1000.0), 6) AS xent
+        |FROM j, tot GROUP BY doc_id""".stripMargin,
 
     // both Laplace-smoothed LMs, the milli-nat quantization, and the exact
     // final division replayed; tc/rc arrive via the same term-partitioned

@@ -454,6 +454,67 @@ object TextAnalysis {
           .as("xent"))
   }
 
+  /** Bigram-LM cross-entropy per doc — the KenLM-proxy quality score a
+    * CCNet-style curation stage filters on (Wenzek et al. 2020 filter
+    * CommonCrawl by LM perplexity; a corpus-trained bigram model with
+    * interpolated unigram smoothing is the engine-portable stand-in). The
+    * corpus is its own LM: `p(w|v) = λ·c(vw)/c(v·) + (1−λ)·(c(w)+1)/(N+V)`
+    * with λ = 0.75 (exactly representable in binary — the λ products
+    * introduce no cross-engine rounding), context count `c(v·)` = bigram
+    * positions starting with `v`, Laplace-smoothed unigram backoff.
+    * Gibberish and boilerplate-free junk score high (surprising token
+    * transitions); fluent text scores low. Docs under 2 tokens have no
+    * bigram positions and are absent, as in any LM scorer.
+    *
+    * Determinism: the [[unigramCrossEntropy]] discipline — each
+    * (doc, bigram-type) contribution is milli-nat-quantized
+    * (`floor(tf·ln(p)·(−1000) + 0.5)` as long) BEFORE the per-doc sum, so
+    * the rollup is order-independent integer addition and a last-bit
+    * `ln()` difference between engines cannot move the hash; the final
+    * score is one exact division + the shared round(…, 6).
+    *
+    * Scale: tf per (doc, wa, wb) [shuffle 1, map-combined]; corpus bigram
+    * count and context count as two sum-windows [shuffles 2–3 — the
+    * second re-keys (wa,wb)→(wa)]; unigram backoff joins on wb [shuffle
+    * 4, the term-keyed exchange the unigram LM already pays]; per-doc
+    * rollup [shuffle 5, map-combined]. Every frame is bounded by DISTINCT
+    * (doc, bigram) tuples, not token positions; N/V broadcast from narrow
+    * aggs. No LM ever materializes driver-side — at 100 TB the model IS
+    * the distributed count frame. */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokTable = df.select(col(idCol), T.tokens(lower(col(textCol))).as("__toks"))
+    val uni = tokTable.select(explode(col("__toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("nw"))
+    val totals = tokTable
+      .agg(sum(size(col("__toks"))).cast("double").as("__n_total"))
+      .crossJoin(uni.agg(count(lit(1)).cast("double").as("__v")))
+    val tf = tokTable.where(size(col("__toks")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(a.as("wa"), b.as("wb")))).as("p"))
+      .select(col(idCol), col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .groupBy(col(idCol), col("wa"), col("wb")).agg(count(lit(1)).as("tf"))
+    val p =
+      lit(lambda) * (col("cab").cast("double") / col("cctx").cast("double")) +
+        lit(1.0d - lambda) *
+          ((col("nb").cast("double") + lit(1.0d)) / (col("__n_total") + col("__v")))
+    tf.withColumn("cab", sum(col("tf")).over(Window.partitionBy(col("wa"), col("wb"))))
+      .withColumn("cctx", sum(col("tf")).over(Window.partitionBy(col("wa"))))
+      .join(uni.select(col("term").as("wb"), col("nw").as("nb")), Seq("wb"))
+      .join(broadcast(totals))
+      .withColumn("__mnats",
+        floor(col("tf").cast("double") * log(p) * lit(-1000.0d) + lit(0.5d))
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("__mnats")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s").cast("double") / (col("n_bigrams").cast("double") * lit(1000.0d)), 6)
+          .as("xent"))
+  }
+
   /** DSIR-style importance weights (Data Selection via Importance
     * Resampling): score every document by how much more likely its token
     * stream is under the TARGET domain's unigram LM than under the raw

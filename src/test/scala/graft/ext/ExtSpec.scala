@@ -915,6 +915,29 @@ class ExtSpec extends SparkSpec {
     assert(out(2L)._2 > out(1L)._2)
   }
 
+  test("bigram cross-entropy: transition-aware — scrambled word order scores higher") {
+    // Same unigram bag in docs 10/11 — a unigram LM cannot tell them
+    // apart; only the bigram transitions differ. The corpus majority
+    // establishes "the quick fox" as the fluent order.
+    val fluent = "the quick fox jumps over the lazy dog"
+    val corpus = Seq(
+      (1L, fluent), (2L, fluent), (3L, fluent), (4L, fluent),
+      (10L, "the quick fox the quick fox"),
+      (11L, "fox the quick fox quick the"),
+      (20L, "x"), // single token -> no bigram positions -> absent
+      (21L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCrossEntropy(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!out.contains(20L) && !out.contains(21L))
+    assert(out(10L)._1 == 5L && out(11L)._1 == 5L, "5 bigram positions each")
+    assert(out(11L)._2 > out(10L)._2,
+      s"scrambled order must surprise the bigram LM: $out")
+    // the stereotypical doc scores below the off-corpus ones
+    assert(out(1L)._2 < out(10L)._2)
+    assert(out.values.forall(_._2 > 0.0))
+  }
+
   test("importance weights replay the smoothed log-likelihood-ratio formula") {
     val corpus = Seq(
       (1L, "a a b", true),   // target domain
