@@ -1809,6 +1809,16 @@ object SparkEntry {
           round(col("cosine"), 4).as("cosine_r"), col("rank").cast("long").as("rank"))
     }),
 
+    // int8 scalar-quantized top-k (FAISS SQ8): one corpus-trained scale,
+    // integer dot products — the 4× memory-compressed scan path, scored
+    // in exact int arithmetic so the oracle replays it bit-for-bit
+    "q_int8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.int8TopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 5)
+    }),
+
     // same exact top-k through the bounded-heap typed Aggregator (hash
     // aggregation with map-side combine instead of a window sort) — same
     // oracle as q_embed_topk proves the equivalence
@@ -6113,6 +6123,35 @@ FROM (
         |     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |   FROM scored)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine_r, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // the same corpus-trained scale (127/max|x|), the same floor(x·s+0.5)
+    // quantizer, and the integer dot product — integer-valued doubles keep
+    // list_dot_product exact far below 2^53, so the bigint cast replays
+    // Spark's long sum bit-for-bit
+    "q_int8_topk" ->
+      """WITH mx AS (
+        |  SELECT max(list_max(list_transform(embedding, x -> abs(cast(x AS double))))) AS maxabs
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        | c AS (
+        |  SELECT vec_id AS neighbor_id,
+        |    list_transform(embedding,
+        |      x -> floor(cast(x AS double) * (127.0 / maxabs) + 0.5)) AS cc
+        |  FROM embeddings, mx WHERE embedding IS NOT NULL),
+        | q AS (
+        |  SELECT vec_id AS query_id,
+        |    list_transform(embedding,
+        |      x -> floor(cast(x AS double) * (127.0 / maxabs) + 0.5)) AS qc
+        |  FROM embeddings, mx
+        |  WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+        | scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    cast(list_dot_product(cc, qc) AS bigint) AS idot
+        |  FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+        | ranked AS (
+        |  SELECT query_id, neighbor_id, idot,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY idot DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, idot, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
     // the ENTIRE approximate pipeline rebuilt in SQL — centroids,
     // assignment, probes, in-bucket top-k — so the approximation itself is

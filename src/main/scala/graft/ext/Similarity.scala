@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.{VectorFunctions => V}
@@ -452,6 +452,57 @@ object Similarity {
         // long like every other emitted rank — the oracle's row_number is
         // BIGINT and an int32 here is the board's one dtype mismatch
         col("rank").cast("long").as("rank"))
+  }
+
+  /** INT8 scalar-quantized top-k: the 4×-memory-compression scan path
+    * (float32 → int8) every large-scale vector store offers (FAISS
+    * `SQ8`). One corpus-wide symmetric scale `s = 127 / max|x|` maps
+    * values to `[-127, 127]`; search scores candidates by the INTEGER
+    * dot product of the codes — exact int arithmetic, so ranking is
+    * deterministic and an engine replaying the same quantizer reproduces
+    * scores bit-for-bit (|dot| ≤ 127²·dim ≪ 2⁵³ also makes the double
+    * cast in any SQL replay exact). Queries are quantized with the SAME
+    * corpus-trained scale, as a production store does (the codebook is a
+    * corpus artifact; queries arrive later).
+    *
+    * Quantization: `floor(x·s + 0.5)` — NOT round(): floor(+0.5) is the
+    * one form Spark and DuckDB evaluate identically for negatives too
+    * (round() half-up vs half-even diverges at .5 boundaries).
+    *
+    * Scale: the max|x| stat is one narrow agg broadcast back; codes are
+    * a per-row projection (int8 semantics, int32 storage here — a real
+    * store packs them to bytes); the scan is the [[bruteForceTopK]]
+    * shape — queries broadcast, corpus never shuffles, per-query top-k
+    * pruned by the rank window on the (bounded) scored frame. Swap in
+    * [[bruteForceTopKAgg]]'s heap for very large k·queries volumes. */
+  def int8TopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val maxAbs = corpus.where(col(vecCol).isNotNull)
+      .agg(max(array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+        .as("__maxabs"))
+    def codes(v: Column, scale: Column): Column =
+      transform(v, x => floor(x.cast("double") * scale + lit(0.5d)).cast("int"))
+    val c = corpus.where(col(vecCol).isNotNull)
+      .crossJoin(broadcast(maxAbs))
+      .select(col(idCol).as("neighbor_id"),
+        codes(col(vecCol), lit(127.0d) / col("__maxabs")).as("__cc"))
+    val q = queries.where(col(qvecCol).isNotNull)
+      .crossJoin(broadcast(maxAbs))
+      .select(col(qidCol).as("query_id"),
+        codes(col(qvecCol), lit(127.0d) / col("__maxabs")).as("__qc"))
+    val idot = aggregate(
+      zip_with(col("__cc"), col("__qc"), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__idot").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__idot", idot)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("__idot").as("idot"), col("rank").cast("long").as("rank"))
   }
 
   def dimensionStats(df: DataFrame, vecCol: String): DataFrame = {

@@ -193,6 +193,30 @@ class ExtSpec extends SparkSpec {
     assert(top.sameElements(Array(2L, 3L)))
   }
 
+  test("int8TopK: integer scores, codes bounded, planted neighbor survives quantization") {
+    val corpus = (0L until 100L).map { i =>
+      (i, Array.tabulate(8)(d => (math.sin(i * 0.37 + d) * 3.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    // plant a same-direction, larger-norm copy of vec 42 as id 100: the
+    // int8 score is an unnormalized dot product (MIPS semantics), so the
+    // guaranteed winner is the aligned vector with the LARGEST norm
+    val planted = Seq((100L,
+      Array.tabulate(8)(d => (math.sin(42 * 0.37 + d) * 4.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val all = corpus.unionByName(planted)
+    val queries = all.where(col("vec_id") === 42)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val top = Similarity.int8TopK(all, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 3).orderBy("rank").collect()
+    assert(top.head.getLong(1) == 100L, s"planted near-copy must rank first: ${top.toSeq}")
+    // scores are exact longs bounded by 127^2 * dim
+    top.foreach(r => assert(math.abs(r.getLong(2)) <= 127L * 127L * 8L))
+    // determinism: a second run reproduces scores exactly
+    val again = Similarity.int8TopK(all, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 3).orderBy("rank").collect()
+    assert(top.map(_.getLong(2)).sameElements(again.map(_.getLong(2))))
+  }
+
   test("ivfTopK finds the planted exact match within probed buckets") {
     val corpus = (0L until 200L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 0.37 + d).toFloat))
