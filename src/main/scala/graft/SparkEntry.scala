@@ -1965,6 +1965,18 @@ object SparkEntry {
           col("text_len"), col("link_density"), col("n_links"))
     }),
 
+    // encoding-damage triage (ftfy-style): replacement chars, C0 control
+    // spill, double-encoding signatures (Ã©/â€™-family, Â+NBSP), bare
+    // NBSPs — deterministic damage synthesized per doc-id family (the
+    // synthesizeHtml discipline), counted by literal-codepoint regexes in
+    // the Java/RE2 common dialect. One codegen'd scan, zero shuffles
+    "q_encoding_audit" -> ((s, dir) => {
+      val damaged = t(s, dir, "documents").select(col("doc_id"),
+        graft.ext.WebText.synthesizeEncodingDamage(col("doc_id"),
+          coalesce(col("text"), lit(""))).as("dmg"))
+      graft.ext.WebText.encodingAudit(damaged, "doc_id", "dmg")
+    }),
+
     // outgoing-link normalization (WebText.links): hrefs exploded from
     // the same synthesized pages, relative links resolved against the
     // page host, scheme+host lowercased, default port and fragment
@@ -4509,6 +4521,38 @@ FROM (
         |    / cast(greatest(length(clean), 1) AS double) AS link_density,
         |  len(regexp_extract_all(html, '(?s)<a [^>]*>', 0))::BIGINT AS n_links
         |FROM ex""".stripMargin,
+
+    // the same literal-codepoint damage synthesis and the same four
+    // counting regexes (every char appears as the raw codepoint — no
+    // escape forms, so the Java and RE2 readings cannot diverge)
+    "q_encoding_audit" -> {
+      val tail0 = " ��broken�"
+      val tail1 = " cafÃ© âquoteâ"
+      val tail2 = " ctlspill"
+      val tail3 = " a b c"
+      val pRep = "�"
+      val pCtrl = "[--]"
+      val pMoji = "Ã[¨©ª«]|" +
+        "â[]|Â "
+      val pNbsp = " "
+      "WITH d AS (\n" +
+        "  SELECT doc_id, coalesce(text, '') || CASE doc_id % 10\n" +
+        s"    WHEN 0 THEN '$tail0'\n" +
+        s"    WHEN 1 THEN '$tail1'\n" +
+        s"    WHEN 2 THEN '$tail2'\n" +
+        s"    WHEN 3 THEN '$tail3'\n" +
+        "    ELSE '' END AS dmg FROM documents)\n" +
+        "SELECT doc_id,\n" +
+        s"  len(regexp_extract_all(dmg, '$pRep'))::BIGINT AS n_replacement,\n" +
+        s"  len(regexp_extract_all(dmg, '$pCtrl'))::BIGINT AS n_ctrl,\n" +
+        s"  len(regexp_extract_all(dmg, '$pMoji'))::BIGINT AS n_mojibake,\n" +
+        s"  len(regexp_extract_all(dmg, '$pNbsp'))::BIGINT AS n_nbsp,\n" +
+        s"  (len(regexp_extract_all(dmg, '$pRep')) + " +
+        s"len(regexp_extract_all(dmg, '$pCtrl')) + " +
+        s"len(regexp_extract_all(dmg, '$pMoji')) + " +
+        s"len(regexp_extract_all(dmg, '$pNbsp'))) = 0 AS clean\n" +
+        "FROM d"
+    },
 
     // same pages; hrefs exploded, the normalization chain replayed
     // step-for-step (RE2 backrefs are \\1-style where Spark's are $1)

@@ -119,4 +119,46 @@ object WebText {
       noDefPort.as("url_norm"),
       regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"))
   }
+
+  /** Deterministic encoding damage for the audit fixture (the
+    * [[synthesizeHtml]] discipline): four damage families keyed off the
+    * doc id — U+FFFD replacement runs (a decoder already gave up),
+    * UTF-8-read-as-Latin-1 mojibake signatures (Ã©/â€™ — the ftfy
+    * repertoire), C0 control spill, and NBSP-as-spacing. No NUL anywhere:
+    * engine string types (and real pipelines) reject it. */
+  def synthesizeEncodingDamage(idCol: Column, textCol: Column): Column = {
+    val tail = when(pmod(idCol, lit(10)) === 0, lit(" ��broken�"))
+      .when(pmod(idCol, lit(10)) === 1,
+        lit(" cafÃ© âquoteâ"))
+      .when(pmod(idCol, lit(10)) === 2, lit(" ctlspill"))
+      .when(pmod(idCol, lit(10)) === 3, lit(" a b c"))
+      .otherwise(lit(""))
+    concat(textCol, tail)
+  }
+
+  /** Per-document encoding-damage audit — the ftfy-style triage a web
+    * corpus runs before (or instead of) repair: counts of U+FFFD
+    * replacement chars, C0 controls outside `\t\n\r` (includes `\x0b\x0c`
+    * — they survive tokenizers but break downstream formats), classic
+    * double-encoding signatures (Ã©-family, â€˜â€™â€œâ€�-family, Â+NBSP),
+    * and bare NBSPs; `clean` = no hits at all. A curation stage routes
+    * `clean = false` docs to quarantine or a re-decode pass.
+    *
+    * All four counters are non-overlapping leftmost regexp counts on
+    * literal code points — the Java/RE2 common dialect (no escapes RE2
+    * lacks), so the oracle replays them verbatim with
+    * `len(regexp_extract_all(…))`. Scale: one codegen'd scan, zero
+    * shuffles, zero UDFs. */
+  def encodingAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      regexp_count(t, lit("�")).cast("long").as("n_replacement"),
+      regexp_count(t, lit("[--]")).cast("long").as("n_ctrl"),
+      regexp_count(t,
+        lit("Ã[¨©ª«]|" +
+          "â[]|Â ")).cast("long").as("n_mojibake"),
+      regexp_count(t, lit(" ")).cast("long").as("n_nbsp"))
+      .withColumn("clean",
+        col("n_replacement") + col("n_ctrl") + col("n_mojibake") + col("n_nbsp") === 0)
+  }
 }

@@ -83,4 +83,24 @@ class WebTextSpec extends SparkSpec {
     assert(out(0).getAs[String]("url_norm") === "http://x.y.test/q")
     assert(out(1).getAs[String]("url_norm") === "https://h.test:8443/z")
   }
+
+  test("encodingAudit: each damage family hits exactly its counter; clean text is clean") {
+    // ids 10,11,12,13 select the four synthesized damage families;
+    // id 14 stays untouched; \t\n\r must NOT count as control spill
+    val docs = Seq(
+      (10L, "ok"), (11L, "ok"), (12L, "ok"), (13L, "ok"),
+      (14L, "tabs\tand\nnewlines\rstay clean")
+    ).toDF("doc_id", "text")
+    val damaged = docs.select(col("doc_id"),
+      WebText.synthesizeEncodingDamage(col("doc_id"), col("text")).as("dmg"))
+    val out = WebText.encodingAudit(damaged, "doc_id", "dmg")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(out(10L) == ((3L, 0L, 0L, 0L, false)), s"replacement family: ${out(10L)}")
+    assert(out(11L) == ((0L, 0L, 3L, 0L, false)), s"mojibake family: ${out(11L)}")
+    assert(out(12L) == ((0L, 3L, 0L, 0L, false)), s"control family: ${out(12L)}")
+    assert(out(13L) == ((0L, 0L, 0L, 2L, false)), s"nbsp family: ${out(13L)}")
+    assert(out(14L) == ((0L, 0L, 0L, 0L, true)), s"undamaged: ${out(14L)}")
+  }
 }
