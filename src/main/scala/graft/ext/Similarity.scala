@@ -481,6 +481,7 @@ object Similarity {
     val maxAbs = corpus.where(col(vecCol).isNotNull)
       .agg(max(array_max(transform(col(vecCol), x => abs(x.cast("double")))))
         .as("__maxabs"))
+      .localCheckpoint(true) // single row; pay the stat scan ONCE, not per consumer
     def codes(v: Column, scale: Column): Column =
       transform(v, x => floor(x.cast("double") * scale + lit(0.5d)).cast("int"))
     val c = corpus.where(col(vecCol).isNotNull)

@@ -760,4 +760,63 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"), "unpivot shape lost")
     assert(p.contains("partial_count"), "profile aggs lost map-side combine")
   }
+
+  test("purged folds: bounds broadcast onto one event scan, single map-combined rollup") {
+    val p = plan("q_purged_folds")
+    // the k-row bounds frame reaches the event scan as a broadcast
+    // nested-loop (cross) join — never a shuffled join
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "bounds must broadcast")
+    // exactly one hash exchange: the k-group rollup (its partials are
+    // map-side combined); more would mean the tag-and-count stage shuffled
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected only the fold rollup exchange:\n${p.take(3000)}")
+    assert(p.contains("partial_sum"), "fold counts lost map-side combine")
+  }
+
+  test("erasure audit: every fact scan reads only its key column") {
+    val p = plan("q_erasure_audit")
+    // keys-only column pruning on each audited fact scan
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"),
+      s"lineitem must be scanned keys-only:\n${p.take(3000)}")
+    assert(p.contains("ReadSchema: struct<user_id:bigint>"),
+      s"events must be scanned keys-only:\n${p.take(3000)}")
+    // the audit joins are all broadcast at this scale — none may
+    // sort-merge (at 100 TB a big erase set falls back to hash shuffle,
+    // but never to a per-row subquery)
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("int8 top-k: corpus never shuffles — scale stat and queries broadcast") {
+    val p = plan("q_int8_topk")
+    // the corpus side is joined only via broadcasts (max|x| single row +
+    // query codes); the sole exchange partitions the SCORED frame for the
+    // per-query rank window, which WindowGroupLimit bounds to k
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must prune pre-shuffle:\n${p.take(3000)}")
+    // 2 code-building scans (corpus + queries); the scale stat is a
+    // localCheckpointed single row, paid once, absent from this plan
+    val corpusScans = "FileScan parquet".r.findAllIn(p).size
+    assert(corpusScans <= 2, s"embeddings re-scanned $corpusScans times")
+  }
+
+  test("encoding audit is one zero-shuffle codegen'd scan") {
+    val p = plan("q_encoding_audit")
+    assert(!p.contains("Exchange"),
+      s"per-row counters must not shuffle:\n${p.take(3000)}")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, "documents scanned once")
+    assert(p.contains("*(1)"), "counters fell out of whole-stage codegen")
+  }
+
+  test("bigram LM: every frame is bounded by distinct bigram tuples, rollup map-combined") {
+    val p = plan("q_bigram_lm")
+    // tf aggregation must map-side combine before its exchange (the
+    // token-position explosion never crosses the wire raw)
+    assert(p.contains("partial_count"), p.take(3000))
+    assert(p.contains("partial_sum"), "per-doc rollup lost map-side combine")
+    // totals broadcast; the unigram join may broadcast or hash — but the
+    // corpus never cartesians
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }
