@@ -1178,6 +1178,22 @@ object SparkEntry {
         lineTokens = 10)
     }),
 
+    // per-source boilerplate lines (the CCNet refinement of q_line_dedup):
+    // pages synthesized with a per-source header/footer and a per-doc ref
+    // line (the synthesizeHtml discipline — no fixture text has newlines),
+    // then lines appearing in >= 50% of a source's docs are flagged. The
+    // header+footer must flag, the ref/body lines must not; line text is
+    // 16-byte-hashed before any exchange
+    "q_boilerplate_lines" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat_ws("\n",
+          concat(lit("home news about "), col("source")),
+          coalesce(col("text"), lit("")),
+          concat(lit("contact "), col("source"), lit(" terms privacy")),
+          concat(lit("ref "), col("doc_id"))).as("page"))
+      Dedup.sourceBoilerplate(pages, "doc_id", "page", "source", minShare = 0.5)
+    }),
+
     // curriculum sharding: EXACT global quality rank (longest docs first,
     // doc_id tiebreak) and 10 equal-size ordered shards — the "train easy/
     // clean data first" curriculum assignment. The rank comes from
@@ -5837,6 +5853,31 @@ FROM (
         |  cast(sum(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS double)
         |    / cast(count(*) AS double) AS dup_line_ratio
         |FROM lines JOIN ldf USING (line) GROUP BY doc_id""".stripMargin,
+
+    // same page synthesis, same doc-level line presence and >= 0.5 share
+    "q_boilerplate_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    concat_ws(chr(10),
+        |      'home news about ' || source,
+        |      coalesce(text, ''),
+        |      'contact ' || source || ' terms privacy',
+        |      'ref ' || doc_id) AS page
+        |  FROM documents),
+        | lines AS (
+        |  SELECT DISTINCT source, doc_id, line
+        |  FROM (SELECT source, doc_id,
+        |          unnest(string_split(page, chr(10))) AS line FROM d)
+        |  WHERE trim(line) <> ''),
+        | nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        | lc AS (SELECT source, line, count(*)::BIGINT AS line_docs
+        |        FROM lines GROUP BY 1, 2)
+        |SELECT lc.source, max(nd.n_docs)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_distinct_lines,
+        |  sum(CASE WHEN line_docs >= 2
+        |       AND cast(line_docs AS double) / cast(n_docs AS double) >= 0.5
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_boilerplate_lines
+        |FROM lc JOIN nd USING (source) GROUP BY 1""".stripMargin,
 
     // the oracle MAY use the single-reducer global window: it runs once at
     // verification scale, while the Spark side must stay distributed

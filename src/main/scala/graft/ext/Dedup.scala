@@ -505,6 +505,45 @@ object Dedup {
         col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
   }
 
+  /** Per-SOURCE boilerplate-line detection — the CCNet/jusText refinement
+    * [[duplicateLineProfile]]'s corpus-global view cannot express: a line
+    * is boilerplate for a source (domain, feed, crawl host) when it
+    * appears in at least `minShare` of THAT source's documents (headers,
+    * footers, cookie banners, nav text — shared across a domain's pages
+    * but rare corpus-wide). Text lines are `\n`-split; presence is
+    * doc-level (a footer repeated within one page counts once). Returns
+    * the per-source rollup a curation pipeline reviews before stripping:
+    * doc count, distinct lines, and how many crossed the threshold.
+    *
+    * Determinism: the flag is `line_docs/n_docs >= minShare` — one
+    * int/int IEEE division. Scale: lines md5-hash to 16 bytes at the
+    * scan, so LINE TEXT never shuffles — one (source, id, hash) dedup
+    * exchange, one (source, hash) count, the per-source doc counts
+    * broadcast, one map-combined rollup. The line→text reverse lookup
+    * (for the actual strip pass) is a second targeted join, not paid
+    * here. */
+  def sourceBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, minShare: Double = 0.5, minDocs: Int = 2): DataFrame = {
+    require(minShare > 0.0 && minShare <= 1.0, s"minShare in (0,1], got $minShare")
+    require(minDocs >= 2, s"minDocs must be >= 2 (a single-doc line is never boilerplate), got $minDocs")
+    val lines = df.select(col(sourceCol).as("source"), col(idCol),
+        explode(split(col(textCol), "\n")).as("line"))
+      .where(length(trim(col("line"))) > 0)
+      .select(col("source"), col(idCol), unhex(md5(col("line"))).as("line_hash"))
+      .dropDuplicates("source", idCol, "line_hash")
+    val docsPerSource = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    lines.groupBy(col("source"), col("line_hash"))
+      .agg(count(lit(1)).as("line_docs"))
+      .join(broadcast(docsPerSource), Seq("source"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_distinct_lines"),
+        sum(when(col("line_docs") >= minDocs &&
+          col("line_docs").cast("double") / col("n_docs").cast("double")
+          >= minShare, 1L).otherwise(0L)).as("n_boilerplate_lines"))
+  }
+
   /** Per-doc EXACT duplicated-substring coverage at character
     * granularity: for every position p of every document, is the k-char
     * substring starting at p ALSO present in some OTHER document? This is

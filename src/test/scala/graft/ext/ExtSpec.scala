@@ -1211,6 +1211,28 @@ class ExtSpec extends SparkSpec {
     assert(giants.sameElements(Array(0, 1, 2, 3)))
   }
 
+  test("sourceBoilerplate: shared lines flag per source, unique and sub-threshold lines don't") {
+    // src A: footer on all 4 docs (flag), promo on 2/4 (flag at 0.5),
+    // body unique per doc (no flag), one line repeated WITHIN one doc
+    // (doc-level presence: counts once -> no flag). src B: 2 docs, no
+    // shared lines at all.
+    val docs = Seq(
+      (1L, "A", "body one\nfooter line\npromo!"),
+      (2L, "A", "body two\nfooter line\npromo!"),
+      (3L, "A", "body three\nfooter line"),
+      (4L, "A", "body four\nfooter line\necho\necho"),
+      (5L, "B", "alpha\nbeta"),
+      (6L, "B", "gamma\ndelta")
+    ).toDF("id", "src", "page")
+    val out = Dedup.sourceBoilerplate(docs, "id", "page", "src", minShare = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // A: lines = 4 bodies + footer + promo + echo = 7 distinct;
+    // footer 4/4 and promo 2/4 flag; echo is 1/4 (within-doc repeat)
+    assert(out("A") == ((4L, 7L, 2L)), s"src A: ${out("A")}")
+    assert(out("B") == ((2L, 4L, 0L)), s"src B: ${out("B")}")
+  }
+
   test("purgedTimeFolds: partition of rows, embargo purges both edges, bounds tile the axis") {
     // 100 rows at micros 0,10,20,...,990; k=4 → span 991, windows ~247us;
     // embargo 30us purges rows within 30us of either window edge
