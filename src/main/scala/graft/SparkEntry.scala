@@ -2006,6 +2006,18 @@ object SparkEntry {
       graft.ext.WebText.links(docs, "doc_id", "html", "corp.example.com")
     }),
 
+    // inbound anchor-text index per normalized target (the web-graph
+    // rollup search relevance and link-spam features key on): one
+    // two-group pattern extracts position-aligned (href, inner) arrays,
+    // anchor text tag-stripped + collapsed, targets normalized by the
+    // q_url_normalize chain, then one map-combined rollup per target
+    "q_anchor_stats" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        graft.ext.WebText.synthesizeHtml(col("doc_id"),
+          coalesce(col("text"), lit(""))).as("html"))
+      graft.ext.WebText.anchorStats(docs, "doc_id", "html", "corp.example.com")
+    }),
+
     // co-bucketed fact-dimension join: both sides staged bucketed on the
     // customer key, so the join itself moves NOTHING (PlanSpec pins zero
     // o_custkey exchanges with broadcast disabled) — the only shuffle
@@ -4600,6 +4612,46 @@ FROM (
         |  regexp_extract(regexp_extract(url_norm, '^[^:]+://([^/?#:]*)', 1),
         |    '([^.]+\\.[^.]+)$$', 1) AS domain
         |FROM np""".stripMargin,
+
+    // the two-group anchor pattern unnested in DuckDB's lockstep form,
+    // the q_html_extract tag-strip/collapse on the inner text, the
+    // q_url_normalize chain on the target, one GROUP BY per target
+    "q_anchor_stats" ->
+      s"""WITH $htmlPagesSql,
+        | pr AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(html,
+        |      '(?s)<a [^>]*href="([^"]*)"[^>]*>(.*?)</a>', 1)) AS href,
+        |    unnest(regexp_extract_all(html,
+        |      '(?s)<a [^>]*href="([^"]*)"[^>]*>(.*?)</a>', 2)) AS itxt
+        |  FROM pages),
+        | at AS (
+        |  SELECT doc_id, href,
+        |    trim(regexp_replace(regexp_replace(itxt, '<[^>]*>', ' ', 'g'),
+        |      '[\\s\\x0b]+', ' ', 'g')) AS anchor_text
+        |  FROM pr),
+        | ab AS (
+        |  SELECT doc_id, anchor_text,
+        |    CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+        |         ELSE 'https://corp.example.com' || href END AS aurl
+        |  FROM at),
+        | nf AS (SELECT doc_id, anchor_text, regexp_replace(aurl, '#.*$$', '') AS u FROM ab),
+        | sl AS (
+        |  SELECT doc_id, anchor_text,
+        |    lower(regexp_extract(u, '^([^:]+)://', 1)) || '://'
+        |      || lower(regexp_extract(u, '^[^:]+://([^/?#]*)', 1))
+        |      || regexp_extract(u, '^[^:]+://[^/?#]*(.*)$$', 1) AS u2
+        |  FROM nf),
+        | np AS (
+        |  SELECT doc_id, anchor_text,
+        |    regexp_replace(regexp_replace(u2,
+        |      '^(https://[^/?#:]*):443((?:[/?].*)?)$$', '\\1\\2'),
+        |      '^(http://[^/?#:]*):80((?:[/?].*)?)$$', '\\1\\2') AS url_norm
+        |  FROM sl)
+        |SELECT url_norm, count(*)::BIGINT AS n_anchors,
+        |  count(DISTINCT doc_id)::BIGINT AS n_pages,
+        |  sum(length(anchor_text))::BIGINT AS anchor_chars
+        |FROM np GROUP BY 1""".stripMargin,
 
     // same positions out of one (windowed) global order — the value at a
     // sorted position is tie-invariant, so the two engines' different

@@ -97,27 +97,66 @@ object WebText {
     val hrefs = regexp_extract_all(col(htmlCol),
       lit("<a [^>]*href=\"([^\"]*)\""), lit(1))
     val exploded = df.select(col(idCol), explode(hrefs).as("href"))
-    // scheme+host lowercased; path/query case-PRESERVED (paths are
-    // case-sensitive); :443/:80 dropped only with their scheme's default
-    val absolute = when(col("href").rlike("(?i)^https?://"),
-        col("href"))
-      .otherwise(concat(lit(s"https://$baseHost"), col("href")))
+    exploded.select(
+      col(idCol), col("href"),
+      normalizeHref(col("href"), baseHost).as("url_norm"))
+      .withColumn("domain", registrableDomain(col("url_norm")))
+  }
+
+  /** The normalization chain shared by [[links]] and [[anchorStats]]:
+    * scheme+host lowercased; path/query case-PRESERVED (paths are
+    * case-sensitive); :443/:80 dropped only with their scheme's default;
+    * fragment stripped; root-relative hrefs resolved against `baseHost`.
+    * No lookahead anywhere: the oracle replays these in RE2, which has
+    * none — the (possibly empty) tail is captured and re-emitted. */
+  private def normalizeHref(href: Column, baseHost: String): Column = {
+    val absolute = when(href.rlike("(?i)^https?://"), href)
+      .otherwise(concat(lit(s"https://$baseHost"), href))
     val noFrag = regexp_replace(absolute, "#.*$", "")
     val schemeLower = concat(
       lower(regexp_extract(noFrag, "^([^:]+)://", 1)), lit("://"),
       lower(regexp_extract(noFrag, "^[^:]+://([^/?#]*)", 1)),
       regexp_extract(noFrag, "^[^:]+://[^/?#]*(.*)$", 1))
-    // no lookahead: the oracle replays these in RE2, which has none —
-    // capture the (possibly empty) tail and re-emit it instead
-    val noDefPort = regexp_replace(
+    regexp_replace(
       regexp_replace(schemeLower,
         "^(https://[^/?#:]*):443((?:[/?].*)?)$", "$1$2"),
       "^(http://[^/?#:]*):80((?:[/?].*)?)$", "$1$2")
-    val host = regexp_extract(noDefPort, "^[^:]+://([^/?#:]*)", 1)
-    exploded.select(
-      col(idCol), col("href"),
-      noDefPort.as("url_norm"),
-      regexp_extract(host, "([^.]+\\.[^.]+)$", 1).as("domain"))
+  }
+
+  private def registrableDomain(urlNorm: Column): Column =
+    regexp_extract(
+      regexp_extract(urlNorm, "^[^:]+://([^/?#:]*)", 1),
+      "([^.]+\\.[^.]+)$", 1)
+
+  /** Anchor-text index per normalized link TARGET — the inbound-link
+    * rollup web search and link-graph quality scoring key on (anchor
+    * text is the classic off-page relevance signal; inlink counts feed
+    * centrality/spam features). For every `<a href …>inner</a>` the pair
+    * (normalized target, tag-stripped whitespace-collapsed anchor text)
+    * is extracted with ONE pattern evaluated twice (group 1 = href,
+    * group 2 = inner) so the two arrays are position-aligned by
+    * construction; per target: total inbound anchors, distinct source
+    * pages, total anchor characters.
+    *
+    * Scale: per-row array projections (no join to build pairs), one
+    * exchange on the target key with map-combined partials — the shape
+    * of a full web-graph anchor aggregation; anchor text leaves the page
+    * row only as the (short) extracted string. */
+  def anchorStats(df: DataFrame, idCol: String, htmlCol: String,
+      baseHost: String): DataFrame = {
+    val pat = lit("(?s)<a [^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>")
+    val pairs = df.select(col(idCol),
+      arrays_zip(
+        regexp_extract_all(col(htmlCol), pat, lit(1)),
+        regexp_extract_all(col(htmlCol), pat, lit(2))).as("__p"))
+      .select(col(idCol), explode(col("__p")).as("a"))
+      .select(col(idCol),
+        normalizeHref(col("a.0"), baseHost).as("url_norm"),
+        collapseWs(stripTags(col("a.1"))).as("anchor_text"))
+    pairs.groupBy(col("url_norm"))
+      .agg(count(lit(1)).as("n_anchors"),
+        countDistinct(col(idCol)).as("n_pages"),
+        sum(length(col("anchor_text")).cast("long")).as("anchor_chars"))
   }
 
   /** Deterministic encoding damage for the audit fixture (the
