@@ -941,6 +941,22 @@ object SparkEntry {
       graft.graph.GraphOps.pageRankFixedPoint(e2, "src", "dst", iterations = 5)
     }),
 
+    // personalized PageRank on the same bipartite graph: teleport mass
+    // concentrated on the seed parts (node % 100 = 1 — partkey ≡ 0 mod
+    // 50), the query-dependent proximity rank recommendation systems use
+    // where q_pagerank's uniform teleport measures global centrality.
+    // Same integer fixed-point recurrence; all 5 rounds replayed as
+    // staged CTEs in the oracle
+    "q_ppr" -> ((s, dir) => {
+      val e0 = t(s, dir, "lineitem")
+        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      val e2 = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = e0.select(col("dst").as("node"))
+        .where(col("node") % 100 === 1).distinct()
+      graft.graph.GraphOps.personalizedPageRankFixedPoint(
+        e2, "src", "dst", seeds, iterations = 5)
+    }),
+
     // per-part triangle counts over the co-purchase graph (parts sharing
     // >= 2 orders; see coPurchaseEdges for the basket-size cap that
     // bounds the projection's quadratic step). Triangle closure is
@@ -5325,6 +5341,40 @@ FROM (
            |    cast(150000 + (sum(p.rank_fp // d.outdeg) * 85) // 100 AS bigint) AS rank_fp
            |  FROM pr${i - 1} p JOIN e2 ON p.node = e2.src JOIN deg d ON p.node = d.src
            |  GROUP BY 1)""".stripMargin
+      }.mkString
+      base + steps + "\nSELECT node, rank_fp FROM pr5"
+    },
+
+    // the personalized variant: same staged rounds, teleport and initial
+    // mass concentrated on the seed set via the same integer divisions;
+    // multiply-referenced frames MATERIALIZED (DuckDB re-evaluates
+    // inlined CTEs per reference — the q_k_truss lesson)
+    "q_ppr" -> {
+      val base =
+        """WITH e0 AS MATERIALIZED (
+          |  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          |  FROM lineitem GROUP BY 1, 2),
+          | e2 AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+          | deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS outdeg FROM e2 GROUP BY 1),
+          | sd AS MATERIALIZED (SELECT DISTINCT dst AS node FROM e0 WHERE dst % 100 = 1),
+          | nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+          | ns AS (SELECT count(*)::BIGINT AS ns FROM sd),
+          | pr0 AS (
+          |  SELECT d.src AS node,
+          |    cast(CASE WHEN sd.node IS NOT NULL
+          |      THEN (1000000 * nn.n) // ns.ns ELSE 0 END AS bigint) AS rank_fp
+          |  FROM deg d LEFT JOIN sd ON d.src = sd.node, nn, ns)""".stripMargin
+      val steps = (1 to 5).map { i =>
+        s""",
+           | pr$i AS (
+           |  SELECT t.node,
+           |    cast(CASE WHEN sd.node IS NOT NULL
+           |      THEN (150000 * nn.n) // ns.ns ELSE 0 END + t.flow AS bigint) AS rank_fp
+           |  FROM (
+           |    SELECT e2.dst AS node,
+           |      (sum(p.rank_fp // d.outdeg) * 85) // 100 AS flow
+           |    FROM pr${i - 1} p JOIN e2 ON p.node = e2.src JOIN deg d ON p.node = d.src
+           |    GROUP BY 1) t LEFT JOIN sd ON t.node = sd.node, nn, ns)""".stripMargin
       }.mkString
       base + steps + "\nSELECT node, rank_fp FROM pr5"
     },

@@ -162,6 +162,63 @@ object GraphOps {
     ranks
   }
 
+  /** PERSONALIZED PageRank in the same fixed-point integer recurrence as
+    * [[pageRankFixedPoint]]: the teleport mass is concentrated on `seeds`
+    * instead of spread uniformly — per iteration a seed receives
+    * `(150000·N) div |S|` micro-units (the SAME aggregate teleport mass
+    * as the uniform variant, so magnitudes stay comparable) plus the
+    * damped inflow; non-seeds receive inflow only. Ranks then measure
+    * proximity to the seed set — the recommendation / related-items /
+    * trust-propagation primitive (query-dependent importance per
+    * Haveliwala's topic-sensitive PageRank), where uniform PageRank
+    * measures global centrality.
+    *
+    * Same contracts as the uniform twin: no dangling nodes (enforced),
+    * fixed iteration count, integer `div` quantization per edge — every
+    * round is bit-identical in any engine, so the oracle replays all
+    * rounds as staged CTEs. Initial mass sits entirely on the seeds
+    * (`(1000000·N) div |S|` each), the standard PPR start.
+    *
+    * Scale: identical per-iteration shape (one rank-adjacency equi-join +
+    * one map-combined sum) plus one broadcast hash lookup of the seed
+    * set per round; N and |S| are two narrow counts paid once. */
+  def personalizedPageRankFixedPoint(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, iterations: Int = 5): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val dangling = e.select(col("dst").as("n")).distinct()
+      .join(e.select(col("src").as("n")).distinct(), Seq("n"), "left_anti")
+      .limit(1).collect()
+    require(dangling.isEmpty,
+      s"personalizedPageRankFixedPoint contract violated: node " +
+        s"${dangling.headOption.map(_.get(0)).orNull} has in-edges but no " +
+        "out-edges; pass the symmetric closure or drop sink nodes first")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val seedSet = seeds.select(seeds.columns.head).distinct()
+      .withColumnRenamed(seeds.columns.head, "node")
+      .withColumn("__seed", lit(1))
+    val nNodes = deg.agg(count(lit(1))).head().getLong(0)
+    val nSeeds = seedSet.agg(count(lit(1))).head().getLong(0)
+    require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
+    val teleport = (150000L * nNodes) / nSeeds
+    val init = (1000000L * nNodes) / nSeeds
+    val withDeg = e.join(deg, Seq("src"))
+    var ranks = deg.select(col("src").as("node"))
+      .join(broadcast(seedSet), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed") === 1, lit(init)).otherwise(lit(0L)).as("rank_fp"))
+    for (_ <- 1 to iterations) {
+      ranks = withDeg.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("s"))
+        .join(broadcast(seedSet), col("dst") === seedSet("node"), "left")
+        .select(col("dst").as("node"),
+          (when(col("__seed") === 1, lit(teleport)).otherwise(lit(0L)) +
+            expr("(s * 85) div 100")).as("rank_fp"))
+    }
+    ranks
+  }
+
   /** Min-label propagation communities as a fixed-iteration DataFrame
     * recurrence — the deterministic, oracle-checkable twin of GraphX
     * [[connectedComponents]] (whose Pregel convergence detection is

@@ -70,6 +70,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.values.sum <= 3000000L && out.values.sum > 2900000L)
   }
 
+  test("personalized PageRank replays the seed-concentrated recurrence exactly") {
+    // symmetric star 1 <-> 2, 1 <-> 3; seed = {2}. N=3, |S|=1:
+    // init: node2 = 3e6, others 0; teleport T = 450000 per round to node2
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(2L).toDF("node")
+    val out = GraphOps.personalizedPageRankFixedPoint(e, "src", "dst", seeds,
+      iterations = 2).as[(Long, Long)].collect().toMap
+    // iter1: inflow(1) = 3e6 div 1 = 3e6 -> (3e6*85)//100 = 2550000;
+    //        node2 = 450000 + 0 (node1 rank 0, div 2 = 0); node3 = 0
+    // iter2: inflow(1) = rank2 div 1 + rank3 div 1 = 450000 ->
+    //          (450000*85)//100 = 382500
+    //        node2 = 450000 + (2550000 div 2 * 85)//100 = 450000+1083750
+    //        node3 = (2550000 div 2 * 85)//100 = 1083750
+    assert(out == Map(1L -> 382500L, 2L -> 1533750L, 3L -> 1083750L), out.toString)
+    // proximity ordering: the seed outranks its 2-hop peer
+    assert(out(2L) > out(3L))
+    // empty seed set is rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRankFixedPoint(
+        e, "src", "dst", Seq.empty[Long].toDF("node"), 1)
+    }
+    assert(ex.getMessage.contains("seed"))
+  }
+
   test("min-label propagation reaches the component minimum within diameter rounds") {
     // two components: path 5-3-7-9 (diameter 3) and pair 10-12; mixed
     // directions prove the symmetric closure
