@@ -177,9 +177,10 @@ object SparkEntry {
   }
 
   /** Stage the minhash near-dup pair set (char-5-gram shingles, 128
-    * hashes, 16 bands, jaccard ≥ 0.5) once per (JVM, input dir): FIVE
-    * queries — pairs, clusters, keep-best, leakage-safe split, and the
-    * split-leakage audit — consume the IDENTICAL pair set, and at 100 TB
+    * hashes, 16 bands, jaccard ≥ 0.5) once per (JVM, input dir): SIX
+    * queries — pairs, clusters, keep-best, leakage-safe split, the
+    * split-leakage audit, and the dup-flow matrix — consume the
+    * IDENTICAL pair set, and at 100 TB
     * a dedup pipeline materializes its verified candidate pairs exactly
     * once (id-pair rows, tiny next to the corpus) for every downstream
     * consumer. Row-identical to deriving in place; all five oracles are
@@ -1591,6 +1592,24 @@ object SparkEntry {
     "q_minhash_near_dup" -> ((s, dir) => {
       stagedMinhashPairs(s, dir)
         .select(col("id_a"), col("id_b"), col("jaccard"))
+    }),
+
+    // cross-source duplication flow matrix: near-dup pairs labeled by
+    // their (unordered) source pair — the mirror-site / syndication /
+    // scraped-content detector a crawl-source triage keys on. Rides the
+    // staged minhash pair set (sixth consumer); the corpus contributes
+    // only two keys--only source lookups + one map-combined rollup
+    "q_dup_flow" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      stagedMinhashPairs(s, dir).select(col("id_a"), col("id_b"))
+        .join(docs.select(col("doc_id").as("id_a"), col("source").as("src_x")),
+          Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), col("source").as("src_y")),
+          Seq("id_b"))
+        .select(least(col("src_x"), col("src_y")).as("source_a"),
+          greatest(col("src_x"), col("src_y")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
     }),
 
     // SimHash near-duplicate pairs, portable md5 hash family — the oracle
@@ -4353,6 +4372,17 @@ FROM (
     "q_minhash_near_dup" ->
       s"""WITH $charPairsSql
         |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin,
+
+    // the exact pair set labeled by unordered source pair
+    "q_dup_flow" ->
+      s"""WITH $charPairsSql,
+        | above AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5)
+        |SELECT least(da.source, db.source) AS source_a,
+        |  greatest(da.source, db.source) AS source_b,
+        |  count(*)::BIGINT AS n_pairs
+        |FROM above a JOIN documents da ON da.doc_id = a.id_a
+        |  JOIN documents db ON db.doc_id = a.id_b
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_near_dup_clusters" ->
       s"""WITH RECURSIVE $charPairsSql,
