@@ -3642,6 +3642,20 @@ object SparkEntry {
       Multimodal.audioStats(media).toDF()
     }),
 
+    // audio near-dup candidates via the energy-profile fingerprint
+    // (Shazam-family sign-of-energy-delta bits over 8 frames, exact
+    // integer arithmetic end to end): same real RIFF+PCM decode as
+    // q_audio_stats, fingerprint bucket sizes via one 8-byte-key window.
+    // The oracle replays the signal's closed form through the identical
+    // framing ((i*8) div n) and bit assembly — a decoder bug fails the hash
+    "q_audio_fp" -> ((s, dir) => {
+      val media = Multimodal.synthesizePcmWav(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.audioFingerprints(media).toDF()
+        .withColumn("n_same_fp",
+          count(lit(1)).over(Window.partitionBy(col("fp"))))
+    }),
+
     // MERGE INTO (lakehouse upsert): APPLY a CDC delta — updates, deletes,
     // inserts, at most one op per key with delete-wins precedence — to the
     // current snapshot in ONE id-keyed full-outer join. The complement of
@@ -7876,6 +7890,36 @@ FROM (
         |  sum(CASE WHEN abs(x) >= 32000 THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
         |  sum(CASE WHEN abs(x) < 256 THEN 1 ELSE 0 END)::BIGINT AS n_silent
         |FROM v GROUP BY 1, 2, 3""".stripMargin,
+
+    // the same closed-form samples, the same (i*8)//n framing, the same
+    // sign-of-delta bit assembly, the same per-fingerprint window count
+    "q_audio_fp" ->
+      """WITH p AS (
+        |  SELECT cast(doc_id AS bigint) AS media_id,
+        |    cast(doc_id % 300 + 50 AS bigint) AS ns
+        |  FROM documents),
+        | s AS (
+        |  SELECT media_id, ns, g.i AS i,
+        |    (media_id * 131 + g.i * 7919) % 65536 AS u
+        |  FROM p, generate_series(0, 349) AS g(i) WHERE g.i < p.ns),
+        | v AS (
+        |  SELECT media_id, ns, (i * 8) // ns AS f,
+        |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x
+        |  FROM s),
+        | e AS (
+        |  SELECT media_id, ns, f, sum(x * x)::BIGINT AS en
+        |  FROM v GROUP BY 1, 2, 3),
+        | d AS (
+        |  SELECT media_id, ns, f, en,
+        |    lead(en) OVER (PARTITION BY media_id ORDER BY f) AS nx
+        |  FROM e),
+        | fps AS (
+        |  SELECT media_id, max(ns) AS n_samples,
+        |    sum(CASE WHEN nx > en THEN 1 << f ELSE 0 END)::BIGINT AS fp
+        |  FROM d WHERE f < 7 GROUP BY 1)
+        |SELECT media_id, n_samples, fp,
+        |  count(*) OVER (PARTITION BY fp)::BIGINT AS n_same_fp
+        |FROM fps""".stripMargin,
 
     // same deterministic delta (delete-wins CASE order), same pre-join
     // hash reduction, same full-outer apply. upper()/md5 are

@@ -42,6 +42,9 @@ final case class AudioStats(
     n_clipped: Long,
     n_silent: Long)
 
+/** One audio energy-profile fingerprint row ([[Multimodal.audioFingerprints]]). */
+final case class AudioFp(media_id: Long, n_samples: Long, fp: Long)
+
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus batch-shaped decode/feature-extract operators.
   *
@@ -608,6 +611,81 @@ object Multimodal {
       i += 1
     }
     Some(AudioStats(id, sampleRate, n.toLong, peak, sumAbs, sumSq, clipped, silent))
+  }
+
+  /** Energy-profile audio fingerprint — the Shazam-family idea reduced to
+    * its deterministic core: split the PCM stream into 8 frames (sample i
+    * → frame `(i·8) div n`, the assignment form both engines compute
+    * identically for any n), take the exact integer energy Σv² per frame,
+    * and fingerprint the SIGN of consecutive energy deltas (bit f set ⇔
+    * energy rises from frame f to f+1) — a 7-bit profile robust to gain
+    * changes (scaling all samples preserves every comparison). Identical
+    * fingerprints = near-dup candidates; feed Hamming-banded LSH
+    * (the SimHash machinery) exactly like image dHash. Requires ≥ 8
+    * samples (empty frames make the profile meaningless) and the same
+    * 16-bit mono PCM contract as [[audioStats]]; rows failing either are
+    * dropped, not errors.
+    *
+    * Scale: one narrow mapPartitions decode scan, no shuffle; downstream
+    * grouping operates on 8-byte fingerprints only. */
+  def audioFingerprints(media: DataFrame): Dataset[AudioFp] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { case (id, bytes) =>
+            pcmFingerprint(id, if (bytes == null) Array.emptyByteArray else bytes)
+          }
+        }
+      }
+  }
+
+  /** The [[audioFingerprints]] kernel: [[pcmStats]]'s RIFF walk, then one
+    * pass accumulating the 8 frame energies. */
+  private[ext] def pcmFingerprint(id: Long, bytes: Array[Byte]): Option[AudioFp] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16u(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+      ((u8(i + 3) & 0xffL) << 24)
+    if (bytes.length < 44 ||
+      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
+      return None
+    var pos = 12L
+    var sampleRate = -1; var bitsPerSample = -1; var channels = -1
+    var dataOff = -1; var dataSize = -1L
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
+      val p = pos.toInt
+      val chunkId = new String(bytes, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(p + 4)
+      if (chunkId == "fmt " && pos + 8 + 16 <= bytes.length) {
+        channels = le16u(p + 10)
+        sampleRate = le32(p + 12).toInt
+        bitsPerSample = le16u(p + 22)
+      } else if (chunkId == "data") { dataOff = p + 8; dataSize = size }
+      pos += 8L + size + (size & 1L)
+    }
+    if (sampleRate <= 0 || dataOff < 0 || bitsPerSample != 16 || channels != 1)
+      return None
+    val avail = math.min(dataSize, (bytes.length - dataOff).toLong)
+    val n = (avail / 2L).toInt
+    if (n < 8) return None
+    val energy = new Array[Long](8)
+    var i = 0
+    while (i < n) {
+      val v = le16u(dataOff + 2 * i).toShort.toLong
+      energy(((i.toLong * 8L) / n).toInt) += v * v
+      i += 1
+    }
+    var fp = 0L
+    var f = 0
+    while (f < 7) {
+      if (energy(f + 1) > energy(f)) fp |= (1L << f)
+      f += 1
+    }
+    Some(AudioFp(id, n.toLong, fp))
   }
 
   /** STUB frame sampling for video payloads: every `everyN`-th fixed-size

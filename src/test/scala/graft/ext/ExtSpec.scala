@@ -1565,6 +1565,35 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("audio fingerprint: gain-invariant, order-sensitive, rejects short/garbage payloads") {
+    // hand-built WAV around 16 samples so the energy profile is chosen,
+    // not inherited from the synthesizer
+    def wav(samples: Seq[Int]): Array[Byte] = {
+      val n = samples.length
+      val b = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes); b.putInt(36 + 2 * n); b.put("WAVE".getBytes)
+      b.put("fmt ".getBytes); b.putInt(16); b.putShort(1); b.putShort(1)
+      b.putInt(8000); b.putInt(16000); b.putShort(2); b.putShort(16)
+      b.put("data".getBytes); b.putInt(2 * n)
+      samples.foreach(s => b.putShort(s.toShort))
+      b.array()
+    }
+    // 8 frames of 2 samples: energies strictly rising -> all 7 bits set
+    val rising = (1 to 16).map(i => i * 100)
+    val fpRising = Multimodal.pcmFingerprint(1L, wav(rising)).get
+    assert(fpRising.fp == 0x7fL && fpRising.n_samples == 16L, fpRising.toString)
+    // gain change (×3, no clipping) preserves every energy comparison
+    val fpLoud = Multimodal.pcmFingerprint(2L, wav(rising.map(_ * 3))).get
+    assert(fpLoud.fp == fpRising.fp, "fingerprint must be gain-invariant")
+    // reversing the stream flips the profile to all-falling
+    val fpFalling = Multimodal.pcmFingerprint(3L, wav(rising.reverse)).get
+    assert(fpFalling.fp == 0L, fpFalling.toString)
+    // < 8 samples or non-RIFF: dropped, not fatal
+    assert(Multimodal.pcmFingerprint(4L, wav(Seq(1, 2, 3))).isEmpty)
+    assert(Multimodal.pcmFingerprint(5L, Array.fill[Byte](64)(0x41)).isEmpty)
+  }
+
   test("audio stats: malformed and unsupported payloads are omitted, not fatal") {
     // not RIFF at all
     assert(Multimodal.pcmStats(1L, Array.fill[Byte](64)(0x41)).isEmpty)
