@@ -196,8 +196,11 @@ object GraphOps {
     val seedSet = seeds.select(seeds.columns.head).distinct()
       .withColumnRenamed(seeds.columns.head, "node")
       .withColumn("__seed", lit(1))
-    val nNodes = deg.agg(count(lit(1))).head().getLong(0)
-    val nSeeds = seedSet.agg(count(lit(1))).head().getLong(0)
+    // one action for both scalars (separate head() calls would pay two jobs)
+    val counts = deg.agg(count(lit(1)).as("n"))
+      .crossJoin(seedSet.agg(count(lit(1)).as("s"))).head()
+    val nNodes = counts.getLong(0)
+    val nSeeds = counts.getLong(1)
     require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
     val teleport = (150000L * nNodes) / nSeeds
     val init = (1000000L * nNodes) / nSeeds

@@ -596,6 +596,31 @@ object ScaleProbe {
       val tDc = tq("q_dataset_card")
       println(f"""SCALE_R7I {"factor":$f, "grouped_auc":$tGa%.2f, "dataset_card":$tDc%.2f}""")
       }
+
+      // round-8 continuation wave: the bigram LM (largest frames: distinct
+      // (doc,wa,wb) tuples, two windows + term join), personalized
+      // PageRank (5 iterative joins, graph grows linearly per copy),
+      // int8 top-k through the library call with the CONSTANT query set
+      // (the registered %50 query derivation would grow BOTH join sides
+      // and probe a quadratic frame by construction), the dup-flow matrix
+      // (rides pair staging + two source lookups), boilerplate lines (one
+      // line-hash exchange), anchor stats (target rollup), the purged-fold
+      // and erasure audits (broadcast scans / keys-only joins), and the
+      // two per-row scans (encoding audit, audio fingerprint)
+      if (groups("r8d")) {
+      val tBl = tq("q_bigram_lm")
+      val tPpr = tq("q_ppr")
+      val tI8 = time(force(Similarity.int8TopK(
+        emb, "vec_id", "embedding", queries, "qid", "qvec", k = 5)))
+      val tDf = tq("q_dup_flow")
+      val tBp = tq("q_boilerplate_lines")
+      val tAn = tq("q_anchor_stats")
+      val tPf = tq("q_purged_folds")
+      val tEr = tq("q_erasure_audit")
+      val tEn = tq("q_encoding_audit")
+      val tAf = tq("q_audio_fp")
+      println(f"""SCALE_R8D {"factor":$f, "bigram_lm":$tBl%.2f, "ppr":$tPpr%.2f, "int8_topk_constq":$tI8%.2f, "dup_flow":$tDf%.2f, "boilerplate_lines":$tBp%.2f, "anchor_stats":$tAn%.2f, "purged_folds":$tPf%.2f, "erasure_audit":$tEr%.2f, "encoding_audit":$tEn%.2f, "audio_fp":$tAf%.2f}""")
+      }
     }
     spark.stop()
   }

@@ -79,6 +79,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch.select(cols: _*).except(got.select(cols: _*)).count() == 0)
   }
 
+  test("the encoding audit runs unchanged as a stateless stream") {
+    // same discipline as the web-extraction pin: encodingAudit is pure
+    // per-row regexp counters, so the identical code path drops into a
+    // readStream ingest (the quarantine gate runs AT ingest, before any
+    // stateful stage) — pinned by equality with the batch result
+    import graft.ext.WebText
+    val d = java.nio.file.Files.createTempDirectory("graft-encstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      d.resolve("documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    def wrap(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      WebText.synthesizeEncodingDamage(col("doc_id"),
+        coalesce(col("text"), lit(""))).as("dmg"))
+    val got = EventsStream.runToMemory(spark,
+      WebText.encodingAudit(wrap(spark.readStream.schema(schema).parquet(d.toString)),
+        "doc_id", "dmg"), "enc_audit_test")
+    val batch = WebText.encodingAudit(
+      wrap(spark.read.parquet(s"$dir/documents.parquet")), "doc_id", "dmg")
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.except(batch).count() == 0 && batch.except(got).count() == 0)
+    // the damage families are actually present in the streamed result
+    assert(got.where(!col("clean")).count() > 0)
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered events") {
     // stage the events file twice: every event is delivered twice
     val dupDir = java.nio.file.Files.createTempDirectory("graft-stream-dup")
