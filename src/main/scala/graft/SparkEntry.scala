@@ -1276,6 +1276,18 @@ object SparkEntry {
         threshold = lit(306L))
     }),
 
+    // deterministic subsampling-bootstrap CI for the mean doc length —
+    // the uncertainty band an eval report publishes with its point
+    // estimate. Replica membership is an md5 hash gate (engine- and
+    // layout-reproducible, unlike RNG bootstraps); replica means are one
+    // IEEE division each; p05/p50/p95 are EXACT order statistics of the
+    // 100 replica means, tie-broken by replica id
+    "q_bootstrap_ci" -> ((s, dir) => {
+      graft.ext.Evaluation.bootstrapMeanCI(
+        t(s, dir, "documents"), "doc_id", col("n_chars"),
+        b = 100, fraction = 0.5, seed = "boot")
+    }),
+
     // the one-row DATASET CARD: the summary block a curated-corpus
     // release ships with — volume, source/language makeup, exact-dup
     // rate, length stats — every field either an integer count, an
@@ -6104,6 +6116,27 @@ FROM (
         |    cast(c.n * tot.tot_pos AS double) AS lift,
         |  cast(c.cum_pos AS double) / cast(tot.tot_pos AS double) AS cum_capture
         |FROM c, tot""".stripMargin,
+
+    // same md5 replica gate, same one-division means, same exact
+    // order-statistic ranks over (mean, replica)
+    "q_bootstrap_ci" ->
+      """WITH reps AS (
+        |  SELECT g.b AS b,
+        |    cast(sum(n_chars) AS double) / cast(count(*) AS double) AS m
+        |  FROM documents, generate_series(0, 99) AS g(b)
+        |  WHERE n_chars IS NOT NULL
+        |    AND substr(md5('boot:' || b || ':' || doc_id), 1, 8) < '80000000'
+        |  GROUP BY 1),
+        | ranked AS (SELECT b, m, row_number() OVER (ORDER BY m, b) AS r FROM reps),
+        | f AS (
+        |  SELECT cast(sum(n_chars) AS double) / cast(count(*) AS double) AS mean_full
+        |  FROM documents WHERE n_chars IS NOT NULL)
+        |SELECT mean_full,
+        |  max(CASE WHEN r = 5 THEN m END) AS p05_mean,
+        |  max(CASE WHEN r = 50 THEN m END) AS p50_mean,
+        |  max(CASE WHEN r = 95 THEN m END) AS p95_mean,
+        |  count(*)::BIGINT AS n_replicas
+        |FROM ranked, f GROUP BY mean_full""".stripMargin,
 
     // identical integer U statistic and threshold counts, the same
     // single divisions ("precision" quoted — reserved word there)

@@ -135,4 +135,59 @@ object Evaluation {
         (col("n") * col("tot_pos")).cast("double")).as("lift"),
       (col("cum_pos").cast("double") / col("tot_pos").cast("double")).as("cum_capture"))
   }
+
+  /** Deterministic SUBSAMPLING-bootstrap confidence interval for a mean
+    * metric — the uncertainty band an eval report publishes next to its
+    * point estimate (Politis–Romano m-out-of-n subsampling: each of `b`
+    * replicas keeps a hash-gated ~`fraction` of rows WITHOUT replacement;
+    * the spread of replica means estimates the sampling distribution).
+    * Resampling uses the md5-prefix gate family ([[Sampling]]): replica
+    * membership is `md5(seed:replica:id)` — reproducible across engines
+    * and layouts, unlike any RNG-based bootstrap.
+    *
+    * Returns one row: the full-data mean, the replica-mean p05/p50/p95
+    * (exact order statistics at ranks ceil(0.05·b)/…, selected by
+    * row_number over (mean, replica) — tie placement deterministic), and
+    * the replica count. `valueCol` must be integral (exact long sums; a
+    * money metric should arrive as cents) — each mean is then ONE IEEE
+    * division, bit-identical anywhere.
+    *
+    * Scale: the ×b row multiplication is a broadcast-free per-row explode
+    * feeding ONE map-combined (replica) aggregation — b·rows never
+    * shuffles raw, only b partial sums per map task do; the b-row means
+    * frame then sorts in a single tiny task. */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: Column,
+      b: Int = 100, fraction: Double = 0.5, seed: String = "boot"): DataFrame = {
+    require(b >= 20, s"need >= 20 replicas for a p05/p95 band, got $b")
+    require(fraction > 0.0 && fraction < 1.0, s"fraction in (0,1), got $fraction")
+    val threshold = f"${(fraction * 0x100000000L).toLong}%08x"
+    // one null policy for both the point estimate and every replica:
+    // null metric rows don't exist (a count(*)/sum() split would count
+    // them in the denominator only)
+    val reps = df.where(valueCol.isNotNull)
+      .select(col(idCol).as("__id"), valueCol.cast("long").as("__v"))
+      .select(col("__id"), col("__v"),
+        explode(sequence(lit(0), lit(b - 1))).as("__b"))
+      .where(substring(md5(concat_ws(":", lit(seed), col("__b"), col("__id"))), 1, 8)
+        < lit(threshold))
+      .groupBy(col("__b"))
+      .agg((sum(col("__v")).cast("double") / count(lit(1)).cast("double"))
+        .as("__mean"))
+    val ranked = reps.withColumn("__r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__mean"), col("__b"))))
+    val full = df.where(valueCol.isNotNull).agg(
+      (sum(valueCol.cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("mean_full"))
+    def at(q: Double) = math.ceil(q * b).toLong
+    ranked.groupBy()
+      .agg(
+        max(when(col("__r") === at(0.05), col("__mean"))).as("p05_mean"),
+        max(when(col("__r") === at(0.50), col("__mean"))).as("p50_mean"),
+        max(when(col("__r") === at(0.95), col("__mean"))).as("p95_mean"),
+        count(lit(1)).as("n_replicas"))
+      .crossJoin(broadcast(full))
+      .select(col("mean_full"), col("p05_mean"), col("p50_mean"),
+        col("p95_mean"), col("n_replicas"))
+  }
 }

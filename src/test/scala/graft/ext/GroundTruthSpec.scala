@@ -495,6 +495,34 @@ class GroundTruthSpec extends SparkSpec {
       lit(5L)).head().getAs[Double]("auc") == 0.0)
   }
 
+  test("bootstrap CI: ordered band, brackets a symmetric mean, exactly reproducible") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, i % 101)).toDF("id", "v")
+    val r = Evaluation.bootstrapMeanCI(df, "id", col("v"), b = 100,
+      fraction = 0.5, seed = "t").head()
+    val (full, p05, p50, p95, n) = (r.getDouble(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getLong(4))
+    assert(n == 100L)
+    assert(p05 <= p50 && p50 <= p95, s"order stats out of order: $r")
+    // the subsampled means bracket the point estimate for this symmetric
+    // metric, and the band is non-degenerate but tight (~sd/sqrt(m))
+    assert(p05 < full && full < p95, s"band fails to bracket: $r")
+    assert(p95 - p05 > 0.0 && p95 - p05 < 20.0, s"implausible width: $r")
+    // hash-gated resampling: the identical call reproduces every value
+    val again = Evaluation.bootstrapMeanCI(df, "id", col("v"), b = 100,
+      fraction = 0.5, seed = "t").head()
+    assert(r == again)
+    // a different seed moves the band (it is a real resample, not a const)
+    val other = Evaluation.bootstrapMeanCI(df, "id", col("v"), b = 100,
+      fraction = 0.5, seed = "u").head()
+    assert(other.getDouble(2) != p50 || other.getDouble(1) != p05)
+    // null metric rows are excluded from the point estimate AND replicas
+    val withNulls = df.unionByName(
+      Seq((900L, null.asInstanceOf[java.lang.Long])).toDF("id", "v"))
+    assert(Evaluation.bootstrapMeanCI(withNulls, "id", col("v"),
+      b = 100, fraction = 0.5, seed = "t").head().getDouble(0) == full)
+  }
+
   test("decile lift: balanced buckets, capture monotone to 1.0, counts conserve") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val d = Evaluation.decileLift(docs, col("lang") === "en",
