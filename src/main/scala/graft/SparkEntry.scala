@@ -2011,6 +2011,17 @@ object SparkEntry {
       Multimodal.sampleVideoFrames(vids, targetFrames = 6).toDF()
     }),
 
+    // shot-boundary detection on the same GVI1 payloads: a cut fires
+    // where consecutive frames' exact integer luma sums jump by >= 100
+    // per pixel (on this fixture: exactly the frames whose fill byte
+    // wraps mod 256). The oracle replays the detector through the
+    // synthesis closed form — decoder seek/sign bugs fail the hash
+    "q_scene_cuts" -> ((s, dir) => {
+      val vids = Multimodal.synthesizeVideo(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      Multimodal.sceneCuts(vids, thrPerPixel = 100).toDF()
+    }),
+
     // HTML boilerplate extraction (WebText.extract): each doc wrapped in
     // the deterministic page template (nav/script/style/aside/footer
     // chrome varying by id), then title / clean text / anchor-text link
@@ -4903,6 +4914,31 @@ FROM (
         |  md5(lpad(hex(first), 2, '0') ||
         |      repeat(lpad(hex(fill), 2, '0'), cast(w * h - 1 AS int))) AS frame_md5
         |FROM px""".stripMargin,
+
+    // every frame's closed-form luma sum, consecutive deltas via lag,
+    // the same >= 100·w·h integer gate
+    "q_scene_cuts" ->
+      """WITH p AS (
+        |  SELECT cast(doc_id AS bigint) AS media_id,
+        |    cast(doc_id % 4 + 2 AS bigint) AS w,
+        |    cast(doc_id % 3 + 2 AS bigint) AS h,
+        |    cast(doc_id % 23 + 1 AS bigint) AS nf
+        |  FROM documents),
+        | f AS (
+        |  SELECT media_id, w, h, nf,
+        |    unnest(generate_series(0, nf - 1)) AS fi
+        |  FROM p),
+        | s AS (
+        |  SELECT media_id, w, h, fi,
+        |    (media_id * 7 + fi * 31 + fi) % 256 +
+        |      ((media_id * 7 + fi * 31) % 256) * (w * h - 1) AS lsum
+        |  FROM f),
+        | d AS (
+        |  SELECT media_id, w, h, fi,
+        |    abs(lsum - lag(lsum) OVER (PARTITION BY media_id ORDER BY fi)) AS delta
+        |  FROM s)
+        |SELECT media_id, fi AS frame_idx, delta::BIGINT AS abs_sum_delta
+        |FROM d WHERE delta >= 100 * w * h""".stripMargin,
 
     // same 4-full-week trim, same floor(double) hour indexing, same dense
     // zero-filled grid and fraction-free deviation; top-50 under the

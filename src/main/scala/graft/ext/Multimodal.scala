@@ -765,6 +765,55 @@ object Multimodal {
 
   private val HexDigits = "0123456789ABCDEF".toCharArray
 
+  /** Shot-boundary (scene-cut) detection over GVI1 payloads — the classic
+    * luma-delta detector (a hard cut shows as a jump in global frame
+    * statistics; cf. the histogram/pixel-difference family of shot
+    * detectors): frame f ≥ 1 is a cut when the absolute difference of
+    * consecutive INTEGER luma sums is at least `thrPerPixel` per pixel,
+    * i.e. `|Σf − Σf₋₁| ≥ thrPerPixel·w·h`. Exact integers end to end, so
+    * the oracle replays the detector through the fixture's closed form —
+    * a seek/stride/sign bug in the decoder fails the hash.
+    *
+    * Scale: one mapPartitions decode pass per payload, no shuffle; emits
+    * only cut rows (sparse). A real codec swaps into the same loop with
+    * decoded luma planes. Malformed payloads are dropped (quarantine
+    * contract). */
+  def sceneCuts(video: DataFrame, thrPerPixel: Int = 100): Dataset[SceneCut] = {
+    require(thrPerPixel >= 1, s"thrPerPixel must be >= 1, got $thrPerPixel")
+    val spark = video.sparkSession
+    import spark.implicits._
+    video.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) => sceneCutsOne(id, bytes, thrPerPixel) }
+      }
+  }
+
+  private def sceneCutsOne(
+      id: Long, bytes: Array[Byte], thrPerPixel: Int): Iterator[SceneCut] = {
+    if (bytes == null || bytes.length < 10 ||
+      bytes(0) != 'G' || bytes(1) != 'V' || bytes(2) != 'I' || bytes(3) != '1')
+      return Iterator.empty
+    def be16u(off: Int): Int = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    val w = be16u(4); val h = be16u(6); val nf = be16u(8)
+    val frameSize = w * h
+    if (frameSize == 0 || bytes.length < 10 + nf.toLong * frameSize)
+      return Iterator.empty
+    val sums = Array.tabulate(nf) { f =>
+      val off = 10 + f * frameSize
+      var sum = 0L
+      var i = 0
+      while (i < frameSize) { sum += bytes(off + i) & 0xff; i += 1 }
+      sum
+    }
+    Iterator.range(1, nf).flatMap { f =>
+      val delta = math.abs(sums(f) - sums(f - 1))
+      if (delta >= thrPerPixel.toLong * frameSize)
+        Some(SceneCut(id, f.toLong, delta))
+      else None
+    }
+  }
+
   private def sampleOneVideo(
       id: Long, bytes: Array[Byte], targetFrames: Int): Iterator[FrameStats] = {
     if (bytes == null || bytes.length < 10 ||
@@ -806,3 +855,7 @@ final case class FrameStats(
     luma_sum: Long,
     mean_luma: Double,
     frame_md5: String)
+
+/** One detected shot boundary ([[Multimodal.sceneCuts]]): the frame index
+  * where the cut lands and the exact integer luma-sum jump that fired. */
+final case class SceneCut(media_id: Long, frame_idx: Long, abs_sum_delta: Long)

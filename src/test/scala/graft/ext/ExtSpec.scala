@@ -779,6 +779,34 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.sampleVideoFrames(junk, 6).count() == 0)
   }
 
+  test("scene cuts: fires exactly on the planted luma jump, gain of threshold respected") {
+    import spark.implicits._
+    // hand-built GVI1: 2x2, 5 frames with fills 10,10,200,200,10 —
+    // cuts exactly at frames 2 and 4 (|delta| = 190*4 >= 100*4);
+    // frame 1 (delta 0) and frame 3 (delta 0) must NOT fire
+    def gvi(fills: Seq[Int]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(10 + 4 * fills.length)
+      b.put("GVI1".getBytes)
+      b.putShort(2); b.putShort(2); b.putShort(fills.length.toShort)
+      fills.foreach(f => (0 until 4).foreach(_ => b.put(f.toByte)))
+      b.array()
+    }
+    val vids = Seq((1L, gvi(Seq(10, 10, 200, 200, 10)))).toDF("media_id", "content")
+    val cuts = Multimodal.sceneCuts(vids, thrPerPixel = 100).collect()
+      .sortBy(_.frame_idx)
+    assert(cuts.map(_.frame_idx).toSeq == Seq(2L, 4L), cuts.mkString(", "))
+    assert(cuts.forall(_.abs_sum_delta == 190L * 4))
+    // a jump below threshold stays quiet; single-frame clips emit nothing
+    assert(Multimodal.sceneCuts(
+      Seq((2L, gvi(Seq(10, 10, 108)))).toDF("media_id", "content"), 100)
+      .count() == 0)
+    assert(Multimodal.sceneCuts(
+      Seq((3L, gvi(Seq(42)))).toDF("media_id", "content"), 100).count() == 0)
+    // malformed payloads quarantine
+    assert(Multimodal.sceneCuts(
+      Seq((4L, "nope".getBytes)).toDF("media_id", "content"), 100).count() == 0)
+  }
+
   test("JPEG marker walk skips unknown segments and survives truncation") {
     def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
     // SOI + COM segment + DQT-ish segment BEFORE SOF0: the walk must skip
