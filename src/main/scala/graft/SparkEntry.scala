@@ -1276,6 +1276,28 @@ object SparkEntry {
         threshold = lit(306L))
     }),
 
+    // order-independent content fingerprints (BIT_XOR of 60-bit row
+    // hashes + counts) for five tables — the equality certificate a
+    // migration/backfill publishes so two copies compare WITHOUT sorting
+    // either side. Integer/string columns only (float renderings differ
+    // across engines); o_orderpriority included to cover a multi-word
+    // string, orders' date/price deliberately excluded and documented
+    "q_table_fingerprint" -> ((s, dir) => {
+      import graft.ext.Profiling.tableFingerprint
+      Seq(
+        tableFingerprint(t(s, dir, "customer"), "customer",
+          Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
+        tableFingerprint(t(s, dir, "documents"), "documents",
+          Seq("doc_id", "text", "lang", "source", "n_chars")),
+        tableFingerprint(t(s, dir, "nation"), "nation",
+          Seq("n_nationkey", "n_name", "n_regionkey")),
+        tableFingerprint(t(s, dir, "orders"), "orders",
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+        tableFingerprint(t(s, dir, "region"), "region",
+          Seq("r_regionkey", "r_name"))
+      ).reduce(_.unionByName(_))
+    }),
+
     // deterministic subsampling-bootstrap CI for the mean doc length —
     // the uncertainty band an eval report publishes with its point
     // estimate. Replica membership is an md5 hash gate (engine- and
@@ -6152,6 +6174,26 @@ FROM (
         |    cast(c.n * tot.tot_pos AS double) AS lift,
         |  cast(c.cum_pos AS double) / cast(tot.tot_pos AS double) AS cum_capture
         |FROM c, tot""".stripMargin,
+
+    // the same 15-hex-char row hashes xor-folded; chr(31)/chr(1) build
+    // the separator and sentinel the Spark side embeds as literals
+    "q_table_fingerprint" -> {
+      def fp(table: String, cols: Seq[String]) = {
+        val canon = cols
+          .map(c => s"coalesce(cast($c AS varchar), chr(1) || 'null')")
+          .mkString("concat_ws(chr(31), ", ", ", ")")
+        s"""SELECT '$table' AS table_name, count(*)::BIGINT AS n_rows,
+           |  bit_xor(cast(('0x' || substr(md5($canon), 1, 15))::UBIGINT AS BIGINT)) AS fingerprint
+           |FROM $table""".stripMargin
+      }
+      Seq(
+        fp("customer", Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
+        fp("documents", Seq("doc_id", "text", "lang", "source", "n_chars")),
+        fp("nation", Seq("n_nationkey", "n_name", "n_regionkey")),
+        fp("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+        fp("region", Seq("r_regionkey", "r_name"))
+      ).mkString("\nUNION ALL\n")
+    },
 
     // same md5 replica gate, same one-division means, same exact
     // order-statistic ranks over (mean, replica)

@@ -75,4 +75,37 @@ object Profiling {
         (col(s"__v_$c") === 0).as("holds"))).reduce(_.unionByName(_))
     }.reduce(_.unionByName(_))
   }
+
+  /** ORDER-INDEPENDENT content fingerprint per table — the cheap equality
+    * certificate a migration / replication / backfill job publishes so
+    * two copies of a dataset can be compared WITHOUT sorting or shuffling
+    * either side (the order-agnostic checksum idea behind e.g. HDFS
+    * composite-CRC file checksums, applied at row granularity): each row
+    * canonicalizes to md5 over unit-separated, null-sentinel'd column
+    * values (the [[graft.ext.Dedup.contentHash]] idea with an
+    * oracle-buildable sentinel), the first 15
+    * hex chars become a 60-bit long, and the table fingerprint is the
+    * BIT_XOR of those longs plus the row count. XOR is commutative and
+    * associative, so ANY partitioning/ordering of either copy yields the
+    * same value; count is carried because XOR alone cannot see a row
+    * repeated an even number of times.
+    *
+    * `cols` must be engine-portable renderings (integers and strings —
+    * floating-point and timestamp string forms differ across engines;
+    * cast those to cents/micros first). Scale: one map-combined
+    * aggregation per table, no shuffle beyond the single partial-merge
+    * exchange, nothing driver-side. */
+  def tableFingerprint(df: DataFrame, name: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to fingerprint")
+    // \u001f separator (boundary-collision-proof), \u0001-prefixed null
+    // sentinel -- NOT contentHash's \u0000: engine VARCHARs reject NUL,
+    // and the oracle must build this literal
+    val canon = md5(concat_ws("\u001f",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001null"))): _*))
+    df.select(conv(substring(canon, 1, 15), 16, 10).cast("long").as("__rh"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(__rh)").as("fingerprint"))
+      .select(lit(name).as("table_name"), col("n_rows"), col("fingerprint"))
+  }
 }

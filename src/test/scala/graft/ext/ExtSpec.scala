@@ -1239,6 +1239,30 @@ class ExtSpec extends SparkSpec {
     assert(giants.sameElements(Array(0, 1, 2, 3)))
   }
 
+  test("tableFingerprint: order/partitioning invariant, value- and dup-sensitive") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+    val fp = Profiling.tableFingerprint(a, "t", Seq("id", "v")).head()
+    // any row order / partitioning yields the identical fingerprint
+    val shuffled = Profiling.tableFingerprint(
+      a.orderBy(col("v").desc_nulls_first).repartition(7), "t", Seq("id", "v")).head()
+    assert(fp == shuffled)
+    // one changed value moves it
+    val changed = Seq((1L, "x"), (2L, "Y"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "v")
+    assert(Profiling.tableFingerprint(changed, "t", Seq("id", "v")).head()
+      .getLong(2) != fp.getLong(2))
+    // a row duplicated twice XORs itself away — the count catches it
+    val dup = a.unionByName(Seq((2L, "y"), (2L, "y")).toDF("id", "v"))
+    val dfp = Profiling.tableFingerprint(dup, "t", Seq("id", "v")).head()
+    assert(dfp.getLong(2) == fp.getLong(2) && dfp.getLong(1) != fp.getLong(1),
+      "even-multiplicity dups must be caught by n_rows")
+    // null is distinct from the literal string "null"
+    val litNull = Seq((1L, "x"), (2L, "y"), (3L, "null")).toDF("id", "v")
+    assert(Profiling.tableFingerprint(litNull, "t", Seq("id", "v")).head()
+      .getLong(2) != fp.getLong(2))
+  }
+
   test("sourceBoilerplate: shared lines flag per source, unique and sub-threshold lines don't") {
     // src A: footer on all 4 docs (flag), promo on 2/4 (flag at 0.5),
     // body unique per doc (no flag), one line repeated WITHIN one doc
