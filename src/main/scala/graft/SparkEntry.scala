@@ -1261,6 +1261,32 @@ object SparkEntry {
         .select(col("doc_id"), col("change"))
     }),
 
+    // column-level change attribution between the two snapshot versions
+    // (what q_snapshot_diff's row hashes cannot say: WHICH column moved,
+    // how often) — four deterministic per-id-family amendments planted so
+    // every counter is exercised; money compared as integer cents; one
+    // equi-join + ONE aggregation for all columns, then a constant unpivot
+    "q_diff_columns" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").withColumn("acct_cents",
+        floor(col("c_acctbal") * 100 + 0.5).cast("long"))
+      val prev = cust.where(col("c_custkey") % 10 < 9)
+      val cur = cust.where(col("c_custkey") % 10 > 0)
+        .withColumn("c_name",
+          when(col("c_custkey") % 7 === 0, concat(col("c_name"), lit("-r2")))
+            .otherwise(col("c_name")))
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 5 === 0, lit("SEG-X"))
+            .otherwise(col("c_mktsegment")))
+        .withColumn("c_nationkey",
+          when(col("c_custkey") % 11 === 0, col("c_nationkey") + 1)
+            .otherwise(col("c_nationkey")))
+        .withColumn("acct_cents",
+          when(col("c_custkey") % 13 === 0, col("acct_cents") + 1)
+            .otherwise(col("acct_cents")))
+      graft.ext.Profiling.diffColumns(prev, cur, "c_custkey",
+        Seq("c_name", "c_mktsegment", "c_nationkey", "acct_cents"))
+    }),
+
     // offline classifier evaluation: exact tie-aware ROC AUC (integer
     // Mann-Whitney — per distinct score, positives pair with negatives
     // strictly below + half the ties; ONE final division) plus the
@@ -6174,6 +6200,37 @@ FROM (
         |    cast(c.n * tot.tot_pos AS double) AS lift,
         |  cast(c.cum_pos AS double) / cast(tot.tot_pos AS double) AS cum_capture
         |FROM c, tot""".stripMargin,
+
+    // the same planted amendments, the same null-safe IS DISTINCT FROM
+    // per-column counters over one inner join
+    "q_diff_columns" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
+        |    cast(floor(c_acctbal * 100 + 0.5) AS bigint) AS acct_cents
+        |  FROM customer),
+        | prev AS (SELECT * FROM base WHERE c_custkey % 10 < 9),
+        | cur AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_name || '-r2' ELSE c_name END AS c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'SEG-X' ELSE c_mktsegment END AS c_mktsegment,
+        |    CASE WHEN c_custkey % 11 = 0 THEN c_nationkey + 1 ELSE c_nationkey END AS c_nationkey,
+        |    CASE WHEN c_custkey % 13 = 0 THEN acct_cents + 1 ELSE acct_cents END AS acct_cents
+        |  FROM base WHERE c_custkey % 10 > 0),
+        | j AS (
+        |  SELECT count(*)::BIGINT AS n_compared,
+        |    sum(CASE WHEN p.c_name IS DISTINCT FROM c.c_name THEN 1 ELSE 0 END)::BIGINT AS d_name,
+        |    sum(CASE WHEN p.c_mktsegment IS DISTINCT FROM c.c_mktsegment THEN 1 ELSE 0 END)::BIGINT AS d_seg,
+        |    sum(CASE WHEN p.c_nationkey IS DISTINCT FROM c.c_nationkey THEN 1 ELSE 0 END)::BIGINT AS d_nat,
+        |    sum(CASE WHEN p.acct_cents IS DISTINCT FROM c.acct_cents THEN 1 ELSE 0 END)::BIGINT AS d_acct
+        |  FROM prev p JOIN cur c USING (c_custkey)),
+        | u AS (
+        |  SELECT 'c_name' AS column_name, d_name AS n_changed, n_compared FROM j
+        |  UNION ALL SELECT 'c_mktsegment', d_seg, n_compared FROM j
+        |  UNION ALL SELECT 'c_nationkey', d_nat, n_compared FROM j
+        |  UNION ALL SELECT 'acct_cents', d_acct, n_compared FROM j)
+        |SELECT column_name, n_changed, n_compared,
+        |  cast(n_changed AS double) / cast(n_compared AS double) AS change_rate
+        |FROM u""".stripMargin,
 
     // the same 15-hex-char row hashes xor-folded; chr(31)/chr(1) build
     // the separator and sentinel the Spark side embeds as literals

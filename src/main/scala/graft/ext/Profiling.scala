@@ -108,4 +108,36 @@ object Profiling {
         expr("bit_xor(__rh)").as("fingerprint"))
       .select(lit(name).as("table_name"), col("n_rows"), col("fingerprint"))
   }
+
+  /** COLUMN-LEVEL change attribution between two snapshots of a keyed
+    * table: for rows present in BOTH, how many changed each column — the
+    * "what actually moved" report that turns q_snapshot_diff's row-level
+    * added/removed/changed into an actionable diff (a whole-row hash says
+    * a row changed; this says it was `mktsegment`, 400k times, which is
+    * how upstream schema bugs and bad backfills get spotted). Added /
+    * removed rows are q_snapshot_diff's dimension and deliberately not
+    * re-counted here.
+    *
+    * Comparison is null-safe (`<=>` — null→value and value→null count as
+    * changes; null→null does not). One equi-join on the key, ONE
+    * map-combined aggregation computing every column's change count in
+    * the same pass (not one job per column), then a constant-size unpivot
+    * of the single agg row. `change_rate` is one int/int IEEE division. */
+  def diffColumns(prev: DataFrame, cur: DataFrame, idCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to attribute")
+    val p = prev.select(col(idCol) +: cols.map(c => col(c).as(s"__p_$c")): _*)
+    val c2 = cur.select(col(idCol) +: cols.map(c => col(c).as(s"__c_$c")): _*)
+    val aggs = count(lit(1)).as("n_compared") +:
+      cols.map(c => sum(when(!(col(s"__p_$c") <=> col(s"__c_$c")), 1L)
+        .otherwise(0L)).as(s"__d_$c"))
+    val one = p.join(c2, Seq(idCol)).agg(aggs.head, aggs.tail: _*)
+    val stack = cols.map(c => s"'$c', __d_$c").mkString(", ")
+    one.selectExpr(
+        s"stack(${cols.size}, $stack) AS (column_name, n_changed)",
+        "n_compared")
+      .select(col("column_name"), col("n_changed"), col("n_compared"),
+        (col("n_changed").cast("double") / col("n_compared").cast("double"))
+          .as("change_rate"))
+  }
 }

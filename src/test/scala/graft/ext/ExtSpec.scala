@@ -1239,6 +1239,21 @@ class ExtSpec extends SparkSpec {
     assert(giants.sameElements(Array(0, 1, 2, 3)))
   }
 
+  test("diffColumns: exact per-column counts, null transitions, one-pass unpivot") {
+    val prev = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, None: Option[String], 30L), (4L, Some("d"), 40L))
+      .toDF("id", "s", "n")
+    val cur = Seq((1L, Some("a"), 10L), (2L, Some("B"), 20L),
+      (3L, Some("c"), 30L), (5L, Some("e"), 50L)) // id 4 removed, 5 added
+      .toDF("id", "s", "n")
+    val out = Profiling.diffColumns(prev, cur, "id", Seq("s", "n"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // compared = ids 1,2,3; s changed on 2 (b->B) and 3 (null->c); n never
+    assert(out("s") == ((2L, 3L, 2.0 / 3.0)), out.toString)
+    assert(out("n") == ((0L, 3L, 0.0)))
+  }
+
   test("tableFingerprint: order/partitioning invariant, value- and dup-sensitive") {
     val a = Seq((1L, "x"), (2L, "y"), (3L, null.asInstanceOf[String]))
       .toDF("id", "v")
