@@ -2428,6 +2428,29 @@ object SparkEntry {
     // the dense skeleton is sequence()+explode over a single-row bounds
     // aggregate crossed with the distinct types — bounded by the time
     // domain (hours × types), never by corpus rows
+    // out-of-orderness (lateness) profile — the measurement that SIZES a
+    // streaming watermark: each event's lateness is how far the per-user
+    // running max event time had already advanced past it on ARRIVAL; the
+    // histogram over hour buckets (capped at 24h+) says what delay bound
+    // covers which fraction of events. The fixture's event_id order IS
+    // time order (zero disorder — a degenerate check), so arrival is
+    // synthesized deterministically by reversing 64-id ingest blocks (the
+    // synthesizeMedia discipline: a shuffled delivery the oracle replays
+    // with the same integer arithmetic). One user-hash exchange (window),
+    // then a bounded-bucket map-combined rollup; integer micros end to end
+    "q_lateness_profile" -> ((s, dir) => {
+      val tsUs = graft.sources.Tables.tsMicros(col("ts"))
+      val arr = expr("(event_id div 64) * 64 + 63 - (event_id % 64)")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__arr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), arr.as("__arr"), tsUs.as("__us"))
+        .withColumn("__late_us", max(col("__us")).over(w) - col("__us"))
+        .select(least(expr("__late_us div 3600000000"), lit(24L)).as("late_hours"))
+        .groupBy(col("late_hours"))
+        .agg(count(lit(1)).as("n_events"))
+    }),
+
     "q_gap_fill" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val sparse = ev
@@ -7029,6 +7052,19 @@ FROM (
         |        OR us >= test_hi_us + 21600000000
         |      THEN 1 ELSE 0 END))::BIGINT AS purged_n
         |FROM e, b GROUP BY 1, 2, 3""".stripMargin,
+
+    // the same block-reversed synthesized arrival, per-user running max,
+    // and hour bucketing capped at 24
+    "q_lateness_profile" ->
+      """WITH r AS (
+        |  SELECT epoch_us(ts) AS us,
+        |    max(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY (event_id // 64) * 64 + 63 - (event_id % 64)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+        |  FROM events)
+        |SELECT least((runmax - us) // 3600000000, 24)::BIGINT AS late_hours,
+        |  count(*)::BIGINT AS n_events
+        |FROM r GROUP BY 1""".stripMargin,
 
     // same subject predicate and explicit FK cascade; affected = IN the
     // (distinct'd) erase-key set, retained = the complement
