@@ -621,6 +621,19 @@ object ScaleProbe {
       val tAf = tq("q_audio_fp")
       println(f"""SCALE_R8D {"factor":$f, "bigram_lm":$tBl%.2f, "ppr":$tPpr%.2f, "int8_topk_constq":$tI8%.2f, "dup_flow":$tDf%.2f, "boilerplate_lines":$tBp%.2f, "anchor_stats":$tAn%.2f, "purged_folds":$tPf%.2f, "erasure_audit":$tEr%.2f, "encoding_audit":$tEn%.2f, "audio_fp":$tAf%.2f}""")
       }
+
+      // fifth round-8 wave: the bootstrap's ×100 replica explode (narrow,
+      // one map-combined agg), GVI1 scene cuts (per-row decode), the
+      // xor-fold fingerprints (pure map-combine), column diff (one
+      // equi-join + one agg), and the lateness window (one user exchange)
+      if (groups("r8e")) {
+      val tBc = tq("q_bootstrap_ci")
+      val tSc = tq("q_scene_cuts")
+      val tTf = tq("q_table_fingerprint")
+      val tDc2 = tq("q_diff_columns")
+      val tLp = tq("q_lateness_profile")
+      println(f"""SCALE_R8E {"factor":$f, "bootstrap_ci":$tBc%.2f, "scene_cuts":$tSc%.2f, "table_fingerprint":$tTf%.2f, "diff_columns":$tDc2%.2f, "lateness_profile":$tLp%.2f}""")
+      }
     }
     spark.stop()
   }

@@ -819,4 +819,41 @@ class PlanSpec extends SparkSpec {
     // corpus never cartesians
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("table fingerprint: pure map-combined aggs, no join, no shuffle beyond partial merges") {
+    val p = plan("q_table_fingerprint")
+    assert(!p.contains("Join"), s"fingerprinting must not join:\n${p.take(3000)}")
+    assert(p.contains("partial_count") || p.contains("partial_bit_xor"),
+      "xor fold lost map-side combine")
+    // five tables, five scans — none repeated
+    assert("FileScan parquet".r.findAllIn(p).size == 5, p.take(3000))
+  }
+
+  test("column diff: one equi-join and ONE aggregation for all columns") {
+    val p = plan("q_diff_columns")
+    // a per-column job would show several aggregate pairs; the unpivot
+    // must ride a single (partial, final) aggregation over the join
+    assert("partial_count".r.findAllIn(p).size == 1,
+      s"per-column counters must share one aggregation pass:\n${p.take(3000)}")
+    assert(p.contains("Generate") || p.contains("Expand") || p.contains("stack"),
+      "constant unpivot shape lost")
+  }
+
+  test("lateness profile: one user exchange shared by window and rollup") {
+    val p = plan("q_lateness_profile")
+    // the window's user-hash exchange is the ONLY data-sized shuffle; the
+    // bounded 25-bucket rollup map-combines into a tiny second exchange
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(3000))
+    assert(p.contains("partial_count"), "bucket rollup lost map-side combine")
+  }
+
+  test("bootstrap CI: the replica explode never shuffles raw rows") {
+    val p = plan("q_bootstrap_ci")
+    // rows × 100 replicas must aggregate map-side into <= 100 partials
+    // per task BEFORE any exchange — the generate feeds a partial agg
+    assert(p.contains("Generate explode"), p.take(3000))
+    assert(p.contains("partial_sum"), "replica means lost map-side combine")
+    assert(!p.contains("SortMergeJoin"), "full-mean frame must broadcast")
+  }
 }
