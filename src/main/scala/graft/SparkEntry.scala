@@ -1324,6 +1324,18 @@ object SparkEntry {
       ).reduce(_.unionByName(_))
     }),
 
+    // A/B experiment read-out: units (users) hash-gated 50/50 into arms
+    // (the assignment method real experiment platforms use — and the
+    // oracle replays it), conversion = any purchase, two-proportion z²
+    // under pooled variance with the χ²(1, α=0.05) significance gate.
+    // Integer counts; the statistic is IEEE ops in one fixed order
+    "q_ab_test" -> ((s, dir) => {
+      graft.ext.Evaluation.abTest(
+        t(s, dir, "events"), col("user_id"),
+        col("event_type") === "purchase" && col("value") >= 120,
+        seed = "exp1:")
+    }),
+
     // deterministic subsampling-bootstrap CI for the mean doc length —
     // the uncertainty band an eval report publishes with its point
     // estimate. Replica membership is an md5 hash gate (engine- and
@@ -6274,6 +6286,33 @@ FROM (
         fp("region", Seq("r_regionkey", "r_name"))
       ).mkString("\nUNION ALL\n")
     },
+
+    // the same hash-gated arms and the same fixed-order pooled-variance z²
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 120 THEN 1 ELSE 0 END) AS conv,
+        |    substr(md5('exp1:' || cast(user_id AS varchar)), 1, 8) < '80000000' AS is_a
+        |  FROM events GROUP BY user_id),
+        | c AS (SELECT
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN is_a THEN conv ELSE 0 END)::BIGINT AS conv_a,
+        |    sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN NOT is_a THEN conv ELSE 0 END)::BIGINT AS conv_b
+        |  FROM u),
+        | z AS (SELECT *,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+        |        AND conv_a + conv_b < n_a + n_b
+        |   THEN (cast(conv_a AS double) / cast(n_a AS double) - cast(conv_b AS double) / cast(n_b AS double))
+        |    * (cast(conv_a AS double) / cast(n_a AS double) - cast(conv_b AS double) / cast(n_b AS double))
+        |    / (cast(conv_a + conv_b AS double) / cast(n_a + n_b AS double)
+        |       * (1.0 - cast(conv_a + conv_b AS double) / cast(n_a + n_b AS double))
+        |       * (1.0 / cast(n_a AS double) + 1.0 / cast(n_b AS double)))
+        |   ELSE 0.0 END AS z2
+        |  FROM c)
+        |SELECT n_a, conv_a, n_b, conv_b, z2,
+        |  z2 >= 3.841458820694124 AS significant
+        |FROM z""".stripMargin,
 
     // same md5 replica gate, same one-division means, same exact
     // order-statistic ranks over (mean, replica)

@@ -156,6 +156,50 @@ object Evaluation {
     * feeding ONE map-combined (replica) aggregation — b·rows never
     * shuffles raw, only b partial sums per map task do; the b-row means
     * frame then sorts in a single tiny task. */
+  /** Two-proportion A/B significance report — the experiment read-out an
+    * event pipeline publishes: units are assigned to arms by the md5 hash
+    * gate (the [[Sampling.hashGate]] family — how real experiment
+    * platforms bucket, and what makes the assignment engine-reproducible),
+    * conversion is any row matching `converted`, and the statistic is the
+    * squared two-proportion z under the pooled variance,
+    * `z² = (p̂a−p̂b)² / (p̂(1−p̂)(1/na+1/nb))` — emitted SQUARED like
+    * q_anomaly's z², so no sqrt enters and every operation is an IEEE
+    * op on integer-derived doubles in a fixed order (bit-identical in any
+    * engine). `significant` is z² ≥ 3.841458820694124 (χ²₁ at α = 0.05).
+    *
+    * Scale: one map-combined per-unit aggregation (the unit exchange),
+    * then one 4-counter rollup — nothing else moves. */
+  def abTest(df: DataFrame, unitCol: Column, converted: Column,
+      seed: String = "exp"): DataFrame = {
+    val perUnit = df.groupBy(unitCol.as("__u"))
+      .agg(max(when(converted, 1L).otherwise(0L)).as("__conv"))
+      .withColumn("__is_a", Sampling.hashGate(col("__u"), 0.5, seed))
+    val c = perUnit.agg(
+      sum(when(col("__is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__is_a"), col("__conv")).otherwise(0L)).as("conv_a"),
+      sum(when(!col("__is_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("__is_a"), col("__conv")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    // degenerate experiments — an empty arm, or pooled p of exactly 0 or
+    // 1 (zero pooled variance) — carry NO evidence of a difference: z² is
+    // defined as 0 there instead of dividing by zero (ANSI engines error,
+    // IEEE ones emit Inf/NaN; both are wrong read-outs)
+    val defined = col("n_a") > 0 && col("n_b") > 0 &&
+      (col("conv_a") + col("conv_b")) > 0 &&
+      (col("conv_a") + col("conv_b")) < (col("n_a") + col("n_b"))
+    val z2 = when(defined,
+      (pa - pb) * (pa - pb) /
+        (pp * (lit(1.0d) - pp) *
+          (lit(1.0d) / col("n_a").cast("double") +
+            lit(1.0d) / col("n_b").cast("double"))))
+      .otherwise(lit(0.0d))
+    c.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      z2.as("z2"), (z2 >= lit(3.841458820694124d)).as("significant"))
+  }
+
   def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: Column,
       b: Int = 100, fraction: Double = 0.5, seed: String = "boot"): DataFrame = {
     require(b >= 20, s"need >= 20 replicas for a p05/p95 band, got $b")

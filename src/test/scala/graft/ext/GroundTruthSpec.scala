@@ -495,6 +495,33 @@ class GroundTruthSpec extends SparkSpec {
       lit(5L)).head().getAs[Double]("auc") == 0.0)
   }
 
+  test("abTest: planted uplift fires, null effect doesn't, degenerate variance is z2=0") {
+    import spark.implicits._
+    // units 1..400; conversion engineered PER ARM via the same gate the
+    // operator uses, so the planted uplift is arm-aligned by construction
+    val gate = Sampling.hashGate(col("u"), 0.5, "s:")
+    val units = (1L to 400L).map(Tuple1(_)).toDF("u")
+      .withColumn("is_a", gate)
+    // arm A converts 80%, arm B 40% (hash-gated within arm, deterministic)
+    val events = units.withColumn("conv_gate",
+      when(col("is_a"), Sampling.hashGate(col("u"), 0.8, "c:"))
+        .otherwise(Sampling.hashGate(col("u"), 0.4, "c:")))
+    val r = Evaluation.abTest(events, col("u"), col("conv_gate"), "s:").head()
+    assert(r.getAs[Boolean]("significant"),
+      s"a 40-point uplift on 400 units must be significant: $r")
+    assert(r.getAs[Double]("z2") > 3.85)
+    // null effect: same conversion law in both arms -> not significant
+    val nullEff = units.withColumn("cg", Sampling.hashGate(col("u"), 0.5, "c:"))
+    val r0 = Evaluation.abTest(nullEff, col("u"), col("cg"), "s:").head()
+    assert(!r0.getAs[Boolean]("significant"), s"null effect flagged: $r0")
+    // degenerate: everyone converts -> zero pooled variance -> z2 = 0
+    val all = Evaluation.abTest(units, col("u"), lit(true), "s:").head()
+    assert(all.getAs[Double]("z2") == 0.0 && !all.getAs[Boolean]("significant"))
+    // arms actually split (both populated, roughly half)
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == 400L)
+    assert(math.abs(r.getAs[Long]("n_a") - 200L) < 60)
+  }
+
   test("bootstrap CI: ordered band, brackets a symmetric mean, exactly reproducible") {
     import spark.implicits._
     val df = (1L to 400L).map(i => (i, i % 101)).toDF("id", "v")
