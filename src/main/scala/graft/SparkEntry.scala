@@ -1336,6 +1336,27 @@ object SparkEntry {
         seed = "exp1:")
     }),
 
+    // CUPED variance reduction: per-user purchase spend in the SECOND
+    // half of the event range (the "experiment period" metric), adjusted
+    // by first-half spend (the pre-experiment covariate) — integer-cents
+    // moments, one aggregation; reports θ and the ρ² variance reduction
+    // the adjustment buys. The half boundary is exact integer micros
+    "q_cuped" -> ((s, dir) => {
+      val tsUs = graft.sources.Tables.tsMicros(col("ts"))
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"), tsUs.as("__us"))
+      val mid = ev.agg(((min(col("__us")) + max(col("__us"))) / 2).cast("long")
+        .as("__mid"))
+      val units = ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase" && col("__us") < col("__mid"),
+            floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L)).as("x_cents"),
+          sum(when(col("event_type") === "purchase" && col("__us") >= col("__mid"),
+            floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L)).as("y_cents"))
+      graft.ext.Evaluation.cupedAdjustment(units, col("y_cents"), col("x_cents"))
+    }),
+
     // deterministic subsampling-bootstrap CI for the mean doc length —
     // the uncertainty band an eval report publishes with its point
     // estimate. Replica membership is an md5 hash gate (engine- and
@@ -6286,6 +6307,44 @@ FROM (
         fp("region", Seq("r_regionkey", "r_name"))
       ).mkString("\nUNION ALL\n")
     },
+
+    // same integer midpoint, same cents moments (DuckDB's HUGEINT sums
+    // hold the same integers; the double casts land on identical values),
+    // same fixed-order θ/variance arithmetic
+    "q_cuped" ->
+      """WITH b AS (
+        |  SELECT epoch_us(ts) AS us, user_id, event_type, value FROM events),
+        | m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM b),
+        | units AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' AND us < mid
+        |        THEN cast(floor(value * 100 + 0.5) AS bigint) ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase' AND us >= mid
+        |        THEN cast(floor(value * 100 + 0.5) AS bigint) ELSE 0 END) AS y
+        |  FROM b, m GROUP BY 1),
+        | mom AS (
+        |  SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+        |  FROM units)
+        |SELECT n AS n_units,
+        |  CASE WHEN cast(n * sxx - sx * sx AS double) > 0
+        |    THEN cast(n * sxy - sx * sy AS double) / cast(n * sxx - sx * sx AS double)
+        |    ELSE 0.0 END AS theta,
+        |  cast(n * syy - sy * sy AS double)
+        |    / (cast(n AS double) * cast(n AS double)) AS var_raw,
+        |  CASE WHEN cast(n * sxx - sx * sx AS double) > 0
+        |    THEN (cast(n * syy - sy * sy AS double)
+        |          - cast(n * sxy - sx * sy AS double) * cast(n * sxy - sx * sy AS double)
+        |            / cast(n * sxx - sx * sx AS double))
+        |         / (cast(n AS double) * cast(n AS double))
+        |    ELSE cast(n * syy - sy * sy AS double)
+        |         / (cast(n AS double) * cast(n AS double)) END AS var_adj,
+        |  CASE WHEN cast(n * sxx - sx * sx AS double) > 0
+        |        AND cast(n * syy - sy * sy AS double) > 0
+        |    THEN cast(n * sxy - sx * sy AS double) * cast(n * sxy - sx * sy AS double)
+        |         / (cast(n * sxx - sx * sx AS double) * cast(n * syy - sy * sy AS double))
+        |    ELSE 0.0 END AS var_reduction
+        |FROM mom""".stripMargin,
 
     // the same hash-gated arms and the same fixed-order pooled-variance z²
     "q_ab_test" ->

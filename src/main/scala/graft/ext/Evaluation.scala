@@ -200,6 +200,49 @@ object Evaluation {
       z2.as("z2"), (z2 >= lit(3.841458820694124d)).as("significant"))
   }
 
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013): adjust a
+    * per-unit experiment metric `y` by a PRE-EXPERIMENT covariate `x`
+    * (`y_adj = y − θ(x − x̄)`, θ = cov(x,y)/var(x)) and report how much
+    * metric variance the adjustment removes — the standard way experiment
+    * platforms shrink confidence intervals without more traffic (the
+    * reduction equals ρ², the squared x–y correlation). Returns one row:
+    * unit count, θ, raw and adjusted variance, and the reduction
+    * fraction.
+    *
+    * Determinism: the q_trend_slope discipline — all five moments are
+    * EXACT integer sums over integral inputs (pass money as cents), and
+    * θ/variances are IEEE ops on those integers in one fixed order, so
+    * any engine replays them bit-for-bit. A zero-variance covariate
+    * yields θ = 0 and zero reduction (adjustment undefined → no-op), not
+    * a division error.
+    *
+    * Scale: ONE map-combined aggregation over the per-unit frame. The
+    * integer moments bound the input domain: with |x|,|y| ≤ B and n
+    * units, |Σxy| ≤ n·B² must stay under 2⁶³ — cents-scale metrics
+    * support billions of units; rescale the covariate first past that. */
+  def cupedAdjustment(units: DataFrame, yCol: Column, xCol: Column): DataFrame = {
+    val m = units.agg(
+      count(lit(1)).as("n"),
+      sum(xCol.cast("long")).as("sx"),
+      sum(yCol.cast("long")).as("sy"),
+      sum((xCol.cast("long") * xCol.cast("long"))).as("sxx"),
+      sum((xCol.cast("long") * yCol.cast("long"))).as("sxy"),
+      sum((yCol.cast("long") * yCol.cast("long"))).as("syy"))
+    val n = col("n").cast("double")
+    val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varxN = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varyN = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val theta = when(varxN > 0, covN / varxN).otherwise(lit(0.0d))
+    val varRaw = varyN / (n * n)
+    val varAdj = when(varxN > 0,
+      (varyN - covN * covN / varxN) / (n * n)).otherwise(varRaw)
+    val reduction = when(varxN > 0 && varyN > 0,
+      covN * covN / (varxN * varyN)).otherwise(lit(0.0d))
+    m.select(col("n").as("n_units"), theta.as("theta"),
+      varRaw.as("var_raw"), varAdj.as("var_adj"),
+      reduction.as("var_reduction"))
+  }
+
   def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: Column,
       b: Int = 100, fraction: Double = 0.5, seed: String = "boot"): DataFrame = {
     require(b >= 20, s"need >= 20 replicas for a p05/p95 band, got $b")

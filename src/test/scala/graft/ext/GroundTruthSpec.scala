@@ -495,6 +495,29 @@ class GroundTruthSpec extends SparkSpec {
       lit(5L)).head().getAs[Double]("auc") == 0.0)
   }
 
+  test("cuped: theta recovers the planted slope, reduction = rho^2, zero-variance guard") {
+    import spark.implicits._
+    // y = 3x + deterministic pseudo-noise: theta must land near 3 and the
+    // reduction near 1 (x explains most of y's variance)
+    val units = (1L to 200L).map { i =>
+      val x = (i % 50) * 10
+      (i, x, 3 * x + (i * 37 % 11))
+    }.toDF("u", "x", "y")
+    val r = Evaluation.cupedAdjustment(units, col("y"), col("x")).head()
+    assert(r.getLong(0) == 200L)
+    assert(math.abs(r.getDouble(1) - 3.0) < 0.01, s"theta: $r")
+    assert(r.getDouble(3) < r.getDouble(2) * 0.01,
+      s"adjusted variance should collapse: $r")
+    assert(r.getDouble(4) > 0.99 && r.getDouble(4) <= 1.0)
+    // exact identity: var_adj = var_raw * (1 - reduction) in this algebra
+    assert(math.abs(r.getDouble(3) - r.getDouble(2) * (1 - r.getDouble(4))) < 1e-6)
+    // constant covariate: theta 0, no reduction, var_adj == var_raw
+    val const = (1L to 50L).map(i => (i, 7L, i % 13)).toDF("u", "x", "y")
+    val rc = Evaluation.cupedAdjustment(const, col("y"), col("x")).head()
+    assert(rc.getDouble(1) == 0.0 && rc.getDouble(4) == 0.0 &&
+      rc.getDouble(2) == rc.getDouble(3))
+  }
+
   test("abTest: planted uplift fires, null effect doesn't, degenerate variance is z2=0") {
     import spark.implicits._
     // units 1..400; conversion engineered PER ARM via the same gate the
