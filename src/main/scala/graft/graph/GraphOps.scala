@@ -185,22 +185,25 @@ object GraphOps {
   def personalizedPageRankFixedPoint(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, iterations: Int = 5): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
-    val dangling = e.select(col("dst").as("n")).distinct()
-      .join(e.select(col("src").as("n")).distinct(), Seq("n"), "left_anti")
-      .limit(1).collect()
-    require(dangling.isEmpty,
-      s"personalizedPageRankFixedPoint contract violated: node " +
-        s"${dangling.headOption.map(_.get(0)).orNull} has in-edges but no " +
-        "out-edges; pass the symmetric closure or drop sink nodes first")
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val seedSet = seeds.select(seeds.columns.head).distinct()
       .withColumnRenamed(seeds.columns.head, "node")
       .withColumn("__seed", lit(1))
-    // one action for both scalars (separate head() calls would pay two jobs)
+    // ONE action for all three scalars — node count, seed count, AND the
+    // dangling-node contract count (three separate head()/collect() calls
+    // would pay three jobs over the same edge frame)
+    val danglingN = e.select(col("dst").as("n")).distinct()
+      .join(e.select(col("src").as("n")).distinct(), Seq("n"), "left_anti")
+      .agg(count(lit(1)).as("d"))
     val counts = deg.agg(count(lit(1)).as("n"))
-      .crossJoin(seedSet.agg(count(lit(1)).as("s"))).head()
+      .crossJoin(seedSet.agg(count(lit(1)).as("s")))
+      .crossJoin(danglingN).head()
     val nNodes = counts.getLong(0)
     val nSeeds = counts.getLong(1)
+    require(counts.getLong(2) == 0L,
+      "personalizedPageRankFixedPoint contract violated: a node has " +
+        "in-edges but no out-edges (dangling mass is not redistributed); " +
+        "pass the symmetric closure or drop sink nodes first")
     require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
     val teleport = (150000L * nNodes) / nSeeds
     val init = (1000000L * nNodes) / nSeeds
