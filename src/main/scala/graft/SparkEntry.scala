@@ -1357,6 +1357,27 @@ object SparkEntry {
       graft.ext.Evaluation.cupedAdjustment(units, col("y_cents"), col("x_cents"))
     }),
 
+    // difference-in-differences over q_cuped's pre/post spend cells and
+    // q_ab_test's hash-gated arms — the parallel-trends causal estimate
+    // that removes arm baseline differences. Integer-cents sums, one cell
+    // rollup, fixed-order means
+    "q_did" -> ((s, dir) => {
+      val tsUs = graft.sources.Tables.tsMicros(col("ts"))
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("value"), tsUs.as("__us"))
+      val mid = ev.agg(((min(col("__us")) + max(col("__us"))) / 2).cast("long")
+        .as("__mid"))
+      val units = ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "purchase" && col("__us") < col("__mid"),
+            floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L)).as("pre_cents"),
+          sum(when(col("event_type") === "purchase" && col("__us") >= col("__mid"),
+            floor(col("value") * 100 + 0.5).cast("long")).otherwise(0L)).as("post_cents"))
+      graft.ext.Evaluation.diffInDiff(units, col("user_id"),
+        col("pre_cents"), col("post_cents"), seed = "exp1:")
+    }),
+
     // deterministic subsampling-bootstrap CI for the mean doc length —
     // the uncertainty band an eval report publishes with its point
     // estimate. Replica membership is an md5 hash gate (engine- and
@@ -6307,6 +6328,43 @@ FROM (
         fp("region", Seq("r_regionkey", "r_name"))
       ).mkString("\nUNION ALL\n")
     },
+
+    // same arm gate, same pre/post cells, same fixed-order cell means
+    "q_did" ->
+      """WITH b AS (
+        |  SELECT epoch_us(ts) AS us, user_id, event_type, value FROM events),
+        | m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM b),
+        | units AS (
+        |  SELECT user_id,
+        |    substr(md5('exp1:' || cast(user_id AS varchar)), 1, 8) < '80000000' AS is_a,
+        |    sum(CASE WHEN event_type = 'purchase' AND us < mid
+        |        THEN cast(floor(value * 100 + 0.5) AS bigint) ELSE 0 END) AS pre,
+        |    sum(CASE WHEN event_type = 'purchase' AND us >= mid
+        |        THEN cast(floor(value * 100 + 0.5) AS bigint) ELSE 0 END) AS post
+        |  FROM b, m GROUP BY 1, 2),
+        | c AS (
+        |  SELECT
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN is_a THEN pre ELSE 0 END)::BIGINT AS sa_pre,
+        |    sum(CASE WHEN is_a THEN post ELSE 0 END)::BIGINT AS sa_post,
+        |    sum(CASE WHEN NOT is_a THEN pre ELSE 0 END)::BIGINT AS sb_pre,
+        |    sum(CASE WHEN NOT is_a THEN post ELSE 0 END)::BIGINT AS sb_post
+        |  FROM units)
+        |SELECT n_a, n_b,
+        |  cast(sa_pre AS double) / cast(n_a AS double) AS mean_a_pre,
+        |  cast(sa_post AS double) / cast(n_a AS double) AS mean_a_post,
+        |  cast(sb_pre AS double) / cast(n_b AS double) AS mean_b_pre,
+        |  cast(sb_post AS double) / cast(n_b AS double) AS mean_b_post,
+        |  cast(sa_post AS double) / cast(n_a AS double)
+        |    - cast(sa_pre AS double) / cast(n_a AS double) AS delta_a,
+        |  cast(sb_post AS double) / cast(n_b AS double)
+        |    - cast(sb_pre AS double) / cast(n_b AS double) AS delta_b,
+        |  (cast(sa_post AS double) / cast(n_a AS double)
+        |    - cast(sa_pre AS double) / cast(n_a AS double))
+        |  - (cast(sb_post AS double) / cast(n_b AS double)
+        |    - cast(sb_pre AS double) / cast(n_b AS double)) AS did
+        |FROM c""".stripMargin,
 
     // same integer midpoint, same cents moments (DuckDB's HUGEINT sums
     // hold the same integers; the double casts land on identical values),

@@ -243,6 +243,40 @@ object Evaluation {
       reduction.as("var_reduction"))
   }
 
+  /** Difference-in-differences read-out: units hash-gated into arms (the
+    * [[abTest]] assignment), a per-unit integral metric measured in a PRE
+    * and a POST period, and the causal estimate
+    * `DiD = (ȳ_A,post − ȳ_A,pre) − (ȳ_B,post − ȳ_B,pre)` — the
+    * parallel-trends design that removes arm-level baseline differences
+    * an A/B read-out absorbs into noise. Returns the four cell means
+    * (one IEEE division each, from exact integer sums), the per-arm
+    * deltas, and the DiD estimate, all in one fixed operation order.
+    *
+    * Scale: one map-combined per-unit aggregation, then a one-row rollup
+    * of four integer sums + counts. */
+  def diffInDiff(units: DataFrame, unitCol: Column, preCol: Column,
+      postCol: Column, seed: String = "exp"): DataFrame = {
+    val tagged = units.select(unitCol.as("__u"),
+      preCol.cast("long").as("__pre"), postCol.cast("long").as("__post"))
+      .withColumn("__is_a", Sampling.hashGate(col("__u"), 0.5, seed))
+    val c = tagged.agg(
+      sum(when(col("__is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__is_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__is_a"), col("__pre")).otherwise(0L)).as("sa_pre"),
+      sum(when(col("__is_a"), col("__post")).otherwise(0L)).as("sa_post"),
+      sum(when(!col("__is_a"), col("__pre")).otherwise(0L)).as("sb_pre"),
+      sum(when(!col("__is_a"), col("__post")).otherwise(0L)).as("sb_post"))
+    def mean(s: String, n: String) = col(s).cast("double") / col(n).cast("double")
+    val dA = mean("sa_post", "n_a") - mean("sa_pre", "n_a")
+    val dB = mean("sb_post", "n_b") - mean("sb_pre", "n_b")
+    c.select(col("n_a"), col("n_b"),
+      mean("sa_pre", "n_a").as("mean_a_pre"),
+      mean("sa_post", "n_a").as("mean_a_post"),
+      mean("sb_pre", "n_b").as("mean_b_pre"),
+      mean("sb_post", "n_b").as("mean_b_post"),
+      dA.as("delta_a"), dB.as("delta_b"), (dA - dB).as("did"))
+  }
+
   def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: Column,
       b: Int = 100, fraction: Double = 0.5, seed: String = "boot"): DataFrame = {
     require(b >= 20, s"need >= 20 replicas for a p05/p95 band, got $b")

@@ -495,6 +495,24 @@ class GroundTruthSpec extends SparkSpec {
       lit(5L)).head().getAs[Double]("auc") == 0.0)
   }
 
+  test("diffInDiff: recovers a planted treatment effect under arm baseline shift") {
+    import spark.implicits._
+    // arm A carries a +70 baseline in BOTH periods (which breaks a naive
+    // post-only comparison) plus a +50 treatment effect in POST only;
+    // everyone shares a +10 time trend. DiD must isolate exactly +50
+    val gate = Sampling.hashGate(col("u"), 0.5, "s:")
+    val units = (1L to 300L).map(Tuple1(_)).toDF("u")
+      .withColumn("is_a", gate)
+      .withColumn("pre", lit(100L) + when(col("is_a"), 70L).otherwise(0L))
+      .withColumn("post", col("pre") + 10L + when(col("is_a"), 50L).otherwise(0L))
+    val r = Evaluation.diffInDiff(units, col("u"), col("pre"), col("post"), "s:")
+      .head()
+    assert(r.getAs[Double]("did") == 50.0, r.toString)
+    assert(r.getAs[Double]("delta_a") == 60.0 && r.getAs[Double]("delta_b") == 10.0)
+    // the naive post-only mean difference is polluted by the baseline
+    assert(r.getAs[Double]("mean_a_post") - r.getAs[Double]("mean_b_post") == 120.0)
+  }
+
   test("cuped: theta recovers the planted slope, reduction = rho^2, zero-variance guard") {
     import spark.implicits._
     // y = 3x + deterministic pseudo-noise: theta must land near 3 and the
