@@ -1974,6 +1974,33 @@ object SparkEntry {
           round(col("cosine"), 4).as("cosine_r"), col("rank").cast("long").as("rank"))
     }),
 
+    // recommendation-list health: catalog coverage@5 (distinct items ever
+    // recommended / catalog) and concentration (the single most-recommended
+    // item's share of all slots) over the exact cosine top-5 lists — the
+    // diversity read-out a recsys release gate checks beside accuracy
+    // (low coverage + high concentration = popularity collapse). Integer
+    // counts; two IEEE divisions
+    "q_rec_coverage" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5)
+      val catalog = emb.where(col("embedding").isNotNull)
+        .agg(count(lit(1)).as("catalog_n"))
+      val perItem = top.groupBy(col("neighbor_id")).agg(count(lit(1)).as("__c"))
+      perItem.agg(
+          count(lit(1)).as("n_distinct_recommended"),
+          sum(col("__c")).as("n_slots"),
+          max(col("__c")).as("top_item_slots"))
+        .crossJoin(broadcast(catalog))
+        .select(col("n_slots"), col("n_distinct_recommended"), col("catalog_n"),
+          (col("n_distinct_recommended").cast("double") /
+            col("catalog_n").cast("double")).as("coverage"),
+          (col("top_item_slots").cast("double") /
+            col("n_slots").cast("double")).as("max_item_share"))
+    }),
+
     // int8 scalar-quantized top-k (FAISS SQ8): one corpus-trained scale,
     // integer dot products — the 4× memory-compressed scan path, scored
     // in exact int arithmetic so the oracle replays it bit-for-bit
@@ -6701,6 +6728,33 @@ FROM (
         |     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
         |   FROM scored)
         |SELECT query_id, neighbor_id, round(cosine, 4) AS cosine_r, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // the q_embed_topk chain re-aggregated: per-item slot counts over the
+    // same exact top-5 lists, the same two divisions
+    "q_rec_coverage" ->
+      """WITH q AS (SELECT vec_id AS qid, list_transform(embedding, x -> cast(x AS double)) AS qvec
+        |           FROM embeddings WHERE vec_id % 50 = 0 AND embedding IS NOT NULL),
+        | c AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS vec
+        |       FROM embeddings WHERE embedding IS NOT NULL),
+        | scored AS (
+        |   SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+        |     CASE WHEN sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)) = 0 THEN 0.0
+        |          ELSE list_dot_product(c.vec, q.qvec) / (sqrt(list_dot_product(c.vec, c.vec)) * sqrt(list_dot_product(q.qvec, q.qvec)))
+        |     END AS cosine
+        |   FROM c CROSS JOIN q WHERE c.vec_id <> q.qid),
+        | ranked AS (
+        |   SELECT query_id, neighbor_id,
+        |     row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        |   FROM scored),
+        | top AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+        | per_item AS (SELECT neighbor_id, count(*)::BIGINT AS c FROM top GROUP BY 1),
+        | cat AS (SELECT count(*)::BIGINT AS catalog_n FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT sum(c)::BIGINT AS n_slots,
+        |  count(*)::BIGINT AS n_distinct_recommended,
+        |  catalog_n,
+        |  cast(count(*) AS double) / cast(catalog_n AS double) AS coverage,
+        |  cast(max(c) AS double) / cast(sum(c) AS double) AS max_item_share
+        |FROM per_item, cat GROUP BY catalog_n""".stripMargin,
 
     // the same corpus-trained scale (127/max|x|), the same floor(x·s+0.5)
     // quantizer, and the integer dot product — integer-valued doubles keep
