@@ -634,6 +634,18 @@ object ScaleProbe {
       val tLp = tq("q_lateness_profile")
       println(f"""SCALE_R8E {"factor":$f, "bootstrap_ci":$tBc%.2f, "scene_cuts":$tSc%.2f, "table_fingerprint":$tTf%.2f, "diff_columns":$tDc2%.2f, "lateness_profile":$tLp%.2f}""")
       }
+
+      // sixth round-8 wave — the experimentation operators (each one
+      // per-unit agg + a one-row rollup) and the recommendation health
+      // rollup (rides the exact top-k; queries grow with the corpus here,
+      // matching the registered query's own semantics)
+      if (groups("r8f")) {
+      val tAb = tq("q_ab_test")
+      val tCu = tq("q_cuped")
+      val tDid = tq("q_did")
+      val tRc = tq("q_rec_coverage")
+      println(f"""SCALE_R8F {"factor":$f, "ab_test":$tAb%.2f, "cuped":$tCu%.2f, "did":$tDid%.2f, "rec_coverage":$tRc%.2f}""")
+      }
     }
     spark.stop()
   }
