@@ -1336,6 +1336,17 @@ object SparkEntry {
         seed = "exp1:")
     }),
 
+    // the full PR/ROC curve for the q_classifier_eval scorer: confusion
+    // counts at EVERY distinct threshold via suffix sums over the
+    // domain-bounded per-score frame — how the 306 operating point was
+    // actually chosen. tp+fn and fp+tn conserve per row by construction
+    "q_threshold_sweep" -> ((s, dir) => {
+      graft.ext.Evaluation.thresholdSweep(
+        t(s, dir, "documents"),
+        labelCol = col("lang") === "en",
+        scoreCol = col("n_chars"))
+    }),
+
     // CUPED variance reduction: per-user purchase spend in the SECOND
     // half of the event range (the "experiment period" metric), adjusted
     // by first-half spend (the pre-experiment covariate) — integer-cents
@@ -6355,6 +6366,31 @@ FROM (
         fp("region", Seq("r_regionkey", "r_name"))
       ).mkString("\nUNION ALL\n")
     },
+
+    // the same per-distinct-score suffix sums and single divisions
+    "q_threshold_sweep" ->
+      """WITH r AS (
+        |  SELECT (lang = 'en') AS y, n_chars AS s
+        |  FROM documents WHERE lang IS NOT NULL),
+        | bs AS (
+        |  SELECT s,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
+        |    sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n
+        |  FROM r GROUP BY 1),
+        | t AS (SELECT sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg FROM bs),
+        | c AS (
+        |  SELECT s,
+        |    sum(p) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS tp,
+        |    sum(n) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS fp
+        |  FROM bs)
+        |SELECT s AS threshold, tp, fp,
+        |  (n_pos - tp)::BIGINT AS fn, (n_neg - fp)::BIGINT AS tn,
+        |  cast(tp AS double) / cast(tp + fp AS double) AS "precision",
+        |  cast(tp AS double) / cast(n_pos AS double) AS recall,
+        |  cast(fp AS double) / cast(n_neg AS double) AS fpr
+        |FROM c, t""".stripMargin,
 
     // same arm gate, same pre/post cells, same fixed-order cell means
     "q_did" ->

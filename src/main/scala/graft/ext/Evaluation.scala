@@ -63,6 +63,43 @@ object Evaluation {
         (col("tp") * 2 + col("fp") + col("fn")).cast("double")).as("f1"))
   }
 
+  /** Full THRESHOLD SWEEP — the materialized PR/ROC curve the
+    * single-operating-point [[binaryClassifierReport]] cannot show: one
+    * row per DISTINCT score value s with the confusion counts of the
+    * classifier `score >= s`, plus precision/recall/FPR (each one
+    * int/int IEEE division). This is how an operating point is actually
+    * CHOSEN; downstream, trapezoid-summing the (fpr, recall) column pairs
+    * reproduces the report's AUC.
+    *
+    * Scale: the frame is bounded by the SCORE DOMAIN, not the rows — one
+    * map-combined per-score aggregation, then suffix sums via a window
+    * over the distinct-score frame. The window is unpartitioned BUT over
+    * domain-bounded rows (same stance as the bootstrap's b-row sort);
+    * for an unbounded continuous domain, quantize scores first. */
+  def thresholdSweep(df: DataFrame, labelCol: Column, scoreCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(labelCol.cast("boolean").as("y"), scoreCol.as("s"))
+      .where(col("y").isNotNull)
+    val byScore = rows.groupBy(col("s")).agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+      sum(when(col("y"), 0L).otherwise(1L)).as("n"))
+    // suffix sums: tp(s) = positives with score >= s
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = byScore.agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"))
+    byScore
+      .withColumn("tp", sum(col("p")).over(w))
+      .withColumn("fp", sum(col("n")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("s").as("threshold"),
+        col("tp"), col("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("n_neg") - col("fp")).as("tn"),
+        (col("tp").cast("double") / (col("tp") + col("fp")).cast("double")).as("precision"),
+        (col("tp").cast("double") / col("n_pos").cast("double")).as("recall"),
+        (col("fp").cast("double") / col("n_neg").cast("double")).as("fpr"))
+  }
+
   /** Per-group (sliced) AUC — the fairness/segment report: does the
     * scorer rank equally well inside every language / source / cohort,
     * or is the aggregate AUC hiding a group it fails on? Same integer

@@ -184,6 +184,11 @@ object GraphOps {
     * set per round; N and |S| are two narrow counts paid once. */
   def personalizedPageRankFixedPoint(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, iterations: Int = 5): DataFrame = {
+    // NOT checkpointed/persisted: measured 13.8 s vs 12.4 s at sf0.1 with
+    // an eager localCheckpoint of the distinct edge set — the storage
+    // round-trip costs more than letting the counts job and the iteration
+    // job each re-derive the (cheap) distinct, the same result
+    // pageRankFixedPoint's comment records for pinning withDeg
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val seedSet = seeds.select(seeds.columns.head).distinct()

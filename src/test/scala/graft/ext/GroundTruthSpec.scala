@@ -495,6 +495,34 @@ class GroundTruthSpec extends SparkSpec {
       lit(5L)).head().getAs[Double]("auc") == 0.0)
   }
 
+  test("threshold sweep: monotone curve, conserved counts, trapezoid AUC matches the report") {
+    import spark.implicits._
+    val df = Seq((1L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("score", "label")
+    val sw = Evaluation.thresholdSweep(df, col("label"), col("score"))
+      .orderBy(col("threshold")).collect()
+    assert(sw.length == 3) // distinct scores 1, 2, 3
+    sw.foreach { r =>
+      assert(r.getLong(1) + r.getLong(3) == 2L, s"tp+fn must be n_pos: $r")
+      assert(r.getLong(2) + r.getLong(4) == 2L, s"fp+tn must be n_neg: $r")
+    }
+    // recall is non-increasing in the threshold; fpr likewise
+    val recalls = sw.map(_.getDouble(6))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
+    // threshold = 2 reproduces the report's confusion exactly
+    val at2 = sw.find(_.getLong(0) == 2L).get
+    assert(at2.getLong(1) == 1 && at2.getLong(2) == 2 &&
+      at2.getLong(3) == 1 && at2.getLong(4) == 0)
+    // trapezoid over (fpr, recall) — including the (0,0) endpoint —
+    // reproduces the tie-aware AUC = 0.125 of the classifier report
+    val pts = (sw.sortBy(-_.getLong(0)).map(r => (r.getDouble(7), r.getDouble(6)))
+      .toList :+ ((1.0, 1.0))).distinct
+    val withOrigin = (0.0, 0.0) :: pts
+    val auc = withOrigin.zip(withOrigin.tail)
+      .map { case ((x1, y1), (x2, y2)) => (x2 - x1) * (y1 + y2) / 2 }.sum
+    assert(math.abs(auc - 0.125) < 1e-12, s"trapezoid AUC $auc")
+  }
+
   test("diffInDiff: recovers a planted treatment effect under arm baseline shift") {
     import spark.implicits._
     // arm A carries a +70 baseline in BOTH periods (which breaks a naive
