@@ -42,6 +42,34 @@ object SamplingProps extends Properties("Sampling") {
       counts.values.sum == 200L && counts.keySet.subsetOf(Set("a", "b", "c"))
     }
 
+  property("purged folds: exact partition, tiling bounds, embargo monotone, any inputs") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.choose(0L, 10000000L)),
+      Gen.choose(2, 6), Gen.choose(0L, 500000L)) { (tsRaw, k, embargo) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, sum => ssum}
+      val ts = tsRaw.take(60)
+      val df = ts.map(Tuple1(_)).toDF("us")
+      val out = Sampling.purgedTimeFolds(df, col("us"), k, embargo).collect()
+      val n = ts.size.toLong
+      val partition = out.forall(r =>
+        r.getLong(3) + r.getLong(4) + r.getLong(5) == n)
+      val sorted = out.sortBy(_.getLong(0))
+      val tiles = sorted.sliding(2).forall {
+        case Array(a, b) => a.getLong(2) == b.getLong(1)
+        case _ => true
+      }
+      // every row lands in exactly one fold's TEST window overall
+      val testTotal = out.map(_.getLong(3)).sum == n
+      // zero embargo purges nothing; larger embargo never purges less
+      val zero = Sampling.purgedTimeFolds(df, col("us"), k, 0L)
+        .agg(ssum(col("purged_n"))).head().getLong(0) == 0L
+      val bigger = Sampling.purgedTimeFolds(df, col("us"), k, embargo + 1000L)
+        .agg(ssum(col("purged_n"))).head().getLong(0) >=
+        out.map(_.getLong(5)).sum
+      partition && tiles && testTotal && zero && bigger
+    }
+
   property("shuffle order is a permutation and independent of input order") =
     forAll(Gen.choose(0L, 100000L)) { off =>
       import spark.implicits._
