@@ -644,7 +644,8 @@ object ScaleProbe {
       val tCu = tq("q_cuped")
       val tDid = tq("q_did")
       val tRc = tq("q_rec_coverage")
-      println(f"""SCALE_R8F {"factor":$f, "ab_test":$tAb%.2f, "cuped":$tCu%.2f, "did":$tDid%.2f, "rec_coverage":$tRc%.2f}""")
+      val tTs = tq("q_threshold_sweep")
+      println(f"""SCALE_R8F {"factor":$f, "ab_test":$tAb%.2f, "cuped":$tCu%.2f, "did":$tDid%.2f, "rec_coverage":$tRc%.2f, "threshold_sweep":$tTs%.2f}""")
       }
     }
     spark.stop()
