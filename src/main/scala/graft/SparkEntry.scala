@@ -1336,6 +1336,22 @@ object SparkEntry {
         seed = "exp1:")
     }),
 
+    // heterogeneous treatment effects: q_ab_test's arms and z² computed
+    // WITHIN each market segment (users joined to customers on the id;
+    // unmatched users form their own 'unknown' segment rather than
+    // silently dropping) — the read-out that says whether the win
+    // concentrates in one cohort. Same degenerate-variance contract
+    "q_ab_segments" -> ((s, dir) => {
+      val seg = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val ev = t(s, dir, "events")
+        .join(seg, Seq("user_id"), "left")
+        .withColumn("segment", coalesce(col("c_mktsegment"), lit("unknown")))
+      graft.ext.Evaluation.abTestByGroup(ev, col("user_id"), col("segment"),
+        col("event_type") === "purchase" && col("value") >= 120,
+        seed = "exp1:")
+    }),
+
     // the full PR/ROC curve for the q_classifier_eval scorer: confusion
     // counts at EVERY distinct threshold via suffix sums over the
     // domain-bounded per-score frame — how the 306 operating point was
@@ -6366,6 +6382,37 @@ FROM (
         fp("region", Seq("r_regionkey", "r_name"))
       ).mkString("\nUNION ALL\n")
     },
+
+    // the same left-join segment attach, arm gate, and guarded z² per group
+    "q_ab_segments" ->
+      """WITH ev AS (
+        |  SELECT e.user_id, e.event_type, e.value,
+        |    coalesce(c.c_mktsegment, 'unknown') AS segment
+        |  FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey),
+        | u AS (
+        |  SELECT user_id, segment,
+        |    max(CASE WHEN event_type = 'purchase' AND value >= 120 THEN 1 ELSE 0 END) AS conv,
+        |    substr(md5('exp1:' || cast(user_id AS varchar)), 1, 8) < '80000000' AS is_a
+        |  FROM ev GROUP BY 1, 2),
+        | c AS (SELECT segment,
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN is_a THEN conv ELSE 0 END)::BIGINT AS conv_a,
+        |    sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    sum(CASE WHEN NOT is_a THEN conv ELSE 0 END)::BIGINT AS conv_b
+        |  FROM u GROUP BY 1),
+        | z AS (SELECT *,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND conv_a + conv_b > 0
+        |        AND conv_a + conv_b < n_a + n_b
+        |   THEN (cast(conv_a AS double) / cast(n_a AS double) - cast(conv_b AS double) / cast(n_b AS double))
+        |    * (cast(conv_a AS double) / cast(n_a AS double) - cast(conv_b AS double) / cast(n_b AS double))
+        |    / (cast(conv_a + conv_b AS double) / cast(n_a + n_b AS double)
+        |       * (1.0 - cast(conv_a + conv_b AS double) / cast(n_a + n_b AS double))
+        |       * (1.0 / cast(n_a AS double) + 1.0 / cast(n_b AS double)))
+        |   ELSE 0.0 END AS z2
+        |  FROM c)
+        |SELECT segment, n_a, conv_a, n_b, conv_b, z2,
+        |  z2 >= 3.841458820694124 AS significant
+        |FROM z""".stripMargin,
 
     // the same per-distinct-score suffix sums and single divisions
     "q_threshold_sweep" ->

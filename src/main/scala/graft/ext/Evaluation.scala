@@ -280,6 +280,41 @@ object Evaluation {
       reduction.as("var_reduction"))
   }
 
+  /** Per-SEGMENT [[abTest]] — the heterogeneous-treatment-effect read-out
+    * (does the win concentrate in one market segment / language /
+    * cohort?): the same hash-gated arms and pooled-variance z² computed
+    * within every group. Groups whose experiment is degenerate there
+    * (empty arm, pooled p of 0 or 1) read z² = 0 by the same contract.
+    * One extra groupBy key over [[abTest]]'s two aggregations; the
+    * per-group frame is group-domain bounded. */
+  def abTestByGroup(df: DataFrame, unitCol: Column, groupCol: Column,
+      converted: Column, seed: String = "exp"): DataFrame = {
+    val perUnit = df.groupBy(unitCol.as("__u"), groupCol.as("segment"))
+      .agg(max(when(converted, 1L).otherwise(0L)).as("__conv"))
+      .withColumn("__is_a", Sampling.hashGate(col("__u"), 0.5, seed))
+    val c = perUnit.groupBy(col("segment")).agg(
+      sum(when(col("__is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__is_a"), col("__conv")).otherwise(0L)).as("conv_a"),
+      sum(when(!col("__is_a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("__is_a"), col("__conv")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val defined = col("n_a") > 0 && col("n_b") > 0 &&
+      (col("conv_a") + col("conv_b")) > 0 &&
+      (col("conv_a") + col("conv_b")) < (col("n_a") + col("n_b"))
+    val z2 = when(defined,
+      (pa - pb) * (pa - pb) /
+        (pp * (lit(1.0d) - pp) *
+          (lit(1.0d) / col("n_a").cast("double") +
+            lit(1.0d) / col("n_b").cast("double"))))
+      .otherwise(lit(0.0d))
+    c.select(col("segment"), col("n_a"), col("conv_a"), col("n_b"),
+      col("conv_b"), z2.as("z2"),
+      (z2 >= lit(3.841458820694124d)).as("significant"))
+  }
+
   /** Difference-in-differences read-out: units hash-gated into arms (the
     * [[abTest]] assignment), a per-unit integral metric measured in a PRE
     * and a POST period, and the causal estimate
