@@ -523,6 +523,26 @@ class GroundTruthSpec extends SparkSpec {
     assert(math.abs(auc - 0.125) < 1e-12, s"trapezoid AUC $auc")
   }
 
+  test("abTestByGroup: the effect localizes to the segment that carries it") {
+    import spark.implicits._
+    val gate = Sampling.hashGate(col("u"), 0.5, "s:")
+    val units = (1L to 800L).map(i => (i, if (i % 2 == 0) "hot" else "cold"))
+      .toDF("u", "seg").withColumn("is_a", gate)
+    // uplift planted ONLY in segment "hot"; "cold" converts identically
+    val ev = units.withColumn("cg",
+      when(col("seg") === "hot" && col("is_a"), Sampling.hashGate(col("u"), 0.85, "c:"))
+        .when(col("seg") === "hot", Sampling.hashGate(col("u"), 0.35, "c:"))
+        .otherwise(Sampling.hashGate(col("u"), 0.5, "c:")))
+    val out = Evaluation.abTestByGroup(ev, col("u"), col("seg"), col("cg"), "s:")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("hot").getAs[Boolean]("significant"),
+      s"planted segment effect missed: ${out("hot")}")
+    assert(!out("cold").getAs[Boolean]("significant"),
+      s"null segment flagged: ${out("cold")}")
+    // segment populations partition the units
+    assert(out.values.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b")).sum == 800L)
+  }
+
   test("diffInDiff: recovers a planted treatment effect under arm baseline shift") {
     import spark.implicits._
     // arm A carries a +70 baseline in BOTH periods (which breaks a naive
