@@ -1336,6 +1336,15 @@ object SparkEntry {
         seed = "exp1:")
     }),
 
+    // sample-ratio-mismatch health check for q_ab_test's assignment: a
+    // 1-df χ² on the observed 50/50 unit split — the validity gate run
+    // BEFORE reading any effect (a skewed split means broken logging or
+    // bot asymmetry, not a treatment effect)
+    "q_srm_check" -> ((s, dir) => {
+      graft.ext.Evaluation.srmCheck(
+        t(s, dir, "events"), col("user_id"), seed = "exp1:")
+    }),
+
     // heterogeneous treatment effects: q_ab_test's arms and z² computed
     // WITHIN each market segment (users joined to customers on the id;
     // unmatched users form their own 'unknown' segment rather than
@@ -6382,6 +6391,32 @@ FROM (
         fp("region", Seq("r_regionkey", "r_name"))
       ).mkString("\nUNION ALL\n")
     },
+
+    // same distinct-unit gate and fixed-order χ²
+    "q_srm_check" ->
+      """WITH u AS (
+        |  SELECT DISTINCT user_id,
+        |    substr(md5('exp1:' || cast(user_id AS varchar)), 1, 8) < '80000000' AS is_a
+        |  FROM events),
+        | c AS (SELECT
+        |    sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS n_b
+        |  FROM u)
+        |SELECT n_a, n_b,
+        |  (cast(n_a AS double) - cast(n_a + n_b AS double) / 2.0)
+        |    * (cast(n_a AS double) - cast(n_a + n_b AS double) / 2.0)
+        |    / (cast(n_a + n_b AS double) / 2.0)
+        |  + (cast(n_b AS double) - cast(n_a + n_b AS double) / 2.0)
+        |    * (cast(n_b AS double) - cast(n_a + n_b AS double) / 2.0)
+        |    / (cast(n_a + n_b AS double) / 2.0) AS chi2,
+        |  (cast(n_a AS double) - cast(n_a + n_b AS double) / 2.0)
+        |    * (cast(n_a AS double) - cast(n_a + n_b AS double) / 2.0)
+        |    / (cast(n_a + n_b AS double) / 2.0)
+        |  + (cast(n_b AS double) - cast(n_a + n_b AS double) / 2.0)
+        |    * (cast(n_b AS double) - cast(n_a + n_b AS double) / 2.0)
+        |    / (cast(n_a + n_b AS double) / 2.0)
+        |    >= 3.841458820694124 AS srm_detected
+        |FROM c""".stripMargin,
 
     // the same left-join segment attach, arm gate, and guarded z² per group
     "q_ab_segments" ->

@@ -280,6 +280,29 @@ object Evaluation {
       reduction.as("var_reduction"))
   }
 
+  /** Sample-ratio-mismatch (SRM) health check — the FIRST thing a
+    * trustworthy experiment platform validates (Kohavi et al.: an arm
+    * split that deviates from its design ratio invalidates every
+    * downstream read-out, usually from redirect/bot/logging asymmetry):
+    * a one-degree χ² of the observed 50/50 unit split,
+    * `χ² = (n_a−E)²/E + (n_b−E)²/E` with `E = (n_a+n_b)/2`, flagged at
+    * the same 3.84 gate as [[abTest]]. Counts are exact integers; the
+    * statistic is four IEEE ops in fixed order. One per-unit distinct +
+    * one two-counter rollup. */
+  def srmCheck(df: DataFrame, unitCol: Column, seed: String = "exp"): DataFrame = {
+    val perUnit = df.select(unitCol.as("__u")).distinct()
+      .withColumn("__is_a", Sampling.hashGate(col("__u"), 0.5, seed))
+    val c = perUnit.agg(
+      sum(when(col("__is_a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__is_a"), 1L).otherwise(0L)).as("n_b"))
+    val e = (col("n_a") + col("n_b")).cast("double") / lit(2.0d)
+    val chi2 =
+      (col("n_a").cast("double") - e) * (col("n_a").cast("double") - e) / e +
+        (col("n_b").cast("double") - e) * (col("n_b").cast("double") - e) / e
+    c.select(col("n_a"), col("n_b"), chi2.as("chi2"),
+      (chi2 >= lit(3.841458820694124d)).as("srm_detected"))
+  }
+
   /** Per-SEGMENT [[abTest]] — the heterogeneous-treatment-effect read-out
     * (does the win concentrate in one market segment / language /
     * cohort?): the same hash-gated arms and pooled-variance z² computed
