@@ -92,6 +92,56 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** The symmetric order<->part bipartite edge frame (orderkey*2 <->
+    * partkey*2+1, both directions) STAGED once per (JVM, input dir) —
+    * q_pagerank and q_ppr run the same 5-round fixed-point recurrence
+    * over the same 1.2M-edge frame, and without staging each derives it
+    * from the full lineitem scan independently. One parquet write turns
+    * both into a plain columnar scan; at 100 TB this staged table is the
+    * bucketing target (bucket by `src`) that makes the per-round
+    * rank-contribution joins exchange-free on the edge side. Same
+    * discipline as [[stagedCoPurchaseEdges]]. */
+  private def stagedBipartiteEdges(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val path = s"/tmp/graft_bipartite_$digest"
+    if (stagedRefs.add(path)) {
+      val e0 = t(s, dir, "lineitem")
+        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** The exact brute-force cosine top-10 over the shared retrieval
+    * fixture (full embeddings corpus, `vec_id % 50 == 0` query set)
+    * STAGED once per (JVM, input dir). Five retrieval-evaluation queries
+    * (q_mrr, q_ann_tuning, q_mmr_rerank, q_ivf_recall, q_retrieval_ndcg)
+    * consume slices of the same exact ground truth; without staging each
+    * re-runs the full corpus×queries brute-force scan.
+    * [[graft.ext.Similarity.bruteForceTopK]] ranks by the deterministic
+    * total order (cosine desc, neighbor_id), so top-k at any k <= 10 is
+    * exactly `where rank <= k` of this staged top-10 — every oracle is
+    * untouched. The queries whose HEADLINE is the brute-force scan itself
+    * (q_embed_topk, q_embed_topk_agg, q_rec_coverage) deliberately keep
+    * computing it live: they are the exact-scan benchmark, this table is
+    * ground truth for evaluating the approximate paths. */
+  private def stagedExactNeighbors(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val path = s"/tmp/graft_exacttop10_$digest"
+    if (stagedRefs.add(path)) {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      graft.ext.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 10)
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
   /** Integer cents via explicit IEEE arithmetic — the determinism-critical
     * rounding every money aggregate is built on (identical on any engine,
     * unlike double→decimal casts whose rounding differs between Spark and
@@ -283,6 +333,27 @@ object SparkEntry {
     * group regardless of domain cardinality — the continuous-column
     * production setting the exact twins cannot offer. */
   private val PctSketchAccuracy = 10000
+
+  /** Rank-error audit for one approx_percentile output — the
+    * oracle-decidable boolean the *_approx twins emit in place of the
+    * engine-specific sketch value. The GK sketch contract: the returned
+    * value (always an observed value) occupies a sorted rank within
+    * eps*n of the target p*n, eps = 1/accuracy. `below`/`atOrBelow` are
+    * the EXACT counts of rows strictly below / at-or-below the sketch
+    * value, so the value occupies 1-indexed ranks [below+1, atOrBelow];
+    * the audit passes iff that interval intersects [p*n - tol, p*n + tol]
+    * with tol = 2*eps*n + 1 (doubled, plus one rank, to absorb the
+    * engine's target-rank rounding convention). The oracle side emits
+    * literal TRUE — a broken sketch flips the Spark boolean and fails
+    * the hash. */
+  private def sketchRankOk(below: org.apache.spark.sql.Column,
+      atOrBelow: org.apache.spark.sql.Column,
+      n: org.apache.spark.sql.Column, p: Double): org.apache.spark.sql.Column = {
+    val tol = lit(2.0d / PctSketchAccuracy) * n.cast("double") + lit(1.0d)
+    val target = lit(p) * n.cast("double")
+    (atOrBelow.cast("double") >= target - tol) &&
+      ((below + lit(1L)).cast("double") <= target + tol)
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -540,22 +611,28 @@ object SparkEntry {
     // sort-based percentile whose buffer holds every distinct value per
     // group — on a CONTINUOUS column at 100 TB that buffer is the whole
     // column, the sketch stays O(accuracy). Sketch output is
-    // engine-specific (no quantile_cont parity possible), so these are
-    // rows-only in CORRECTNESS; GroundTruthSpec bounds the caps' rank
-    // error against the exact twins.
+    // engine-specific (no quantile_cont parity possible), so instead of
+    // the raw caps the query emits the ORACLE-DECIDABLE contract: the
+    // exact per-group aggregates (which DuckDB recomputes) plus one
+    // [[sketchRankOk]] boolean per cap — the sketch value's exact rank
+    // sat within the published eps*n bound. The clipped output itself is
+    // value-checked by the exact twin; this twin value-checks the SKETCH.
     "q_winsorize_approx" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val caps = li.groupBy(col("l_returnflag"))
         .agg(expr(s"approx_percentile(l_extendedprice, 0.05, $PctSketchAccuracy)").as("lo"),
              expr(s"approx_percentile(l_extendedprice, 0.95, $PctSketchAccuracy)").as("hi"))
       li.join(broadcast(caps), Seq("l_returnflag"))
-        .select(col("l_returnflag"),
-          greatest(col("lo"), least(col("hi"), col("l_extendedprice"))).as("clipped"),
-          col("l_extendedprice"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-             dsum(col("clipped")).as("clipped_sum"),
-             dsum(col("l_extendedprice")).as("raw_sum"))
+             dsum(col("l_extendedprice")).as("raw_sum"),
+             sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L)).as("__blo"),
+             sum(when(col("l_extendedprice") <= col("lo"), 1L).otherwise(0L)).as("__elo"),
+             sum(when(col("l_extendedprice") < col("hi"), 1L).otherwise(0L)).as("__bhi"),
+             sum(when(col("l_extendedprice") <= col("hi"), 1L).otherwise(0L)).as("__ehi"))
+        .select(col("l_returnflag"), col("n"), col("raw_sum"),
+          sketchRankOk(col("__blo"), col("__elo"), col("n"), 0.05).as("lo_within_bound"),
+          sketchRankOk(col("__bhi"), col("__ehi"), col("n"), 0.95).as("hi_within_bound"))
     }),
 
     "q_mad_outliers_approx" -> ((s, dir) => {
@@ -567,12 +644,21 @@ object SparkEntry {
       val caps = dev.groupBy(col("l_returnflag"))
         .agg(min(col("med")).as("med"),
              expr(s"approx_percentile(absdev, 0.5, $PctSketchAccuracy)").as("mad"))
+      // the MAD audit runs within the absdev distribution the sketch med
+      // induces — self-consistent by construction, so the oracle never
+      // needs either sketch value
       li.join(broadcast(caps), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(when(abs(col("l_extendedprice") - col("med")) > lit(3.0) * col("mad"),
-            lit(1L)).otherwise(lit(0L))).as("n_outliers"),
-          min(col("med")).as("med"), min(col("mad")).as("mad"))
+          sum(when(col("l_extendedprice") < col("med"), 1L).otherwise(0L)).as("__bm"),
+          sum(when(col("l_extendedprice") <= col("med"), 1L).otherwise(0L)).as("__em"),
+          sum(when(abs(col("l_extendedprice") - col("med")) < col("mad"), 1L)
+            .otherwise(0L)).as("__bd"),
+          sum(when(abs(col("l_extendedprice") - col("med")) <= col("mad"), 1L)
+            .otherwise(0L)).as("__ed"))
+        .select(col("l_returnflag"), col("n"),
+          sketchRankOk(col("__bm"), col("__em"), col("n"), 0.5).as("med_within_bound"),
+          sketchRankOk(col("__bd"), col("__ed"), col("n"), 0.5).as("mad_within_bound"))
     }),
 
     // NTILE length-bucketing: docs deciled by token count within each
@@ -619,13 +705,24 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
-    // A5 sketch aggregation: HyperLogLog++ approximate distinct counts
-    // (rows-only oracle: DuckDB's HLL implementation yields different
-    // estimates; the exact twin q_count_distinct is value-checked)
+    // A5 sketch aggregation: HyperLogLog++ approximate distinct counts.
+    // Sketch estimates are engine-specific (DuckDB's HLL yields different
+    // numbers), so the query emits the ORACLE-DECIDABLE contract instead
+    // of the raw estimate: the exact count (which DuckDB recomputes) plus
+    // `within_bound` — the estimate sat within 3 standard deviations
+    // (3 x rsd 0.02 = 6%) of the exact count. The estimate is still
+    // computed by the sketch in the same pass; only the boolean escapes,
+    // so a broken sketch flips the hash. The production path at 100 TB is
+    // the sketch alone — the exact side here is the verification harness
+    // (same posture as q_winsorize_approx's rank-error audit).
     "q_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("__approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("__approx") - col("exact_parts")).cast("double") <=
+            lit(0.06d) * col("exact_parts").cast("double")).as("within_bound"))
     }),
 
     // A5 explicit GROUPING SETS (the general lattice rollup/cube specialize)
@@ -936,10 +1033,8 @@ object SparkEntry {
     // iterative algorithm itself is value-checked (the oracle replays all
     // five iterations as staged CTEs)
     "q_pagerank" -> ((s, dir) => {
-      val e0 = t(s, dir, "lineitem")
-        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-      val e2 = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      graft.graph.GraphOps.pageRankFixedPoint(e2, "src", "dst", iterations = 5)
+      graft.graph.GraphOps.pageRankFixedPoint(
+        stagedBipartiteEdges(s, dir), "src", "dst", iterations = 5)
     }),
 
     // personalized PageRank on the same bipartite graph: teleport mass
@@ -949,10 +1044,11 @@ object SparkEntry {
     // Same integer fixed-point recurrence; all 5 rounds replayed as
     // staged CTEs in the oracle
     "q_ppr" -> ((s, dir) => {
-      val e0 = t(s, dir, "lineitem")
-        .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-      val e2 = e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-      val seeds = e0.select(col("dst").as("node"))
+      val e2 = stagedBipartiteEdges(s, dir)
+      // node % 100 == 1 implies odd, and every odd node in the symmetric
+      // frame appears in the dst column's original direction — identical
+      // seed set to filtering e0's dst before symmetrization
+      val seeds = e2.select(col("dst").as("node"))
         .where(col("node") % 100 === 1).distinct()
       graft.graph.GraphOps.personalizedPageRankFixedPoint(
         e2, "src", "dst", seeds, iterations = 5)
@@ -1381,8 +1477,11 @@ object SparkEntry {
       val tsUs = graft.sources.Tables.tsMicros(col("ts"))
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("event_type"), col("value"), tsUs.as("__us"))
-      val mid = ev.agg(((min(col("__us")) + max(col("__us"))) / 2).cast("long")
-        .as("__mid"))
+      // integer div, per the FIXTURES.md contract: (min+max) div 2 —
+      // the double-division form is exact only while epoch-micros sums
+      // stay below 2^53 and would silently diverge from the oracle on a
+      // nanos-scale or far-future time axis
+      val mid = ev.agg(expr("(min(__us) + max(__us)) div 2").as("__mid"))
       val units = ev.crossJoin(broadcast(mid))
         .groupBy(col("user_id"))
         .agg(
@@ -1401,8 +1500,11 @@ object SparkEntry {
       val tsUs = graft.sources.Tables.tsMicros(col("ts"))
       val ev = t(s, dir, "events")
         .select(col("user_id"), col("event_type"), col("value"), tsUs.as("__us"))
-      val mid = ev.agg(((min(col("__us")) + max(col("__us"))) / 2).cast("long")
-        .as("__mid"))
+      // integer div, per the FIXTURES.md contract: (min+max) div 2 —
+      // the double-division form is exact only while epoch-micros sums
+      // stay below 2^53 and would silently diverge from the oracle on a
+      // nanos-scale or far-future time axis
+      val mid = ev.agg(expr("(min(__us) + max(__us)) div 2").as("__mid"))
       val units = ev.crossJoin(broadcast(mid))
         .groupBy(col("user_id"))
         .agg(
@@ -2085,8 +2187,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        queries, "qid", "qvec", k = 5)
+      val exact = stagedExactNeighbors(s, dir).where(col("rank") <= 5)
       val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
         queries, "qid", "qvec", k = 5, nlist = 16, nprobe = 8, refineIters = 1)
       Similarity.recallReport(exact, approx, k = 5)
@@ -2360,10 +2461,7 @@ object SparkEntry {
     // from one Scala subtraction)
     "q_mmr_rerank" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val queries = emb.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val cand = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        queries, "qid", "qvec", k = 10)
+      val cand = stagedExactNeighbors(s, dir)
         .select(col("query_id"), col("neighbor_id"), col("cosine").as("rel"))
       val cv = cand.select(col("query_id"), col("neighbor_id"))
         .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("v")),
@@ -2424,8 +2522,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val target = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qvec", k = 1)
+      val target = stagedExactNeighbors(s, dir).where(col("rank") === 1)
         .select(col("query_id"), col("neighbor_id"))
       val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
         queries, "qid", "qvec", k = 10, nlist = 16, nprobe = 4, refineIters = 1)
@@ -2451,8 +2548,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        queries, "qid", "qvec", k = 10)
+      val exact = stagedExactNeighbors(s, dir)
       val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
         queries, "qid", "qvec", k = 10, nlist = 16, nprobe = 4, refineIters = 1)
       val rel = approx.select(col("query_id"), col("neighbor_id"), col("rank"))
@@ -2890,20 +2986,30 @@ object SparkEntry {
     // users cannot merge as an algebraic state, so the state is an HLL
     // sketch (DataSketches via hll_sketch_agg) and merge = sketch union —
     // same history-scanned-once contract, bounded error instead of
-    // exactness. No SQL oracle by design (sketch internals are
-    // engine-specific); GroundTruthSpec bounds the estimate against the
-    // exact distinct count
+    // exactness. Sketch internals are engine-specific, so the query emits
+    // the ORACLE-DECIDABLE contract: the exact distinct count (which
+    // DuckDB recomputes over the full table — history ∪ delta partitions
+    // it exactly) plus `within_bound` — the MERGED estimate sat within 5%
+    // (~3σ at the default lgK=12 rsd of 1.6%) of the exact count. The
+    // merge still runs; only the boolean escapes, so a broken union flips
+    // the hash. GroundTruthSpec additionally pins merge == single-pass.
     "q_incremental_distinct" -> ((s, dir) => {
       val events = t(s, dir, "events")
       def state(df: DataFrame) = df.groupBy(col("event_type"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
       val history = state(events.where(col("event_id") % 10 < 8))
       val delta = state(events.where(col("event_id") % 10 >= 8))
-      history.unionByName(delta)
+      val merged = history.unionByName(delta)
         .groupBy(col("event_type"))
         .agg(hll_union_agg(col("sk")).as("merged"))
         .select(col("event_type"),
-          hll_sketch_estimate(col("merged")).as("approx_users"))
+          hll_sketch_estimate(col("merged")).as("__approx"))
+      val exact = events.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(merged, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users").cast("double")) <=
+            lit(0.05d) * col("exact_users").cast("double")).as("within_bound"))
     }),
 
     // per-user aggregate profile — batch semantics of the streaming
@@ -3487,15 +3593,24 @@ object SparkEntry {
     // compression-ratio quality signal (the Gopher/CCNet gate): DEFLATE
     // bytes over raw UTF-8 bytes per document via the native expression —
     // low ratio = boilerplate/filler, ratio near 1 = mojibake/binary.
-    // NO SQL oracle (DuckDB cannot deflate): rows-only check here, with
-    // the ordering/bounds properties pinned in ExtSpec
+    // DuckDB cannot deflate, so the query emits the ORACLE-DECIDABLE
+    // contract: per-doc exact raw byte length (DuckDB recomputes) plus
+    // `within_bound` — the DEFLATE size sat inside the format's hard
+    // envelope [2, raw + 5*ceil(raw/16384) + 16] (a raw-deflate stream
+    // needs >= 2 bytes, and zlib never emits a block above stored-block
+    // cost: 5 bytes per <= 16 KiB memLevel-8 block). The compression
+    // still runs per row; only the boolean escapes, so a broken deflate
+    // kernel flips the hash. The RATIO's distribution/ordering
+    // properties stay pinned in ExtSpec (engine-local by nature).
     "q_compression_ratio" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          graft.plans.NativeExpressions.deflateSize(col("text")).as("deflate_bytes"),
+          graft.plans.NativeExpressions.deflateSize(col("text")).as("__deflate"),
           octet_length(col("text")).cast("long").as("raw_bytes"))
-        .withColumn("ratio",
-          round(col("deflate_bytes").cast("double") / col("raw_bytes"), 6))
+        .select(col("doc_id"), col("lang"), col("raw_bytes"),
+          (col("__deflate") >= 2L && col("__deflate") <=
+            col("raw_bytes") + lit(5L) * ceil(col("raw_bytes").cast("double") / 16384.0d)
+              .cast("long") + lit(16L)).as("within_bound"))
     }),
 
     // DeepWalk-style positive-pair walks on the co-purchase graph, fully
@@ -3983,8 +4098,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-        queries, "qid", "qvec", k = 5)
+      val exact = stagedExactNeighbors(s, dir).where(col("rank") <= 5)
       Seq(1, 2, 4, 8).map { np =>
         val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
           queries, "qid", "qvec", k = 5, nlist = 16, nprobe = np, refineIters = 1)
@@ -4022,6 +4136,22 @@ object SparkEntry {
         queries, "qid", "qvec", k = 5, dim = 64, nsub = 4, ncent = 16)
     }),
 
+    // the combined FAISS IVF-PQ layout (Similarity.ivfPqTopK): IVF
+    // candidate pruning (nprobe of nlist buckets, one Lloyd pass) + ADC
+    // scoring over the 4-subspace PQ codes — corpus index built in ONE
+    // narrow projection (bucket + codes per row), the probed scan reads
+    // code width only. The oracle replays BOTH chains (centroid sampling
+    // + refinement + probes, donor codebooks + LUTs + fixed-order ADC)
+    // end to end in SQL
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+        k = 5, nlist = 16, nprobe = 8, refineIters = 1,
+        dim = 64, nsub = 4, ncent = 16)
+    }),
+
     // content-defined chunking + chunk-level dedup report
     // (Dedup.contentDefinedChunks): documents cut at window-hash
     // boundaries, so identical passages chunk identically corpus-wide;
@@ -4042,15 +4172,23 @@ object SparkEntry {
       // Spark chunker is unbounded, so assert the fixture fits the
       // oracle's window instead of silently diverging on longer docs
       assertOracleTextCeiling(spread, "q_cdc_dedup")
-      val chunks = Dedup.contentDefinedChunks(
-        spread, "doc_id", "text", window = 16, mask = 64)
-      val tot = chunks.agg(
+      // the chunker (one md5 per char position, by oracle-parity design)
+      // is the suite's most expensive projection and BOTH aggregates below
+      // consume it — materialize the 16-byte-hash projection ONCE so the
+      // per-position hashing never re-runs (unpersisted, the `dis` branch
+      // re-chunked the whole corpus a second time)
+      val hashed = Dedup.contentDefinedChunks(
+          spread, "doc_id", "text", window = 16, mask = 64)
+        .select(col("doc_id"), md5(col("chunk")).as("h"),
+          length(col("chunk")).as("len"))
+        .localCheckpoint(true)
+      val tot = hashed.agg(
         countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("total_chunks"),
-        sum(length(col("chunk"))).as("total_chars"))
-      val dis = chunks
-        .groupBy(md5(col("chunk")).as("h"))
-        .agg(min(length(col("chunk"))).as("len"))
+        sum(col("len")).as("total_chars"))
+      val dis = hashed
+        .groupBy(col("h"))
+        .agg(min(col("len")).as("len"))
         .agg(count(lit(1)).as("distinct_chunks"),
           sum(col("len")).as("distinct_chars"))
       tot.crossJoin(dis)
@@ -4081,10 +4219,16 @@ object SparkEntry {
         .unionByName(base.where(col("doc_id") % 13 === 5)
           .select((col("doc_id") + 1000000L).as("doc_id"),
             concat(lit("new:"), col("text")).as("text")))
+      // each chunk store is consumed twice (s2 by its own agg AND the
+      // anti-join; s1 by the anti-join's build side) — materialize both
+      // eagerly so the per-position chunk hashing runs exactly once per
+      // snapshot instead of up to 3x (the grouped stores are tiny
+      // 16-byte-hash tables, the chunking above them is the expensive part)
       def store(df: DataFrame): DataFrame =
         Dedup.contentDefinedChunks(df, "doc_id", "text", window = 16, mask = 64)
           .groupBy(md5(col("chunk")).as("h"))
           .agg(min(length(col("chunk"))).as("len"))
+          .localCheckpoint(true)
       val s1 = store(base)
       val s2 = store(v2)
       val fresh = s2.join(s1.select(col("h")), Seq("h"), "left_anti")
@@ -4119,8 +4263,235 @@ object SparkEntry {
           (col("n_all") - col("n_f")).as("n_out"),
           round((col("s_all") - col("s_f")).cast("double") /
             (col("n_all") - col("n_f")).cast("double"), 6).as("enc_out_cents"))
+    }),
+
+    // ------------- distribution-shift / eval analytics (round 9) -------------
+
+    // exact two-sample Kolmogorov-Smirnov: D = max |F_A - F_R| over the
+    // pooled support, the classic "did this column's distribution move"
+    // test between two slices. FRACTION-FREE: with c_g(v) = #{x_g <= v},
+    // D's numerator is max |c_A*n_R - c_R*n_A| — pure integers, compared
+    // in decimal(38,0) so the product never overflows at any scale. The
+    // cumulative counts come from GlobalRank.withGlobalCumSum (range
+    // exchange + partitioned prefix sums), NEVER an unpartitioned window
+    // over the value order. One grouped pass collapses the input to its
+    // distinct values first, so the prefix-sum frame is bounded by domain
+    // cardinality, not row count.
+    "q_ks_test" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("g"), cents(col("l_extendedprice")).as("v"))
+      val byVal = li.groupBy(col("v")).agg(
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === "R", 1L).otherwise(0L)).as("cr"))
+      // BOTH prefix sums in one range exchange (withGlobalCumSums), and
+      // the inclusive-cum frame materialized once — the totals then fall
+      // out as max(cum) (monotone), no second pass over the input
+      val cum = graft.operators.GlobalRank.withGlobalCumSums(
+          byVal, Seq(col("v")), Seq(col("ca") -> "cax", col("cr") -> "crx"))
+        .select((col("cax") + col("ca")).as("cum_a"), (col("crx") + col("cr")).as("cum_r"))
+        .localCheckpoint(true)
+      val tot = cum.agg(max(col("cum_a")).as("n_a"), max(col("cum_r")).as("n_r"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      cum.crossJoin(broadcast(tot))
+        .select(col("n_a"), col("n_r"),
+          abs(dec(col("cum_a")) * dec(col("n_r")) - dec(col("cum_r")) * dec(col("n_a"))).as("__d"))
+        .groupBy(col("n_a"), col("n_r"))
+        .agg(max(col("__d")).cast("double").as("d_num"))
+        .select(col("n_a"), col("n_r"), col("d_num"),
+          round(col("d_num") / (col("n_a").cast("double") * col("n_r").cast("double")), 6)
+            .as("d_stat"))
+    }),
+
+    // Gini concentration of customer lifetime spend — the inequality
+    // read-out ("what share of revenue sits in the top tail") every
+    // monetization/fairness review quotes. Fraction-free Mean-Difference
+    // form: with x_(i) spend ascending (custkey tiebreak; tie order
+    // cancels algebraically), G = sum((2i - n - 1) x_(i)) / (n sum x).
+    // Ranks are GlobalRank's distributed exact ranks (range exchange +
+    // partitioned window — no single-reducer sort); the weighted sum runs
+    // in decimal(38,0) so rank*cents never overflows at scale. One IEEE
+    // division + round at the very end.
+    "q_gini" -> ((s, dir) => {
+      val spend = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("x"))
+      val (ranked, n) = graft.operators.GlobalRank.withGlobalRankAndCount(
+        spend, Seq(col("x"), col("o_custkey")), "r")
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      ranked
+        .select((dec(lit(2L) * (col("r") + 1L) - lit(n + 1L)) * dec(col("x"))).as("__w"),
+          col("x"))
+        .agg(sum(col("__w")).as("__num"), sum(col("x")).as("total_cents"),
+          count(lit(1)).as("n_units"))
+        .select(col("n_units"), col("total_cents"),
+          round(col("__num").cast("double") /
+            (col("n_units").cast("double") * col("total_cents").cast("double")), 6)
+            .as("gini_r"))
+    }),
+
+    // Benford first-significant-digit audit over order totals — the
+    // fabricated-data / broken-upstream screen an ingest review runs on
+    // any money column. The digit is integer-exact (first char of the
+    // cents value's decimal rendering — invariant to the *100 shift);
+    // expected counts and chi-squared terms use log10(1+1/d) literals
+    // computed ONCE in Scala and embedded in both engines, so no engine
+    // log is ever taken. One narrow projection + a 9-row aggregate.
+    "q_benford" -> ((s, dir) => {
+      val byDigit = t(s, dir, "orders")
+        .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      // digit is always in 1..9 (cents >= 1), so the 0.0 base never fires
+      val expected = BenfordShare.foldLeft(lit(0.0d): org.apache.spark.sql.Column) {
+        case (acc, (d, sh)) => when(col("digit") === d, lit(sh)).otherwise(acc)
+      }
+      byDigit
+        .crossJoin(broadcast(byDigit.agg(sum(col("n_obs")).as("__n"))))
+        .withColumn("__exp", col("__n").cast("double") * expected)
+        .select(col("digit"), col("n_obs"),
+          round(col("__exp"), 6).as("expected_r"),
+          round((col("n_obs").cast("double") - col("__exp")) *
+            (col("n_obs").cast("double") - col("__exp")) / col("__exp"), 6)
+            .as("chi2_term_r"))
+    }),
+
+    // pointwise mutual information grid between document language and
+    // source — the association map a corpus-mix review reads ("is src2
+    // secretly all-German?"). Exact integer marginals; each cell's
+    // p_xy*ln(n_xy*N/(n_x*n_y)) contribution is micro-quantized to a
+    // LONG (the q_drift_psi unats discipline) so no cross-row float sum
+    // exists anywhere. Two tiny broadcast joins over the cell table.
+    "q_mutual_info" -> ((s, dir) => {
+      val cells = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_xy"))
+      val nx = cells.groupBy(col("lang")).agg(sum(col("n_xy")).as("n_x"))
+      val ny = cells.groupBy(col("source")).agg(sum(col("n_xy")).as("n_y"))
+      val nn = cells.agg(sum(col("n_xy")).as("__n"))
+      cells.join(broadcast(nx), Seq("lang")).join(broadcast(ny), Seq("source"))
+        .crossJoin(broadcast(nn))
+        .select(col("lang"), col("source"), col("n_xy"), col("n_x"), col("n_y"),
+          floor((col("n_xy").cast("double") / col("__n").cast("double")) *
+            log((col("n_xy").cast("double") * col("__n").cast("double")) /
+              (col("n_x").cast("double") * col("n_y").cast("double"))) *
+            lit(1e6d) + lit(0.5d)).cast("long").as("mi_unats"))
+    }),
+
+    // CUSUM changepoint on the daily revenue series — "when did the level
+    // shift" for a pipeline health monitor. FRACTION-FREE deviation:
+    // dev_t = n*P_t - t*T (P_t prefix sum, T total) is |n·P - t·T| in
+    // LONGS (no mean, no float drift); the argmax takes the earliest day
+    // on ties. The window runs over the DAILY rollup — bounded by the
+    // date range by construction (thousands of rows), not by data volume,
+    // which is the one shape where an unpartitioned window is correct.
+    "q_changepoint" -> ((s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev_c"))
+      val w = Window.orderBy(col("day"))
+      val scored = daily
+        .withColumn("__t", row_number().over(w).cast("long"))
+        .withColumn("__p", sum(col("rev_c")).over(w))
+        .crossJoin(broadcast(daily.agg(
+          count(lit(1)).as("n_days"), sum(col("rev_c")).as("__tot"))))
+        .select(col("day").as("change_day"), col("n_days"),
+          abs(col("n_days") * col("__p") - col("__t") * col("__tot")).as("dev_abs"))
+      scored
+        .withColumn("__rk", row_number().over(
+          Window.orderBy(col("dev_abs").desc, col("change_day"))))
+        .where(col("__rk") === 1).drop("__rk")
+    }),
+
+    // chi-squared independence + Cramér's V between order priority and
+    // status — the categorical-association strength score a feature audit
+    // ranks candidate columns by. Cell terms are micro-quantized to longs
+    // BEFORE summing (no cross-cell float sum — the q_drift_psi
+    // discipline); expected counts are int/int IEEE divisions; V's sqrt
+    // is one correctly-rounded call on both engines.
+    "q_cramers_v" -> ((s, dir) => {
+      val cells = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("x"), col("o_orderstatus").as("y"))
+        .agg(count(lit(1)).as("n_xy"))
+      val nx = cells.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+      val ny = cells.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+      val dims = cells.agg(sum(col("n_xy")).as("__n"),
+        countDistinct(col("x")).as("r"), countDistinct(col("y")).as("c"))
+      val e = col("n_x").cast("double") * col("n_y").cast("double") /
+        col("__n").cast("double")
+      cells.join(broadcast(nx), Seq("x")).join(broadcast(ny), Seq("y"))
+        .crossJoin(broadcast(dims))
+        .select(col("__n"), col("r"), col("c"),
+          floor((col("n_xy").cast("double") - e) * (col("n_xy").cast("double") - e) /
+            e * lit(1e6d) + lit(0.5d)).cast("long").as("__term"))
+        .groupBy(col("__n").as("n"), col("r"), col("c"))
+        .agg(sum(col("__term")).as("chi2_micro"))
+        .select(col("n"), col("r"), col("c"), col("chi2_micro"),
+          round(sqrt((col("chi2_micro").cast("double") / lit(1e6d)) /
+            (col("n").cast("double") *
+              least(col("r") - 1L, col("c") - 1L).cast("double"))), 6)
+            .as("cramers_v_r"))
+    }),
+
+    // equal-allocation stratified sample over languages
+    // (Sampling.stratifiedEqualAllocation): every stratum hash-gated at
+    // min_count/its_count, the class-balancing sampler for a training
+    // mix. Membership is pinned, not just counted: kept_fp is the
+    // BIT_XOR of surviving doc_ids, so a single wrongly-gated row flips
+    // the hash even when counts coincide.
+    "q_stratified_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val kept = Sampling.stratifiedEqualAllocation(docs, "doc_id", "lang", seed = "strat")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), expr("bit_xor(doc_id)").as("kept_fp"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+        .join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_total"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_fp"), lit(0L)).as("kept_fp"))
+    }),
+
+    // Bloom-filter membership audit — the oracle-decidable contract for
+    // the pre-join Bloom sketch every broadcast-less big join ships
+    // (built with the same stat.bloomFilter + plan-embedded
+    // [[graft.plans.NativeExpressions.bloomMightContain]] machinery the
+    // q_cross_dedup_bloom production path uses): members = order-holding
+    // custkeys; probes = one synthesized NON-member key per customer
+    // ("probe:<custkey>" — a prefixed rendering can never equal a numeric
+    // one, at any scale, so the probe set is disjoint by construction).
+    // `no_false_negatives` MUST hold (the Bloom guarantee — a false one
+    // means broken plumbing); `fpr_within_bound` checks the observed
+    // false-positive rate against 3x the ~1% design point (capacity 200k
+    // at fpp 0.01). Exact counts escape; sketch bits never do.
+    "q_bloom_fpr" -> ((s, dir) => {
+      // string keys on BOTH sides: the plan-embedded probe hashes UTF-8
+      // bytes (BloomMightContain), so the build must insert the same
+      // rendering — a putLong build would never match a binary probe
+      val members = t(s, dir, "orders")
+        .select(col("o_custkey").cast("string").as("k")).distinct()
+      val probes = t(s, dir, "customer")
+        .select(concat(lit("probe:"), col("c_custkey").cast("string")).as("k"))
+      val bloom = members.stat.bloomFilter("k", 200000L, 0.01)
+      val memberChecks = members
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(graft.plans.NativeExpressions.bloomMightContain(col("k"), bloom),
+            0L).otherwise(1L)).as("__misses"))
+      val probeChecks = probes
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(graft.plans.NativeExpressions.bloomMightContain(col("k"), bloom),
+            1L).otherwise(0L)).as("__fps"))
+      memberChecks.crossJoin(probeChecks)
+        .select(col("n_members"), col("n_probes"),
+          (col("__misses") === 0L).as("no_false_negatives"),
+          (col("__fps").cast("double") <=
+            lit(0.03d) * col("n_probes").cast("double")).as("fpr_within_bound"))
     })
   )
+
+  /** Benford first-digit shares log10(1 + 1/d), computed once here and
+    * embedded as IDENTICAL double literals in the Spark plan and the
+    * generated q_benford oracle SQL — neither engine's own log10 is ever
+    * consulted. */
+  private val BenfordShare: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
 
   /** Exact char-`n`-gram shingle sets per doc — the DuckDB twin of
     * [[graft.plans.CharShingles]] (lowercase, distinct, whole-string shingle
@@ -4783,6 +5154,15 @@ FROM (
         |  cast(coalesce(octet_length(encode(text)), 0) AS bigint) AS n_bytes
         |FROM documents""".stripMargin,
 
+    // the DEFLATE byte count is engine-local (DuckDB cannot deflate);
+    // the oracle recomputes the exact raw byte length and asserts the
+    // format-envelope boolean Spark computed is TRUE
+    "q_compression_ratio" ->
+      """SELECT doc_id, lang,
+        |  cast(octet_length(encode(text)) AS bigint) AS raw_bytes,
+        |  TRUE AS within_bound
+        |FROM documents""".stripMargin,
+
     // the synthesized BMP/WAV payloads rebuilt hex-for-hex in SQL, then
     // PARSED back out of the built hex at the same byte offsets the JVM
     // decoder reads (LE reassembly via substr) — md5 over the hex pins the
@@ -5435,6 +5815,14 @@ FROM (
         |FROM lineitem JOIN caps USING (l_returnflag)
         |GROUP BY l_returnflag""".stripMargin,
 
+    // the sketch caps are engine-local; the oracle checks the EXACT side
+    // and asserts the rank-error booleans Spark computed are TRUE
+    "q_winsorize_approx" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  cast(sum(cast(floor(l_extendedprice * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS raw_sum,
+        |  TRUE AS lo_within_bound, TRUE AS hi_within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  cast(sum(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint)) AS double) / 100.0 AS revenue
@@ -5474,6 +5862,13 @@ FROM (
         |FROM lineitem l JOIN caps c USING (l_returnflag)
         |GROUP BY l.l_returnflag""".stripMargin,
 
+    // both sketch values are engine-local; the oracle asserts the
+    // rank-error booleans Spark computed are TRUE (see sketchRankOk)
+    "q_mad_outliers_approx" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  TRUE AS med_within_bound, TRUE AS mad_within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
     "q_length_buckets" ->
       """WITH counted AS (
         |  SELECT doc_id, source,
@@ -5500,6 +5895,13 @@ FROM (
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // the HLL estimate is engine-local; the oracle recomputes the exact
+    // count and asserts the 3-sigma bound boolean Spark computed is TRUE
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        | TRUE AS within_bound
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_having" ->
@@ -7509,6 +7911,14 @@ FROM (
         | min(ts) AS first_ts, max(ts) AS last_ts
         |FROM events GROUP BY user_id""".stripMargin,
 
+    // the merged-HLL estimate is engine-local; the oracle recomputes the
+    // exact distinct over the full table (history ∪ delta partitions it
+    // exactly) and asserts Spark's 3-sigma bound boolean is TRUE
+    "q_incremental_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | TRUE AS within_bound
+        |FROM events GROUP BY event_type""".stripMargin,
+
     "q_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id,
@@ -8485,6 +8895,9 @@ FROM (
     // one full chain replay per nprobe point, each in its own subquery
     // scope, unioned — same exact ground truth every point
     "q_ann_tuning" -> annTuningOracleSql,
+    // the ivf chain (bucket assignment + probes) joined against the pq
+    // chain (codes + per-query LUTs): ADC restricted to probed buckets
+    "q_ivfpq_topk" -> ivfPqOracleSql,
     "q_retrieval_ndcg" -> retrievalNdcgOracleSql,
     "q_mrr" -> mrrOracleSql,
     "q_mmr_rerank" -> mmrOracleSql,
@@ -8707,8 +9120,194 @@ FROM (
         | layers AS (SELECT node AS scc, max(d) AS layer FROM walk GROUP BY 1)
         |SELECT l.scc, count(*)::BIGINT AS n_members, min(layers.layer)::BIGINT AS layer
         |FROM lab l JOIN layers ON layers.scc = l.scc
-        |GROUP BY l.scc""".stripMargin
+        |GROUP BY l.scc""".stripMargin,
+
+    // ------------- distribution-shift / eval analytics (round 9) -------------
+
+    // D's numerator replayed in exact integer arithmetic (DuckDB's BIGINT
+    // sums widen to HUGEINT, mirroring the Spark side's decimal(38,0))
+    "q_ks_test" ->
+      """WITH byval AS MATERIALIZED (
+        |  SELECT cast(floor(l_extendedprice * 100.0 + 0.5) AS bigint) AS v,
+        |    sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS cr
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+        | cum AS (
+        |  SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+        |    sum(cr) OVER (ORDER BY v) AS cum_r
+        |  FROM byval),
+        | tot AS (SELECT sum(ca)::BIGINT AS n_a, sum(cr)::BIGINT AS n_r FROM byval)
+        |SELECT n_a, n_r,
+        |  cast(max(abs(cum_a * n_r - cum_r * n_a)) AS double) AS d_num,
+        |  round(cast(max(abs(cum_a * n_r - cum_r * n_a)) AS double)
+        |    / (cast(n_a AS double) * cast(n_r AS double)), 6) AS d_stat
+        |FROM cum CROSS JOIN tot
+        |GROUP BY n_a, n_r""".stripMargin,
+
+    "q_gini" ->
+      """WITH spend AS MATERIALIZED (
+        |  SELECT o_custkey, sum(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint)) AS x
+        |  FROM orders GROUP BY 1),
+        | ranked AS (
+        |  SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i,
+        |    count(*) OVER () AS n
+        |  FROM spend)
+        |SELECT count(*)::BIGINT AS n_units, sum(x)::BIGINT AS total_cents,
+        |  round(cast(sum((2 * i - n - 1) * x) AS double)
+        |    / (cast(count(*) AS double) * cast(sum(x) AS double)), 6) AS gini_r
+        |FROM ranked""".stripMargin,
+
+    "q_benford" -> benfordOracleSql,
+
+    "q_mutual_info" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT lang, source, count(*) AS n_xy FROM documents GROUP BY 1, 2),
+        | nx AS (SELECT lang, sum(n_xy)::BIGINT AS n_x FROM cells GROUP BY 1),
+        | ny AS (SELECT source, sum(n_xy)::BIGINT AS n_y FROM cells GROUP BY 1),
+        | nn AS (SELECT sum(n_xy)::BIGINT AS n FROM cells)
+        |SELECT lang, source, n_xy, n_x, n_y,
+        |  cast(floor((cast(n_xy AS double) / cast(n AS double))
+        |    * ln((cast(n_xy AS double) * cast(n AS double))
+        |        / (cast(n_x AS double) * cast(n_y AS double)))
+        |    * 1e6 + 0.5) AS bigint) AS mi_unats
+        |FROM cells JOIN nx USING (lang) JOIN ny USING (source) CROSS JOIN nn""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT date_trunc('day', l_shipdate) AS day,
+        |    sum(cast(floor(l_extendedprice * 100.0 + 0.5) AS bigint)) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        | scored AS (
+        |  SELECT day AS change_day,
+        |    count(*) OVER ()::BIGINT AS n_days,
+        |    abs(count(*) OVER () * (sum(rev_c) OVER (ORDER BY day))
+        |      - row_number() OVER (ORDER BY day) * (sum(rev_c) OVER ()))::BIGINT AS dev_abs
+        |  FROM daily)
+        |SELECT change_day, n_days, dev_abs
+        |FROM scored ORDER BY dev_abs DESC, change_day LIMIT 1""".stripMargin,
+
+    "q_cramers_v" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT o_orderpriority AS x, o_orderstatus AS y, count(*) AS n_xy
+        |  FROM orders GROUP BY 1, 2),
+        | nx AS (SELECT x, sum(n_xy)::BIGINT AS n_x FROM cells GROUP BY 1),
+        | ny AS (SELECT y, sum(n_xy)::BIGINT AS n_y FROM cells GROUP BY 1),
+        | dims AS (SELECT sum(n_xy)::BIGINT AS n, count(DISTINCT x)::BIGINT AS r,
+        |   count(DISTINCT y)::BIGINT AS c FROM cells),
+        | terms AS (
+        |  SELECT n, r, c,
+        |    cast(floor(
+        |      (cast(n_xy AS double) - cast(n_x AS double) * cast(n_y AS double) / cast(n AS double))
+        |      * (cast(n_xy AS double) - cast(n_x AS double) * cast(n_y AS double) / cast(n AS double))
+        |      / (cast(n_x AS double) * cast(n_y AS double) / cast(n AS double))
+        |      * 1e6 + 0.5) AS bigint) AS term
+        |  FROM cells JOIN nx USING (x) JOIN ny USING (y) CROSS JOIN dims)
+        |SELECT n, r, c, sum(term)::BIGINT AS chi2_micro,
+        |  round(sqrt((cast(sum(term) AS double) / 1e6)
+        |    / (cast(n AS double) * cast(least(r - 1, c - 1) AS double))), 6) AS cramers_v_r
+        |FROM terms GROUP BY n, r, c""".stripMargin,
+
+    // the md5 gate replayed with a COMPUTED threshold (t/n_s int/int IEEE
+    // division, floor * 2^32 — same doubles in both engines); membership
+    // pinned by the kept-set BIT_XOR, not just counts
+    "q_stratified_sample" ->
+      """WITH counts AS MATERIALIZED (
+        |  SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+        | tgt AS (SELECT min(n_s)::BIGINT AS t FROM counts),
+        | kept AS (
+        |  SELECT d.lang, d.doc_id
+        |  FROM documents d JOIN counts USING (lang) CROSS JOIN tgt
+        |  WHERE ('0x' || substr(md5('strat' || coalesce(cast(d.doc_id AS varchar), chr(0) || 'null')), 1, 8))::UBIGINT::BIGINT
+        |    < cast(floor((cast(t AS double) / cast(n_s AS double)) * 4294967296.0) AS bigint)),
+        | agg AS (
+        |  SELECT lang, count(*)::BIGINT AS n_kept, bit_xor(doc_id)::BIGINT AS kept_fp
+        |  FROM kept GROUP BY 1)
+        |SELECT c.lang, c.n_s::BIGINT AS n_total,
+        |  coalesce(a.n_kept, 0)::BIGINT AS n_kept,
+        |  coalesce(a.kept_fp, 0)::BIGINT AS kept_fp
+        |FROM counts c LEFT JOIN agg a USING (lang)""".stripMargin,
+
+    // the Bloom bits are engine-local; the oracle recomputes both exact
+    // populations and asserts the membership/FPR booleans Spark computed
+    "q_bloom_fpr" ->
+      """SELECT (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT AS n_members,
+        |  (SELECT count(*) FROM customer)::BIGINT AS n_probes,
+        |  TRUE AS no_false_negatives, TRUE AS fpr_within_bound""".stripMargin
   )
+
+  /** The q_ivfpq_topk oracle: [[ivfChainSql]]'s bucket assignment and
+    * probe selection (its trailing scored/ranked CTEs go unused — DuckDB
+    * never evaluates an unreferenced CTE) joined against the q_pq_topk
+    * chain's codebooks, codes, and per-query lookup tables, with the ADC
+    * aggregation restricted to probed buckets. Same fixed-order squared
+    * sum, same (adc, neighbor_id) rank. */
+  private def ivfPqOracleSql: String =
+    s"""WITH ${ivfChainSql(8)},
+       | pqparams AS (SELECT greatest(count(*) // 16, 1) AS stride FROM embeddings),
+       | pqcand AS (
+       |  SELECT cast(vec_id AS varchar) AS sid,
+       |    list_transform(embedding, x -> cast(x AS double)) AS v
+       |  FROM embeddings, pqparams
+       |  WHERE embedding IS NOT NULL
+       |    AND ('0x' || substr(md5('pq:' || cast(vec_id AS varchar)), 1, 15))::UBIGINT % stride = 0),
+       | donors AS (
+       |  SELECT row_number() OVER (ORDER BY sid) - 1 AS cid, v
+       |  FROM pqcand QUALIFY row_number() OVER (ORDER BY sid) <= 16),
+       | subs AS (SELECT unnest(range(4)) AS sub),
+       | dists AS (
+       |  SELECT c.vec_id, s.sub, d.cid,
+       |    sqrt(list_dot_product(
+       |      list_transform(range(1, 17), i -> c.vec[s.sub * 16 + i] - d.v[s.sub * 16 + i]),
+       |      list_transform(range(1, 17), i -> c.vec[s.sub * 16 + i] - d.v[s.sub * 16 + i]))) AS dist
+       |  FROM corpus c CROSS JOIN subs s CROSS JOIN donors d),
+       | best AS (
+       |  SELECT vec_id, sub, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+       |    FROM dists)
+       |  WHERE rn = 1),
+       | qlut AS (
+       |  SELECT q.qid, s.sub, d.cid,
+       |    sqrt(list_dot_product(
+       |      list_transform(range(1, 17), i -> q.qvec[s.sub * 16 + i] - d.v[s.sub * 16 + i]),
+       |      list_transform(range(1, 17), i -> q.qvec[s.sub * 16 + i] - d.v[s.sub * 16 + i]))) AS qdist
+       |  FROM q CROSS JOIN subs s CROSS JOIN donors d),
+       | adcx AS (
+       |  SELECT p.qid AS query_id, a.vec_id AS neighbor_id,
+       |    ((max(CASE WHEN b.sub = 0 THEN l.qdist * l.qdist END)
+       |     + max(CASE WHEN b.sub = 1 THEN l.qdist * l.qdist END))
+       |     + max(CASE WHEN b.sub = 2 THEN l.qdist * l.qdist END))
+       |     + max(CASE WHEN b.sub = 3 THEN l.qdist * l.qdist END) AS d
+       |  FROM assigned a
+       |  JOIN probes p ON a.centroid_id = p.centroid_id
+       |  JOIN best b ON b.vec_id = a.vec_id
+       |  JOIN qlut l ON l.qid = p.qid AND l.sub = b.sub AND l.cid = b.cid
+       |  WHERE a.vec_id <> p.qid
+       |  GROUP BY 1, 2),
+       | rankedx AS (
+       |  SELECT query_id, neighbor_id, d,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+       |  FROM adcx)
+       |SELECT query_id, neighbor_id, round(d, 4) AS adc_r, rank
+       |FROM rankedx WHERE rank <= 5""".stripMargin
+
+  /** The q_benford oracle: expected shares are the SAME log10(1+1/d)
+    * double literals [[BenfordShare]] embeds in the Spark plan — Scala
+    * Double.toString round-trips, so both engines read the identical
+    * bit pattern and neither computes a log. */
+  private def benfordOracleSql: String = {
+    val shares = BenfordShare.map { case (d, sh) => s"WHEN $d THEN $sh" }.mkString(" ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT cast(substr(cast(cast(floor(o_totalprice * 100.0 + 0.5) AS bigint) AS varchar), 1, 1) AS bigint) AS digit
+       |  FROM orders),
+       | byd AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+       | tot AS (SELECT sum(n_obs)::BIGINT AS n FROM byd)
+       |SELECT digit, n_obs,
+       |  round(cast(n AS double) * (CASE digit $shares END), 6) AS expected_r,
+       |  round((cast(n_obs AS double) - cast(n AS double) * (CASE digit $shares END))
+       |    * (cast(n_obs AS double) - cast(n AS double) * (CASE digit $shares END))
+       |    / (cast(n AS double) * (CASE digit $shares END)), 6) AS chi2_term_r
+       |FROM byd CROSS JOIN tot""".stripMargin
+  }
 
   /** One content-defined chunk store (hash, len) as a CTE chain under a
     * name prefix — shared by the q_cdc_delta oracle's two snapshot

@@ -290,7 +290,13 @@ final class GraphEtl(
   // ------------------------------------------------------------------
 
   /** Iterate the catalog and hand every staged file to `loader`, honoring
-    * filter and resume semantics; clears the resume logs on success. */
+    * filter and resume semantics; clears the resume logs on success.
+    *
+    * Dead-parameter parity note: the reference's `load` also declares a
+    * `clear_source` flag (utils.py:156) that its own implementation never
+    * reads (pipeline.py:125 — declared, unused; staged CSVs are never
+    * deleted on load). Matching observable behavior, this API omits the
+    * parameter rather than carrying a no-op argument. */
   def load(loader: Loader): Unit = {
     if (!parsed && !Files.exists(store.configsPath)) parse()
     if (store.catalog.nodes.isEmpty) store.loadCatalog()

@@ -173,26 +173,6 @@ object Evaluation {
       (col("cum_pos").cast("double") / col("tot_pos").cast("double")).as("cum_capture"))
   }
 
-  /** Deterministic SUBSAMPLING-bootstrap confidence interval for a mean
-    * metric — the uncertainty band an eval report publishes next to its
-    * point estimate (Politis–Romano m-out-of-n subsampling: each of `b`
-    * replicas keeps a hash-gated ~`fraction` of rows WITHOUT replacement;
-    * the spread of replica means estimates the sampling distribution).
-    * Resampling uses the md5-prefix gate family ([[Sampling]]): replica
-    * membership is `md5(seed:replica:id)` — reproducible across engines
-    * and layouts, unlike any RNG-based bootstrap.
-    *
-    * Returns one row: the full-data mean, the replica-mean p05/p50/p95
-    * (exact order statistics at ranks ceil(0.05·b)/…, selected by
-    * row_number over (mean, replica) — tie placement deterministic), and
-    * the replica count. `valueCol` must be integral (exact long sums; a
-    * money metric should arrive as cents) — each mean is then ONE IEEE
-    * division, bit-identical anywhere.
-    *
-    * Scale: the ×b row multiplication is a broadcast-free per-row explode
-    * feeding ONE map-combined (replica) aggregation — b·rows never
-    * shuffles raw, only b partial sums per map task do; the b-row means
-    * frame then sorts in a single tiny task. */
   /** Two-proportion A/B significance report — the experiment read-out an
     * event pipeline publishes: units are assigned to arms by the md5 hash
     * gate (the [[Sampling.hashGate]] family — how real experiment
@@ -372,6 +352,26 @@ object Evaluation {
       dA.as("delta_a"), dB.as("delta_b"), (dA - dB).as("did"))
   }
 
+  /** Deterministic SUBSAMPLING-bootstrap confidence interval for a mean
+    * metric — the uncertainty band an eval report publishes next to its
+    * point estimate (Politis–Romano m-out-of-n subsampling: each of `b`
+    * replicas keeps a hash-gated ~`fraction` of rows WITHOUT replacement;
+    * the spread of replica means estimates the sampling distribution).
+    * Resampling uses the md5-prefix gate family ([[Sampling]]): replica
+    * membership is `md5(seed:replica:id)` — reproducible across engines
+    * and layouts, unlike any RNG-based bootstrap.
+    *
+    * Returns one row: the full-data mean, the replica-mean p05/p50/p95
+    * (exact order statistics at ranks ceil(0.05·b)/…, selected by
+    * row_number over (mean, replica) — tie placement deterministic), and
+    * the replica count. `valueCol` must be integral (exact long sums; a
+    * money metric should arrive as cents) — each mean is then ONE IEEE
+    * division, bit-identical anywhere.
+    *
+    * Scale: the ×b row multiplication is a broadcast-free per-row explode
+    * feeding ONE map-combined (replica) aggregation — b·rows never
+    * shuffles raw, only b partial sums per map task do; the b-row means
+    * frame then sorts in a single tiny task. */
   def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: Column,
       b: Int = 100, fraction: Double = 0.5, seed: String = "boot"): DataFrame = {
     require(b >= 20, s"need >= 20 replicas for a p05/p95 band, got $b")

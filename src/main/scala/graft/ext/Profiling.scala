@@ -23,30 +23,48 @@ object Profiling {
     * choices replay identically in any engine, which keeps the operator
     * oracle-checkable.
     *
-    * Scale shape: ONE map-combined aggregation per determinant column
-    * covering ALL its dependents at once (`groupBy(A).agg(countDistinct
-    * (B1), countDistinct(B2), ...)`), then a second aggregation over the
-    * group rows — |cols| shuffles total for |cols|·(|cols|-1) candidates,
-    * not one per pair. The per-group state is one count-distinct buffer
-    * per dependent, bounded by that dependent's per-determinant
-    * cardinality (exactly what the FD test measures; a holding FD's
-    * buffer is a single value). */
+    * Scale shape: ONE Expand-based GROUPING SETS aggregation covers
+    * EVERY determinant in a single table scan and a single exchange
+    * (grouping set `(A)` per candidate determinant, every column's
+    * count-distinct computed per group, `grouping_id()` naming the
+    * determinant), then one tiny aggregation keyed on the grouping id
+    * and a constant-size `stack` unpivot of the |cols|-row summary —
+    * 2 shuffles total for |cols|·(|cols|-1) candidates, and the table
+    * is read once instead of once per determinant. The per-group state
+    * is one count-distinct buffer per dependent, bounded by that
+    * dependent's per-determinant cardinality (exactly what the FD test
+    * measures; a holding FD's buffer is a single value). */
   def functionalDependencies(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
     require(cols.size >= 2, s"need at least 2 columns, got $cols")
-    cols.flatMap { a =>
-      val deps = cols.filterNot(_ == a)
-      val cds = deps.map(b => countDistinct(col(b)).as(s"__cd_$b"))
-      val groups = df.groupBy(col(a)).agg(cds.head, cds.tail: _*)
-      val viols = deps.map(b =>
-        sum(when(col(s"__cd_$b") > 1, lit(1L)).otherwise(lit(0L))).as(s"__v_$b"))
-      val summary = groups.agg(count(lit(1)).as("__n_det"), viols: _*)
-      deps.map(b => summary.select(
-        lit(a).as("determinant"), lit(b).as("dependent"),
-        col("__n_det").as("n_det_values"),
-        col(s"__v_$b").as("n_violations"),
-        (col(s"__v_$b") === 0).as("holds")))
-    }.reduce(_.unionByName(_))
+    val n = cols.size
+    // grouping_id bit j is SET when cols(j) is aggregated away, leftmost
+    // grouping column = highest bit — grouping set {cols(i)} therefore
+    // reads (2^n - 1) - 2^(n-1-i). A null determinant VALUE is its own
+    // group within its set (same semantics as groupBy), distinguished
+    // from other sets by the id, never by the (null) value columns.
+    def gidOf(i: Int): Long = (1L << n) - 1 - (1L << (n - 1 - i))
+    val cds = cols.map(b => countDistinct(col(b)).as(s"__cd_$b"))
+    val groups = df
+      .groupingSets(cols.map(c => Seq(col(c))), cols.map(col): _*)
+      .agg(grouping_id().as("__gid"), cds: _*)
+    val viols = cols.map(b =>
+      sum(when(col(s"__cd_$b") > 1, lit(1L)).otherwise(lit(0L))).as(s"__v_$b"))
+    val summary = groups.groupBy(col("__gid"))
+      .agg(count(lit(1)).as("__n_det"), viols: _*)
+    val nameByGid = map(cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(gidOf(i)), lit(c)) }: _*)
+    // the self row (dependent == determinant, count-distinct of the
+    // grouping column itself) is meaningless by construction — drop it
+    val stackArgs = cols.map(b => s"'$b', __v_$b").mkString(", ")
+    summary
+      .withColumn("determinant", element_at(nameByGid, col("__gid")))
+      .selectExpr("determinant", "__n_det",
+        s"stack($n, $stackArgs) AS (dependent, n_violations)")
+      .where(col("dependent") =!= col("determinant"))
+      .select(col("determinant"), col("dependent"),
+        col("__n_det").as("n_det_values"), col("n_violations"),
+        (col("n_violations") === 0).as("holds"))
   }
 
   /** COMPOSITE functional dependencies — the TANE lattice level the unary

@@ -52,6 +52,37 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, fraction: Double, seed: String = ""): DataFrame =
     df.where(hashGate(col(keyCol), fraction, seed))
 
+  /** COLUMN-valued gate — the [[hashGate]] family extended to
+    * data-derived per-row keep rates (a stratum's rate computed from its
+    * count, a quality-tiered rate...). The 32-bit md5 prefix is compared
+    * NUMERICALLY against `floor(fraction * 2^32)`, which sidesteps hex
+    * re-formatting of a computed threshold entirely and keeps the
+    * fraction >= 1.0 case exact for free (2^32 is above every prefix).
+    * `fraction` must be derived engine-portably (int/int IEEE divisions)
+    * for the oracle to replay the gate. */
+  def hashGateCol(key: Column, fraction: Column, seed: String = ""): Column =
+    conv(substring(md5(saltedKey(key, seed)), 1, 8), 16, 10).cast("long") <
+      floor(fraction * lit(Hex8.toDouble)).cast("long")
+
+  /** EQUAL-ALLOCATION stratified sample: every stratum is hash-gated at
+    * rate = |smallest stratum| / |its own stratum|, so each stratum keeps
+    * ~the same EXPECTED number of rows — the class-balancing sampler a
+    * training mix uses when one language/source dwarfs the rest (the
+    * fixed-weights variant is [[mixtureSample]]; here the rates come from
+    * the DATA). Two tiny broadcast joins (stratum counts + the 1-row
+    * minimum) over one narrow pass; the gate itself never shuffles.
+    * Deterministic: same keys survive at any partitioning or engine. */
+  def stratifiedEqualAllocation(df: DataFrame, keyCol: String,
+      stratumCol: String, seed: String = ""): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n_s"))
+    val target = counts.agg(min(col("__n_s")).as("__t"))
+    df.join(broadcast(counts), Seq(stratumCol))
+      .crossJoin(broadcast(target))
+      .where(hashGateCol(col(keyCol),
+        col("__t").cast("double") / col("__n_s").cast("double"), seed))
+      .drop("__n_s", "__t")
+  }
+
   /** Weighted corpus mixture: per-stratum keep-fractions (e.g. upsample
     * wiki, downsample crawl), default fraction for unlisted strata. One
     * narrow pass — the per-row gate threshold is a CASE over the stratum

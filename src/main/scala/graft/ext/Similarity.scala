@@ -454,6 +454,76 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-PQ top-k — the combined FAISS layout ([[ivfTopK]] prunes
+    * candidates to the probed buckets, [[pqTopK]]'s ADC scores them over
+    * the PQ codes). The corpus-side index is built in ONE narrow
+    * projection (bucket argmin + `nsub` code argmins per row — no join
+    * between the two halves). At 100 TB this projection is the one-off
+    * index build: written bucketed by `centroid_id`, a query batch reads
+    * only the probed buckets at CODE width (nsub small ints per row, not
+    * `dim` floats) — IVF's ~nprobe/nlist scan cut compounding PQ's
+    * memory cut, which is exactly why the layout is the large-scale
+    * default (Jégou et al. 2011, §IV).
+    *
+    * Deterministic end to end: sampled (+ optionally Lloyd-refined)
+    * centroids, md5-stride donor codebooks, per-query LUTs materialized
+    * once on the (bounded) probe frame, fixed-order squared-ADC sum,
+    * (adc, neighbor_id) rank — the SQL oracle replays every value.
+    * Returns (query_id, neighbor_id, adc_r, rank), rank ≤ k by ASCENDING
+    * approximate L2. */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 8, refineIters: Int = 1,
+      dim: Int = 64, nsub: Int = 4, ncent: Int = 16): DataFrame = {
+    require(dim % nsub == 0, s"dim $dim must split evenly into $nsub subspaces")
+    val sw = dim / nsub
+    val centroids0 = sampleCentroids(corpus, idCol, vecCol, nlist)
+    val centroids = if (refineIters <= 0) centroids0
+      else refineCentroids(corpus, idCol, vecCol, centroids0, refineIters)
+    val donors = pqDonors(corpus, idCol, vecCol, ncent)
+    val codeCols = (0 until nsub).map { s =>
+      val cands = donors.zipWithIndex.map { case (v, cid) =>
+        struct(
+          NativeExpressions.euclidean(
+            slice(col(vecCol), s * sw + 1, sw),
+            typedlit(v.slice(s * sw, (s + 1) * sw))).as("dist"),
+          lit(cid).as("cid"))
+      }
+      array_min(array(cands.toIndexedSeq: _*)).getField("cid").as(s"c$s")
+    }
+    val index = assignToCentroids(corpus, idCol, vecCol, centroids)
+      .select((Seq(col(idCol).as("neighbor_id"), col("centroid_id")) ++ codeCols): _*)
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("centroid_id"))
+    val luts = (0 until nsub).map { s =>
+      array(donors.map(d =>
+        NativeExpressions.euclidean(
+          slice(col("__qvec"), s * sw + 1, sw),
+          typedlit(d.slice(s * sw, (s + 1) * sw)))).toIndexedSeq: _*)
+        .as(s"__lut$s")
+    }
+    val probes = queries.where(col(qvecCol).isNotNull)
+      .select(col(qidCol).as("query_id"), col(qvecCol).as("__qvec"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist", NativeExpressions.euclidean(col("__qvec"), col("cvec")))
+      .withColumn("__rn", row_number().over(qw))
+      .where(col("__rn") <= nprobe)
+      .select((Seq(col("query_id"), col("centroid_id")) ++ luts): _*)
+      .localCheckpoint(true) // bounded (queries x nprobe rows); LUTs computed once
+    val adc = (0 until nsub).map { s =>
+      val e = element_at(col(s"__lut$s"), col(s"c$s") + 1)
+      e * e
+    }.reduce(_ + _) // fixed order, same chain as the oracle
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__adc").asc, col("neighbor_id"))
+    index.join(broadcast(probes), Seq("centroid_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("__adc"), 4).as("adc_r"), col("rank").cast("long").as("rank"))
+  }
+
   /** INT8 scalar-quantized top-k: the 4×-memory-compression scan path
     * (float32 → int8) every large-scale vector store offers (FAISS
     * `SQ8`). One corpus-wide symmetric scale `s = 127 / max|x|` maps

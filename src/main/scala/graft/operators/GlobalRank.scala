@@ -103,15 +103,30 @@ object GlobalRank {
     * (local checkpoint blocks are unreplicated; pass `reliable = true` with
     * a checkpoint dir for long jobs). */
   def withGlobalCumSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
-      cumCol: String, numPartitions: Int = 0, reliable: Boolean = false): DataFrame = {
+      cumCol: String, numPartitions: Int = 0, reliable: Boolean = false): DataFrame =
+    withGlobalCumSums(df, sortCols, Seq(valueCol -> cumCol), numPartitions, reliable)
+
+  /** [[withGlobalCumSum]] for SEVERAL value columns in ONE pass: a single
+    * range exchange, one materialization, one bounded per-partition-sums
+    * collect, and one window feed every requested prefix sum (chaining the
+    * single-column form pays each of those once per column — q_ks_test's
+    * two cumulative counts measured ~2x the one-pass cost). Same exclusive
+    * semantics, same NULL-contributes-0 contract, same `reliable` trade. */
+  def withGlobalCumSums(df: DataFrame, sortCols: Seq[Column],
+      valueCols: Seq[(Column, String)], numPartitions: Int = 0,
+      reliable: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     if (reliable) require(spark.sparkContext.getCheckpointDir.nonEmpty,
       "GlobalRank(reliable = true) needs spark.sparkContext.setCheckpointDir — " +
         "reliable checkpoints live on fault-tolerant storage, not executor disks")
+    require(valueCols.nonEmpty, "need at least one (valueCol, cumCol) pair")
+    require(valueCols.map(_._2).distinct.size == valueCols.size,
+      s"duplicate cum column names in ${valueCols.map(_._2)}")
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val ranged0 = df
-      .withColumn("__grk_v", valueCol.cast("long"))
+    val vNames = valueCols.indices.map(i => s"__grk_v$i")
+    val ranged0 = valueCols.map(_._1).zip(vNames)
+      .foldLeft(df) { case (d, (v, nm)) => d.withColumn(nm, v.cast("long")) }
       .repartitionByRange(n, sortCols: _*)
       .withColumn("__grk_pid", spark_partition_id())
     val ranged = if (reliable) ranged0.checkpoint(true) else ranged0.localCheckpoint(true)
@@ -119,20 +134,38 @@ object GlobalRank {
     // row still receives a cum value) — coalesce both here and in the
     // per-partition window below, or an all-NULL range partition would
     // return a NULL partition sum and NPE at getLong.
+    val sumAggs = vNames.zipWithIndex.map { case (nm, i) =>
+      coalesce(sum(col(nm)), lit(0L)).as(s"__grk_s$i") }
     val sums = ranged.groupBy(col("__grk_pid"))
-      .agg(coalesce(sum(col("__grk_v")), lit(0L)).as("__grk_s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = sums.map { case (pid, s) => val o = (pid, acc); acc += s; o }
-    import spark.implicits._
-    val offDf = offsets.toSeq.toDF("__grk_pid", "__grk_off")
+      .agg(sumAggs.head, sumAggs.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), vNames.indices.map(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    var acc = Vector.fill(vNames.size)(0L)
+    val offsets = sums.map { case (pid, ss) =>
+      val o = (pid, acc)
+      acc = acc.zip(ss).map { case (a, s) => a + s }
+      o
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__grk_pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        vNames.indices.map(i => org.apache.spark.sql.types.StructField(
+          s"__grk_off$i", org.apache.spark.sql.types.LongType, nullable = false)))
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offsets.map { case (pid, os) =>
+        org.apache.spark.sql.Row.fromSeq(pid +: os) }: _*), offSchema)
     val localW = Window.partitionBy(col("__grk_pid")).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val summed = ranged
-      .withColumn("__grk_ps", coalesce(sum(col("__grk_v")).over(localW), lit(0L)))
-      .join(broadcast(offDf), Seq("__grk_pid"))
-      .withColumn(cumCol, col("__grk_off") + col("__grk_ps"))
-      .drop("__grk_pid", "__grk_ps", "__grk_off", "__grk_v")
-    summed
+    // all prefix sums share ONE window spec → a single WindowExec pass
+    val summed = vNames.zipWithIndex.foldLeft(ranged) { case (d, (nm, i)) =>
+      d.withColumn(s"__grk_ps$i", coalesce(sum(col(nm)).over(localW), lit(0L)))
+    }.join(broadcast(offDf), Seq("__grk_pid"))
+    val withCums = valueCols.map(_._2).zipWithIndex.foldLeft(summed) {
+      case (d, (cumName, i)) =>
+        d.withColumn(cumName, col(s"__grk_off$i") + col(s"__grk_ps$i"))
+    }
+    withCums.drop(("__grk_pid" +: (vNames ++
+      vNames.indices.flatMap(i => Seq(s"__grk_ps$i", s"__grk_off$i")))): _*)
   }
 }

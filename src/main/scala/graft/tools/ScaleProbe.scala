@@ -77,7 +77,7 @@ object ScaleProbe {
     // for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8", "r8b", "r8c"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8", "r8b", "r8c", "r8d", "r8e", "r8f", "r9"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate",
@@ -646,6 +646,31 @@ object ScaleProbe {
       val tRc = tq("q_rec_coverage")
       val tTs = tq("q_threshold_sweep")
       println(f"""SCALE_R8F {"factor":$f, "ab_test":$tAb%.2f, "cuped":$tCu%.2f, "did":$tDid%.2f, "rec_coverage":$tRc%.2f, "threshold_sweep":$tTs%.2f}""")
+      }
+
+      // round-9 wave — distribution-shift / eval analytics: KS (value
+      // collapse + two distributed prefix sums — cardinality-bounded, not
+      // row-bounded), Gini (GlobalRank, no single-reducer sort), Benford /
+      // mutual info / Cramér's V (grouped counts + tiny broadcasts),
+      // CUSUM changepoint (daily rollup window — bounded by the date
+      // range, not volume), stratified sampling (two tiny broadcasts over
+      // one narrow gate pass), and the Bloom membership audit (one build
+      // agg + two probe scans)
+      if (groups("r9")) {
+      val tKs = tq("q_ks_test")
+      val tGi = tq("q_gini")
+      val tBe = tq("q_benford")
+      val tMi = tq("q_mutual_info")
+      val tCp = tq("q_changepoint")
+      val tCv = tq("q_cramers_v")
+      val tSs = tq("q_stratified_sample")
+      val tBf = tq("q_bloom_fpr")
+      // IVF-PQ probes a CONSTANT query set through the library call (the
+      // registered %50 derivation would grow both sides — the r8d
+      // int8_topk rationale)
+      val tIp = time(force(Similarity.ivfPqTopK(
+        emb, "vec_id", "embedding", queries, "qid", "qvec", k = 5)))
+      println(f"""SCALE_R9 {"factor":$f, "ks_test":$tKs%.2f, "gini":$tGi%.2f, "benford":$tBe%.2f, "mutual_info":$tMi%.2f, "changepoint":$tCp%.2f, "cramers_v":$tCv%.2f, "stratified_sample":$tSs%.2f, "bloom_fpr":$tBf%.2f, "ivfpq_topk_constq":$tIp%.2f}""")
       }
     }
     spark.stop()

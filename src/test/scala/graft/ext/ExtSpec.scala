@@ -1827,4 +1827,116 @@ class ExtSpec extends SparkSpec {
       assert(rows.length < nParts + nDirty, "nothing consolidated")
     } finally { out.unpersist(); () }
   }
+
+  test("stratified equal allocation: smallest stratum survives whole, others balance") {
+    import graft.ext.Sampling
+    // 3 strata: 40 / 200 / 1000 rows — target = 40 per stratum expected
+    val rows = (1L to 40L).map(i => (i, "small")) ++
+      (101L to 300L).map(i => (i, "mid")) ++
+      (1001L to 2000L).map(i => (i, "big"))
+    val df = rows.toDF("id", "s")
+    val kept = Sampling.stratifiedEqualAllocation(df, "id", "s", seed = "t")
+      .groupBy(col("s")).agg(count(lit(1)).as("n")).as[(String, Long)]
+      .collect().toMap
+    // rate 1.0 for the smallest stratum keeps EVERY row (the 2^32
+    // threshold sits above every gate prefix)
+    assert(kept("small") == 40L, s"smallest stratum must survive whole: $kept")
+    // the others land near the 40-row target (hash-gate variance only);
+    // equal allocation means no stratum dwarfs another post-sample
+    for (s <- Seq("mid", "big"))
+      assert(kept(s) >= 20L && kept(s) <= 70L, s"$s drifted from target: $kept")
+    // deterministic: the same keys survive on a second evaluation
+    val again = Sampling.stratifiedEqualAllocation(df, "id", "s", seed = "t")
+      .groupBy(col("s")).agg(count(lit(1)).as("n")).as[(String, Long)]
+      .collect().toMap
+    assert(kept == again)
+  }
+
+  test("KS statistic: identical slices give D = 0, disjoint slices give D = 1 shape") {
+    // mirror q_ks_test's fraction-free numerator on a controlled frame
+    import graft.operators.GlobalRank
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("R", 1L), ("R", 2L), ("R", 3L))
+      .toDF("g", "v")
+    val byVal = df.groupBy(col("v")).agg(
+      sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
+      sum(when(col("g") === "R", 1L).otherwise(0L)).as("cr"))
+    val cum = GlobalRank.withGlobalCumSum(
+      GlobalRank.withGlobalCumSum(byVal, Seq(col("v")), col("ca"), "cax"),
+      Seq(col("v")), col("cr"), "crx")
+      .select((col("cax") + col("ca")).as("cum_a"), (col("crx") + col("cr")).as("cum_r"))
+    val d0 = cum.select(max(abs(col("cum_a") * lit(3L) - col("cum_r") * lit(3L))).as("d"))
+      .as[Long].head()
+    assert(d0 == 0L, "identical distributions must give D = 0")
+    // and the q_ks_test entry itself: 0 <= d_stat <= 1, numerator consistent
+    val row = graft.SparkEntry.queries("q_ks_test")(spark, "/root/testdata/sf0.001").head()
+    val (na, nr) = (row.getAs[Long]("n_a"), row.getAs[Long]("n_r"))
+    val dStat = row.getAs[Double]("d_stat")
+    assert(na > 0 && nr > 0 && dStat >= 0.0 && dStat <= 1.0)
+    assert(math.abs(row.getAs[Double]("d_num") / (na.toDouble * nr.toDouble) - dStat) < 1e-5)
+  }
+
+  test("Benford shares sum to 1 and the audit's expected counts sum to n") {
+    val shareSum = graft.SparkEntry.queries("q_benford")(spark, "/root/testdata/sf0.001")
+    val rows = shareSum.collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSet.subsetOf((1L to 9L).toSet))
+    val nObs = rows.map(_.getAs[Long]("n_obs")).sum
+    val expSum = rows.map(_.getAs[Double]("expected_r")).sum
+    // expected counts reconstruct ~n when every digit 1..9 appears
+    if (rows.length == 9)
+      assert(math.abs(expSum - nObs) < 1.0, s"expected $expSum vs n $nObs")
+    rows.foreach(r => assert(r.getAs[Double]("chi2_term_r") >= 0.0))
+  }
+
+  test("Gini: uniform spend gives 0, fully concentrated spend approaches 1") {
+    import graft.operators.GlobalRank
+    def gini(xs: Seq[Long]): Double = {
+      val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("k", "x")
+      val (ranked, n) = GlobalRank.withGlobalRankAndCount(df, Seq(col("x"), col("k")), "r")
+      ranked.select(
+          ((lit(2L) * (col("r") + 1L) - lit(n + 1L)) * col("x")).as("w"), col("x"))
+        .agg((sum(col("w")).cast("double") /
+          (lit(n.toDouble) * sum(col("x")).cast("double"))).as("g"))
+        .as[Double].head()
+    }
+    assert(gini(Seq.fill(50)(7L)) == 0.0)
+    val concentrated = gini(Seq.fill(49)(0L) :+ 10000L)
+    assert(concentrated > 0.95 && concentrated <= 1.0, s"got $concentrated")
+  }
+
+  test("IVF-PQ: probed-bucket ADC ranks are dense and recall tracks the PQ ceiling") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = graft.SparkEntry.queries("q_ivfpq_topk")(spark, dir).cache()
+    try {
+      val byQ = out.collect().groupBy(_.getAs[Long]("query_id"))
+      assert(byQ.nonEmpty)
+      // dense ranks 1..n per query, never a self-match
+      byQ.foreach { case (q, rows) =>
+        assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to rows.length).toSeq)
+        assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+      }
+      // the probed-bucket candidate set can only SHRINK vs full-corpus
+      // ADC: every IVF-PQ hit at the same k must score >= its pq rank
+      val full = Similarity.pqTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, dim = 64, nsub = 4, ncent = 16)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = out.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // nprobe=8 of nlist=16 scans ~half the corpus: expect meaningful
+      // overlap with the unprobed ADC list, not equality
+      val overlap = got.intersect(full).size.toDouble / full.size
+      assert(overlap >= 0.3, s"IVF-PQ diverged too far from full ADC: $overlap")
+    } finally { out.unpersist(); () }
+  }
+
+  test("bloom FPR audit: booleans hold and populations are exact") {
+    val row = graft.SparkEntry.queries("q_bloom_fpr")(spark, "/root/testdata/sf0.001").head()
+    assert(row.getAs[Boolean]("no_false_negatives"), "Bloom false negative — broken plumbing")
+    assert(row.getAs[Boolean]("fpr_within_bound"), "observed FPR above 3x design point")
+    assert(row.getAs[Long]("n_members") > 0 && row.getAs[Long]("n_probes") > 0)
+  }
 }

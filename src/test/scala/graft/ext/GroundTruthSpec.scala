@@ -226,28 +226,42 @@ class GroundTruthSpec extends SparkSpec {
   }
 
   test("incrementally-merged HLL sketch estimate matches the exact distinct count closely") {
-    // q_incremental_distinct merges history+delta HLL sketches; at the
-    // fixture's per-type cardinality (~150 users) the default-lgk sketch
-    // is near-exact — bound at 2%, and the merged estimate must also
-    // equal the single-pass sketch estimate (union of a partition IS the
-    // sketch contract)
+    // q_incremental_distinct now emits the oracle-decidable contract
+    // (exact count + within_bound); this test pins the tighter in-Spark
+    // ground truth: the output booleans are all TRUE, the exact side
+    // matches countDistinct, and the merged sketch estimate equals the
+    // single-pass sketch estimate at 2% of exact (union of a partition
+    // IS the sketch contract)
     import spark.implicits._
     val got = graft.SparkEntry.queries("q_incremental_distinct")(spark, dir)
-      .as[(String, Double)].collect().toMap
+      .as[(String, Long, Boolean)].collect()
+      .map { case (k, ex, ok) => k -> ((ex, ok)) }.toMap
     val exact = graft.sources.Tables.events(spark, dir)
       .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).cast("double").as("exact"))
-      .as[(String, Double)].collect().toMap
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .as[(String, Long)].collect().toMap
     assert(got.keySet == exact.keySet && got.nonEmpty)
-    got.foreach { case (k, est) =>
-      assert(math.abs(est - exact(k)) / exact(k) <= 0.02,
-        s"$k: merged-HLL estimate $est vs exact ${exact(k)}")
+    got.foreach { case (k, (ex, ok)) =>
+      assert(ex == exact(k), s"$k: exact side $ex vs countDistinct ${exact(k)}")
+      assert(ok, s"$k: merged-HLL estimate exceeded the 5% bound")
     }
-    val onePass = graft.sources.Tables.events(spark, dir)
+    val events = graft.sources.Tables.events(spark, dir)
+    def state(df: org.apache.spark.sql.DataFrame) = df.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = state(events.where(col("event_id") % 10 < 8))
+      .unionByName(state(events.where(col("event_id") % 10 >= 8)))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .as[(String, Double)].collect().toMap
+    val onePass = events
       .groupBy(col("event_type"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
       .as[(String, Double)].collect().toMap
-    assert(got == onePass, "sketch union must equal the single-pass sketch")
+    assert(merged == onePass, "sketch union must equal the single-pass sketch")
+    merged.foreach { case (k, est) =>
+      assert(math.abs(est - exact(k)) / exact(k) <= 0.02,
+        s"$k: merged-HLL estimate $est vs exact ${exact(k)}")
+    }
   }
 
   test("IVF drops NULL embeddings everywhere its SQL oracle does") {

@@ -90,4 +90,27 @@ class GlobalRankSpec extends SparkSpec {
       .select("id", "c").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 0L, 3L -> 20L, 5L -> 50L))
   }
+
+  test("withGlobalCumSums (multi-column, one pass) equals chained single-column calls") {
+    val rnd = new scala.util.Random(909)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(100).toLong, rnd.nextInt(50).toLong))
+    val df = rows.toDF("id", "a", "b").repartition(5)
+    val onePass = GlobalRank.withGlobalCumSums(df, Seq(col("id")),
+        Seq(col("a") -> "ca", col("b") -> "cb"), numPartitions = 8)
+      .select("id", "ca", "cb").as[(Long, Long, Long)].collect().toSet
+    val chained = GlobalRank.withGlobalCumSum(
+        GlobalRank.withGlobalCumSum(df, Seq(col("id")), col("a"), "ca", numPartitions = 8),
+        Seq(col("id")), col("b"), "cb", numPartitions = 8)
+      .select("id", "ca", "cb").as[(Long, Long, Long)].collect().toSet
+    assert(onePass == chained)
+    // NULL contributes 0 but still receives a cum value (shared contract)
+    val withNull = Seq((1L, Some(5L), 7L), (2L, None, 3L), (3L, Some(2L), 1L))
+      .toDF("id", "a", "b")
+    val n = GlobalRank.withGlobalCumSums(withNull, Seq(col("id")),
+        Seq(col("a") -> "ca", col("b") -> "cb"), numPartitions = 4)
+      .select("id", "ca", "cb").as[(Long, Long, Long)].collect()
+      .map { case (id, ca, cb) => id -> ((ca, cb)) }.toMap
+    assert(n == Map(1L -> ((0L, 0L)), 2L -> ((5L, 7L)), 3L -> ((5L, 10L))))
+  }
 }

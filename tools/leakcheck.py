@@ -37,7 +37,9 @@ PATTERNS = {
         # RFC 2606/6761 reserved names (example.com and subdomains, the
         # .example/.test/.invalid TLDs) are documentation fixtures by
         # definition, never real endpoints
-        r"(?:[\w.-]+\.)?example\.com|[\w.-]+\.(?:example|test|invalid)(?![\w.])|"
+        # host boundary: reject example.com.evil.net / foo.example.computer
+        # (a bare trailing dot — end of sentence — is still fine)
+        r"(?:[\w.-]+\.)?example\.com(?!\.?[\w-])|[\w.-]+\.(?:example|test|invalid)(?![\w.])|"
         r"neo4j\.com|tigergraph\.com|graft\.local)[\w.-]+"),
     # private-looking package roots in strings or configs
     "internal-pkg2": re.compile(r"\b(?:com|net|io)\.(?!example\b)[a-z]+\.internal\b"),
