@@ -1054,6 +1054,20 @@ object SparkEntry {
         e2, "src", "dst", seeds, iterations = 5)
     }),
 
+    // HITS hubs/authorities on the DIRECTED order->part bipartite graph
+    // (GraphOps.hitsFixedPoint — Kleinberg's two mutually-recursive
+    // scores, which pagerank's single uniform-teleport rank cannot
+    // express): 3 integer max-normalized rounds; authorities rank parts
+    // by the hub quality of the orders citing them, hubs rank orders by
+    // how authoritative their parts are. Rides the staged symmetric edge
+    // table (forward direction = even src); every round replayed as
+    // staged CTEs in the oracle
+    "q_hits" -> ((s, dir) => {
+      graft.graph.GraphOps.hitsFixedPoint(
+        stagedBipartiteEdges(s, dir).where(col("src") % 2 === 0),
+        "src", "dst", iterations = 3)
+    }),
+
     // per-part triangle counts over the co-purchase graph (parts sharing
     // >= 2 orders; see coPurchaseEdges for the basket-size cap that
     // bounds the projection's quadratic step). Triangle closure is
@@ -6059,6 +6073,35 @@ FROM (
            |    GROUP BY 1) t LEFT JOIN sd ON t.node = sd.node, nn, ns)""".stripMargin
       }.mkString
       base + steps + "\nSELECT node, rank_fp FROM pr5"
+    },
+
+    // all three max-normalized HITS rounds replayed as staged CTEs (the
+    // q_pagerank pattern); the per-round max is a scalar subquery over
+    // the MATERIALIZED raw frame, mirroring the Spark side's broadcast
+    "q_hits" -> {
+      val base =
+        """WITH e0 AS MATERIALIZED (
+          |  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst
+          |  FROM lineitem GROUP BY 1, 2),
+          | h0 AS (SELECT DISTINCT src AS node, cast(1000000 AS bigint) AS hub_fp FROM e0)""".stripMargin
+      val steps = (1 to 3).map { i =>
+        s""",
+           | a${i}r AS MATERIALIZED (
+           |  SELECT e0.dst AS node, sum(h.hub_fp)::BIGINT AS raw
+           |  FROM h${i - 1} h JOIN e0 ON h.node = e0.src GROUP BY 1),
+           | a$i AS MATERIALIZED (
+           |  SELECT node, cast((raw * 1000000) // (SELECT max(raw) FROM a${i}r) AS bigint) AS auth_fp
+           |  FROM a${i}r),
+           | h${i}r AS MATERIALIZED (
+           |  SELECT e0.src AS node, sum(a.auth_fp)::BIGINT AS raw
+           |  FROM a$i a JOIN e0 ON a.node = e0.dst GROUP BY 1),
+           | h$i AS MATERIALIZED (
+           |  SELECT node, cast((raw * 1000000) // (SELECT max(raw) FROM h${i}r) AS bigint) AS hub_fp
+           |  FROM h${i}r)""".stripMargin
+      }.mkString
+      base + steps +
+        "\nSELECT node, 'hub' AS kind, hub_fp AS score_fp FROM h3" +
+        "\nUNION ALL SELECT node, 'auth' AS kind, auth_fp AS score_fp FROM a3"
     },
 
     // same orientation (a < b, dedup), same wedge-close joins, same

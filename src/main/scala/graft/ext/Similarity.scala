@@ -249,8 +249,13 @@ object Similarity {
       val prev = current.collect().map { r =>
         val cid = r.getInt(0)
         val kept = meanMap.get(cid).map(_.toIndexedSeq).getOrElse {
-          r.get(1) match { // empty bucket: keep the old position (as doubles)
-            case s: Seq[_] => s.map {
+          // empty bucket: keep the old position (as doubles). Match the
+          // COLLECTION root, not immutable.Seq — Spark rows hand back
+          // mutable.ArraySeq wrappers in 2.13, which a bare `Seq[_]`
+          // (= immutable.Seq) pattern silently fails on (MatchError
+          // first seen when a 5x-scaled probe produced an empty bucket)
+          r.get(1) match {
+            case s: scala.collection.Seq[_] => s.iterator.map {
               case f: Float => f.toDouble
               case d: Double => d
             }.toIndexedSeq

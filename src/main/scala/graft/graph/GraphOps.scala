@@ -124,6 +124,53 @@ object GraphOps {
     * rank frame is consumed exactly once); past ~10 iterations checkpoint
     * the rank frame to cut lineage, same as any iterative DataFrame
     * algorithm. */
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED edge
+    * frame, as the same deterministic integer fixed point as
+    * [[pageRankFixedPoint]]: per round auth_raw(p) = Σ_{h→p} hub(h),
+    * hub_raw(h) = Σ_{h→p} auth(p), and each side MAX-normalizes in
+    * integers — `(raw * 1e6) div max(raw)` — which plays the role L2
+    * normalization plays in the float formulation (without it magnitudes
+    * grow by the degree products every round; with it the leading score
+    * is pinned at exactly 1e6 and every round replays bit-identically in
+    * SQL). Hubs start at 1e6. Long headroom: raw ≤ max_degree·1e6 and the
+    * scale step multiplies by 1e6 again — beyond ~1e6 max degree, widen
+    * the multiply to decimal(38,0) (same plan shape).
+    *
+    * Plan shape, deliberately different from pageRank's lazy single plan:
+    * each round's TWO raw frames are eagerly materialized
+    * (`localCheckpoint`) because each is consumed twice (its own max +
+    * the scaled projection) — left lazy, the doubled references compound
+    * per round into an exponentially duplicated subtree. The pinned
+    * frames are (node, long) — tiny. The edge frame is pinned once for
+    * the same reason (2 consumers per round across checkpoint
+    * boundaries, where ReuseExchange cannot see). Scale: per round two
+    * rank-adjacency equi-joins + two map-combined sums + two 1-row
+    * maxes; bucket the edge frame by src/dst and the joins are
+    * exchange-free on the edge side. */
+  def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    var hub = e.select(col("src").as("node")).distinct()
+      .withColumn("hub_fp", lit(1000000L))
+    var auth: DataFrame = hub.limit(0).withColumnRenamed("hub_fp", "auth_fp")
+    for (_ <- 1 to iterations) {
+      val authRaw = e.join(hub, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("hub_fp")).as("raw"))
+        .localCheckpoint(true)
+      auth = authRaw.crossJoin(broadcast(authRaw.agg(max(col("raw")).as("m"))))
+        .select(col("dst").as("node"), expr("(raw * 1000000) div m").as("auth_fp"))
+      val hubRaw = e.join(auth, col("dst") === col("node"))
+        .groupBy(col("src")).agg(sum(col("auth_fp")).as("raw"))
+        .localCheckpoint(true)
+      hub = hubRaw.crossJoin(broadcast(hubRaw.agg(max(col("raw")).as("m"))))
+        .select(col("src").as("node"), expr("(raw * 1000000) div m").as("hub_fp"))
+    }
+    hub.select(col("node"), lit("hub").as("kind"), col("hub_fp").as("score_fp"))
+      .unionByName(
+        auth.select(col("node"), lit("auth").as("kind"), col("auth_fp").as("score_fp")))
+  }
+
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()

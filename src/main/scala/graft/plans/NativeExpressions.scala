@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,9 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * dispatch plus boxing. A MinHash signature via HOFs costs
   * `numHashes × shingles` lambda invocations per row (~50ms/doc measured);
   * these expressions do the same math in one tight JVM loop per row
-  * (~0.1ms/doc). `CodegenFallback` is fine here: the loop dominates, and
-  * the expression sits in a projection whose surrounding plan still
-  * codegens.
+  * (~0.1ms/doc). `CodegenFallback` is fine for most of them: the loop
+  * dominates, and the expression sits in a projection whose surrounding
+  * plan still codegens. The two hottest ([[CharShingles]],
+  * [[MinHashBands]] — evaluated per document in every LSH query) instead
+  * implement `doGenCode` as a direct call on the plan-referenced
+  * instance, which keeps their projection inside whole-stage codegen
+  * (no fallback row materialization) at zero kernel duplication.
   *
   * Hashing is built on the same seed-42 xxhash64 base Spark's `xxhash64`
   * uses, so results are stable and reproducible across runs. NOTE: the
@@ -207,13 +211,18 @@ private object TextScan {
 }
 
 case class CharShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n > 0, "shingle size must be positive")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "char_shingles"
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+  /** The kernel, shared verbatim by interpreted eval and generated code —
+    * [[doGenCode]] emits one direct call on this (plan-referenced)
+    * instance, so the LSH projection stays inside whole-stage codegen
+    * (no CodegenFallback row materialization) while the loop itself runs
+    * as ordinary JVM code. */
+  def compute(v: UTF8String): ArrayData = {
+    val s = v.toString.toLowerCase(java.util.Locale.ROOT)
     val out = new java.util.LinkedHashSet[String]()
     // Windows advance by CODE POINT, not UTF-16 unit: the DuckDB ground-
     // truth oracles slice by code point, and UTF-16 windows would also
@@ -242,6 +251,13 @@ case class CharShingles(child: Expression, n: Int)
     var j = 0
     while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charShinglesExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
@@ -292,7 +308,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 }
 
 case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
     s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -304,14 +320,16 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
 
   override def nullable: Boolean = true
 
-  override def nullSafeEval(v: Any): Any = {
-    // empty shingle set -> NULL bands: all-empty docs share the degenerate
-    // all-MaxValue signature, and pairing them is both wrong (they belong
-    // to exact dedup) and quadratic. Returning null here lets callers skip
-    // them for free — posexplode(null) emits no rows — instead of
-    // re-evaluating the shingle expression in a separate filter.
-    if (v.asInstanceOf[ArrayData].numElements() == 0) return null
-    val sig = HashFamily.signatureOf(v.asInstanceOf[ArrayData], as, bs)
+  /** The kernel, shared by interpreted eval and generated code (the
+    * [[CharShingles.compute]] pattern). Returns null — not an empty
+    * array — for an empty shingle set: all-empty docs share the
+    * degenerate all-MaxValue signature, and pairing them is both wrong
+    * (they belong to exact dedup) and quadratic. A null lets callers
+    * skip them for free — posexplode(null) emits no rows — instead of
+    * re-evaluating the shingle expression in a separate filter. */
+  def computeOrNull(v: ArrayData): ArrayData = {
+    if (v.numElements() == 0) return null
+    val sig = HashFamily.signatureOf(v, as, bs)
     val out = new Array[Any](bands)
     var b = 0
     while (b < bands) {
@@ -325,6 +343,17 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
       b += 1
     }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = computeOrNull(v.asInstanceOf[ArrayData])
+
+  // nullable is true (above), so nullSafeCodeGen declares ev.isNull as a
+  // real variable — safe to overwrite with the empty-set null contract
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minHashBandsExpr", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = $ref.computeOrNull($c);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   }
 
   override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)

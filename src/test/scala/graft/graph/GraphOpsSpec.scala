@@ -70,6 +70,25 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.values.sum <= 3000000L && out.values.sum > 2900000L)
   }
 
+  test("HITS replays the max-normalized integer recurrence exactly") {
+    // directed bipartite: h1 -> {a1, a2}, h2 -> {a1} (hubs 1,2; auths 10,20)
+    val e = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("src", "dst")
+    val out = GraphOps.hitsFixedPoint(e, "src", "dst", iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // round 1: auth_raw a10 = 2e6, a20 = 1e6 -> max 2e6 -> a10 = 1e6,
+    //          a20 = 500000; hub_raw h1 = 1e6 + 5e5 = 1.5e6, h2 = 1e6
+    //          -> max 1.5e6 -> h1 = 1e6, h2 = (1e6*1e6) div 1.5e6 = 666666
+    // round 2: auth_raw a10 = 1e6 + 666666 = 1666666, a20 = 1e6
+    //          -> a10 = 1e6, a20 = (1e6*1e6) div 1666666 = 600000;
+    //          hub_raw h1 = 1e6 + 600000 = 1.6e6, h2 = 1e6
+    //          -> h1 = 1e6, h2 = (1e6*1e6) div 1.6e6 = 625000
+    assert(out == Map(
+      (1L, "hub") -> 1000000L, (2L, "hub") -> 625000L,
+      (10L, "auth") -> 1000000L, (20L, "auth") -> 600000L), out.toString)
+    // the leading hub and authority are pinned at exactly 1e6 every round
+    assert(out((1L, "hub")) == 1000000L && out((10L, "auth")) == 1000000L)
+  }
+
   test("personalized PageRank replays the seed-concentrated recurrence exactly") {
     // symmetric star 1 <-> 2, 1 <-> 3; seed = {2}. N=3, |S|=1:
     // init: node2 = 3e6, others 0; teleport T = 450000 per round to node2
