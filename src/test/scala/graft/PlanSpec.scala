@@ -856,4 +856,57 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "replica means lost map-side combine")
     assert(!p.contains("SortMergeJoin"), "full-mean frame must broadcast")
   }
+
+  test("KS test: D aggregation is map-combined over the checkpointed cum frame") {
+    // the range-partitioned prefix sums live UPSTREAM of the eager
+    // localCheckpoint (GlobalRankSpec pins that shape); the visible plan
+    // is the downstream consumer: the totals are a bounded 1-row max
+    // (its SinglePartition final step is over <= numPartitions partials,
+    // configuration-bounded) broadcast to the cum scan, and the D max is
+    // map-combined — never a data-sized shuffle of raw rows
+    val p = plan("q_ks_test")
+    assert(p.contains("partial_max"), s"D max lost map-side combine:\n${p.take(3000)}")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row totals must broadcast:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"KS grew a data-sized join:\n${p.take(3000)}")
+  }
+
+  test("stratified sample: the gate is a narrow pass over two broadcast scalars") {
+    val p = plan("q_stratified_sample")
+    // stratum counts and the 1-row minimum broadcast; the corpus-side
+    // gate never sort-merge-joins
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.contains("SortMergeJoin"),
+      s"per-stratum rates must broadcast, not shuffle the corpus:\n${p.take(3000)}")
+  }
+
+  test("benford / cramers_v / mutual_info: grouped counts with map-side combine, tiny broadcasts") {
+    for (q <- Seq("q_benford", "q_cramers_v", "q_mutual_info")) {
+      val p = plan(q)
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q lost map-side combine:\n${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q's marginals must broadcast, not shuffle:\n${p.take(3000)}")
+    }
+  }
+
+  test("hits: per-round rank joins are equi-joins, never cartesian") {
+    // the 1-row max rides a broadcast cross join (BNLJ over one row is
+    // the intended shape); what must never appear is an unbroadcast
+    // cartesian over data-sized frames
+    val p = plan("q_hits")
+    assert(!p.contains("CartesianProduct"),
+      s"a HITS round degenerated to a cartesian:\n${p.take(3000)}")
+  }
+
+  test("ivfpq: the probed scan is a broadcast join over the code-width index") {
+    val p = plan("q_ivfpq_topk")
+    // probes (queries x nprobe, with LUTs) broadcast to the corpus index;
+    // the corpus itself never shuffles before the per-query top-k window
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"),
+      s"IVF-PQ fell back to all-pairs:\n${p.take(3000)}")
+  }
 }
