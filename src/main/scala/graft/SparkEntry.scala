@@ -4316,6 +4316,46 @@ object SparkEntry {
             .as("d_stat"))
     }),
 
+    // exact 1-D Wasserstein-1 (earth-mover) distance between the same two
+    // slices q_ks_test compares — where KS reports the WORST pointwise CDF
+    // gap, W1 integrates the gap over the value axis (|F_A - F_R| is
+    // piecewise constant between consecutive distinct values, so the
+    // integral is an exact finite sum). One withGlobalCumSums pass yields
+    // BOTH inclusive cums AND the 0-based value rank (a prefix count of
+    // lit(1)); each segment's height x gap product runs in decimal(38,0)
+    // (the sum reaches ~1e23 at this fixture — past long, exact in
+    // decimal and in DuckDB's hugeint; both engines cast the SAME exact
+    // integer to double at the very end). The rank equi-join attaches
+    // each value's successor; the top value correctly drops (no segment
+    // above it).
+    "q_wasserstein" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("g"), cents(col("l_extendedprice")).as("v"))
+      val byVal = li.groupBy(col("v")).agg(
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === "R", 1L).otherwise(0L)).as("cr"))
+      val cum = graft.operators.GlobalRank.withGlobalCumSums(
+          byVal, Seq(col("v")),
+          Seq((lit(1L): org.apache.spark.sql.Column) -> "r",
+            col("ca") -> "cax", col("cr") -> "crx"))
+        .select(col("v"), col("r"),
+          (col("cax") + col("ca")).as("cum_a"), (col("crx") + col("cr")).as("cum_r"))
+        .localCheckpoint(true)
+      val nxt = cum.select((col("r") - 1L).as("r"), col("v").as("v_next"))
+      val tot = cum.agg(max(col("cum_a")).as("n_a"), max(col("cum_r")).as("n_r"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      cum.join(nxt, Seq("r"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_a"), col("n_r"),
+          (abs(dec(col("cum_a")) * dec(col("n_r")) - dec(col("cum_r")) * dec(col("n_a"))) *
+            dec(col("v_next") - col("v"))).as("__seg"))
+        .groupBy(col("n_a"), col("n_r"))
+        .agg(sum(col("__seg")).cast("double").as("w1_num"))
+        .select(col("n_a"), col("n_r"), col("w1_num"),
+          round(col("w1_num") /
+            (col("n_a").cast("double") * col("n_r").cast("double")), 6).as("w1_cents"))
+    }),
+
     // Gini concentration of customer lifetime spend — the inequality
     // read-out ("what share of revenue sits in the top tail") every
     // monetization/fairness review quotes. Fraction-free Mean-Difference
@@ -9185,6 +9225,30 @@ FROM (
         |  round(cast(max(abs(cum_a * n_r - cum_r * n_a)) AS double)
         |    / (cast(n_a AS double) * cast(n_r AS double)), 6) AS d_stat
         |FROM cum CROSS JOIN tot
+        |GROUP BY n_a, n_r""".stripMargin,
+
+    // the piecewise-constant CDF-gap integral replayed with windows; cum
+    // is referenced twice (self-join on the rank) -> MATERIALIZED
+    "q_wasserstein" ->
+      """WITH byval AS MATERIALIZED (
+        |  SELECT cast(floor(l_extendedprice * 100.0 + 0.5) AS bigint) AS v,
+        |    sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS cr
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+        | cum AS MATERIALIZED (
+        |  SELECT v, row_number() OVER (ORDER BY v) - 1 AS r,
+        |    sum(ca) OVER (ORDER BY v) AS cum_a,
+        |    sum(cr) OVER (ORDER BY v) AS cum_r
+        |  FROM byval),
+        | tot AS (SELECT sum(ca)::BIGINT AS n_a, sum(cr)::BIGINT AS n_r FROM byval),
+        | seg AS (
+        |  SELECT c.cum_a, c.cum_r, n.v - c.v AS gap
+        |  FROM cum c JOIN cum n ON n.r = c.r + 1)
+        |SELECT n_a, n_r,
+        |  cast(sum(abs(cum_a * n_r - cum_r * n_a) * gap) AS double) AS w1_num,
+        |  round(cast(sum(abs(cum_a * n_r - cum_r * n_a) * gap) AS double)
+        |    / (cast(n_a AS double) * cast(n_r AS double)), 6) AS w1_cents
+        |FROM seg CROSS JOIN tot
         |GROUP BY n_a, n_r""".stripMargin,
 
     "q_gini" ->

@@ -671,7 +671,8 @@ object ScaleProbe {
       val tIp = time(force(Similarity.ivfPqTopK(
         emb, "vec_id", "embedding", queries, "qid", "qvec", k = 5)))
       val tHi = tq("q_hits")
-      println(f"""SCALE_R9 {"factor":$f, "ks_test":$tKs%.2f, "gini":$tGi%.2f, "benford":$tBe%.2f, "mutual_info":$tMi%.2f, "changepoint":$tCp%.2f, "cramers_v":$tCv%.2f, "stratified_sample":$tSs%.2f, "bloom_fpr":$tBf%.2f, "ivfpq_topk_constq":$tIp%.2f, "hits":$tHi%.2f}""")
+      val tW1 = tq("q_wasserstein")
+      println(f"""SCALE_R9 {"factor":$f, "ks_test":$tKs%.2f, "gini":$tGi%.2f, "benford":$tBe%.2f, "mutual_info":$tMi%.2f, "changepoint":$tCp%.2f, "cramers_v":$tCv%.2f, "stratified_sample":$tSs%.2f, "bloom_fpr":$tBf%.2f, "ivfpq_topk_constq":$tIp%.2f, "hits":$tHi%.2f, "wasserstein":$tW1%.2f}""")
       }
     }
     spark.stop()

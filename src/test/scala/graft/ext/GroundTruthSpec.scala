@@ -264,6 +264,42 @@ class GroundTruthSpec extends SparkSpec {
     }
   }
 
+  test("approx-sketch contract booleans hold on the small fixture too") {
+    // the correctness gate checks these at sf0.01; this pins the
+    // SMALL-n edge (tolerance eps*n shrinks with n, where a bound bug
+    // would first surface) on the test fixture dir
+    val wa = graft.SparkEntry.queries("q_winsorize_approx")(spark, dir).collect()
+    assert(wa.nonEmpty)
+    wa.foreach { r =>
+      assert(r.getAs[Boolean]("lo_within_bound"), s"lo rank bound: $r")
+      assert(r.getAs[Boolean]("hi_within_bound"), s"hi rank bound: $r")
+    }
+    val ma = graft.SparkEntry.queries("q_mad_outliers_approx")(spark, dir).collect()
+    assert(ma.nonEmpty)
+    ma.foreach { r =>
+      assert(r.getAs[Boolean]("med_within_bound"), s"median rank bound: $r")
+      assert(r.getAs[Boolean]("mad_within_bound"), s"MAD rank bound: $r")
+    }
+    val ad = graft.SparkEntry.queries("q_approx_distinct")(spark, dir).collect()
+    assert(ad.nonEmpty && ad.forall(_.getAs[Boolean]("within_bound")))
+    val cr = graft.SparkEntry.queries("q_compression_ratio")(spark, dir).collect()
+    assert(cr.nonEmpty && cr.forall(_.getAs[Boolean]("within_bound")))
+  }
+
+  test("Wasserstein-1 dominates no segment and is consistent with KS on the same slices") {
+    // W1 (integral of |F_A - F_R|) and KS (max of it) over identical
+    // slices: W1 in cents must be <= KS * value range (height bound) and
+    // > 0 on genuinely different distributions
+    val ks = graft.SparkEntry.queries("q_ks_test")(spark, dir).head()
+    val w1 = graft.SparkEntry.queries("q_wasserstein")(spark, dir).head()
+    val d = ks.getAs[Double]("d_stat")
+    val w = w1.getAs[Double]("w1_cents")
+    assert(w > 0.0 && d > 0.0)
+    // the price domain spans < 10^7 cents; the integral of a function
+    // bounded by d over it is bounded by d * range
+    assert(w <= d * 1.0e7, s"W1 $w vs KS $d violates the height bound")
+  }
+
   test("IVF drops NULL embeddings everywhere its SQL oracle does") {
     import spark.implicits._
     // corrupt rows: a NULL query vector and a NULL corpus vector. The
