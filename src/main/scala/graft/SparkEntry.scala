@@ -4356,6 +4356,42 @@ object SparkEntry {
             (col("n_a").cast("double") * col("n_r").cast("double")), 6).as("w1_cents"))
     }),
 
+    // Kaplan-Meier survival over user lifetimes — the retention CURVE
+    // (risk sets + censoring) that q_cohort_retention's weekly grid
+    // cannot express: a user's lifetime runs first->last event in whole
+    // days; users still active in the final week of the observation
+    // window are CENSORED (they leave the risk set without counting as
+    // churn — dropping them instead is the classic retention bias).
+    // Pure integers end to end: the per-time KM factor is
+    // ((n_risk - d) * 1e6) div n_risk — no float ever; the consumer
+    // multiplies factors (or sums their logs) downstream. The window
+    // runs over the DAILY lifetime rollup, bounded by the date range by
+    // construction (the q_changepoint argument).
+    "q_survival_km" -> ((s, dir) => {
+      val us = graft.sources.Tables.tsMicros(col("ts"))
+      val u = t(s, dir, "events").select(col("user_id"), us.as("__us"))
+        .groupBy(col("user_id"))
+        .agg(min(col("__us")).as("f"), max(col("__us")).as("l"))
+      val mx = u.agg(max(col("l")).as("m"))
+      val day = 86400000000L
+      val lt = u.crossJoin(broadcast(mx))
+        .select(expr(s"(l - f) div $day").as("t_days"),
+          when(col("l") < col("m") - lit(7L * day), 1L).otherwise(0L).as("ev"))
+      val byT = lt.groupBy(col("t_days"))
+        .agg(count(lit(1)).as("__ending"), sum(col("ev")).as("n_events"))
+      val w = Window.orderBy(col("t_days"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byT
+        .withColumn("__before", coalesce(sum(col("__ending")).over(w), lit(0L)))
+        .crossJoin(broadcast(byT.agg(sum(col("__ending")).as("__n"))))
+        .select(col("t_days"),
+          (col("__n") - col("__before")).as("n_risk"),
+          col("n_events"),
+          (col("__ending") - col("n_events")).as("n_censored"),
+          expr("((__n - __before - n_events) * 1000000) div (__n - __before)")
+            .as("km_factor_fp"))
+    }),
+
     // Gini concentration of customer lifetime spend — the inequality
     // read-out ("what share of revenue sits in the top tail") every
     // monetization/fairness review quotes. Fraction-free Mean-Difference
@@ -9226,6 +9262,31 @@ FROM (
         |    / (cast(n_a AS double) * cast(n_r AS double)), 6) AS d_stat
         |FROM cum CROSS JOIN tot
         |GROUP BY n_a, n_r""".stripMargin,
+
+    // risk sets replayed with an exclusive running count over the daily
+    // lifetime rollup; the KM factor is the same integer div
+    "q_survival_km" ->
+      """WITH u AS MATERIALIZED (
+        |  SELECT user_id, min(epoch_us(ts)) AS f, max(epoch_us(ts)) AS l
+        |  FROM events GROUP BY 1),
+        | mx AS (SELECT max(l) AS m FROM u),
+        | lt AS (
+        |  SELECT (l - f) // 86400000000 AS t_days,
+        |    CASE WHEN l < m - 604800000000 THEN 1 ELSE 0 END AS ev
+        |  FROM u, mx),
+        | byt AS MATERIALIZED (
+        |  SELECT t_days, count(*)::BIGINT AS ending, sum(ev)::BIGINT AS d
+        |  FROM lt GROUP BY 1),
+        | tot AS (SELECT sum(ending)::BIGINT AS n FROM byt),
+        | cum AS (
+        |  SELECT t_days, ending, d,
+        |    coalesce(sum(ending) OVER (ORDER BY t_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM byt)
+        |SELECT t_days, (n - before)::BIGINT AS n_risk, d AS n_events,
+        |  (ending - d)::BIGINT AS n_censored,
+        |  (((n - before - d) * 1000000) // (n - before))::BIGINT AS km_factor_fp
+        |FROM cum CROSS JOIN tot""".stripMargin,
 
     // the piecewise-constant CDF-gap integral replayed with windows; cum
     // is referenced twice (self-join on the rank) -> MATERIALIZED

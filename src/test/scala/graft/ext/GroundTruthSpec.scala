@@ -300,6 +300,28 @@ class GroundTruthSpec extends SparkSpec {
     assert(w <= d * 1.0e7, s"W1 $w vs KS $d violates the height bound")
   }
 
+  test("Kaplan-Meier: risk sets telescope, factors stay in (0, 1e6]") {
+    val rows = graft.SparkEntry.queries("q_survival_km")(spark, dir)
+      .orderBy(col("t_days")).collect()
+    assert(rows.nonEmpty)
+    // the first risk set is the full population; each later risk set is
+    // the previous minus everyone whose lifetime ended at the prior time
+    val users = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.head.getAs[Long]("n_risk") == users)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val endedAtA = a.getAs[Long]("n_events") + a.getAs[Long]("n_censored")
+      assert(b.getAs[Long]("n_risk") == a.getAs[Long]("n_risk") - endedAtA,
+        s"risk set must telescope: $a -> $b")
+    }
+    rows.foreach { r =>
+      val f = r.getAs[Long]("km_factor_fp")
+      assert(f > 0L && f <= 1000000L, s"KM factor out of range: $r")
+      // censored-only times leave survival untouched
+      if (r.getAs[Long]("n_events") == 0L) assert(f == 1000000L)
+    }
+  }
+
   test("IVF drops NULL embeddings everywhere its SQL oracle does") {
     import spark.implicits._
     // corrupt rows: a NULL query vector and a NULL corpus vector. The
