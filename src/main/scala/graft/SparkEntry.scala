@@ -66,31 +66,18 @@ object SparkEntry {
     * bucketing target (bucket by `pa`) that makes per-round graph joins
     * exchange-free on the edge side. Row-identical to
     * [[coPurchaseEdges]], so every oracle is untouched. */
-  private def stagedCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val path = s"/tmp/graft_copurchase_$digest"
-    if (stagedRefs.add(path))
-      coPurchaseEdges(s, dir).write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
+  private def stagedCoPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    stagedParquet(s, dir, "copurchase")(coPurchaseEdges(s, dir))
 
   /** The capped distinct (order, part) basket projection STAGED once per
     * (JVM, input dir) — q_assoc_rules consumes it four ways (both pair
     * self-join sides, each support side, N), and without staging each
     * consumer replays the distinct + cap-window pipeline over lineitem.
     * Same discipline as [[stagedCoPurchaseEdges]]. */
-  private def stagedBaskets(s: SparkSession, dir: String): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val path = s"/tmp/graft_baskets_$digest"
-    if (stagedRefs.add(path))
-      graft.ext.MarketBasket.cappedBaskets(
-        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
-        "l_orderkey", "l_partkey", maxGroupSize = 256)
-        .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
+  private def stagedBaskets(s: SparkSession, dir: String): DataFrame =
+    stagedParquet(s, dir, "baskets")(graft.ext.MarketBasket.cappedBaskets(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", maxGroupSize = 256))
 
   /** The symmetric order<->part bipartite edge frame (orderkey*2 <->
     * partkey*2+1, both directions) STAGED once per (JVM, input dir) —
@@ -101,18 +88,12 @@ object SparkEntry {
     * bucketing target (bucket by `src`) that makes the per-round
     * rank-contribution joins exchange-free on the edge side. Same
     * discipline as [[stagedCoPurchaseEdges]]. */
-  private def stagedBipartiteEdges(s: SparkSession, dir: String): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val path = s"/tmp/graft_bipartite_$digest"
-    if (stagedRefs.add(path)) {
+  private def stagedBipartiteEdges(s: SparkSession, dir: String): DataFrame =
+    stagedParquet(s, dir, "bipartite") {
       val e0 = t(s, dir, "lineitem")
         .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
-        .write.mode("overwrite").parquet(path)
     }
-    s.read.parquet(path)
-  }
 
   /** The exact brute-force cosine top-10 over the shared retrieval
     * fixture (full embeddings corpus, `vec_id % 50 == 0` query set)
@@ -127,20 +108,14 @@ object SparkEntry {
     * (q_embed_topk, q_embed_topk_agg, q_rec_coverage) deliberately keep
     * computing it live: they are the exact-scan benchmark, this table is
     * ground truth for evaluating the approximate paths. */
-  private def stagedExactNeighbors(s: SparkSession, dir: String): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val path = s"/tmp/graft_exacttop10_$digest"
-    if (stagedRefs.add(path)) {
+  private def stagedExactNeighbors(s: SparkSession, dir: String): DataFrame =
+    stagedParquet(s, dir, "exacttop10") {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       graft.ext.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qvec", k = 10)
-        .write.mode("overwrite").parquet(path)
+        queries, "qid", "qvec", k = 10)
     }
-    s.read.parquet(path)
-  }
 
   /** Integer cents via explicit IEEE arithmetic — the determinism-critical
     * rounding every money aggregate is built on (identical on any engine,
@@ -159,13 +134,30 @@ object SparkEntry {
     * stale or orphaned data. */
   private val stagedRefs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** 8-hex digest of the input dir — keys every staged path and table
+    * name, so a warm-up SF can never leak its staging into the timed
+    * SF. */
+  private def dirDigest(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  /** Stage a derived frame to /tmp parquet ONCE per (JVM, input dir) and
+    * read it back — the shared mechanics behind every staged* helper:
+    * digest-keyed path, [[stagedRefs]] in-process dedup, and a plain
+    * columnar re-read for every consumer. */
+  private def stagedParquet(s: SparkSession, dir: String, prefix: String)
+      (build: => DataFrame): DataFrame = {
+    val path = s"/tmp/graft_${prefix}_${dirDigest(dir)}"
+    if (stagedRefs.add(path)) build.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** Stage the q_cross_dedup_* reference corpus (doc_id < 400) as a
     * bucketed banding table, once per process and input dir — the table
     * name carries a digest of the dir so a warm-up SF can never leak its
     * staging into the timed SF. Returns the table name. */
   private def bucketedRefTable(s: SparkSession, dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val digest = dirDigest(dir)
     val name = s"graft_ref_bands_$digest"
     if (stagedRefs.add(name)) {
       s.sql(s"DROP TABLE IF EXISTS $name")
@@ -188,8 +180,7 @@ object SparkEntry {
     * key reads buckets in place (q_bucket_join pins the plan; the same
     * move backs [[bucketedRefTable]] for the dedup reference corpus). */
   private def bucketedJoinTables(s: SparkSession, dir: String): (String, String) = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val digest = dirDigest(dir)
     val to = s"graft_bkt_orders_$digest"
     val tc = s"graft_bkt_customer_$digest"
     if (stagedRefs.add(to)) {
@@ -215,16 +206,10 @@ object SparkEntry {
     * table is what an image pipeline stores, decodes being paid once per
     * corpus, not per consumer. Row-identical to deriving in place, so the
     * exact all-pairs oracles are untouched. */
-  private def stagedImageFingerprints(s: SparkSession, dir: String): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val path = s"/tmp/graft_imgfp_$digest"
-    if (stagedRefs.add(path))
-      Multimodal.imageFingerprints(Multimodal.synthesizeGradientImages(
-          t(s, dir, "documents").select(col("doc_id")), "doc_id"))
-        .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
+  private def stagedImageFingerprints(s: SparkSession, dir: String): DataFrame =
+    stagedParquet(s, dir, "imgfp")(Multimodal.imageFingerprints(
+      Multimodal.synthesizeGradientImages(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")))
 
   /** Stage the minhash near-dup pair set (char-5-gram shingles, 128
     * hashes, 16 bands, jaccard ≥ 0.5) once per (JVM, input dir): SIX
@@ -235,16 +220,10 @@ object SparkEntry {
     * once (id-pair rows, tiny next to the corpus) for every downstream
     * consumer. Row-identical to deriving in place; all five oracles are
     * untouched. */
-  private def stagedMinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val path = s"/tmp/graft_mhpairs_$digest"
-    if (stagedRefs.add(path))
-      Dedup.minhashNearDuplicates(t(s, dir, "documents"), "doc_id", "text",
-          shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5)
-        .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
+  private def stagedMinhashPairs(s: SparkSession, dir: String): DataFrame =
+    stagedParquet(s, dir, "mhpairs")(Dedup.minhashNearDuplicates(
+      t(s, dir, "documents"), "doc_id", "text",
+      shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5))
 
   /** Stage documents HIVE-PARTITIONED by lang once per (JVM, input
     * dir) — the standard 100 TB layout move for a column every query
@@ -254,8 +233,7 @@ object SparkEntry {
     * zone map). q_partition_prune pins `PartitionFilters` non-empty in
     * its plan. */
   private def partitionedDocsPath(s: SparkSession, dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val digest = dirDigest(dir)
     val path = s"/tmp/graft_docs_bylang_$digest"
     if (stagedRefs.add(path))
       t(s, dir, "documents").write.mode("overwrite")
@@ -271,8 +249,7 @@ object SparkEntry {
     * the contract a long-lived 100 TB dataset's readers depend on as
     * its schema accretes columns. */
   private def schemaDriftPaths(s: SparkSession, dir: String): (String, String) = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val digest = dirDigest(dir)
     val p1 = s"/tmp/graft_docs_v1_$digest"
     val p2 = s"/tmp/graft_docs_v2_$digest"
     if (stagedRefs.add(p1)) {
@@ -292,8 +269,7 @@ object SparkEntry {
     * [[bucketedRefTable]]: the one-time write is not charged to every
     * timed pass, and the path carries the dir digest so SFs never mix. */
   private def jsonlStagePath(s: SparkSession, dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val digest = dirDigest(dir)
     val path = s"/tmp/graft_jsonl_$digest"
     if (stagedRefs.add(path)) graft.sources.Jsonl.write(t(s, dir, "documents"), path)
     path
@@ -304,8 +280,7 @@ object SparkEntry {
     * the other columnar interchange format Spark ships a native vectorized
     * reader for; a lakehouse migration reads exactly this way). */
   private def orcStagePath(s: SparkSession, dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val digest = dirDigest(dir)
     val path = s"/tmp/graft_orc_$digest"
     if (stagedRefs.add(path))
       t(s, dir, "documents").write.mode("overwrite").orc(path)
@@ -318,15 +293,9 @@ object SparkEntry {
     * dominant cost: measure-then-cut pipelines derive the index once, the
     * same production posture as [[stagedCoPurchaseEdges]]. Row-identical
     * to Dedup.gramIndex on the raw table, so both oracles are untouched. */
-  private def stagedGramIndex(s: SparkSession, dir: String): DataFrame = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val path = s"/tmp/graft_grams_$digest"
-    if (stagedRefs.add(path))
-      Dedup.gramIndex(t(s, dir, "documents"), "doc_id", "text", k = 40)
-        .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
+  private def stagedGramIndex(s: SparkSession, dir: String): DataFrame =
+    stagedParquet(s, dir, "grams")(
+      Dedup.gramIndex(t(s, dir, "documents"), "doc_id", "text", k = 40))
 
   /** approx_percentile accuracy for the *_approx scale twins: rank error
     * ≤ n/accuracy per group. 10k keeps sketch memory a few hundred KB per
@@ -4468,23 +4437,28 @@ object SparkEntry {
 
     // CUSUM changepoint on the daily revenue series — "when did the level
     // shift" for a pipeline health monitor. FRACTION-FREE deviation:
-    // dev_t = n*P_t - t*T (P_t prefix sum, T total) is |n·P - t·T| in
-    // LONGS (no mean, no float drift); the argmax takes the earliest day
-    // on ties. The window runs over the DAILY rollup — bounded by the
-    // date range by construction (thousands of rows), not by data volume,
-    // which is the one shape where an unpartitioned window is correct.
+    // dev_t = n*P_t - t*T (P_t prefix sum, T total), computed in
+    // decimal(38,0) like q_ks_test/q_wasserstein (n·P passes 2^63 once
+    // total cents reach ~1e15 — a plain long would silently wrap while
+    // the oracle's HUGEINT stays exact); the argmax takes the earliest
+    // day on ties. The window runs over the DAILY rollup — bounded by
+    // the date range by construction (thousands of rows), not by data
+    // volume, which is the one shape where an unpartitioned window is
+    // correct.
     "q_changepoint" -> ((s, dir) => {
       val daily = t(s, dir, "lineitem")
         .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
         .agg(sum(cents(col("l_extendedprice"))).as("rev_c"))
       val w = Window.orderBy(col("day"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       val scored = daily
         .withColumn("__t", row_number().over(w).cast("long"))
         .withColumn("__p", sum(col("rev_c")).over(w))
         .crossJoin(broadcast(daily.agg(
           count(lit(1)).as("n_days"), sum(col("rev_c")).as("__tot"))))
         .select(col("day").as("change_day"), col("n_days"),
-          abs(col("n_days") * col("__p") - col("__t") * col("__tot")).as("dev_abs"))
+          abs(dec(col("n_days")) * dec(col("__p")) - dec(col("__t")) * dec(col("__tot")))
+            .cast("long").as("dev_abs"))
       scored
         .withColumn("__rk", row_number().over(
           Window.orderBy(col("dev_abs").desc, col("change_day"))))
@@ -4549,8 +4523,12 @@ object SparkEntry {
     // one, at any scale, so the probe set is disjoint by construction).
     // `no_false_negatives` MUST hold (the Bloom guarantee — a false one
     // means broken plumbing); `fpr_within_bound` checks the observed
-    // false-positive rate against 3x the ~1% design point (capacity 200k
-    // at fpp 0.01). Exact counts escape; sketch bits never do.
+    // false-positive rate against 3x the ~1% design point. Capacity is
+    // DATA-DERIVED (the member count, floored at 1000) — a hardcoded
+    // capacity would saturate at larger scale factors and flip the bound
+    // false while the oracle emits TRUE; the count is a one-off build
+    // cost, exactly as sizing a real pre-join filter is. Exact counts
+    // escape; sketch bits never do.
     "q_bloom_fpr" -> ((s, dir) => {
       // string keys on BOTH sides: the plan-embedded probe hashes UTF-8
       // bytes (BloomMightContain), so the build must insert the same
@@ -4559,7 +4537,8 @@ object SparkEntry {
         .select(col("o_custkey").cast("string").as("k")).distinct()
       val probes = t(s, dir, "customer")
         .select(concat(lit("probe:"), col("c_custkey").cast("string")).as("k"))
-      val bloom = members.stat.bloomFilter("k", 200000L, 0.01)
+      val bloom = members.stat.bloomFilter("k",
+        math.max(members.count(), 1000L), 0.01)
       val memberChecks = members
         .agg(count(lit(1)).as("n_members"),
           sum(when(graft.plans.NativeExpressions.bloomMightContain(col("k"), bloom),

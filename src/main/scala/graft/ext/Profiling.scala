@@ -37,6 +37,10 @@ object Profiling {
   def functionalDependencies(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
     require(cols.size >= 2, s"need at least 2 columns, got $cols")
+    // 64 columns would make `1L << n` wrap (Scala shifts mod 64), turning
+    // every grouping id negative and silently null-dropping all rows —
+    // fail loudly at the boundary Spark's own grouping sets stop at
+    require(cols.size < 64, s"at most 63 columns per pass, got ${cols.size}")
     val n = cols.size
     // grouping_id bit j is SET when cols(j) is aggregated away, leftmost
     // grouping column = highest bit — grouping set {cols(i)} therefore

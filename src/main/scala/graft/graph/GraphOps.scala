@@ -102,28 +102,6 @@ object GraphOps {
       .na.fill(0L, Seq("out_deg", "in_deg"))
   }
 
-  /** Fixed-point INTEGER PageRank as a co-partitioned DataFrame power
-    * iteration — the deterministic, oracle-checkable twin of the GraphX
-    * [[pageRank]] path (whose float accumulation is order-dependent and so
-    * can never hash-match another engine). All arithmetic is 64-bit
-    * integer: ranks are micro-units (1e6 = mass 1.0), each edge ships
-    * `rank DIV outdeg`, and damping is `150000 + (Σ·85) DIV 100` — sums of
-    * longs are order-independent, so any engine replaying the recurrence
-    * gets bit-identical ranks. Quantization error per iteration is
-    * ≤ outdeg micro-units of leaked mass — ranking noise, not ranking
-    * drift, and the price of determinism.
-    *
-    * Contract: every node must have ≥ 1 out-edge (no dangling-mass
-    * redistribution is performed) — pass the symmetric closure for an
-    * undirected reading, which guarantees it.
-    *
-    * Scale: per iteration ONE join of the rank frame with the
-    * degree-annotated edge list (both hashed on the source key — at 100 TB
-    * pre-bucket the edge list on src and the join is exchange-free) and
-    * one map-combined sum on dst. The loop builds one linear plan (each
-    * rank frame is consumed exactly once); past ~10 iterations checkpoint
-    * the rank frame to cut lineage, same as any iterative DataFrame
-    * algorithm. */
   /** HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED edge
     * frame, as the same deterministic integer fixed point as
     * [[pageRankFixedPoint]]: per round auth_raw(p) = Σ_{h→p} hub(h),
@@ -149,6 +127,8 @@ object GraphOps {
     * exchange-free on the edge side. */
   def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3): DataFrame = {
+    // 0 iterations would emit the uninitialized (empty) authority side
+    require(iterations >= 1, s"HITS needs at least one round, got $iterations")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
     var hub = e.select(col("src").as("node")).distinct()
@@ -171,6 +151,28 @@ object GraphOps {
         auth.select(col("node"), lit("auth").as("kind"), col("auth_fp").as("score_fp")))
   }
 
+  /** Fixed-point INTEGER PageRank as a co-partitioned DataFrame power
+    * iteration — the deterministic, oracle-checkable twin of the GraphX
+    * [[pageRank]] path (whose float accumulation is order-dependent and so
+    * can never hash-match another engine). All arithmetic is 64-bit
+    * integer: ranks are micro-units (1e6 = mass 1.0), each edge ships
+    * `rank DIV outdeg`, and damping is `150000 + (Σ·85) DIV 100` — sums of
+    * longs are order-independent, so any engine replaying the recurrence
+    * gets bit-identical ranks. Quantization error per iteration is
+    * ≤ outdeg micro-units of leaked mass — ranking noise, not ranking
+    * drift, and the price of determinism.
+    *
+    * Contract: every node must have ≥ 1 out-edge (no dangling-mass
+    * redistribution is performed) — pass the symmetric closure for an
+    * undirected reading, which guarantees it.
+    *
+    * Scale: per iteration ONE join of the rank frame with the
+    * degree-annotated edge list (both hashed on the source key — at 100 TB
+    * pre-bucket the edge list on src and the join is exchange-free) and
+    * one map-combined sum on dst. The loop builds one linear plan (each
+    * rank frame is consumed exactly once); past ~10 iterations checkpoint
+    * the rank frame to cut lineage, same as any iterative DataFrame
+    * algorithm. */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
