@@ -80,19 +80,60 @@ object SparkEntry {
       "l_orderkey", "l_partkey", maxGroupSize = 256))
 
   /** The symmetric order<->part bipartite edge frame (orderkey*2 <->
-    * partkey*2+1, both directions) STAGED once per (JVM, input dir) —
-    * q_pagerank and q_ppr run the same 5-round fixed-point recurrence
-    * over the same 1.2M-edge frame, and without staging each derives it
-    * from the full lineitem scan independently. One parquet write turns
-    * both into a plain columnar scan; at 100 TB this staged table is the
-    * bucketing target (bucket by `src`) that makes the per-round
-    * rank-contribution joins exchange-free on the edge side. Same
-    * discipline as [[stagedCoPurchaseEdges]]. */
-  private def stagedBipartiteEdges(s: SparkSession, dir: String): DataFrame =
-    stagedParquet(s, dir, "bipartite") {
+    * partkey*2+1, both directions) staged once per (JVM, input dir) as a
+    * DISTINCT table BUCKETED AND SORTED ON `src` (32 buckets, one file
+    * per bucket) — q_pagerank / q_ppr / q_hits all replay fixed-point
+    * recurrences whose per-round join hashes the edge frame on src, so a
+    * plain parquet staging still re-exchanged ~1.2M edge rows inside
+    * every round. The bucketed layout is exactly what
+    * [[graft.graph.GraphOps.pageRankFixedPoint]]'s scaladoc prescribes
+    * for 100 TB: the bucket write is paid once, and every later
+    * src-keyed join / groupBy reads buckets in place — only the
+    * node-sized rank frame moves per round (PlanSpec pins the
+    * edge-side-exchange-free shape). The dedup the fixed points
+    * previously ran per query also moves here (consumers pass
+    * `assumeDistinct = true`; distinct-of-staged == staged-distinct, so
+    * every oracle is untouched). Same once-per-dir discipline and
+    * staging set as [[bucketedRefTable]]. */
+  private def stagedBipartiteEdges(s: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_bipartite_${dirDigest(dir)}"
+    if (stagedRefs.add(name)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse").stripPrefix("file:")
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      graft.etl.Context.deleteRecursively(java.nio.file.Paths.get(wh, name))
       val e0 = t(s, dir, "lineitem")
         .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.sources.Tables.writeBucketed(
+        e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+        name, "src", 32)
+    }
+    s.table(name)
+  }
+
+  /** The distinct-value cumulative-count frame over the A/R
+    * extended-price slices STAGED once per (JVM, input dir) —
+    * q_ks_test and q_wasserstein consume the IDENTICAL
+    * byVal→withGlobalCumSums pipeline (one grouped collapse to distinct
+    * cents values, then both groups' inclusive prefix sums plus the
+    * 0-based value rank in ONE range exchange); without staging each
+    * replays the lineitem scan + group + range exchange. Columns:
+    * (v, r, cum_a, cum_r) — KS reads the cums only, Wasserstein
+    * additionally joins r to r+1 for segment widths. Same discipline as
+    * [[stagedCoPurchaseEdges]]; row-identical to the inline build, so
+    * both oracles are untouched. */
+  private def stagedAbrCum(s: SparkSession, dir: String): DataFrame =
+    stagedParquet(s, dir, "abrcum") {
+      val li = t(s, dir, "lineitem").where(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("g"), cents(col("l_extendedprice")).as("v"))
+      val byVal = li.groupBy(col("v")).agg(
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("g") === "R", 1L).otherwise(0L)).as("cr"))
+      graft.operators.GlobalRank.withGlobalCumSums(
+          byVal, Seq(col("v")),
+          Seq((lit(1L): org.apache.spark.sql.Column) -> "r",
+            col("ca") -> "cax", col("cr") -> "crx"))
+        .select(col("v"), col("r"),
+          (col("cax") + col("ca")).as("cum_a"), (col("crx") + col("cr")).as("cum_r"))
     }
 
   /** The exact brute-force cosine top-10 over the shared retrieval
@@ -116,6 +157,35 @@ object SparkEntry {
       graft.ext.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
         queries, "qid", "qvec", k = 10)
     }
+
+  /** The shared IVF index (nlist = 16, one Lloyd refine pass) over the
+    * embeddings corpus STAGED once per (JVM, input dir): `q_ivf_recall`
+    * probes it at nprobe = 8 and `q_ann_tuning` sweeps nprobe 1/2/4/8 —
+    * five identical index builds without staging (the centroid sample,
+    * refine pass, and corpus assignment are all query- and
+    * nprobe-independent). Centroids stage first (16 rows), then the
+    * assignment reads them back — [[graft.ext.Similarity.ivfSearch]]
+    * consumes the pair. This is exactly the build-once/search-many
+    * posture a production 100 TB index runs (assignment bucketed by
+    * centroid_id is the scale layout; at fixture scale the plain staged
+    * parquet already makes every probe a columnar scan). Value-identical
+    * to the inline builds, so both oracles are untouched. */
+  private def stagedIvf16(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val cent = stagedParquet(s, dir, "ivfcent16") {
+      val emb = t(s, dir, "embeddings")
+      Similarity.refineCentroids(emb, "vec_id", "embedding",
+        Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16), iterations = 1)
+    }
+    val assigned = stagedParquet(s, dir, "ivfassign16") {
+      // narrow projection before assignment: the staged index carries
+      // exactly (vec_id, embedding, centroid_id) — nothing else pays the
+      // write or the per-probe scan
+      Similarity.assignToCentroids(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cent)
+    }
+    (cent, assigned)
+  }
 
   /** Integer cents via explicit IEEE arithmetic — the determinism-critical
     * rounding every money aggregate is built on (identical on any engine,
@@ -1003,7 +1073,8 @@ object SparkEntry {
     // five iterations as staged CTEs)
     "q_pagerank" -> ((s, dir) => {
       graft.graph.GraphOps.pageRankFixedPoint(
-        stagedBipartiteEdges(s, dir), "src", "dst", iterations = 5)
+        stagedBipartiteEdges(s, dir), "src", "dst", iterations = 5,
+        assumeDistinct = true)
     }),
 
     // personalized PageRank on the same bipartite graph: teleport mass
@@ -1020,7 +1091,7 @@ object SparkEntry {
       val seeds = e2.select(col("dst").as("node"))
         .where(col("node") % 100 === 1).distinct()
       graft.graph.GraphOps.personalizedPageRankFixedPoint(
-        e2, "src", "dst", seeds, iterations = 5)
+        e2, "src", "dst", seeds, iterations = 5, assumeDistinct = true)
     }),
 
     // HITS hubs/authorities on the DIRECTED order->part bipartite graph
@@ -1034,7 +1105,7 @@ object SparkEntry {
     "q_hits" -> ((s, dir) => {
       graft.graph.GraphOps.hitsFixedPoint(
         stagedBipartiteEdges(s, dir).where(col("src") % 2 === 0),
-        "src", "dst", iterations = 3)
+        "src", "dst", iterations = 3, assumeDistinct = true)
     }),
 
     // per-part triangle counts over the co-purchase graph (parts sharing
@@ -2171,8 +2242,11 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val exact = stagedExactNeighbors(s, dir).where(col("rank") <= 5)
-      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
-        queries, "qid", "qvec", k = 5, nlist = 16, nprobe = 8, refineIters = 1)
+      // index comes staged (stagedIvf16 — nlist=16/refine=1, shared with
+      // q_ann_tuning's sweep); only the probe+score search runs here
+      val (cent, assigned) = stagedIvf16(s, dir)
+      val approx = Similarity.ivfSearch(assigned, cent, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 5, nprobe = 8)
       Similarity.recallReport(exact, approx, k = 5)
     }),
 
@@ -2507,8 +2581,9 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val target = stagedExactNeighbors(s, dir).where(col("rank") === 1)
         .select(col("query_id"), col("neighbor_id"))
-      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
-        queries, "qid", "qvec", k = 10, nlist = 16, nprobe = 4, refineIters = 1)
+      val (cent, assigned) = stagedIvf16(s, dir)
+      val approx = Similarity.ivfSearch(assigned, cent, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10, nprobe = 4)
       val hit = approx.join(target, Seq("query_id", "neighbor_id"))
         .select(col("query_id"), col("rank").cast("long").as("target_rank"))
       queries.select(col("qid").as("query_id"))
@@ -2532,8 +2607,9 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val exact = stagedExactNeighbors(s, dir)
-      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
-        queries, "qid", "qvec", k = 10, nlist = 16, nprobe = 4, refineIters = 1)
+      val (cent, assigned) = stagedIvf16(s, dir)
+      val approx = Similarity.ivfSearch(assigned, cent, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 10, nprobe = 4)
       val rel = approx.select(col("query_id"), col("neighbor_id"), col("rank"))
         .join(exact.select(col("query_id"), col("neighbor_id"),
           (lit(11L) - col("rank")).as("rel")),
@@ -4073,8 +4149,9 @@ object SparkEntry {
     // ANN tuning curve: macro recall@5 of the IVF index at nprobe
     // 1/2/4/8 against ONE shared brute-force ground truth — the
     // recall-vs-cost trade a 100 TB index is tuned by, as one query.
-    // Identical index (nlist=16, one refine pass) per point, so the
-    // curve isolates the probe budget; the oracle replays the whole
+    // IDENTICAL index (nlist=16, one refine pass) per point — so it is
+    // built ONCE (stagedIvf16, shared with q_ivf_recall) and only the
+    // probe budget varies per sweep point; the oracle replays the whole
     // chain per point (the q_ivf_recall machinery, parameterized).
     // Monotonicity of the curve is additionally pinned in ExtSpec
     "q_ann_tuning" -> ((s, dir) => {
@@ -4082,9 +4159,10 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       val exact = stagedExactNeighbors(s, dir).where(col("rank") <= 5)
+      val (cent, assigned) = stagedIvf16(s, dir)
       Seq(1, 2, 4, 8).map { np =>
-        val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
-          queries, "qid", "qvec", k = 5, nlist = 16, nprobe = np, refineIters = 1)
+        val approx = Similarity.ivfSearch(assigned, cent, "vec_id", "embedding",
+          queries, "qid", "qvec", k = 5, nprobe = np)
         Similarity.recallReport(exact, approx, k = 5)
           .agg(count(lit(1)).as("n_queries"), sum(col("n_hits")).as("total_hits"))
           .select(lit(np).as("nprobe"), col("n_queries"), col("total_hits"),
@@ -4261,18 +4339,10 @@ object SparkEntry {
     // distinct values first, so the prefix-sum frame is bounded by domain
     // cardinality, not row count.
     "q_ks_test" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").where(col("l_returnflag").isin("A", "R"))
-        .select(col("l_returnflag").as("g"), cents(col("l_extendedprice")).as("v"))
-      val byVal = li.groupBy(col("v")).agg(
-        sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
-        sum(when(col("g") === "R", 1L).otherwise(0L)).as("cr"))
-      // BOTH prefix sums in one range exchange (withGlobalCumSums), and
-      // the inclusive-cum frame materialized once — the totals then fall
-      // out as max(cum) (monotone), no second pass over the input
-      val cum = graft.operators.GlobalRank.withGlobalCumSums(
-          byVal, Seq(col("v")), Seq(col("ca") -> "cax", col("cr") -> "crx"))
-        .select((col("cax") + col("ca")).as("cum_a"), (col("crx") + col("cr")).as("cum_r"))
-        .localCheckpoint(true)
+      // the inclusive-cum frame comes staged (stagedAbrCum — built once,
+      // shared with q_wasserstein); the totals then fall out as max(cum)
+      // (monotone), no second pass over the input
+      val cum = stagedAbrCum(s, dir).select(col("cum_a"), col("cum_r"))
       val tot = cum.agg(max(col("cum_a")).as("n_a"), max(col("cum_r")).as("n_r"))
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
       cum.crossJoin(broadcast(tot))
@@ -4298,18 +4368,9 @@ object SparkEntry {
     // each value's successor; the top value correctly drops (no segment
     // above it).
     "q_wasserstein" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").where(col("l_returnflag").isin("A", "R"))
-        .select(col("l_returnflag").as("g"), cents(col("l_extendedprice")).as("v"))
-      val byVal = li.groupBy(col("v")).agg(
-        sum(when(col("g") === "A", 1L).otherwise(0L)).as("ca"),
-        sum(when(col("g") === "R", 1L).otherwise(0L)).as("cr"))
-      val cum = graft.operators.GlobalRank.withGlobalCumSums(
-          byVal, Seq(col("v")),
-          Seq((lit(1L): org.apache.spark.sql.Column) -> "r",
-            col("ca") -> "cax", col("cr") -> "crx"))
-        .select(col("v"), col("r"),
-          (col("cax") + col("ca")).as("cum_a"), (col("crx") + col("cr")).as("cum_r"))
-        .localCheckpoint(true)
+      // the (v, rank, inclusive-cum) frame comes staged (stagedAbrCum —
+      // built once, shared with q_ks_test)
+      val cum = stagedAbrCum(s, dir)
       val nxt = cum.select((col("r") - 1L).as("r"), col("v").as("v_next"))
       val tot = cum.agg(max(col("cum_a")).as("n_a"), max(col("cum_r")).as("n_r"))
       val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
@@ -4440,11 +4501,15 @@ object SparkEntry {
     // dev_t = n*P_t - t*T (P_t prefix sum, T total), computed in
     // decimal(38,0) like q_ks_test/q_wasserstein (n·P passes 2^63 once
     // total cents reach ~1e15 — a plain long would silently wrap while
-    // the oracle's HUGEINT stays exact); the argmax takes the earliest
-    // day on ties. The window runs over the DAILY rollup — bounded by
-    // the date range by construction (thousands of rows), not by data
-    // volume, which is the one shape where an unpartitioned window is
-    // correct.
+    // the oracle's HUGEINT stays exact); the argmax ORDERS ON THE EXACT
+    // DECIMAL (a long-cast here would overflow to NULL at scale and
+    // silently argmax the wrong day; the oracle orders on its exact
+    // HUGEINT) and takes the earliest day on ties; only the EMITTED
+    // dev_abs is cast — to double, the same exact-integer→IEEE conversion
+    // on both engines (the q_ks_test d_num discipline). The window runs
+    // over the DAILY rollup — bounded by the date range by construction
+    // (thousands of rows), not by data volume, which is the one shape
+    // where an unpartitioned window is correct.
     "q_changepoint" -> ((s, dir) => {
       val daily = t(s, dir, "lineitem")
         .groupBy(date_trunc("day", col("l_shipdate")).as("day"))
@@ -4458,11 +4523,13 @@ object SparkEntry {
           count(lit(1)).as("n_days"), sum(col("rev_c")).as("__tot"))))
         .select(col("day").as("change_day"), col("n_days"),
           abs(dec(col("n_days")) * dec(col("__p")) - dec(col("__t")) * dec(col("__tot")))
-            .cast("long").as("dev_abs"))
+            .as("__dev"))
       scored
         .withColumn("__rk", row_number().over(
-          Window.orderBy(col("dev_abs").desc, col("change_day"))))
-        .where(col("__rk") === 1).drop("__rk")
+          Window.orderBy(col("__dev").desc, col("change_day"))))
+        .where(col("__rk") === 1)
+        .select(col("change_day"), col("n_days"),
+          col("__dev").cast("double").as("dev_abs"))
     }),
 
     // chi-squared independence + Cramér's V between order priority and
@@ -4524,11 +4591,17 @@ object SparkEntry {
     // `no_false_negatives` MUST hold (the Bloom guarantee — a false one
     // means broken plumbing); `fpr_within_bound` checks the observed
     // false-positive rate against 3x the ~1% design point. Capacity is
-    // DATA-DERIVED (the member count, floored at 1000) — a hardcoded
-    // capacity would saturate at larger scale factors and flip the bound
-    // false while the oracle emits TRUE; the count is a one-off build
-    // cost, exactly as sizing a real pre-join filter is. Exact counts
-    // escape; sketch bits never do.
+    // DATA-DERIVED (the member-count estimate, floored at 1000) — a
+    // hardcoded capacity would saturate at larger scale factors and flip
+    // the bound false while the oracle emits TRUE. Sizing rides ONE
+    // approx_count_distinct pass over the raw column (partial HLL
+    // sketches merged map-side — no distinct exchange, the way a real
+    // pre-join filter is sized at 100 TB); its ±5% rsd is absorbed many
+    // times over by the 3x FPR bound. The driver-side filter AGGREGATION
+    // (stat.bloomFilter over the distinct keys) remains the one-off build
+    // cost of shipping a real pre-join filter. Exact counts escape only
+    // via n_members (count of the same frame the filter ingests); sketch
+    // bits never do.
     "q_bloom_fpr" -> ((s, dir) => {
       // string keys on BOTH sides: the plan-embedded probe hashes UTF-8
       // bytes (BloomMightContain), so the build must insert the same
@@ -4537,8 +4610,11 @@ object SparkEntry {
         .select(col("o_custkey").cast("string").as("k")).distinct()
       val probes = t(s, dir, "customer")
         .select(concat(lit("probe:"), col("c_custkey").cast("string")).as("k"))
+      val approxMembers = t(s, dir, "orders")
+        .agg(approx_count_distinct(col("o_custkey")).as("n"))
+        .first().getLong(0)
       val bloom = members.stat.bloomFilter("k",
-        math.max(members.count(), 1000L), 0.01)
+        math.max(approxMembers, 1000L), 0.01)
       val memberChecks = members
         .agg(count(lit(1)).as("n_members"),
           sum(when(graft.plans.NativeExpressions.bloomMightContain(col("k"), bloom),
@@ -9328,10 +9404,10 @@ FROM (
         |  SELECT day AS change_day,
         |    count(*) OVER ()::BIGINT AS n_days,
         |    abs(count(*) OVER () * (sum(rev_c) OVER (ORDER BY day))
-        |      - row_number() OVER (ORDER BY day) * (sum(rev_c) OVER ()))::BIGINT AS dev_abs
+        |      - row_number() OVER (ORDER BY day) * (sum(rev_c) OVER ())) AS dev_exact
         |  FROM daily)
-        |SELECT change_day, n_days, dev_abs
-        |FROM scored ORDER BY dev_abs DESC, change_day LIMIT 1""".stripMargin,
+        |SELECT change_day, n_days, dev_exact::DOUBLE AS dev_abs
+        |FROM scored ORDER BY dev_exact DESC, change_day LIMIT 1""".stripMargin,
 
     "q_cramers_v" ->
       """WITH cells AS MATERIALIZED (

@@ -830,40 +830,58 @@ object Dedup {
       .withGlobalRank(dict, Seq(col("__df").asc, col("tok").asc), "__trank", numPartitions)
       .select(col("tok"), col("__trank"))
     val sizes = docs.select(col("id"), size(col("sh")).cast("long").as("sz"))
-    // prefix of each doc: its (sz - ceil(t*sz) + 1) rarest tokens, with
-    // the in-doc position kept for the positional filter below
+    // probe prefix of each doc: its (sz - ceil(t*sz) + 1) rarest tokens,
+    // with the in-doc position kept for the positional filter below
     val perDoc = Window.partitionBy(col("id")).orderBy(col("__trank"))
     // materialized once: BOTH sides of the candidate self-join read this
-    // frame, and without the checkpoint the whole dictionary-rank +
-    // window pipeline executes twice (structural re-use, same rationale
-    // as GlobalRank's materialization — not a data cache)
+    // frame (the index side as its leading slice), and without the
+    // checkpoint the whole dictionary-rank + window pipeline executes
+    // twice (structural re-use, same rationale as GlobalRank's
+    // materialization — not a data cache)
     val prefix = posts.join(ranked, Seq("tok")).join(sizes, Seq("id"))
       .withColumn("__pos", row_number().over(perDoc))
       .where(col("__pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("__trank"), col("id"), col("sz"), col("__pos"))
       .localCheckpoint(true)
-    // candidates: share >= 1 prefix token, pruned by
-    //  (1) size ratio (|A| <= |B| and J >= t ⇒ |A| >= t|B|), at the join;
+    // ASYMMETRIC prefixes (the PPJoin self-join refinement): orient every
+    // pair by the (sz, id) total order — `a` is the SMALLER set — and the
+    // pigeonhole tightens on a's side. With |A| <= |B| the
+    // equivalent-overlap bound α = ceil(t/(1+t)·(|A|+|B|)) satisfies
+    // α >= ceil(2t/(1+t)·|A|), so the smaller side only needs its INDEX
+    // prefix of |A| - ceil(2t/(1+t)·|A|) + 1 tokens (43% of |A| at t=0.4
+    // vs the probe prefix's 60%) — candidate volume per token drops from
+    // df² to df_index·df_probe, and the b side keeps the probe prefix
+    // (α >= ceil(t·|B|) holds for every pair passing the size filter).
+    val indexPrefix = prefix
+      .where(col("__pos") <=
+        col("sz") - ceil(lit(2.0d * threshold / (1.0d + threshold)) * col("sz")) + 1)
+    // candidates: share >= 1 (index-prefix, probe-prefix) token, pruned by
+    //  (1) size ratio (|A| <= |B| and J >= t ⇒ |A| >= t|B|), at the join
+    //      (the other direction is implied by the orientation);
     //  (2) PPJoin's positional filter: a match at in-doc positions
     //      (pa, pb) bounds the overlap by min(szA-pa, szB-pb)+1 — the
     //      shared token plus everything ranked after it on both sides —
-    //      which must reach the equivalent-overlap bound
-    //      ceil(t/(1+t) * (szA+szB)). The max bound over a pair's shared
-    //      prefix tokens rides the same aggregation that dedups the pair,
-    //      so the filter costs no extra shuffle and drops >half the
-    //      candidates before any payload moves.
+    //      which must reach the equivalent-overlap bound α. The max bound
+    //      over a pair's shared prefix tokens rides the same aggregation
+    //      that dedups the pair, so the filter costs no extra shuffle and
+    //      drops >half the candidates before any payload moves.
     val alpha = ceil(lit(threshold / (1.0d + threshold)) * (col("sz_a") + col("sz_b")))
-    val cands = prefix.as("a")
+    val cands = indexPrefix.as("a")
       .join(prefix.as("b"),
-        col("a.__trank") === col("b.__trank") && col("a.id") < col("b.id")
-          && col("a.sz") >= lit(threshold) * col("b.sz")
-          && col("b.sz") >= lit(threshold) * col("a.sz"))
+        col("a.__trank") === col("b.__trank")
+          && (col("a.sz") < col("b.sz")
+            || (col("a.sz") === col("b.sz") && col("a.id") < col("b.id")))
+          && col("a.sz") >= lit(threshold) * col("b.sz"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(max(least(col("a.sz") - col("a.__pos"), col("b.sz") - col("b.__pos")) + 1)
         .as("__ub"))
       .where(col("__ub") >= alpha)
-      .select(col("id_a"), col("id_b"))
+      // restore the output orientation (id_a < id_b): the (sz, id) order
+      // used for candidate generation may place the larger-id doc on the
+      // smaller-size side; Jaccard is symmetric, so this is a projection
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
     // bounded verify on 64-bit-hashed shingle sets: an 8-byte long per
     // shingle instead of the ~25-char gram text — the arrays that flow
     // through the two verify joins shrink ~3x and intersect on cheap

@@ -59,16 +59,25 @@ object Profiling {
     val nameByGid = map(cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(lit(gidOf(i)), lit(c)) }: _*)
     // the self row (dependent == determinant, count-distinct of the
-    // grouping column itself) is meaningless by construction — drop it
-    val stackArgs = cols.map(b => s"'$b', __v_$b").mkString(", ")
-    summary
+    // grouping column itself) is meaningless by construction — drop it.
+    // Unpivot via the Column API (explode over an array of structs), with
+    // the per-column violation counts first rebound to POSITIONAL
+    // synthetic names (toDF renames by position, no parsing): no user
+    // column name is ever spliced into SQL text or re-resolved, so names
+    // carrying quotes, spaces, hyphens or dots pass through untouched —
+    // they only ever appear as `lit(...)` label values
+    val safe = summary.toDF(
+      "__gid" +: "__n_det" +: cols.indices.map(i => s"__v_$i"): _*)
+    val pairs = array(cols.zipWithIndex.map { case (b, i) =>
+      struct(lit(b).as("dependent"), col(s"__v_$i").as("n_violations")) }: _*)
+    safe
       .withColumn("determinant", element_at(nameByGid, col("__gid")))
-      .selectExpr("determinant", "__n_det",
-        s"stack($n, $stackArgs) AS (dependent, n_violations)")
-      .where(col("dependent") =!= col("determinant"))
-      .select(col("determinant"), col("dependent"),
-        col("__n_det").as("n_det_values"), col("n_violations"),
-        (col("n_violations") === 0).as("holds"))
+      .select(col("determinant"), col("__n_det"), explode(pairs).as("__pair"))
+      .where(col("__pair.dependent") =!= col("determinant"))
+      .select(col("determinant"), col("__pair.dependent").as("dependent"),
+        col("__n_det").as("n_det_values"),
+        col("__pair.n_violations").as("n_violations"),
+        (col("__pair.n_violations") === 0).as("holds"))
   }
 
   /** COMPOSITE functional dependencies — the TANE lattice level the unary

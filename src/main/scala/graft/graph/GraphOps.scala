@@ -115,36 +115,49 @@ object GraphOps {
     * the multiply to decimal(38,0) (same plan shape).
     *
     * Plan shape, deliberately different from pageRank's lazy single plan:
-    * each round's TWO raw frames are eagerly materialized
-    * (`localCheckpoint`) because each is consumed twice (its own max +
-    * the scaled projection) — left lazy, the doubled references compound
-    * per round into an exponentially duplicated subtree. The pinned
-    * frames are (node, long) — tiny. The edge frame is pinned once for
-    * the same reason (2 consumers per round across checkpoint
-    * boundaries, where ReuseExchange cannot see). Scale: per round two
-    * rank-adjacency equi-joins + two map-combined sums + two 1-row
-    * maxes; bucket the edge frame by src/dst and the joins are
-    * exchange-free on the edge side. */
+    * each round's TWO NORMALIZED frames are eagerly materialized
+    * (`localCheckpoint`) — left lazy, the doubled raw-frame references
+    * compound per round into an exponentially duplicated subtree. The
+    * raw frame inside one round is consumed twice (its own max + the
+    * scaled projection) WITHOUT a checkpoint of its own: both references
+    * sit in the SAME plan, so ReuseExchange computes the join+sum
+    * shuffle once and the 1-row max rides the reused exchange inside the
+    * same job — one materialized job per side per round (2×iterations
+    * jobs total) instead of the previous four (raw checkpoint + separate
+    * broadcast-max job per side). The pinned frames are (node, long) —
+    * tiny. The edge frame is pinned once for the same reason (2
+    * consumers per round across checkpoint boundaries, where
+    * ReuseExchange cannot see). Scale: per round two rank-adjacency
+    * equi-joins + two map-combined sums + two 1-row maxes over the
+    * reused exchange; bucket the edge frame by src/dst and the joins are
+    * exchange-free on the edge side (the staged bipartite table is
+    * bucketed on src — the hub-side join — and `assumeDistinct` keeps
+    * that layout alive through the pin). */
   def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3): DataFrame = {
+      iterations: Int = 3, assumeDistinct: Boolean = false): DataFrame = {
     // 0 iterations would emit the uninitialized (empty) authority side
     require(iterations >= 1, s"HITS needs at least one round, got $iterations")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
+    // assumeDistinct: the caller certifies the edge frame is already
+    // deduplicated (e.g. a staged DISTINCT bucketed table) — skipping the
+    // dedup here keeps the scan's bucket partitioning intact (a distinct
+    // would re-exchange on (src, dst) and destroy it), which the
+    // localCheckpoint then preserves for every per-round src-side join
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = (if (assumeDistinct) e0 else e0.distinct()).localCheckpoint(true)
     var hub = e.select(col("src").as("node")).distinct()
       .withColumn("hub_fp", lit(1000000L))
     var auth: DataFrame = hub.limit(0).withColumnRenamed("hub_fp", "auth_fp")
     for (_ <- 1 to iterations) {
       val authRaw = e.join(hub, col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("hub_fp")).as("raw"))
-        .localCheckpoint(true)
       auth = authRaw.crossJoin(broadcast(authRaw.agg(max(col("raw")).as("m"))))
         .select(col("dst").as("node"), expr("(raw * 1000000) div m").as("auth_fp"))
+        .localCheckpoint(true)
       val hubRaw = e.join(auth, col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("auth_fp")).as("raw"))
-        .localCheckpoint(true)
       hub = hubRaw.crossJoin(broadcast(hubRaw.agg(max(col("raw")).as("m"))))
         .select(col("src").as("node"), expr("(raw * 1000000) div m").as("hub_fp"))
+        .localCheckpoint(true)
     }
     hub.select(col("node"), lit("hub").as("kind"), col("hub_fp").as("score_fp"))
       .unionByName(
@@ -174,8 +187,13 @@ object GraphOps {
     * the rank frame to cut lineage, same as any iterative DataFrame
     * algorithm. */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+      iterations: Int = 5, assumeDistinct: Boolean = false): DataFrame = {
+    // assumeDistinct: caller certifies pre-deduplicated edges (a staged
+    // DISTINCT bucketed table) — the dedup exchange would destroy the
+    // scan's bucket partitioning, which is what makes deg and withDeg
+    // below exchange-free on the edge side
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (assumeDistinct) e0 else e0.distinct()
     // ENFORCE the documented no-dangling-node contract instead of trusting
     // it: a node with in-edges but no out-edges silently leaks rank mass
     // every iteration (its inflow is never redistributed), corrupting all
@@ -232,13 +250,17 @@ object GraphOps {
     * one map-combined sum) plus one broadcast hash lookup of the seed
     * set per round; N and |S| are two narrow counts paid once. */
   def personalizedPageRankFixedPoint(edges: DataFrame, srcCol: String,
-      dstCol: String, seeds: DataFrame, iterations: Int = 5): DataFrame = {
+      dstCol: String, seeds: DataFrame, iterations: Int = 5,
+      assumeDistinct: Boolean = false): DataFrame = {
     // NOT checkpointed/persisted: measured 13.8 s vs 12.4 s at sf0.1 with
     // an eager localCheckpoint of the distinct edge set — the storage
     // round-trip costs more than letting the counts job and the iteration
     // job each re-derive the (cheap) distinct, the same result
-    // pageRankFixedPoint's comment records for pinning withDeg
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // pageRankFixedPoint's comment records for pinning withDeg.
+    // assumeDistinct: same contract as pageRankFixedPoint — pre-deduped
+    // staged input keeps the scan's bucket partitioning alive
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (assumeDistinct) e0 else e0.distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val seedSet = seeds.select(seeds.columns.head).distinct()
       .withColumnRenamed(seeds.columns.head, "node")

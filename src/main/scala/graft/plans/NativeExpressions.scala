@@ -360,12 +360,16 @@ case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
 }
 
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  /** The kernel, shared verbatim by interpreted eval and generated code —
+    * the [[CharShingles]] pattern: [[doGenCode]] emits one direct call on
+    * this plan-referenced instance, so the simhash projection stays
+    * inside whole-stage codegen instead of forcing a CodegenFallback row
+    * materialization around it. */
+  def compute(arr: ArrayData): Long = {
     val m = arr.numElements()
     val votes = new Array[Int](64)
     var i = 0
@@ -381,7 +385,15 @@ case class SimHash64(child: Expression)
     var fp = 0L
     var j = 0
     while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
-    java.lang.Long.valueOf(fp)
+    fp
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(compute(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash64Expr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
@@ -641,7 +653,7 @@ case class BloomMightContain(
 }
 
 case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]], bands: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(bands > 0 && planes.nonEmpty && planes.length % bands == 0,
     s"planes (${planes.length}) must be a positive multiple of bands ($bands)")
   require(planes.length / bands <= 64,
@@ -655,11 +667,13 @@ case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]], bands: I
 
   override def nullable: Boolean = true
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    // empty vector -> NULL: every empty vector has dot 0 against every
-    // plane (identical all-ones band signatures), the same degenerate
-    // quadratic pairing as empty shingle sets
+  /** Kernel shared by interpreted eval and generated code (the
+    * [[CharShingles]] pattern — keeps the LSH projection inside
+    * whole-stage codegen). Returns null for an empty vector: every empty
+    * vector has dot 0 against every plane (identical all-ones band
+    * signatures), the same degenerate quadratic pairing as empty shingle
+    * sets. */
+  def compute(arr: ArrayData): ArrayData = {
     if (arr.numElements() == 0) return null
     val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val n = arr.numElements()
@@ -685,6 +699,16 @@ case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]], bands: I
       b += 1
     }
     new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneBandsExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
   }
 
   override protected def withNewChildInternal(c: Expression): HyperplaneBands = copy(child = c)

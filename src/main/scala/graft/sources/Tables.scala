@@ -39,7 +39,14 @@ object Tables {
     * tables. */
   def writeBucketed(
       df: DataFrame, tableName: String, key: String, buckets: Int): Unit =
-    df.write
+    // repartition on the SAME hash the bucketing uses, so every writer
+    // task holds exactly one bucket and each bucket lands in ONE file:
+    // multi-file buckets forfeit the scan's outputOrdering (Spark only
+    // trusts the in-bucket sort when a bucket is a single file), which
+    // would re-insert a per-partition sort under every downstream
+    // sort-merge join. One exchange, paid once at staging time.
+    df.repartition(buckets, col(key))
+      .write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")

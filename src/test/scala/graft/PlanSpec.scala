@@ -273,17 +273,22 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(3000))
   }
 
-  test("pagerank: the degree-annotated edge list is computed once and reused") {
-    // AQE stage reuse is only visible in the FINAL adaptive plan, so
-    // materialize first. Five iterations each join the SAME edge/degree
-    // subplans — the runtime must reuse those stages, not re-read the
-    // edge parquet five times.
+  test("pagerank: per-round joins are exchange-free on the bucketed edge side") {
+    // the staged bipartite table is DISTINCT + bucketed/sorted on src
+    // (stagedBipartiteEdges), so the degree rollup and every per-round
+    // rank join read buckets in place: the ONLY src-keyed movement
+    // allowed anywhere is of the node-sized rank frame (hashpartitioning
+    // on `node`); an `Exchange hashpartitioning(src` would mean the 100 TB
+    // edge frame reshuffles inside every iteration — the exact cost the
+    // bucketed staging exists to delete
     val df = SparkEntry.queries("q_pagerank")(spark, dir)
     df.queryExecution.toRdd.count()
     val p = df.queryExecution.executedPlan.toString()
     assert(p.contains("isFinalPlan=true"), p.take(500))
-    assert("Reused".r.findAllIn(p).nonEmpty,
-      "edge-list stages not reused across iterations:\n" + p.take(3000))
+    assert(p.contains("Bucketed: true"),
+      "edge scan is not bucket-aware:\n" + p.take(3000))
+    assert(!"Exchange hashpartitioning\\(src".r.findAllIn(p).hasNext,
+      "edge-side exchange found inside the iteration loop:\n" + p.take(3000))
   }
 
   test("funnel: every stage scan is type-pruned at the parquet reader") {
@@ -908,5 +913,51 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("CartesianProduct"),
       s"IVF-PQ fell back to all-pairs:\n${p.take(3000)}")
+  }
+
+  test("hits round shape: the raw-frame shuffle feeds both max and projection once (ReusedExchange)") {
+    // mirrors ONE round of GraphOps.hitsFixedPoint (whose real rounds
+    // materialize inside localCheckpoint jobs, invisible to a plan dump):
+    // the raw frame is referenced twice — its own 1-row max and the
+    // scaled projection — with NO checkpoint between; the contract that
+    // makes that a single computation is ReuseExchange deduplicating the
+    // groupBy shuffle, so the max rides the same exchange inside the
+    // same job. If this pin breaks, hitsFixedPoint is recomputing its
+    // join+sum once per reference.
+    import org.apache.spark.sql.functions.{broadcast, col, expr, lit, max, sum}
+    val edges = spark.range(0, 1000)
+      .selectExpr("id % 50 as src", "(id % 37) + 100 as dst").distinct()
+    val hub = edges.select(col("src").as("node")).distinct()
+      .withColumn("hub_fp", lit(1000000L))
+    val raw = edges.join(hub, col("src") === col("node"))
+      .groupBy(col("dst")).agg(sum(col("hub_fp")).as("raw"))
+    val norm = raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("m"))))
+      .select(col("dst").as("node"), expr("(raw * 1000000) div m").as("auth_fp"))
+    norm.queryExecution.toRdd.count()
+    val p = norm.queryExecution.executedPlan.toString()
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert("Reused".r.findAllIn(p).nonEmpty,
+      s"raw-frame exchange not reused — the round recomputes its join+sum:\n${p.take(3000)}")
+  }
+
+  test("ann tuning: all four sweep points read the ONE staged IVF index") {
+    val p = plan("q_ann_tuning")
+    // the index (centroids + corpus assignment) is nprobe-independent and
+    // staged once (stagedIvf16); each sweep point must be a plain scan of
+    // the staged assignment — four scans of the same parquet, zero
+    // re-assignment projections (the unrolled-literal argmin would show
+    // as a repeated euclidean expression forest over the raw embeddings)
+    assert("graft_ivfassign16".r.findAllIn(p).size >= 4,
+      s"sweep points are not reading the staged assignment:\n${p.take(3000)}")
+  }
+
+  test("ks/wasserstein: both read the ONE staged cumulative frame, not lineitem") {
+    for (q <- Seq("q_ks_test", "q_wasserstein")) {
+      val p = plan(q)
+      assert(p.contains("graft_abrcum"),
+        s"$q is not reading the staged cum frame:\n${p.take(3000)}")
+      assert(!p.contains("lineitem.parquet"),
+        s"$q re-derives the cum frame from lineitem per query:\n${p.take(3000)}")
+    }
   }
 }
