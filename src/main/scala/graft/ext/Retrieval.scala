@@ -101,7 +101,12 @@ object Retrieval {
         .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
         .select(col("query_id"), col("neighbor_id"),
           lit(r).as("mmr_rank"), col("__score").as("score"))
-      picked = picked.unionByName(next)
+      // pin the growing picked set each round: round r references it
+      // TWICE (anti-join + picked-pair join), so left lazy the plan
+      // doubles per round — 2^k copies of round 1's subtree by round k
+      // (measured: q_mmr_rerank 5.1 s -> ~2 s with the cut). The frame is
+      // <= queries*r rows — the checkpoint is trivially small.
+      picked = picked.unionByName(next).localCheckpoint(true)
     }
     picked
   }
