@@ -208,15 +208,26 @@ object GraphOps {
         "has in-edges but no out-edges (dangling mass is not redistributed); " +
         "pass the symmetric closure or drop sink nodes first")
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // deliberately NOT persisted: the unrolled plan contains this subtree
-    // once per iteration, but its exchange is identical every time, so
-    // ReuseExchange computes it once and the repeats read shuffle output.
-    // Measured at sf0.1: pinning it (persist + eager localCheckpoint of
-    // the result) was 6.1s vs 4.0s lazy — the storage round-trip costs
-    // more than it saves. (An explicit cache() on the RESULT is worse
-    // still: the CacheManager matches canonicalized plans, so a rerun of
-    // the identically-built query silently times a cache hit.)
-    val withDeg = e.join(deg, Seq("src"))
+    // Pinning policy is input-layout-dependent, both directions measured
+    // at sf0.1:
+    //  - un-bucketed input (assumeDistinct=false): deliberately NOT
+    //    persisted — the unrolled plan contains this subtree once per
+    //    iteration, but its dedup/degree EXCHANGES are identical every
+    //    time, so ReuseExchange computes them once and the repeats read
+    //    shuffle output; pinning (persist + eager localCheckpoint) was
+    //    6.1s vs 4.0s lazy — the storage round-trip costs more than it
+    //    saves. (An explicit cache() on the RESULT is worse still: the
+    //    CacheManager matches canonicalized plans, so a rerun of the
+    //    identically-built query silently times a cache hit.)
+    //  - bucketed staged input (assumeDistinct=true): the subtree has NO
+    //    exchange for ReuseExchange to dedup, so left lazy each iteration
+    //    re-scans the table twice and re-runs the degree agg + join;
+    //    ONE eager checkpoint of the (src, dst, outdeg) frame — which
+    //    preserves the bucket partitioning and in-bucket order — makes
+    //    every iteration start from the pinned, already-partitioned
+    //    frame.
+    val withDeg0 = e.join(deg, Seq("src"))
+    val withDeg = if (assumeDistinct) withDeg0.localCheckpoint(true) else withDeg0
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank_fp"))
     for (_ <- 1 to iterations) {
       ranks = withDeg.join(ranks, col("src") === col("node"))
@@ -283,7 +294,9 @@ object GraphOps {
     require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
     val teleport = (150000L * nNodes) / nSeeds
     val init = (1000000L * nNodes) / nSeeds
-    val withDeg = e.join(deg, Seq("src"))
+    // same layout-gated pinning policy as pageRankFixedPoint's withDeg
+    val withDeg0 = e.join(deg, Seq("src"))
+    val withDeg = if (assumeDistinct) withDeg0.localCheckpoint(true) else withDeg0
     var ranks = deg.select(col("src").as("node"))
       .join(broadcast(seedSet), Seq("node"), "left")
       .select(col("node"),

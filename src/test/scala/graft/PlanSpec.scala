@@ -285,10 +285,24 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.toRdd.count()
     val p = df.queryExecution.executedPlan.toString()
     assert(p.contains("isFinalPlan=true"), p.take(500))
-    assert(p.contains("Bucketed: true"),
-      "edge scan is not bucket-aware:\n" + p.take(3000))
     assert(!"Exchange hashpartitioning\\(src".r.findAllIn(p).hasNext,
       "edge-side exchange found inside the iteration loop:\n" + p.take(3000))
+    // the degree-annotated edge frame is pinned once (withDeg checkpoint
+    // preserving the bucket partitioning), so the iterations consume an
+    // ExistingRDD scan, not a per-iteration re-derivation
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "pinned edge frame missing from the loop:\n" + p.take(3000))
+    // and the staged table itself IS the bucketed layout: a key-rollup
+    // over it must read buckets in place — no exchange, bucket-aware scan
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val tp = spark.table(s"graft_bipartite_$digest")
+      .groupBy(org.apache.spark.sql.functions.col("src")).count()
+      .queryExecution.executedPlan.toString()
+    assert(tp.contains("Bucketed: true"),
+      "staged edge table scan is not bucket-aware:\n" + tp.take(3000))
+    assert(!tp.contains("Exchange"),
+      "src rollup over the bucketed table still exchanges:\n" + tp.take(3000))
   }
 
   test("funnel: every stage scan is type-pruned at the parquet reader") {
