@@ -1103,9 +1103,18 @@ object SparkEntry {
     // table (forward direction = even src); every round replayed as
     // staged CTEs in the oracle
     "q_hits" -> ((s, dir) => {
+      val sym = stagedBipartiteEdges(s, dir)
+      // the symmetric src-bucketed table serves BOTH join directions:
+      // even-src rows are the forward (order→part) edges bucketed by the
+      // order node; odd-src rows are the same edges reversed — swapping
+      // the columns yields the identical forward edge set arriving
+      // hash-partitioned on the PART node (= forward dst), which makes
+      // the per-round auth→hub join edge-side exchange-free too
       graft.graph.GraphOps.hitsFixedPoint(
-        stagedBipartiteEdges(s, dir).where(col("src") % 2 === 0),
-        "src", "dst", iterations = 3, assumeDistinct = true)
+        sym.where(col("src") % 2 === 0),
+        "src", "dst", iterations = 3, assumeDistinct = true,
+        edgesByDst = Some(sym.where(col("src") % 2 === 1)
+          .select(col("dst").as("src"), col("src").as("dst"))))
     }),
 
     // per-part triangle counts over the co-purchase graph (parts sharing

@@ -134,16 +134,33 @@ object GraphOps {
     * bucketed on src — the hub-side join — and `assumeDistinct` keeps
     * that layout alive through the pin). */
   def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3, assumeDistinct: Boolean = false): DataFrame = {
+      iterations: Int = 3, assumeDistinct: Boolean = false,
+      edgesByDst: Option[DataFrame] = None): DataFrame = {
     // 0 iterations would emit the uninitialized (empty) authority side
     require(iterations >= 1, s"HITS needs at least one round, got $iterations")
     // assumeDistinct: the caller certifies the edge frame is already
     // deduplicated (e.g. a staged DISTINCT bucketed table) — skipping the
     // dedup here keeps the scan's bucket partitioning intact (a distinct
     // would re-exchange on (src, dst) and destroy it), which the
-    // localCheckpoint then preserves for every per-round src-side join
+    // localCheckpoint then preserves for every per-round src-side join.
+    // edgesByDst: an OPTIONAL second view of the SAME edge set (same
+    // srcCol/dstCol names, caller-certified row-identical) that arrives
+    // hash-partitioned on dstCol — the two-layout edge store every
+    // iterative dual-direction algorithm wants at 100 TB (GraphX keeps
+    // routing tables for the same reason). With a symmetric bucketed
+    // staging no second table is even needed: the reverse-direction half
+    // of the src-bucketed table, columns swapped, IS the forward edge
+    // set partitioned by dst (alias-aware partitioning propagation
+    // carries the bucket layout through the swap). Without it the
+    // auth→hub join re-exchanges the edge frame every round.
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = (if (assumeDistinct) e0 else e0.distinct()).localCheckpoint(true)
+    val eDst = edgesByDst match {
+      case Some(d) =>
+        val d0 = d.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        (if (assumeDistinct) d0 else d0.distinct()).localCheckpoint(true)
+      case None => e
+    }
     var hub = e.select(col("src").as("node")).distinct()
       .withColumn("hub_fp", lit(1000000L))
     var auth: DataFrame = hub.limit(0).withColumnRenamed("hub_fp", "auth_fp")
@@ -153,7 +170,7 @@ object GraphOps {
       auth = authRaw.crossJoin(broadcast(authRaw.agg(max(col("raw")).as("m"))))
         .select(col("dst").as("node"), expr("(raw * 1000000) div m").as("auth_fp"))
         .localCheckpoint(true)
-      val hubRaw = e.join(auth, col("dst") === col("node"))
+      val hubRaw = eDst.join(auth, col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("auth_fp")).as("raw"))
       hub = hubRaw.crossJoin(broadcast(hubRaw.agg(max(col("raw")).as("m"))))
         .select(col("src").as("node"), expr("(raw * 1000000) div m").as("hub_fp"))
