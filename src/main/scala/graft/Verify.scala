@@ -12,6 +12,7 @@ object Verify {
       case Array(s, o)    => (s, o, Set.empty[String])
       case Array(s, o, f) => (s, o, f.split(',').toSet)
     }
+    val t0 = System.nanoTime()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,6 +73,14 @@ object Verify {
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // gate-budget telemetry (the round-7 lesson: the driver's compare has
+    // a wall-clock budget, and an empty CORRECTNESS artifact was the only
+    // symptom of blowing it) — record this dump's own wall time and query
+    // count so every correctness artifact carries the trend
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+      s"""{"verify_wall_sec": ${(System.nanoTime() - t0) / 1e9}, """ +
+        s""""n_queries": ${SparkEntry.queries.count { case (n, _) => only.isEmpty || only(n) }}, """ +
+        s""""n_failures": ${failures.size}, "sf_dir": ${q(sfDir)}}""")
     if (failures.nonEmpty) {
       System.err.println(s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: ${failures.keys.mkString(", ")}")
     }
