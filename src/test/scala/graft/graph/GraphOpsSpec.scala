@@ -89,6 +89,43 @@ class GraphOpsSpec extends SparkSpec {
     assert(out((1L, "hub")) == 1000000L && out((10L, "auth")) == 1000000L)
   }
 
+  test("assumeDistinct and the default path agree once the input is deduped") {
+    // the staged-table contract: distinct-of-input == input implies both
+    // paths replay the identical recurrence — a duplicated-edge input
+    // through the DEFAULT path must equal the pre-deduped input through
+    // the assumeDistinct path (which skips the dedup to keep bucket
+    // partitioning alive)
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 2L), (3L, 1L))
+      .toDF("src", "dst")
+    val ded = dup.distinct()
+    val a = GraphOps.pageRankFixedPoint(dup, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = GraphOps.pageRankFixedPoint(ded, "src", "dst", iterations = 3,
+      assumeDistinct = true).as[(Long, Long)].collect().toMap
+    assert(a == b, s"pagerank diverged: $a vs $b")
+    val seeds = Seq(Tuple1(2L)).toDF("node")
+    val pa = GraphOps.personalizedPageRankFixedPoint(dup, "src", "dst", seeds,
+      iterations = 3).as[(Long, Long)].collect().toMap
+    val pb = GraphOps.personalizedPageRankFixedPoint(ded, "src", "dst", seeds,
+      iterations = 3, assumeDistinct = true).as[(Long, Long)].collect().toMap
+    assert(pa == pb, s"ppr diverged: $pa vs $pb")
+  }
+
+  test("HITS with a dst-partitioned second view equals the single-frame path") {
+    // edgesByDst is a caller-certified row-identical view that may arrive
+    // under any partitioning — the recurrence must be layout-invariant
+    val e = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 20L))
+      .toDF("src", "dst")
+    val one = GraphOps.hitsFixedPoint(e, "src", "dst", iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    // a shuffled/repartitioned copy stands in for the bucketed reverse half
+    val byDst = e.repartition(4, $"dst")
+    val two = GraphOps.hitsFixedPoint(e, "src", "dst", iterations = 3,
+      assumeDistinct = true, edgesByDst = Some(byDst))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(one == two, s"HITS diverged under the two-layout store: $one vs $two")
+  }
+
   test("personalized PageRank replays the seed-concentrated recurrence exactly") {
     // symmetric star 1 <-> 2, 1 <-> 3; seed = {2}. N=3, |S|=1:
     // init: node2 = 3e6, others 0; teleport T = 450000 per round to node2
