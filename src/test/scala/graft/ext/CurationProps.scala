@@ -97,7 +97,11 @@ object CurationProps extends Properties("Curation") {
     }
 
   property("prefix-filter join EQUALS brute force on arbitrary word-soup corpora") =
-    forAll(Gen.listOfN(25, doc), Gen.oneOf(0.3, 0.5, 0.7)) { (texts, t) =>
+    // thresholds include both extremes: t=1.0 collapses the asymmetric
+    // INDEX prefix to a single token (sz - ceil(2t/(1+t)·sz) + 1 = 1) and
+    // t=0.1 nearly removes pruning — the ceil-arithmetic boundary cases
+    // of the round-10 PPJoin refinement
+    forAll(Gen.listOfN(25, doc), Gen.oneOf(0.1, 0.3, 0.5, 0.7, 1.0)) { (texts, t) =>
       import graft.functions.{HashFunctions => H}
       import graft.plans.NativeExpressions
       // the lossless-filter claim, adversarially: tiny vocabulary means
