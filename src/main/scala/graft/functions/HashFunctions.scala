@@ -87,12 +87,16 @@ object HashFunctions {
     size(filter(zip_with(sigA, sigB, (a, b) => a === b), x => x))
       .cast("double") / size(sigA).cast("double")
 
-  /** Exact Jaccard over two shingle-set columns. */
-  def jaccard(a: Column, b: Column): Column = {
-    val union = size(array_union(a, b))
-    when(union === 0, 1.0d)
-      .otherwise(size(array_intersect(a, b)).cast("double") / union.cast("double"))
-  }
+  /** Exact Jaccard over two shingle-set columns — the fused one-pass
+    * native form ([[graft.plans.NativeExpressions.arrayJaccard]]):
+    * value-identical to the previous
+    * `size(array_intersect)/size(array_union)` composition (duplicates
+    * collapse, empty/empty = 1.0, null input → null, same int/int IEEE
+    * division), but builds one hash set per side instead of two
+    * independent set passes plus two materialized result arrays — this
+    * sits in the per-candidate verify loop of every exact-dedup family. */
+  def jaccard(a: Column, b: Column): Column =
+    graft.plans.NativeExpressions.arrayJaccard(a, b)
 
   /** 64-bit SimHash over a token array: each token votes ±1 on every bit of
     * its xxhash64; fingerprint bit j is 1 iff the vote sum is positive.

@@ -62,6 +62,12 @@ object NativeExpressions {
   /** 64-bit SimHash over an array<string> of tokens. */
   def simhash64(tokens: Column): Column = toCol(SimHash64(toExpr(tokens)))
 
+  /** Exact set-Jaccard of two same-typed string/integral arrays, fused
+    * into ONE pass (see [[ArrayJaccard]]) — value-identical to the
+    * size(array_intersect)/size(array_union) composition it replaces. */
+  def arrayJaccard(a: Column, b: Column): Column =
+    toCol(ArrayJaccard(toExpr(a), toExpr(b)))
+
   /** Tokenize (lowercase whitespace split) + 64-bit SimHash fused into one
     * loop per row — replaces the interpreted HOF tokenizer feeding
     * [[simhash64]] in the hot dedup path. NULL for token-less input, so the
@@ -885,6 +891,75 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** Exact set-Jaccard over two atomic-element arrays in ONE pass — the
+  * fused form of `size(array_intersect(a,b)) / size(array_union(a,b))`:
+  * one hash set per side instead of the two independent set builds (and
+  * two result-array materializations) the composed built-ins pay, with
+  * IDENTICAL set semantics — duplicates collapse, a null element counts
+  * as one value, empty∪empty → 1.0 (the [[graft.functions.HashFunctions.jaccard]]
+  * contract) — and the identical |∩|/|∪| int/int IEEE division every
+  * engine replays bit-for-bit. Element types are restricted to string
+  * and integral: float elements would need Spark SQL's -0.0/NaN
+  * normalization, which java equality does not share, and no consumer
+  * jaccards float arrays. */
+case class ArrayJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "array_jaccard"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _))
+          if a == b && Set[DataType](StringType, LongType, IntegerType,
+            ShortType, ByteType).contains(a) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs two arrays of the same string/integral element type, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  private lazy val elemType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Kernel shared by interpreted eval and generated code (the
+    * [[CharShingles]] pattern). Boxed values are safe to hash within one
+    * row: both arrays are materialized for the duration of the call. */
+  def compute(l: ArrayData, r: ArrayData): Double = {
+    val et = elemType
+    val setA = new java.util.HashSet[Any]()
+    val na = l.numElements()
+    var i = 0
+    while (i < na) {
+      setA.add(if (l.isNullAt(i)) null else l.get(i, et))
+      i += 1
+    }
+    val seenB = new java.util.HashSet[Any]()
+    var inter = 0
+    val nb = r.numElements()
+    var j = 0
+    while (j < nb) {
+      val v = if (r.isNullAt(j)) null else r.get(j, et)
+      if (seenB.add(v) && setA.contains(v)) inter += 1
+      j += 1
+    }
+    val union = setA.size + seenB.size - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(
+      compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("arrayJaccardExpr", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayJaccard =
     copy(left = l, right = r)
 }
 

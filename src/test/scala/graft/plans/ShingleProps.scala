@@ -73,4 +73,43 @@ object ShingleProps extends Properties("Shingles") {
         parts.length == math.min(n, tokens.length)
       }
     }
+
+  // ---- ArrayJaccard: the fused one-pass jaccard vs the set model ----
+
+  private def jaccardModel[A](a: Seq[A], b: Seq[A]): Double = {
+    val (sa, sb) = (a.toSet, b.toSet)
+    val union = (sa ++ sb).size
+    if (union == 0) 1.0 else sa.intersect(sb).size.toDouble / union
+  }
+
+  private def evalJaccardLong(a: Seq[Long], b: Seq[Long]): Any = {
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    ArrayJaccard(
+      Literal.create(ArrayData.toArrayData(a.toArray), ArrayType(LongType, false)),
+      Literal.create(ArrayData.toArrayData(b.toArray), ArrayType(LongType, false))
+    ).eval(null)
+  }
+
+  private def evalJaccardStr(a: Seq[String], b: Seq[String]): Any = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def lit(xs: Seq[String]) = Literal.create(
+      ArrayData.toArrayData(xs.map(UTF8String.fromString).toArray),
+      ArrayType(StringType, false))
+    ArrayJaccard(lit(a), lit(b)).eval(null)
+  }
+
+  // tiny value domain forces heavy duplication and real overlap — the
+  // set-semantics cases (duplicates collapse; empty/empty = 1.0) that the
+  // array_union/array_intersect composition this expression replaced
+  // handled implicitly
+  property("ArrayJaccard(long) equals the set model under heavy duplicates") =
+    forAll(Gen.listOf(Gen.choose(0L, 12L)), Gen.listOf(Gen.choose(0L, 12L))) { (a, b) =>
+      evalJaccardLong(a, b) == jaccardModel(a, b)
+    }
+
+  property("ArrayJaccard(string) equals the set model, unicode included") =
+    forAll(Gen.listOf(Gen.oneOf("", "a", "b", "𝛼β", "x y", "ß")),
+        Gen.listOf(Gen.oneOf("", "a", "b", "𝛼β", "x y", "ß"))) { (a, b) =>
+      evalJaccardStr(a, b) == jaccardModel(a, b)
+    }
 }
