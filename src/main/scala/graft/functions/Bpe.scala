@@ -116,10 +116,11 @@ object Bpe {
 
 /** Token count under a trained BPE merge list, one int-array pass per
   * merge rank per row (see [[Bpe]] for the cross-engine contract).
-  * CodegenFallback for the same reason as the other text kernels: the
-  * loop dominates and the surrounding projection still codegens. */
+  * `doGenCode` emits one direct call on the plan-referenced instance (the
+  * CharShingles pattern), keeping the projection around it inside
+  * whole-stage codegen. */
 case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "bpe_token_count"
@@ -141,8 +142,8 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
     }.toArray
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+  def compute(v: UTF8String): Long = {
+    val bytes = v.getBytes
     if (bytes.isEmpty) return 0L
     var s = new Array[Int](bytes.length)
     var i = 0
@@ -165,6 +166,17 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
       r += 1
     }
     n.toLong
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(compute(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bpeTokenCountExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): BpeTokenCount =

@@ -15,13 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * dispatch plus boxing. A MinHash signature via HOFs costs
   * `numHashes × shingles` lambda invocations per row (~50ms/doc measured);
   * these expressions do the same math in one tight JVM loop per row
-  * (~0.1ms/doc). `CodegenFallback` is fine for most of them: the loop
-  * dominates, and the expression sits in a projection whose surrounding
-  * plan still codegens. The two hottest ([[CharShingles]],
-  * [[MinHashBands]] — evaluated per document in every LSH query) instead
-  * implement `doGenCode` as a direct call on the plan-referenced
-  * instance, which keeps their projection inside whole-stage codegen
-  * (no fallback row materialization) at zero kernel duplication.
+  * (~0.1ms/doc). All of them implement `doGenCode` as a direct call on
+  * the plan-referenced instance (the [[CharShingles]] pattern, extended
+  * to the whole family in round 10): the kernel runs as ordinary JVM
+  * code while the projection around it stays inside whole-stage codegen
+  * — no CodegenFallback row materialization anywhere in a hot path, and
+  * zero kernel duplication between the interpreted and generated forms.
   *
   * Hashing is built on the same seed-42 xxhash64 base Spark's `xxhash64`
   * uses, so results are stable and reproducible across runs. NOTE: the
@@ -270,13 +269,15 @@ case class CharShingles(child: Expression, n: Int)
 }
 
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n > 0, "shingle size must be positive")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
 
-  override def nullSafeEval(v: Any): Any = {
-    val tokens = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+  /** Kernel shared by interpreted eval and generated code (the
+    * [[CharShingles]] pattern). */
+  def compute(v: UTF8String): ArrayData = {
+    val tokens = v.toString.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty)
     val out = new java.util.LinkedHashSet[String]()
     if (tokens.nonEmpty) {
@@ -295,11 +296,18 @@ case class WordShingles(child: Expression, n: Int)
     new GenericArrayData(arr)
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordShinglesExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
 case class MinHashSignature(child: Expression, numHashes: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(numHashes > 0, "numHashes must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -307,8 +315,15 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   private lazy val as: Array[Long] = Array.tabulate(numHashes)(HashFamily.a)
   private lazy val bs: Array[Long] = Array.tabulate(numHashes)(HashFamily.b)
 
-  override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(HashFamily.signatureOf(v.asInstanceOf[ArrayData], as, bs))
+  def compute(v: ArrayData): ArrayData =
+    new GenericArrayData(HashFamily.signatureOf(v, as, bs))
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
@@ -457,13 +472,28 @@ private object SimHashKernel {
   * intermediate token array, no interpreted HOF. NULL for token-less
   * input (see [[NativeExpressions.simhashText]]). */
 case class SimHashText(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash_text"
 
-  override def nullSafeEval(v: Any): Any =
+  def compute(v: Any): java.lang.Long =
     SimHashKernel.fingerprint(v, SimHashKernel.xxhash64Token)
+      .asInstanceOf[java.lang.Long]
+
+  override def nullSafeEval(v: Any): Any = compute(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashTextExpr", this)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("shtTmp")
+      s"""
+        java.lang.Long $tmp = $ref.compute($c);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.longValue(); }
+      """
+    })
+  }
 
   override protected def withNewChildInternal(c: Expression): SimHashText = copy(child = c)
 }
@@ -472,13 +502,28 @@ case class SimHashText(child: Expression)
   * can rebuild the fingerprints bit-for-bit. Tokenization is the shared
   * [[SimHashKernel]] (lowercase, `\s+` split, drop empties). */
 case class SimHashTextMd5(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "simhash_text_md5"
 
-  override def nullSafeEval(v: Any): Any =
+  def compute(v: Any): java.lang.Long =
     SimHashKernel.fingerprint(v, SimHashKernel.md5Token)
+      .asInstanceOf[java.lang.Long]
+
+  override def nullSafeEval(v: Any): Any = compute(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashTextMd5Expr", this)
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("shtmTmp")
+      s"""
+        java.lang.Long $tmp = $ref.compute($c);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.longValue(); }
+      """
+    })
+  }
 
   override protected def withNewChildInternal(c: Expression): SimHashTextMd5 = copy(child = c)
 }
@@ -490,15 +535,18 @@ case class SimHashTextMd5(child: Expression)
   * bigram positions to profile, mirroring the `size(tokens) >= 2` filter
   * of the HOF form this replaces. */
 case class BigramRepetition(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_bigrams", LongType, nullable = false),
     StructField("max_c", LongType, nullable = false)))
   override def nullable: Boolean = true
   override def prettyName: String = "bigram_repetition"
 
-  override def nullSafeEval(v: Any): Any = {
-    val tokens = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+  /** Kernel shared by interpreted eval and generated code (the
+    * [[CharShingles]] pattern); null for texts with fewer than two
+    * tokens. */
+  def compute(v: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val tokens = v.toString.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty)
     if (tokens.length < 2) return null
     // intern tokens to dense ints so a bigram is one Long key — the count
@@ -527,21 +575,33 @@ case class BigramRepetition(child: Expression)
     row
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigramRepExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
   override protected def withNewChildInternal(c: Expression): BigramRepetition = copy(child = c)
 }
 
 /** Code-point frequency entropy in one pass per row — see
   * [[NativeExpressions.charEntropy]] for the quantization contract. */
 case class CharEntropy(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_cp", LongType, nullable = false),
     StructField("ent_unats", LongType, nullable = false)))
   override def nullable: Boolean = true
   override def prettyName: String = "char_entropy"
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  /** Kernel shared by interpreted eval and generated code; null for empty
+    * input. */
+  def compute(v: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = v.toString
     if (s.isEmpty) return null
     val counts = new java.util.HashMap[Integer, Array[Long]]()
     var i = 0
@@ -568,6 +628,16 @@ case class CharEntropy(child: Expression)
     row
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charEntropyExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.compute($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
   override protected def withNewChildInternal(c: Expression): CharEntropy = copy(child = c)
 }
 
@@ -576,14 +646,18 @@ case class CharEntropy(child: Expression)
   * Hernandez-Stolfo / Winkler linkage literature). See
   * [[NativeExpressions.jaroWinkler]] for the cross-engine contract. */
 case class JaroWinkler(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
   override def prettyName: String = "jaro_winkler"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val s1 = a.asInstanceOf[UTF8String].toString
-    val s2 = b.asInstanceOf[UTF8String].toString
+  /** Kernel shared by interpreted eval and generated code (the
+    * [[CharShingles]] pattern) — JW sits in the per-candidate scoring
+    * loop of the ER/fuzzy-match family, so the projection around it must
+    * stay inside whole-stage codegen. */
+  def compute(a: UTF8String, b: UTF8String): Double = {
+    val s1 = a.toString
+    val s2 = b.toString
     val l1 = s1.length; val l2 = s2.length
     // an empty side scores 0 EVEN WHEN BOTH ARE EMPTY — DuckDB's guard
     // order, kept for the bit-parity contract (not the rapidfuzz 1.0)
@@ -626,6 +700,15 @@ case class JaroWinkler(left: Expression, right: Expression)
     } else jaro
   }
 
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(
+      compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("jaroWinklerExpr", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinkler =
     copy(left = newLeft, right = newRight)
@@ -638,7 +721,7 @@ case class JaroWinkler(left: Expression, right: Expression)
   * absent" — let the caller's null semantics decide downstream). */
 case class BloomMightContain(
     child: Expression, bloom: org.apache.spark.util.sketch.BloomFilter)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
 
@@ -651,8 +734,15 @@ case class BloomMightContain(
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"$prettyName needs a string key column, got ${child.dataType.catalogString}")
 
+  def compute(v: UTF8String): Boolean = bloom.mightContainBinary(v.getBytes)
+
   override def nullSafeEval(v: Any): Any =
-    java.lang.Boolean.valueOf(bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes))
+    java.lang.Boolean.valueOf(compute(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomMightContainExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
 
   override protected def withNewChildInternal(c: Expression): BloomMightContain =
     copy(child = c)
@@ -731,7 +821,7 @@ case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]], bands: I
   * [.,;:!?'"()\[\]-], digits [0-9], uppers [A-Z], tokens split on Java
   * regex \s = [ \t\n\f\r], stopword hits on lowercased tokens. */
 case class QualityScoreExpr(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "quality_score"
 
@@ -746,8 +836,10 @@ case class QualityScoreExpr(child: Expression, stopwords: Seq[String])
     case _ => false
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  /** Kernel shared by interpreted eval and generated code (the
+    * [[CharShingles]] pattern). */
+  def compute(v: UTF8String): Double = {
+    val s = v.toString
     val nUnits = s.length
     // n counts CODE POINTS, matching Spark length()/DuckDB length() — a
     // UTF-16 unit count would diverge on supplementary-plane characters.
@@ -785,7 +877,15 @@ case class QualityScoreExpr(child: Expression, stopwords: Seq[String])
     val digitPen = 1.0 - math.min(digitRatio * 4.0, 1.0)
     val stopRatio = if (nTokens == 0L) 0.0 else stopHits.toDouble / nTokens.toDouble
     val stopScore = math.min(stopRatio * 3.0, 1.0)
-    java.lang.Double.valueOf((lenScore + wordScore + punctPen + digitPen + stopScore) / 5.0)
+    (lenScore + wordScore + punctPen + digitPen + stopScore) / 5.0
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Double.valueOf(compute(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("qualityScoreExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): QualityScoreExpr = copy(child = c)
@@ -797,7 +897,7 @@ case class QualityScoreExpr(child: Expression, stopwords: Seq[String])
   * maximum non-zero hit count, else "und" — exactly the
   * greatest()/when-chain semantics of the column formula. */
 case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(markers.nonEmpty, "markers must be non-empty")
   override def dataType: DataType = StringType
   override def prettyName: String = "lang_id"
@@ -813,8 +913,9 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
     markers.map { case (l, _) => UTF8String.fromString(l) }.toArray
   private lazy val und = UTF8String.fromString("und")
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString.toLowerCase(java.util.Locale.ROOT)
+  /** Kernel shared by interpreted eval and generated code. */
+  def compute(v: UTF8String): UTF8String = {
+    val s = v.toString.toLowerCase(java.util.Locale.ROOT)
     val hits = new Array[Int](markers.length)
     val n = s.length
     var i = 0
@@ -838,6 +939,13 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
     }
   }
 
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langIdExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
   override protected def withNewChildInternal(c: Expression): LangIdExpr = copy(child = c)
 }
 
@@ -858,7 +966,7 @@ private object VectorPair {
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
@@ -869,12 +977,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private def elem(arr: ArrayData, isFloat: Boolean, i: Int): Double =
     if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    // dimension mismatch -> NULL (matches the zip_with HOF reference
-    // formula) — silently truncating to the shorter vector would emit
-    // plausible-but-wrong similarities exactly for corrupt rows
+  /** Kernel shared by interpreted eval and generated code (the
+    * [[CharShingles]] pattern — this sits in the per-candidate loop of
+    * every similarity/ANN scan, the hottest expression in the engine).
+    * Dimension mismatch -> NULL (matches the zip_with HOF reference
+    * formula) — silently truncating to the shorter vector would emit
+    * plausible-but-wrong similarities exactly for corrupt rows. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     if (a.numElements() != b.numElements()) return null
     val la = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val lb = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -888,6 +997,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
     java.lang.Double.valueOf(if (denom == 0.0) 0.0 else dot / denom)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosineExpr", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cosTmp")
+      s"""
+        java.lang.Double $tmp = $ref.compute($a, $b);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
@@ -964,7 +1088,7 @@ case class ArrayJaccard(left: Expression, right: Expression)
 }
 
 case class EuclideanDistance(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "euclidean_distance"
@@ -975,9 +1099,10 @@ case class EuclideanDistance(left: Expression, right: Expression)
   private def elem(arr: ArrayData, isFloat: Boolean, i: Int): Double =
     if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  /** Kernel shared by interpreted eval and generated code — same
+    * per-candidate-loop rationale and null-on-mismatch contract as
+    * [[CosineSimilarity.compute]]. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     if (a.numElements() != b.numElements()) return null // see CosineSimilarity
     val la = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     val lb = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -992,6 +1117,21 @@ case class EuclideanDistance(left: Expression, right: Expression)
     java.lang.Double.valueOf(math.sqrt(acc))
   }
 
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("euclideanExpr", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("eucTmp")
+      s"""
+        java.lang.Double $tmp = $ref.compute($a, $b);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
+  }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): EuclideanDistance =
     copy(left = l, right = r)
 }
@@ -1001,7 +1141,7 @@ case class EuclideanDistance(left: Expression, right: Expression)
   * rows, never shared across tasks): allocation per row would dominate the
   * scan, a shared instance would race. */
 case class DeflateSize(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "deflate_size"
@@ -1016,8 +1156,8 @@ case class DeflateSize(child: Expression)
       override def initialValue(): Array[Byte] = new Array[Byte](64 * 1024)
     }
 
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
+  def compute(v: UTF8String): Long = {
+    val bytes = v.getBytes
     val d = local.get()
     d.reset()
     d.setInput(bytes)
@@ -1025,7 +1165,15 @@ case class DeflateSize(child: Expression)
     val b = buf.get()
     var total = 0L
     while (!d.finished()) total += d.deflate(b)
-    java.lang.Long.valueOf(total)
+    total
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(compute(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("deflateSizeExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): DeflateSize = copy(child = c)
@@ -1042,7 +1190,7 @@ case class DeflateSize(child: Expression)
   * semantics the SQL oracle replays positionally. Char-wise (ASCII-safe)
   * like JaroWinkler; non-BMP input would need code-point states. */
 case class MultiTermCount(child: Expression, terms: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(terms.nonEmpty && terms.forall(_.nonEmpty),
     "blocklist needs at least one non-empty term")
   override def dataType: DataType = StructType(Seq(
@@ -1053,8 +1201,8 @@ case class MultiTermCount(child: Expression, terms: Seq[String])
 
   @transient private lazy val automaton = MultiTermCount.build(terms)
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
+  def compute(v: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = v.toString
     val (goto, fail, out) = automaton
     val hitsPerTerm = new Array[Long](terms.size)
     var state = 0
@@ -1075,6 +1223,13 @@ case class MultiTermCount(child: Expression, terms: Seq[String])
     row.update(0, hitsPerTerm.sum)
     row.update(1, hitsPerTerm.count(_ > 0))
     row
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("multiTermCountExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): MultiTermCount = copy(child = c)
