@@ -201,4 +201,10 @@ class EndToEndSpec extends SparkSpec {
     assert(starts == Set("1", "3")) // Hepburn and Bogart ids, not names
     etl.clear()
   }
+
+  test("driver contract: SparkEntry.entry returns rows on the smoke fixture") {
+    // the driver's exact smoke check (entry at sf0.001, rows > 0) — pinned
+    // here so a broken flagship query fails in CI before the driver sees it
+    assert(SparkEntry.entry(spark).count() > 0L)
+  }
 }
