@@ -54,28 +54,41 @@ object SparkEntry {
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
       "l_orderkey", "l_partkey", minShared = 2, maxGroupSize = 256)
 
-  /** The co-purchase projection STAGED once per (JVM, input dir) — the
-    * production posture SCALE.md's graph notes promise: eight graph
-    * queries (triangles, components, label-prop, BFS, PageRank, k-core,
-    * link prediction, random walks) consume the same derived edge set, so
-    * deriving it per query re-runs the distinct + cap-window + self-join
-    * + weight-agg pipeline eight times over the same lineitem scan. One
-    * parquet write (same once-per-dir discipline and staging set as
-    * [[bucketedRefTable]]/[[jsonlStagePath]]) turns every graph query's
-    * input into a plain columnar scan; at 100 TB this staged table is the
-    * bucketing target (bucket by `pa`) that makes per-round graph joins
-    * exchange-free on the edge side. Row-identical to
-    * [[coPurchaseEdges]], so every oracle is untouched. */
-  private def stagedCoPurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    stagedParquet(s, dir, "copurchase")(coPurchaseEdges(s, dir))
+  /** The co-purchase projection staged as its SYMMETRIC SELF-LOOP-CLOSED
+    * closure, BUCKETED AND SORTED ON `a` (32 buckets) — the layout the
+    * pair-form parquet staging of earlier rounds only promised: every
+    * graph consumer (triangles, components, label-prop, BFS, closeness,
+    * k-core, k-truss, link prediction, walks, modularity, conductance,
+    * assortativity, degree distribution, clustering coefficient) starts
+    * from some derivation of the symmetric closure, and under
+    * [[graft.graph.GraphOps]]' `assumeSymmetric` contract each derivation
+    * collapses to a bucket-preserving filter/projection of THIS table:
+    * degree rollups, adjacency windows and per-round joins on the bucket
+    * key run exchange-free, exactly as the bipartite staging did for
+    * PageRank/HITS (PlanSpec pins the shapes). Contents: both
+    * orientations of every [[coPurchaseEdges]] pair (pa < pb strict, so
+    * the two orientations are distinct and loop-free by construction)
+    * plus one (n, n, w=0) self-loop per node — the closure the
+    * label-prop/BFS recurrences need, filtered in place (`a =!= b`) by
+    * consumers that don't. Row-identical derivations keep every oracle
+    * untouched. */
+  private def stagedCoPurchaseSym(s: SparkSession, dir: String): DataFrame =
+    stagedBucketedTable(s, dir, s"graft_copurch_${dirDigest(dir)}",
+        "a", 32, Seq("lineitem")) {
+      val p = coPurchaseEdges(s, dir)
+      val sym = p.select(col("pa").as("a"), col("pb").as("b"), col("w"))
+        .unionByName(p.select(col("pb").as("a"), col("pa").as("b"), col("w")))
+      sym.unionByName(sym.select(col("a")).distinct()
+        .select(col("a"), col("a").as("b"), lit(0L).as("w")))
+    }
 
   /** The capped distinct (order, part) basket projection STAGED once per
     * (JVM, input dir) — q_assoc_rules consumes it four ways (both pair
     * self-join sides, each support side, N), and without staging each
     * consumer replays the distinct + cap-window pipeline over lineitem.
-    * Same discipline as [[stagedCoPurchaseEdges]]. */
+    * Same discipline as [[stagedCoPurchaseSym]]. */
   private def stagedBaskets(s: SparkSession, dir: String): DataFrame =
-    stagedParquet(s, dir, "baskets")(graft.ext.MarketBasket.cappedBaskets(
+    stagedParquet(s, dir, "baskets", Seq("lineitem"))(graft.ext.MarketBasket.cappedBaskets(
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
       "l_orderkey", "l_partkey", maxGroupSize = 256))
 
@@ -95,20 +108,13 @@ object SparkEntry {
     * `assumeDistinct = true`; distinct-of-staged == staged-distinct, so
     * every oracle is untouched). Same once-per-dir discipline and
     * staging set as [[bucketedRefTable]]. */
-  private def stagedBipartiteEdges(s: SparkSession, dir: String): DataFrame = {
-    val name = s"graft_bipartite_${dirDigest(dir)}"
-    if (stagedRefs.add(name)) {
-      val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse").stripPrefix("file:")
-      s.sql(s"DROP TABLE IF EXISTS $name")
-      graft.etl.Context.deleteRecursively(java.nio.file.Paths.get(wh, name))
+  private def stagedBipartiteEdges(s: SparkSession, dir: String): DataFrame =
+    stagedBucketedTable(s, dir, s"graft_bipartite_${dirDigest(dir)}",
+        "src", 32, Seq("lineitem")) {
       val e0 = t(s, dir, "lineitem")
         .select((col("l_orderkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
-      graft.sources.Tables.writeBucketed(
-        e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
-        name, "src", 32)
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
     }
-    s.table(name)
-  }
 
   /** The distinct-value cumulative-count frame over the A/R
     * extended-price slices STAGED once per (JVM, input dir) —
@@ -119,10 +125,10 @@ object SparkEntry {
     * replays the lineitem scan + group + range exchange. Columns:
     * (v, r, cum_a, cum_r) — KS reads the cums only, Wasserstein
     * additionally joins r to r+1 for segment widths. Same discipline as
-    * [[stagedCoPurchaseEdges]]; row-identical to the inline build, so
+    * [[stagedCoPurchaseSym]]; row-identical to the inline build, so
     * both oracles are untouched. */
   private def stagedAbrCum(s: SparkSession, dir: String): DataFrame =
-    stagedParquet(s, dir, "abrcum") {
+    stagedParquet(s, dir, "abrcum", Seq("lineitem")) {
       val li = t(s, dir, "lineitem").where(col("l_returnflag").isin("A", "R"))
         .select(col("l_returnflag").as("g"), cents(col("l_extendedprice")).as("v"))
       val byVal = li.groupBy(col("v")).agg(
@@ -150,7 +156,7 @@ object SparkEntry {
     * computing it live: they are the exact-scan benchmark, this table is
     * ground truth for evaluating the approximate paths. */
   private def stagedExactNeighbors(s: SparkSession, dir: String): DataFrame =
-    stagedParquet(s, dir, "exacttop10") {
+    stagedParquet(s, dir, "exacttop10", Seq("embeddings")) {
       val emb = t(s, dir, "embeddings")
       val queries = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -171,12 +177,12 @@ object SparkEntry {
     * parquet already makes every probe a columnar scan). Value-identical
     * to the inline builds, so both oracles are untouched. */
   private def stagedIvf16(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val cent = stagedParquet(s, dir, "ivfcent16") {
+    val cent = stagedParquet(s, dir, "ivfcent16", Seq("embeddings")) {
       val emb = t(s, dir, "embeddings")
       Similarity.refineCentroids(emb, "vec_id", "embedding",
         Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16), iterations = 1)
     }
-    val assigned = stagedParquet(s, dir, "ivfassign16") {
+    val assigned = stagedParquet(s, dir, "ivfassign16", Seq("embeddings")) {
       // narrow projection before assignment: the staged index carries
       // exactly (vec_id, embedding, centroid_id) — nothing else pays the
       // write or the per-probe scan
@@ -185,6 +191,36 @@ object SparkEntry {
         "vec_id", "embedding", cent)
     }
     (cent, assigned)
+  }
+
+  /** The IVF-PQ index staged once per (input content, epoch) — centroids
+    * (16, one Lloyd pass), donor codebooks (4 subspaces × 16 entries) and
+    * the coded corpus, all query-independent exactly like [[stagedIvf16]]:
+    * without staging every q_ivfpq_topk run rebuilt centroid refinement,
+    * the donor sample AND the full-corpus code assignment before probing.
+    * Staged, only the ADC probe chain runs per query batch — the
+    * build-once/search-many posture of the production layout (at 100 TB
+    * the coded corpus is written bucketed by centroid_id). Value-identical
+    * to the fused build, so the oracle is untouched. */
+  private def stagedIvfPq(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cent = stagedParquet(s, dir, "ivfpqcent", Seq("embeddings")) {
+      val emb = t(s, dir, "embeddings")
+      Similarity.refineCentroids(emb, "vec_id", "embedding",
+        Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16),
+        iterations = 1)
+    }
+    val donors = stagedParquet(s, dir, "ivfpqdon", Seq("embeddings")) {
+      Similarity.pqDonorsFrame(t(s, dir, "embeddings"), "vec_id", "embedding",
+        ncent = 16)
+    }
+    val index = stagedParquet(s, dir, "ivfpqidx", Seq("embeddings")) {
+      Similarity.ivfPqCodedCorpus(
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cent, Similarity.collectDonors(donors),
+        dim = 64, nsub = 4)
+    }
+    (cent, donors, index)
   }
 
   /** Integer cents via explicit IEEE arithmetic — the determinism-critical
@@ -204,6 +240,11 @@ object SparkEntry {
     * stale or orphaned data. */
   private val stagedRefs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Test hook: forget the in-process staging set, forcing the next
+    * staged access through the cross-JVM reuse probe — the only way a
+    * single-JVM spec can exercise the fresh-process path. */
+  private[graft] def resetStagingRefsForTest(): Unit = stagedRefs.clear()
+
   /** 8-hex digest of the input dir — keys every staged path and table
     * name, so a warm-up SF can never leak its staging into the timed
     * SF. */
@@ -211,15 +252,132 @@ object SparkEntry {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
 
-  /** Stage a derived frame to /tmp parquet ONCE per (JVM, input dir) and
-    * read it back — the shared mechanics behind every staged* helper:
-    * digest-keyed path, [[stagedRefs]] in-process dedup, and a plain
-    * columnar re-read for every consumer. */
-  private def stagedParquet(s: SparkSession, dir: String, prefix: String)
-      (build: => DataFrame): DataFrame = {
+  /** Staging format epoch, part of every staging fingerprint. Bump it
+    * whenever ANY staged frame's derivation changes (a new round that
+    * touches a builder bumps it mechanically): reuse then never serves a
+    * frame built by older code, while within an epoch every JVM — test
+    * suite, Verify, repeated bench boards — pays each staging build once
+    * per input-content fingerprint instead of once per process. */
+  private val StagingEpoch = "r11"
+
+  /** md5 hex over (relative path, size, mtime) of every file under the
+    * named source tables — the cheap input-content fingerprint that keys
+    * cross-JVM staging reuse. Any upstream rewrite (new files, appended
+    * rows, touched mtimes) changes the fingerprint and forces a rebuild;
+    * file stats never require reading data, so the probe is O(#files)
+    * metadata calls — the same class of check a table format's snapshot
+    * id gives at 100 TB. */
+  private def inputFingerprint(dir: String, tables: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val st = java.nio.file.Files.list(p)
+        try st.sorted().toArray.foreach(q => walk(q.asInstanceOf[java.nio.file.Path]))
+        finally st.close()
+      } else md.update((p.toString + "|" + java.nio.file.Files.size(p) + "|" +
+        java.nio.file.Files.getLastModifiedTime(p).toMillis + "\n").getBytes("UTF-8"))
+    tables.sorted.foreach { t =>
+      val p = java.nio.file.Paths.get(dir, s"$t.parquet")
+      if (java.nio.file.Files.exists(p)) walk(p)
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** The staging marker sidecar: written AFTER a successful staging write
+    * (so its presence certifies completion), underscore-prefixed (so
+    * Spark's file index never reads it as data). */
+  private def readMarker(p: java.nio.file.Path): Option[java.util.Properties] =
+    if (!java.nio.file.Files.exists(p)) None
+    else try {
+      val props = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(p)
+      try props.load(in) finally in.close()
+      Some(props)
+    } catch { case _: java.io.IOException => None }
+
+  private def writeMarker(p: java.nio.file.Path, kv: Map[String, String]): Unit = {
+    val props = new java.util.Properties()
+    kv.foreach { case (k, v) => props.setProperty(k, v) }
+    val out = java.nio.file.Files.newOutputStream(p)
+    try props.store(out, null) finally out.close()
+  }
+
+  /** Stage a derived frame to /tmp parquet once per (input content,
+    * [[StagingEpoch]]) and read it back — the shared mechanics behind
+    * every staged* helper: digest-keyed path, [[stagedRefs]] in-process
+    * dedup, a marker-gated CROSS-JVM reuse probe ([[inputFingerprint]]
+    * over `inputs` + `_SUCCESS`), and a plain columnar re-read for every
+    * consumer. Staging is thereby paid once at ingest — the production
+    * posture — instead of once per process; a mutated input dir changes
+    * the fingerprint and rebuilds (EndToEndSpec pins both directions). */
+  private def stagedParquet(s: SparkSession, dir: String, prefix: String,
+      inputs: Seq[String])(build: => DataFrame): DataFrame = {
     val path = s"/tmp/graft_${prefix}_${dirDigest(dir)}"
-    if (stagedRefs.add(path)) build.write.mode("overwrite").parquet(path)
+    if (stagedRefs.add(path)) {
+      val fp = StagingEpoch + ":" + inputFingerprint(dir, inputs)
+      val marker = java.nio.file.Paths.get(path, "_GRAFT_STAGED.properties")
+      val reusable = readMarker(marker).exists(_.getProperty("fp") == fp) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+      if (!reusable) {
+        build.write.mode("overwrite").parquet(path)
+        writeMarker(marker, Map("fp" -> fp))
+      }
+    }
     s.read.parquet(path)
+  }
+
+  /** Stage a derived frame as a BUCKETED managed table once per (input
+    * content, [[StagingEpoch]]) — [[stagedParquet]]'s discipline for the
+    * bucketed layouts. Cross-JVM reuse has one extra step: the session
+    * catalog is in-memory, so a completed previous write survives only as
+    * files; the probe re-registers the SAME bucket DDL over the existing
+    * location (bucket ids live in the file names, so the layout metadata
+    * reattaches losslessly) and verifies the marker's row count before
+    * trusting it. Any mismatch — fingerprint, epoch, count — drops to a
+    * full rebuild. */
+  private def stagedBucketedTable(s: SparkSession, dir: String, name: String,
+      key: String, buckets: Int, inputs: Seq[String])
+      (build: => DataFrame): DataFrame = {
+    // EXTERNAL registration over the staging location — both on reuse and
+    // right after a fresh build: an external table's DROP never deletes
+    // the (marker-certified) files, so a catalog reset between the write
+    // and a later probe can never destroy a valid staging; rebuilds
+    // delete explicitly below.
+    def register(schemaDdl: String, loc: java.nio.file.Path): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      s.sql(s"CREATE TABLE $name ($schemaDdl) " +
+        s"USING PARQUET CLUSTERED BY ($key) SORTED BY ($key) " +
+        s"INTO $buckets BUCKETS LOCATION '${loc.toUri}'")
+    }
+    if (stagedRefs.add(name)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        .stripPrefix("file:")
+      val loc = java.nio.file.Paths.get(wh, name)
+      val marker = loc.resolve("_GRAFT_STAGED.properties")
+      val fp = StagingEpoch + ":" + inputFingerprint(dir, inputs)
+      val reused = readMarker(marker).exists { m =>
+        m.getProperty("fp") == fp && m.getProperty("schema") != null &&
+          m.getProperty("rows") != null && {
+            register(m.getProperty("schema"), loc)
+            s.table(name).count() == m.getProperty("rows").toLong || {
+              s.sql(s"DROP TABLE IF EXISTS $name"); false
+            }
+          }
+      }
+      if (!reused) {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        graft.etl.Context.deleteRecursively(loc)
+        // explicit path -> the table is born EXTERNAL at its staging
+        // location (see writeBucketed): no managed-DROP can ever delete a
+        // marker-certified staging out from under a later probe
+        graft.sources.Tables.writeBucketed(build, name, key, buckets,
+          Some(loc.toUri.toString))
+        writeMarker(marker, Map("fp" -> fp,
+          "rows" -> s.table(name).count().toString,
+          "schema" -> s.table(name).schema.toDDL))
+      }
+    }
+    s.table(name)
   }
 
   /** Stage the q_cross_dedup_* reference corpus (doc_id < 400) as a
@@ -227,19 +385,10 @@ object SparkEntry {
     * name carries a digest of the dir so a warm-up SF can never leak its
     * staging into the timed SF. Returns the table name. */
   private def bucketedRefTable(s: SparkSession, dir: String): String = {
-    val digest = dirDigest(dir)
-    val name = s"graft_ref_bands_$digest"
-    if (stagedRefs.add(name)) {
-      s.sql(s"DROP TABLE IF EXISTS $name")
-      // a managed location can survive a dropped/reset metastore, and
-      // saveAsTable refuses to create a table over an existing location —
-      // clear it like PlanSpec's bucketed-table test does
-      val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse").stripPrefix("file:")
-      graft.etl.Context.deleteRecursively(java.nio.file.Paths.get(wh, name))
-      Dedup.stageBandsBucketed(t(s, dir, "documents").where(col("doc_id") < 400),
-        "doc_id", "text", name,
-        buckets = 16, shingleSize = 5, numHashes = 128, bands = 16)
-    }
+    val name = s"graft_ref_bands_${dirDigest(dir)}"
+    stagedBucketedTable(s, dir, name, "bkey", 16, Seq("documents"))(
+      Dedup.bandStagingFrame(t(s, dir, "documents").where(col("doc_id") < 400),
+        "doc_id", "text", shingleSize = 5, numHashes = 128, bands = 16))
     name
   }
 
@@ -253,19 +402,10 @@ object SparkEntry {
     val digest = dirDigest(dir)
     val to = s"graft_bkt_orders_$digest"
     val tc = s"graft_bkt_customer_$digest"
-    if (stagedRefs.add(to)) {
-      val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse").stripPrefix("file:")
-      Seq(to, tc).foreach { n =>
-        s.sql(s"DROP TABLE IF EXISTS $n")
-        graft.etl.Context.deleteRecursively(java.nio.file.Paths.get(wh, n))
-      }
-      graft.sources.Tables.writeBucketed(
-        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
-        to, "o_custkey", 16)
-      graft.sources.Tables.writeBucketed(
-        t(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
-        tc, "o_custkey", 16)
-    }
+    stagedBucketedTable(s, dir, to, "o_custkey", 16, Seq("orders"))(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+    stagedBucketedTable(s, dir, tc, "o_custkey", 16, Seq("customer"))(
+      t(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")))
     (to, tc)
   }
 
@@ -277,7 +417,7 @@ object SparkEntry {
     * corpus, not per consumer. Row-identical to deriving in place, so the
     * exact all-pairs oracles are untouched. */
   private def stagedImageFingerprints(s: SparkSession, dir: String): DataFrame =
-    stagedParquet(s, dir, "imgfp")(Multimodal.imageFingerprints(
+    stagedParquet(s, dir, "imgfp", Seq("documents"))(Multimodal.imageFingerprints(
       Multimodal.synthesizeGradientImages(
         t(s, dir, "documents").select(col("doc_id")), "doc_id")))
 
@@ -291,7 +431,7 @@ object SparkEntry {
     * consumer. Row-identical to deriving in place; all five oracles are
     * untouched. */
   private def stagedMinhashPairs(s: SparkSession, dir: String): DataFrame =
-    stagedParquet(s, dir, "mhpairs")(Dedup.minhashNearDuplicates(
+    stagedParquet(s, dir, "mhpairs", Seq("documents"))(Dedup.minhashNearDuplicates(
       t(s, dir, "documents"), "doc_id", "text",
       shingleSize = 5, numHashes = 128, bands = 16, threshold = 0.5))
 
@@ -341,7 +481,18 @@ object SparkEntry {
   private def jsonlStagePath(s: SparkSession, dir: String): String = {
     val digest = dirDigest(dir)
     val path = s"/tmp/graft_jsonl_$digest"
-    if (stagedRefs.add(path)) graft.sources.Jsonl.write(t(s, dir, "documents"), path)
+    if (stagedRefs.add(path)) {
+      // same marker-gated cross-JVM reuse as stagedParquet (Jsonl.write
+      // emits a _SUCCESS on commit like any Hadoop-committer sink)
+      val fp = StagingEpoch + ":" + inputFingerprint(dir, Seq("documents"))
+      val marker = java.nio.file.Paths.get(path, "_GRAFT_STAGED.properties")
+      val reusable = readMarker(marker).exists(_.getProperty("fp") == fp) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+      if (!reusable) {
+        graft.sources.Jsonl.write(t(s, dir, "documents"), path)
+        writeMarker(marker, Map("fp" -> fp))
+      }
+    }
     path
   }
 
@@ -352,8 +503,16 @@ object SparkEntry {
   private def orcStagePath(s: SparkSession, dir: String): String = {
     val digest = dirDigest(dir)
     val path = s"/tmp/graft_orc_$digest"
-    if (stagedRefs.add(path))
-      t(s, dir, "documents").write.mode("overwrite").orc(path)
+    if (stagedRefs.add(path)) {
+      val fp = StagingEpoch + ":" + inputFingerprint(dir, Seq("documents"))
+      val marker = java.nio.file.Paths.get(path, "_GRAFT_STAGED.properties")
+      val reusable = readMarker(marker).exists(_.getProperty("fp") == fp) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+      if (!reusable) {
+        t(s, dir, "documents").write.mode("overwrite").orc(path)
+        writeMarker(marker, Map("fp" -> fp))
+      }
+    }
     path
   }
 
@@ -361,10 +520,10 @@ object SparkEntry {
     * q_substring_dup (coverage profile) and q_dup_spans (merged regions)
     * both consume it, and the gram explode + 10M-row md5 is by far their
     * dominant cost: measure-then-cut pipelines derive the index once, the
-    * same production posture as [[stagedCoPurchaseEdges]]. Row-identical
+    * same production posture as [[stagedCoPurchaseSym]]. Row-identical
     * to Dedup.gramIndex on the raw table, so both oracles are untouched. */
   private def stagedGramIndex(s: SparkSession, dir: String): DataFrame =
-    stagedParquet(s, dir, "grams")(
+    stagedParquet(s, dir, "grams", Seq("documents"))(
       Dedup.gramIndex(t(s, dir, "documents"), "doc_id", "text", k = 40))
 
   /** approx_percentile accuracy for the *_approx scale twins: rank error
@@ -1123,7 +1282,8 @@ object SparkEntry {
     // DEGREE-ORIENTED wedge closing — O(m^1.5) wedge volume regardless of
     // skew, equi-joins and integers end-to-end (GraphOps.triangleCounts)
     "q_triangles" -> ((s, dir) => {
-      graft.graph.GraphOps.triangleCounts(stagedCoPurchaseEdges(s, dir), "pa", "pb")
+      graft.graph.GraphOps.triangleCounts(stagedCoPurchaseSym(s, dir), "a", "b",
+        assumeSymmetric = true)
     }),
 
     // min-label propagation communities over the same co-purchase graph:
@@ -1131,7 +1291,8 @@ object SparkEntry {
     // components, bit-deterministic (integer min), so the oracle replays
     // the recurrence round by round like q_pagerank's
     "q_label_prop" -> ((s, dir) => {
-      graft.graph.GraphOps.labelPropagateMin(stagedCoPurchaseEdges(s, dir), "pa", "pb", iterations = 5)
+      graft.graph.GraphOps.labelPropagateMin(stagedCoPurchaseSym(s, dir), "a", "b",
+        iterations = 5, assumeSymmetric = true)
         .select(col("node").as("node_id"), col("label").as("community"))
     }),
 
@@ -1142,7 +1303,8 @@ object SparkEntry {
     // round count is the component diameter. Same deterministic
     // integer-min output; oracle = recursive reachability closure
     "q_components" -> ((s, dir) => {
-      graft.graph.GraphOps.connectedComponentsStar(stagedCoPurchaseEdges(s, dir), "pa", "pb")
+      graft.graph.GraphOps.connectedComponentsStar(stagedCoPurchaseSym(s, dir), "a", "b",
+        assumeSymmetric = true)
         .select(col("node").as("node_id"), col("label").as("component"))
     }),
 
@@ -1152,7 +1314,8 @@ object SparkEntry {
     // with a bounded recursive CTE). The seed is a one-row aggregate over
     // the ONCE-materialized edge frame, never collected to the driver.
     "q_bfs_dist" -> ((s, dir) => {
-      graft.graph.GraphOps.bfsFromMinNode(stagedCoPurchaseEdges(s, dir), "pa", "pb", maxHops = 4)
+      graft.graph.GraphOps.bfsFromMinNode(stagedCoPurchaseSym(s, dir), "a", "b",
+        maxHops = 4, assumeSymmetric = true)
         .select(col("node").as("node_id"), col("hops"))
     }),
 
@@ -1170,7 +1333,7 @@ object SparkEntry {
       // needs a deeper peel the two engines would silently diverge, so
       // assert the measured depth against the oracle's unroll here
       val (truss, rounds) = graft.graph.GraphOps.kTrussWithRounds(
-        stagedCoPurchaseEdges(s, dir), "pa", "pb", k = 3)
+        stagedCoPurchaseSym(s, dir), "a", "b", k = 3, assumeSymmetric = true)
       require(rounds <= 3, s"q_k_truss peeled $rounds rounds but the " +
         "oracle unrolls only 3 — deepen the oracle CTE before trusting this fixture")
       truss
@@ -1183,12 +1346,15 @@ object SparkEntry {
     // summation order to disagree on. Sample size and hop cap are the
     // two explicit scale knobs; the frontier is (seed, node)-keyed
     "q_closeness" -> ((s, dir) => {
-      val edges = stagedCoPurchaseEdges(s, dir)
-      val seeds = edges.select(col("pa").as("seed"))
-        .union(edges.select(col("pb").as("seed"))).distinct()
+      val edges = stagedCoPurchaseSym(s, dir)
+      // the symmetric closure's `a` column already covers every endpoint
+      // (self-loops included), so the seed domain is ONE exchange-free
+      // distinct over the bucket key instead of a two-sided union
+      val seeds = edges.select(col("a").as("seed")).distinct()
         .where(graft.functions.HashFunctions
           .md5PrefixLong("cc:", col("seed"), 8) % 29 === 0)
-      graft.graph.GraphOps.harmonicCloseness(edges, "pa", "pb", seeds, maxHops = 4)
+      graft.graph.GraphOps.harmonicCloseness(edges, "a", "b", seeds, maxHops = 4,
+        assumeSymmetric = true)
     }),
 
     // 3-core of the co-purchase graph by distributed batch peeling
@@ -1197,7 +1363,8 @@ object SparkEntry {
     // unrolled CTE rounds (the fixture's measured peeling depth is 10;
     // past the fixpoint further peels are provable no-ops)
     "q_k_core" -> ((s, dir) => {
-      graft.graph.GraphOps.kCore(stagedCoPurchaseEdges(s, dir), "pa", "pb", k = 3)
+      graft.graph.GraphOps.kCore(stagedCoPurchaseSym(s, dir), "a", "b", k = 3,
+        assumeSymmetric = true)
         .select(col("node_id"), col("core_degree"))
     }),
 
@@ -3515,8 +3682,8 @@ object SparkEntry {
     // vertex with a stop-hub degree cap (see GraphOps.linkPrediction for
     // the Σ deg² skew bound), one pair-keyed agg, one anti-join
     "q_link_predict" -> ((s, dir) => {
-      graft.graph.GraphOps.linkPrediction(stagedCoPurchaseEdges(s, dir), "pa", "pb",
-        minShared = 2, maxDegree = 1024)
+      graft.graph.GraphOps.linkPrediction(stagedCoPurchaseSym(s, dir), "a", "b",
+        minShared = 2, maxDegree = 1024, assumeSymmetric = true)
         .select(col("u"), col("w"), col("common_neighbors"), col("adamic_adar"))
     }),
 
@@ -3686,16 +3853,16 @@ object SparkEntry {
     // 20th node seeds a 4-step walk. See GraphOps.randomWalks for the
     // one-ranked-adjacency, one-join-per-step plan shape
     "q_random_walks" -> ((s, dir) => {
-      graft.graph.GraphOps.randomWalksFromNodes(stagedCoPurchaseEdges(s, dir),
-        "pa", "pb", col("node") % 20 === 0, steps = 4)
+      graft.graph.GraphOps.randomWalksFromNodes(stagedCoPurchaseSym(s, dir),
+        "a", "b", col("node") % 20 === 0, steps = 4, assumeSymmetric = true)
         .select(col("walk_id"), col("step").cast("long").as("step"), col("node"))
     }),
 
     // visit-count centrality from the sampled walks — stationary-ish
     // visit mass without a fixpoint: one agg over the walk table
     "q_walk_centrality" -> ((s, dir) => {
-      graft.graph.GraphOps.randomWalksFromNodes(stagedCoPurchaseEdges(s, dir),
-        "pa", "pb", col("node") % 20 === 0, steps = 4)
+      graft.graph.GraphOps.randomWalksFromNodes(stagedCoPurchaseSym(s, dir),
+        "a", "b", col("node") % 20 === 0, steps = 4, assumeSymmetric = true)
         .groupBy(col("node").as("node_id"))
         .agg(count(lit(1)).as("visits"),
           countDistinct(col("walk_id")).as("n_walks"))
@@ -3706,7 +3873,8 @@ object SparkEntry {
     // walk_id equi-join (walk tables are seed-sized, never |E|-sized)
     "q_skipgram_pairs" -> ((s, dir) => {
       val walks = graft.graph.GraphOps.randomWalksFromNodes(
-        stagedCoPurchaseEdges(s, dir), "pa", "pb", col("node") % 20 === 0, steps = 4)
+        stagedCoPurchaseSym(s, dir), "a", "b", col("node") % 20 === 0, steps = 4,
+        assumeSymmetric = true)
       walks.as("x").join(walks.as("y"),
           col("x.walk_id") === col("y.walk_id") &&
             (col("y.step") - col("x.step")).isin(1, 2))
@@ -3744,7 +3912,7 @@ object SparkEntry {
     }),
 
     // incremental maintenance of the co-purchase projection ITSELF — the
-    // piece that keeps stagedCoPurchaseEdges fresh at 100 TB without
+    // piece that keeps stagedCoPurchaseSym fresh at 100 TB without
     // rescanning history: per-order pair counts are a mergeable state
     // (an order's items all arrive together, so pairs never straddle the
     // history/delta boundary and count addition is exact), the weight
@@ -3753,12 +3921,18 @@ object SparkEntry {
     // combined — counts ARE the state, the filter is the view). Oracle =
     // full recompute: merge(history, delta) == rebuild, hash-exact
     "q_incremental_copurchase" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      def pairState(df: DataFrame) = graft.graph.GraphOps.coOccurrencePairs(
-        df, "l_orderkey", "l_partkey", minShared = 1, maxGroupSize = 256)
+      // both halves slice the STAGED capped basket frame by a WHOLE-GROUP
+      // predicate (an order is history or delta with all its rows), and
+      // the cap window + dedup commute with whole-group filters — so
+      // each slice's pair state is row-identical to projecting the raw
+      // slice, with the distinct+cap pipeline paid once at staging
+      // (GraphOps.coOccurrencePairsFromBaskets documents the argument)
+      val baskets = stagedBaskets(s, dir)
+      def pairState(df: DataFrame) = graft.graph.GraphOps
+        .coOccurrencePairsFromBaskets(df, "g", "i", minShared = 1)
       val merged = graft.operators.Incremental.mergeStates(
-        Seq(pairState(li.where(col("l_orderkey") % 10 =!= 0)),
-          pairState(li.where(col("l_orderkey") % 10 === 0))),
+        Seq(pairState(baskets.where(col("g") % 10 =!= 0)),
+          pairState(baskets.where(col("g") % 10 === 0))),
         Seq("pa", "pb"), Seq("w" -> "sum"))
       merged.where(col("w") >= 2)
     }),
@@ -3782,16 +3956,18 @@ object SparkEntry {
     // is judged by, computed fraction-free (integer sums, one division;
     // see GraphOps.modularity)
     "q_modularity" -> ((s, dir) => {
-      val edges = stagedCoPurchaseEdges(s, dir)
-      val labels = graft.graph.GraphOps.labelPropagateMin(edges, "pa", "pb",
-        iterations = 5)
-      graft.graph.GraphOps.modularity(edges, "pa", "pb", labels, "node", "label")
+      val edges = stagedCoPurchaseSym(s, dir)
+      val labels = graft.graph.GraphOps.labelPropagateMin(edges, "a", "b",
+        iterations = 5, assumeSymmetric = true)
+      graft.graph.GraphOps.modularity(edges, "a", "b", labels, "node", "label",
+        assumeSymmetric = true)
     }),
 
     // degree assortativity of the co-purchase graph — hub-mixing in one
     // number, integer moments + three IEEE ops (GraphOps.assortativity)
     "q_assortativity" -> ((s, dir) => {
-      graft.graph.GraphOps.assortativity(stagedCoPurchaseEdges(s, dir), "pa", "pb")
+      graft.graph.GraphOps.assortativity(stagedCoPurchaseSym(s, dir), "a", "b",
+        assumeSymmetric = true)
     }),
 
     // log2-binned degree distribution of the co-purchase graph — the
@@ -3800,9 +3976,11 @@ object SparkEntry {
     // exact integer arithmetic: floor(log2 d) = length(bin(d)) − 1 on
     // both engines — no float log in sight
     "q_degree_distribution" -> ((s, dir) => {
-      val deg = stagedCoPurchaseEdges(s, dir)
-        .select(explode(array(col("pa"), col("pb"))).as("n"))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      // degree per node over the symmetric staged closure: one
+      // map-combined count on the bucket key, exchange-free — the
+      // explode-both-endpoints rollup this replaced paid a full shuffle
+      val deg = stagedCoPurchaseSym(s, dir).where(col("a") =!= col("b"))
+        .groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
       val buckets = deg
         .select((length(bin(col("d"))) - 1).cast("long").as("bucket"), col("d"))
         .groupBy(col("bucket"))
@@ -3818,11 +3996,11 @@ object SparkEntry {
     // cannot give: which community leaks. Unlabeled endpoints count as
     // leakage; integer cut/volume sums, one division per community
     "q_conductance" -> ((s, dir) => {
-      val edges = stagedCoPurchaseEdges(s, dir)
-      val labels = graft.graph.GraphOps.labelPropagateMin(edges, "pa", "pb",
-        iterations = 5)
-      graft.graph.GraphOps.conductance(edges, "pa", "pb",
-        labels, "node", "label")
+      val edges = stagedCoPurchaseSym(s, dir)
+      val labels = graft.graph.GraphOps.labelPropagateMin(edges, "a", "b",
+        iterations = 5, assumeSymmetric = true)
+      graft.graph.GraphOps.conductance(edges, "a", "b",
+        labels, "node", "label", assumeSymmetric = true)
     }),
 
     // global clustering coefficient = closed / all triplets, fraction-free:
@@ -3831,14 +4009,12 @@ object SparkEntry {
     // triangle/wedge totals divide out exactly (both divisibilities are
     // structural). Rides the degree-oriented closure + the staged edges
     "q_clustering_coeff" -> ((s, dir) => {
-      val edges = stagedCoPurchaseEdges(s, dir)
-      val tri = graft.graph.GraphOps.triangleCounts(edges, "pa", "pb")
+      val edges = stagedCoPurchaseSym(s, dir)
+      val tri = graft.graph.GraphOps.triangleCounts(edges, "a", "b",
+          assumeSymmetric = true)
         .agg(coalesce(sum(col("n_triangles")), lit(0L)).as("tri3"))
-      val e = edges.select(least(col("pa"), col("pb")).as("a"),
-          greatest(col("pa"), col("pb")).as("b"))
-        .where(col("a") =!= col("b")).distinct()
-      val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
-        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val deg = edges.where(col("a") =!= col("b"))
+        .groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
       val wed = deg.agg(sum(col("d") * (col("d") - 1)).as("w2"),
         count(lit(1)).as("n_nodes"))
       tri.crossJoin(wed)
@@ -4217,9 +4393,12 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val queries = emb.where(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      Similarity.ivfPqTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
-        k = 5, nlist = 16, nprobe = 8, refineIters = 1,
-        dim = 64, nsub = 4, ncent = 16)
+      // index comes staged (stagedIvfPq: centroids + codebooks + coded
+      // corpus are all query-independent); only the ADC probe runs here.
+      // q_embed_ivf_topk stays inline-by-design as the fused-build pin.
+      val (cent, donors, index) = stagedIvfPq(s, dir)
+      Similarity.ivfPqSearch(index, cent, donors, queries, "qid", "qvec",
+        k = 5, nprobe = 8, dim = 64, nsub = 4)
     }),
 
     // content-defined chunking + chunk-level dedup report
@@ -4622,8 +4801,12 @@ object SparkEntry {
       val approxMembers = t(s, dir, "orders")
         .agg(approx_count_distinct(col("o_custkey")).as("n"))
         .first().getLong(0)
+      // size from the HLL estimate INFLATED by 10%: approx_count_distinct
+      // carries ±5% rsd, and an UNDERestimate silently raises the realized
+      // FPR toward the 3x bound as scale grows — the headroom must absorb
+      // sketch error by construction, not by luck
       val bloom = members.stat.bloomFilter("k",
-        math.max(approxMembers, 1000L), 0.01)
+        math.max(approxMembers + approxMembers / 10L, 1000L), 0.01)
       val memberChecks = members
         .agg(count(lit(1)).as("n_members"),
           sum(when(graft.plans.NativeExpressions.bloomMightContain(col("k"), bloom),

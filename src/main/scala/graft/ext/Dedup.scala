@@ -350,14 +350,21 @@ object Dedup {
   def stageBandsBucketed(
       df: DataFrame, idCol: String, textCol: String, tableName: String,
       buckets: Int = 64, shingleSize: Int = 5, numHashes: Int = 128,
-      bands: Int = 32): Unit = {
-    val sh = NativeExpressions.charShingles(col(textCol), shingleSize)
-    // the fold of (band, bhash) into ONE bkey (see bandKeys) makes bucket
-    // co-location exactly match the join key — a two-column join over a
-    // one-column bucket layout would still exchange
-    val exploded = bandKeys(df, idCol, "ref_id", sh, numHashes, bands)
-    graft.sources.Tables.writeBucketed(exploded, tableName, "bkey", buckets)
-  }
+      bands: Int = 32): Unit =
+    graft.sources.Tables.writeBucketed(
+      bandStagingFrame(df, idCol, textCol, shingleSize, numHashes, bands),
+      tableName, "bkey", buckets)
+
+  /** The banding frame [[stageBandsBucketed]] writes — exposed so a caller
+    * managing its own (cross-JVM reusable) table lifecycle stages the
+    * identical layout. The fold of (band, bhash) into ONE bkey (see
+    * bandKeys) makes bucket co-location exactly match the join key — a
+    * two-column join over a one-column bucket layout would still
+    * exchange. */
+  def bandStagingFrame(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32): DataFrame =
+    bandKeys(df, idCol, "ref_id",
+      NativeExpressions.charShingles(col(textCol), shingleSize), numHashes, bands)
 
   /** Cross-corpus near-dup pairs against a [[stageBandsBucketed]] table:
     * candidates come from a bucket-local join (reference side reads its
@@ -838,9 +845,26 @@ object Dedup {
     // checkpoint the whole dictionary-rank + window pipeline executes
     // twice (structural re-use, same rationale as GlobalRank's
     // materialization — not a data cache)
+    // EXACT integer renderings of the three pruning factors. Each factor
+    // f is lowered to nf/2^20 with nf = floor(f·2^20) — the multiply by a
+    // power of two only shifts the double's exponent, so nf/2^20 <= f
+    // HOLDS EXACTLY — and every cutoff below is then pure integer
+    // arithmetic: `ceil` over a ROUNDED double product can round up past
+    // an exact integer and silently drop a borderline TRUE pair, where a
+    // <=-factor only ever weakens pruning by one candidate row that the
+    // exact-Jaccard verify removes anyway (output-identical, hazard-free).
+    val denBits = 20
+    val den = 1L << denBits
+    def lowNum(f: Double): Long = (f * den.toDouble).toLong
+    // ceil((nf/2^20)·x) = (nf·x + 2^20 − 1) >> 20, for non-negative x
+    def ceilLow(nf: Long, x: org.apache.spark.sql.Column) =
+      shiftright(lit(nf) * x + lit(den - 1), denBits)
+    val nT = lowNum(threshold)
+    val nIdx = lowNum(2.0d * threshold / (1.0d + threshold))
+    val nAlpha = lowNum(threshold / (1.0d + threshold))
     val prefix = posts.join(ranked, Seq("tok")).join(sizes, Seq("id"))
       .withColumn("__pos", row_number().over(perDoc))
-      .where(col("__pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .where(col("__pos") <= col("sz") - ceilLow(nT, col("sz")) + 1)
       .select(col("__trank"), col("id"), col("sz"), col("__pos"))
       .localCheckpoint(true)
     // ASYMMETRIC prefixes (the PPJoin self-join refinement): orient every
@@ -853,8 +877,7 @@ object Dedup {
     // df² to df_index·df_probe, and the b side keeps the probe prefix
     // (α >= ceil(t·|B|) holds for every pair passing the size filter).
     val indexPrefix = prefix
-      .where(col("__pos") <=
-        col("sz") - ceil(lit(2.0d * threshold / (1.0d + threshold)) * col("sz")) + 1)
+      .where(col("__pos") <= col("sz") - ceilLow(nIdx, col("sz")) + 1)
     // candidates: share >= 1 (index-prefix, probe-prefix) token, pruned by
     //  (1) size ratio (|A| <= |B| and J >= t ⇒ |A| >= t|B|), at the join
     //      (the other direction is implied by the orientation);
@@ -865,13 +888,13 @@ object Dedup {
     //      over a pair's shared prefix tokens rides the same aggregation
     //      that dedups the pair, so the filter costs no extra shuffle and
     //      drops >half the candidates before any payload moves.
-    val alpha = ceil(lit(threshold / (1.0d + threshold)) * (col("sz_a") + col("sz_b")))
+    val alpha = ceilLow(nAlpha, col("sz_a") + col("sz_b"))
     val cands = indexPrefix.as("a")
       .join(prefix.as("b"),
         col("a.__trank") === col("b.__trank")
           && (col("a.sz") < col("b.sz")
             || (col("a.sz") === col("b.sz") && col("a.id") < col("b.id")))
-          && col("a.sz") >= lit(threshold) * col("b.sz"))
+          && col("a.sz") * lit(den) >= lit(nT) * col("b.sz"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(max(least(col("a.sz") - col("a.__pos"), col("b.sz") - col("b.__pos")) + 1)
@@ -917,13 +940,31 @@ object Dedup {
     * EXACTLY, which is the correctness contract everything here trades
     * toward; the production swap to a gear hash changes one expression.
     *
-    * Scale: one narrow per-row projection (per-position window hashes
-    * live inside a `transform` over the row's own text — no explode, no
-    * shuffle); the output is (id, chunk_idx, chunk) rows for downstream
-    * group-bys. Both substr and length count CODE POINTS in Spark and
+    * Scale: one narrow per-row projection — the boundary walk runs in
+    * the native [[graft.plans.CdcChunks]] kernel (one loop per row,
+    * whole-stage-codegen'd; the interpreted-HOF construction it replaced
+    * is kept below as the pinned reference) — no explode input, no
+    * shuffle; the output is (id, chunk_idx, chunk) rows for downstream
+    * group-bys. Offsets and lengths count CODE POINTS in Spark and
     * DuckDB, so the contract survives non-ASCII text. */
   def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 16, mask: Int = 64): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(mask >= 2, s"mask must be >= 2, got $mask")
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(NativeExpressions.cdcChunks(col(textCol), window, mask))
+          .as(Seq("chunk_idx", "chunk")))
+  }
+
+  /** The original HOF construction of [[contentDefinedChunks]]'s chunk
+    * set — per-position window hashes inside a `transform` over
+    * `sequence`, interpreted lambdas, SQL substr/conv — kept ONLY as the
+    * executable reference the native [[graft.plans.CdcChunks]] kernel is
+    * ScalaCheck-pinned against (DedupSpec): the two must agree on every
+    * boundary for any input, or the oracle contract is broken. */
+  private[graft] def contentDefinedChunksHof(docs: DataFrame, idCol: String,
+      textCol: String, window: Int = 16, mask: Int = 64): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
     require(mask >= 2, s"mask must be >= 2, got $mask")
     val text = col(textCol)

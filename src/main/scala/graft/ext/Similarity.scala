@@ -495,12 +495,43 @@ object Similarity {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 8, refineIters: Int = 1,
       dim: Int = 64, nsub: Int = 4, ncent: Int = 16): DataFrame = {
-    require(dim % nsub == 0, s"dim $dim must split evenly into $nsub subspaces")
-    val sw = dim / nsub
     val centroids0 = sampleCentroids(corpus, idCol, vecCol, nlist)
     val centroids = if (refineIters <= 0) centroids0
       else refineCentroids(corpus, idCol, vecCol, centroids0, refineIters)
     val donors = pqDonors(corpus, idCol, vecCol, ncent)
+    val index = ivfPqCodedCorpus(corpus, idCol, vecCol, centroids, donors, dim, nsub)
+    ivfPqSearchWith(index, centroids, donors, queries, qidCol, qvecCol,
+      k, nprobe, dim, nsub)
+  }
+
+  /** The donor codebook as a (ord, vec) FRAME — [[pqDonors]] made
+    * stageable: a staged index must persist its codebooks next to its
+    * codes (they are corpus artifacts; queries arrive later), and the
+    * search side re-collects the bounded `ncent` rows instead of
+    * re-scanning the corpus for the donor sample. */
+  def pqDonorsFrame(corpus: DataFrame, idCol: String, vecCol: String,
+      ncent: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    pqDonors(corpus, idCol, vecCol, ncent).toSeq.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("ord", "vec")
+  }
+
+  /** Collect a [[pqDonorsFrame]] back to the literal codebook array. */
+  def collectDonors(donorsDf: DataFrame): Array[Seq[Float]] =
+    donorsDf.select(col("ord").cast("int"), col("vec"))
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Float](1))
+
+  /** The query-independent HALF of [[ivfPqTopK]]: the coded corpus —
+    * IVF bucket argmin + `nsub` PQ code argmins in ONE narrow projection
+    * per row, (neighbor_id, centroid_id, c0..c{nsub-1}). At 100 TB this
+    * is the one-off index build; staged (bucketed by centroid_id at
+    * scale), a query batch reads only probed buckets at CODE width. */
+  def ivfPqCodedCorpus(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, donors: Array[Seq[Float]],
+      dim: Int, nsub: Int): DataFrame = {
+    require(dim % nsub == 0, s"dim $dim must split evenly into $nsub subspaces")
+    val sw = dim / nsub
     val codeCols = (0 until nsub).map { s =>
       val cands = donors.zipWithIndex.map { case (v, cid) =>
         struct(
@@ -511,8 +542,26 @@ object Similarity {
       }
       array_min(array(cands.toIndexedSeq: _*)).getField("cid").as(s"c$s")
     }
-    val index = assignToCentroids(corpus, idCol, vecCol, centroids)
+    assignToCentroids(corpus, idCol, vecCol, centroids)
       .select((Seq(col(idCol).as("neighbor_id"), col("centroid_id")) ++ codeCols): _*)
+  }
+
+  /** The per-query-batch HALF of [[ivfPqTopK]] over a (possibly staged)
+    * [[ivfPqCodedCorpus]]: probe selection + per-query LUTs on the
+    * bounded query frame, one broadcast join into the probed code scan,
+    * fixed-order squared-ADC sum, (adc, neighbor_id) rank. Value-identical
+    * to the fused form — the oracle replays the same chain. */
+  def ivfPqSearch(index: DataFrame, centroids: DataFrame, donorsDf: DataFrame,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nprobe: Int, dim: Int, nsub: Int): DataFrame =
+    ivfPqSearchWith(index, centroids, collectDonors(donorsDf), queries,
+      qidCol, qvecCol, k, nprobe, dim, nsub)
+
+  private def ivfPqSearchWith(index: DataFrame, centroids: DataFrame,
+      donors: Array[Seq[Float]], queries: DataFrame, qidCol: String,
+      qvecCol: String, k: Int, nprobe: Int, dim: Int, nsub: Int): DataFrame = {
+    require(dim % nsub == 0, s"dim $dim must split evenly into $nsub subspaces")
+    val sw = dim / nsub
     val qw = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("centroid_id"))
     val luts = (0 until nsub).map { s =>
       array(donors.map(d =>

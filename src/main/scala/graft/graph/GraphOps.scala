@@ -22,6 +22,35 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** The `assumeSymmetric` contract shared by every undirected operator
+    * below: the caller certifies `edges` is ALREADY the symmetric closure
+    * of a distinct, loop-free undirected edge set — both orientations of
+    * every edge present exactly once — PLUS one `(n, n)` self-loop per
+    * node (the staged bucketed layout `SparkEntry.stagedCoPurchaseSym`
+    * writes). Under the contract each operator's internal edge derivation
+    * collapses from a union + distinct (which re-EXCHANGES the edge frame
+    * and destroys a bucketed scan's partitioning) to a scan-preserving
+    * filter/projection:
+    *   symmetric loop-free set  = `src =!= dst`
+    *   canonical a < b set      = `src < dst`  (each pair appears once)
+    *   canonical u > v set      = `src > dst`
+    *   self-loop-closed set     = the frame itself
+    *   node degrees             = `groupBy(src)` over the loop-free set —
+    *                              exchange-free when bucketed on src
+    * Row-identity of each derivation with the unflagged path is what
+    * keeps every oracle untouched; GraphOpsSpec pins it. */
+  private def symmetricLoopFree(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.where(col(srcCol) =!= col(dstCol))
+
+  /** Node degrees from a contract-certified symmetric frame: one
+    * map-combined count per source key — no explode, and exchange-free
+    * over a src-bucketed scan. Columns (n, d). */
+  private def symmetricDegrees(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    symmetricLoopFree(edges, srcCol, dstCol)
+      .groupBy(col(srcCol).as("n")).agg(count(lit(1)).as("d"))
+
   /** Distinct vertices with dense Long ids: (vid, label, id). The distinct
     * set is TOTALLY ORDERED before zipWithIndex: a lost executor recomputes
     * dropped partitions through this lineage after the cache is released,
@@ -349,18 +378,29 @@ object GraphOps {
     * drops the round count to O(log n) with the same join shape. Past ~10
     * rounds checkpoint the label frame to cut lineage. */
   def labelPropagateMin(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5): DataFrame = {
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .where(col("a") =!= col("b")).distinct()
+      iterations: Int = 5, assumeSymmetric: Boolean = false): DataFrame = {
     // self-loops fold `least(own, min-over-neighbors)` into ONE min, so
     // each round references the label frame exactly once — without them
     // the recurrence reads labels twice per round and the unrolled plan
     // doubles per iteration (2^k subplans). The adjacency list recurs
     // once per round with an identical exchange — ReuseExchange computes
     // it once (pinning measured slower; see pageRankFixedPoint).
-    val eSelf = e.unionByName(
-        e.select(col("a")).distinct().select(col("a"), col("a").as("b")))
+    //
+    // assumeSymmetric: the staged self-loop-closed table IS eSelf — read
+    // it with the roles SWAPPED (the set is symmetric, so the swap is a
+    // no-op on rows) to land the bucketed column on `b`, the per-round
+    // JOIN key: every iteration's neighbor join is then exchange-free on
+    // the edge side and only the node-sized label frame moves.
+    val eSelf =
+      if (assumeSymmetric)
+        edges.select(col(dstCol).as("a"), col(srcCol).as("b"))
+      else {
+        val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+          .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+          .where(col("a") =!= col("b")).distinct()
+        e.unionByName(
+          e.select(col("a")).distinct().select(col("a"), col("a").as("b")))
+      }
     var labels = eSelf.where(col("a") === col("b"))
       .select(col("a").as("node"), col("a").as("label"))
     for (_ <- 1 to iterations) {
@@ -464,19 +504,26 @@ object GraphOps {
     * SHRINKS (dedup after contraction), so the heaviest round is the
     * first. */
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 40): DataFrame =
-    connectedComponentsStarWithRounds(edges, srcCol, dstCol, maxRounds)._1
+      maxRounds: Int = 40, assumeSymmetric: Boolean = false): DataFrame =
+    connectedComponentsStarWithRounds(edges, srcCol, dstCol, maxRounds,
+      assumeSymmetric)._1
 
   /** [[connectedComponentsStar]] plus the round count it needed — the
     * probe hook ScaleProbe uses to show rounds growing ~log(n), not
     * linearly, across scale factors. */
   def connectedComponentsStarWithRounds(
       edges: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 40): (DataFrame, Int) = {
-    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .where(col("a") =!= col("b"))
-      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-      .distinct()
+      maxRounds: Int = 40, assumeSymmetric: Boolean = false): (DataFrame, Int) = {
+    // assumeSymmetric: src > dst keeps exactly one canonically-oriented
+    // row per pair (the symmetric closure holds both), loop-free by the
+    // strict inequality — no re-orientation, no distinct exchange
+    var e = (if (assumeSymmetric)
+        edges.where(col(srcCol) > col(dstCol))
+          .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      else edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .where(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct())
       .localCheckpoint(true)
     // the output must cover every endpoint of the ORIGINAL edge set; the
     // contracted set loses interior nodes as chains fold
@@ -572,11 +619,8 @@ object GraphOps {
     * seed frame (same shape); for diameters past ~10 rounds, checkpoint
     * like [[connectedComponentsMin]]. */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .where(col("a") =!= col("b")).distinct()
-      .select(col("a"), col("b"), lit(1L).as("w"))
+      seeds: DataFrame, maxHops: Int,
+      assumeSymmetric: Boolean = false): DataFrame = {
     // materialize the (possibly expensive) upstream edge derivation ONCE:
     // the unrolled k-round plan references this subtree k times, and
     // unlike the single-join-per-round fixed-k label recurrences, the
@@ -585,11 +629,31 @@ object GraphOps {
     // projection per round, 4.8s vs 1.6s checkpointed). localCheckpoint,
     // NOT persist: the CacheManager keys on canonicalized plans and would
     // silently serve a rerun of the identically-built query from cache.
-    val eSelf = e.unionByName(
-      e.select(col("a")).distinct().select(col("a"), col("a").as("b"), lit(0L).as("w")))
-      .localCheckpoint(true)
+    val eSelf = bfsEdges(edges, srcCol, dstCol, assumeSymmetric)
     relaxRounds(eSelf, seeds.select(col("node"), lit(0L).as("hops")), maxHops)
   }
+
+  /** The self-loop-closed weighted relax frame shared by the BFS family:
+    * real edges carry w = 1, per-node self-loops w = 0 (they make the
+    * join-min recurrence monotone without a union). Under the
+    * [[symmetricLoopFree]] contract the staged table IS this frame —
+    * read roles-swapped so the bucketed column lands on `b`, the
+    * [[relaxRounds]] join key (the [[labelPropagateMin]] move), with the
+    * self-loop weight derived in the projection. The checkpoint
+    * preserves the scan's bucket partitioning for every round. */
+  private def bfsEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      assumeSymmetric: Boolean): DataFrame =
+    (if (assumeSymmetric)
+      edges.select(col(dstCol).as("a"), col(srcCol).as("b"),
+        when(col(srcCol) === col(dstCol), 0L).otherwise(1L).as("w"))
+    else {
+      val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+        .where(col("a") =!= col("b")).distinct()
+        .select(col("a"), col("b"), lit(1L).as("w"))
+      e.unionByName(
+        e.select(col("a")).distinct().select(col("a"), col("a").as("b"), lit(0L).as("w")))
+    }).localCheckpoint(true)
 
   /** Multi-source BFS with PER-SOURCE distances: (seed, node, hops) for
     * every node within `maxHops` of each seed — the primitive sampled
@@ -604,15 +668,22 @@ object GraphOps {
     * distances survive each round without a union). The edge frame is
     * checkpointed once (same rationale as [[bfsDistances]]). */
   def multiSourceBfs(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, maxHops: Int): DataFrame = {
+      seeds: DataFrame, maxHops: Int,
+      assumeSymmetric: Boolean = false): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .where(col("a") =!= col("b")).distinct()
-      .select(col("a"), col("b"), lit(1L).as("w"))
-    val eSelf = e.unionByName(
-      e.select(col("a")).distinct().select(col("a"), col("a").as("b"), lit(0L).as("w")))
-      .localCheckpoint(true)
+    // unlike relaxRounds, this loop joins on `a` — under the contract the
+    // staged frame is read UNSWAPPED so the bucket column is the join key
+    val eSelf = (if (assumeSymmetric)
+        edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+          when(col(srcCol) === col(dstCol), 0L).otherwise(1L).as("w"))
+      else {
+        val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+          .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+          .where(col("a") =!= col("b")).distinct()
+          .select(col("a"), col("b"), lit(1L).as("w"))
+        e.unionByName(
+          e.select(col("a")).distinct().select(col("a"), col("a").as("b"), lit(0L).as("w")))
+      }).localCheckpoint(true)
     var d = seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
     var i = 0
     while (i < maxHops) {
@@ -635,10 +706,11 @@ object GraphOps {
     * integer — and divided back out once, so any engine replays it
     * bit-for-bit with no float-summation-order contract. */
   def harmonicCloseness(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, maxHops: Int): DataFrame = {
+      seeds: DataFrame, maxHops: Int,
+      assumeSymmetric: Boolean = false): DataFrame = {
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val denom = (1 to maxHops).foldLeft(1L)((l, h) => l / gcd(l, h) * h)
-    multiSourceBfs(edges, srcCol, dstCol, seeds, maxHops)
+    multiSourceBfs(edges, srcCol, dstCol, seeds, maxHops, assumeSymmetric)
       .where(col("hops") > 0)
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_reached"),
@@ -652,14 +724,8 @@ object GraphOps {
     * over the raw edge derivation would re-run that (possibly expensive)
     * upstream subtree a second time just to find one node. */
   def bfsFromMinNode(edges: DataFrame, srcCol: String, dstCol: String,
-      maxHops: Int): DataFrame = {
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .where(col("a") =!= col("b")).distinct()
-      .select(col("a"), col("b"), lit(1L).as("w"))
-    val eSelf = e.unionByName(
-      e.select(col("a")).distinct().select(col("a"), col("a").as("b"), lit(0L).as("w")))
-      .localCheckpoint(true)
+      maxHops: Int, assumeSymmetric: Boolean = false): DataFrame = {
+    val eSelf = bfsEdges(edges, srcCol, dstCol, assumeSymmetric)
     val seeds = eSelf.agg(min(col("a")).as("node"))
     relaxRounds(eSelf, seeds.select(col("node"), lit(0L).as("hops")), maxHops)
   }
@@ -712,6 +778,25 @@ object GraphOps {
       .agg(count(lit(1)).as("w")).where(col("w") >= minShared)
   }
 
+  /** [[coOccurrencePairs]]' pair aggregation over an ALREADY capped and
+    * deduplicated (g, i) basket frame (the
+    * [[graft.ext.MarketBasket.cappedBaskets]] layout) — the entry point
+    * for staged basket projections, where re-running the distinct +
+    * cap-window inside every consumer would replay the same exchange over
+    * the same rows. The cap and the dedup commute with any WHOLE-GROUP
+    * filter (a group is in or out with all its rows, and the cap window
+    * partitions by the group key), so slicing a staged basket table by
+    * group and projecting each slice here is row-identical to projecting
+    * each slice from the raw items. */
+  def coOccurrencePairsFromBaskets(baskets: DataFrame, groupCol: String,
+      itemCol: String, minShared: Int = 2): DataFrame = {
+    val g = baskets.select(col(groupCol).as("g"), col(itemCol).as("i"))
+    g.as("x").join(g.as("y"),
+        col("x.g") === col("y.g") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("pa"), col("y.i").as("pb"))
+      .agg(count(lit(1)).as("w")).where(col("w") >= minShared)
+  }
+
   /** Per-node triangle counts via DEGREE-ORIENTED wedge closing (the
     * compact-forward algorithm) — the deterministic, oracle-checkable twin
     * of the GraphX [[triangleCount]] path (integers end-to-end). Edges are
@@ -733,13 +818,22 @@ object GraphOps {
     * goes quadratic. Cost: one extra degree aggregation and join, same
     * equi-join shape — hash-partitioned, AQE-skew-splittable, never a
     * cross join. Output is identical (same triangle set) either way. */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges.select(
-        least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-    val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      assumeSymmetric: Boolean = false): DataFrame = {
+    // under the contract the canonical set is a filter and the degree
+    // rollup one exchange-free groupBy over the symmetric frame — the
+    // explode+groupBy below re-derives the same degrees from the
+    // canonical half when no contract holds
+    val e = if (assumeSymmetric)
+        edges.where(col(srcCol) < col(dstCol))
+          .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else edges.select(
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+    val deg = if (assumeSymmetric) symmetricDegrees(edges, srcCol, dstCol)
+      else e.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val withDeg = e
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
@@ -788,14 +882,21 @@ object GraphOps {
     * `minShared` bounds OUTPUT volume (pairs sharing one neighbor are
     * noise at any scale). */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
-      minShared: Int = 2, maxDegree: Int = 1024): DataFrame = {
+      minShared: Int = 2, maxDegree: Int = 1024,
+      assumeSymmetric: Boolean = false): DataFrame = {
     require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
-    val e = edges.select(
-        least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-    val adj = e.select(col("a").as("v"), col("b").as("n"))
-      .union(e.select(col("b").as("v"), col("a").as("n")))
+    val e = if (assumeSymmetric)
+        edges.where(col(srcCol) < col(dstCol))
+          .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else edges.select(
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+    val adj = if (assumeSymmetric)
+        symmetricLoopFree(edges, srcCol, dstCol)
+          .select(col(srcCol).as("v"), col(dstCol).as("n"))
+      else e.select(col("a").as("v"), col("b").as("n"))
+        .union(e.select(col("b").as("v"), col("a").as("n")))
     val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
     val center = adj.join(deg, "v").where(col("d") <= maxDegree)
     val pairs = center.as("x").join(center.as("y"),
@@ -822,11 +923,15 @@ object GraphOps {
     * count toward m — an unlabeled endpoint is by definition not
     * intra-community). */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
-      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
-    val e = edges.select(
-        least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b")).distinct()
+      labels: DataFrame, nodeCol: String, labelCol: String,
+      assumeSymmetric: Boolean = false): DataFrame = {
+    val e = if (assumeSymmetric)
+        edges.where(col(srcCol) < col(dstCol))
+          .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else edges.select(
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .where(col("a") =!= col("b")).distinct()
     val lab = labels.select(col(nodeCol).as("n"), col(labelCol).as("c"))
     val labeled = e
       .join(lab.select(col("n").as("a"), col("c").as("ca")), Seq("a"), "left")
@@ -834,8 +939,9 @@ object GraphOps {
     val mAndIn = labeled.agg(count(lit(1)).as("m"),
       sum(when(col("ca").isNotNull && col("ca") === col("cb"), 1L)
         .otherwise(0L)).as("intra_edges"))
-    val degSq = e.select(explode(array(col("a"), col("b"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val degSq = (if (assumeSymmetric) symmetricDegrees(edges, srcCol, dstCol)
+      else e.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d")))
       .join(lab, Seq("n"))
       .groupBy(col("c")).agg(sum(col("d")).as("deg_c"))
       .agg(sum(col("deg_c") * col("deg_c")).as("sum_deg_sq"),
@@ -858,11 +964,15 @@ object GraphOps {
     * edge list, two grouped sums — all equi-joins on node/community
     * keys, plus a one-row total-volume broadcast. */
   def conductance(edges: DataFrame, srcCol: String, dstCol: String,
-      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
-    val e = edges.select(
-        least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b")).distinct()
+      labels: DataFrame, nodeCol: String, labelCol: String,
+      assumeSymmetric: Boolean = false): DataFrame = {
+    val e = if (assumeSymmetric)
+        edges.where(col(srcCol) < col(dstCol))
+          .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else edges.select(
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .where(col("a") =!= col("b")).distinct()
     val lab = labels.select(col(nodeCol).as("n"), col(labelCol).as("c"))
     val labeled = e
       .join(lab.select(col("n").as("a"), col("c").as("ca")), Seq("a"), "left")
@@ -873,8 +983,9 @@ object GraphOps {
       .select(explode(array(col("ca"), col("cb"))).as("c"))
       .where(col("c").isNotNull)
       .groupBy(col("c")).agg(count(lit(1)).as("cut"))
-    val vol = e.select(explode(array(col("a"), col("b"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val vol = (if (assumeSymmetric) symmetricDegrees(edges, srcCol, dstCol)
+      else e.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d")))
       .join(lab, Seq("n"))
       .groupBy(col("c")).agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("volume"))
     val total = e.agg((count(lit(1)) * 2).as("total_volume"))
@@ -898,13 +1009,18 @@ object GraphOps {
     * are INTEGER sums; r = (M·Σxy − Σx·Σy) / (√(M·Σx² − (Σx)²) ·
     * √(M·Σy² − (Σy)²)) is three correctly-rounded IEEE ops, bit-identical
     * in any engine. Two degree equi-joins + one scalar reduce. */
-  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges.select(
-        least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-    val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String,
+      assumeSymmetric: Boolean = false): DataFrame = {
+    val e = if (assumeSymmetric)
+        edges.where(col(srcCol) < col(dstCol))
+          .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else edges.select(
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+    val deg = if (assumeSymmetric) symmetricDegrees(edges, srcCol, dstCol)
+      else e.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val both = e
       .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
       .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
@@ -939,8 +1055,9 @@ object GraphOps {
     * (bucket by `v`) making every step exchange-free on the adjacency
     * side; the frontier stays walk-count-sized, independent of |E|. */
   def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, seedCol: String, steps: Int): DataFrame = {
-    val adj = rankedAdjacency(edges, srcCol, dstCol)
+      seeds: DataFrame, seedCol: String, steps: Int,
+      assumeSymmetric: Boolean = false): DataFrame = {
+    val adj = rankedAdjacency(edges, srcCol, dstCol, assumeSymmetric)
     walkLoop(adj, seeds.select(col(seedCol).as("walk_id"),
       col(seedCol).as("node"), lit(0).as("step")), steps)
   }
@@ -951,8 +1068,9 @@ object GraphOps {
     * re-run the (possibly expensive) edge derivation a second time: the
     * same one-materialization rationale as [[bfsFromMinNode]]. */
   def randomWalksFromNodes(edges: DataFrame, srcCol: String, dstCol: String,
-      nodeFilter: org.apache.spark.sql.Column, steps: Int): DataFrame = {
-    val adj = rankedAdjacency(edges, srcCol, dstCol)
+      nodeFilter: org.apache.spark.sql.Column, steps: Int,
+      assumeSymmetric: Boolean = false): DataFrame = {
+    val adj = rankedAdjacency(edges, srcCol, dstCol, assumeSymmetric)
     val frontier0 = adj.select(col("v").as("node")).distinct()
       .where(nodeFilter)
       .select(col("node").as("walk_id"), col("node"), lit(0).as("step"))
@@ -969,15 +1087,24 @@ object GraphOps {
     * reliable storage instead (the staged-projection pattern the
     * SparkEntry graph queries use). */
   private def rankedAdjacency(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
-    val e = edges.select(
-        least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b")).distinct()
+      dstCol: String, assumeSymmetric: Boolean = false): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("v")).orderBy(col("n"))
-    e.select(col("a").as("v"), col("b").as("n"))
-      .union(e.select(col("b").as("v"), col("a").as("n")))
+    // under the contract the symmetric directed-pair set is the scan
+    // itself (self-loops filtered in place) — bucketed on srcCol = `v`,
+    // BOTH ranking windows run without an exchange
+    val sym = if (assumeSymmetric)
+        symmetricLoopFree(edges, srcCol, dstCol)
+          .select(col(srcCol).as("v"), col(dstCol).as("n"))
+      else {
+        val e = edges.select(
+            least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .where(col("a") =!= col("b")).distinct()
+        e.select(col("a").as("v"), col("b").as("n"))
+          .union(e.select(col("b").as("v"), col("a").as("n")))
+      }
+    sym
       .withColumn("rnk", row_number().over(w))
       .withColumn("deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("v"))))
@@ -1103,21 +1230,31 @@ object GraphOps {
     * exact (q_k_core pins 16 unrolled peels against the fixture's
     * measured depth of 10). */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, maxRounds: Int = 100): DataFrame =
-    kCoreWithRounds(edges, srcCol, dstCol, k, maxRounds)._1
+      k: Int, maxRounds: Int = 100, assumeSymmetric: Boolean = false): DataFrame =
+    kCoreWithRounds(edges, srcCol, dstCol, k, maxRounds, assumeSymmetric)._1
 
   /** [[kCore]] plus the peel-round count (the ScaleProbe hook). */
   def kCoreWithRounds(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, maxRounds: Int = 100): (DataFrame, Int) = {
+      k: Int, maxRounds: Int = 100,
+      assumeSymmetric: Boolean = false): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-      .where(col("s") =!= col("d"))
     // symmetric adjacency, deduplicated once; every round rewrites it in
     // place (materialized — the count probe and the anti-joins must see
     // one consistent set, and an unbounded lineage chain would otherwise
-    // replan the whole peel history every round)
-    var adj = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
-      .distinct().localCheckpoint(true)
+    // replan the whole peel history every round). Under the contract the
+    // initial adjacency is the bucketed scan ITSELF (self-loops filtered
+    // in place, no checkpoint needed for a plain scan): the first round's
+    // degree rollup and both anti-joins on `s` read buckets in place.
+    var adj =
+      if (assumeSymmetric)
+        symmetricLoopFree(edges, srcCol, dstCol)
+          .select(col(srcCol).as("s"), col(dstCol).as("d"))
+      else {
+        val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+          .where(col("s") =!= col("d"))
+        e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+          .distinct().localCheckpoint(true)
+      }
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
@@ -1161,12 +1298,17 @@ object GraphOps {
     * floats — so the oracle replays the peel as unrolled CTEs and
     * equality is exact. */
   def kTrussWithRounds(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, maxRounds: Int = 100): (DataFrame, Int) = {
+      k: Int, maxRounds: Int = 100,
+      assumeSymmetric: Boolean = false): (DataFrame, Int) = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
-    var e = edges.select(
-        least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    // under the contract src < dst IS the canonical set — no distinct
+    var e = (if (assumeSymmetric)
+        edges.where(col(srcCol) < col(dstCol))
+          .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      else edges.select(
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .where(col("a") =!= col("b")).distinct()).localCheckpoint(true)
     // per-edge triangle support on the CURRENT edge set, degree-oriented
     def support(ed: DataFrame): DataFrame = {
       val deg = ed.select(explode(array(col("a"), col("b"))).as("n"))
@@ -1223,8 +1365,8 @@ object GraphOps {
   }
 
   def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, maxRounds: Int = 100): DataFrame =
-    kTrussWithRounds(edges, srcCol, dstCol, k, maxRounds)._1
+      k: Int, maxRounds: Int = 100, assumeSymmetric: Boolean = false): DataFrame =
+    kTrussWithRounds(edges, srcCol, dstCol, k, maxRounds, assumeSymmetric)._1
 
   /** Strongly connected components, two-tier (the
     * [[graft.ext.Dedup]] cluster-resolution pattern): a bounded probe

@@ -41,6 +41,17 @@ object NativeExpressions {
   /** Distinct lowercase character n-gram shingles of a string. */
   def charShingles(c: Column, n: Int): Column = toCol(CharShingles(toExpr(c), n))
 
+  /** Content-defined chunks of a string (Manber-style rolling-window
+    * cut): boundary after 1-based code-point position i ≥ `window` iff
+    * `md5("cdc:" || text[i-window+1 .. i])`'s first-15-hex-chars value ≡ 0
+    * (mod `mask`) — byte-for-byte the contract of the HOF form this
+    * kernel replaced ([[graft.ext.Dedup.contentDefinedChunksHof]], kept
+    * as the spec's reference), which an external SQL engine replays
+    * exactly. One pass per row instead of a materialized per-position
+    * struct array walked by interpreted lambdas. */
+  def cdcChunks(text: Column, window: Int, mask: Int): Column =
+    toCol(CdcChunks(toExpr(text), window, mask))
+
   /** Distinct lowercase word n-gram shingles (whitespace tokens). */
   def wordShingles(c: Column, n: Int): Column = toCol(WordShingles(toExpr(c), n))
 
@@ -266,6 +277,81 @@ case class CharShingles(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): CharShingles = copy(child = c)
+}
+
+/** One-pass content-defined chunking — see
+  * [[NativeExpressions.cdcChunks]] for the boundary contract. The
+  * md5-per-position cost is the CONTRACT (an external engine replays
+  * boundary selection exactly; a gear/rabin recurrence would be faster
+  * but engine-private); what this kernel deletes relative to the HOF
+  * form is everything AROUND the hashes: the `sequence` position array,
+  * a per-position struct + SQL `substr` allocation, interpreted lambda
+  * dispatch, and the hex-string parse of `conv` — one digest reuse, one
+  * byte-offset table, zero-copy UTF8String slices. */
+case class CdcChunks(child: Expression, window: Int, mask: Int)
+    extends UnaryExpression {
+  require(window >= 2, s"window must be >= 2, got $window")
+  require(mask >= 2, s"mask must be >= 2, got $mask")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  private val saltBytes = "cdc:".getBytes("UTF-8")
+
+  /** Kernel shared by interpreted eval and generated code (the
+    * [[CharShingles]] pattern). Offsets, substrings and lengths all
+    * count CODE POINTS (UTF8String's native unit), matching the SQL
+    * contract on non-ASCII text. */
+  def compute(v: UTF8String): ArrayData = {
+    val bytes = v.getBytes
+    val n = v.numChars()
+    // byte offset of each code point start; offsets(n) = total bytes
+    val offsets = new Array[Int](n + 1)
+    var i = 0
+    var off = 0
+    while (i < n) {
+      offsets(i) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      i += 1
+    }
+    offsets(n) = bytes.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new java.util.ArrayList[Any]()
+    var chunkStart = 0 // 0-based code point starting the open chunk
+    var p = window // 1-based candidate boundary position
+    while (p <= n) {
+      md.reset()
+      md.update(saltBytes)
+      md.update(bytes, offsets(p - window), offsets(p) - offsets(p - window))
+      val d = md.digest()
+      // value of the digest's first 15 hex chars: bytes 0..6 big-endian
+      // plus the high nibble of byte 7 — 60 bits, always non-negative
+      var h = 0L
+      var k = 0
+      while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+      if (h % mask == 0) {
+        out.add(UTF8String.fromBytes(bytes, offsets(chunkStart),
+          offsets(p) - offsets(chunkStart)))
+        chunkStart = p
+      }
+      p += 1
+    }
+    // trailing chunk unless a boundary fired exactly at the end (the HOF
+    // form's zip_with drops the then-empty tail the same way)
+    if (chunkStart < n)
+      out.add(UTF8String.fromBytes(bytes, offsets(chunkStart),
+        offsets(n) - offsets(chunkStart)))
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cdcChunksExpr", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcChunks = copy(child = c)
 }
 
 case class WordShingles(child: Expression, n: Int)

@@ -38,20 +38,36 @@ object Tables {
     * catalog (`spark.sql.warehouse.dir`); bucketBy only writes managed
     * tables. */
   def writeBucketed(
-      df: DataFrame, tableName: String, key: String, buckets: Int): Unit =
+      df: DataFrame, tableName: String, key: String, buckets: Int,
+      path: Option[String] = None): Unit =
     // repartition on the SAME hash the bucketing uses, so every writer
     // task holds exactly one bucket and each bucket lands in ONE file:
     // multi-file buckets forfeit the scan's outputOrdering (Spark only
     // trusts the in-bucket sort when a bucket is a single file), which
     // would re-insert a per-partition sort under every downstream
     // sort-merge join. One exchange, paid once at staging time.
-    df.repartition(buckets, col(key))
-      .write
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .mode("overwrite")
-      .format("parquet")
-      .saveAsTable(tableName)
+    //
+    // SIZING CONTRACT: because one bucket = one file = one writer task,
+    // `buckets` is simultaneously the write's parallelism and the file
+    // granularity — it must SCALE WITH DATA VOLUME. The fixture layouts
+    // (16-32) are sized for the test SFs; at 100 TB the same call wants
+    // buckets in the thousands (healthy file sizes of ~256MB-1GB AND a
+    // non-serialized write), which keeps the single-file-per-bucket
+    // sorted-scan guarantee intact. The knob is this explicit parameter;
+    // what must NOT change is the one-file-per-bucket invariant.
+    {
+      // an explicit `path` makes the table EXTERNAL at that location: a
+      // later DROP TABLE (catalog reset, test harness) detaches metadata
+      // without deleting the staged files — the property cross-JVM
+      // staging reuse depends on. Default stays managed.
+      val w = df.repartition(buckets, col(key))
+        .write
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .format("parquet")
+      path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
+    }
 
   /** `ts` normalization shared by the batch and streaming event readers,
     * dispatched on the type that ACTUALLY arrived (see the resolution

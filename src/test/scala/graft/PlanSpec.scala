@@ -305,6 +305,131 @@ class PlanSpec extends SparkSpec {
       "src rollup over the bucketed table still exchanges:\n" + tp.take(3000))
   }
 
+  test("label-prop: per-round joins are exchange-free on the bucketed co-purchase side") {
+    // the staged symmetric co-purchase table (stagedCoPurchaseSym) is
+    // bucketed/sorted on `a` and read ROLES-SWAPPED so the bucket column
+    // IS the per-round join key `b`: the only allowed movement inside a
+    // round is of the node-sized label frame (hashpartitioning on `a`
+    // AFTER the map-side partial min). An `Exchange hashpartitioning(b`
+    // would mean the 100 TB edge frame reshuffles inside every iteration.
+    val df = SparkEntry.queries("q_label_prop")(spark, dir)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert(!"Exchange hashpartitioning\\(b#".r.findAllIn(p).hasNext,
+      "edge-side exchange found inside the label recurrence:\n" + p.take(3000))
+    assert(p.contains("Bucketed: true"),
+      "label rounds are not reading the bucketed staged table:\n" + p.take(3000))
+    // the staged symmetric table itself: a degree rollup on the bucket key
+    // reads buckets in place — this is the layout contract every flagged
+    // GraphOps derivation (degrees, adjacency windows, peel rounds) rides
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val tp = spark.table(s"graft_copurch_$digest")
+      .where(org.apache.spark.sql.functions.col("a") =!=
+        org.apache.spark.sql.functions.col("b"))
+      .groupBy(org.apache.spark.sql.functions.col("a")).count()
+      .queryExecution.executedPlan.toString()
+    assert(tp.contains("Bucketed: true"),
+      "staged co-purchase scan is not bucket-aware:\n" + tp.take(3000))
+    assert(!tp.contains("Exchange"),
+      "degree rollup over the bucketed table still exchanges:\n" + tp.take(3000))
+  }
+
+  test("staged bucketed tables re-register across processes without a rewrite") {
+    // cross-JVM staging reuse: a completed bucketed staging survives as
+    // files + a _GRAFT_STAGED marker; a fresh process (simulated here by
+    // dropping the in-memory catalog entry and re-registering the DDL
+    // over the existing location) must reattach WITHOUT rewriting data.
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val name = s"graft_copurch_$digest"
+    SparkEntry.queries("q_label_prop")(spark, dir).queryExecution.toRdd.count()
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, name)
+    assert(java.nio.file.Files.exists(loc.resolve("_GRAFT_STAGED.properties")),
+      "staging marker missing — cross-JVM reuse has nothing to probe")
+    val before = spark.table(name).collect().map(_.toString).sorted.toSeq
+    val dataFiles = java.nio.file.Files.list(loc).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
+    assert(dataFiles.length == 32, s"expected 32 one-file buckets, got ${dataFiles.length}")
+    val mtimes = dataFiles.map(java.nio.file.Files.getLastModifiedTime(_))
+    // simulate the next JVM: catalog entry gone, files + marker remain
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val props = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(loc.resolve("_GRAFT_STAGED.properties"))
+    try props.load(in) finally in.close()
+    spark.sql(s"CREATE TABLE $name (${props.getProperty("schema")}) USING PARQUET " +
+      s"CLUSTERED BY (a) SORTED BY (a) INTO 32 BUCKETS LOCATION '${loc.toUri}'")
+    assert(spark.table(name).count() == props.getProperty("rows").toLong,
+      "re-registered table row count disagrees with the marker")
+    assert(spark.table(name).collect().map(_.toString).sorted.toSeq == before)
+    // the re-registered layout still scans bucket-aware and exchange-free
+    val tp = spark.table(name)
+      .groupBy(org.apache.spark.sql.functions.col("a")).count()
+      .queryExecution.executedPlan.toString()
+    assert(tp.contains("Bucketed: true"), tp.take(2000))
+    assert(!tp.contains("Exchange"), tp.take(2000))
+    // and nothing was rewritten
+    dataFiles.zip(mtimes).foreach { case (f, t0) =>
+      assert(java.nio.file.Files.getLastModifiedTime(f) == t0,
+        s"reuse rewrote $f")
+    }
+  }
+
+  test("staging reuses a valid prior build and rebuilds on input mutation") {
+    // own input dir (the fixture dirs are read-only): q_label_prop reads
+    // only lineitem, so one copied file is a complete input
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stale_test")
+    val li = tmp.resolve("lineitem.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "lineitem.parquet"), li)
+    val d = tmp.toString
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val name = s"graft_copurch_$digest"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val marker = java.nio.file.Paths.get(wh, name, "_GRAFT_STAGED.properties")
+    def run(): Seq[String] = {
+      val r = SparkEntry.queries("q_label_prop")(spark, d)
+        .collect().map(_.toString).sorted.toSeq
+      r
+    }
+    def markerFp(): String = {
+      val p = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(marker)
+      try p.load(in) finally in.close()
+      p.getProperty("fp")
+    }
+    val r1 = run()
+    val fp1 = markerFp()
+    val m1 = java.nio.file.Files.getLastModifiedTime(marker)
+    // fresh process, untouched input -> reuse (marker not rewritten)
+    SparkEntry.resetStagingRefsForTest()
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    assert(run() == r1)
+    assert(markerFp() == fp1)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == m1,
+      "reuse path rewrote the staging")
+    // fresh process, MUTATED input (mtime bump = upstream rewrite) ->
+    // fingerprint mismatch -> rebuild (marker rewritten with a new fp)
+    java.nio.file.Files.setLastModifiedTime(li,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(li).toMillis + 5000))
+    SparkEntry.resetStagingRefsForTest()
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    assert(run() == r1, "same bytes, new mtime: results must be unchanged")
+    assert(markerFp() != fp1, "mutated input did not force a staging rebuild")
+    // leave the shared staging set coherent for later tests in this JVM,
+    // and clear this test's throwaway catalog + warehouse entries (the
+    // tmp-dir digest is random per run — leftovers would only accrete)
+    SparkEntry.resetStagingRefsForTest()
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    graft.etl.Context.deleteRecursively(java.nio.file.Paths.get(wh, name))
+    graft.etl.Context.deleteRecursively(tmp)
+  }
+
   test("funnel: every stage scan is type-pruned at the parquet reader") {
     val p = plan("q_funnel")
     // three stage scans, each with its event_type filter PUSHED — a funnel

@@ -1511,6 +1511,39 @@ class ExtSpec extends SparkSpec {
     assert(r == again, "deflate must be deterministic")
   }
 
+  test("CDC native kernel replays the HOF reference boundary-for-boundary") {
+    // the native CdcChunks expression must agree with the original
+    // HOF construction on EVERY (doc, chunk_idx, chunk) row — the HOF
+    // form is what the DuckDB oracle replays, so any divergence breaks
+    // the correctness contract. Adversarial shapes: empty, shorter than
+    // the window, exactly window-sized, multi-byte (2/3/4-byte UTF-8 —
+    // code-point offsets differ from byte offsets), long pseudo-random
+    // texts with many boundaries, and repeated content.
+    def txt(seed: Long, n: Int): String =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
+        .map(x => ('a' + math.floorMod(x >>> 33, 26)).toChar).take(n).mkString
+    val multi = "héllo wörld — 你好世界 😀🎉 " * 25
+    val docs = Seq(
+      (1L, ""), (2L, "short"), (3L, "exactly sixteen!"),
+      (4L, txt(7L, 500)), (5L, txt(99L, 1200)), (6L, multi),
+      (7L, txt(3L, 64) * 8), (8L, "é" * 200), (9L, txt(11L, 17))
+    ).toDF("doc_id", "text")
+    for ((w, m) <- Seq((16, 64), (16, 8), (4, 4), (2, 2))) {
+      val native = Dedup.contentDefinedChunks(docs, "doc_id", "text", w, m)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      val hof = Dedup.contentDefinedChunksHof(docs, "doc_id", "text", w, m)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      assert(native == hof, s"native CDC diverged from the HOF reference at window=$w mask=$m")
+      // lossless reassembly stands on the native path too
+      val byDoc = native.groupBy(_._1).map { case (id, cs) =>
+        id -> cs.sortBy(_._2).map(_._3).mkString }
+      docs.collect().foreach { r =>
+        assert(byDoc.getOrElse(r.getLong(0), "") == r.getString(1),
+          s"doc ${r.getLong(0)} does not reassemble at window=$w mask=$m")
+      }
+    }
+  }
+
   test("content-defined chunking: shared passages chunk identically, edits stay local") {
     // deterministic pseudo-text long enough to carry several boundaries
     // (expected boundary every ~64 chars)

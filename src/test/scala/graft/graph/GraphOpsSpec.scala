@@ -622,4 +622,73 @@ class GraphOpsSpec extends SparkSpec {
     // operator returns the empty truss rather than erroring
     assert(GraphOps.kTruss(edges, "s", "d", k = 5).isEmpty)
   }
+
+  test("assumeSymmetric: every flagged derivation is row-identical to the default path") {
+    import spark.implicits._
+    // seeded random canonical pair set (pa < pb, distinct) — the
+    // coOccurrencePairs output contract — and its staged-table closure:
+    // both orientations plus one (n, n, w=0) self-loop per node
+    val rnd = new scala.util.Random(77)
+    val pairSeq = (1 to 260).map { _ =>
+      val x = rnd.nextInt(40).toLong; val y = rnd.nextInt(40).toLong
+      (math.min(x, y), math.max(x, y))
+    }.filter(p => p._1 != p._2).distinct
+    val pairs = pairSeq.toDF("pa", "pb").withColumn("w", lit(2L))
+    val sym0 = pairs.select(col("pa").as("a"), col("pb").as("b"), col("w"))
+      .unionByName(pairs.select(col("pb").as("a"), col("pa").as("b"), col("w")))
+    val sym = sym0.unionByName(sym0.select(col("a")).distinct()
+        .select(col("a"), col("a").as("b"), lit(0L).as("w")))
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def same(name: String, base: org.apache.spark.sql.DataFrame,
+        flagged: org.apache.spark.sql.DataFrame): Unit =
+      assert(rows(base) == rows(flagged), s"$name diverged under assumeSymmetric")
+    same("labelPropagateMin",
+      GraphOps.labelPropagateMin(pairs, "pa", "pb", iterations = 5),
+      GraphOps.labelPropagateMin(sym, "a", "b", iterations = 5, assumeSymmetric = true))
+    same("connectedComponentsStar",
+      GraphOps.connectedComponentsStar(pairs, "pa", "pb"),
+      GraphOps.connectedComponentsStar(sym, "a", "b", assumeSymmetric = true))
+    same("bfsFromMinNode",
+      GraphOps.bfsFromMinNode(pairs, "pa", "pb", maxHops = 4),
+      GraphOps.bfsFromMinNode(sym, "a", "b", maxHops = 4, assumeSymmetric = true))
+    val seeds = Seq(0L, 5L, 10L, 15L).toDF("seed")
+    same("multiSourceBfs",
+      GraphOps.multiSourceBfs(pairs, "pa", "pb", seeds, maxHops = 3),
+      GraphOps.multiSourceBfs(sym, "a", "b", seeds, maxHops = 3, assumeSymmetric = true))
+    same("harmonicCloseness",
+      GraphOps.harmonicCloseness(pairs, "pa", "pb", seeds, maxHops = 3),
+      GraphOps.harmonicCloseness(sym, "a", "b", seeds, maxHops = 3, assumeSymmetric = true))
+    same("kCore",
+      GraphOps.kCore(pairs, "pa", "pb", k = 3),
+      GraphOps.kCore(sym, "a", "b", k = 3, assumeSymmetric = true))
+    same("kTruss",
+      GraphOps.kTruss(pairs, "pa", "pb", k = 3),
+      GraphOps.kTruss(sym, "a", "b", k = 3, assumeSymmetric = true))
+    same("triangleCounts",
+      GraphOps.triangleCounts(pairs, "pa", "pb"),
+      GraphOps.triangleCounts(sym, "a", "b", assumeSymmetric = true))
+    same("linkPrediction",
+      GraphOps.linkPrediction(pairs, "pa", "pb", minShared = 2, maxDegree = 1024),
+      GraphOps.linkPrediction(sym, "a", "b", minShared = 2, maxDegree = 1024,
+        assumeSymmetric = true))
+    same("randomWalksFromNodes",
+      GraphOps.randomWalksFromNodes(pairs, "pa", "pb", col("node") % 5 === 0, steps = 4),
+      GraphOps.randomWalksFromNodes(sym, "a", "b", col("node") % 5 === 0, steps = 4,
+        assumeSymmetric = true))
+    val labels = GraphOps.labelPropagateMin(pairs, "pa", "pb", iterations = 5)
+      .localCheckpoint(true)
+    same("modularity",
+      GraphOps.modularity(pairs, "pa", "pb", labels, "node", "label"),
+      GraphOps.modularity(sym, "a", "b", labels, "node", "label",
+        assumeSymmetric = true))
+    same("conductance",
+      GraphOps.conductance(pairs, "pa", "pb", labels, "node", "label"),
+      GraphOps.conductance(sym, "a", "b", labels, "node", "label",
+        assumeSymmetric = true))
+    same("assortativity",
+      GraphOps.assortativity(pairs, "pa", "pb"),
+      GraphOps.assortativity(sym, "a", "b", assumeSymmetric = true))
+  }
 }
