@@ -74,7 +74,7 @@ object SparkEntry {
     * untouched. */
   private def stagedCoPurchaseSym(s: SparkSession, dir: String): DataFrame =
     stagedBucketedTable(s, dir, s"graft_copurch_${dirDigest(dir)}",
-        "a", 32, Seq("lineitem")) {
+        "a", 16, Seq("lineitem")) {
       val p = coPurchaseEdges(s, dir)
       val sym = p.select(col("pa").as("a"), col("pb").as("b"), col("w"))
         .unionByName(p.select(col("pb").as("a"), col("pa").as("b"), col("w")))
@@ -355,9 +355,14 @@ object SparkEntry {
       val loc = java.nio.file.Paths.get(wh, name)
       val marker = loc.resolve("_GRAFT_STAGED.properties")
       val fp = StagingEpoch + ":" + inputFingerprint(dir, inputs)
+      // the bucket spec is PART of the layout contract: a staging written
+      // under a different (key, buckets) must never re-register under the
+      // caller's current DDL — bucket metadata would lie about the files
+      // and silently corrupt every exchange-free join built on it
       val reused = readMarker(marker).exists { m =>
         m.getProperty("fp") == fp && m.getProperty("schema") != null &&
-          m.getProperty("rows") != null && {
+          m.getProperty("rows") != null && m.getProperty("key") == key &&
+          m.getProperty("buckets") == buckets.toString && {
             register(m.getProperty("schema"), loc)
             s.table(name).count() == m.getProperty("rows").toLong || {
               s.sql(s"DROP TABLE IF EXISTS $name"); false
@@ -374,7 +379,8 @@ object SparkEntry {
           Some(loc.toUri.toString))
         writeMarker(marker, Map("fp" -> fp,
           "rows" -> s.table(name).count().toString,
-          "schema" -> s.table(name).schema.toDDL))
+          "schema" -> s.table(name).schema.toDDL,
+          "key" -> key, "buckets" -> buckets.toString))
       }
     }
     s.table(name)
@@ -642,9 +648,15 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          // one shared value buffer for both l_quantity cuts (the
+          // q_winsorize array-fold rationale); l_extendedprice is a
+          // different column and keeps its own aggregate
+          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("qpc"),
           round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"))
+        .select(col("l_returnflag"),
+          round(col("qpc").getItem(0), 6).as("p50"),
+          round(col("qpc").getItem(1), 6).as("p90"),
+          col("price_p50"))
     }),
 
     // robust-stats winsorization: per-group p05/p95 caps (exact percentile
@@ -658,10 +670,17 @@ object SparkEntry {
       // caps rounded to 6 dp BEFORE the clip: every downstream comparison
       // then runs on decimals both engines reconstruct identically, instead
       // of leaning on bit-identical quantile interpolation (a latent ULP
-      // flake at clip boundaries otherwise)
+      // flake at clip boundaries otherwise).
+      // ONE percentile(…, array(0.05, 0.95)) call: two scalar percentile
+      // aggregates each buffer the group's full value multiset — the
+      // array form shares one buffer and interpolates both cuts from it
+      // (values identical; the exact-percentile buffer is this query's
+      // entire cost)
       val caps = li.groupBy(col("l_returnflag"))
-        .agg(round(expr("percentile(l_extendedprice, 0.05)"), 6).as("lo"),
-             round(expr("percentile(l_extendedprice, 0.95)"), 6).as("hi"))
+        .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("pc"))
+        .select(col("l_returnflag"),
+          round(col("pc").getItem(0), 6).as("lo"),
+          round(col("pc").getItem(1), 6).as("hi"))
       li.join(broadcast(caps), Seq("l_returnflag"))
         .select(col("l_returnflag"),
           greatest(col("lo"), least(col("hi"), col("l_extendedprice"))).as("clipped"),
@@ -4055,9 +4074,10 @@ object SparkEntry {
         .select((graft.sources.Tables.tsMicros(col("first_purchase")) -
           graft.sources.Tables.tsMicros(col("first_view"))).as("lat_us"))
         .agg(count(lit(1)).as("n_converted"),
-          expr("percentile(lat_us, 0.5)").as("p50_us"),
-          expr("percentile(lat_us, 0.9)").as("p90_us"),
+          expr("percentile(lat_us, array(0.5D, 0.9D))").as("lpc"),
           min(col("lat_us")).as("min_us"), max(col("lat_us")).as("max_us"))
+        .select(col("n_converted"), col("lpc").getItem(0).as("p50_us"),
+          col("lpc").getItem(1).as("p90_us"), col("min_us"), col("max_us"))
     }),
 
     // last-touch marketing attribution: every purchase credits the most

@@ -1301,10 +1301,19 @@ object GraphOps {
       k: Int, maxRounds: Int = 100,
       assumeSymmetric: Boolean = false): (DataFrame, Int) = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
-    // under the contract src < dst IS the canonical set — no distinct
+    // under the contract src < dst IS the canonical set — no distinct.
+    // The peel REWRITES the edge set every round, so unlike the fixed-
+    // point loops a bucketed scan's partitioning cannot survive past
+    // round one — but checkpointing the raw scan would PIN its bucket
+    // count (32 tiny partitions at fixture scale) into every wedge-join
+    // stage of every round, where the unflagged path's dedup exchange
+    // let AQE right-size them (measured +18% isolated). One (a, b)
+    // repartition replaces the dedup exchange at the same cost and
+    // hands AQE-sized, wedge-join-keyed partitions to the loop.
     var e = (if (assumeSymmetric)
         edges.where(col(srcCol) < col(dstCol))
           .select(col(srcCol).as("a"), col(dstCol).as("b"))
+          .repartition(col("a"), col("b"))
       else edges.select(
           least(col(srcCol), col(dstCol)).as("a"),
           greatest(col(srcCol), col(dstCol)).as("b"))

@@ -353,7 +353,7 @@ class PlanSpec extends SparkSpec {
     val dataFiles = java.nio.file.Files.list(loc).toArray
       .map(_.asInstanceOf[java.nio.file.Path])
       .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.toString)
-    assert(dataFiles.length == 32, s"expected 32 one-file buckets, got ${dataFiles.length}")
+    assert(dataFiles.length == 16, s"expected 16 one-file buckets, got ${dataFiles.length}")
     val mtimes = dataFiles.map(java.nio.file.Files.getLastModifiedTime(_))
     // simulate the next JVM: catalog entry gone, files + marker remain
     spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -361,7 +361,7 @@ class PlanSpec extends SparkSpec {
     val in = java.nio.file.Files.newInputStream(loc.resolve("_GRAFT_STAGED.properties"))
     try props.load(in) finally in.close()
     spark.sql(s"CREATE TABLE $name (${props.getProperty("schema")}) USING PARQUET " +
-      s"CLUSTERED BY (a) SORTED BY (a) INTO 32 BUCKETS LOCATION '${loc.toUri}'")
+      s"CLUSTERED BY (a) SORTED BY (a) INTO 16 BUCKETS LOCATION '${loc.toUri}'")
     assert(spark.table(name).count() == props.getProperty("rows").toLong,
       "re-registered table row count disagrees with the marker")
     assert(spark.table(name).collect().map(_.toString).sorted.toSeq == before)
