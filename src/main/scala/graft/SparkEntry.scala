@@ -4430,10 +4430,12 @@ object SparkEntry {
     // 1x1 combine is a broadcast cross join
     "q_cdc_dedup" -> ((s, dir) => {
       // the fixture corpus is ONE parquet row group — without a spread
-      // the ~1.5M per-position window hashes run on one core (7.7 s at
-      // sf0.1 vs ~1.5 s spread). A real 100 TB corpus arrives in
-      // thousands of files and needs no repartition; this one round-robin
-      // exchange is the single-file-fixture artifact, documented here
+      // the ~1.5M per-position window hashes run on one core (measured
+      // 7.7 s single-threaded under the old HOF chunker; the native
+      // CdcChunks kernel cut the per-position cost ~5x but the spread
+      // still buys full-core parallelism). A real 100 TB corpus arrives
+      // in thousands of files and needs no repartition; this one
+      // round-robin exchange is the single-file-fixture artifact
       val spread = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism)
       // the oracle's generate_series ceiling is a CONSTANT 10k (this
@@ -4441,11 +4443,11 @@ object SparkEntry {
       // Spark chunker is unbounded, so assert the fixture fits the
       // oracle's window instead of silently diverging on longer docs
       assertOracleTextCeiling(spread, "q_cdc_dedup")
-      // the chunker (one md5 per char position, by oracle-parity design)
-      // is the suite's most expensive projection and BOTH aggregates below
-      // consume it — materialize the 16-byte-hash projection ONCE so the
-      // per-position hashing never re-runs (unpersisted, the `dis` branch
-      // re-chunked the whole corpus a second time)
+      // one md5 per char position stays the ORACLE-PARITY contract even
+      // in the native kernel, and BOTH aggregates below consume the
+      // chunk set — materialize the 16-byte-hash projection ONCE so the
+      // per-position hashing never re-runs (unpersisted, the `dis`
+      // branch re-chunked the whole corpus a second time)
       val hashed = Dedup.contentDefinedChunks(
           spread, "doc_id", "text", window = 16, mask = 64)
         .select(col("doc_id"), md5(col("chunk")).as("h"),

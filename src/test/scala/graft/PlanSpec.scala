@@ -334,6 +334,24 @@ class PlanSpec extends SparkSpec {
       "staged co-purchase scan is not bucket-aware:\n" + tp.take(3000))
     assert(!tp.contains("Exchange"),
       "degree rollup over the bucketed table still exchanges:\n" + tp.take(3000))
+    // the walk family's ranked-adjacency windows partition by the bucket
+    // key: both row_number and the degree count must run on the scan's
+    // own distribution (an exchange here would reshuffle the 100 TB
+    // adjacency before every walk batch)
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(org.apache.spark.sql.functions.col("v"))
+    val ap = spark.table(s"graft_copurch_$digest")
+      .where(org.apache.spark.sql.functions.col("a") =!=
+        org.apache.spark.sql.functions.col("b"))
+      .select(org.apache.spark.sql.functions.col("a").as("v"),
+        org.apache.spark.sql.functions.col("b").as("n"))
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number()
+        .over(wf.orderBy(org.apache.spark.sql.functions.col("n"))))
+      .withColumn("deg", org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).over(wf))
+      .queryExecution.executedPlan.toString()
+    assert(!ap.contains("Exchange"),
+      "ranked adjacency re-exchanges the bucketed scan:\n" + ap.take(3000))
   }
 
   test("staged bucketed tables re-register across processes without a rewrite") {
