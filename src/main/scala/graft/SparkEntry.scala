@@ -142,6 +142,25 @@ object SparkEntry {
           (col("cax") + col("ca")).as("cum_a"), (col("crx") + col("cr")).as("cum_r"))
     }
 
+  /** The per-(returnflag, extendedprice) VALUE-COUNT frame staged once
+    * per (JVM, input dir) — the sufficient statistic for every exact
+    * rank/clip statistic on the price column. `percentile`'s frequency
+    * argument replays the multiset exactly (percentile over {v × cnt}
+    * == percentile over the raw rows, same interpolation), and the
+    * money sums are integer-cents × cnt — so q_winsorize (p05/p95 caps
+    * + clipped sums) and q_mad_outliers (median, MAD, outlier counts)
+    * become weighted aggregates over this collapsed frame instead of
+    * each re-scanning lineitem three times. At 100 TB this is the
+    * classic histogram-pushdown: the count table is bounded by DISTINCT
+    * prices, the one quantity the exact-percentile buffer was already
+    * paying for, and it ships once instead of once per statistic.
+    * Row-replication equivalence keeps both oracles untouched. */
+  private def stagedPriceCounts(s: SparkSession, dir: String): DataFrame =
+    stagedParquet(s, dir, "pricecnt", Seq("lineitem"))(
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt")))
+
   /** The exact brute-force cosine top-10 over the shared retrieval
     * fixture (full embeddings corpus, `vec_id % 50 == 0` query set)
     * STAGED once per (JVM, input dir). Five retrieval-evaluation queries
@@ -645,14 +664,23 @@ object SparkEntry {
     // doubles agree with quantile_cont only up to summation/interpolation
     // ULPs, and a hash match must not hinge on bit-identical interpolation
     "q_percentile" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      // histogram pushdown, per column: the quantity cuts fold the fact
+      // rows to a (flag, quantity, cnt) table first (l_quantity has 50
+      // distinct values — the reduce-side buffer holds 50 weighted
+      // entries instead of every row), the price median rides the SAME
+      // staged value-count frame as q_winsorize/q_mad_outliers; both use
+      // percentile's frequency argument, which replays the multiset
+      // exactly. One shared value buffer for both l_quantity cuts (the
+      // q_winsorize array-fold rationale); the final join is 3×3 rows.
+      val dq = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
         .groupBy(col("l_returnflag"))
-        .agg(
-          // one shared value buffer for both l_quantity cuts (the
-          // q_winsorize array-fold rationale); l_extendedprice is a
-          // different column and keeps its own aggregate
-          expr("percentile(l_quantity, array(0.5D, 0.9D))").as("qpc"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("price_p50"))
+        .agg(expr("percentile(l_quantity, array(0.5D, 0.9D), cnt)").as("qpc"))
+      val dp = stagedPriceCounts(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5D, cnt)"), 6).as("price_p50"))
+      dq.join(dp, Seq("l_returnflag"))
         .select(col("l_returnflag"),
           round(col("qpc").getItem(0), 6).as("p50"),
           round(col("qpc").getItem(1), 6).as("p90"),
@@ -666,29 +694,33 @@ object SparkEntry {
     // aggregating" curation step; caps are a tiny per-group frame so the
     // clip pass is a broadcast join, never a fact-table shuffle.
     "q_winsorize" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
       // caps rounded to 6 dp BEFORE the clip: every downstream comparison
       // then runs on decimals both engines reconstruct identically, instead
       // of leaning on bit-identical quantile interpolation (a latent ULP
       // flake at clip boundaries otherwise).
-      // ONE percentile(…, array(0.05, 0.95)) call: two scalar percentile
-      // aggregates each buffer the group's full value multiset — the
-      // array form shares one buffer and interpolates both cuts from it
-      // (values identical; the exact-percentile buffer is this query's
-      // entire cost)
-      val caps = li.groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D))").as("pc"))
+      // ONE percentile(…, array(0.05, 0.95), cnt) call over the staged
+      // value-count frame: two scalar percentile aggregates each buffer
+      // the group's full value multiset — the array form shares one
+      // buffer, the frequency argument feeds it the collapsed histogram,
+      // and the clip pass is the SAME tiny frame re-read with the caps
+      // broadcast on (integer-cents × cnt keeps the money sums
+      // order-independent and bit-identical to the row form)
+      val d = stagedPriceCounts(s, dir)
+      val caps = d.groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.05D, 0.95D), cnt)").as("pc"))
         .select(col("l_returnflag"),
           round(col("pc").getItem(0), 6).as("lo"),
           round(col("pc").getItem(1), 6).as("hi"))
-      li.join(broadcast(caps), Seq("l_returnflag"))
-        .select(col("l_returnflag"),
+      d.join(broadcast(caps), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("cnt"),
           greatest(col("lo"), least(col("hi"), col("l_extendedprice"))).as("clipped"),
           col("l_extendedprice"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
-             dsum(col("clipped")).as("clipped_sum"),
-             dsum(col("l_extendedprice")).as("raw_sum"))
+        .agg(sum(col("cnt")).as("n"),
+             (sum(cents(col("clipped")) * col("cnt")).cast("double")
+               / lit(100.0d)).as("clipped_sum"),
+             (sum(cents(col("l_extendedprice")) * col("cnt")).cast("double")
+               / lit(100.0d)).as("raw_sum"))
     }),
 
     // skew-mitigated join: the fact side is salted into (key, salt) and
@@ -803,22 +835,26 @@ object SparkEntry {
     // table is never shuffled. Scale path: approx_percentile, like
     // q_winsorize.
     "q_mad_outliers" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
       // med/mad rounded to 6 dp before the gate AND the output: the ±3·MAD
       // comparison and the emitted stats then run on decimals both engines
-      // reconstruct identically (same ULP rationale as q_winsorize's caps)
-      val med = li.groupBy(col("l_returnflag"))
-        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("med"))
-      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+      // reconstruct identically (same ULP rationale as q_winsorize's caps).
+      // All three stages (median, deviation median, outlier audit) are
+      // weighted statistics over the SAME staged value-count frame — one
+      // lineitem scan ever (paid by the staging), where the row form
+      // re-scanned the fact table per stage
+      val d = stagedPriceCounts(s, dir)
+      val med = d.groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5D, cnt)"), 6).as("med"))
+      val dev = d.join(broadcast(med), Seq("l_returnflag"))
         .withColumn("absdev", abs(col("l_extendedprice") - col("med")))
       val caps = dev.groupBy(col("l_returnflag"))
         .agg(min(col("med")).as("med"),
-             round(expr("percentile(absdev, 0.5)"), 6).as("mad"))
-      li.join(broadcast(caps), Seq("l_returnflag"))
+             round(expr("percentile(absdev, 0.5D, cnt)"), 6).as("mad"))
+      d.join(broadcast(caps), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"),
+        .agg(sum(col("cnt")).as("n"),
           sum(when(abs(col("l_extendedprice") - col("med")) > lit(3.0) * col("mad"),
-            lit(1L)).otherwise(lit(0L))).as("n_outliers"),
+            col("cnt")).otherwise(lit(0L))).as("n_outliers"),
           min(col("med")).as("med"), min(col("mad")).as("mad"))
     }),
 
@@ -1250,9 +1286,15 @@ object SparkEntry {
     // iterative algorithm itself is value-checked (the oracle replays all
     // five iterations as staged CTEs)
     "q_pagerank" -> ((s, dir) => {
+      // assumeNoDangling: the staged table IS the symmetric closure
+      // (stagedBipartiteEdges unions both orientations), so every dst
+      // appears as a src by construction — the per-call anti-join
+      // re-proof is an edge-sized job the staging already paid for
+      // (GraphOpsSpec pins that the unflagged check still rejects
+      // dangling graphs)
       graft.graph.GraphOps.pageRankFixedPoint(
         stagedBipartiteEdges(s, dir), "src", "dst", iterations = 5,
-        assumeDistinct = true)
+        assumeDistinct = true, assumeNoDangling = true)
     }),
 
     // personalized PageRank on the same bipartite graph: teleport mass
@@ -1268,8 +1310,11 @@ object SparkEntry {
       // seed set to filtering e0's dst before symmetrization
       val seeds = e2.select(col("dst").as("node"))
         .where(col("node") % 100 === 1).distinct()
+      // assumeNoDangling: same symmetric-closure certification as
+      // q_pagerank — the counts job drops its anti-join leg
       graft.graph.GraphOps.personalizedPageRankFixedPoint(
-        e2, "src", "dst", seeds, iterations = 5, assumeDistinct = true)
+        e2, "src", "dst", seeds, iterations = 5, assumeDistinct = true,
+        assumeNoDangling = true)
     }),
 
     // HITS hubs/authorities on the DIRECTED order->part bipartite graph
@@ -3656,23 +3701,24 @@ object SparkEntry {
         concat(col("name"), lit(" xx")).as("name"),
         (col("price_cents") + 5L).as("price_cents"))
       val recs = base.unionByName(dirty)
-      val named = recs.select(col("rec_id"), col("name"))
       // MULTI-PASS neighborhood (the Hernandez-Stolfo remedy for any
       // single sort key's blind spots): pass 1 sorts by the full name,
       // pass 2 by its 3-word prefix — a variant separated from its
       // original in one order (interloper names between them) is
       // adjacent in the other. Candidate union, then one scoring pass.
+      // The compared names ride the pair generation as payload columns
+      // (names are id-determined, so the pair-level distinct is
+      // unchanged) — scoring needs no re-join against the record table.
       val prefixed = recs.withColumn("pkey",
         array_join(slice(split(col("name"), " "), 1, 3), " "))
-      val cand = Dedup.sortedNeighborhoodPairs(recs, "name", "rec_id", window = 3)
+      val cand = Dedup.sortedNeighborhoodPairs(recs, "name", "rec_id",
+          window = 3, payload = Seq("name"))
         .unionByName(Dedup.sortedNeighborhoodPairs(
-          prefixed, "pkey", "rec_id", window = 3))
+          prefixed, "pkey", "rec_id", window = 3, payload = Seq("name")))
         .distinct()
       val scored = cand
-        .join(named.select(col("rec_id").as("id_a"), col("name").as("na")), "id_a")
-        .join(named.select(col("rec_id").as("id_b"), col("name").as("nb")), "id_b")
         .where(graft.plans.NativeExpressions.jaroWinkler(
-          col("na"), col("nb")) >= 0.9d)
+          col("name_a"), col("name_b")) >= 0.9d)
         .select(col("id_a"), col("id_b"))
       val clusters = Dedup.resolveDuplicateClusters(scored)
         .withColumnRenamed("id", "rec_id")

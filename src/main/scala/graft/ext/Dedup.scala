@@ -772,21 +772,36 @@ object Dedup {
     *
     * `(keyCol, idCol)` must be a unique composite (callers pass a distinct
     * dictionary) so the total order — and therefore the pair set — is
-    * engine-independent and oracle-checkable. */
+    * engine-independent and oracle-checkable.
+    *
+    * `payload` columns ride the rank join and emit as `<name>_a` /
+    * `<name>_b` on each pair — the scorer that follows candidate
+    * generation always needs the compared fields, and carrying them here
+    * costs two projections where re-attaching them afterwards costs two
+    * id-keyed joins against the record table (the multi-pass ER pipeline
+    * pays that twice per pass). */
   def sortedNeighborhoodPairs(records: DataFrame, keyCol: String, idCol: String,
-      window: Int, numPartitions: Int = 0): DataFrame = {
+      window: Int, numPartitions: Int = 0,
+      payload: Seq[String] = Nil): DataFrame = {
     // window <= 0 would make sequence(1, window) DESCEND ([1, 0], ...)
     // and j = 0 then emits self-pairs (id_a == id_b) instead of nothing
     require(window >= 1, s"sortedNeighborhoodPairs needs window >= 1, got $window")
     val indexed = graft.operators.GlobalRank.withGlobalRank(
-        records.select(col(keyCol).as("__k"), col(idCol).as("__id")),
+        records.select(col(keyCol).as("__k") +: col(idCol).as("__id") +:
+          payload.map(col): _*),
         Seq(col("__k"), col("__id")), "__g", numPartitions)
-      .select(col("__id"), col("__g"))
-    val left = indexed.select(col("__g"), col("__id").as("id_a"))
+      .select(col("__id") +: col("__g") +: payload.map(col): _*)
+    val left = indexed
+      .select(col("__g") +: col("__id").as("id_a") +:
+        payload.map(c => col(c).as(s"${c}_a")): _*)
       .withColumn("__j", explode(sequence(lit(1), lit(window))))
-      .select(col("id_a"), (col("__g") + col("__j")).as("__g2"))
-    val right = indexed.select(col("__g").as("__g2"), col("__id").as("id_b"))
-    left.join(right, Seq("__g2")).select(col("id_a"), col("id_b"))
+      .select(col("id_a") +: (col("__g") + col("__j")).as("__g2") +:
+        payload.map(c => col(s"${c}_a")): _*)
+    val right = indexed.select(col("__g").as("__g2") +: col("__id").as("id_b") +:
+      payload.map(c => col(c).as(s"${c}_b")): _*)
+    left.join(right, Seq("__g2"))
+      .select(col("id_a") +: col("id_b") +:
+        payload.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
   }
 
   /** EXACT set-similarity join via prefix filtering (PPJoin family,

@@ -233,7 +233,8 @@ object GraphOps {
     * the rank frame to cut lineage, same as any iterative DataFrame
     * algorithm. */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, assumeDistinct: Boolean = false): DataFrame = {
+      iterations: Int = 5, assumeDistinct: Boolean = false,
+      assumeNoDangling: Boolean = false): DataFrame = {
     // assumeDistinct: caller certifies pre-deduplicated edges (a staged
     // DISTINCT bucketed table) — the dedup exchange would destroy the
     // scan's bucket partitioning, which is what makes deg and withDeg
@@ -245,14 +246,20 @@ object GraphOps {
     // every iteration (its inflow is never redistributed), corrupting all
     // downstream ranks with no error. One key-only anti-join, paid once per
     // call — nothing at this check's scale survives to the per-iteration
-    // loop.
-    val dangling = e.select(col("dst").as("n")).distinct()
-      .join(e.select(col("src").as("n")).distinct(), Seq("n"), "left_anti")
-      .limit(1).collect()
-    require(dangling.isEmpty,
-      s"pageRankFixedPoint contract violated: node ${dangling.headOption.map(_.get(0)).orNull} " +
-        "has in-edges but no out-edges (dangling mass is not redistributed); " +
-        "pass the symmetric closure or drop sink nodes first")
+    // loop. assumeNoDangling: the caller certifies the property holds BY
+    // CONSTRUCTION (a symmetric closure contains the reverse of every
+    // edge, so every dst is a src) — a staged symmetric table proves it
+    // once at ingest; re-scanning the full edge set per call to re-prove
+    // a structural invariant is the check's 100 TB anti-pattern.
+    if (!assumeNoDangling) {
+      val dangling = e.select(col("dst").as("n")).distinct()
+        .join(e.select(col("src").as("n")).distinct(), Seq("n"), "left_anti")
+        .limit(1).collect()
+      require(dangling.isEmpty,
+        s"pageRankFixedPoint contract violated: node ${dangling.headOption.map(_.get(0)).orNull} " +
+          "has in-edges but no out-edges (dangling mass is not redistributed); " +
+          "pass the symmetric closure or drop sink nodes first")
+    }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // Pinning policy is input-layout-dependent, both directions measured
     // at sf0.1:
@@ -308,7 +315,7 @@ object GraphOps {
     * set per round; N and |S| are two narrow counts paid once. */
   def personalizedPageRankFixedPoint(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, iterations: Int = 5,
-      assumeDistinct: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean = false, assumeNoDangling: Boolean = false): DataFrame = {
     // NOT checkpointed/persisted: measured 13.8 s vs 12.4 s at sf0.1 with
     // an eager localCheckpoint of the distinct edge set — the storage
     // round-trip costs more than letting the counts job and the iteration
@@ -324,13 +331,18 @@ object GraphOps {
       .withColumn("__seed", lit(1))
     // ONE action for all three scalars — node count, seed count, AND the
     // dangling-node contract count (three separate head()/collect() calls
-    // would pay three jobs over the same edge frame)
-    val danglingN = e.select(col("dst").as("n")).distinct()
-      .join(e.select(col("src").as("n")).distinct(), Seq("n"), "left_anti")
-      .agg(count(lit(1)).as("d"))
-    val counts = deg.agg(count(lit(1)).as("n"))
+    // would pay three jobs over the same edge frame). assumeNoDangling
+    // (same contract as pageRankFixedPoint: the caller's symmetric
+    // closure proves the property by construction) drops the anti-join
+    // leg — the counts job then scans the edge set once for deg instead
+    // of three times.
+    val nsFrame = deg.agg(count(lit(1)).as("n"))
       .crossJoin(seedSet.agg(count(lit(1)).as("s")))
-      .crossJoin(danglingN).head()
+    val counts = (if (assumeNoDangling) nsFrame.withColumn("d", lit(0L))
+      else nsFrame.crossJoin(
+        e.select(col("dst").as("n2")).distinct()
+          .join(e.select(col("src").as("n2")).distinct(), Seq("n2"), "left_anti")
+          .agg(count(lit(1)).as("d")))).head()
     val nNodes = counts.getLong(0)
     val nSeeds = counts.getLong(1)
     require(counts.getLong(2) == 0L,

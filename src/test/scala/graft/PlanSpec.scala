@@ -176,6 +176,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("SortMergeJoin"),
       "the tiny caps frame must broadcast, not shuffle the fact table")
+    // both percentile stages ride the staged value-count histogram — a
+    // lineitem scan here means the sufficient-statistic pushdown regressed
+    assert(p.contains("graft_pricecnt_"), p.take(2000))
+    assert(!p.contains("lineitem.parquet"),
+      "winsorize must read the staged (flag, price, cnt) frame, not the fact table")
   }
 
   test("MAD outliers broadcast both stat frames onto the fact scan") {
@@ -183,6 +188,10 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(2000))
     assert(!p.contains("SortMergeJoin"),
       "median/MAD frames are per-group tiny and must broadcast")
+    // same sufficient-statistic contract as q_winsorize
+    assert(p.contains("graft_pricecnt_"), p.take(2000))
+    assert(!p.contains("lineitem.parquet"),
+      "MAD audit must read the staged (flag, price, cnt) frame, not the fact table")
   }
 
   test("salted join broadcasts the replicated dimension") {

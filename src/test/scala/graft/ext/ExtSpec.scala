@@ -1168,6 +1168,28 @@ class ExtSpec extends SparkSpec {
     assert(gotTiny == expTiny)
   }
 
+  test("sorted-neighborhood payload columns equal the re-joined attachment") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 200).map(i => (f"k${rnd.nextInt(60)}%03d", f"id$i%04d", s"payload-$i"))
+    val df = rows.toDF("k", "id", "v")
+    val plain = Dedup.sortedNeighborhoodPairs(df, "k", "id", window = 2)
+    val withPayload = Dedup.sortedNeighborhoodPairs(df, "k", "id", window = 2,
+      payload = Seq("v"))
+    assert(withPayload.columns.toSeq == Seq("id_a", "id_b", "v_a", "v_b"))
+    // pair set unchanged by the payload pass-through
+    assert(withPayload.select(col("id_a"), col("id_b")).as[(String, String)]
+      .collect().toSet ==
+      plain.as[(String, String)].collect().toSet)
+    // each carried value equals what an id-keyed re-join would attach
+    val attach = df.select(col("id"), col("v"))
+    val rejoined = plain
+      .join(attach.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(attach.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b"))
+      .as[(String, String, String, String)].collect().toSet
+    assert(withPayload.as[(String, String, String, String)].collect().toSet == rejoined)
+  }
+
   test("duplicatedSpanProfile counts cross-doc k-gram positions, not within-doc repeats") {
     val k = 10
     val shared = "ABCDEFGHIJKLMNOPQRS" // 19 chars → 10 k-grams, all shared by docs 1,2

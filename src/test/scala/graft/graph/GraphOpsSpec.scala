@@ -215,6 +215,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("dangling"))
   }
 
+  test("assumeNoDangling skips the re-proof without changing ranks on a symmetric closure") {
+    // the flag is a caller certification (symmetric closure => every dst
+    // is a src), not a semantics switch: ranks must be bit-identical
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+    val sym = (base ++ base.map(_.swap)).toDF("src", "dst")
+    val checked = GraphOps.pageRankFixedPoint(sym, "src", "dst", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val certified = GraphOps.pageRankFixedPoint(sym, "src", "dst", iterations = 3,
+      assumeNoDangling = true).as[(Long, Long)].collect().toMap
+    assert(checked == certified)
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val pprChecked = GraphOps.personalizedPageRankFixedPoint(
+      sym, "src", "dst", seeds, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val pprCertified = GraphOps.personalizedPageRankFixedPoint(
+      sym, "src", "dst", seeds, iterations = 3, assumeNoDangling = true)
+      .as[(Long, Long)].collect().toMap
+    assert(pprChecked == pprCertified)
+    // the unflagged PPR path must still reject a dangling graph
+    val dangling = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRankFixedPoint(
+        dangling, "src", "dst", seeds, iterations = 1)
+    }
+    assert(ex.getMessage.contains("dangling"))
+  }
+
   test("fixpoint CC agrees with GraphX connectedComponents on a seeded random graph") {
     // both algorithms label a component by its minimum vertex id, so the
     // outputs are directly comparable — an independent implementation
