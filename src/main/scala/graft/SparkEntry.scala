@@ -1238,12 +1238,22 @@ object SparkEntry {
           .cast("string").as("o_totalprice_cents"),
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
         col("o_orderpriority"))
+      // two-level aggregation instead of countDistinct: collapse to the
+      // (col_name, value) histogram first (one map-combined exchange),
+      // then every statistic is a weighted fold of the collapsed frame —
+      // countDistinct's Expand duplicates the unpivoted rows through the
+      // first aggregate, and min/max/null counts fold from histogram
+      // cells identically (value IS the group key; count(value) skips the
+      // null cell exactly like countDistinct did). Same histogram-
+      // pushdown discipline as q_winsorize/q_percentile.
       o.unpivot(Array.empty[Column], o.columns.map(col), "col_name", "value")
+        .groupBy(col("col_name"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
         .groupBy(col("col_name"))
         .agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col("value").isNull, lit(1L)).otherwise(lit(0L))).as("n_nulls"),
-          countDistinct(col("value")).as("n_distinct"),
+          sum(col("cnt")).as("n_rows"),
+          sum(when(col("value").isNull, col("cnt")).otherwise(lit(0L))).as("n_nulls"),
+          count(col("value")).as("n_distinct"),
           min(col("value")).as("min_s"),
           max(col("value")).as("max_s"))
     }),
@@ -1306,9 +1316,12 @@ object SparkEntry {
     "q_ppr" -> ((s, dir) => {
       val e2 = stagedBipartiteEdges(s, dir)
       // node % 100 == 1 implies odd, and every odd node in the symmetric
-      // frame appears in the dst column's original direction — identical
-      // seed set to filtering e0's dst before symmetrization
-      val seeds = e2.select(col("dst").as("node"))
+      // frame appears in BOTH columns (the closure holds each edge's
+      // reverse) — identical seed set to filtering e0's dst before
+      // symmetrization, read off the SRC column because the staged table
+      // is bucketed on src: the seed distinct then folds in place instead
+      // of re-exchanging the edge table on dst
+      val seeds = e2.select(col("src").as("node"))
         .where(col("node") % 100 === 1).distinct()
       // assumeNoDangling: same symmetric-closure certification as
       // q_pagerank — the counts job drops its anti-join leg
@@ -4338,18 +4351,27 @@ object SparkEntry {
     // engine-portable, so the oracle replays sample selection row-for-row
     "q_fk_sketch" -> ((s, dir) => {
       val k = 256
-      def sk(df: DataFrame, key: String): DataFrame =
-        df.where(col(key).isNotNull)
-          .select(md5(col(key).cast("string")).as("h")).distinct()
+      // provenance flags ride the distinct: tag each hash row with its
+      // side BEFORE the union, fold to per-hash membership with ONE
+      // group-max — the same distinct set the two-sided form produced,
+      // but one exchange per candidate where the old shape paid two
+      // per-side distincts, a union distinct AND two membership joins
+      // back against the full sets (row-identical: max(in_c) == "h is in
+      // child's distinct set"). The bottom-k TakeOrdered then reads the
+      // already-tagged sample directly.
       def est(name: String, child: DataFrame, ck: String,
           parent: DataFrame, pk: String): DataFrame = {
-        val c = sk(child, ck)
-        val p = sk(parent, pk)
-        val u = c.unionByName(p).distinct().orderBy(col("h")).limit(k)
-        u.join(c.select(col("h"), lit(1).as("in_c")), Seq("h"), "left")
-          .join(p.select(col("h"), lit(1).as("in_p")), Seq("h"), "left")
-          .agg(count(lit(1)).as("n_union_sample"),
-            sum(coalesce(col("in_c"), lit(0))).as("n_child_sample"),
+        val tagged = child.where(col(ck).isNotNull)
+          .select(md5(col(ck).cast("string")).as("h"),
+            lit(1).as("in_c"), lit(0).as("in_p"))
+          .unionByName(parent.where(col(pk).isNotNull)
+            .select(md5(col(pk).cast("string")).as("h"),
+              lit(0).as("in_c"), lit(1).as("in_p")))
+        val u = tagged.groupBy(col("h"))
+          .agg(max(col("in_c")).as("in_c"), max(col("in_p")).as("in_p"))
+          .orderBy(col("h")).limit(k)
+        u.agg(count(lit(1)).as("n_union_sample"),
+            sum(col("in_c")).as("n_child_sample"),
             sum(when(col("in_c") === 1 && col("in_p") === 1, 1L)
               .otherwise(0L)).as("n_both"))
           .select(lit(name).as("candidate"), col("n_union_sample"),

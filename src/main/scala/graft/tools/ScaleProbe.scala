@@ -77,7 +77,7 @@ object ScaleProbe {
     // for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8", "r8b", "r8c", "r8d", "r8e", "r8f", "r9", "r11"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8", "r8b", "r8c", "r8d", "r8e", "r8f", "r9", "r11", "r11b"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate",
@@ -217,6 +217,19 @@ object ScaleProbe {
       val tPsi = tq("q_drift_psi"); val tProf = tq("q_column_profile")
       val tBm = tq("q_bm25"); val tRrf = tq("q_rrf_hybrid")
       println(f"""SCALE_R5C {"factor":$f, "pagerank":$tPr%.2f, "triangles":$tTri%.2f, "label_prop":$tLp%.2f, "scd2":$tScd%.2f, "funnel":$tFun%.2f, "cohort":$tCoh%.2f, "drift_psi":$tPsi%.2f, "column_profile":$tProf%.2f, "bm25":$tBm%.2f, "rrf_hybrid":$tRrf%.2f}""")
+      }
+
+      // round-11 session-2 rewrites through their real query closures:
+      // the join-free FK sketch (tagged group-max provenance), the
+      // histogram-pushdown exact percentiles, and PPR with the certified
+      // no-dangling contract + src-side seed derivation. PPR's first
+      // factor cell pays the per-dir bucketed bipartite staging write
+      // (same accounting as pagerank's r5c cell); percentile's pays the
+      // pricecnt staging (winsorize in r5 pays it when both groups run).
+      if (groups("r11b")) {
+      val tFk = tq("q_fk_sketch"); val tPct = tq("q_percentile")
+      val tPpr = tq("q_ppr")
+      println(f"""SCALE_R11B {"factor":$f, "fk_sketch":$tFk%.2f, "percentile":$tPct%.2f, "ppr":$tPpr%.2f}""")
       }
 
       // round-5 second wave: relational/statistical + linkage + BFS —

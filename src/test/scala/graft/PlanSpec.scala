@@ -194,6 +194,22 @@ class PlanSpec extends SparkSpec {
       "MAD audit must read the staged (flag, price, cnt) frame, not the fact table")
   }
 
+  test("FK sketch is join-free: provenance flags fold in one group-max per candidate") {
+    val p = plan("q_fk_sketch")
+    assert(!p.contains("Join"),
+      "membership must come from tagged group-max flags, not joins back against the full sets")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the bottom-k must be a bounded TakeOrdered, not a global sort")
+  }
+
+  test("column profile folds distinct counts from the histogram, not an Expand") {
+    val p = plan("q_column_profile")
+    // exactly ONE Expand: the unpivot itself. countDistinct would add a
+    // second (its rewrite duplicates the unpivoted rows through the first
+    // aggregate); the two-level histogram aggregation must not reappear
+    assert("Expand".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
   test("salted join broadcasts the replicated dimension") {
     val p = plan("q_salted_join")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
