@@ -330,6 +330,24 @@ class PlanSpec extends SparkSpec {
       "src rollup over the bucketed table still exchanges:\n" + tp.take(3000))
   }
 
+  test("staged bipartite table is a symmetric closure (the assumeNoDangling certificate)") {
+    // q_pagerank/q_ppr pass assumeNoDangling on the strength of this
+    // property: the closure holds every edge's reverse, so every dst is a
+    // src and no node can leak rank mass. Pin it ON THE STAGED TABLE
+    // itself (not the builder expression) — a staging change that drops
+    // the reversed half must fail here, not as silently corrupted ranks.
+    import org.apache.spark.sql.functions.col
+    SparkEntry.queries("q_pagerank")(spark, dir).queryExecution.toRdd.count()
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val e = spark.table(s"graft_bipartite_$digest")
+    val asymmetric = e.select(col("dst").as("src"), col("src").as("dst"))
+      .except(e.select(col("src"), col("dst")))
+    assert(asymmetric.isEmpty,
+      "staged bipartite table is missing reversed edges — the " +
+        "assumeNoDangling certification no longer holds")
+  }
+
   test("label-prop: per-round joins are exchange-free on the bucketed co-purchase side") {
     // the staged symmetric co-purchase table (stagedCoPurchaseSym) is
     // bucketed/sorted on `a` and read ROLES-SWAPPED so the bucket column
