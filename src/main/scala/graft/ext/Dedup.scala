@@ -786,6 +786,18 @@ object Dedup {
     // window <= 0 would make sequence(1, window) DESCEND ([1, 0], ...)
     // and j = 0 then emits self-pairs (id_a == id_b) instead of nothing
     require(window >= 1, s"sortedNeighborhoodPairs needs window >= 1, got $window")
+    // a payload named after an internal column would collide inside the
+    // rank join (duplicate __g → ambiguous-reference AnalysisException
+    // deep in the plan) and a payload named "id" would emit id_a/id_b
+    // twice, silently shadowing the output pair ids — reject loudly at
+    // the call site instead
+    val reservedPayload = Set("__k", "__id", "__g", "__g2", "__j", "id", "id_a", "id_b")
+    require(payload.distinct == payload,
+      s"duplicate payload columns: ${payload.mkString(", ")}")
+    payload.foreach { c =>
+      require(!reservedPayload(c),
+        s"payload column '$c' collides with sortedNeighborhoodPairs' internal/output names")
+    }
     val indexed = graft.operators.GlobalRank.withGlobalRank(
         records.select(col(keyCol).as("__k") +: col(idCol).as("__id") +:
           payload.map(col): _*),

@@ -72,9 +72,9 @@ object ScaleProbe {
 
     val factors = args.drop(1).headOption.map(_.split(",").map(_.toInt).toSeq)
       .getOrElse(Seq(1, 2, 5))
-    // optional third arg picks probe groups (comma-joined subset of
-    // corpus,r5,r5c,r5d) — a new group can be re-probed without paying
-    // for every earlier curve again
+    // optional third arg picks probe groups (comma-joined subset of the
+    // default set below, one group per round/wave) — a new group can be
+    // re-probed without paying for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
       .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8", "r8b", "r8c", "r8d", "r8e", "r8f", "r9", "r11", "r11b"))

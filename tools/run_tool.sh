@@ -1,5 +1,15 @@
 #!/bin/bash
-# Direct java -cp launcher matching build.sbt's forked JVM flags.
+# Direct java -cp launcher for graft mains (Bench/Verify/TimeQuery/
+# ScaleProbe). Exists because an sbt batch run can detach the forked JVM
+# and delete its target/bg-jobs staging jars mid-run (SCALE.md round-9
+# run-mode note) — the direct launch removes sbt from the measured path.
+#
+# The --add-opens list mirrors build.sbt's jdk17AddOpens (Spark 4.x on
+# JDK 17 outside spark-submit). If a Spark/JDK bump extends that list in
+# build.sbt, extend it here too — a missing module surfaces as an
+# InaccessibleObjectException at SparkSession creation from this script
+# only, while sbt-forked runs keep working.
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
 CLASS=$1; shift
 ADDOPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
@@ -11,4 +21,4 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
 done
 exec java $ADDOPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx${SPARK_DRIVER_MEM:-8g} \
-  -cp /root/repo/target/scala-2.13/classes:/opt/spark/jars/'*' "$CLASS" "$@"
+  -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" "$CLASS" "$@"
