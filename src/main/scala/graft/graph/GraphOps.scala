@@ -172,6 +172,12 @@ object GraphOps {
     // dedup here keeps the scan's bucket partitioning intact (a distinct
     // would re-exchange on (src, dst) and destroy it), which the
     // localCheckpoint then preserves for every per-round src-side join.
+    // The eager pin stays EVEN for the bucketed input: letting each of
+    // the 6 per-round joins re-scan the staged table instead measured
+    // 4.6-5.1 s vs 3.4-4.7 s at sf0.1 (r11 session 2) — unlike
+    // pageRank's single-reference loop, both directions re-read the
+    // frame every round, and the block-manager read beats 6 filtered
+    // parquet scans.
     // edgesByDst: an OPTIONAL second view of the SAME edge set (same
     // srcCol/dstCol names, caller-certified row-identical) that arrives
     // hash-partitioned on dstCol — the two-layout edge store every
