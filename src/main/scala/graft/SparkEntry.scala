@@ -3085,9 +3085,21 @@ object SparkEntry {
     // → near-dedup survivors → the kept set's whitespace-token total
     // (what actually lands in the training mix). Every stage row is a
     // count off the previous stage's frame — the funnel report a corpus
-    // release ships. Near-dedup reuses the minhash pipeline at 0.8 on
-    // the cleaned text; the oracle replays extraction + gates + the
-    // posting-list exact pairs + the closure
+    // release ships. Near-dedup is the EXACT word-3-gram PPJoin at 0.8
+    // on the cleaned text — the oracle replays extraction + gates + the
+    // posting-list exact pairs + the closure, and exactness must hold at
+    // ANY scale: the earlier minhash banding (128 hashes / 16 bands)
+    // hash-matched at the sf0.01 gate but dropped a borderline true pair
+    // (0.8 <= j < 0.9) at sf0.1 — LSH recall near the threshold is
+    // probabilistic by construction, which is fine for the LSH showcase
+    // queries whose fixtures keep a margin, and wrong for a release
+    // report whose oracle is exact. Word shingles, not char: the char-5
+    // PPJoin was measured 5x slower here (per-doc sets ~6x larger, vocab
+    // in the millions) for the same dedup semantics; the HASH-ORDER
+    // prefix variant, not the df-ordered one: on this mid-size dedup
+    // stage the df dictionary/rank/window passes dominate (measured
+    // 6.1 vs 3.x s end-to-end), and losslessness is order-agnostic
+    // (CurationProps pins pair-set equality of the two variants)
     "q_web_corpus_funnel" -> ((s, dir) => {
       val pages = t(s, dir, "documents").select(col("doc_id"),
         graft.ext.WebText.synthesizeHtml(col("doc_id"),
@@ -3104,10 +3116,10 @@ object SparkEntry {
       val gated = ex.where(col("link_density") <= 0.5 && col("text_len") >= 50)
       val exact = gated.groupBy(col("text_clean"))
         .agg(min(col("doc_id")).as("doc_id"))
-      val pairs = Dedup.minhashNearDuplicates(
+      val pairs = Dedup.hashOrderJaccardPairs(
         exact.select(col("doc_id"), col("text_clean").as("text")),
-        "doc_id", "text", shingleSize = 5, numHashes = 128, bands = 16,
-        threshold = 0.8)
+        "doc_id", "text", ngram = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
       val dropped = Dedup.resolveDuplicateClusters(pairs)
         .where(col("id") =!= col("keep_id")).select(col("id").as("doc_id"))
       val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
@@ -8173,9 +8185,21 @@ FROM (
         |    AND length(clean) >= 50),
         | exact AS MATERIALIZED (
         |  SELECT min(doc_id) AS doc_id, clean FROM gated GROUP BY clean),
-        | ${charShingleSql("(SELECT doc_id, clean AS text FROM exact)")},
+        | toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(clean), '[\\s\\x0b]+'),
+        |      x -> x <> '') AS t
+        |  FROM exact),
+        | shd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) = 0 THEN []
+        |         WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |    END AS sh
+        |  FROM toks),
         | shm AS MATERIALIZED (SELECT doc_id, len(sh) AS n, unnest(sh) AS g
-        |  FROM sh WHERE len(sh) > 0),
+        |  FROM shd WHERE len(sh) > 0),
         | prs AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (
         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,

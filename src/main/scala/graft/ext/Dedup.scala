@@ -849,11 +849,20 @@ object Dedup {
     * empty set is 0 against any non-empty set — below any threshold — and
     * the empty/empty pair is a dedup non-event handled by exactDedup). */
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      ngram: Int = 3, threshold: Double = 0.4, numPartitions: Int = 0): DataFrame = {
+      ngram: Int = 3, threshold: Double = 0.4, numPartitions: Int = 0,
+      shingler: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        NativeExpressions.wordShingles): DataFrame = {
+    // shingler: the tokenization is orthogonal to the PPJoin machinery —
+    // word n-grams by default, char n-grams (NativeExpressions.charShingles)
+    // when the caller's exactness contract is defined over character sets
+    // (q_web_corpus_funnel's release report replays char-5-gram Jaccard in
+    // its oracle, where LSH banding would trade exactness for recall).
+    // Any builder must emit DISTINCT shingles per doc — the prefix/size
+    // arithmetic is set arithmetic.
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefixFilterJaccardPairs needs threshold in (0, 1], got $threshold")
     val docs = df.select(col(idCol).as("id"),
-        NativeExpressions.wordShingles(col(textCol), ngram).as("sh"))
+        shingler(col(textCol), ngram).as("sh"))
       .where(size(col("sh")) > 0)
     // posting list: wordShingles output is already distinct per doc
     val posts = docs.select(col("id"), explode(col("sh")).as("tok"))
@@ -939,6 +948,91 @@ object Dedup {
     // ~10^2 elements against a 2^64 space; same md5-injectivity stance as
     // contentHash) and the distinct-set Jaccard is unchanged under any
     // injective map.
+    val hashed = docs.select(col("id"),
+      transform(col("sh"), s => xxhash64(s)).as("hs"))
+    cands
+      .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("jaccard", H.jaccard(col("hs_a"), col("hs_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** EXACT set-similarity self-join via HASH-ORDER prefix filtering —
+    * the same lossless pigeonhole as [[prefixFilterJaccardPairs]] under
+    * a different global total order: tokens order by
+    * (xxhash64(token), token) instead of ascending document frequency.
+    * The SSJoin prefix lemma needs only SOME total order shared by all
+    * documents, so losslessness is unchanged (the output pair set is
+    * IDENTICAL — pinned against the df-ordered form in ShingleProps);
+    * what changes is the cost profile:
+    *
+    *  - NO dictionary pass, NO GlobalRank, NO per-doc posting window,
+    *    NO checkpoint: each doc's ordered shingle array is built and
+    *    sliced IN PLACE (`array_sort` + `slice`, narrow and inside
+    *    whole-stage codegen), so the whole pipeline is
+    *    posexplode → one self-join → one pair aggregation → verify;
+    *  - candidate volume is NOT df-optimized: a rarest-first prefix
+    *    holds each doc's least-shared tokens, a hash-ordered prefix
+    *    holds a uniform sample, so Σ df_prefix² grows on skewed
+    *    vocabularies.
+    *
+    * Pick by regime: the df-ordered variant amortizes its dictionary
+    * passes when the corpus is large and candidate volume dominates
+    * (the full-corpus q_prefix_join); this variant wins when the input
+    * is a mid-size dedup stage and the fixed passes dominate (the
+    * web-funnel release report). Orientation, size-ratio gate,
+    * positional filter and the exact power-of-two-rational cutoff
+    * arithmetic are shared with the df-ordered form; candidates join on
+    * the 64-bit token hash (a collision only ADDS a candidate the exact
+    * verify removes — recall needs join-on-token, and equal tokens have
+    * equal hashes). */
+  def hashOrderJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, threshold: Double = 0.4,
+      shingler: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        NativeExpressions.wordShingles): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"hashOrderJaccardPairs needs threshold in (0, 1], got $threshold")
+    val docs = df.select(col(idCol).as("id"),
+        shingler(col(textCol), ngram).as("sh"))
+      .where(size(col("sh")) > 0)
+    // same exact integer renderings as prefixFilterJaccardPairs (see the
+    // rationale there): every cutoff is ceil((n/2^20)·x) in pure integer
+    // arithmetic, only ever weaker-by-one than the real factor
+    val denBits = 20
+    val den = 1L << denBits
+    def lowNum(f: Double): Long = (f * den.toDouble).toLong
+    def ceilLow(nf: Long, x: org.apache.spark.sql.Column) =
+      shiftright(lit(nf) * x + lit(den - 1), denBits)
+    val nT = lowNum(threshold)
+    val nIdx = lowNum(2.0d * threshold / (1.0d + threshold))
+    val nAlpha = lowNum(threshold / (1.0d + threshold))
+    // per-doc (hash, token)-ordered shingle array — token tiebreak keeps
+    // the order total under hash collisions, all narrow per-row work
+    val ordered = docs.select(col("id"), size(col("sh")).cast("long").as("sz"),
+      array_sort(transform(col("sh"),
+        t => struct(xxhash64(t).as("h"), t.as("tok")))).as("os"))
+    // prefix side: the first (sz - ceil(f·sz) + 1) entries of the ordered
+    // array, exploded with their 1-based in-doc position for the
+    // positional filter
+    def side(prefixNum: Long): DataFrame = ordered
+      .select(col("id"), col("sz"),
+        posexplode(slice(col("os"), lit(1),
+          (col("sz") - ceilLow(prefixNum, col("sz")) + lit(1L)).cast("int"))))
+      .select(col("id"), col("sz"), (col("pos") + 1).as("pos"), col("col.h").as("h"))
+    val cands = side(nIdx).as("a")
+      .join(side(nT).as("b"),
+        col("a.h") === col("b.h")
+          && (col("a.sz") < col("b.sz")
+            || (col("a.sz") === col("b.sz") && col("a.id") < col("b.id")))
+          && col("a.sz") * lit(den) >= lit(nT) * col("b.sz"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(max(least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) + 1)
+        .as("__ub"))
+      .where(col("__ub") >= ceilLow(nAlpha, col("sz_a") + col("sz_b")))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
     val hashed = docs.select(col("id"),
       transform(col("sh"), s => xxhash64(s)).as("hs"))
     cands

@@ -124,6 +124,22 @@ object CurationProps extends Properties("Curation") {
       got == brute
     }
 
+  property("hash-order prefix join EQUALS the df-ordered join on arbitrary corpora") =
+    // the SSJoin lemma needs only SOME shared total order — the
+    // (xxhash64, token) order must produce the IDENTICAL exact pair set
+    // as the df-ascending order at every threshold, boundary thresholds
+    // included (same ceil-arithmetic hazards as the df-ordered property)
+    forAll(Gen.listOfN(25, doc), Gen.oneOf(0.1, 0.3, 0.5, 0.8, 1.0)) { (texts, t) =>
+      val df = docsDf(texts)
+      def pairSet(f: => org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        f.select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairSet(Dedup.hashOrderJaccardPairs(df, "doc_id", "text",
+          ngram = 3, threshold = t)) ==
+        pairSet(Dedup.prefixFilterJaccardPairs(df, "doc_id", "text",
+          ngram = 3, threshold = t))
+    }
+
   // profile drift of a snapshot against ITSELF is exactly zero in every
   // delta column — the null-rate/cardinality/length arithmetic has no
   // hidden asymmetry
