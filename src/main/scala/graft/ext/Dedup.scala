@@ -964,7 +964,7 @@ object Dedup {
     * (xxhash64(token), token) instead of ascending document frequency.
     * The SSJoin prefix lemma needs only SOME total order shared by all
     * documents, so losslessness is unchanged (the output pair set is
-    * IDENTICAL — pinned against the df-ordered form in ShingleProps);
+    * IDENTICAL — pinned against the df-ordered form in CurationProps);
     * what changes is the cost profile:
     *
     *  - NO dictionary pass, NO GlobalRank, NO per-doc posting window,
