@@ -782,10 +782,24 @@ object Dedup {
     * pays that twice per pass). */
   def sortedNeighborhoodPairs(records: DataFrame, keyCol: String, idCol: String,
       window: Int, numPartitions: Int = 0,
+      payload: Seq[String] = Nil): DataFrame =
+    sortedNeighborhoodPairsFromRanked(
+      sortedNeighborhoodRanked(records, keyCol, idCol, numPartitions, payload),
+      window, payload)
+
+  /** The sorted-neighborhood QUERY-INDEPENDENT artifact: each record's
+    * exact 0-based global rank under `(keyCol, idCol)` order, as
+    * (__id, __g, payload…). The rank depends only on the record frame
+    * and the sort key — not on the neighborhood `window` — so a caller
+    * running repeated linkage passes over the same records stages THIS
+    * frame once (SparkEntry's q_er_pipeline does) and pays only the
+    * explode + rank equi-join per pass. Columns are the internal names
+    * ([[sortedNeighborhoodPairsFromRanked]]'s input contract); the
+    * payload-collision rules from [[sortedNeighborhoodPairs]] are
+    * enforced here because this is where the internal names are born. */
+  def sortedNeighborhoodRanked(records: DataFrame, keyCol: String,
+      idCol: String, numPartitions: Int = 0,
       payload: Seq[String] = Nil): DataFrame = {
-    // window <= 0 would make sequence(1, window) DESCEND ([1, 0], ...)
-    // and j = 0 then emits self-pairs (id_a == id_b) instead of nothing
-    require(window >= 1, s"sortedNeighborhoodPairs needs window >= 1, got $window")
     // a payload named after an internal column would collide inside the
     // rank join (duplicate __g → ambiguous-reference AnalysisException
     // deep in the plan) and a payload named "id" would emit id_a/id_b
@@ -798,11 +812,22 @@ object Dedup {
       require(!reservedPayload(c),
         s"payload column '$c' collides with sortedNeighborhoodPairs' internal/output names")
     }
-    val indexed = graft.operators.GlobalRank.withGlobalRank(
+    graft.operators.GlobalRank.withGlobalRank(
         records.select(col(keyCol).as("__k") +: col(idCol).as("__id") +:
           payload.map(col): _*),
         Seq(col("__k"), col("__id")), "__g", numPartitions)
       .select(col("__id") +: col("__g") +: payload.map(col): _*)
+  }
+
+  /** Window-dependent half of sorted-neighborhood: neighbor pairs from a
+    * [[sortedNeighborhoodRanked]] frame (inline or staged) — the left
+    * side explodes j=1..window and equi-joins rank+j. `payload` must
+    * name the same columns the ranked frame carries. */
+  def sortedNeighborhoodPairsFromRanked(indexed: DataFrame, window: Int,
+      payload: Seq[String] = Nil): DataFrame = {
+    // window <= 0 would make sequence(1, window) DESCEND ([1, 0], ...)
+    // and j = 0 then emits self-pairs (id_a == id_b) instead of nothing
+    require(window >= 1, s"sortedNeighborhoodPairs needs window >= 1, got $window")
     val left = indexed
       .select(col("__g") +: col("__id").as("id_a") +:
         payload.map(c => col(c).as(s"${c}_a")): _*)
@@ -831,13 +856,25 @@ object Dedup {
     * so the equi-join on prefix tokens has perfect recall; exact Jaccard
     * verification then removes false candidates.
     *
+    * This entry point is the INLINE composition: it builds the
+    * query-independent rank artifact ([[dfRankedShingleDocs]]) and runs
+    * the threshold-dependent pair machinery ([[prefixPairsFromRanked]])
+    * in one call, materializing the artifact once (`localCheckpoint`)
+    * because all four downstream consumers — both candidate sides and
+    * both verify joins — read it. When the SAME corpus serves repeated
+    * joins, stage [[dfRankedShingleDocs]] to parquet instead and call
+    * [[prefixPairsFromRanked]] per threshold (SparkEntry's q_prefix_join
+    * does exactly that): the dictionary pass, GlobalRank and the per-doc
+    * ordering are corpus artifacts, not query work.
+    *
     * Scale shape (the reason this exists next to the LSH variants):
     *  - token ranks come from [[graft.operators.GlobalRank]] over the token
     *    DICTIONARY (bounded by vocabulary, not corpus) — no single-reducer
     *    window anywhere;
-    *  - prefix selection is a window partitioned BY DOC (narrow);
-    *  - the candidate join carries only (token_rank, id, size) — shingle
-    *    arrays are re-joined by id for the bounded verify step;
+    *  - prefix selection is a narrow per-row slice of each doc's ordered
+    *    key array;
+    *  - the candidate join carries only (key, id, size, position) — hashed
+    *    shingle arrays are re-joined by id for the bounded verify step;
     *  - a size filter (t*|B| <= |A|) prunes candidates before payloads
     *    move: J(A,B) >= t forces |A|/|B| >= t for |A| <= |B|.
     *    Candidate volume is Σ_prefix-token df², dominated by rare tokens
@@ -847,115 +884,86 @@ object Dedup {
     * correctness twin q_jaccard_pairs covers a bounded subset; this runs
     * the FULL corpus. Empty shingle sets are excluded (Jaccard with an
     * empty set is 0 against any non-empty set — below any threshold — and
-    * the empty/empty pair is a dedup non-event handled by exactDedup). */
+    * the empty/empty pair is a dedup non-event handled by exactDedup).
+    * "Exact" throughout means exact over the xxhash64'd shingle sets the
+    * verify compares — see the honesty note on [[prefixPairsImpl]]. */
   def prefixFilterJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, threshold: Double = 0.4, numPartitions: Int = 0,
       shingler: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
         NativeExpressions.wordShingles): DataFrame = {
-    // shingler: the tokenization is orthogonal to the PPJoin machinery —
-    // word n-grams by default, char n-grams (NativeExpressions.charShingles)
-    // when the caller's exactness contract is defined over character sets
-    // (q_web_corpus_funnel's release report replays char-5-gram Jaccard in
-    // its oracle, where LSH banding would trade exactness for recall).
-    // Any builder must emit DISTINCT shingles per doc — the prefix/size
-    // arithmetic is set arithmetic.
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefixFilterJaccardPairs needs threshold in (0, 1], got $threshold")
+    // materialized once: all four prefixPairsImpl consumers (two candidate
+    // sides, two verify joins) read the artifact, and without the
+    // checkpoint the dictionary-rank pipeline executes four times
+    // (structural re-use, same rationale as GlobalRank's materialization
+    // — not a data cache)
+    prefixPairsImpl(
+      dfRankedShingleDocs(df, idCol, textCol, ngram, numPartitions, shingler)
+        .localCheckpoint(true),
+      threshold)
+  }
+
+  /** The df-ordered prefix join's QUERY-INDEPENDENT corpus artifact:
+    * one row per non-empty document,
+    *
+    *   (id, sz: long, keys: array<long>, hs: array<long>)
+    *
+    * where `keys` holds the doc's shingles' global (document-frequency
+    * asc, token asc) ranks in ASCENDING rank order — rarest first — and
+    * `hs` the sorted xxhash64'd shingle set the verify compares.
+    * Everything threshold-DEPENDENT (prefix lengths, size gate,
+    * positional bound, the verify cut) lives downstream in
+    * [[prefixPairsFromRanked]], so a caller joining the same corpus
+    * repeatedly — or at several thresholds — stages THIS frame once and
+    * pays only the pair machinery per call.
+    *
+    * Shape: one posting explode, one dictionary groupBy (bounded by
+    * vocabulary, not corpus), GlobalRank's range exchange over the
+    * dictionary, one id-keyed collect_list aggregation whose per-doc
+    * arrays are bounded by shingle count. No single-reducer stage
+    * (GlobalRank's contract). `shingler` must emit DISTINCT shingles
+    * per doc — the prefix/size arithmetic is set arithmetic; word
+    * n-grams ([[graft.plans.NativeExpressions.wordShingles]], the
+    * default) and char n-grams (`charShingles`, for contracts defined
+    * over character sets) both do. */
+  def dfRankedShingleDocs(df: DataFrame, idCol: String, textCol: String,
+      ngram: Int = 3, numPartitions: Int = 0,
+      shingler: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+        NativeExpressions.wordShingles): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
         shingler(col(textCol), ngram).as("sh"))
       .where(size(col("sh")) > 0)
-    // posting list: wordShingles output is already distinct per doc
     val posts = docs.select(col("id"), explode(col("sh")).as("tok"))
     // global token order: (document frequency asc, token) — a total order
     // over the dictionary; GlobalRank keeps it single-reducer-free
     val dict = posts.groupBy("tok").agg(count(lit(1)).as("__df"))
     val ranked = graft.operators.GlobalRank
-      .withGlobalRank(dict, Seq(col("__df").asc, col("tok").asc), "__trank", numPartitions)
+      .withGlobalRank(dict, Seq(col("__df").asc, col("tok").asc), "__trank",
+        numPartitions)
       .select(col("tok"), col("__trank"))
-    val sizes = docs.select(col("id"), size(col("sh")).cast("long").as("sz"))
-    // probe prefix of each doc: its (sz - ceil(t*sz) + 1) rarest tokens,
-    // with the in-doc position kept for the positional filter below
-    val perDoc = Window.partitionBy(col("id")).orderBy(col("__trank"))
-    // materialized once: BOTH sides of the candidate self-join read this
-    // frame (the index side as its leading slice), and without the
-    // checkpoint the whole dictionary-rank + window pipeline executes
-    // twice (structural re-use, same rationale as GlobalRank's
-    // materialization — not a data cache)
-    // EXACT integer renderings of the three pruning factors. Each factor
-    // f is lowered to nf/2^20 with nf = floor(f·2^20) — the multiply by a
-    // power of two only shifts the double's exponent, so nf/2^20 <= f
-    // HOLDS EXACTLY — and every cutoff below is then pure integer
-    // arithmetic: `ceil` over a ROUNDED double product can round up past
-    // an exact integer and silently drop a borderline TRUE pair, where a
-    // <=-factor only ever weakens pruning by one candidate row that the
-    // exact-Jaccard verify removes anyway (output-identical, hazard-free).
-    val denBits = 20
-    val den = 1L << denBits
-    def lowNum(f: Double): Long = (f * den.toDouble).toLong
-    // ceil((nf/2^20)·x) = (nf·x + 2^20 − 1) >> 20, for non-negative x
-    def ceilLow(nf: Long, x: org.apache.spark.sql.Column) =
-      shiftright(lit(nf) * x + lit(den - 1), denBits)
-    val nT = lowNum(threshold)
-    val nIdx = lowNum(2.0d * threshold / (1.0d + threshold))
-    val nAlpha = lowNum(threshold / (1.0d + threshold))
-    val prefix = posts.join(ranked, Seq("tok")).join(sizes, Seq("id"))
-      .withColumn("__pos", row_number().over(perDoc))
-      .where(col("__pos") <= col("sz") - ceilLow(nT, col("sz")) + 1)
-      .select(col("__trank"), col("id"), col("sz"), col("__pos"))
-      .localCheckpoint(true)
-    // ASYMMETRIC prefixes (the PPJoin self-join refinement): orient every
-    // pair by the (sz, id) total order — `a` is the SMALLER set — and the
-    // pigeonhole tightens on a's side. With |A| <= |B| the
-    // equivalent-overlap bound α = ceil(t/(1+t)·(|A|+|B|)) satisfies
-    // α >= ceil(2t/(1+t)·|A|), so the smaller side only needs its INDEX
-    // prefix of |A| - ceil(2t/(1+t)·|A|) + 1 tokens (43% of |A| at t=0.4
-    // vs the probe prefix's 60%) — candidate volume per token drops from
-    // df² to df_index·df_probe, and the b side keeps the probe prefix
-    // (α >= ceil(t·|B|) holds for every pair passing the size filter).
-    val indexPrefix = prefix
-      .where(col("__pos") <= col("sz") - ceilLow(nIdx, col("sz")) + 1)
-    // candidates: share >= 1 (index-prefix, probe-prefix) token, pruned by
-    //  (1) size ratio (|A| <= |B| and J >= t ⇒ |A| >= t|B|), at the join
-    //      (the other direction is implied by the orientation);
-    //  (2) PPJoin's positional filter: a match at in-doc positions
-    //      (pa, pb) bounds the overlap by min(szA-pa, szB-pb)+1 — the
-    //      shared token plus everything ranked after it on both sides —
-    //      which must reach the equivalent-overlap bound α. The max bound
-    //      over a pair's shared prefix tokens rides the same aggregation
-    //      that dedups the pair, so the filter costs no extra shuffle and
-    //      drops >half the candidates before any payload moves.
-    val alpha = ceilLow(nAlpha, col("sz_a") + col("sz_b"))
-    val cands = indexPrefix.as("a")
-      .join(prefix.as("b"),
-        col("a.__trank") === col("b.__trank")
-          && (col("a.sz") < col("b.sz")
-            || (col("a.sz") === col("b.sz") && col("a.id") < col("b.id")))
-          && col("a.sz") * lit(den) >= lit(nT) * col("b.sz"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .agg(max(least(col("a.sz") - col("a.__pos"), col("b.sz") - col("b.__pos")) + 1)
-        .as("__ub"))
-      .where(col("__ub") >= alpha)
-      // restore the output orientation (id_a < id_b): the (sz, id) order
-      // used for candidate generation may place the larger-id doc on the
-      // smaller-size side; Jaccard is symmetric, so this is a projection
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
-    // bounded verify on 64-bit-hashed shingle sets: an 8-byte long per
-    // shingle instead of the ~25-char gram text — the arrays that flow
-    // through the two verify joins shrink ~3x and intersect on cheap
-    // long equality. Hashing is injective in practice (a pair's union is
-    // ~10^2 elements against a 2^64 space; same md5-injectivity stance as
-    // contentHash) and the distinct-set Jaccard is unchanged under any
-    // injective map.
-    val hashed = docs.select(col("id"),
-      transform(col("sh"), s => xxhash64(s)).as("hs"))
-    cands
-      .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-      .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
-      .withColumn("jaccard", H.jaccard(col("hs_a"), col("hs_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    // both arrays sorted → the staged artifact is content-deterministic
+    // (collect_list order is partition-placement-dependent; the sorts
+    // make re-stagings byte-comparable and `keys` NEEDS ascending rank
+    // order for the prefix slice)
+    posts.join(ranked, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("__trank"))).as("keys"),
+        sort_array(collect_list(xxhash64(col("tok")))).as("hs"))
+      .select(col("id"), size(col("keys")).cast("long").as("sz"),
+        col("keys"), col("hs"))
+  }
+
+  /** Threshold-dependent half of the df-ordered exact prefix join: runs
+    * [[prefixPairsImpl]] over a [[dfRankedShingleDocs]] frame (inline,
+    * checkpointed, or staged to parquet — any source with the
+    * (id, sz, keys, hs) contract). Output: (id_a, id_b, jaccard) with
+    * id_a < id_b, exactly [[prefixFilterJaccardPairs]]' output on the
+    * same corpus. */
+  def prefixPairsFromRanked(prep: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefixPairsFromRanked needs threshold in (0, 1], got $threshold")
+    prefixPairsImpl(prep, threshold)
   }
 
   /** EXACT set-similarity self-join via HASH-ORDER prefix filtering —
@@ -967,26 +975,27 @@ object Dedup {
     * IDENTICAL — pinned against the df-ordered form in CurationProps);
     * what changes is the cost profile:
     *
-    *  - NO dictionary pass, NO GlobalRank, NO per-doc posting window,
-    *    NO checkpoint: each doc's ordered shingle array is built and
-    *    sliced IN PLACE (`array_sort` + `slice`, narrow and inside
-    *    whole-stage codegen), so the whole pipeline is
-    *    posexplode → one self-join → one pair aggregation → verify;
+    *  - NO dictionary pass, NO GlobalRank, NO id-keyed aggregation, NO
+    *    checkpoint: each doc's ordered key array is built IN PLACE
+    *    (`array_sort` over (hash, token) structs, narrow and inside
+    *    whole-stage codegen), so the whole pipeline is the fixed-cost-
+    *    free [[prefixPairsImpl]] machinery;
     *  - candidate volume is NOT df-optimized: a rarest-first prefix
     *    holds each doc's least-shared tokens, a hash-ordered prefix
     *    holds a uniform sample, so Σ df_prefix² grows on skewed
     *    vocabularies.
     *
     * Pick by regime: the df-ordered variant amortizes its dictionary
-    * passes when the corpus is large and candidate volume dominates
-    * (the full-corpus q_prefix_join); this variant wins when the input
-    * is a mid-size dedup stage and the fixed passes dominate (the
-    * web-funnel release report). Orientation, size-ratio gate,
-    * positional filter and the exact power-of-two-rational cutoff
-    * arithmetic are shared with the df-ordered form; candidates join on
-    * the 64-bit token hash (a collision only ADDS a candidate the exact
-    * verify removes — recall needs join-on-token, and equal tokens have
-    * equal hashes). */
+    * passes when the corpus is large and candidate volume dominates —
+    * and when the corpus is STAGEABLE its fixed passes vanish anyway
+    * ([[dfRankedShingleDocs]]); this variant wins when the input is a
+    * mid-size per-call dedup stage where any fixed pass dominates (the
+    * web-funnel release report — its input is born inside the query, so
+    * there is nothing to stage). Candidates join on the 64-bit token
+    * hash: equal tokens always share a hash (recall), and a cross-token
+    * collision only ADDS a candidate for the verify to weigh — see the
+    * verify honesty note on [[prefixPairsImpl]] for the 2^-64-scale
+    * caveat both variants share. */
   def hashOrderJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, threshold: Double = 0.4,
       shingler: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
@@ -996,30 +1005,90 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
         shingler(col(textCol), ngram).as("sh"))
       .where(size(col("sh")) > 0)
-    // same exact integer renderings as prefixFilterJaccardPairs (see the
-    // rationale there): every cutoff is ceil((n/2^20)·x) in pure integer
-    // arithmetic, only ever weaker-by-one than the real factor
+    // per-doc (hash, token)-ordered key array — token tiebreak keeps the
+    // order total under hash collisions, all narrow per-row work; `hs`
+    // stays unsorted (the verify is set arithmetic) so the build is one
+    // pass over `sh` per column
+    val prep = docs.select(col("id"),
+      size(col("sh")).cast("long").as("sz"),
+      transform(array_sort(transform(col("sh"),
+          t => struct(xxhash64(t).as("h"), t.as("tok")))),
+        e => e("h")).as("keys"),
+      transform(col("sh"), t => xxhash64(t)).as("hs"))
+    prefixPairsImpl(prep, threshold)
+  }
+
+  /** The shared pair engine behind both exact prefix-join variants:
+    * candidate generation, positional filter and verify over a prepared
+    * frame `prep` with columns (id, sz: long, keys: array<long>,
+    * hs: array<long>), where `keys` holds each doc's shingle keys
+    * ascending in the variant's global total order (df-rank or hash).
+    * Keys may collide across distinct tokens (the hash order's do; ranks
+    * never) — recall only needs equal tokens ⇒ equal keys, and a
+    * collision only ever ADDS a candidate for the verify to weigh.
+    *
+    * Structure (PPJoin, asymmetric): orient every pair by the (sz, id)
+    * total order — `a` is the SMALLER set — so the pigeonhole tightens
+    * on a's side. With |A| <= |B| the equivalent-overlap bound
+    * α = ceil(t/(1+t)·(|A|+|B|)) satisfies α >= ceil(2t/(1+t)·|A|), so
+    * the smaller side only needs its INDEX prefix of
+    * |A| - ceil(2t/(1+t)·|A|) + 1 keys (43% of |A| at t=0.4 vs the probe
+    * prefix's 60%) — candidate volume per key drops from df² to
+    * df_index·df_probe — while the b side keeps the probe prefix
+    * (α >= ceil(t·|B|) holds for every pair passing the size filter).
+    * Candidates are then pruned by
+    *  (1) the size-ratio gate at the join (|A| <= |B| and J >= t ⇒
+    *      |A| >= t|B|; the other direction is implied by the
+    *      orientation);
+    *  (2) PPJoin's positional filter: a match at in-doc positions
+    *      (pa, pb) bounds the overlap by min(szA-pa, szB-pb)+1 — the
+    *      shared key plus everything ordered after it on both sides —
+    *      which must reach α. The max bound over a pair's shared prefix
+    *      keys rides the same aggregation that dedups the pair, so the
+    *      filter costs no extra shuffle and drops >half the candidates
+    *      before any payload moves.
+    *
+    * EXACT integer renderings of the three pruning factors: each factor
+    * f is lowered to nf/2^20 with nf = floor(f·2^20) — the multiply by a
+    * power of two only shifts the double's exponent, so nf/2^20 <= f
+    * HOLDS EXACTLY — and every cutoff is then pure integer arithmetic:
+    * `ceil` over a ROUNDED double product can round up past an exact
+    * integer and silently drop a borderline TRUE pair, where a <=-factor
+    * only ever weakens pruning by one candidate row that the verify
+    * removes anyway (output-identical, hazard-free).
+    *
+    * Verify honesty: the "exact Jaccard" verify compares the xxhash64'd
+    * shingle sets (`hs`), not the raw gram texts — an 8-byte long per
+    * shingle instead of the ~25-char gram, so the arrays flowing through
+    * the two verify joins shrink ~3x and intersect on cheap long
+    * equality. A cross-doc token collision would inflate the hashed-set
+    * Jaccard (and an in-doc collision is impossible: `hs` is built from
+    * a distinct shingle set, and xxhash64 collisions within one doc's
+    * ~10^2 elements against a 2^64 space are the same
+    * injective-in-practice stance as contentHash's md5). Callers whose
+    * contract demands raw-gram exactness can verify on the shingle
+    * arrays themselves at ~3x verify cost; every consumer here accepts
+    * the 2^-64-scale trade, and the DuckDB oracles replay the SAME
+    * hashed-set comparison, so the correctness gate checks this code's
+    * actual contract. */
+  private def prefixPairsImpl(prep: DataFrame, threshold: Double): DataFrame = {
     val denBits = 20
     val den = 1L << denBits
     def lowNum(f: Double): Long = (f * den.toDouble).toLong
+    // ceil((nf/2^20)·x) = (nf·x + 2^20 − 1) >> 20, for non-negative x
     def ceilLow(nf: Long, x: org.apache.spark.sql.Column) =
       shiftright(lit(nf) * x + lit(den - 1), denBits)
     val nT = lowNum(threshold)
     val nIdx = lowNum(2.0d * threshold / (1.0d + threshold))
     val nAlpha = lowNum(threshold / (1.0d + threshold))
-    // per-doc (hash, token)-ordered shingle array — token tiebreak keeps
-    // the order total under hash collisions, all narrow per-row work
-    val ordered = docs.select(col("id"), size(col("sh")).cast("long").as("sz"),
-      array_sort(transform(col("sh"),
-        t => struct(xxhash64(t).as("h"), t.as("tok")))).as("os"))
     // prefix side: the first (sz - ceil(f·sz) + 1) entries of the ordered
-    // array, exploded with their 1-based in-doc position for the
+    // key array, exploded with their 1-based in-doc position for the
     // positional filter
-    def side(prefixNum: Long): DataFrame = ordered
+    def side(prefixNum: Long): DataFrame = prep
       .select(col("id"), col("sz"),
-        posexplode(slice(col("os"), lit(1),
+        posexplode(slice(col("keys"), lit(1),
           (col("sz") - ceilLow(prefixNum, col("sz")) + lit(1L)).cast("int"))))
-      .select(col("id"), col("sz"), (col("pos") + 1).as("pos"), col("col.h").as("h"))
+      .select(col("id"), col("sz"), (col("pos") + 1).as("pos"), col("col").as("h"))
     val cands = side(nIdx).as("a")
       .join(side(nT).as("b"),
         col("a.h") === col("b.h")
@@ -1031,10 +1100,12 @@ object Dedup {
       .agg(max(least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos")) + 1)
         .as("__ub"))
       .where(col("__ub") >= ceilLow(nAlpha, col("sz_a") + col("sz_b")))
+      // restore the output orientation (id_a < id_b): the (sz, id) order
+      // used for candidate generation may place the larger-id doc on the
+      // smaller-size side; Jaccard is symmetric, so this is a projection
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"))
-    val hashed = docs.select(col("id"),
-      transform(col("sh"), s => xxhash64(s)).as("hs"))
+    val hashed = prep.select(col("id"), col("hs"))
     cands
       .join(hashed.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(hashed.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))

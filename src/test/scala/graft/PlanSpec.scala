@@ -482,6 +482,29 @@ class PlanSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $name")
     assert(run() == r1, "same bytes, new mtime: results must be unchanged")
     assert(markerFp() != fp1, "mutated input did not force a staging rebuild")
+    // fresh process, same input, STALE CODE: the fingerprint's first
+    // component is the digest of the compiled graft classes
+    // (SparkEntry.logicDigest), so a frame staged by an older build
+    // carries a different prefix — simulate one by rewriting the marker
+    // with a bogus logic digest and prove the next probe REBUILDS
+    // instead of serving the stale frame (the failure mode the manual
+    // StagingEpoch constant could not rule out: builder edited, epoch
+    // bump forgotten, stale frame served silently)
+    val fp2 = markerFp()
+    assert(fp2.startsWith(SparkEntry.logicDigest + ":"),
+      s"staging fingerprint must lead with the code digest, got $fp2")
+    val staleProps = new java.util.Properties()
+    val in2 = java.nio.file.Files.newInputStream(marker)
+    try staleProps.load(in2) finally in2.close()
+    staleProps.setProperty("fp",
+      "0" * SparkEntry.logicDigest.length + fp2.drop(SparkEntry.logicDigest.length))
+    val out2 = java.nio.file.Files.newOutputStream(marker)
+    try staleProps.store(out2, null) finally out2.close()
+    SparkEntry.resetStagingRefsForTest()
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    assert(run() == r1, "rebuild from current code: results must be unchanged")
+    assert(markerFp() == fp2,
+      "a marker from different code must force a rebuild under the current digest")
     // leave the shared staging set coherent for later tests in this JVM,
     // and clear this test's throwaway catalog + warehouse entries (the
     // tmp-dir digest is random per run — leftovers would only accrete)
@@ -725,18 +748,27 @@ class PlanSpec extends SparkSpec {
       "lineitem audit must read only the FK column")
   }
 
-  test("prefix-filter join stays parallel: ranked dictionary, equi-joins only") {
+  test("prefix-filter join stays parallel: staged ranks, equi-joins only") {
     val p = plan("q_prefix_join")
-    // the prefix frame is materialized (both sides of the candidate
-    // self-join read it), so the final plan starts at the checkpoint
-    // scan; the dictionary-rank stage's no-single-reducer property is
-    // GlobalRank's, pinned via q_curriculum / q_sorted_neighborhood.
-    // Here: no single-partition DATA stage anywhere downstream (Spark's
+    // the rank artifact comes pre-staged (stagedPrefixDocs): every
+    // consumer — both candidate sides and both verify joins — must be a
+    // plain columnar scan of the staged parquet, with the candidate
+    // sides PRUNED to (id, sz, keys): reading hs there would ship the
+    // hashed shingle arrays through the explode. The dictionary-rank
+    // stage's no-single-reducer property is GlobalRank's, pinned via
+    // q_curriculum / q_sorted_neighborhood and exercised at staging
+    // build time. Here: no single-partition DATA stage anywhere (Spark's
     // injected runtime bloom-filter subqueries do aggregate their sketch
     // on one partition — that is a fixed-size sketch merge, not a data
     // funnel, so it is the one allowed form), and candidate generation +
     // verify are equi-joins — a product would be the all-pairs plan this
     // operator exists to avoid
+    assert(p.contains("graft_prefixrank_"),
+      s"q_prefix_join is not reading the staged rank artifact:\n${p.take(3000)}")
+    assert(p.contains("ReadSchema: struct<id:bigint,sz:bigint,keys:array<bigint>>"),
+      s"candidate sides lost column pruning on the staged scan:\n${p.take(3000)}")
+    assert(!p.contains("localCheckpoint") && !p.contains("Scan ExistingRDD"),
+      "staged q_prefix_join must not re-materialize the rank artifact per call")
     val lines = p.linesIterator.toVector
     lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
       case (_, i) =>
@@ -744,7 +776,6 @@ class PlanSpec extends SparkSpec {
         assert(ctx.contains("bloom_filter_agg"),
           s"non-bloom single-partition stage at plan line $i:\n${p.take(3000)}")
     }
-    assert(p.contains("Scan ExistingRDD"), "materialized prefix frame missing")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"candidate join degenerated to a product:\n${p.take(3000)}")
   }
@@ -945,6 +976,74 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<i:bigint>") &&
       p.contains("ReadSchema: struct<g:bigint>"),
       s"staged-basket scans lost column pruning:\n${p.take(3000)}")
+    // the staged basket table is BUCKETED AND SORTED on g: a basket-key
+    // rollup reads buckets in place, and — with broadcast off, the
+    // at-scale regime where both self-join sides are large — the
+    // quadratic pair self-join itself runs exchange-free on the bucket
+    // key (the same contract q_bucket_join pins for the fact-dim join)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val bkt = spark.table(s"graft_baskets_$digest")
+    val gp = bkt.groupBy(org.apache.spark.sql.functions.col("g")).count()
+      .queryExecution.executedPlan.toString()
+    assert(gp.contains("Bucketed: true") && !gp.contains("Exchange"),
+      s"staged basket scan is not bucket-aware:\n${gp.take(2000)}")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val jp = bkt.as("x").join(bkt.as("y"),
+          org.apache.spark.sql.functions.col("x.g") ===
+            org.apache.spark.sql.functions.col("y.g") &&
+          org.apache.spark.sql.functions.col("x.i") <
+            org.apache.spark.sql.functions.col("y.i"))
+        .queryExecution.executedPlan.toString()
+      assert(!jp.contains("Exchange"),
+        s"bucketed basket self-join re-exchanges:\n${jp.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  test("web extraction product is staged: consumers scan parquet, never re-extract") {
+    // three consumers, one staged regex pass (stagedWebExtract): each
+    // plan must read the staged parquet — a regexp_replace in the plan
+    // means the extraction chain ran per-query again
+    for (q <- Seq("q_html_extract", "q_web_corpus_funnel")) {
+      val p = plan(q)
+      assert(p.contains("graft_webextract_"),
+        s"$q is not reading the staged extraction product:\n${p.take(3000)}")
+      assert(!p.contains("regexp_replace"),
+        s"$q re-runs the extraction regex chain per call:\n${p.take(3000)}")
+    }
+    // q_domain_profile's own axis is the link explode (still live), but
+    // its text-mass side must come from the staged frame pruned to
+    // (doc_id, text_len)
+    val dp = plan("q_domain_profile")
+    assert(dp.contains("graft_webextract_"),
+      s"domain profile text side is not staged:\n${dp.take(3000)}")
+    assert(dp.contains("ReadSchema: struct<doc_id:bigint,text_len:bigint>"),
+      s"domain profile lost pruning on the staged scan:\n${dp.take(3000)}")
+    // the funnel's near-dup stage runs on a query-derived frame (exact
+    // survivors), so its per-call localCheckpoint is gone too
+    assert(!plan("q_web_corpus_funnel").contains("Scan ExistingRDD"),
+      "funnel still materializes a per-call frame")
+  }
+
+  test("er candidate generation reads the staged neighborhood ranks, no per-call GlobalRank") {
+    // q_er_pipeline's FINAL plan can't show the rank scans — the cluster
+    // resolution tier evaluates the candidate pipeline eagerly and the
+    // closure re-enters as a broadcast local relation — so pin the
+    // candidate sub-plan the query actually executes: each pass must be
+    // a parquet scan of its staged rank frame, with no Scan ExistingRDD
+    // (GlobalRank's localCheckpoint signature = a per-call rank pass)
+    val (rankedName, rankedPkey) = SparkEntry.stagedErRanks(spark, dir)
+    for ((r, nm) <- Seq((rankedName, "errankname"), (rankedPkey, "errankpkey"))) {
+      val p = graft.ext.Dedup
+        .sortedNeighborhoodPairsFromRanked(r, window = 3, payload = Seq("name"))
+        .queryExecution.executedPlan.toString()
+      assert(p.contains(s"graft_${nm}_"),
+        s"$nm pass is not reading its staged rank frame:\n${p.take(3000)}")
+      assert(!p.contains("Scan ExistingRDD"),
+        s"$nm pass still runs GlobalRank per call:\n${p.take(3000)}")
+    }
   }
 
   test("partition prune: lang is a PARTITION filter, absent from the data path") {

@@ -9,8 +9,17 @@
 # build.sbt, extend it here too — a missing module surfaces as an
 # InaccessibleObjectException at SparkSession creation from this script
 # only, while sbt-forked runs keep working.
+set -eu
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
+if [ "$#" -lt 1 ]; then
+  echo "usage: $0 <main-class> [args...]   (e.g. $0 graft.Bench)" >&2
+  exit 2
+fi
 CLASS=$1; shift
+if [ ! -d "$REPO/target/scala-2.13/classes/graft" ]; then
+  echo "error: $REPO/target/scala-2.13/classes/graft missing — run 'sbt compile' first" >&2
+  exit 2
+fi
 ADDOPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
          java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
@@ -19,6 +28,6 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   ADDOPENS="$ADDOPENS --add-opens $p=ALL-UNNAMED"
 done
-exec java $ADDOPENS $EXTRA_JAVA_OPTS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+exec java $ADDOPENS ${EXTRA_JAVA_OPTS:-} -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx${SPARK_DRIVER_MEM:-8g} \
   -cp "$REPO/target/scala-2.13/classes:/opt/spark/jars/*" "$CLASS" "$@"
