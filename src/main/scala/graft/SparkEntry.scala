@@ -3233,7 +3233,11 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("doc_id"))
       val pairs = Dedup.hashOrderJaccardPairs(
         exact.select(col("doc_id"), col("text_clean").as("text")),
-        "doc_id", "text", ngram = 3, threshold = 0.8)
+        "doc_id", "text", ngram = 3, threshold = 0.8,
+        // the input is the gate + exact-dedup SUB-PLAN, not a scan: one
+        // prep materialization replaces three replays of it (measured
+        // ~2.5 -> ~1.7 s steady-state at sf0.1)
+        materializePrep = true)
         .select(col("id_a"), col("id_b"))
       val dropped = Dedup.resolveDuplicateClusters(pairs)
         .where(col("id") =!= col("keep_id")).select(col("id").as("doc_id"))

@@ -985,13 +985,19 @@ object Dedup {
     *    holds a uniform sample, so Σ df_prefix² grows on skewed
     *    vocabularies.
     *
-    * Pick by regime: the df-ordered variant amortizes its dictionary
-    * passes when the corpus is large and candidate volume dominates —
-    * and when the corpus is STAGEABLE its fixed passes vanish anyway
-    * ([[dfRankedShingleDocs]]); this variant wins when the input is a
-    * mid-size per-call dedup stage where any fixed pass dominates (the
-    * web-funnel release report — its input is born inside the query, so
-    * there is nothing to stage). Candidates join on the 64-bit token
+    * Pick by regime — MEASURED (ScaleProbe group r12, SCALE.md): on a
+    * uniform vocabulary this variant wins at every probed size (8.0 s
+    * vs 13.1 s at 20× sf0.1 — the dictionary passes scale with the
+    * corpus and never amortize inline), and on a skewed vocabulary
+    * (6% of docs sharing a Zipf-head phrase) the crossover sits at
+    * ~20×/100k docs: hash-order pays 2.2× over its own uniform twin
+    * there where df-order pays 1.15×, because rarest-first prefixes
+    * exclude head tokens by construction. So: inline one-shot joins on
+    * mid-size or uniform inputs → this variant (the web-funnel release
+    * report — its input is born inside the query, so there is nothing
+    * to stage); large AND head-heavy corpora → df-order, STAGED when
+    * the corpus repeats ([[dfRankedShingleDocs]], which deletes the
+    * fixed passes entirely). Candidates join on the 64-bit token
     * hash: equal tokens always share a hash (recall), and a cross-token
     * collision only ADDS a candidate for the verify to weigh — see the
     * verify honesty note on [[prefixPairsImpl]] for the 2^-64-scale
@@ -999,7 +1005,8 @@ object Dedup {
   def hashOrderJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       ngram: Int = 3, threshold: Double = 0.4,
       shingler: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
-        NativeExpressions.wordShingles): DataFrame = {
+        NativeExpressions.wordShingles,
+      materializePrep: Boolean = false): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"hashOrderJaccardPairs needs threshold in (0, 1], got $threshold")
     val docs = df.select(col(idCol).as("id"),
@@ -1009,12 +1016,19 @@ object Dedup {
     // order total under hash collisions, all narrow per-row work; `hs`
     // stays unsorted (the verify is set arithmetic) so the build is one
     // pass over `sh` per column
-    val prep = docs.select(col("id"),
+    val prep0 = docs.select(col("id"),
       size(col("sh")).cast("long").as("sz"),
       transform(array_sort(transform(col("sh"),
           t => struct(xxhash64(t).as("h"), t.as("tok")))),
         e => e("h")).as("keys"),
       transform(col("sh"), t => xxhash64(t)).as("hs"))
+    // materializePrep: all four prefixPairsImpl consumers re-derive prep
+    // from the input plan. When `df` is a cheap scan the narrow re-derive
+    // is the right default (no materialization cost, no lineage cut); when
+    // `df` is itself an expensive sub-plan (the funnel's survivor frame:
+    // scan → gate → exact-dedup aggregation), cutting once here deletes
+    // three replays of that sub-plan
+    val prep = if (materializePrep) prep0.localCheckpoint(eager = true) else prep0
     prefixPairsImpl(prep, threshold)
   }
 

@@ -77,7 +77,7 @@ object ScaleProbe {
     // re-probed without paying for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8", "r8b", "r8c", "r8d", "r8e", "r8f", "r9", "r11", "r11b"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8", "r8b", "r8c", "r8d", "r8e", "r8f", "r9", "r11", "r11b", "r12"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate",
@@ -230,6 +230,37 @@ object ScaleProbe {
       val tFk = tq("q_fk_sketch"); val tPct = tq("q_percentile")
       val tPpr = tq("q_ppr")
       println(f"""SCALE_R11B {"factor":$f, "fk_sketch":$tFk%.2f, "percentile":$tPct%.2f, "ppr":$tPpr%.2f}""")
+      }
+
+      // round-12: the df-order vs hash-order exact prefix join on a
+      // SKEWED vocabulary — the documented hash-order caveat ("candidate
+      // volume grows on Zipfian token distributions because a hash
+      // prefix is a uniform sample while a rarest-first prefix excludes
+      // head tokens"), asserted since round 11 but never measured. The
+      // skewed twin prepends ONE UNROTATED phrase to every 16th doc: its
+      // ~12 interior word-3-shingles become a Zipf head whose df grows
+      // linearly with the corpus (shared across rotation copies), while
+      // the rest of the vocabulary stays rotation-disjoint. Four cells
+      // per factor: each variant on the uniform and the skewed corpus —
+      // the uniform pair prices the df variant's fixed dictionary
+      // passes, the skewed pair prices the hash variant's candidate
+      // blowup; the crossover feeds the selection rule on
+      // Dedup.hashOrderJaccardPairs' scaladoc.
+      if (groups("r12")) {
+      val phrase = "the quick brown fox jumps over the lazy dog and then " +
+        "runs far away into the deep dark wood tonight "
+      val sk = docs.withColumn("text",
+        when(col("doc_id") % 16 === 0, concat(lit(phrase), col("text")))
+          .otherwise(col("text")))
+      val tDfSkew = time(force(Dedup.prefixFilterJaccardPairs(
+        sk, "doc_id", "text", ngram = 3, threshold = 0.4)))
+      val tHashSkew = time(force(Dedup.hashOrderJaccardPairs(
+        sk, "doc_id", "text", ngram = 3, threshold = 0.4)))
+      val tDfUni = time(force(Dedup.prefixFilterJaccardPairs(
+        docs, "doc_id", "text", ngram = 3, threshold = 0.4)))
+      val tHashUni = time(force(Dedup.hashOrderJaccardPairs(
+        docs, "doc_id", "text", ngram = 3, threshold = 0.4)))
+      println(f"""SCALE_R12 {"factor":$f, "df_skew":$tDfSkew%.2f, "hash_skew":$tHashSkew%.2f, "df_uniform":$tDfUni%.2f, "hash_uniform":$tHashUni%.2f}""")
       }
 
       // round-5 second wave: relational/statistical + linkage + BFS —
