@@ -77,7 +77,7 @@ object ScaleProbe {
     // re-probed without paying for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8", "r8b", "r8c", "r8d", "r8e", "r8f", "r9", "r11", "r11b", "r12"))
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8", "r8b", "r8c", "r8d", "r8e", "r8f", "r9", "r11", "r11b", "r12", "r12b"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate",
@@ -261,6 +261,24 @@ object ScaleProbe {
       val tHashUni = time(force(Dedup.hashOrderJaccardPairs(
         docs, "doc_id", "text", ngram = 3, threshold = 0.4)))
       println(f"""SCALE_R12 {"factor":$f, "df_skew":$tDfSkew%.2f, "hash_skew":$tHashSkew%.2f, "df_uniform":$tDfUni%.2f, "hash_uniform":$tHashUni%.2f}""")
+      }
+
+      // round-12b: the staged query paths through their REAL closures —
+      // each pair of cells separates the ingest-time staging build (first
+      // call on a fresh probe dir: artifact derivation + parquet write)
+      // from the warm steady state every later call pays. Both curves
+      // must stay ~linear: the builds are dictionary/rank/extraction
+      // passes with no quadratic step, the warm paths are the staged
+      // scans + per-call machinery. q_html_extract runs AFTER the funnel,
+      // so its cells price the pure staged READ (the funnel's build cell
+      // already paid the shared webextract staging).
+      if (groups("r12b")) {
+      def tq2(name: String): (Double, Double) = { val a = tq(name); (a, tq(name)) }
+      val (pjB, pjW) = tq2("q_prefix_join")
+      val (erB, erW) = tq2("q_er_pipeline")
+      val (wfB, wfW) = tq2("q_web_corpus_funnel")
+      val (heB, heW) = tq2("q_html_extract")
+      println(f"""SCALE_R12B {"factor":$f, "prefix_join_build":$pjB%.2f, "prefix_join_warm":$pjW%.2f, "er_build":$erB%.2f, "er_warm":$erW%.2f, "funnel_build":$wfB%.2f, "funnel_warm":$wfW%.2f, "html_extract_read1":$heB%.2f, "html_extract_read2":$heW%.2f}""")
       }
 
       // round-5 second wave: relational/statistical + linkage + BFS —
