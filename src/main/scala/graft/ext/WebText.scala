@@ -143,9 +143,20 @@ object WebText {
     * of a full web-graph anchor aggregation; anchor text leaves the page
     * row only as the (short) extracted string. */
   def anchorStats(df: DataFrame, idCol: String, htmlCol: String,
+      baseHost: String): DataFrame =
+    anchorStatsFromPairs(anchorPairs(df, idCol, htmlCol, baseHost), idCol)
+
+  /** The QUERY-INDEPENDENT half of [[anchorStats]]: one
+    * (page, normalized target, cleaned anchor text) row per `<a>` tag —
+    * the extraction product an ingest pipeline stages next to [[links]]
+    * so every anchor-level rollup (inbound counts, anchor-text search
+    * features, spam scoring) reads extracted rows instead of re-running
+    * the two-group regex over raw HTML. Per-row array projections only;
+    * the explode is the single widening step. */
+  def anchorPairs(df: DataFrame, idCol: String, htmlCol: String,
       baseHost: String): DataFrame = {
     val pat = lit("(?s)<a [^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>")
-    val pairs = df.select(col(idCol),
+    df.select(col(idCol),
       arrays_zip(
         regexp_extract_all(col(htmlCol), pat, lit(1)),
         regexp_extract_all(col(htmlCol), pat, lit(2))).as("__p"))
@@ -153,11 +164,16 @@ object WebText {
       .select(col(idCol),
         normalizeHref(col("a.0"), baseHost).as("url_norm"),
         collapseWs(stripTags(col("a.1"))).as("anchor_text"))
+  }
+
+  /** The rollup half of [[anchorStats]], over an [[anchorPairs]] frame
+    * (inline or staged): one exchange on the target key with
+    * map-combined partials. */
+  def anchorStatsFromPairs(pairs: DataFrame, idCol: String): DataFrame =
     pairs.groupBy(col("url_norm"))
       .agg(count(lit(1)).as("n_anchors"),
         countDistinct(col(idCol)).as("n_pages"),
         sum(length(col("anchor_text")).cast("long")).as("anchor_chars"))
-  }
 
   /** Deterministic encoding damage for the audit fixture (the
     * [[synthesizeHtml]] discipline): four damage families keyed off the

@@ -1013,12 +1013,21 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("regexp_replace"),
         s"$q re-runs the extraction regex chain per call:\n${p.take(3000)}")
     }
-    // q_domain_profile's own axis is the link explode (still live), but
-    // its text-mass side must come from the staged frame pruned to
-    // (doc_id, text_len)
+    // the link-axis products are staged too: q_url_normalize IS the
+    // staged link table, q_anchor_stats rolls up the staged pair table,
+    // and q_domain_profile joins two staged frames — none of them may
+    // re-run a regex or re-synthesize pages
+    for ((q, frame) <- Seq("q_url_normalize" -> "graft_weblinks_",
+        "q_anchor_stats" -> "graft_webanchors_")) {
+      val p = plan(q)
+      assert(p.contains(frame),
+        s"$q is not reading its staged link frame:\n${p.take(3000)}")
+      assert(!p.contains("regexp_extract"),
+        s"$q re-runs link extraction per call:\n${p.take(3000)}")
+    }
     val dp = plan("q_domain_profile")
-    assert(dp.contains("graft_webextract_"),
-      s"domain profile text side is not staged:\n${dp.take(3000)}")
+    assert(dp.contains("graft_webextract_") && dp.contains("graft_weblinks_"),
+      s"domain profile must join the two staged products:\n${dp.take(3000)}")
     assert(dp.contains("ReadSchema: struct<doc_id:bigint,text_len:bigint>"),
       s"domain profile lost pruning on the staged scan:\n${dp.take(3000)}")
     // the funnel still materializes ONE frame per call — the near-dup
