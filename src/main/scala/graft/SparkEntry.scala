@@ -374,7 +374,12 @@ object SparkEntry {
     * the fingerprint and rebuilds (EndToEndSpec pins both directions). */
   private def stagedParquet(s: SparkSession, dir: String, prefix: String,
       inputs: Seq[String])(build: => DataFrame): DataFrame = {
-    val path = s"/tmp/graft_${prefix}_${dirDigest(dir)}"
+    // the CODE digest is part of the path, not only the marker: two
+    // coexisting builds (the matched-A/B control-vs-treatment protocol
+    // runs exactly that) must never alternate-clobber one /tmp location
+    // — distinct paths let each build keep its staging warm, and a
+    // mid-scan delete by the other tree's JVM becomes impossible
+    val path = s"/tmp/graft_${prefix}_${dirDigest(dir)}_${logicDigest.take(8)}"
     if (stagedRefs.add(path)) {
       val fp = logicDigest + ":" + inputFingerprint(dir, inputs)
       val marker = java.nio.file.Paths.get(path, "_GRAFT_STAGED.properties")
@@ -388,6 +393,13 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** The registered catalog name for a staged bucketed table: the
+    * caller's base name plus the code-digest suffix ([[stagedParquet]]'s
+    * coexistence rule). Name-returning helpers and tests resolve through
+    * this so the suffix never drifts. */
+  private[graft] def stagedTableName(name0: String): String =
+    s"${name0}_${logicDigest.take(8)}"
+
   /** Stage a derived frame as a BUCKETED managed table once per (input
     * content, [[logicDigest]]) — [[stagedParquet]]'s discipline for the
     * bucketed layouts. Cross-JVM reuse has one extra step: the session
@@ -397,9 +409,13 @@ object SparkEntry {
     * reattaches losslessly) and verifies the marker's row count before
     * trusting it. Any mismatch — fingerprint, epoch, count — drops to a
     * full rebuild. */
-  private def stagedBucketedTable(s: SparkSession, dir: String, name: String,
+  private def stagedBucketedTable(s: SparkSession, dir: String, name0: String,
       key: String, buckets: Int, inputs: Seq[String])
       (build: => DataFrame): DataFrame = {
+    // same coexistence rule as stagedParquet: the table name (and so the
+    // warehouse location) carries the code digest, so A/B trees never
+    // alternate-clobber one staging
+    val name = stagedTableName(name0)
     // EXTERNAL registration over the staging location — both on reuse and
     // right after a fresh build: an external table's DROP never deletes
     // the (marker-certified) files, so a catalog reset between the write
@@ -453,11 +469,11 @@ object SparkEntry {
     * name carries a digest of the dir so a warm-up SF can never leak its
     * staging into the timed SF. Returns the table name. */
   private def bucketedRefTable(s: SparkSession, dir: String): String = {
-    val name = s"graft_ref_bands_${dirDigest(dir)}"
-    stagedBucketedTable(s, dir, name, "bkey", 16, Seq("documents"))(
+    stagedBucketedTable(s, dir, s"graft_ref_bands_${dirDigest(dir)}", "bkey", 16,
+      Seq("documents"))(
       Dedup.bandStagingFrame(t(s, dir, "documents").where(col("doc_id") < 400),
         "doc_id", "text", shingleSize = 5, numHashes = 128, bands = 16))
-    name
+    stagedTableName(s"graft_ref_bands_${dirDigest(dir)}")
   }
 
   /** Stage orders and customer CO-BUCKETED on the customer key (16
@@ -474,7 +490,7 @@ object SparkEntry {
       t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
     stagedBucketedTable(s, dir, tc, "o_custkey", 16, Seq("customer"))(
       t(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")))
-    (to, tc)
+    (stagedTableName(to), stagedTableName(tc))
   }
 
   /** Stage the image dHash fingerprints once per (JVM, input dir): the
@@ -548,7 +564,7 @@ object SparkEntry {
     * timed pass, and the path carries the dir digest so SFs never mix. */
   private def jsonlStagePath(s: SparkSession, dir: String): String = {
     val digest = dirDigest(dir)
-    val path = s"/tmp/graft_jsonl_$digest"
+    val path = s"/tmp/graft_jsonl_${digest}_${logicDigest.take(8)}"
     if (stagedRefs.add(path)) {
       // same marker-gated cross-JVM reuse as stagedParquet (Jsonl.write
       // emits a _SUCCESS on commit like any Hadoop-committer sink)
@@ -570,7 +586,7 @@ object SparkEntry {
     * reader for; a lakehouse migration reads exactly this way). */
   private def orcStagePath(s: SparkSession, dir: String): String = {
     val digest = dirDigest(dir)
-    val path = s"/tmp/graft_orc_$digest"
+    val path = s"/tmp/graft_orc_${digest}_${logicDigest.take(8)}"
     if (stagedRefs.add(path)) {
       val fp = logicDigest + ":" + inputFingerprint(dir, Seq("documents"))
       val marker = java.nio.file.Paths.get(path, "_GRAFT_STAGED.properties")

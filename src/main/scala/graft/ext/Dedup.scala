@@ -782,10 +782,15 @@ object Dedup {
     * pays that twice per pass). */
   def sortedNeighborhoodPairs(records: DataFrame, keyCol: String, idCol: String,
       window: Int, numPartitions: Int = 0,
-      payload: Seq[String] = Nil): DataFrame =
+      payload: Seq[String] = Nil): DataFrame = {
+    // validate BEFORE the rank pass: sortedNeighborhoodRanked is eager
+    // (GlobalRank materializes), and a bad window must fail fast, not
+    // after a cluster-wide range exchange
+    require(window >= 1, s"sortedNeighborhoodPairs needs window >= 1, got $window")
     sortedNeighborhoodPairsFromRanked(
       sortedNeighborhoodRanked(records, keyCol, idCol, numPartitions, payload),
       window, payload)
+  }
 
   /** The sorted-neighborhood QUERY-INDEPENDENT artifact: each record's
     * exact 0-based global rank under `(keyCol, idCol)` order, as

@@ -269,7 +269,12 @@ object ScaleProbe {
       // from the warm steady state every later call pays. Both curves
       // must stay ~linear: the builds are dictionary/rank/extraction
       // passes with no quadratic step, the warm paths are the staged
-      // scans + per-call machinery. q_html_extract runs AFTER the funnel,
+      // scans + per-call machinery. The build cells are GENUINE builds
+      // on every probe run: the loop above rewrites the probe dir's
+      // parquet before the groups execute, so the input fingerprint
+      // changes and any prior staging is invalidated — a pre-existing
+      // warm marker cannot masquerade as a build. q_html_extract runs
+      // AFTER the funnel,
       // so its cells price the pure staged READ (the funnel's build cell
       // already paid the shared webextract staging).
       if (groups("r12b")) {

