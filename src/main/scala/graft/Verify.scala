@@ -13,6 +13,8 @@ object Verify {
       case Array(s, o, f) => (s, o, f.split(',').toSet)
     }
     val t0 = System.nanoTime()
+    // fail-fast digest resolution + stale-staging GC before any Spark work
+    SparkEntry.initStaging()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

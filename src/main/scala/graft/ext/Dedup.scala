@@ -1043,8 +1043,12 @@ object Dedup {
     * hs: array<long>), where `keys` holds each doc's shingle keys
     * ascending in the variant's global total order (df-rank or hash).
     * Keys may collide across distinct tokens (the hash order's do; ranks
-    * never) — recall only needs equal tokens ⇒ equal keys, and a
-    * collision only ever ADDS a candidate for the verify to weigh.
+    * never) — recall only needs equal tokens ⇒ equal keys. A collision
+    * ADDS a candidate at this stage; whether the verify then removes it
+    * is the hashed-set trade documented in the Verify honesty note
+    * below (the verify intersects hashed sets, so a colliding candidate
+    * is rejected with the same 2^-64-scale caveat, not with raw-gram
+    * certainty).
     *
     * Structure (PPJoin, asymmetric): orient every pair by the (sz, id)
     * total order — `a` is the SMALLER set — so the pigeonhole tightens

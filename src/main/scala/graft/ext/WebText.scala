@@ -128,6 +128,53 @@ object WebText {
       regexp_extract(urlNorm, "^[^:]+://([^/?#:]*)", 1),
       "([^.]+\\.[^.]+)$", 1)
 
+  /** ALL THREE extraction products in ONE pass over the raw HTML —
+    * [[extract]]'s per-page report plus the [[links]] rows and
+    * [[anchorPairs]] rows carried as per-page struct ARRAYS (consumers
+    * explode their axis; parquet column pruning keeps each consumer's
+    * scan as narrow as a dedicated file). This is the multi-output
+    * ingest form: at 100 TB the raw HTML is the largest column in the
+    * lake, and building the three products separately scanned (and
+    * regex-processed the shared chrome of) every page three times —
+    * here the page row is read once and every product's columns are
+    * computed in the same projection. Field-for-field identical to the
+    * single-product builders (same private regex chain), so exploding
+    * `links`/`anchors` reproduces [[links]]/[[anchorPairs]] exactly. */
+  def extractAll(df: DataFrame, idCol: String, htmlCol: String,
+      baseHost: String): DataFrame = {
+    val noBlocks = stripBlocks(col(htmlCol))
+    val clean = collapseWs(stripTags(noBlocks))
+    val anchorText = collapseWs(stripTags(
+      array_join(regexp_extract_all(noBlocks,
+        lit("(?s)<a [^>]*>(.*?)</a>"), lit(1)), " ")))
+    val hrefs = regexp_extract_all(col(htmlCol),
+      lit("<a [^>]*href=\"([^\"]*)\""), lit(1))
+    val pat = lit("(?s)<a [^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>")
+    df.select(
+      col(idCol),
+      regexp_extract(col(htmlCol), "(?s)<title>(.*?)</title>", 1).as("title"),
+      clean.as("text_clean"),
+      length(clean).cast("long").as("text_len"),
+      (length(anchorText).cast("double") /
+        greatest(length(clean), lit(1)).cast("double")).as("link_density"),
+      size(regexp_extract_all(col(htmlCol), lit("(?s)<a [^>]*>"), lit(0)))
+        .cast("long").as("n_links"),
+      transform(hrefs, h => struct(
+        h.as("href"),
+        normalizeHref(h, baseHost).as("url_norm"))).as("links"),
+      transform(arrays_zip(
+          regexp_extract_all(col(htmlCol), pat, lit(1)),
+          regexp_extract_all(col(htmlCol), pat, lit(2))),
+        a => struct(
+          normalizeHref(a("0"), baseHost).as("url_norm"),
+          collapseWs(stripTags(a("1"))).as("anchor_text"))).as("anchors"))
+      // domain derives from the normalized url; a second transform keeps
+      // the normalization chain evaluated once per href
+      .withColumn("links", transform(col("links"), l => struct(
+        l("href").as("href"), l("url_norm").as("url_norm"),
+        registrableDomain(l("url_norm")).as("domain"))))
+  }
+
   /** Anchor-text index per normalized link TARGET — the inbound-link
     * rollup web search and link-graph quality scoring key on (anchor
     * text is the classic off-page relevance signal; inlink counts feed

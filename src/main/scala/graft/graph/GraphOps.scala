@@ -144,15 +144,20 @@ object GraphOps {
     * the multiply to decimal(38,0) (same plan shape).
     *
     * Plan shape, deliberately different from pageRank's lazy single plan:
-    * each round's TWO NORMALIZED frames are eagerly materialized
-    * (`localCheckpoint`) — left lazy, the doubled raw-frame references
+    * each round's HUB frame is eagerly materialized (`localCheckpoint`)
+    * — left lazy across rounds, the doubled raw-frame references
     * compound per round into an exponentially duplicated subtree. The
+    * AUTH frame stays lazy inside its round (it has exactly one
+    * consumer, the hub-side join, so a pin of its own only added a job
+    * barrier — r13 A/B) except in the last round, where the final union
+    * is a second consumer and the pin prevents an auth-half replay. A
     * raw frame inside one round is consumed twice (its own max + the
     * scaled projection) WITHOUT a checkpoint of its own: both references
     * sit in the SAME plan, so ReuseExchange computes the join+sum
     * shuffle once and the 1-row max rides the reused exchange inside the
-    * same job — one materialized job per side per round (2×iterations
-    * jobs total) instead of the previous four (raw checkpoint + separate
+    * same job — one materialized job per round plus the final auth pin
+    * (iterations+1 jobs total) instead of the previous two per round,
+    * which themselves replaced four (raw checkpoint + separate
     * broadcast-max job per side). The pinned frames are (node, long) —
     * tiny. The edge frame is pinned once for the same reason (2
     * consumers per round across checkpoint boundaries, where
@@ -199,14 +204,26 @@ object GraphOps {
     var hub = e.select(col("src").as("node")).distinct()
       .withColumn("hub_fp", lit(1000000L))
     var auth: DataFrame = hub.limit(0).withColumnRenamed("hub_fp", "auth_fp")
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val authRaw = e.join(hub, col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("hub_fp")).as("raw"))
       auth = authRaw.crossJoin(broadcast(authRaw.agg(max(col("raw")).as("m"))))
         .select(col("dst").as("node"), expr("(raw * 1000000) div m").as("auth_fp"))
-        .localCheckpoint(true)
+      // auth is consumed ONCE per round (the hub-side join below), so an
+      // eager pin here only adds a job barrier — leave it lazy and let
+      // hub's checkpoint job compute the whole round (ReuseExchange still
+      // computes authRaw's shuffle once for its max + scale references).
+      // The LAST round's auth is the exception: the final union reads it
+      // alongside hub, and without its own pin that second consumer
+      // would replay the auth half-round from hub's checkpoint (r13 A/B:
+      // 2 fewer jobs per round, bit-identical integer recurrence)
+      if (i == iterations) auth = auth.localCheckpoint(true)
       val hubRaw = eDst.join(auth, col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("auth_fp")).as("raw"))
+      // hub keeps its per-round pin: deferring it too (fully lazy rounds,
+      // one plan) measured the same 4.1-4.2 s steady state (r13 A/B) —
+      // past the auth pin, job barriers are no longer the cost — while
+      // compounding the textually duplicated raw subtrees per round
       hub = hubRaw.crossJoin(broadcast(hubRaw.agg(max(col("raw")).as("m"))))
         .select(col("src").as("node"), expr("(raw * 1000000) div m").as("hub_fp"))
         .localCheckpoint(true)

@@ -11,6 +11,8 @@ object TimeQuery {
     val dir = args(0)
     val names = args(1).split(',')
     val reps = args.drop(2).headOption.map(_.toInt).getOrElse(4)
+    // fail-fast digest resolution + stale-staging GC before any Spark work
+    graft.SparkEntry.initStaging()
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",

@@ -466,13 +466,27 @@ class PlanSpec extends SparkSpec {
     val r1 = run()
     val fp1 = markerFp()
     val m1 = java.nio.file.Files.getLastModifiedTime(marker)
-    // fresh process, untouched input -> reuse (marker not rewritten)
+    // the staged DATA files must be untouched by a reuse (their mtimes
+    // are the rewrite tell; the marker's mtime is NOT — reuse touches it
+    // as the GC liveness signal, see sweepStaleStagings' age guard)
+    def dataFileTimes(): Map[String, java.nio.file.attribute.FileTime] = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(wh, name))
+      try st.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => p.getFileName.toString != SparkEntry.StagingMarkerName)
+        .map(p => p.getFileName.toString ->
+          java.nio.file.Files.getLastModifiedTime(p)).toMap
+      finally st.close()
+    }
+    val files1 = dataFileTimes()
+    // fresh process, untouched input -> reuse (staging files not rewritten)
     SparkEntry.resetStagingRefsForTest()
     spark.sql(s"DROP TABLE IF EXISTS $name")
     assert(run() == r1)
     assert(markerFp() == fp1)
-    assert(java.nio.file.Files.getLastModifiedTime(marker) == m1,
-      "reuse path rewrote the staging")
+    assert(dataFileTimes() == files1, "reuse path rewrote the staging")
+    assert(java.nio.file.Files.getLastModifiedTime(marker)
+      .compareTo(m1) >= 0,
+      "reuse must refresh (touch) the marker — the GC liveness signal")
     // fresh process, MUTATED input (mtime bump = upstream rewrite) ->
     // fingerprint mismatch -> rebuild (marker rewritten with a new fp)
     java.nio.file.Files.setLastModifiedTime(li,
@@ -1003,33 +1017,45 @@ class PlanSpec extends SparkSpec {
   }
 
   test("web extraction product is staged: consumers scan parquet, never re-extract") {
-    // three consumers, one staged regex pass (stagedWebExtract): each
-    // plan must read the staged parquet — a regexp_replace in the plan
-    // means the extraction chain ran per-query again
+    // all consumers, ONE staged single-pass build (stagedWebProducts):
+    // each plan must read the combined staged parquet — a regexp in the
+    // plan means the extraction chain ran per-query again
     for (q <- Seq("q_html_extract", "q_web_corpus_funnel")) {
       val p = plan(q)
-      assert(p.contains("graft_webextract_"),
+      assert(p.contains("graft_webprod_"),
         s"$q is not reading the staged extraction product:\n${p.take(3000)}")
       assert(!p.contains("regexp_replace"),
         s"$q re-runs the extraction regex chain per call:\n${p.take(3000)}")
     }
-    // the link-axis products are staged too: q_url_normalize IS the
-    // staged link table, q_anchor_stats rolls up the staged pair table,
-    // and q_domain_profile joins two staged frames — none of them may
-    // re-run a regex or re-synthesize pages
-    for ((q, frame) <- Seq("q_url_normalize" -> "graft_weblinks_",
-        "q_anchor_stats" -> "graft_webanchors_")) {
+    // the link-axis consumers read their struct-array axis of the SAME
+    // combined product (one explode each) — none may re-run a regex or
+    // re-synthesize pages
+    for (q <- Seq("q_url_normalize", "q_anchor_stats")) {
       val p = plan(q)
-      assert(p.contains(frame),
+      assert(p.contains("graft_webprod_"),
         s"$q is not reading its staged link frame:\n${p.take(3000)}")
       assert(!p.contains("regexp_extract"),
         s"$q re-runs link extraction per call:\n${p.take(3000)}")
     }
     val dp = plan("q_domain_profile")
-    assert(dp.contains("graft_webextract_") && dp.contains("graft_weblinks_"),
-      s"domain profile must join the two staged products:\n${dp.take(3000)}")
+    assert(dp.contains("graft_webprod_"),
+      s"domain profile must join the two staged product axes:\n${dp.take(3000)}")
     assert(dp.contains("ReadSchema: struct<doc_id:bigint,text_len:bigint>"),
       s"domain profile lost pruning on the staged scan:\n${dp.take(3000)}")
+    // the single-pass claim itself: the combined BUILD's plan scans the
+    // raw page frame exactly once (previously extract, links and anchors
+    // each re-synthesized and re-scanned the HTML in separate builds)
+    val pages = spark.read.parquet(s"$dir/documents.parquet").select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      graft.ext.WebText.synthesizeHtml(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.col("text"),
+          org.apache.spark.sql.functions.lit(""))).as("html"))
+    val bp = graft.ext.WebText.extractAll(pages, "doc_id", "html",
+      "corp.example.com").queryExecution.executedPlan.toString()
+    assert("documents\\.parquet".r.findAllIn(bp).size == 1,
+      s"combined web build must scan the page frame exactly once:\n${bp.take(3000)}")
     // the funnel still materializes ONE frame per call — the near-dup
     // prep over its query-derived survivor sub-plan (gate + exact-dedup
     // output; hashOrderJaccardPairs materializePrep = true, measured

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+
+/** The staging lifecycle's two invariants, pinned end-to-end:
+  *
+  *  1. COEXISTENCE — staged paths carry the code digest, so two builds
+  *     (the matched A/B control-vs-treatment protocol) keep separate
+  *     stagings and a rebuild under one digest never touches the
+  *     other's files (the exact hazard round 12 fixed).
+  *  2. GC — digest rotation strands the previous build's artifact set;
+  *     [[SparkEntry.sweepStaleStagings]] reaps stale-digest stagings
+  *     past the age guard while keeping the current build's and any
+  *     recently-touched foreign build's (a live A/B partner refreshes
+  *     its marker mtime on every reuse), so disk stays flat across
+  *     recompiles instead of growing monotonically. */
+class StagingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val hour = 3600_000L
+  private def code8 = SparkEntry.logicDigest.take(8)
+
+  private def mkStaging(p: Path, markerAgeMillis: Long, now: Long): Path = {
+    Files.createDirectories(p)
+    Files.write(p.resolve("part-0.parquet"), "data".getBytes("UTF-8"))
+    val marker = p.resolve(SparkEntry.StagingMarkerName)
+    Files.write(marker, "fp=test".getBytes("UTF-8"))
+    Files.setLastModifiedTime(marker, FileTime.fromMillis(now - markerAgeMillis))
+    p
+  }
+
+  test("sweep reaps stale-digest stagings past the age guard, keeps current/recent/foreign-named") {
+    val root = Files.createTempDirectory("graft_sweep_spec")
+    val now = 1_000_000_000_000L // fixed clock: the sweep takes nowMillis explicitly
+    val maxAge = 12 * hour
+    val current    = mkStaging(root.resolve(s"graft_x_aaaaaaaa_$code8"), 48 * hour, now)
+    val staleOld   = mkStaging(root.resolve("graft_x_aaaaaaaa_deadbeef"), 13 * hour, now)
+    val staleFresh = mkStaging(root.resolve("graft_x_aaaaaaaa_cafebabe"), 1 * hour, now)
+    // no marker at all (failed/partial build): falls back to dir mtime
+    val orphanOld = root.resolve("graft_y_bbbbbbbb_deadbeef")
+    Files.createDirectories(orphanOld)
+    Files.setLastModifiedTime(orphanOld, FileTime.fromMillis(now - 13 * hour))
+    // not graft-named: never touched, digest suffix or not
+    val foreign = mkStaging(root.resolve("other_x_deadbeef"), 48 * hour, now)
+    // stale-digest lock file (inert — that path is never locked again)
+    val lockOld = root.resolve("graft_x_aaaaaaaa_deadbeef.lock")
+    Files.write(lockOld, Array.emptyByteArray)
+    Files.setLastModifiedTime(lockOld, FileTime.fromMillis(now - 13 * hour))
+    // current-digest lock: live mutual exclusion, never reaped
+    val lockCur = root.resolve(s"graft_x_aaaaaaaa_$code8.lock")
+    Files.write(lockCur, Array.emptyByteArray)
+    Files.setLastModifiedTime(lockCur, FileTime.fromMillis(now - 48 * hour))
+
+    val deleted = SparkEntry.sweepStaleStagings(Seq(root), maxAge, now).toSet
+    assert(deleted == Set(staleOld, orphanOld, lockOld),
+      s"sweep deleted the wrong set: $deleted")
+    assert(Files.exists(current), "current-digest staging must survive any age")
+    assert(Files.exists(staleFresh),
+      "a recently-touched foreign-digest staging (live A/B partner) must survive")
+    assert(Files.exists(foreign), "non-graft paths must never be touched")
+    assert(Files.exists(lockCur), "current-digest lock must never be reaped")
+    assert(!Files.exists(staleOld) && !Files.exists(orphanOld) && !Files.exists(lockOld))
+    // idempotent + disk-flat: a second sweep finds nothing
+    assert(SparkEntry.sweepStaleStagings(Seq(root), maxAge, now).isEmpty)
+    graft.etl.Context.deleteRecursively(root)
+  }
+
+  private def listFiles(p: Path): Seq[Path] = {
+    val st = Files.list(p)
+    try st.toArray.toSeq.map(_.asInstanceOf[Path]).filter(Files.isRegularFile(_))
+    finally st.close()
+  }
+
+  test("coexisting code digests never clobber each other's stagings") {
+    // a REAL staged artifact under the current digest
+    SparkEntry.stagedErRanks(spark, dir)._1.count()
+    val tmp = Paths.get("/tmp")
+    val st = Files.list(tmp)
+    val cur = try st.toArray.map(_.asInstanceOf[Path]).find(
+        _.getFileName.toString.matches(s"graft_errankname_[0-9a-f]{8}_$code8"))
+      finally st.close()
+    assert(cur.isDefined, "staged errankname path not found under /tmp")
+    // fabricate the A/B partner: the same staging under a foreign digest
+    // (8 hex chars that can never equal a real md5 prefix of this build)
+    val partner = tmp.resolve(
+      cur.get.getFileName.toString.dropRight(8) + "0abcde12")
+    graft.etl.Context.deleteRecursively(partner)
+    Files.createDirectories(partner)
+    listFiles(cur.get).foreach(f => Files.copy(f, partner.resolve(f.getFileName)))
+    val snapshot = listFiles(partner)
+      .map(f => f.getFileName.toString -> Files.size(f)).toMap
+    // drive the current build back through the cross-JVM probe (marker
+    // re-check + potential rebuild) — the partner must be untouched
+    SparkEntry.resetStagingRefsForTest()
+    SparkEntry.stagedErRanks(spark, dir)._1.count()
+    val after = listFiles(partner)
+      .map(f => f.getFileName.toString -> Files.size(f)).toMap
+    assert(after == snapshot,
+      s"a current-digest access modified the foreign-digest staging: $snapshot -> $after")
+    // and the GC reaps exactly the stale partner once it ages out while
+    // keeping the current staging — the disk-flat-across-recompiles
+    // claim. Sweep COPIES under an isolated root with a far-future
+    // clock: sweeping the real /tmp with an inflated `now` would reap a
+    // LIVE A/B partner's warm stagings (exactly what the age guard
+    // exists to prevent).
+    val gcRoot = Files.createTempDirectory("graft_gc_spec")
+    def copyInto(src: Path): Path = {
+      val dst = gcRoot.resolve(src.getFileName)
+      Files.createDirectories(dst)
+      listFiles(src).foreach(f => Files.copy(f, dst.resolve(f.getFileName)))
+      dst
+    }
+    val curCopy = copyInto(cur.get)
+    val partnerCopy = copyInto(partner)
+    val future = System.currentTimeMillis() + 100 * hour
+    val deleted = SparkEntry.sweepStaleStagings(Seq(gcRoot), 12 * hour, future)
+    assert(deleted == Seq(partnerCopy),
+      s"sweep must reap exactly the stale partner, got: $deleted")
+    assert(Files.exists(curCopy), "current staging reaped by its own sweep")
+    assert(!Files.exists(partnerCopy))
+    graft.etl.Context.deleteRecursively(gcRoot)
+    graft.etl.Context.deleteRecursively(partner)
+  }
+}
