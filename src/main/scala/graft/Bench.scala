@@ -56,6 +56,11 @@ object Bench {
     catch { case e: Throwable => System.err.println(
       s"[bench] WARNING: prestage failed (${e.getMessage}) — timed pass 1 may pay staging builds") }
     val stagingBuildSec = (System.nanoTime() - tStage0) / 1e9
+    // self-audit: anything staged AFTER this point was first touched
+    // inside a timed pass — prestageAll drifted from the staged helpers
+    // (new helper added without a prestage entry); the board then hides
+    // that build inside pass 1 again. Loud, and counted in the JSON.
+    val preStaged = SparkEntry.stagedRefsSnapshot
 
     // force FULL evaluation of the query's own plan: a bare .count() wraps
     // it in Aggregate(count(1)) and column pruning then deletes the very
@@ -89,6 +94,10 @@ object Bench {
     }
     val pass1 = timeAll()
     val pass2 = timeAll()
+    val lateStaged = (SparkEntry.stagedRefsSnapshot -- preStaged).toSeq.sorted
+    if (lateStaged.nonEmpty) System.err.println(
+      s"[bench] WARNING: ${lateStaged.size} staging(s) first touched inside the " +
+        s"timed loop (prestageAll drift): ${lateStaged.mkString(", ")}")
     val results = pass1.map { case (name, a) =>
       val b = pass2.getOrElse(name, -1.0)
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
@@ -138,7 +147,7 @@ object Bench {
         "no HOST_CONTROL.json) — omitting prev_round_same_host_control; " +
         "cross-round total comparisons are invalid without it")
     val controlField = control.map(c => s""","prev_round_same_host_control":$c""").getOrElse("")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"staging_build_sec":${fmt(stagingBuildSec)}$controlField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"staging_build_sec":${fmt(stagingBuildSec)},"late_staged":${lateStaged.size}$controlField,"sf":"$sfDir"}""")
     // the bounded-stdout tail holds ~2.5 of the 7 chunk lines at 200
     // queries (r7 recovered 50/200 timings), so the COMPLETE per-query map
     // also goes to a FILE in the working tree: the driver's artifact stays

@@ -118,7 +118,7 @@ object SparkEntry {
     * `assumeDistinct = true`; distinct-of-staged == staged-distinct, so
     * every oracle is untouched). Same once-per-dir discipline and
     * staging set as [[bucketedRefTable]]. */
-  private def stagedBipartiteEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def stagedBipartiteEdges(s: SparkSession, dir: String): DataFrame =
     stagedBucketedTable(s, dir, s"graft_bipartite_${dirDigest(dir)}",
         "src", 32, Seq("lineitem")) {
       val e0 = t(s, dir, "lineitem")
@@ -273,6 +273,17 @@ object SparkEntry {
     * staged access through the cross-JVM reuse probe — the only way a
     * single-JVM spec can exercise the fresh-process path. */
   private[graft] def resetStagingRefsForTest(): Unit = stagedRefs.clear()
+
+  /** Snapshot of the in-process staged set — Bench diffs it across its
+    * timed loop to self-audit [[prestageAll]]'s completeness (a staged
+    * path first touched INSIDE a timed pass means the prestage list
+    * drifted from the staged helpers). */
+  private[graft] def stagedRefsSnapshot: Set[String] = {
+    val it = stagedRefs.iterator()
+    val b = Set.newBuilder[String]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
 
   private[graft] val StagingMarkerName = "_GRAFT_STAGED.properties"
 
@@ -1623,9 +1634,17 @@ object SparkEntry {
       // re-proof is an edge-sized job the staging already paid for
       // (GraphOpsSpec pins that the unflagged check still rejects
       // dangling graphs)
+      // broadcast-iteration form: the SAME symmetric src-bucketed table,
+      // columns swapped, is the identical edge set arriving partitioned
+      // on dst (the q_hits two-layout move) — each round then broadcasts
+      // only the node-sized (rank div outdeg) frame and both the join
+      // and the dst sum are exchange-free (bit-identical integer ranks;
+      // see pageRankFixedPoint's regime note)
+      val sym = stagedBipartiteEdges(s, dir)
       graft.graph.GraphOps.pageRankFixedPoint(
-        stagedBipartiteEdges(s, dir), "src", "dst", iterations = 5,
-        assumeDistinct = true, assumeNoDangling = true)
+        sym, "src", "dst", iterations = 5,
+        assumeDistinct = true, assumeNoDangling = true,
+        edgesByDst = Some(sym.select(col("dst").as("src"), col("src").as("dst"))))
     }),
 
     // personalized PageRank on the same bipartite graph: teleport mass
@@ -1648,7 +1667,10 @@ object SparkEntry {
       // q_pagerank — the counts job drops its anti-join leg
       graft.graph.GraphOps.personalizedPageRankFixedPoint(
         e2, "src", "dst", seeds, iterations = 5, assumeDistinct = true,
-        assumeNoDangling = true)
+        assumeNoDangling = true,
+        // broadcast-iteration form: swapped symmetric view = same edge
+        // set partitioned on dst (see q_pagerank)
+        edgesByDst = Some(e2.select(col("dst").as("src"), col("src").as("dst"))))
     }),
 
     // HITS hubs/authorities on the DIRECTED order->part bipartite graph

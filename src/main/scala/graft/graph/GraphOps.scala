@@ -257,7 +257,8 @@ object GraphOps {
     * algorithm. */
   def pageRankFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, assumeDistinct: Boolean = false,
-      assumeNoDangling: Boolean = false): DataFrame = {
+      assumeNoDangling: Boolean = false,
+      edgesByDst: Option[DataFrame] = None): DataFrame = {
     // assumeDistinct: caller certifies pre-deduplicated edges (a staged
     // DISTINCT bucketed table) — the dedup exchange would destroy the
     // scan's bucket partitioning, which is what makes deg and withDeg
@@ -302,16 +303,50 @@ object GraphOps {
     //    preserves the bucket partitioning and in-bucket order — makes
     //    every iteration start from the pinned, already-partitioned
     //    frame.
-    val withDeg0 = e.join(deg, Seq("src"))
-    val withDeg = if (assumeDistinct) withDeg0.localCheckpoint(true) else withDeg0
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank_fp"))
-    for (_ <- 1 to iterations) {
-      ranks = withDeg.join(ranks, col("src") === col("node"))
-        .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("s"))
-        .select(col("dst").as("node"),
-          (lit(150000L) + expr("(s * 85) div 100")).as("rank_fp"))
+    edgesByDst match {
+      // BROADCAST-ITERATION variant: `edgesByDst` is a caller-certified
+      // row-identical view of the edge set arriving hash-partitioned on
+      // dstCol (with a symmetric bucketed staging it is just the same
+      // table with its columns swapped — the hitsFixedPoint move). Each
+      // round then ships NO edge-sized exchange at all: the node-sized
+      // (rank div outdeg) frame is broadcast onto the dst-partitioned
+      // edges (map-only join) and the dst sum rides the bucket layout
+      // (exchange-free partial+final agg). Sums of longs are order-
+      // independent, so ranks stay bit-identical to the exchange form.
+      // Regime: the NODE frame must fit in executor memory — true for
+      // co-purchase/web-host-class graphs (tens of millions of nodes ≈
+      // hundreds of MB) even at 100 TB of EDGES; past that, stay on the
+      // src-bucketed exchange form below, whose per-round shuffle is
+      // contribution-sized. (r13 A/B: 4.9 → measured on q_pagerank.)
+      case Some(d) =>
+        val eD = d.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .localCheckpoint(true) // pin once: every round re-reads it (hits rationale)
+        // deg is node-sized but derives from a full edge scan — pinned,
+        // or every round's broadcast build replays that scan
+        val degP = deg.localCheckpoint(true)
+        ranks = degP.select(col("src").as("node"), lit(1000000L).as("rank_fp"))
+        for (_ <- 1 to iterations) {
+          val contribBySrc = ranks.join(degP, col("node") === col("src"))
+            .select(col("node"), expr("rank_fp div outdeg").as("c"))
+          ranks = eD.join(broadcast(contribBySrc), col("src") === col("node"))
+            .select(col("dst"), col("c"))
+            .groupBy(col("dst"))
+            .agg(sum(col("c")).as("s"))
+            .select(col("dst").as("node"),
+              (lit(150000L) + expr("(s * 85) div 100")).as("rank_fp"))
+        }
+      case None =>
+        val withDeg0 = e.join(deg, Seq("src"))
+        val withDeg = if (assumeDistinct) withDeg0.localCheckpoint(true) else withDeg0
+        for (_ <- 1 to iterations) {
+          ranks = withDeg.join(ranks, col("src") === col("node"))
+            .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
+            .groupBy(col("dst"))
+            .agg(sum(col("contrib")).as("s"))
+            .select(col("dst").as("node"),
+              (lit(150000L) + expr("(s * 85) div 100")).as("rank_fp"))
+        }
     }
     ranks
   }
@@ -338,7 +373,8 @@ object GraphOps {
     * set per round; N and |S| are two narrow counts paid once. */
   def personalizedPageRankFixedPoint(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, iterations: Int = 5,
-      assumeDistinct: Boolean = false, assumeNoDangling: Boolean = false): DataFrame = {
+      assumeDistinct: Boolean = false, assumeNoDangling: Boolean = false,
+      edgesByDst: Option[DataFrame] = None): DataFrame = {
     // NOT checkpointed/persisted: measured 13.8 s vs 12.4 s at sf0.1 with
     // an eager localCheckpoint of the distinct edge set — the storage
     // round-trip costs more than letting the counts job and the iteration
@@ -375,22 +411,48 @@ object GraphOps {
     require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
     val teleport = (150000L * nNodes) / nSeeds
     val init = (1000000L * nNodes) / nSeeds
-    // same layout-gated pinning policy as pageRankFixedPoint's withDeg
-    val withDeg0 = e.join(deg, Seq("src"))
-    val withDeg = if (assumeDistinct) withDeg0.localCheckpoint(true) else withDeg0
     var ranks = deg.select(col("src").as("node"))
       .join(broadcast(seedSet), Seq("node"), "left")
       .select(col("node"),
         when(col("__seed") === 1, lit(init)).otherwise(lit(0L)).as("rank_fp"))
-    for (_ <- 1 to iterations) {
-      ranks = withDeg.join(ranks, col("src") === col("node"))
-        .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("s"))
-        .join(broadcast(seedSet), col("dst") === seedSet("node"), "left")
-        .select(col("dst").as("node"),
-          (when(col("__seed") === 1, lit(teleport)).otherwise(lit(0L)) +
-            expr("(s * 85) div 100")).as("rank_fp"))
+    edgesByDst match {
+      // broadcast-iteration form — same move, regime and bit-identity
+      // argument as pageRankFixedPoint's edgesByDst (the teleport term is
+      // a per-node projection and does not change the data motion)
+      case Some(dv) =>
+        val eD = dv.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .localCheckpoint(true)
+        val degP = deg.localCheckpoint(true)
+        ranks = degP.select(col("src").as("node"))
+          .join(broadcast(seedSet), Seq("node"), "left")
+          .select(col("node"),
+            when(col("__seed") === 1, lit(init)).otherwise(lit(0L)).as("rank_fp"))
+        for (_ <- 1 to iterations) {
+          val contribBySrc = ranks.join(degP, col("node") === col("src"))
+            .select(col("node"), expr("rank_fp div outdeg").as("c"))
+          ranks = eD.join(broadcast(contribBySrc), col("src") === col("node"))
+            .select(col("dst"), col("c"))
+            .groupBy(col("dst"))
+            .agg(sum(col("c")).as("s"))
+            .join(broadcast(seedSet), col("dst") === seedSet("node"), "left")
+            .select(col("dst").as("node"),
+              (when(col("__seed") === 1, lit(teleport)).otherwise(lit(0L)) +
+                expr("(s * 85) div 100")).as("rank_fp"))
+        }
+      case None =>
+        // same layout-gated pinning policy as pageRankFixedPoint's withDeg
+        val withDeg0 = e.join(deg, Seq("src"))
+        val withDeg = if (assumeDistinct) withDeg0.localCheckpoint(true) else withDeg0
+        for (_ <- 1 to iterations) {
+          ranks = withDeg.join(ranks, col("src") === col("node"))
+            .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
+            .groupBy(col("dst"))
+            .agg(sum(col("contrib")).as("s"))
+            .join(broadcast(seedSet), col("dst") === seedSet("node"), "left")
+            .select(col("dst").as("node"),
+              (when(col("__seed") === 1, lit(teleport)).otherwise(lit(0L)) +
+                expr("(s * 85) div 100")).as("rank_fp"))
+        }
     }
     ranks
   }

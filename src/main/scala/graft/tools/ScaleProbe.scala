@@ -820,15 +820,35 @@ object ScaleProbe {
       // (c) the REAL cross-JVM warm path (ADVICE r12): r12b's warm cells
       // measure the in-process stagedRefs fast path; a fresh JVM's first
       // touch of a warm staging instead pays the marker read + O(#files)
-      // input-fingerprint walk (+ bucketed re-register/count). Price it
-      // by dropping the in-process set before the read.
-      val tInprocHtml = tq("q_html_extract")
+      // input-fingerprint walk (+ bucketed re-register/count). Cell
+      // order matters: the FIRST call on this probe dir is the cold
+      // staging build, the call after a resetStagingRefsForTest prices
+      // the fresh-JVM warm path, and the final call (refs warm again)
+      // prices the in-process fast path.
+      val tBuildHtml = tq("q_html_extract")
       graft.SparkEntry.resetStagingRefsForTest()
       val tXjvmHtml = tq("q_html_extract")
-      val tInprocPj = tq("q_prefix_join")
+      val tInprocHtml = tq("q_html_extract")
+      val tBuildPj = tq("q_prefix_join")
       graft.SparkEntry.resetStagingRefsForTest()
       val tXjvmPj = tq("q_prefix_join")
-      println(f"""SCALE_R13 {"factor":$f, "rules_bucketed_nobc":$tBkt%.2f, "rules_plain_nobc":$tPlain%.2f, "web_three_builds":$tSep%.2f, "web_one_pass":$tOne%.2f, "html_extract_warm_inproc":$tInprocHtml%.2f, "html_extract_warm_xjvm":$tXjvmHtml%.2f, "prefix_join_warm_inproc":$tInprocPj%.2f, "prefix_join_warm_xjvm":$tXjvmPj%.2f}""")
+      val tInprocPj = tq("q_prefix_join")
+      // (d) PageRank data-motion forms at scale: the exchange form ships
+      // an EDGE-sized contribution shuffle per round; the broadcast-
+      // iteration form (edgesByDst = the swapped symmetric bucketed
+      // table) ships only the NODE-sized (rank div outdeg) frame.
+      // Board-neutral at sf0.1 (matched A/B r13) — this cell measures
+      // whether the curves diverge as edges grow 20×. Bit-identical
+      // ranks either way (GraphOpsSpec pins equality).
+      val symE = graft.SparkEntry.stagedBipartiteEdges(spark, base)
+      val tPrExch = time(force(graft.graph.GraphOps.pageRankFixedPoint(
+        symE, "src", "dst", iterations = 5,
+        assumeDistinct = true, assumeNoDangling = true)))
+      val tPrBcast = time(force(graft.graph.GraphOps.pageRankFixedPoint(
+        symE, "src", "dst", iterations = 5,
+        assumeDistinct = true, assumeNoDangling = true,
+        edgesByDst = Some(symE.select(col("dst").as("src"), col("src").as("dst"))))))
+      println(f"""SCALE_R13 {"factor":$f, "rules_bucketed_nobc":$tBkt%.2f, "rules_plain_nobc":$tPlain%.2f, "web_three_builds":$tSep%.2f, "web_one_pass":$tOne%.2f, "html_extract_build":$tBuildHtml%.2f, "html_extract_warm_xjvm":$tXjvmHtml%.2f, "html_extract_warm_inproc":$tInprocHtml%.2f, "prefix_join_build":$tBuildPj%.2f, "prefix_join_warm_xjvm":$tXjvmPj%.2f, "prefix_join_warm_inproc":$tInprocPj%.2f, "pagerank_exchange":$tPrExch%.2f, "pagerank_bcast":$tPrBcast%.2f}""")
       }
     }
     spark.stop()

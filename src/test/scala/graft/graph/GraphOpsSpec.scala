@@ -126,6 +126,36 @@ class GraphOpsSpec extends SparkSpec {
     assert(one == two, s"HITS diverged under the two-layout store: $one vs $two")
   }
 
+  test("PageRank broadcast-iteration variant equals the exchange form bit-for-bit") {
+    // the symmetric closure of a small graph: every dst is a src, so the
+    // no-dangling contract holds and the swapped view is the same edge
+    // set under a different partitioning — the recurrence must be
+    // layout-invariant (integer sums are order-independent)
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val sym = e0.union(e0.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    val base = GraphOps.pageRankFixedPoint(sym, "src", "dst", iterations = 4,
+      assumeDistinct = true).as[(Long, Long)].collect().toMap
+    val bcast = GraphOps.pageRankFixedPoint(sym, "src", "dst", iterations = 4,
+      assumeDistinct = true,
+      edgesByDst = Some(sym.select($"dst".as("src"), $"src".as("dst"))))
+      .as[(Long, Long)].collect().toMap
+    assert(base == bcast, s"pagerank diverged under the two-layout store: $base vs $bcast")
+  }
+
+  test("PPR broadcast-iteration variant equals the exchange form bit-for-bit") {
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val sym = e0.union(e0.select($"dst".as("src"), $"src".as("dst"))).distinct()
+    val seeds = Seq(2L).toDF("node")
+    val base = GraphOps.personalizedPageRankFixedPoint(sym, "src", "dst",
+      seeds, iterations = 4, assumeDistinct = true)
+      .as[(Long, Long)].collect().toMap
+    val bcast = GraphOps.personalizedPageRankFixedPoint(sym, "src", "dst",
+      seeds, iterations = 4, assumeDistinct = true,
+      edgesByDst = Some(sym.select($"dst".as("src"), $"src".as("dst"))))
+      .as[(Long, Long)].collect().toMap
+    assert(base == bcast, s"ppr diverged under the two-layout store: $base vs $bcast")
+  }
+
   test("personalized PageRank replays the seed-concentrated recurrence exactly") {
     // symmetric star 1 <-> 2, 1 <-> 3; seed = {2}. N=3, |S|=1:
     // init: node2 = 3e6, others 0; teleport T = 450000 per round to node2
