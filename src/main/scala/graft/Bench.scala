@@ -51,10 +51,14 @@ object Bench {
     // independent across consecutive runs and the one-time ingest cost
     // is visible as its own staging_build_sec metric instead of
     // distorting whichever queries touch staged frames first.
+    // skipped under SPARK_GRAFT_ONLY: a single-query bisection should not
+    // force-build ~20 staged artifacts the isolated query never touches —
+    // per-rep isolation reads warm-up from its own first reps instead
     val tStage0 = System.nanoTime()
-    try SparkEntry.prestageAll(spark, sfDir)
-    catch { case e: Throwable => System.err.println(
-      s"[bench] WARNING: prestage failed (${e.getMessage}) — timed pass 1 may pay staging builds") }
+    if (only.isEmpty)
+      try SparkEntry.prestageAll(spark, sfDir)
+      catch { case e: Throwable => System.err.println(
+        s"[bench] WARNING: prestage failed (${e.getMessage}) — timed pass 1 may pay staging builds") }
     val stagingBuildSec = (System.nanoTime() - tStage0) / 1e9
     // self-audit: anything staged AFTER this point was first touched
     // inside a timed pass — prestageAll drifted from the staged helpers

@@ -340,7 +340,13 @@ object SparkEntry {
           olderThanGuard(stamp)
         } else java.nio.file.Files.isRegularFile(p) && lm.matches() &&
           lm.group(1) != keep && olderThanGuard(p)
-      }.map { p => graft.etl.Context.deleteRecursively(p); p }
+      }.flatMap { p =>
+        // best-effort: an undeletable or concurrently-mutating stale path
+        // (foreign owner, writer re-creating files mid-walk) must not
+        // abort the entry point that volunteered to GC it
+        try { graft.etl.Context.deleteRecursively(p); Some(p) }
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
     }
   }
 
@@ -380,7 +386,15 @@ object SparkEntry {
     val ch = java.nio.channels.FileChannel.open(lockPath,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.WRITE)
-    try { val l = ch.lock(); try body finally l.release() } finally ch.close()
+    try {
+      val l = ch.lock()
+      // acquisition does not update mtime by itself — touch so a HELD
+      // lock always looks fresh to the sweep's age guard (a stale-digest
+      // lock is only reaped when no process has locked it for the guard
+      // period)
+      touchMarker(lockPath)
+      try body finally l.release()
+    } finally ch.close()
   }
 
   /** 8-hex digest of the input dir — keys every staged path and table
@@ -493,22 +507,33 @@ object SparkEntry {
     // Two cold JVMs of the SAME build remain a race, which is what the
     // build lock below serializes.
     val path = s"/tmp/graft_${prefix}_${dirDigest(dir)}_${logicDigest.take(8)}"
+    val marker = java.nio.file.Paths.get(path, StagingMarkerName)
     if (stagedRefs.add(path)) {
-      val fp = logicDigest + ":" + inputFingerprint(dir, inputs)
-      val marker = java.nio.file.Paths.get(path, StagingMarkerName)
-      def reusable = readMarker(marker).exists(_.getProperty("fp") == fp) &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
-      if (reusable) touchMarker(marker)
-      else withBuildLock(path) {
-        // double-checked: the lock's previous holder may have completed
-        // this exact staging while we waited
-        if (reusable) touchMarker(marker)
-        else {
-          build.write.mode("overwrite").parquet(path)
-          writeMarker(marker, Map("fp" -> fp))
+      try {
+        val fp = logicDigest + ":" + inputFingerprint(dir, inputs)
+        def reusable = readMarker(marker).exists(_.getProperty("fp") == fp) &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+        if (!reusable) withBuildLock(path) {
+          // double-checked: the lock's previous holder may have completed
+          // this exact staging while we waited
+          if (!reusable) {
+            build.write.mode("overwrite").parquet(path)
+            writeMarker(marker, Map("fp" -> fp))
+          }
         }
+      } catch { case t: Throwable =>
+        // un-poison on failure: a half-written staging must not satisfy
+        // this JVM's later fast-path accesses (they would read partial
+        // part-files with no rebuild possible) — drop the ref so the next
+        // access re-probes and rebuilds
+        stagedRefs.remove(path); throw t
       }
     }
+    // liveness touch on EVERY access, not only the fresh-JVM probe: the
+    // GC age guard reads the marker mtime, and a long-lived JVM reusing
+    // through the in-process fast path must keep its staging out of a
+    // coexisting build's sweep
+    touchMarker(marker)
     s.read.parquet(path)
   }
 
@@ -546,47 +571,53 @@ object SparkEntry {
         s"USING PARQUET CLUSTERED BY ($key) SORTED BY ($key) " +
         s"INTO $buckets BUCKETS LOCATION '${loc.toUri}'")
     }
+    val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+      .stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, name)
+    val marker = loc.resolve(StagingMarkerName)
     if (stagedRefs.add(name)) {
-      val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        .stripPrefix("file:")
-      val loc = java.nio.file.Paths.get(wh, name)
-      val marker = loc.resolve(StagingMarkerName)
-      val fp = logicDigest + ":" + inputFingerprint(dir, inputs)
-      // the bucket spec is PART of the layout contract: a staging written
-      // under a different (key, buckets) must never re-register under the
-      // caller's current DDL — bucket metadata would lie about the files
-      // and silently corrupt every exchange-free join built on it
-      def reused = readMarker(marker).exists { m =>
-        m.getProperty("fp") == fp && m.getProperty("schema") != null &&
-          m.getProperty("rows") != null && m.getProperty("key") == key &&
-          m.getProperty("buckets") == buckets.toString && {
-            register(m.getProperty("schema"), loc)
-            s.table(name).count() == m.getProperty("rows").toLong || {
-              s.sql(s"DROP TABLE IF EXISTS $name"); false
+      try {
+        val fp = logicDigest + ":" + inputFingerprint(dir, inputs)
+        // the bucket spec is PART of the layout contract: a staging written
+        // under a different (key, buckets) must never re-register under the
+        // caller's current DDL — bucket metadata would lie about the files
+        // and silently corrupt every exchange-free join built on it
+        def reused = readMarker(marker).exists { m =>
+          m.getProperty("fp") == fp && m.getProperty("schema") != null &&
+            m.getProperty("rows") != null && m.getProperty("key") == key &&
+            m.getProperty("buckets") == buckets.toString && {
+              register(m.getProperty("schema"), loc)
+              s.table(name).count() == m.getProperty("rows").toLong || {
+                s.sql(s"DROP TABLE IF EXISTS $name"); false
+              }
             }
-          }
-      }
-      if (reused) touchMarker(marker)
-      else withBuildLock(loc.toString) {
-        // double-checked under the cross-process lock (same-build cold
-        // race: see stagedParquet) — the lock's previous holder may have
-        // completed this staging while we waited
-        if (reused) touchMarker(marker)
-        else {
-          s.sql(s"DROP TABLE IF EXISTS $name")
-          graft.etl.Context.deleteRecursively(loc)
-          // explicit path -> the table is born EXTERNAL at its staging
-          // location (see writeBucketed): no managed-DROP can ever delete a
-          // marker-certified staging out from under a later probe
-          graft.sources.Tables.writeBucketed(build, name, key, buckets,
-            Some(loc.toUri.toString))
-          writeMarker(marker, Map("fp" -> fp,
-            "rows" -> s.table(name).count().toString,
-            "schema" -> s.table(name).schema.toDDL,
-            "key" -> key, "buckets" -> buckets.toString))
         }
+        // the WHOLE probe runs under the lock (unlike stagedParquet's
+        // marker-only probe): it has side effects — a register and a
+        // verification count over the staged files — that must not race
+        // a concurrent same-build rebuild deleting those files
+        withBuildLock(loc.toString) {
+          if (!reused) {
+            s.sql(s"DROP TABLE IF EXISTS $name")
+            graft.etl.Context.deleteRecursively(loc)
+            // explicit path -> the table is born EXTERNAL at its staging
+            // location (see writeBucketed): no managed-DROP can ever delete a
+            // marker-certified staging out from under a later probe
+            graft.sources.Tables.writeBucketed(build, name, key, buckets,
+              Some(loc.toUri.toString))
+            writeMarker(marker, Map("fp" -> fp,
+              "rows" -> s.table(name).count().toString,
+              "schema" -> s.table(name).schema.toDDL,
+              "key" -> key, "buckets" -> buckets.toString))
+          }
+        }
+      } catch { case t: Throwable =>
+        // un-poison on failure (see stagedParquet)
+        stagedRefs.remove(name); throw t
       }
     }
+    // liveness touch on every access (see stagedParquet)
+    touchMarker(marker)
     s.table(name)
   }
 
@@ -656,8 +687,12 @@ object SparkEntry {
     val digest = dirDigest(dir)
     val path = s"/tmp/graft_docs_bylang_$digest"
     if (stagedRefs.add(path))
-      t(s, dir, "documents").write.mode("overwrite")
+      try t(s, dir, "documents").write.mode("overwrite")
         .partitionBy("lang").parquet(path)
+      catch { case t0: Throwable => stagedRefs.remove(path); throw t0 }
+    // no marker here (per-JVM rebuild path) — touch the dir itself so the
+    // GC age guard sees a live consumer
+    touchMarker(java.nio.file.Paths.get(path))
     path
   }
 
@@ -673,14 +708,20 @@ object SparkEntry {
     val p1 = s"/tmp/graft_docs_v1_$digest"
     val p2 = s"/tmp/graft_docs_v2_$digest"
     if (stagedRefs.add(p1)) {
-      val docs = t(s, dir, "documents")
-      docs.where(col("doc_id") % 10 < 8)
-        .select(col("doc_id"), col("text"))
-        .write.mode("overwrite").parquet(p1)
-      docs.where(col("doc_id") % 10 >= 8)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"))
-        .write.mode("overwrite").parquet(p2)
+      try {
+        val docs = t(s, dir, "documents")
+        docs.where(col("doc_id") % 10 < 8)
+          .select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(p1)
+        docs.where(col("doc_id") % 10 >= 8)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"))
+          .write.mode("overwrite").parquet(p2)
+      } catch { case t0: Throwable => stagedRefs.remove(p1); throw t0 }
     }
+    // per-JVM rebuild path, no marker — dir touch keeps the GC age guard
+    // honest for a long-lived consumer
+    touchMarker(java.nio.file.Paths.get(p1))
+    touchMarker(java.nio.file.Paths.get(p2))
     (p1, p2)
   }
 
@@ -691,22 +732,23 @@ object SparkEntry {
   private def jsonlStagePath(s: SparkSession, dir: String): String = {
     val digest = dirDigest(dir)
     val path = s"/tmp/graft_jsonl_${digest}_${logicDigest.take(8)}"
+    val marker = java.nio.file.Paths.get(path, StagingMarkerName)
     if (stagedRefs.add(path)) {
-      // same marker-gated cross-JVM reuse as stagedParquet (Jsonl.write
-      // emits a _SUCCESS on commit like any Hadoop-committer sink)
-      val fp = logicDigest + ":" + inputFingerprint(dir, Seq("documents"))
-      val marker = java.nio.file.Paths.get(path, StagingMarkerName)
-      def reusable = readMarker(marker).exists(_.getProperty("fp") == fp) &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
-      if (reusable) touchMarker(marker)
-      else withBuildLock(path) {
-        if (reusable) touchMarker(marker)
-        else {
-          graft.sources.Jsonl.write(t(s, dir, "documents"), path)
-          writeMarker(marker, Map("fp" -> fp))
+      try {
+        // same marker-gated cross-JVM reuse as stagedParquet (Jsonl.write
+        // emits a _SUCCESS on commit like any Hadoop-committer sink)
+        val fp = logicDigest + ":" + inputFingerprint(dir, Seq("documents"))
+        def reusable = readMarker(marker).exists(_.getProperty("fp") == fp) &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+        if (!reusable) withBuildLock(path) {
+          if (!reusable) {
+            graft.sources.Jsonl.write(t(s, dir, "documents"), path)
+            writeMarker(marker, Map("fp" -> fp))
+          }
         }
-      }
+      } catch { case t: Throwable => stagedRefs.remove(path); throw t }
     }
+    touchMarker(marker) // liveness touch on every access (see stagedParquet)
     path
   }
 
@@ -717,20 +759,21 @@ object SparkEntry {
   private def orcStagePath(s: SparkSession, dir: String): String = {
     val digest = dirDigest(dir)
     val path = s"/tmp/graft_orc_${digest}_${logicDigest.take(8)}"
+    val marker = java.nio.file.Paths.get(path, StagingMarkerName)
     if (stagedRefs.add(path)) {
-      val fp = logicDigest + ":" + inputFingerprint(dir, Seq("documents"))
-      val marker = java.nio.file.Paths.get(path, StagingMarkerName)
-      def reusable = readMarker(marker).exists(_.getProperty("fp") == fp) &&
-        java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
-      if (reusable) touchMarker(marker)
-      else withBuildLock(path) {
-        if (reusable) touchMarker(marker)
-        else {
-          t(s, dir, "documents").write.mode("overwrite").orc(path)
-          writeMarker(marker, Map("fp" -> fp))
+      try {
+        val fp = logicDigest + ":" + inputFingerprint(dir, Seq("documents"))
+        def reusable = readMarker(marker).exists(_.getProperty("fp") == fp) &&
+          java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))
+        if (!reusable) withBuildLock(path) {
+          if (!reusable) {
+            t(s, dir, "documents").write.mode("overwrite").orc(path)
+            writeMarker(marker, Map("fp" -> fp))
+          }
         }
-      }
+      } catch { case t: Throwable => stagedRefs.remove(path); throw t }
     }
+    touchMarker(marker) // liveness touch on every access (see stagedParquet)
     path
   }
 

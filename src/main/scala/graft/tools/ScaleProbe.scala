@@ -79,7 +79,12 @@ object ScaleProbe {
     // re-probed without paying for every earlier curve again
     val groups = args.drop(2).headOption
       .map(_.split(",").map(_.trim).toSet)
-      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8", "r8b", "r8c", "r8d", "r8e", "r8f", "r9", "r11", "r11b", "r12", "r12b", "r13"))
+      // r13 is deliberately NOT in the default set: its build cells
+      // assume the staged artifacts are COLD for this probe dir+factor,
+      // which only holds when no earlier group (r12b runs the same
+      // queries) touched them in the same factor iteration — run it
+      // alone: `ScaleProbe <dir> <factors> r13`
+      .getOrElse(Set("corpus", "r5", "r5c", "r5d", "r6", "r7", "r7b", "r7c", "r7d", "r7e", "r7f", "r7g", "r7h", "r7i", "r8", "r8b", "r8c", "r8d", "r8e", "r8f", "r9", "r11", "r11b", "r12", "r12b"))
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate",
