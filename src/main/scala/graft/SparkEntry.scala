@@ -84,7 +84,14 @@ object SparkEntry {
 
   /** The capped distinct (order, part) basket projection STAGED once per
     * (input content, code digest), BUCKETED AND SORTED ON the basket key
-    * `g` (16 buckets) — q_assoc_rules consumes it four ways (both pair
+    * `g` — 32 buckets, sized to the session's parallelism: the r13 probe
+    * measured the 16-bucket layout LOSING to plain parquet under
+    * broadcast-off at every factor to 20× because the self-join was
+    * capped at 16-way against the plain path's 32 shuffle partitions
+    * (SCALE.md r13 (a)); bucket count must match the parallelism the
+    * exchange it replaces would have used, locally 32 and at 1000
+    * executors the cluster's core count. q_assoc_rules consumes it four
+    * ways (both pair
     * self-join sides, each support side, N) and q_incremental_copurchase
     * derives both its history and delta pair states from whole-group
     * slices; without staging each consumer replays the distinct +
@@ -98,7 +105,7 @@ object SparkEntry {
     * write. */
   private[graft] def stagedBaskets(s: SparkSession, dir: String): DataFrame =
     stagedBucketedTable(s, dir, s"graft_baskets_${dirDigest(dir)}",
-        "g", 16, Seq("lineitem"))(graft.ext.MarketBasket.cappedBaskets(
+        "g", 32, Seq("lineitem"))(graft.ext.MarketBasket.cappedBaskets(
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
       "l_orderkey", "l_partkey", maxGroupSize = 256))
 
