@@ -73,8 +73,17 @@ object SparkEntry {
     * consumers that don't. Row-identical derivations keep every oracle
     * untouched. */
   private def stagedCoPurchaseSym(s: SparkSession, dir: String): DataFrame =
-    stagedBucketedTable(s, dir, s"graft_copurch_${dirDigest(dir)}",
-        "a", 16, Seq("lineitem")) {
+    stagedCoPurchaseSymBuckets(s, dir, buckets = 16, nameTag = "")
+
+  /** Bucket-count-parameterized body of [[stagedCoPurchaseSym]] —
+    * `private[graft]` so ScaleProbe can A/B bucket counts (the r13
+    * bucket-sizing rule: bucket count must match the parallelism of the
+    * exchange it replaces) under probe-only names that never collide
+    * with the production staging. */
+  private[graft] def stagedCoPurchaseSymBuckets(s: SparkSession, dir: String,
+      buckets: Int, nameTag: String): DataFrame =
+    stagedBucketedTable(s, dir, s"graft_copurch${nameTag}_${dirDigest(dir)}",
+        "a", buckets, Seq("lineitem")) {
       val p = coPurchaseEdges(s, dir)
       val sym = p.select(col("pa").as("a"), col("pb").as("b"), col("w"))
         .unionByName(p.select(col("pb").as("a"), col("pa").as("b"), col("w")))
@@ -304,6 +313,30 @@ object SparkEntry {
     (sys.props.get("graft.staging.maxAgeHours").map(_.toDouble).getOrElse(12.0d)
       * 3600_000L).toLong
 
+  /** The warehouse root the sweep GCs, resolved ABSOLUTELY: a relative
+    * `spark-warehouse` only works when the JVM's cwd happens to be the
+    * repo root — a sweep launched from anywhere else silently skipped
+    * the warehouse half (r13 verdict). Resolution order: the live
+    * session's `spark.sql.warehouse.dir` (the authoritative value once
+    * Spark is up), else the repo root anchored from the graft
+    * code-source location (`<repo>/target/scala-2.13/classes` for both
+    * the sbt and the direct `java -cp` launcher), else the cwd-relative
+    * fallback. */
+  private[graft] def sweepWarehouseRoot: java.nio.file.Path = {
+    val fromSession = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .flatMap(s => scala.util.Try(s.conf.get("spark.sql.warehouse.dir")).toOption)
+      .map(u => java.nio.file.Paths.get(u.stripPrefix("file:")))
+    def fromCodeSource = scala.util.Try {
+      val src = SparkEntry.getClass.getProtectionDomain.getCodeSource
+      val classes = java.nio.file.Paths.get(src.getLocation.toURI)
+      // <repo>/target/scala-2.13/classes -> <repo>/spark-warehouse
+      classes.getParent.getParent.getParent.resolve("spark-warehouse")
+    }.toOption.filter(java.nio.file.Files.isDirectory(_))
+    fromSession.orElse(fromCodeSource)
+      .getOrElse(java.nio.file.Paths.get("spark-warehouse"))
+  }
+
   /** GC for stranded stagings (the digest-keyed coexistence rule's
     * cost): every recompile rotates [[logicDigest]] and strands the
     * previous build's /tmp parquet dirs and warehouse bucketed tables —
@@ -311,28 +344,54 @@ object SparkEntry {
     * long-lived host. Sweeps each root for DIRECTORIES named
     * `graft_*_<8hex>` whose digest suffix differs from THIS build's and
     * whose marker (dir mtime when no marker) is older than
-    * [[stagingMaxAgeMillis]]. The name gate means only graft-authored
-    * paths are ever touched; the age gate protects a coexisting build's
-    * warm staging (its JVM touches the marker on every reuse) and paths
-    * whose 8-hex tail is a dir digest rather than a code digest (those
-    * are per-JVM rebuilt, so reaping an OLD one is always safe).
+    * [[stagingMaxAgeMillis]]. Three keep-guards beyond the name gate
+    * (which alone means only graft-authored paths are ever touched):
+    *  - AGE: protects a coexisting build's warm staging — its JVM
+    *    touches the marker on every reuse.
+    *  - MARKER FP: a dir whose marker fingerprint leads with THIS
+    *    build's [[logicDigest]] is this build's own artifact regardless
+    *    of its name tail — belt-and-braces should any staged path ever
+    *    carry a non-digest 8-hex tail again (every current staged path
+    *    ends with the code digest, but the sweep must not depend on a
+    *    naming convention it doesn't own).
+    *  - HELD LOCK: a `.lock` file some process currently HOLDS is never
+    *    unlinked no matter how old — unlinking a held lock would let the
+    *    next contender lock a fresh inode and break mutual exclusion
+    *    (the tryLock probe below). A stale-digest lock nobody holds is
+    *    inert (no future build opens that path) and is reaped.
     * Returns the deleted paths. */
   private[graft] def sweepStaleStagings(
       roots: Seq[java.nio.file.Path] = Seq(
-        java.nio.file.Paths.get("/tmp"),
-        java.nio.file.Paths.get("spark-warehouse")),
+        java.nio.file.Paths.get("/tmp"), sweepWarehouseRoot),
       maxAgeMillis: Long = stagingMaxAgeMillis,
       nowMillis: Long = System.currentTimeMillis()): Seq[java.nio.file.Path] = {
     val keep = logicDigest.take(8)
     val pat = java.util.regex.Pattern.compile("^graft_.+_([0-9a-f]{8})$")
-    // a STALE-digest .lock sibling is inert (no future build ever opens
-    // that path again — paths carry the digest), so reaping it is safe;
-    // a live-digest lock is never touched, preserving mutual exclusion
     val lockPat = java.util.regex.Pattern.compile("^graft_.+_([0-9a-f]{8})\\.lock$")
     def olderThanGuard(stamp: java.nio.file.Path): Boolean =
       try nowMillis - java.nio.file.Files.getLastModifiedTime(stamp)
         .toMillis > maxAgeMillis
       catch { case _: java.io.IOException => false }
+    // marker-fp keep guard: fp is written as "<logicDigest>:<inputFp>"
+    def markedByThisBuild(marker: java.nio.file.Path): Boolean =
+      readMarker(marker).exists { m =>
+        Option(m.getProperty("fp")).exists(_.startsWith(logicDigest))
+      }
+    // held-lock probe: tryLock must SUCCEED for the lock to be reapable.
+    // An OverlappingFileLockException means THIS JVM holds it (same-process
+    // hold is a hold); a null return means another process does.
+    def nobodyHolds(lock: java.nio.file.Path): Boolean =
+      try {
+        val ch = java.nio.channels.FileChannel.open(lock,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val l = ch.tryLock()
+          if (l == null) false else { l.release(); true }
+        } finally ch.close()
+      } catch {
+        case _: java.nio.channels.OverlappingFileLockException => false
+        case _: java.io.IOException => false
+      }
     roots.filter(java.nio.file.Files.isDirectory(_)).flatMap { root =>
       val st = java.nio.file.Files.list(root)
       val entries = try st.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
@@ -344,9 +403,9 @@ object SparkEntry {
         if (java.nio.file.Files.isDirectory(p) && m.matches() && m.group(1) != keep) {
           val marker = p.resolve(StagingMarkerName)
           val stamp = if (java.nio.file.Files.exists(marker)) marker else p
-          olderThanGuard(stamp)
+          olderThanGuard(stamp) && !markedByThisBuild(marker)
         } else java.nio.file.Files.isRegularFile(p) && lm.matches() &&
-          lm.group(1) != keep && olderThanGuard(p)
+          lm.group(1) != keep && olderThanGuard(p) && nobodyHolds(p)
       }.flatMap { p =>
         // best-effort: an undeletable or concurrently-mutating stale path
         // (foreign owner, writer re-creating files mid-walk) must not
@@ -692,7 +751,12 @@ object SparkEntry {
     * its plan. */
   private def partitionedDocsPath(s: SparkSession, dir: String): String = {
     val digest = dirDigest(dir)
-    val path = s"/tmp/graft_docs_bylang_$digest"
+    // code-digest tail even though this is a per-JVM rebuilt path: the
+    // GC classifies staleness by the trailing 8 hex, and a dir-digest
+    // tail would read as "stale" to every OTHER build's sweep — a
+    // long-lived idle JVM could have these files reaped under it while
+    // its stagedRefs entry still says they exist (ADVICE r13)
+    val path = s"/tmp/graft_docs_bylang_${digest}_${logicDigest.take(8)}"
     if (stagedRefs.add(path))
       try t(s, dir, "documents").write.mode("overwrite")
         .partitionBy("lang").parquet(path)
@@ -712,8 +776,11 @@ object SparkEntry {
     * its schema accretes columns. */
   private def schemaDriftPaths(s: SparkSession, dir: String): (String, String) = {
     val digest = dirDigest(dir)
-    val p1 = s"/tmp/graft_docs_v1_$digest"
-    val p2 = s"/tmp/graft_docs_v2_$digest"
+    // code-digest tails for the same GC-classification reason as
+    // partitionedDocsPath: every live build's artifacts must read as
+    // "current" to its own sweep and as age-guarded stale to others'
+    val p1 = s"/tmp/graft_docs_v1_${digest}_${logicDigest.take(8)}"
+    val p2 = s"/tmp/graft_docs_v2_${digest}_${logicDigest.take(8)}"
     if (stagedRefs.add(p1)) {
       try {
         val docs = t(s, dir, "documents")
@@ -1687,9 +1754,10 @@ object SparkEntry {
       // broadcast-iteration form: the SAME symmetric src-bucketed table,
       // columns swapped, is the identical edge set arriving partitioned
       // on dst (the q_hits two-layout move) — each round then broadcasts
-      // only the node-sized (rank div outdeg) frame and both the join
-      // and the dst sum are exchange-free (bit-identical integer ranks;
-      // see pageRankFixedPoint's regime note)
+      // only the node-sized (rank div outdeg) frame; the join is map-only
+      // and the dst sum ships only its map-side-combined partials
+      // (node-class; PlanSpec pins the shape — bit-identical integer
+      // ranks; see pageRankFixedPoint's regime note)
       val sym = stagedBipartiteEdges(s, dir)
       graft.graph.GraphOps.pageRankFixedPoint(
         sym, "src", "dst", iterations = 5,

@@ -65,7 +65,13 @@ object WebText {
     * title, cleaned text, its length, anchor-text link density
     * (chars of text inside `<a>` / chars of all text — int/int one
     * IEEE division), and the link count. `textCol` must hold markup
-    * (pair with [[synthesizeHtml]] on plain-text fixtures). */
+    * (pair with [[synthesizeHtml]] on plain-text fixtures).
+    *
+    * Batch production paths read this product from [[extractAll]]'s
+    * one-pass staging; this single-product form is kept as (1) the
+    * STREAMING-path operator (a stream can't read a staged batch
+    * product) and (2) the executable reference the combined build is
+    * pinned against field-for-field (WebTextSpec). */
   def extract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
     val noBlocks = stripBlocks(col(htmlCol))
     val clean = collapseWs(stripTags(noBlocks))
@@ -91,7 +97,9 @@ object WebText {
     * are root-relative, which is the overwhelmingly common shape), and
     * the registrable domain approximated as the last two host labels
     * (the full public-suffix list is a broadcast lookup in production —
-    * documented, not shipped). One explode, then per-row string ops. */
+    * documented, not shipped). One explode, then per-row string ops.
+    * Kept alongside [[extractAll]] as its pinned executable reference
+    * (WebTextSpec) — batch consumers read the staged combined product. */
   def links(df: DataFrame, idCol: String, htmlCol: String,
       baseHost: String): DataFrame = {
     val hrefs = regexp_extract_all(col(htmlCol),
@@ -199,7 +207,8 @@ object WebText {
     * so every anchor-level rollup (inbound counts, anchor-text search
     * features, spam scoring) reads extracted rows instead of re-running
     * the two-group regex over raw HTML. Per-row array projections only;
-    * the explode is the single widening step. */
+    * the explode is the single widening step. Kept alongside
+    * [[extractAll]] as its pinned executable reference (WebTextSpec). */
   def anchorPairs(df: DataFrame, idCol: String, htmlCol: String,
       baseHost: String): DataFrame = {
     val pat = lit("(?s)<a [^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>")

@@ -311,8 +311,14 @@ object GraphOps {
       // table with its columns swapped — the hitsFixedPoint move). Each
       // round then ships NO edge-sized exchange at all: the node-sized
       // (rank div outdeg) frame is broadcast onto the dst-partitioned
-      // edges (map-only join) and the dst sum rides the bucket layout
-      // (exchange-free partial+final agg). Sums of longs are order-
+      // edges (map-only join) and the dst sum is map-side combined in
+      // place — the only per-round shuffle is the POST-COMBINE partial
+      // frame (bounded by distinct-dst × partitions, i.e. node-class,
+      // same volume class as the exchange form's rank shuffle; the
+      // checkpoint drops the bucket-layout metadata — auto-bucketed-scan
+      // reads the files unbucketed when the checkpoint's own plan needs
+      // no distribution — so the final agg cannot fold fully in place;
+      // PlanSpec pins exactly this shape). Sums of longs are order-
       // independent, so ranks stay bit-identical to the exchange form.
       // Regime: the NODE frame must fit in executor memory — true for
       // co-purchase/web-host-class graphs (tens of millions of nodes ≈
@@ -320,6 +326,15 @@ object GraphOps {
       // src-bucketed exchange form below, whose per-round shuffle is
       // contribution-sized. (r13 A/B: 4.9 → measured on q_pagerank.)
       case Some(d) =>
+        // the swapped view is consumed RAW (a distinct here would destroy
+        // the dst partitioning the variant exists for), while e/deg above
+        // dedup under assumeDistinct=false — a non-distinct caller would
+        // get deg from deduped edges but per-round contributions over
+        // duplicated edges: silently wrong ranks. Make the contract loud.
+        require(assumeDistinct,
+          "edgesByDst requires assumeDistinct=true: the dst-partitioned view " +
+            "is consumed without dedup, so the caller must certify the edge " +
+            "set (and its swapped view) is already distinct")
         val eD = d.select(col(srcCol).as("src"), col(dstCol).as("dst"))
           .localCheckpoint(true) // pin once: every round re-reads it (hits rationale)
         // deg is node-sized but derives from a full edge scan — pinned,
@@ -420,6 +435,12 @@ object GraphOps {
       // argument as pageRankFixedPoint's edgesByDst (the teleport term is
       // a per-node projection and does not change the data motion)
       case Some(dv) =>
+        // same contract as pageRankFixedPoint: the swapped view is consumed
+        // raw, so a non-distinct caller would silently corrupt ranks
+        require(assumeDistinct,
+          "edgesByDst requires assumeDistinct=true: the dst-partitioned view " +
+            "is consumed without dedup, so the caller must certify the edge " +
+            "set (and its swapped view) is already distinct")
         val eD = dv.select(col(srcCol).as("src"), col(dstCol).as("dst"))
           .localCheckpoint(true)
         val degP = deg.localCheckpoint(true)

@@ -284,20 +284,21 @@ object ScaleProbe {
       // AFTER the funnel,
       // so its cells price the pure staged READ (the funnel's build cell
       // already paid the shared webprod staging).
-      // MEASUREMENT CAVEAT (ADVICE r12): the "warm" cells here measure
-      // the IN-PROCESS stagedRefs fast path — they skip the cross-JVM
-      // reuse probe (marker read + O(#files) input-fingerprint walk +
-      // bucketed-table re-register/count), so they UNDERSTATE what a
-      // fresh JVM pays on first touch of a warm staging. The r13 group
-      // prices that real cross-JVM warm path separately (warm cells
-      // after resetStagingRefsForTest).
+      // The warm cells are NAMED for their tier (r13 verdict #6): they
+      // measure the IN-PROCESS stagedRefs fast path — they skip the
+      // cross-JVM reuse probe (marker read + O(#files) input-fingerprint
+      // walk + bucketed-table re-register/count), so they UNDERSTATE what
+      // a fresh JVM pays on first touch of a warm staging. The r13 group's
+      // three-tier cells (build / warm_xjvm / warm_inproc) are the
+      // authoritative staged-path price; these curves exist for the
+      // build-vs-steady-state LINEARITY claim only.
       if (groups("r12b")) {
       def tq2(name: String): (Double, Double) = { val a = tq(name); (a, tq(name)) }
       val (pjB, pjW) = tq2("q_prefix_join")
       val (erB, erW) = tq2("q_er_pipeline")
       val (wfB, wfW) = tq2("q_web_corpus_funnel")
       val (heB, heW) = tq2("q_html_extract")
-      println(f"""SCALE_R12B {"factor":$f, "prefix_join_build":$pjB%.2f, "prefix_join_warm":$pjW%.2f, "er_build":$erB%.2f, "er_warm":$erW%.2f, "funnel_build":$wfB%.2f, "funnel_warm":$wfW%.2f, "html_extract_read1":$heB%.2f, "html_extract_read2":$heW%.2f}""")
+      println(f"""SCALE_R12B {"factor":$f, "prefix_join_build":$pjB%.2f, "prefix_join_warm_inproc":$pjW%.2f, "er_build":$erB%.2f, "er_warm_inproc":$erW%.2f, "funnel_build":$wfB%.2f, "funnel_warm_inproc":$wfW%.2f, "html_extract_read1_inproc":$heB%.2f, "html_extract_read2_inproc":$heW%.2f}""")
       }
 
       // round-5 second wave: relational/statistical + linkage + BFS —
@@ -854,6 +855,57 @@ object ScaleProbe {
         assumeDistinct = true, assumeNoDangling = true,
         edgesByDst = Some(symE.select(col("dst").as("src"), col("src").as("dst"))))))
       println(f"""SCALE_R13 {"factor":$f, "rules_bucketed_nobc":$tBkt%.2f, "rules_plain_nobc":$tPlain%.2f, "web_three_builds":$tSep%.2f, "web_one_pass":$tOne%.2f, "html_extract_build":$tBuildHtml%.2f, "html_extract_warm_xjvm":$tXjvmHtml%.2f, "html_extract_warm_inproc":$tInprocHtml%.2f, "prefix_join_build":$tBuildPj%.2f, "prefix_join_warm_xjvm":$tXjvmPj%.2f, "prefix_join_warm_inproc":$tInprocPj%.2f, "pagerank_exchange":$tPrExch%.2f, "pagerank_bcast":$tPrBcast%.2f}""")
+      }
+
+      // round-14 wave — run alone (`ScaleProbe <dir> <factors> r14`), same
+      // cold-staging assumption as r13.
+      // (a) The bucket-sizing rule applied to its UNTESTED sibling (r13
+      // verdict #1): stagedCoPurchaseSym is 16 buckets while the session
+      // parallelism is 32 — the r13 basket A/B measured that a
+      // bucket-local join capped below the session's parallelism LOSES
+      // to the plain-shuffle path. Stage the IDENTICAL symmetric frame
+      // at 16 and 32 buckets (probe-only names) and, under broadcast-off
+      // (the 100 TB posture where node frames stop broadcasting), time
+      // the two heaviest consumer shapes: the 5-round label-prop
+      // recurrence (per-round join parallelism = bucket count) and the
+      // triangle wedge closure (adjacency self-joins on the bucket key).
+      if (groups("r14")) {
+      val thr14 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val c16 = graft.SparkEntry.stagedCoPurchaseSymBuckets(spark, base, 16, "b16t")
+      val c32 = graft.SparkEntry.stagedCoPurchaseSymBuckets(spark, base, 32, "b32t")
+      var tLp16 = 0.0d; var tLp32 = 0.0d; var tTri16 = 0.0d; var tTri32 = 0.0d
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        tLp16 = time(force(graft.graph.GraphOps.labelPropagateMin(
+          c16, "a", "b", iterations = 5, assumeSymmetric = true)))
+        tLp32 = time(force(graft.graph.GraphOps.labelPropagateMin(
+          c32, "a", "b", iterations = 5, assumeSymmetric = true)))
+        tTri16 = time(force(graft.graph.GraphOps.triangleCounts(
+          c16, "a", "b", assumeSymmetric = true)))
+        tTri32 = time(force(graft.graph.GraphOps.triangleCounts(
+          c32, "a", "b", assumeSymmetric = true)))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr14)
+      // (b) q_ppr form adjudication (r13 verdict "what's wrong" #1): the
+      // board showed +16% after the switch to the broadcast-iteration
+      // form; these matched INTERLEAVED cells (E,B,E,B — min of two each,
+      // same JVM, same staged input) are the code-effect instrument the
+      // board swing is not. If bcast ≥ exchange in-session, q_ppr's
+      // default flips back to the exchange form (the variant's win is
+      // network-bound and local-neutral by the r13 measurement).
+      val symP = graft.SparkEntry.stagedBipartiteEdges(spark, base)
+      val seeds14 = symP.select(col("src").as("node"))
+        .where(col("node") % 100 === 1).distinct()
+      def pprExch() = time(force(graft.graph.GraphOps.personalizedPageRankFixedPoint(
+        symP, "src", "dst", seeds14, iterations = 5,
+        assumeDistinct = true, assumeNoDangling = true)))
+      def pprBcast() = time(force(graft.graph.GraphOps.personalizedPageRankFixedPoint(
+        symP, "src", "dst", seeds14, iterations = 5,
+        assumeDistinct = true, assumeNoDangling = true,
+        edgesByDst = Some(symP.select(col("dst").as("src"), col("src").as("dst"))))))
+      val pe1 = pprExch(); val pb1 = pprBcast()
+      val pe2 = pprExch(); val pb2 = pprBcast()
+      val tPprE = math.min(pe1, pe2); val tPprB = math.min(pb1, pb2)
+      println(f"""SCALE_R14 {"factor":$f, "copurch_lp_b16_nobc":$tLp16%.2f, "copurch_lp_b32_nobc":$tLp32%.2f, "copurch_tri_b16_nobc":$tTri16%.2f, "copurch_tri_b32_nobc":$tTri32%.2f, "ppr_exchange":$tPprE%.2f, "ppr_bcast":$tPprB%.2f, "ppr_reps":"E=$pe1%.2f,$pe2%.2f B=$pb1%.2f,$pb2%.2f"}""")
       }
     }
     spark.stop()

@@ -330,6 +330,46 @@ class PlanSpec extends SparkSpec {
       "src rollup over the bucketed table still exchanges:\n" + tp.take(3000))
   }
 
+  test("broadcast-iteration pagerank: raw edge rows never reshuffle; only post-combine partials move") {
+    // the edgesByDst variant's structural claim, pinned the way the
+    // exchange form's is (r13 verdict #4): each round broadcasts the
+    // node-sized (rank div outdeg) frame onto the pinned swapped view
+    // (map-only join — NO src exchange anywhere), and the only per-round
+    // shuffle is the dst sum's POST-MAP-SIDE-COMBINE partial frame
+    // (node-class volume: bounded by distinct-dst × partitions). Writing
+    // this pin surfaced that the checkpoint does NOT carry the bucket
+    // layout through (auto-bucketed-scan reads the files unbucketed when
+    // the checkpoint's own plan needs no distribution), so a fully
+    // exchange-free final agg is not what executes — every dst exchange
+    // must therefore sit DIRECTLY above a partial_sum aggregate, proving
+    // what moves is the combined partials, never raw edge rows.
+    import org.apache.spark.sql.functions.col
+    val sym = SparkEntry.stagedBipartiteEdges(spark, dir)
+    val df = graft.graph.GraphOps.pageRankFixedPoint(
+      sym, "src", "dst", iterations = 5, assumeDistinct = true,
+      assumeNoDangling = true,
+      edgesByDst = Some(sym.select(col("dst").as("src"), col("src").as("dst"))))
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert(!"Exchange hashpartitioning\\(src#".r.findAllIn(p).hasNext,
+      "edge-sized src exchange inside the broadcast-iteration loop:\n" + p.take(3000))
+    val lines = p.linesIterator.toIndexedSeq
+    val dstExchanges = lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning(dst"))
+    assert(dstExchanges.nonEmpty, "expected per-round partial-frame exchanges")
+    dstExchanges.foreach { case (ln, i) =>
+      assert(lines.isDefinedAt(i + 1) && lines(i + 1).contains("partial_sum"),
+        s"a dst exchange is not fed by a map-side combine (raw edge rows " +
+          s"would move):\n$ln\n${lines.lift(i + 1).getOrElse("")}")
+    }
+    assert(p.contains("BroadcastExchange"),
+      "the contribution frame is not broadcast — the variant degenerated:\n" + p.take(3000))
+    // the swapped edge view is pinned once: the rounds consume
+    // ExistingRDD scans, not per-round re-derivations of the staged table
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "pinned swapped edge view missing from the loop:\n" + p.take(3000))
+  }
+
   test("staged bipartite table is a symmetric closure (the assumeNoDangling certificate)") {
     // q_pagerank/q_ppr pass assumeNoDangling on the strength of this
     // property: the closure holds every edge's reverse, so every dst is a

@@ -52,6 +52,16 @@ class StagingSpec extends SparkSpec {
     Files.write(lockCur, Array.emptyByteArray)
     Files.setLastModifiedTime(lockCur, FileTime.fromMillis(now - 48 * hour))
 
+    // stale-NAMED dir whose marker fp leads with THIS build's digest:
+    // kept — the marker, not the name tail, is the ownership authority
+    // (the ADVICE r13 belt-and-braces guard)
+    val ownedOddName = root.resolve("graft_z_cccccccc_deadbeef")
+    Files.createDirectories(ownedOddName)
+    Files.write(ownedOddName.resolve(SparkEntry.StagingMarkerName),
+      s"fp=${SparkEntry.logicDigest}\\:abc123".getBytes("UTF-8"))
+    Files.setLastModifiedTime(ownedOddName.resolve(SparkEntry.StagingMarkerName),
+      FileTime.fromMillis(now - 48 * hour))
+
     val deleted = SparkEntry.sweepStaleStagings(Seq(root), maxAge, now).toSet
     assert(deleted == Set(staleOld, orphanOld, lockOld),
       s"sweep deleted the wrong set: $deleted")
@@ -60,10 +70,50 @@ class StagingSpec extends SparkSpec {
       "a recently-touched foreign-digest staging (live A/B partner) must survive")
     assert(Files.exists(foreign), "non-graft paths must never be touched")
     assert(Files.exists(lockCur), "current-digest lock must never be reaped")
+    assert(Files.exists(ownedOddName),
+      "a dir whose marker fp leads with the current logicDigest must survive " +
+        "regardless of its name tail")
     assert(!Files.exists(staleOld) && !Files.exists(orphanOld) && !Files.exists(lockOld))
     // idempotent + disk-flat: a second sweep finds nothing
     assert(SparkEntry.sweepStaleStagings(Seq(root), maxAge, now).isEmpty)
     graft.etl.Context.deleteRecursively(root)
+  }
+
+  test("a HELD stale-digest lock is never unlinked; released, it is reaped") {
+    // unlinking a held lock would let the next contender lock a FRESH
+    // inode — two builders then both hold "the" lock and mutual exclusion
+    // is broken (ADVICE r13). The sweep probes with tryLock: a hold by
+    // any process (including this JVM — OverlappingFileLockException)
+    // makes the lock unreapable regardless of age.
+    val root = Files.createTempDirectory("graft_heldlock_spec")
+    val now = 1_000_000_000_000L
+    val lock = root.resolve("graft_x_aaaaaaaa_deadbeef.lock")
+    Files.write(lock, Array.emptyByteArray)
+    Files.setLastModifiedTime(lock, FileTime.fromMillis(now - 48 * hour))
+    val ch = java.nio.channels.FileChannel.open(lock,
+      java.nio.file.StandardOpenOption.WRITE)
+    val held = ch.lock()
+    try {
+      assert(SparkEntry.sweepStaleStagings(Seq(root), 12 * hour, now).isEmpty,
+        "sweep unlinked a HELD lock")
+      assert(Files.exists(lock))
+    } finally { held.release(); ch.close() }
+    // nobody holds it now — the stale lock is inert and reapable
+    assert(SparkEntry.sweepStaleStagings(Seq(root), 12 * hour, now) == Seq(lock))
+    assert(!Files.exists(lock))
+    graft.etl.Context.deleteRecursively(root)
+  }
+
+  test("the warehouse sweep root resolves absolutely (not cwd-relative)") {
+    // a relative `spark-warehouse` silently skips the warehouse half of
+    // the GC whenever the launcher's cwd is not the repo root (r13
+    // verdict #5) — with a live session the root must BE the session's
+    // configured warehouse dir, absolute
+    val wh = SparkEntry.sweepWarehouseRoot
+    assert(wh.isAbsolute, s"warehouse sweep root is cwd-relative: $wh")
+    val conf = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    assert(wh == Paths.get(conf),
+      s"sweep root $wh != session warehouse dir $conf")
   }
 
   private def listFiles(p: Path): Seq[Path] = {
@@ -81,13 +131,22 @@ class StagingSpec extends SparkSpec {
         _.getFileName.toString.matches(s"graft_errankname_[0-9a-f]{8}_$code8"))
       finally st.close()
     assert(cur.isDefined, "staged errankname path not found under /tmp")
-    // fabricate the A/B partner: the same staging under a foreign digest
-    // (8 hex chars that can never equal a real md5 prefix of this build)
-    val partner = tmp.resolve(
+    // fabricate the A/B partner under an ISOLATED root, not the real
+    // shared /tmp (ADVICE r13: a concurrent session's sweep or a parallel
+    // test run could race a fixture created in the live staging root) —
+    // the coexistence property under test is "a rebuild under one digest
+    // writes only its own digest-keyed path", which no partner location
+    // can change
+    val coexistRoot = Files.createTempDirectory("graft_coexist_spec")
+    val partner = coexistRoot.resolve(
       cur.get.getFileName.toString.dropRight(8) + "0abcde12")
-    graft.etl.Context.deleteRecursively(partner)
     Files.createDirectories(partner)
     listFiles(cur.get).foreach(f => Files.copy(f, partner.resolve(f.getFileName)))
+    // a REAL A/B partner's marker fingerprint leads with ITS digest, not
+    // ours — rewrite it, or the sweep's marker-fp ownership guard would
+    // (correctly) treat the copied marker as this build's own artifact
+    Files.write(partner.resolve(SparkEntry.StagingMarkerName),
+      "fp=0abcde12ffffffffffffffffffffffff:test".getBytes("UTF-8"))
     val snapshot = listFiles(partner)
       .map(f => f.getFileName.toString -> Files.size(f)).toMap
     // drive the current build back through the cross-JVM probe (marker
@@ -120,6 +179,6 @@ class StagingSpec extends SparkSpec {
     assert(Files.exists(curCopy), "current staging reaped by its own sweep")
     assert(!Files.exists(partnerCopy))
     graft.etl.Context.deleteRecursively(gcRoot)
-    graft.etl.Context.deleteRecursively(partner)
+    graft.etl.Context.deleteRecursively(coexistRoot)
   }
 }

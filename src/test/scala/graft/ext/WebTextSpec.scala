@@ -84,6 +84,38 @@ class WebTextSpec extends SparkSpec {
     assert(out(1).getAs[String]("url_norm") === "https://h.test:8443/z")
   }
 
+  test("extractAll reproduces extract/links/anchorPairs field-for-field") {
+    // the single-product builders survive as the EXECUTABLE REFERENCE for
+    // the combined one-pass build (and as the streaming-path operators) —
+    // this pin is the contract that keeps them: exploding extractAll's
+    // struct arrays must reproduce each dedicated builder's rows exactly,
+    // column names included (r13 verdict #7)
+    val all = WebText.extractAll(pages, "doc_id", "html", "corp.example.com")
+    val extractCols = Seq("doc_id", "title", "text_clean", "text_len",
+      "link_density", "n_links").map(col)
+    assert(all.select(extractCols: _*)
+      .except(WebText.extract(pages, "doc_id", "html")).isEmpty &&
+      WebText.extract(pages, "doc_id", "html")
+        .except(all.select(extractCols: _*)).isEmpty,
+      "extractAll's per-page report drifted from extract")
+    val allLinks = all.select(col("doc_id"), explode(col("links")).as("l"))
+      .select(col("doc_id"), col("l.href").as("href"),
+        col("l.url_norm").as("url_norm"), col("l.domain").as("domain"))
+    val refLinks = WebText.links(pages, "doc_id", "html", "corp.example.com")
+    // except() is set-based — the count pin catches multiplicity drift
+    assert(allLinks.count() === refLinks.count())
+    assert(allLinks.except(refLinks).isEmpty && refLinks.except(allLinks).isEmpty,
+      "extractAll's links axis drifted from links")
+    val allAnchors = all.select(col("doc_id"), explode(col("anchors")).as("a"))
+      .select(col("doc_id"), col("a.url_norm").as("url_norm"),
+        col("a.anchor_text").as("anchor_text"))
+    val refAnchors = WebText.anchorPairs(pages, "doc_id", "html", "corp.example.com")
+    assert(allAnchors.count() === refAnchors.count())
+    assert(allAnchors.except(refAnchors).isEmpty &&
+      refAnchors.except(allAnchors).isEmpty,
+      "extractAll's anchors axis drifted from anchorPairs")
+  }
+
   test("encodingAudit: each damage family hits exactly its counter; clean text is clean") {
     // ids 10,11,12,13 select the four synthesized damage families;
     // id 14 stays untouched; \t\n\r must NOT count as control spill

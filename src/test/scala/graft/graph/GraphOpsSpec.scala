@@ -156,6 +156,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(base == bcast, s"ppr diverged under the two-layout store: $base vs $bcast")
   }
 
+  test("edgesByDst without assumeDistinct is rejected, not silently wrong") {
+    // the swapped view is consumed raw in the broadcast-iteration loop —
+    // a non-distinct caller would get deg from deduped edges but
+    // contributions over duplicated edges (ADVICE r13): the contract
+    // violation must be loud
+    val e0 = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val swapped = e0.select($"dst".as("src"), $"src".as("dst"))
+    intercept[IllegalArgumentException] {
+      GraphOps.pageRankFixedPoint(e0, "src", "dst", iterations = 1,
+        edgesByDst = Some(swapped))
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRankFixedPoint(e0, "src", "dst",
+        Seq(1L).toDF("node"), iterations = 1, edgesByDst = Some(swapped))
+    }
+  }
+
   test("personalized PageRank replays the seed-concentrated recurrence exactly") {
     // symmetric star 1 <-> 2, 1 <-> 3; seed = {2}. N=3, |S|=1:
     // init: node2 = 3e6, others 0; teleport T = 450000 per round to node2
