@@ -1755,8 +1755,8 @@ object SparkEntry {
       // columns swapped, is the identical edge set arriving partitioned
       // on dst (the q_hits two-layout move) — each round then broadcasts
       // only the node-sized (rank div outdeg) frame; the join is map-only
-      // and the dst sum ships only its map-side-combined partials
-      // (node-class; PlanSpec pins the shape — bit-identical integer
+      // and the dst sum folds in place on the layout-keeping pin: ZERO
+      // hash exchange per round (PlanSpec pins it — bit-identical integer
       // ranks; see pageRankFixedPoint's regime note)
       val sym = stagedBipartiteEdges(s, dir)
       graft.graph.GraphOps.pageRankFixedPoint(

@@ -131,6 +131,29 @@ object GraphOps {
       .na.fill(0L, Seq("out_deg", "in_deg"))
   }
 
+  /** Eager localCheckpoint that RECORDS the input's bucket-layout
+    * partitioning into the pinned frame. A bare `localCheckpoint(true)`
+    * on a (projection/filter of a) bucketed scan loses the layout:
+    * auto-bucketed-scan sees that the checkpoint's own mini-plan needs
+    * no particular distribution, reads the files unbucketed, and the
+    * resulting LogicalRDD reports Unknown partitioning — every
+    * downstream per-round join/agg on the bucket key then re-exchanges
+    * a frame that was already laid out for it (the r14 PlanSpec pin
+    * surfaced exactly this). Disabling the auto rule for the one eager
+    * planning+execution of the pin makes the scan bucket-aware, so the
+    * checkpointed RDD carries HashPartitioning(bucket key) and the
+    * per-iteration loops below fold on it with ZERO exchange. The conf
+    * flip is session-visible for the pin's duration only (restored in
+    * finally); for non-bucketed inputs it is a no-op. */
+  private def pinKeepingLayout(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = scala.util.Try(s.conf.get(key)).toOption
+    s.conf.set(key, "false")
+    try df.localCheckpoint(true)
+    finally prev.foreach(s.conf.set(key, _))
+  }
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED edge
     * frame, as the same deterministic integer fixed point as
     * [[pageRankFixedPoint]]: per round auth_raw(p) = Σ_{h→p} hub(h),
@@ -194,11 +217,11 @@ object GraphOps {
     // carries the bucket layout through the swap). Without it the
     // auth→hub join re-exchanges the edge frame every round.
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val e = (if (assumeDistinct) e0 else e0.distinct()).localCheckpoint(true)
+    val e = pinKeepingLayout(if (assumeDistinct) e0 else e0.distinct())
     val eDst = edgesByDst match {
       case Some(d) =>
         val d0 = d.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        (if (assumeDistinct) d0 else d0.distinct()).localCheckpoint(true)
+        pinKeepingLayout(if (assumeDistinct) d0 else d0.distinct())
       case None => e
     }
     var hub = e.select(col("src").as("node")).distinct()
@@ -309,17 +332,15 @@ object GraphOps {
       // row-identical view of the edge set arriving hash-partitioned on
       // dstCol (with a symmetric bucketed staging it is just the same
       // table with its columns swapped — the hitsFixedPoint move). Each
-      // round then ships NO edge-sized exchange at all: the node-sized
+      // round then ships NO hash exchange at all: the node-sized
       // (rank div outdeg) frame is broadcast onto the dst-partitioned
-      // edges (map-only join) and the dst sum is map-side combined in
-      // place — the only per-round shuffle is the POST-COMBINE partial
-      // frame (bounded by distinct-dst × partitions, i.e. node-class,
-      // same volume class as the exchange form's rank shuffle; the
-      // checkpoint drops the bucket-layout metadata — auto-bucketed-scan
-      // reads the files unbucketed when the checkpoint's own plan needs
-      // no distribution — so the final agg cannot fold fully in place;
-      // PlanSpec pins exactly this shape). Sums of longs are order-
-      // independent, so ranks stay bit-identical to the exchange form.
+      // edges (map-only join) and the dst sum folds IN PLACE on the
+      // pinned frame's recorded HashPartitioning(dst) —
+      // [[pinKeepingLayout]] keeps the bucket layout through the
+      // checkpoint, without which each round shipped its map-side-
+      // combined partials (PlanSpec pins the zero-exchange shape).
+      // Sums of longs are order-independent, so ranks stay
+      // bit-identical to the exchange form.
       // Regime: the NODE frame must fit in executor memory — true for
       // co-purchase/web-host-class graphs (tens of millions of nodes ≈
       // hundreds of MB) even at 100 TB of EDGES; past that, stay on the
@@ -335,11 +356,11 @@ object GraphOps {
           "edgesByDst requires assumeDistinct=true: the dst-partitioned view " +
             "is consumed without dedup, so the caller must certify the edge " +
             "set (and its swapped view) is already distinct")
-        val eD = d.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-          .localCheckpoint(true) // pin once: every round re-reads it (hits rationale)
+        val eD = pinKeepingLayout( // pin once: every round re-reads it (hits rationale)
+          d.select(col(srcCol).as("src"), col(dstCol).as("dst")))
         // deg is node-sized but derives from a full edge scan — pinned,
         // or every round's broadcast build replays that scan
-        val degP = deg.localCheckpoint(true)
+        val degP = pinKeepingLayout(deg)
         ranks = degP.select(col("src").as("node"), lit(1000000L).as("rank_fp"))
         for (_ <- 1 to iterations) {
           val contribBySrc = ranks.join(degP, col("node") === col("src"))
@@ -353,7 +374,7 @@ object GraphOps {
         }
       case None =>
         val withDeg0 = e.join(deg, Seq("src"))
-        val withDeg = if (assumeDistinct) withDeg0.localCheckpoint(true) else withDeg0
+        val withDeg = if (assumeDistinct) pinKeepingLayout(withDeg0) else withDeg0
         for (_ <- 1 to iterations) {
           ranks = withDeg.join(ranks, col("src") === col("node"))
             .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
@@ -441,9 +462,9 @@ object GraphOps {
           "edgesByDst requires assumeDistinct=true: the dst-partitioned view " +
             "is consumed without dedup, so the caller must certify the edge " +
             "set (and its swapped view) is already distinct")
-        val eD = dv.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-          .localCheckpoint(true)
-        val degP = deg.localCheckpoint(true)
+        val eD = pinKeepingLayout(
+          dv.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+        val degP = pinKeepingLayout(deg)
         ranks = degP.select(col("src").as("node"))
           .join(broadcast(seedSet), Seq("node"), "left")
           .select(col("node"),
@@ -463,7 +484,7 @@ object GraphOps {
       case None =>
         // same layout-gated pinning policy as pageRankFixedPoint's withDeg
         val withDeg0 = e.join(deg, Seq("src"))
-        val withDeg = if (assumeDistinct) withDeg0.localCheckpoint(true) else withDeg0
+        val withDeg = if (assumeDistinct) pinKeepingLayout(withDeg0) else withDeg0
         for (_ <- 1 to iterations) {
           ranks = withDeg.join(ranks, col("src") === col("node"))
             .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
