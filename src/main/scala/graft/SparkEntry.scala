@@ -326,7 +326,17 @@ object SparkEntry {
     val fromSession = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .flatMap(s => scala.util.Try(s.conf.get("spark.sql.warehouse.dir")).toOption)
-      .map(u => java.nio.file.Paths.get(u.stripPrefix("file:")))
+      .map { u =>
+        // the conf value is a URI when Spark set it (file:/x, possibly
+        // percent-encoded — a repo path with a space arrives as %20 and a
+        // bare stripPrefix would resolve to a nonexistent dir, silently
+        // skipping the warehouse sweep again); a plain path when the user
+        // set it. Parse as URI first, fall back to the raw string.
+        val viaUri = scala.util.Try(new java.net.URI(u)).toOption
+          .filter(x => x.getScheme == "file" && x.getPath != null)
+          .map(x => java.nio.file.Paths.get(x.getPath))
+        viaUri.getOrElse(java.nio.file.Paths.get(u.stripPrefix("file:")))
+      }
     def fromCodeSource = scala.util.Try {
       val src = SparkEntry.getClass.getProtectionDomain.getCodeSource
       val classes = java.nio.file.Paths.get(src.getLocation.toURI)
@@ -377,16 +387,26 @@ object SparkEntry {
       readMarker(marker).exists { m =>
         Option(m.getProperty("fp")).exists(_.startsWith(logicDigest))
       }
-    // held-lock probe: tryLock must SUCCEED for the lock to be reapable.
-    // An OverlappingFileLockException means THIS JVM holds it (same-process
-    // hold is a hold); a null return means another process does.
-    def nobodyHolds(lock: java.nio.file.Path): Boolean =
+    // held-lock probe AND reap in one step: tryLock must SUCCEED, and the
+    // unlink happens WHILE the probe lock is held — releasing first would
+    // re-open the window this guard closes (a contender locking between
+    // probe and unlink gets its inode deleted under it). An
+    // OverlappingFileLockException means THIS JVM holds it (a same-process
+    // hold is a hold); a null return means another process does. Residual
+    // window: a contender that OPENED the file before our unlink but locks
+    // after our release acquires an orphaned inode — reachable only by an
+    // old-build JVM (reaped locks are stale-digest; current builds never
+    // open those paths) contending in the same instant after >12 h of
+    // mtime silence, and withBuildLock touches mtime on acquisition.
+    def reapLockWhileHeld(lock: java.nio.file.Path): Boolean =
       try {
         val ch = java.nio.channels.FileChannel.open(lock,
           java.nio.file.StandardOpenOption.WRITE)
         try {
           val l = ch.tryLock()
-          if (l == null) false else { l.release(); true }
+          if (l == null) false
+          else try { java.nio.file.Files.deleteIfExists(lock); true }
+          finally l.release()
         } finally ch.close()
       } catch {
         case _: java.nio.channels.OverlappingFileLockException => false
@@ -396,22 +416,26 @@ object SparkEntry {
       val st = java.nio.file.Files.list(root)
       val entries = try st.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
         finally st.close()
-      entries.filter { p =>
+      entries.flatMap { p =>
         val nm = p.getFileName.toString
         val m = pat.matcher(nm)
         val lm = lockPat.matcher(nm)
         if (java.nio.file.Files.isDirectory(p) && m.matches() && m.group(1) != keep) {
           val marker = p.resolve(StagingMarkerName)
           val stamp = if (java.nio.file.Files.exists(marker)) marker else p
-          olderThanGuard(stamp) && !markedByThisBuild(marker)
-        } else java.nio.file.Files.isRegularFile(p) && lm.matches() &&
-          lm.group(1) != keep && olderThanGuard(p) && nobodyHolds(p)
-      }.flatMap { p =>
-        // best-effort: an undeletable or concurrently-mutating stale path
-        // (foreign owner, writer re-creating files mid-walk) must not
-        // abort the entry point that volunteered to GC it
-        try { graft.etl.Context.deleteRecursively(p); Some(p) }
-        catch { case scala.util.control.NonFatal(_) => None }
+          if (olderThanGuard(stamp) && !markedByThisBuild(marker)) {
+            // best-effort: an undeletable or concurrently-mutating stale
+            // path (foreign owner, writer re-creating files mid-walk) must
+            // not abort the entry point that volunteered to GC it
+            try { graft.etl.Context.deleteRecursively(p); Some(p) }
+            catch { case scala.util.control.NonFatal(_) => None }
+          } else None
+        } else if (java.nio.file.Files.isRegularFile(p) && lm.matches() &&
+            lm.group(1) != keep && olderThanGuard(p)) {
+          // the unlink happens inside the probe-lock hold — see
+          // reapLockWhileHeld
+          if (reapLockWhileHeld(p)) Some(p) else None
+        } else None
       }
     }
   }

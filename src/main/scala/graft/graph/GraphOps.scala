@@ -145,14 +145,23 @@ object GraphOps {
     * per-iteration loops below fold on it with ZERO exchange. The conf
     * flip is session-visible for the pin's duration only (restored in
     * finally); for non-bucketed inputs it is a no-op. */
-  private def pinKeepingLayout(df: DataFrame): DataFrame = {
-    val s = df.sparkSession
-    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prev = scala.util.Try(s.conf.get(key)).toOption
-    s.conf.set(key, "false")
-    try df.localCheckpoint(true)
-    finally prev.foreach(s.conf.set(key, _))
-  }
+  private def pinKeepingLayout(df: DataFrame): DataFrame =
+    // serialize pins: two concurrent pins on one session would race the
+    // conf flip (one could restore "true" under the other). A concurrent
+    // UNRELATED planner on the same session still sees the flip for the
+    // pin's duration — graft's entry points plan sequentially, and the
+    // only effect on a bystander is a conservatively-bucketed scan, but a
+    // multi-threaded caller timing plans in this window should know
+    pinLock.synchronized {
+      val s = df.sparkSession
+      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prev = scala.util.Try(s.conf.get(key)).toOption
+      s.conf.set(key, "false")
+      try df.localCheckpoint(true)
+      finally prev.foreach(s.conf.set(key, _))
+    }
+
+  private[this] val pinLock = new Object
 
   /** HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED edge
     * frame, as the same deterministic integer fixed point as
@@ -286,6 +295,19 @@ object GraphOps {
     // DISTINCT bucketed table) — the dedup exchange would destroy the
     // scan's bucket partitioning, which is what makes deg and withDeg
     // below exchange-free on the edge side
+    //
+    // argument-only contract, checked BEFORE any Spark job (the dangling
+    // check below is an edge-scan — a contract violation must not pay it
+    // first): the edgesByDst view is consumed raw in the broadcast-
+    // iteration branch (a distinct there would destroy the dst
+    // partitioning the variant exists for), while e/deg dedup under
+    // assumeDistinct=false — a non-distinct caller would get deg from
+    // deduped edges but per-round contributions over duplicated edges,
+    // i.e. silently wrong ranks
+    require(edgesByDst.isEmpty || assumeDistinct,
+      "edgesByDst requires assumeDistinct=true: the dst-partitioned view " +
+        "is consumed without dedup, so the caller must certify the edge " +
+        "set (and its swapped view) is already distinct")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = if (assumeDistinct) e0 else e0.distinct()
     // ENFORCE the documented no-dangling-node contract instead of trusting
@@ -347,15 +369,8 @@ object GraphOps {
       // src-bucketed exchange form below, whose per-round shuffle is
       // contribution-sized. (r13 A/B: 4.9 → measured on q_pagerank.)
       case Some(d) =>
-        // the swapped view is consumed RAW (a distinct here would destroy
-        // the dst partitioning the variant exists for), while e/deg above
-        // dedup under assumeDistinct=false — a non-distinct caller would
-        // get deg from deduped edges but per-round contributions over
-        // duplicated edges: silently wrong ranks. Make the contract loud.
-        require(assumeDistinct,
-          "edgesByDst requires assumeDistinct=true: the dst-partitioned view " +
-            "is consumed without dedup, so the caller must certify the edge " +
-            "set (and its swapped view) is already distinct")
+        // contract (edgesByDst ⇒ assumeDistinct) already enforced at the
+        // top of the function, before any job ran
         val eD = pinKeepingLayout( // pin once: every round re-reads it (hits rationale)
           d.select(col(srcCol).as("src"), col(dstCol).as("dst")))
         // deg is node-sized but derives from a full edge scan — pinned,
@@ -418,6 +433,14 @@ object GraphOps {
     // pageRankFixedPoint's comment records for pinning withDeg.
     // assumeDistinct: same contract as pageRankFixedPoint — pre-deduped
     // staged input keeps the scan's bucket partitioning alive
+    //
+    // argument-only contract, checked BEFORE the counts job below (a
+    // violation must not pay the three-scalar edge scan first); rationale
+    // at pageRankFixedPoint's matching require
+    require(edgesByDst.isEmpty || assumeDistinct,
+      "edgesByDst requires assumeDistinct=true: the dst-partitioned view " +
+        "is consumed without dedup, so the caller must certify the edge " +
+        "set (and its swapped view) is already distinct")
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val e = if (assumeDistinct) e0 else e0.distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -456,12 +479,8 @@ object GraphOps {
       // argument as pageRankFixedPoint's edgesByDst (the teleport term is
       // a per-node projection and does not change the data motion)
       case Some(dv) =>
-        // same contract as pageRankFixedPoint: the swapped view is consumed
-        // raw, so a non-distinct caller would silently corrupt ranks
-        require(assumeDistinct,
-          "edgesByDst requires assumeDistinct=true: the dst-partitioned view " +
-            "is consumed without dedup, so the caller must certify the edge " +
-            "set (and its swapped view) is already distinct")
+        // contract (edgesByDst ⇒ assumeDistinct) already enforced at the
+        // top of the function, before any job ran
         val eD = pinKeepingLayout(
           dv.select(col(srcCol).as("src"), col(dstCol).as("dst")))
         val degP = pinKeepingLayout(deg)

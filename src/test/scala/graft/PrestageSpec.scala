@@ -14,6 +14,12 @@ class PrestageSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("prestageAll covers every staged artifact the registered queries touch") {
+    // stagedRefs is JVM-global: earlier suites in the same sbt run have
+    // already staged artifacts, and a pre-populated set would HIDE a
+    // missing prestage entry (the ref is present before the snapshot) —
+    // reset so this test exercises prestageAll from a clean set exactly
+    // like a fresh Bench JVM does
+    SparkEntry.resetStagingRefsForTest()
     SparkEntry.prestageAll(spark, dir)
     val preStaged = SparkEntry.stagedRefsSnapshot
     // construction only — the staged helpers run (and register) inside

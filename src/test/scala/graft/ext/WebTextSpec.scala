@@ -102,17 +102,18 @@ class WebTextSpec extends SparkSpec {
       .select(col("doc_id"), col("l.href").as("href"),
         col("l.url_norm").as("url_norm"), col("l.domain").as("domain"))
     val refLinks = WebText.links(pages, "doc_id", "html", "corp.example.com")
-    // except() is set-based — the count pin catches multiplicity drift
-    assert(allLinks.count() === refLinks.count())
-    assert(allLinks.except(refLinks).isEmpty && refLinks.except(allLinks).isEmpty,
+    // exceptAll is MULTISET difference — both empty directions pin exact
+    // row multiplicity, not just the value sets (a total-count check
+    // could not catch per-key multiplicity redistribution)
+    assert(allLinks.exceptAll(refLinks).isEmpty &&
+      refLinks.exceptAll(allLinks).isEmpty,
       "extractAll's links axis drifted from links")
     val allAnchors = all.select(col("doc_id"), explode(col("anchors")).as("a"))
       .select(col("doc_id"), col("a.url_norm").as("url_norm"),
         col("a.anchor_text").as("anchor_text"))
     val refAnchors = WebText.anchorPairs(pages, "doc_id", "html", "corp.example.com")
-    assert(allAnchors.count() === refAnchors.count())
-    assert(allAnchors.except(refAnchors).isEmpty &&
-      refAnchors.except(allAnchors).isEmpty,
+    assert(allAnchors.exceptAll(refAnchors).isEmpty &&
+      refAnchors.exceptAll(allAnchors).isEmpty,
       "extractAll's anchors axis drifted from anchorPairs")
   }
 
