@@ -80,9 +80,15 @@ object SparkEntry {
     * bucket-sizing rule: bucket count must match the parallelism of the
     * exchange it replaces) under probe-only names that never collide
     * with the production staging. */
+  /** The base (pre-digest-suffix) staging name [[stagedCoPurchaseSymBuckets]]
+    * uses — probe cells resolve it to reclaim their probe-only stagings
+    * via [[dropProbeStaging]]. */
+  private[graft] def coPurchaseStagingBaseName(dir: String, nameTag: String): String =
+    s"graft_copurch${nameTag}_${dirDigest(dir)}"
+
   private[graft] def stagedCoPurchaseSymBuckets(s: SparkSession, dir: String,
       buckets: Int, nameTag: String): DataFrame =
-    stagedBucketedTable(s, dir, s"graft_copurch${nameTag}_${dirDigest(dir)}",
+    stagedBucketedTable(s, dir, coPurchaseStagingBaseName(dir, nameTag),
         "a", buckets, Seq("lineitem")) {
       val p = coPurchaseEdges(s, dir)
       val sym = p.select(col("pa").as("a"), col("pb").as("b"), col("w"))
@@ -322,29 +328,61 @@ object SparkEntry {
     * code-source location (`<repo>/target/scala-2.13/classes` for both
     * the sbt and the direct `java -cp` launcher), else the cwd-relative
     * fallback. */
+  /** Decode a `spark.sql.warehouse.dir` conf value to a filesystem path.
+    * The conf value is a URI when Spark set it (file:/x, possibly
+    * percent-encoded — a repo path with a space arrives as %20 and a
+    * bare stripPrefix would resolve to a nonexistent dir); a plain path
+    * when the user set it. Parse as URI first, fall back to the raw
+    * string. ONE helper shared by the staging WRITER
+    * ([[stagedBucketedTable]]'s location) and the sweep READER
+    * ([[sweepWarehouseRoot]]) — with separate decoders the two could
+    * diverge on an encoded path, and the sweep would silently skip the
+    * warehouse half while stagings accumulate under the raw string (the
+    * r14 ADVICE divergence). */
+  private[graft] def warehousePathFromConf(u: String): java.nio.file.Path = {
+    val viaUri = scala.util.Try(new java.net.URI(u)).toOption
+      .filter(x => x.getScheme == "file" && x.getPath != null)
+      .map(x => java.nio.file.Paths.get(x.getPath))
+    viaUri.getOrElse(java.nio.file.Paths.get(u.stripPrefix("file:")))
+  }
+
+  /** Anchors a warehouse root from a graft code-source location WITHOUT
+    * a live session: for the sbt / `java -cp .../classes` launch the
+    * code source is `<root>/target/scala-2.13/classes` and three parents
+    * up is the repo root; an assembled jar in the same sbt layout
+    * (`<root>/target/scala-2.13/graft….jar`) resolves identically, and a
+    * jar deployed elsewhere anchors from its OWN directory (the
+    * conventional app-dir layout). First candidate whose
+    * `spark-warehouse` exists wins; None when none does (jar-only
+    * deployments with no warehouse — nothing to sweep). */
+  private[graft] def warehouseFromCodeSource(
+      src: java.nio.file.Path): Option[java.nio.file.Path] = {
+    val jarDir =
+      if (java.nio.file.Files.isRegularFile(src)) Option(src.getParent) else None
+    val sbtRoot = Option(src.getParent).flatMap(p => Option(p.getParent))
+      .flatMap(p => Option(p.getParent))
+    (jarDir.toSeq ++ sbtRoot.toSeq).map(_.resolve("spark-warehouse"))
+      .find(java.nio.file.Files.isDirectory(_))
+  }
+
   private[graft] def sweepWarehouseRoot: java.nio.file.Path = {
     val fromSession = org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .flatMap(s => scala.util.Try(s.conf.get("spark.sql.warehouse.dir")).toOption)
-      .map { u =>
-        // the conf value is a URI when Spark set it (file:/x, possibly
-        // percent-encoded — a repo path with a space arrives as %20 and a
-        // bare stripPrefix would resolve to a nonexistent dir, silently
-        // skipping the warehouse sweep again); a plain path when the user
-        // set it. Parse as URI first, fall back to the raw string.
-        val viaUri = scala.util.Try(new java.net.URI(u)).toOption
-          .filter(x => x.getScheme == "file" && x.getPath != null)
-          .map(x => java.nio.file.Paths.get(x.getPath))
-        viaUri.getOrElse(java.nio.file.Paths.get(u.stripPrefix("file:")))
-      }
+      .map(warehousePathFromConf)
     def fromCodeSource = scala.util.Try {
       val src = SparkEntry.getClass.getProtectionDomain.getCodeSource
-      val classes = java.nio.file.Paths.get(src.getLocation.toURI)
-      // <repo>/target/scala-2.13/classes -> <repo>/spark-warehouse
-      classes.getParent.getParent.getParent.resolve("spark-warehouse")
-    }.toOption.filter(java.nio.file.Files.isDirectory(_))
-    fromSession.orElse(fromCodeSource)
-      .getOrElse(java.nio.file.Paths.get("spark-warehouse"))
+      java.nio.file.Paths.get(src.getLocation.toURI)
+    }.toOption.flatMap(warehouseFromCodeSource)
+    fromSession.orElse(fromCodeSource).getOrElse {
+      // loud, not silent: a cwd-relative root only sweeps when the JVM
+      // happens to run from the repo root — the exact r13 silent skip
+      System.err.println("[graft] sweepWarehouseRoot: no live session and " +
+        "no code-source anchor resolved a spark-warehouse dir; falling " +
+        "back to cwd-relative 'spark-warehouse' — the warehouse sweep " +
+        "may be skipped for this launch")
+      java.nio.file.Paths.get("spark-warehouse")
+    }
   }
 
   /** GC for stranded stagings (the digest-keyed coexistence rule's
@@ -392,12 +430,17 @@ object SparkEntry {
     // re-open the window this guard closes (a contender locking between
     // probe and unlink gets its inode deleted under it). An
     // OverlappingFileLockException means THIS JVM holds it (a same-process
-    // hold is a hold); a null return means another process does. Residual
-    // window: a contender that OPENED the file before our unlink but locks
-    // after our release acquires an orphaned inode — reachable only by an
-    // old-build JVM (reaped locks are stale-digest; current builds never
-    // open those paths) contending in the same instant after >12 h of
-    // mtime silence, and withBuildLock touches mtime on acquisition.
+    // hold is a hold); a null return means another process does.
+    // TOMBSTONE (r15, closes the r14 residual): a contender that OPENED
+    // the file before our unlink but locks after our release would
+    // acquire an orphaned inode — so before unlinking, the reaper writes
+    // the LockTombstone marker INTO the file through the held channel.
+    // The mark is inode-bound, not path-bound: the stuck contender's fd
+    // references exactly the inode we mark, and [[withBuildLock]]
+    // re-checks for the mark after every acquisition, detecting the
+    // orphan and retrying on a fresh open. Live lock files are created
+    // empty and no live protocol writes them, so the mark can only mean
+    // "this inode was reaped".
     def reapLockWhileHeld(lock: java.nio.file.Path): Boolean =
       try {
         val ch = java.nio.channels.FileChannel.open(lock,
@@ -405,7 +448,12 @@ object SparkEntry {
         try {
           val l = ch.tryLock()
           if (l == null) false
-          else try { java.nio.file.Files.deleteIfExists(lock); true }
+          else try {
+            ch.write(java.nio.ByteBuffer.wrap(LockTombstone), 0L)
+            ch.force(false)
+            java.nio.file.Files.deleteIfExists(lock)
+            true
+          }
           finally l.release()
         } finally ch.close()
       } catch {
@@ -469,22 +517,79 @@ object SparkEntry {
     * winner's completed staging. The 100 TB analogue is the table
     * format's commit protocol — single committer, readers never see a
     * partial snapshot. */
-  private def withBuildLock[A](path: String)(body: => A): A = {
+  /** The inode-bound reap marker [[sweepStaleStagings]] writes into a
+    * lock file (through the held channel) just before unlinking it, and
+    * [[withBuildLock]] checks for after every acquisition — a lock
+    * acquired on a tombstoned inode is an orphan (the path was unlinked,
+    * possibly recreated by another contender) and must be retried on a
+    * fresh open. Live lock files are created empty and never written. */
+  private[graft] val LockTombstone: Array[Byte] =
+    "GRAFT_LOCK_REAPED".getBytes("UTF-8")
+
+  /** Reads back whether a channel's INODE carries the reap tombstone —
+    * the post-acquisition check that closes the r14 orphan window. */
+  private def isTombstoned(ch: java.nio.channels.FileChannel): Boolean = {
+    val buf = java.nio.ByteBuffer.allocate(LockTombstone.length)
+    val n = ch.read(buf, 0L)
+    n == LockTombstone.length &&
+      java.util.Arrays.equals(buf.array(), LockTombstone)
+  }
+
+  /** Crash-leftover cleanup: if the PATH still resolves to a tombstoned
+    * file (a sweeper died between its tombstone write and its unlink),
+    * reap it with the sweep's own while-held discipline — unlink only
+    * while holding the file's lock, and only when the content proves the
+    * inode dead. A tombstoned inode is dead to every protocol
+    * participant by construction, so this unlink can never break live
+    * mutual exclusion; a fresh live file at the path reads no tombstone
+    * and is left alone. */
+  private def reapIfTombstoned(p: java.nio.file.Path): Unit =
+    try {
+      val c = java.nio.channels.FileChannel.open(p,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val l = c.tryLock()
+        if (l != null)
+          try { if (isTombstoned(c)) java.nio.file.Files.deleteIfExists(p): Unit }
+          finally l.release()
+      } finally c.close()
+    } catch {
+      case _: java.nio.channels.OverlappingFileLockException => ()
+      case _: java.io.IOException => ()
+    }
+
+  private[graft] def withBuildLock[A](path: String)(body: => A): A = {
     val lockPath = java.nio.file.Paths.get(path + ".lock")
     if (lockPath.getParent != null)
       java.nio.file.Files.createDirectories(lockPath.getParent)
-    val ch = java.nio.channels.FileChannel.open(lockPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val l = ch.lock()
-      // acquisition does not update mtime by itself — touch so a HELD
-      // lock always looks fresh to the sweep's age guard (a stale-digest
-      // lock is only reaped when no process has locked it for the guard
-      // period)
-      touchMarker(lockPath)
-      try body finally l.release()
-    } finally ch.close()
+    // retry loop: an acquisition that lands on a tombstoned inode (the
+    // sweep reaped the path between our open and our lock — the r14
+    // "orphaned inode" residual, now structurally detected) is released
+    // and re-tried; the fresh open either creates a new live file or
+    // joins the current holder's inode. The guarded reap between passes
+    // clears a crashed sweeper's leftover tombstoned file, so the loop
+    // cannot spin on one dead inode.
+    while (true) {
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.READ)
+      try {
+        val l = ch.lock()
+        if (!isTombstoned(ch)) {
+          // acquisition does not update mtime by itself — touch so a HELD
+          // lock always looks fresh to the sweep's age guard (a stale-
+          // digest lock is only reaped when no process has locked it for
+          // the guard period)
+          touchMarker(lockPath)
+          try return body finally l.release()
+        } else l.release()
+      } finally ch.close()
+      reapIfTombstoned(lockPath)
+      Thread.`yield`()
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** 8-hex digest of the input dir — keys every staged path and table
@@ -634,6 +739,27 @@ object SparkEntry {
   private[graft] def stagedTableName(name0: String): String =
     s"${name0}_${logicDigest.take(8)}"
 
+  /** Eagerly reclaim a PROBE-ONLY staging (r14 ADVICE: ScaleProbe's
+    * b16t/b32t experiment tables carry the current code digest, so the
+    * sweep's keep-by-digest rule preserves them until the NEXT recompile
+    * plus the age-out — silent disk growth on probe hosts). Drops the
+    * catalog entry, deletes the staging location (files + marker + lock
+    * sibling), and forgets the in-process ref so a later same-JVM call
+    * rebuilds cleanly. Probe cells call this in their `finally`. */
+  private[graft] def dropProbeStaging(s: SparkSession, name0: String): Unit = {
+    val name = stagedTableName(name0)
+    try s.sql(s"DROP TABLE IF EXISTS $name"): Unit
+    catch { case scala.util.control.NonFatal(_) => () }
+    val loc = warehousePathFromConf(
+      s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).resolve(name)
+    try graft.etl.Context.deleteRecursively(loc)
+    catch { case scala.util.control.NonFatal(_) => () }
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(loc.toString + ".lock")): Unit
+    catch { case scala.util.control.NonFatal(_) => () }
+    stagedRefs.remove(name): Unit
+  }
+
   /** Stage a derived frame as a BUCKETED managed table once per (input
     * content, [[logicDigest]]) — [[stagedParquet]]'s discipline for the
     * bucketed layouts. Cross-JVM reuse has one extra step: the session
@@ -661,9 +787,10 @@ object SparkEntry {
         s"USING PARQUET CLUSTERED BY ($key) SORTED BY ($key) " +
         s"INTO $buckets BUCKETS LOCATION '${loc.toUri}'")
     }
-    val wh = s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-      .stripPrefix("file:")
-    val loc = java.nio.file.Paths.get(wh, name)
+    // same decode as the sweep reader (warehousePathFromConf) — divergent
+    // decoders would write stagings under a path the sweep never scans
+    val loc = warehousePathFromConf(
+      s.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).resolve(name)
     val marker = loc.resolve(StagingMarkerName)
     if (stagedRefs.add(name)) {
       try {

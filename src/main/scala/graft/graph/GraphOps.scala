@@ -142,26 +142,60 @@ object GraphOps {
     * surfaced exactly this). Disabling the auto rule for the one eager
     * planning+execution of the pin makes the scan bucket-aware, so the
     * checkpointed RDD carries HashPartitioning(bucket key) and the
-    * per-iteration loops below fold on it with ZERO exchange. The conf
-    * flip is session-visible for the pin's duration only (restored in
-    * finally); for non-bucketed inputs it is a no-op. */
-  private def pinKeepingLayout(df: DataFrame): DataFrame =
-    // serialize pins: two concurrent pins on one session would race the
-    // conf flip (one could restore "true" under the other). A concurrent
-    // UNRELATED planner on the same session still sees the flip for the
-    // pin's duration — graft's entry points plan sequentially, and the
-    // only effect on a bystander is a conservatively-bucketed scan, but a
-    // multi-threaded caller timing plans in this window should know
-    pinLock.synchronized {
-      val s = df.sparkSession
-      val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-      val prev = scala.util.Try(s.conf.get(key)).toOption
-      s.conf.set(key, "false")
-      try df.localCheckpoint(true)
-      finally prev.foreach(s.conf.set(key, _))
+    * per-iteration loops below fold on it with ZERO exchange. For
+    * non-bucketed inputs the whole move is a no-op.
+    *
+    * The disable is SESSION-LOCAL by construction: the pin re-plans the
+    * frame on a `cloneSession()` whose conf carries the flag off, so no
+    * planner on the caller's session can ever observe auto-bucketed-scan
+    * disabled — there is no shared-conf flip, no restore window, and no
+    * serialization lock (r14 flipped the shared conf under a lock, which
+    * a concurrent bystander could still see mid-pin). The checkpointed
+    * RDD lives in the shared SparkContext, so the returned frame joins
+    * main-session frames as usual. Clones are cached per session (conf
+    * snapshot at first pin — acceptable because only planner conf matters
+    * to a checkpoint, and graft entry points fix planner conf at session
+    * build); the cache is weak-keyed so closed sessions release.
+    *
+    * The pin re-binds the OPTIMIZED plan, not the analyzed one (r15):
+    * `Dataset.checkpoint` records the physical plan's outputPartitioning
+    * against the LOGICAL plan's output attributes, and the two disagree
+    * whenever the optimizer strips a redundant self-alias
+    * (`col("a").as("a")` — RemoveRedundantAliases reverts the physical
+    * output to the scan's expr ids while the analyzed output keeps the
+    * alias's fresh ids). The checkpoint then carries a partitioning over
+    * ids its own output doesn't contain, and every downstream join/agg
+    * re-exchanges a frame that was laid out for it — SILENTLY, plans
+    * only (bit-identical results). Binding the optimized plan makes the
+    * logical output ids equal the physical ones by construction, so the
+    * recorded layout always attaches — for every caller, whatever
+    * aliases it wrote. (Found by the r15 q_bfs_dist plan pin; the same
+    * degenerate self-alias sat in hitsFixedPoint's forward-edge pin.)
+    *
+    * The checkpoint itself goes through [[org.apache.spark.sql
+    * .graftbridge.DatasetBridge.localCheckpointKeepingLayout]], which
+    * additionally strips catalog qualifiers from the recorded output so
+    * `LogicalRDD.newInstance()` can remap the partitioning when
+    * `DeduplicateRelations` re-instances the pinned frame — a bare
+    * `Dataset.localCheckpoint` keeps the layout only on the FIRST
+    * reference in a multi-reference plan (the r15 q_bfs_dist pin caught
+    * both defects; rationale at the bridge). */
+  private def pinKeepingLayout(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val clone = pinClones.synchronized {
+      pinClones.getOrElseUpdate(s, {
+        val c = org.apache.spark.sql.graftbridge.DatasetBridge.cloneSession(s)
+        c.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        c
+      })
     }
+    org.apache.spark.sql.graftbridge.DatasetBridge.localCheckpointKeepingLayout(
+      org.apache.spark.sql.graftbridge.DatasetBridge
+        .ofRows(clone, df.queryExecution.optimizedPlan))
+  }
 
-  private[this] val pinLock = new Object
+  private[this] val pinClones =
+    new scala.collection.mutable.WeakHashMap[SparkSession, SparkSession]
 
   /** HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED edge
     * frame, as the same deterministic integer fixed point as
@@ -795,15 +829,22 @@ object GraphOps {
     * real edges carry w = 1, per-node self-loops w = 0 (they make the
     * join-min recurrence monotone without a union). Under the
     * [[symmetricLoopFree]] contract the staged table IS this frame —
-    * read roles-swapped so the bucketed column lands on `b`, the
-    * [[relaxRounds]] join key (the [[labelPropagateMin]] move), with the
-    * self-loop weight derived in the projection. The checkpoint
-    * preserves the scan's bucket partitioning for every round. */
+    * read UNSWAPPED so the bucketed column (srcCol) lands on `a`, the
+    * [[relaxRounds]] GROUP key, with the self-loop weight derived in the
+    * projection. [[pinKeepingLayout]] carries the scan's bucket
+    * partitioning through the checkpoint (a bare localCheckpoint drops
+    * it — the r14 discovery; the pre-r15 comment here claimed
+    * preservation the pagerank pin disproved), so each round's
+    * broadcast-join + dst-side min folds IN PLACE with zero exchange —
+    * the [[pageRankFixedPoint]] broadcast-iteration shape. On the
+    * symmetric set the swap is a no-op on rows, so which column carries
+    * the layout is a free choice; `a` is the one the fold keys on. */
   private def bfsEdges(edges: DataFrame, srcCol: String, dstCol: String,
       assumeSymmetric: Boolean): DataFrame =
-    (if (assumeSymmetric)
-      edges.select(col(dstCol).as("a"), col(srcCol).as("b"),
-        when(col(srcCol) === col(dstCol), 0L).otherwise(1L).as("w"))
+    if (assumeSymmetric)
+      pinKeepingLayout(
+        edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+          when(col(srcCol) === col(dstCol), 0L).otherwise(1L).as("w")))
     else {
       val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
         .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
@@ -811,7 +852,8 @@ object GraphOps {
         .select(col("a"), col("b"), lit(1L).as("w"))
       e.unionByName(
         e.select(col("a")).distinct().select(col("a"), col("a").as("b"), lit(0L).as("w")))
-    }).localCheckpoint(true)
+        .localCheckpoint(true)
+    }
 
   /** Multi-source BFS with PER-SOURCE distances: (seed, node, hops) for
     * every node within `maxHops` of each seed — the primitive sampled
@@ -830,10 +872,15 @@ object GraphOps {
       assumeSymmetric: Boolean = false): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     // unlike relaxRounds, this loop joins on `a` — under the contract the
-    // staged frame is read UNSWAPPED so the bucket column is the join key
-    val eSelf = (if (assumeSymmetric)
-        edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
-          when(col(srcCol) === col(dstCol), 0L).otherwise(1L).as("w"))
+    // staged frame is read UNSWAPPED so the bucket column is the join
+    // key, and pinKeepingLayout keeps that layout through the checkpoint
+    // (a bare localCheckpoint drops a bucketed scan's partitioning — the
+    // r14 discovery): every round's frontier join is then exchange-free
+    // on the edge side, only the (seed, node)-keyed frontier moves
+    val eSelf = if (assumeSymmetric)
+        pinKeepingLayout(
+          edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+            when(col(srcCol) === col(dstCol), 0L).otherwise(1L).as("w")))
       else {
         val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
           .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
@@ -841,7 +888,8 @@ object GraphOps {
           .select(col("a"), col("b"), lit(1L).as("w"))
         e.unionByName(
           e.select(col("a")).distinct().select(col("a"), col("a").as("b"), lit(0L).as("w")))
-      }).localCheckpoint(true)
+          .localCheckpoint(true)
+      }
     var d = seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
     var i = 0
     while (i < maxHops) {
@@ -888,11 +936,21 @@ object GraphOps {
     relaxRounds(eSelf, seeds.select(col("node"), lit(0L).as("hops")), maxHops)
   }
 
+  /** The per-round relax: dist(a) := min over edges (a,b) of dist(b)+w.
+    * The settled-distance frame is node-sized (≤ |V| rows regardless of
+    * round), so it is BROADCAST onto the edge frame — the
+    * [[pageRankFixedPoint]] broadcast-iteration regime argument: node
+    * frames fit executor memory even at 100 TB of edges. The broadcast
+    * join preserves the streamed (edge) side's partitioning, so with a
+    * layout-pinned symmetric input the per-round min folds in place on
+    * HashPartitioning(a) — zero hash exchange per round (PlanSpec pins
+    * q_bfs_dist); min over longs is order-independent, so the hop values
+    * are bit-identical to the exchange form. */
   private def relaxRounds(eSelf: DataFrame, dist0: DataFrame, maxHops: Int): DataFrame = {
     var dist = dist0
     for (_ <- 1 to maxHops) {
       dist = eSelf
-        .join(dist.select(col("node").as("nb"), col("hops").as("nd")),
+        .join(broadcast(dist.select(col("node").as("nb"), col("hops").as("nd"))),
           col("b") === col("nb"))
         .groupBy(col("a"))
         .agg(min(col("nd") + col("w")).as("hops"))

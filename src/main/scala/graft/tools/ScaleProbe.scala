@@ -104,10 +104,18 @@ object ScaleProbe {
       val base = s"/tmp/graft_scale/sf_x$f"
       val dPath = s"$base/documents.parquet"
       val ePath = s"$base/embeddings.parquet"
+      // lineitem-only waves (r15 runs at factors past the 26-rotation
+      // ceiling) skip the corpus/dimension staging entirely — the
+      // co-purchase A/B reads nothing but lineitem, and staging a 50×
+      // document corpus it never scans would dominate the probe's
+      // wall-clock AND trip `rotated`'s distinct-copy guard
+      val liOnly = groups.subsetOf(Set("r15"))
+      if (!liOnly) {
       rotated(docs0, f, "doc_id", 10_000_000L).write.mode("overwrite").parquet(dPath)
       (0 until f).map(i => emb0.select((col("vec_id") + lit(i * 10_000_000L)).as("vec_id"),
           col("embedding")))
         .reduce(_.unionByName(_)).write.mode("overwrite").parquet(ePath)
+      }
       // lineitem copies get a per-copy price PERTURBATION so the DISTINCT
       // value count grows with the factor — duplicated values would let the
       // exact-percentile buffer stay constant and hide exactly the
@@ -125,6 +133,7 @@ object ScaleProbe {
           col("l_returnflag"), col("l_linestatus"), col("l_shipdate"),
           (col("l_extendedprice") + lit(i * 0.0001d)).as("l_extendedprice")))
         .reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$base/lineitem.parquet")
+      if (!liOnly) {
       // events pass through Tables.events FIRST so ts is staged as a micros
       // timestamp (staging the raw nanos long would be double-converted on
       // re-read); user offsets grow the window-partition count linearly
@@ -157,8 +166,10 @@ object ScaleProbe {
         .reduce(_.unionByName(_)).write.mode("overwrite").parquet(s"$base/customer.parquet")
       na0.write.mode("overwrite").parquet(s"$base/nation.parquet")
       re0.write.mode("overwrite").parquet(s"$base/region.parquet")
-      val docs = spark.read.parquet(dPath)
-      val emb = spark.read.parquet(ePath)
+      }
+      // lazy: a lineitem-only wave never stages (or reads) the corpus
+      lazy val docs = spark.read.parquet(dPath)
+      lazy val emb = spark.read.parquet(ePath)
 
       if (groups("corpus")) {
       val tMinhash = time(force(Dedup.minhashNearDuplicates(
@@ -884,7 +895,13 @@ object ScaleProbe {
           c16, "a", "b", assumeSymmetric = true)))
         tTri32 = time(force(graft.graph.GraphOps.triangleCounts(
           c32, "a", "b", assumeSymmetric = true)))
-      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr14)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr14)
+        // probe-only stagings carry the live code digest and would
+        // survive every sweep of this build (r14 ADVICE) — reclaim now
+        Seq("b16t", "b32t").foreach(tag => graft.SparkEntry.dropProbeStaging(
+          spark, graft.SparkEntry.coPurchaseStagingBaseName(base, tag)))
+      }
       // (b) q_ppr form adjudication (r13 verdict "what's wrong" #1): the
       // board showed +16% after the switch to the broadcast-iteration
       // form; these matched INTERLEAVED cells (E,B,E,B — min of two each,
@@ -906,6 +923,41 @@ object ScaleProbe {
       val pe2 = pprExch(); val pb2 = pprBcast()
       val tPprE = math.min(pe1, pe2); val tPprB = math.min(pb1, pb2)
       println(f"""SCALE_R14 {"factor":$f, "copurch_lp_b16_nobc":$tLp16%.2f, "copurch_lp_b32_nobc":$tLp32%.2f, "copurch_tri_b16_nobc":$tTri16%.2f, "copurch_tri_b32_nobc":$tTri32%.2f, "ppr_exchange":$tPprE%.2f, "ppr_bcast":$tPprB%.2f, "ppr_reps":"E=$pe1%.2f,$pe2%.2f B=$pb1%.2f,$pb2%.2f"}""")
+      }
+
+      // round-15 wave — run ALONE at cluster-representative factors
+      // (`ScaleProbe <dir> 50,100 r15`; lineitem-only staging above):
+      // the r14 (a) negative (16-bucket co-purchase beat 32 for the
+      // 5-round label-prop at every factor 1-20× under broadcast-off)
+      // shipped with the builder's own prediction that the calculus
+      // flips "when per-task work grows". These cells re-run the
+      // IDENTICAL A/B at 50-100× per-bucket volume to test the
+      // prediction instead of inheriting a small-factor local[32]
+      // negative into the 100 TB design doc (r14 verdict #7). Same
+      // broadcast-off posture, same consumers, min-of-two reps for the
+      // cheap label-prop cells; probe stagings reclaimed in finally.
+      if (groups("r15")) {
+      val thr15 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val p16 = graft.SparkEntry.stagedCoPurchaseSymBuckets(spark, base, 16, "b16u")
+      val p32 = graft.SparkEntry.stagedCoPurchaseSymBuckets(spark, base, 32, "b32u")
+      var lp16a = 0.0d; var lp16b = 0.0d; var lp32a = 0.0d; var lp32b = 0.0d
+      var tri16 = 0.0d; var tri32 = 0.0d
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        def lp(df: DataFrame) = time(force(graft.graph.GraphOps.labelPropagateMin(
+          df, "a", "b", iterations = 5, assumeSymmetric = true)))
+        // interleaved reps: 16,32,16,32 — host drift lands on both arms
+        lp16a = lp(p16); lp32a = lp(p32); lp16b = lp(p16); lp32b = lp(p32)
+        tri16 = time(force(graft.graph.GraphOps.triangleCounts(
+          p16, "a", "b", assumeSymmetric = true)))
+        tri32 = time(force(graft.graph.GraphOps.triangleCounts(
+          p32, "a", "b", assumeSymmetric = true)))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr15)
+        Seq("b16u", "b32u").foreach(tag => graft.SparkEntry.dropProbeStaging(
+          spark, graft.SparkEntry.coPurchaseStagingBaseName(base, tag)))
+      }
+      println(f"""SCALE_R15 {"factor":$f, "copurch_lp_b16_nobc":${math.min(lp16a, lp16b)}%.2f, "copurch_lp_b32_nobc":${math.min(lp32a, lp32b)}%.2f, "copurch_tri_b16_nobc":$tri16%.2f, "copurch_tri_b32_nobc":$tri32%.2f, "lp_reps":"16=$lp16a%.2f,$lp16b%.2f 32=$lp32a%.2f,$lp32b%.2f"}""")
       }
     }
     spark.stop()

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Board-wide plan hygiene lint (r14 verdict #3): the per-query PlanSpec
+  * pins freeze the flagship shapes, but SCALE.md's claim that "the plan
+  * audit greps every query for unpartitioned windows" was prose, not a
+  * committed failing-able test. This spec builds EVERY registered query
+  * at sf0.001 and asserts three structural invariants on each plan:
+  *
+  *  1. no unpartitioned Window — `Window.partitionSpec.isEmpty` moves
+  *     ALL data to one partition (the WindowExec runtime warning), the
+  *     canonical silent 100 TB killer;
+  *  2. no condition-free join unless one side is statically ≤ 1 row
+  *     (`maxRows`) or the join carries an explicit BROADCAST hint — a
+  *     hinted cross is a reviewed bounded-replication choice (sweep
+  *     grids, query sets, fold bounds), an unhinted condition-free join
+  *     is an accidental cartesian;
+  *  3. every physical `Exchange SinglePartition` feeds a global
+  *     aggregate / limit parent — the shapes whose output is bounded
+  *     regardless of input size; anything else serializes the data.
+  *
+  * Logical rules (1, 2) run on `optimizedPlan.collectWithSubqueries`;
+  * rule 3 parses the executed-plan tree string (parent = nearest line
+  * above with smaller indent, AQE wrapper nodes transparent). Justified
+  * exceptions are listed per query in [[allow]] with the reason — an
+  * UNLISTED violation fails the build, and the sentinel test proves the
+  * lint actually fires. */
+class PlanLintSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** (query, rule) pairs exempted WITH justification. Every entry is a
+    * documented scale decision — a window/exchange over a frame whose
+    * row count is bounded by a DOMAIN (days, score values, buckets,
+    * sources, replicas, top-k), not by corpus size, where partitioning
+    * would change the semantics (global cumulative/rank). Keep this
+    * list short and argued. */
+  private val allow: Map[(String, String), String] = Map(
+    ("q_bootstrap_ci", "window") ->
+      "rank over per-replica means — B-replica-bounded (B is the explicit knob)",
+    ("q_bootstrap_ci", "single-partition") ->
+      "the same replica-bounded window's sort",
+    ("q_changepoint", "window") ->
+      "cumulative day stats — date-domain-bounded (one row per day)",
+    ("q_changepoint", "single-partition") ->
+      "the same date-bounded window's sort",
+    ("q_drift_psi", "window") ->
+      "PSI cumulative over the score-bucket rollup — bucket-domain-bounded",
+    ("q_drift_psi", "single-partition") ->
+      "the same bucket-bounded window's sort",
+    ("q_rrf_hybrid", "window") ->
+      "re-rank of the ≤topK=20 bm25 frame — k-bounded by construction",
+    ("q_shuffle_order", "window") ->
+      ("prefix offsets over the ≤65,536-bucket count rollup, never over " +
+        "data (doc at Sampling.shuffleOrder)"),
+    ("q_shuffle_order", "single-partition") ->
+      "the same bucket-count window's sort",
+    ("q_survival_km", "window") ->
+      "KM survival product over distinct event days — date-domain-bounded",
+    ("q_survival_km", "single-partition") ->
+      "the same date-bounded window's sort",
+    ("q_threshold_sweep", "window") ->
+      ("tp/fp suffix sums over distinct score thresholds — score-domain-" +
+        "bounded (doc at Evaluation.thresholdSweep)"),
+    ("q_threshold_sweep", "single-partition") ->
+      "the same threshold-domain window's sort",
+    ("q_token_budget", "window") ->
+      ("source count over the per-source rollup — one row per source " +
+        "(documented inline at the query)"),
+    ("q_token_budget", "single-partition") ->
+      "the same per-source window"
+  )
+
+  private def lintLogical(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.optimizedPlan
+    val windows = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty =>
+        "window: unpartitioned Window (all rows to one partition): " +
+          w.windowExpressions.map(_.name).mkString(",")
+    }
+    def broadcastHinted(j: org.apache.spark.sql.catalyst.plans.logical.Join): Boolean =
+      Seq(j.hint.leftHint, j.hint.rightHint).flatten
+        .exists(_.strategy.contains(org.apache.spark.sql.catalyst.plans.logical.BROADCAST))
+    val cartesians = plan.collectWithSubqueries {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isEmpty && !broadcastHinted(j) &&
+            !j.left.maxRows.exists(_ <= 1L) && !j.right.maxRows.exists(_ <= 1L) &&
+            !j.maxRows.exists(_ <= 1L) =>
+        s"cartesian: condition-free unhinted ${j.joinType} join with no ≤1-row side"
+    }
+    windows ++ cartesians
+  }
+
+  /** Rule 3 on the tree string: each `Exchange SinglePartition` line's
+    * effective parent (nearest line above with a smaller tree depth,
+    * skipping transparent AQE wrapper nodes) must be a global aggregate
+    * (keys=[]) or a limit. An exchange whose only ancestors are
+    * wrappers — `repartition(1)` at the root — is flagged. */
+  private[graft] def lintSinglePartition(planStr: String): Seq[String] = {
+    val lines = planStr.linesIterator.toArray
+    // tree depth = offset of the node marker ("+- " last child, ":- "
+    // other children); the root line has neither and sits at depth -1
+    def depth(l: String): Int =
+      math.max(l.lastIndexOf("+- "), l.lastIndexOf(":- "))
+    val transparent = Seq("AdaptiveSparkPlan", "ResultQueryStage",
+      "ShuffleQueryStage", "BroadcastQueryStage", "AQEShuffleRead",
+      "== Final Plan ==", "== Initial Plan ==", "InputAdapter", "Subquery")
+    val allowedParent = Seq("HashAggregate(keys=[]", "SortAggregate(key=[]",
+      "ObjectHashAggregate(keys=[]", "GlobalLimit", "CollectLimit",
+      "TakeOrderedAndProject")
+    lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange SinglePartition") =>
+        var d = depth(l)
+        var j = i - 1
+        var parent: Option[String] = None
+        while (j >= 0 && parent.isEmpty) {
+          val pl = lines(j)
+          if (depth(pl) < d) {
+            if (transparent.exists(pl.contains)) d = depth(pl)
+            else parent = Some(pl)
+          }
+          j -= 1
+        }
+        parent match {
+          case Some(pl) if allowedParent.exists(pl.contains) => None
+          case Some(pl) =>
+            Some("single-partition: Exchange SinglePartition under " +
+              s"non-bounding parent: ${pl.trim.take(120)}")
+          case None =>
+            Some("single-partition: Exchange SinglePartition with no " +
+              "bounding ancestor (repartition(1)-class)")
+        }
+    }.flatten.toSeq
+  }
+
+  test("every registered query passes the plan lint") {
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, dir)
+        val found = (lintLogical(df) ++
+          lintSinglePartition(df.queryExecution.executedPlan.toString())).distinct
+        found.flatMap { v =>
+          val rule = v.takeWhile(_ != ':')
+          if (allow.contains((name, rule))) None else Some(s"$name -> $v")
+        }
+    }
+    assert(violations.isEmpty,
+      "plan lint violations (add a justified allow entry ONLY for a " +
+        "documented scale decision):\n  " + violations.mkString("\n  "))
+  }
+
+  test("the lint fires on a sentinel bad plan (unpartitioned window, cartesian)") {
+    import spark.implicits._
+    val df = (1 to 10).toDF("x")
+    val badWindow = df.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("x"))))
+    assert(lintLogical(badWindow).exists(_.startsWith("window:")),
+      "lint missed an unpartitioned window")
+    val badCross = df.crossJoin((1 to 10).toDF("y"))
+    assert(lintLogical(badCross).exists(_.startsWith("cartesian:")),
+      "lint missed a cartesian product")
+    // scalar cross (1-row agg side) is the engine's documented pattern
+    val okCross = df.crossJoin(df.agg(max(col("x")).as("m")))
+    assert(!lintLogical(okCross).exists(_.startsWith("cartesian:")),
+      "lint wrongly flagged a broadcast scalar cross-join")
+    // an explicitly-hinted bounded cross (sweep-grid pattern) must pass
+    val hintedCross = df.crossJoin(broadcast((1 to 4).toDF("nprobe")))
+    assert(!lintLogical(hintedCross).exists(_.startsWith("cartesian:")),
+      "lint wrongly flagged an explicitly-broadcast bounded cross-join")
+    // a partitioned window must pass
+    val okWindow = df.withColumn("g", col("x") % 2).withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("x"))))
+    assert(lintLogical(okWindow).isEmpty,
+      "lint wrongly flagged a partitioned window")
+    // rule 3 sentinel: repartition(1) is an unbounded single-partition
+    // exchange; a global agg's SinglePartition exchange is bounded
+    val badSp = df.repartition(1).queryExecution.executedPlan.toString()
+    assert(lintSinglePartition(badSp).nonEmpty,
+      "lint missed repartition(1):\n" + badSp)
+    val okSp = df.agg(sum(col("x"))).queryExecution.executedPlan.toString()
+    assert(lintSinglePartition(okSp).isEmpty,
+      "lint wrongly flagged a global aggregate:\n" + okSp)
+  }
+}

@@ -361,6 +361,81 @@ class PlanSpec extends SparkSpec {
       "pinned swapped edge view missing from the loop:\n" + p.take(3000))
   }
 
+  test("bfs: ZERO hash exchange in any relax round (pinned layout + broadcast frontier)") {
+    // r15, the r14 hazard sweep's one REAL hit: bfsEdges bare-checkpointed
+    // a projection of the bucketed co-purchase scan while its comment
+    // claimed the checkpoint "preserves the scan's bucket partitioning" —
+    // exactly the false claim the r14 pagerank pin disproved. The fix is
+    // the pagerank broadcast-iteration move: read the symmetric table
+    // UNSWAPPED (bucket column = the per-round GROUP key `a`),
+    // pinKeepingLayout the relax frame, broadcast the node-sized distance
+    // frame into each round — the per-round min then folds IN PLACE on
+    // the recorded HashPartitioning(a). Zero hash exchange of any size in
+    // any round; the only non-broadcast movement is the one-row seed
+    // aggregate (SinglePartition, not hash).
+    val df = SparkEntry.queries("q_bfs_dist")(spark, dir)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert(!"Exchange hashpartitioning".r.findAllIn(p).hasNext,
+      "hash exchange inside the BFS relax loop:\n" + p.take(3000))
+    assert(p.contains("BroadcastExchange"),
+      "the distance frame is not broadcast — the relax degenerated:\n" + p.take(3000))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "pinned relax frame missing from the loop:\n" + p.take(3000))
+  }
+
+  test("layout pin is session-local: a concurrent planner keeps bucket-aware scans") {
+    // r15 (r14 verdict #2): pinKeepingLayout plans its eager checkpoint
+    // on a cached cloned session whose conf carries autoBucketedScan
+    // off — the caller session's conf is never written, so there is no
+    // window in which a concurrent planner could observe the flip (the
+    // r14 implementation flipped the shared conf under a lock and
+    // documented the bystander hazard instead of removing it). Exercise
+    // it live: pins loop in a background thread while this thread plans
+    // a bucket-keyed rollup repeatedly — every plan must stay
+    // bucket-aware and the session flag must read true throughout.
+    import org.apache.spark.sql.functions.col
+    val sym = SparkEntry.stagedCoPurchaseSymBuckets(spark, dir, 16, "")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val pinner = new Thread(() => {
+      try while (!stop.get()) {
+        // construction pins eSelf via pinKeepingLayout (an eager
+        // checkpoint job per loop pass)
+        graft.graph.GraphOps.bfsFromMinNode(sym, "a", "b", maxHops = 1,
+          assumeSymmetric = true): Unit
+      } catch { case t: Throwable => err.set(t) }
+    })
+    pinner.start()
+    try (1 to 25).foreach { _ =>
+      val p = sym.groupBy(col("a")).count()
+        .queryExecution.executedPlan.toString()
+      assert(p.contains("Bucketed: true"),
+        "concurrent planner lost the bucket-aware scan during a pin:\n" + p.take(2000))
+      assert(spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true") == "true",
+        "the layout pin flipped the MAIN session's autoBucketedScan conf")
+    } finally { stop.set(true); pinner.join(30000) }
+    assert(err.get() == null, s"pinner thread failed: ${err.get()}")
+  }
+
+  test("closeness: per-round frontier joins are exchange-free on the pinned edge side") {
+    // multiSourceBfs's eSelf is the same pinned projection (bucket column
+    // = the join key `a`); the (seed, node)-keyed frontier is the only
+    // frame allowed to move — it re-keys per round by construction. An
+    // `Exchange hashpartitioning(a#` would mean the 100 TB edge frame
+    // reshuffles inside every hop.
+    val df = SparkEntry.queries("q_closeness")(spark, dir)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert(!"Exchange hashpartitioning\\(a#".r.findAllIn(p).hasNext,
+      "edge-side exchange found inside the multi-source BFS loop:\n" + p.take(3000))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "pinned relax frame missing from the loop:\n" + p.take(3000))
+  }
+
   test("staged bipartite table is a symmetric closure (the assumeNoDangling certificate)") {
     // q_pagerank/q_ppr pass assumeNoDangling on the strength of this
     // property: the closure holds every edge's reverse, so every dst is a

@@ -36,5 +36,30 @@ class PrestageSpec extends SparkSpec {
     assert(lateByQuery.isEmpty,
       "staged artifacts first touched OUTSIDE prestageAll (add them to " +
         s"the prestage list): ${lateByQuery.distinct.mkString(", ")}")
+
+    // LAZY-STAGING NET (r14 ADVICE): the construction walk above only
+    // catches helpers that stage eagerly at query build — a future
+    // helper staging lazily inside an action would register nothing
+    // during construction, leaving this pin green while Bench
+    // late-stages at timed-pass time (the runtime late_staged counter
+    // would then be the only net, and it only fires on a real Bench).
+    // A bounded limit(1) execution per query closes that class here:
+    // whatever staging a real run would trigger registers during these
+    // executions, and the staged set must STILL not grow past
+    // prestageAll's. Cheap at sf0.001 (CollectLimit short-circuits
+    // scans; aggregates are fixture-sized).
+    var seenExec = seen
+    val lateByExec = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, dir).limit(1).queryExecution.toRdd.count(): Unit
+        val now = SparkEntry.stagedRefsSnapshot
+        val late = now -- seenExec
+        seenExec = now
+        late.map(name -> _)
+    }
+    assert(lateByExec.isEmpty,
+      "staged artifacts first registered during EXECUTION, not " +
+        "construction (a lazily-staging helper missing from prestageAll): " +
+        lateByExec.distinct.mkString(", "))
   }
 }

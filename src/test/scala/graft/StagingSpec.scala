@@ -104,6 +104,105 @@ class StagingSpec extends SparkSpec {
     graft.etl.Context.deleteRecursively(root)
   }
 
+  test("a reaped lock's inode is tombstoned: the stuck contender detects the orphan") {
+    // the r14 residual: a contender that OPENED the lock file before the
+    // sweep's unlink but locks after its release used to acquire an
+    // orphaned inode silently. r15's sweep writes the tombstone INTO the
+    // file (inode-bound) while holding the probe lock, before unlinking —
+    // so the stuck contender's own fd reads the mark after acquisition.
+    val root = Files.createTempDirectory("graft_tombstone_spec")
+    val now = 1_000_000_000_000L
+    val lock = root.resolve("graft_x_aaaaaaaa_deadbeef.lock")
+    Files.write(lock, Array.emptyByteArray)
+    Files.setLastModifiedTime(lock, FileTime.fromMillis(now - 48 * hour))
+    // the contender opens… and stalls before lock()
+    val ch1 = java.nio.channels.FileChannel.open(lock,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      // sweep reaps: tombstone write + unlink, all while holding tryLock
+      assert(SparkEntry.sweepStaleStagings(Seq(root), 12 * hour, now) == Seq(lock))
+      assert(!Files.exists(lock))
+      // the contender now locks the ORPHANED inode — and must see the mark
+      val l = ch1.lock()
+      try {
+        val buf = java.nio.ByteBuffer.allocate(SparkEntry.LockTombstone.length)
+        val n = ch1.read(buf, 0L)
+        assert(n == SparkEntry.LockTombstone.length &&
+          java.util.Arrays.equals(buf.array(), SparkEntry.LockTombstone),
+          "reaped inode carries no tombstone — the orphan window is open again")
+      } finally l.release()
+    } finally ch1.close()
+    graft.etl.Context.deleteRecursively(root)
+  }
+
+  test("withBuildLock retries past a tombstoned inode onto a fresh live lock") {
+    // deterministic simulation of the detect-and-retry path: a tombstoned
+    // file sitting AT the path (a sweeper that died between its tombstone
+    // write and its unlink) must not satisfy an acquisition — the first
+    // pass detects the mark, the guarded reap clears the dead file, and
+    // the second pass creates a fresh live lock and runs the body.
+    val root = Files.createTempDirectory("graft_tombretry_spec")
+    val base = root.resolve("graft_x_bbbbbbbb_deadbeef")
+    val lock = Paths.get(base.toString + ".lock")
+    Files.write(lock, SparkEntry.LockTombstone)
+    var ran = false
+    val out = SparkEntry.withBuildLock(base.toString) { ran = true; 42 }
+    assert(out == 42 && ran, "body did not run after the tombstone retry")
+    assert(Files.exists(lock), "retry did not recreate a live lock file")
+    assert(Files.size(lock) == 0L,
+      "the fresh lock file is not empty — tombstone content leaked into a live lock")
+    graft.etl.Context.deleteRecursively(root)
+  }
+
+  test("warehouse code-source anchor resolves classes-dir, sbt-jar and app-dir-jar layouts") {
+    // ADVICE r14: production sweeps (initStaging before any session) rest
+    // entirely on the code-source anchor, which only handled the
+    // classes-dir layout — a jar-packaged launch silently fell back to the
+    // cwd-relative root, the exact r13 skip. The resolver is now a pure
+    // function tested WITHOUT a session for all three launch layouts.
+    val t = Files.createTempDirectory("graft_codesrc_spec")
+    // sbt classes-dir launch: <root>/target/scala-2.13/classes
+    val classes = t.resolve("repo/target/scala-2.13/classes")
+    Files.createDirectories(classes)
+    Files.createDirectories(t.resolve("repo/spark-warehouse"))
+    assert(SparkEntry.warehouseFromCodeSource(classes)
+      .contains(t.resolve("repo/spark-warehouse")))
+    // sbt-layout jar: <root>/target/scala-2.13/app.jar
+    val sbtJar = t.resolve("repo2/target/scala-2.13/app.jar")
+    Files.createDirectories(sbtJar.getParent)
+    Files.write(sbtJar, Array[Byte](1))
+    Files.createDirectories(t.resolve("repo2/spark-warehouse"))
+    assert(SparkEntry.warehouseFromCodeSource(sbtJar)
+      .contains(t.resolve("repo2/spark-warehouse")))
+    // deployed jar next to its warehouse: <dir>/app.jar + <dir>/spark-warehouse
+    val appJar = t.resolve("deploy/app.jar")
+    Files.createDirectories(appJar.getParent)
+    Files.write(appJar, Array[Byte](1))
+    Files.createDirectories(t.resolve("deploy/spark-warehouse"))
+    assert(SparkEntry.warehouseFromCodeSource(appJar)
+      .contains(t.resolve("deploy/spark-warehouse")))
+    // no warehouse anywhere → None (caller falls back loudly)
+    val lost = t.resolve("elsewhere/lib/app.jar")
+    Files.createDirectories(lost.getParent)
+    Files.write(lost, Array[Byte](1))
+    assert(SparkEntry.warehouseFromCodeSource(lost).isEmpty)
+    graft.etl.Context.deleteRecursively(t)
+  }
+
+  test("warehouse conf decode is shared and handles URIs, encoding and plain paths") {
+    // ADVICE r14: the writer (stagedBucketedTable location) and the
+    // reader (sweep root) must decode the SAME way or an encoded
+    // warehouse path splits them — stagings written under the raw string,
+    // sweep scanning the decoded one
+    assert(SparkEntry.warehousePathFromConf("file:/a/b") == Paths.get("/a/b"))
+    assert(SparkEntry.warehousePathFromConf("file:/a/with%20space/w")
+      == Paths.get("/a/with space/w"))
+    assert(SparkEntry.warehousePathFromConf("/plain/path") == Paths.get("/plain/path"))
+    assert(SparkEntry.warehousePathFromConf("spark-warehouse")
+      == Paths.get("spark-warehouse"))
+  }
+
   test("the warehouse sweep root resolves absolutely (not cwd-relative)") {
     // a relative `spark-warehouse` silently skips the warehouse half of
     // the GC whenever the launcher's cwd is not the repo root (r13
