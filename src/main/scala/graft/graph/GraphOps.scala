@@ -197,6 +197,11 @@ object GraphOps {
   private[this] val pinClones =
     new scala.collection.mutable.WeakHashMap[SparkSession, SparkSession]
 
+  /** Probe/test hook for [[pinKeepingLayout]] — lets the scratch plan
+    * probes (tools/HitsProbe) replay one fixed-point round with the
+    * REAL pin semantics; never used by query paths. */
+  private[graft] def pinForProbe(df: DataFrame): DataFrame = pinKeepingLayout(df)
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED edge
     * frame, as the same deterministic integer fixed point as
     * [[pageRankFixedPoint]]: per round auth_raw(p) = Σ_{h→p} hub(h),
@@ -209,30 +214,37 @@ object GraphOps {
     * scale step multiplies by 1e6 again — beyond ~1e6 max degree, widen
     * the multiply to decimal(38,0) (same plan shape).
     *
-    * Plan shape, deliberately different from pageRank's lazy single plan:
-    * each round's HUB frame is eagerly materialized (`localCheckpoint`)
-    * — left lazy across rounds, the doubled raw-frame references
-    * compound per round into an exponentially duplicated subtree. The
-    * AUTH frame stays lazy inside its round (it has exactly one
-    * consumer, the hub-side join, so a pin of its own only added a job
-    * barrier — r13 A/B) except in the last round, where the final union
-    * is a second consumer and the pin prevents an auth-half replay. A
-    * raw frame inside one round is consumed twice (its own max + the
-    * scaled projection) WITHOUT a checkpoint of its own: both references
-    * sit in the SAME plan, so ReuseExchange computes the join+sum
-    * shuffle once and the 1-row max rides the reused exchange inside the
-    * same job — one materialized job per round plus the final auth pin
-    * (iterations+1 jobs total) instead of the previous two per round,
-    * which themselves replaced four (raw checkpoint + separate
-    * broadcast-max job per side). The pinned frames are (node, long) —
-    * tiny. The edge frame is pinned once for the same reason (2
-    * consumers per round across checkpoint boundaries, where
-    * ReuseExchange cannot see). Scale: per round two rank-adjacency
-    * equi-joins + two map-combined sums + two 1-row maxes over the
-    * reused exchange; bucket the edge frame by src/dst and the joins are
-    * exchange-free on the edge side (the staged bipartite table is
-    * bucketed on src — the hub-side join — and `assumeDistinct` keeps
-    * that layout alive through the pin). */
+    * Plan shape (r15, rebuilt from a probe of the EXECUTED round plan —
+    * tools/HitsProbe): each half-round pins its RAW frame
+    * (`localCheckpoint`, node-sized) and the scaled frame is a lazy
+    * projection over the pin. The previous shape left raw lazy and
+    * relied on ReuseExchange to share the join+sum between the raw
+    * frame's two references (its own 1-row max and the scaled
+    * projection); the executed AQE plan shows that reuse NEVER fired
+    * once the pinned layouts deleted the per-round exchanges — nothing
+    * left to reuse — so every max-broadcast branch silently re-ran the
+    * whole edge join+fold, 3-4 edge passes per round instead of 2. The
+    * raw pins make each half-round's join+fold run exactly once, and
+    * the max is a trivial job over the pinned (node, long) frame.
+    *
+    * Join/fold orientation (r15, the same probe): the node-sized rank
+    * frame is explicitly `broadcast(...)` into the edge join — without
+    * the hint the planner broadcast the pinned EDGE frame and streamed
+    * the rank frame, backwards at any scale — and because the join side
+    * is broadcast, the edge layout is free to serve the FOLD key
+    * instead of the join key: the auth half-round (fold on dst) reads
+    * the dst-partitioned view and the hub half-round (fold on src)
+    * reads the src-partitioned view, so with a two-layout edge store
+    * both folds run in place and a round ships ZERO hash exchange —
+    * the [[pageRankFixedPoint]] broadcast-iteration shape, applied to
+    * both directions. (The pre-r15 code had the views swapped — each
+    * layout served the join key its broadcast had just made
+    * irrelevant — so every fold paid a partials exchange.)
+    *
+    * Scale: per round two broadcast joins of node-sized rank frames
+    * into in-place edge folds + two 1-row maxes over pinned node
+    * frames; the edge frame is pinned once per direction and never
+    * moves. */
   def hitsFixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, assumeDistinct: Boolean = false,
       edgesByDst: Option[DataFrame] = None): DataFrame = {
@@ -270,29 +282,26 @@ object GraphOps {
     var hub = e.select(col("src").as("node")).distinct()
       .withColumn("hub_fp", lit(1000000L))
     var auth: DataFrame = hub.limit(0).withColumnRenamed("hub_fp", "auth_fp")
-    for (i <- 1 to iterations) {
-      val authRaw = e.join(hub, col("src") === col("node"))
+    for (_ <- 1 to iterations) {
+      // AUTH half-round: fold key is dst, so the dst-partitioned view
+      // (eDst) feeds it — the broadcast hub makes the JOIN key's layout
+      // irrelevant, and the dst fold runs in place on eDst's pinned
+      // partitioning. The raw pin (node-sized) is what lets the 1-row
+      // max and the scaled projection read ONE computation — the
+      // executed-plan probe showed the old lazy raw re-ran the whole
+      // join+fold per reference (scaladoc above).
+      val authRaw = eDst.join(broadcast(hub), col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("hub_fp")).as("raw"))
+        .localCheckpoint(true)
       auth = authRaw.crossJoin(broadcast(authRaw.agg(max(col("raw")).as("m"))))
         .select(col("dst").as("node"), expr("(raw * 1000000) div m").as("auth_fp"))
-      // auth is consumed ONCE per round (the hub-side join below), so an
-      // eager pin here only adds a job barrier — leave it lazy and let
-      // hub's checkpoint job compute the whole round (ReuseExchange still
-      // computes authRaw's shuffle once for its max + scale references).
-      // The LAST round's auth is the exception: the final union reads it
-      // alongside hub, and without its own pin that second consumer
-      // would replay the auth half-round from hub's checkpoint (r13 A/B:
-      // 2 fewer jobs per round, bit-identical integer recurrence)
-      if (i == iterations) auth = auth.localCheckpoint(true)
-      val hubRaw = eDst.join(auth, col("dst") === col("node"))
+      // HUB half-round: fold key is src — the src-partitioned view (e)
+      // feeds it, same orientation rule
+      val hubRaw = e.join(broadcast(auth), col("dst") === col("node"))
         .groupBy(col("src")).agg(sum(col("auth_fp")).as("raw"))
-      // hub keeps its per-round pin: deferring it too (fully lazy rounds,
-      // one plan) measured the same 4.1-4.2 s steady state (r13 A/B) —
-      // past the auth pin, job barriers are no longer the cost — while
-      // compounding the textually duplicated raw subtrees per round
+        .localCheckpoint(true)
       hub = hubRaw.crossJoin(broadcast(hubRaw.agg(max(col("raw")).as("m"))))
         .select(col("src").as("node"), expr("(raw * 1000000) div m").as("hub_fp"))
-        .localCheckpoint(true)
     }
     hub.select(col("node"), lit("hub").as("kind"), col("hub_fp").as("score_fp"))
       .unionByName(

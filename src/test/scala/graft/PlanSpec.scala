@@ -1368,29 +1368,64 @@ class PlanSpec extends SparkSpec {
       s"IVF-PQ fell back to all-pairs:\n${p.take(3000)}")
   }
 
-  test("hits round shape: the raw-frame shuffle feeds both max and projection once (ReusedExchange)") {
-    // mirrors ONE round of GraphOps.hitsFixedPoint (whose real rounds
-    // materialize inside localCheckpoint jobs, invisible to a plan dump):
-    // the raw frame is referenced twice — its own 1-row max and the
-    // scaled projection — with NO checkpoint between; the contract that
-    // makes that a single computation is ReuseExchange deduplicating the
-    // groupBy shuffle, so the max rides the same exchange inside the
-    // same job. If this pin breaks, hitsFixedPoint is recomputing its
-    // join+sum once per reference.
-    import org.apache.spark.sql.functions.{broadcast, col, expr, lit, max, sum}
-    val edges = spark.range(0, 1000)
-      .selectExpr("id % 50 as src", "(id % 37) + 100 as dst").distinct()
-    val hub = edges.select(col("src").as("node")).distinct()
+  test("hits half-round: ZERO hash exchange, node frame broadcast, fold in place") {
+    // replays ONE real auth half-round of GraphOps.hitsFixedPoint over
+    // the staged symmetric table (the real rounds materialize inside
+    // localCheckpoint jobs, invisible to a plan dump of the query
+    // result). r15 contract, from the executed-plan probe that rebuilt
+    // the round shape: (1) the node-sized hub frame is the BROADCAST
+    // side — without the hint the planner broadcast the pinned EDGE
+    // frame and streamed the rank frame, backwards at any scale; (2)
+    // because the join side is broadcast, the dst-partitioned edge view
+    // serves the FOLD key, so the dst sum folds in place — zero hash
+    // exchange of any size in the half-round; (3) the raw frame is
+    // pinned before its max/scale references (asserted structurally in
+    // hitsFixedPoint itself — here the half-round plan must be
+    // exchange-free and node-side-built).
+    import org.apache.spark.sql.functions.{broadcast, col, lit, sum}
+    val sym = SparkEntry.stagedBipartiteEdges(spark, dir)
+    val e = graft.graph.GraphOps.pinForProbe(
+      sym.where(col("src") % 2 === 0).select(col("src"), col("dst")))
+    val eDst = graft.graph.GraphOps.pinForProbe(
+      sym.where(col("src") % 2 === 1)
+        .select(col("dst").as("src"), col("src").as("dst")))
+    val hub = e.select(col("src").as("node")).distinct()
       .withColumn("hub_fp", lit(1000000L))
-    val raw = edges.join(hub, col("src") === col("node"))
+    val authRaw = eDst.join(broadcast(hub), col("src") === col("node"))
       .groupBy(col("dst")).agg(sum(col("hub_fp")).as("raw"))
-    val norm = raw.crossJoin(broadcast(raw.agg(max(col("raw")).as("m"))))
-      .select(col("dst").as("node"), expr("(raw * 1000000) div m").as("auth_fp"))
-    norm.queryExecution.toRdd.count()
-    val p = norm.queryExecution.executedPlan.toString()
+    authRaw.queryExecution.toRdd.count()
+    val p = authRaw.queryExecution.executedPlan.toString()
     assert(p.contains("isFinalPlan=true"), p.take(500))
-    assert("Reused".r.findAllIn(p).nonEmpty,
-      s"raw-frame exchange not reused — the round recomputes its join+sum:\n${p.take(3000)}")
+    assert(!"Exchange hashpartitioning".r.findAllIn(p).hasNext,
+      s"hash exchange inside a HITS half-round — the fold lost the pinned layout:\n${p.take(3000)}")
+    // the broadcast must build from the node frame (a HashAggregate-
+    // derived distinct), never from the pinned edge scan: an edge-side
+    // build is the wrong side at any scale
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.RDDScanExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE query stages are tree LEAVES — expand through them so the
+    // broadcast nodes inside materialized stages are visible
+    def expand(pl: SparkPlan): Seq[SparkPlan] = {
+      val inner = pl match {
+        case q: QueryStageExec        => expand(q.plan)
+        case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+        case _                        => Seq.empty
+      }
+      pl +: (pl.children.flatMap(expand) ++ inner)
+    }
+    val all = expand(authRaw.queryExecution.executedPlan)
+    val bcasts = all.collect { case b: BroadcastExchangeExec => b }
+    assert(bcasts.nonEmpty, s"no broadcast in the half-round:\n${p.take(3000)}")
+    bcasts.foreach { b =>
+      val sub = expand(b.child)
+      val hasAgg = sub.exists(_.isInstanceOf[HashAggregateExec])
+      val isBareEdgeScan = !hasAgg && sub.exists(_.isInstanceOf[RDDScanExec])
+      assert(!isBareEdgeScan,
+        s"broadcast builds from the pinned EDGE frame (wrong side):\n${b.toString.take(2000)}")
+    }
   }
 
   test("ann tuning: all four sweep points read the ONE staged IVF index") {
