@@ -38,6 +38,20 @@ object Bench {
       // not data caching — every run still computes from parquet.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+      // AQE coalescing floor (default 1m): with parallelismFirst the
+      // coalesced partition size is clamped BELOW by this floor, so any
+      // shuffle under ~32 MB collapses to a handful of tasks — which
+      // serializes the engine's compute-heavy, byte-light reducers (HLL
+      // merges, jaccard verifies, posting folds: 100s of ms of CPU per
+      // MB, vs ~ms of per-task overhead). 128k keeps those at full
+      // parallelism; the floor never binds at cluster scale (it is
+      // irrelevant once totalBytes/parallelism > 1 MB), so this is
+      // scale-neutral. r15 A/B (two interleaved pairs, 46-query subset):
+      // board-neutral median, consistent wins on q_prefix_join
+      // (−35-45%), q_web_corpus_funnel (−20-25%), q_inverted_index
+      // (−20%), q_approx_distinct (−15-18%); no consistent loser.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "128k"))
       .config("spark.ui.enabled", "false")
       // default is 30min — far longer than a bench session, so broadcast/
       // shuffle cleanup would otherwise never run between queries
