@@ -239,11 +239,22 @@ object Bench {
     // the short-line protocol above, and the next session (or any judge)
     // reads every timing from bench_queries.json instead of excavating a
     // truncated tail. Best-effort — a read-only CWD must not fail the run.
+    // r16 (r15 verdict #2): the driver invokes Bench TWICE (32-core board,
+    // then the 8-core scaling run) and the second invocation OVERWRITES
+    // bench_queries.json — the 32-core per-query map of a round was
+    // unrecoverable from the artifacts (PERF_r15 ended up with n_common=0
+    // because only the truncated stdout tail survived). A cpus-suffixed
+    // copy makes each invocation's full map durable; bench_queries.json
+    // stays as the "latest run" convenience view (additions only, stdout
+    // contract untouched).
     try {
       val qj = results.toSeq.sortBy(_._1)
         .map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"),
-        s"""{"total_sec":${fmt(total)},"n_queries":${results.size},"failed":$failed,"staging_build_sec":${fmt(stagingBuildSec)},"late_staged":${lateStaged.size}$controlField$hostFields,"sf":"$sfDir","queries":$qj}""" + "\n")
+      val body =
+        s"""{"total_sec":${fmt(total)},"n_queries":${results.size},"failed":$failed,"staging_build_sec":${fmt(stagingBuildSec)},"late_staged":${lateStaged.size}$controlField$hostFields,"cpus":$cpus,"sf":"$sfDir","queries":$qj}""" + "\n"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_queries.json"), body)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"bench_queries_c$cpus.json"), body)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_queries.json: ${e.getMessage}")
     }
