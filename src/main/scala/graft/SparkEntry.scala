@@ -714,6 +714,10 @@ object SparkEntry {
           if (!reusable) {
             build.write.mode("overwrite").parquet(path)
             writeMarker(marker, Map("fp" -> fp))
+            // a rebuild at an EXISTING path is the one case where the
+            // path's schema may change within this JVM — drop the cached
+            // inferred schema so the re-read below re-infers
+            graft.sources.Tables.invalidateSchema(path)
           }
         }
       } catch { case t: Throwable =>
@@ -729,7 +733,11 @@ object SparkEntry {
     // through the in-process fast path must keep its staging out of a
     // coexisting build's sweep
     touchMarker(marker)
-    s.read.parquet(path)
+    // schema-cached read (Tables.parquet): a bare read re-infers the
+    // schema with a ~20 ms driver footer job on EVERY staged-frame
+    // access — a pure-metadata cost the bench paid hundreds of times
+    // per pass (r16; rationale at Tables.schemaCache)
+    graft.sources.Tables.parquet(s, path)
   }
 
   /** The registered catalog name for a staged bucketed table: the
@@ -2511,7 +2519,7 @@ object SparkEntry {
     // other languages' files are never opened; PlanSpec pins
     // PartitionFilters non-empty and PushedFilters lang-free)
     "q_partition_prune" -> ((s, dir) => {
-      s.read.parquet(partitionedDocsPath(s, dir))
+      graft.sources.Tables.parquet(s, partitionedDocsPath(s, dir))
         .where(col("lang") === "en")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
@@ -3302,8 +3310,8 @@ object SparkEntry {
     // `dynamicpruning` in the scan). The oracle is the equivalent
     // static filter — DPP is an access-path property, not a semantic one
     "q_dynamic_prune" -> ((s, dir) => {
-      val facts = s.read.parquet(partitionedDocsPath(s, dir))
-      val dim = s.read.parquet(s"$dir/documents.parquet")
+      val facts = graft.sources.Tables.parquet(s, partitionedDocsPath(s, dir))
+      val dim = graft.sources.Tables.parquet(s, s"$dir/documents.parquet")
         .where(col("lang").isin("en", "de"))
         .select(col("lang")).distinct()
       facts.join(dim, Seq("lang"))

@@ -394,7 +394,9 @@ object Dedup {
       shingleSize: Int = 5, numHashes: Int = 128, bands: Int = 32,
       threshold: Double = 0.8): DataFrame = {
     val spark = newDf.sparkSession
-    val staged = spark.read.parquet(stagedPath)
+    // schema-cached read: skips the per-access footer-inference job
+    // (rationale at Tables.schemaCache)
+    val staged = graft.sources.Tables.parquet(spark, stagedPath)
     val sh = NativeExpressions.charShingles(col(textCol), shingleSize)
     val newBuckets = bandRows(newDf, idCol, "new_id", sh, numHashes, bands)
     val refBuckets = staged.select( // prunes the shingle column at the scan

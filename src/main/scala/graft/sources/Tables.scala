@@ -19,6 +19,41 @@ object Tables {
 
   val NanosAsLongConf = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** JVM-local cache of INFERRED parquet schemas, keyed by path (r16).
+    *
+    * `spark.read.parquet(path)` without a user schema runs a driver-side
+    * footer-read JOB (~20 ms) on every call — and the engine re-reads
+    * the same immutable fixture tables on every query construction, so a
+    * 254-query bench session paid THOUSANDS of footer jobs (JobProfile:
+    * q_fk_sketch alone opened with 8 × 20 ms "parquet at Tables.scala"
+    * jobs before any data work). Passing the once-inferred schema back
+    * via `.schema(...)` skips inference entirely; the DATA is still read
+    * from parquet at execution, every run — this caches metadata the way
+    * any catalog does, never rows or results.
+    *
+    * Safety: the cache is per-JVM and keyed by the absolute path. Raw
+    * fixture tables are immutable during a run; staged artifacts embed
+    * the code digest in their path, so a logic change that could alter
+    * the written schema also changes the cache key. The one conf that
+    * shapes inference (`nanosAsLong`) is fixed at session build by every
+    * entry point, before any read. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Read a parquet path with the cached inferred schema (see
+    * [[schemaCache]]); first access per path pays the one footer job. */
+  def parquet(spark: SparkSession, path: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
+
+  /** Drop a cached schema — called by the staging layer when it REBUILDS
+    * an artifact at an existing path (input mutation under the same code
+    * digest), the one case where a path's schema could legally change
+    * within a JVM. */
+  def invalidateSchema(path: String): Unit = schemaCache.remove(path): Unit
+
   /** Exact integer micros-since-epoch for an event-time column of ANY of
     * the shapes `ts` can arrive in (TIMESTAMP, TIMESTAMP_NTZ). The session
     * time zone is pinned UTC in every entry point, so the NTZ->LTZ cast is
@@ -28,7 +63,7 @@ object Tables {
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else parquet(spark, s"$dir/$name.parquet")
 
   /** Persist a table bucketed (and sorted) by the join key. Two tables
     * bucketed the same way join with ZERO exchanges — the co-location
@@ -87,5 +122,5 @@ object Tables {
     }
 
   def events(spark: SparkSession, dir: String): DataFrame =
-    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+    normalizeEventTs(parquet(spark, s"$dir/events.parquet"))
 }
