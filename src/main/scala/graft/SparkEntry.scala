@@ -4984,16 +4984,27 @@ object SparkEntry {
       // back against the full sets (row-identical: max(in_c) == "h is in
       // child's distinct set"). The bottom-k TakeOrdered then reads the
       // already-tagged sample directly.
+      // r16: group by the RAW key value and hash AFTER the exchange. The
+      // fixture tables are single-row-group parquet, so the pre-r16 shape
+      // computed md5 once per ROW inside an unsplittable single-task scan
+      // (JobProfile: the lineitem candidate's scan stage was the whole
+      // query, 0.73 s of task time on 4 tasks); grouping by the value
+      // first keeps the scan stage down to a map-side partial distinct,
+      // and the md5 runs once per DISTINCT value on the parallel
+      // post-exchange side. Row-identical: md5 is a deterministic
+      // function of the value, so per-value groups ARE per-hash groups
+      // (DuckDB oracle unchanged: SELECT DISTINCT md5(...) — same set).
       def est(name: String, child: DataFrame, ck: String,
           parent: DataFrame, pk: String): DataFrame = {
         val tagged = child.where(col(ck).isNotNull)
-          .select(md5(col(ck).cast("string")).as("h"),
+          .select(col(ck).cast("string").as("v"),
             lit(1).as("in_c"), lit(0).as("in_p"))
           .unionByName(parent.where(col(pk).isNotNull)
-            .select(md5(col(pk).cast("string")).as("h"),
+            .select(col(pk).cast("string").as("v"),
               lit(0).as("in_c"), lit(1).as("in_p")))
-        val u = tagged.groupBy(col("h"))
+        val u = tagged.groupBy(col("v"))
           .agg(max(col("in_c")).as("in_c"), max(col("in_p")).as("in_p"))
+          .select(md5(col("v")).as("h"), col("in_c"), col("in_p"))
           .orderBy(col("h")).limit(k)
         u.agg(count(lit(1)).as("n_union_sample"),
             sum(col("in_c")).as("n_child_sample"),

@@ -74,9 +74,19 @@ object Retrieval {
     // cut, every one of the k unrolled rounds re-runs that scan (the
     // round-7 board measured q_mmr_rerank at ~13 s for exactly this;
     // the checkpoint drops the corpus scan count from ~2k to 2)
-    val c = candidates.select(col("query_id"), col("neighbor_id"),
-      col("rel").cast("double").as("rel")).localCheckpoint(true)
-    val simsM = sims.localCheckpoint(true)
+    // loopFrame(assumeBounded): both inputs are k-bounded BY CONTRACT
+    // (≤ topN rows / ≤ topN² pair rows per query — never corpus-sized),
+    // so the k unrolled rounds run on the AQE-off clone: the r15 board
+    // measured q_mmr_rerank at 44 jobs, every one under 0.2 s of task
+    // time — pure per-stage driver latency, which classic execution of
+    // the tiny bounded rounds removes (r16; rationale at
+    // GraphOps.loopFrame).
+    val c = graft.graph.GraphOps.loopFrame(
+      candidates.select(col("query_id"), col("neighbor_id"),
+        col("rel").cast("double").as("rel")).localCheckpoint(true),
+      assumeBounded = true)
+    val simsM = graft.graph.GraphOps.loopFrame(
+      sims.localCheckpoint(true), assumeBounded = true)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__score").desc, col("neighbor_id"))
     // round 1: no picked set — score is lambda*rel (the -0 term elided
@@ -105,7 +115,11 @@ object Retrieval {
       // TWICE (anti-join + picked-pair join), so left lazy the plan
       // doubles per round — 2^k copies of round 1's subtree by round k
       // (measured: q_mmr_rerank 5.1 s -> ~2 s with the cut). The frame is
-      // <= queries*r rows — the checkpoint is trivially small.
+      // <= queries*r rows — the checkpoint is trivially small. EAGER on
+      // purpose even on the AQE-off clone (r16): the two references are
+      // SIBLING stages of the next round's job, and a lazy first touch
+      // from siblings race-computes the partitions under the block locks
+      // (measured 2× slower in the components loop probe).
       picked = picked.unionByName(next).localCheckpoint(true)
     }
     picked

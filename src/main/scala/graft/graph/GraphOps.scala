@@ -202,6 +202,88 @@ object GraphOps {
     * REAL pin semantics; never used by query paths. */
   private[graft] def pinForProbe(df: DataFrame): DataFrame = pinKeepingLayout(df)
 
+  /** Re-bind a fixed-point loop's working frame onto a cached cloned
+    * session with ADAPTIVE EXECUTION OFF — every per-round job the loop
+    * runs over the frame (checkpoints, convergence aggregates, broadcast
+    * builds) then executes as ONE classic job instead of one driver-
+    * replanned job per query stage.
+    *
+    * Why (r16, from the r15 JobProfile decomposition): the iterative
+    * operators are per-job-latency-bound at bench scale — q_components
+    * ran 57 jobs of which ~50 carried under 0.1 s of task time; q_hits
+    * ~25, q_mmr_rerank 44 — and inside a loop whose per-round plans are
+    * already exchange-free (hits/pagerank/bfs: broadcast-hinted joins +
+    * in-place folds) or bounded (the contracting star/peel rounds), AQE
+    * has nothing left to re-optimize: its only observable effect is one
+    * extra stage-materialization job + driver replan per exchange per
+    * round. Results are bit-identical by construction (same deterministic
+    * integer plans, AQE never changes semantics).
+    *
+    * SCALE GATE: AQE's per-round value (coalescing, skew splits, runtime
+    * join re-selection) grows with the loop's working-set size, so the
+    * rebind applies only when the frame's planner size estimate is under
+    * `SPARK_GRAFT_LOOP_AQE_OFF_MAX_BYTES` (default 4 GiB — rounds over
+    * inputs that small shuffle at most hundreds of MB, where fixed
+    * per-stage driver latency dominates anything AQE can recover). A
+    * 100 TB input fails the gate and loops under AQE exactly as before;
+    * 0 disables the rebind outright.
+    *
+    * The clone shares the SparkContext and external catalog (staged
+    * tables resolve; checkpointed RDD blocks are shared), owns its
+    * SessionState (the conf flip is invisible to every other planner —
+    * the [[pinKeepingLayout]] session-local discipline), and is cached
+    * weakly per source session. */
+  private[graft] def loopFrame(df: DataFrame,
+      assumeBounded: Boolean = false): DataFrame = {
+    // assumeBounded: the caller certifies the frame is DOMAIN-bounded
+    // (top-k candidate lists, sweep grids) — its planner estimate is
+    // meaningless (corpus-sized lineage) but its materialized size is a
+    // few thousand rows at any input scale, so the gate is skipped
+    val maxBytes = loopAqeOffMaxBytes
+    val bytes = if (assumeBounded) 0L else {
+      val st = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (st > BigInt(Long.MaxValue)) Long.MaxValue else st.toLong
+    }
+    if (maxBytes <= 0L || bytes > maxBytes) df
+    else {
+      val s = df.sparkSession
+      // STATIC COALESCING: with AQE off the loop loses runtime partition
+      // coalescing, and a 32-task post-shuffle stage over KB-sized round
+      // frames pays ~50-90 ms of fixed per-task CPU (buffer/page setup) —
+      // probed at 3-4× the whole round's useful work. Derive the clone's
+      // shuffle.partitions from the loop's working-set size instead
+      // (~1 MB per partition, the AQE minPartitionSize default), capped
+      // at the session's configured parallelism — scale-adaptive, never
+      // a constant tuned to the local core count.
+      val sessionParts = s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      val derived = math.max(1L, bytes >> 20).min(sessionParts.toLong).toInt
+      val npart = Integer.highestOneBit(derived) // quantize: bounded clone count
+      val clone = loopClones.synchronized {
+        loopClones.getOrElseUpdate(s,
+          scala.collection.mutable.Map.empty).getOrElseUpdate(npart, {
+          val c = org.apache.spark.sql.graftbridge.DatasetBridge.cloneSession(s)
+          c.conf.set("spark.sql.adaptive.enabled", "false")
+          c.conf.set("spark.sql.shuffle.partitions", npart.toString)
+          // the source session is often the PIN clone (pinned frames live
+          // there), which carries autoBucketedScan=false for its own
+          // checkpoint planning — restore the default here so any staged-
+          // table scan planned inside the loop keeps its bucket-aware read
+          c.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+          c
+        })
+      }
+      org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(
+        clone, df.queryExecution.analyzed)
+    }
+  }
+
+  private[this] def loopAqeOffMaxBytes: Long =
+    sys.env.get("SPARK_GRAFT_LOOP_AQE_OFF_MAX_BYTES").map(_.toLong)
+      .getOrElse(4L << 30)
+
+  private[this] val loopClones = new scala.collection.mutable.WeakHashMap[
+    SparkSession, scala.collection.mutable.Map[Int, SparkSession]]
+
   /** HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED edge
     * frame, as the same deterministic integer fixed point as
     * [[pageRankFixedPoint]]: per round auth_raw(p) = Σ_{h→p} hub(h),
@@ -272,11 +354,14 @@ object GraphOps {
     // carries the bucket layout through the swap). Without it the
     // auth→hub join re-exchanges the edge frame every round.
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val e = pinKeepingLayout(if (assumeDistinct) e0 else e0.distinct())
+    // loopFrame: the whole 3-round loop (raw pins, max broadcasts, final
+    // union) executes on the AQE-off clone — every per-round plan here is
+    // exchange-free, so AQE only added stage-materialization jobs
+    val e = loopFrame(pinKeepingLayout(if (assumeDistinct) e0 else e0.distinct()))
     val eDst = edgesByDst match {
       case Some(d) =>
         val d0 = d.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        pinKeepingLayout(if (assumeDistinct) d0 else d0.distinct())
+        loopFrame(pinKeepingLayout(if (assumeDistinct) d0 else d0.distinct()))
       case None => e
     }
     var hub = e.select(col("src").as("node")).distinct()
@@ -289,7 +374,11 @@ object GraphOps {
       // partitioning. The raw pin (node-sized) is what lets the 1-row
       // max and the scaled projection read ONE computation — the
       // executed-plan probe showed the old lazy raw re-ran the whole
-      // join+fold per reference (scaladoc above).
+      // join+fold per reference (scaladoc above). EAGER on purpose: the
+      // raw's two consumers (max broadcast + scaled projection inside the
+      // next broadcast build) would first-touch a lazy pin concurrently
+      // and race-compute it under the block locks (the r16 components
+      // probe measured that race at 2× the round's task time).
       val authRaw = eDst.join(broadcast(hub), col("src") === col("node"))
         .groupBy(col("dst")).agg(sum(col("hub_fp")).as("raw"))
         .localCheckpoint(true)
@@ -414,11 +503,14 @@ object GraphOps {
       case Some(d) =>
         // contract (edgesByDst ⇒ assumeDistinct) already enforced at the
         // top of the function, before any job ran
-        val eD = pinKeepingLayout( // pin once: every round re-reads it (hits rationale)
-          d.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+        // loopFrame: the rounds are exchange-free (broadcast-hinted join +
+        // in-place fold), so they run on the AQE-off clone — one job per
+        // broadcast build instead of one per AQE stage (r16)
+        val eD = loopFrame(pinKeepingLayout( // pin once: every round re-reads it (hits rationale)
+          d.select(col(srcCol).as("src"), col(dstCol).as("dst"))))
         // deg is node-sized but derives from a full edge scan — pinned,
         // or every round's broadcast build replays that scan
-        val degP = pinKeepingLayout(deg)
+        val degP = loopFrame(pinKeepingLayout(deg))
         ranks = degP.select(col("src").as("node"), lit(1000000L).as("rank_fp"))
         for (_ <- 1 to iterations) {
           val contribBySrc = ranks.join(degP, col("node") === col("src"))
@@ -524,9 +616,10 @@ object GraphOps {
       case Some(dv) =>
         // contract (edgesByDst ⇒ assumeDistinct) already enforced at the
         // top of the function, before any job ran
-        val eD = pinKeepingLayout(
-          dv.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-        val degP = pinKeepingLayout(deg)
+        // loopFrame: same AQE-off loop binding as pageRankFixedPoint's
+        val eD = loopFrame(pinKeepingLayout(
+          dv.select(col(srcCol).as("src"), col(dstCol).as("dst"))))
+        val degP = loopFrame(pinKeepingLayout(deg))
         ranks = degP.select(col("src").as("node"))
           .join(broadcast(seedSet), Seq("node"), "left")
           .select(col("node"),
@@ -717,20 +810,32 @@ object GraphOps {
       maxRounds: Int = 40, assumeSymmetric: Boolean = false): (DataFrame, Int) = {
     // assumeSymmetric: src > dst keeps exactly one canonically-oriented
     // row per pair (the symmetric closure holds both), loop-free by the
-    // strict inequality — no re-orientation, no distinct exchange
-    var e = (if (assumeSymmetric)
+    // strict inequality — no re-orientation, no distinct exchange.
+    // loopFrame (r16): the whole contraction loop executes on the AQE-off
+    // clone — the r15 JobProfile showed 57 jobs for one q_components run,
+    // ~50 of them sub-0.1 s-of-task-time stage materializations and
+    // checkpoint barriers; with classic execution each round below is ONE
+    // job. The checkpoints are LAZY: each round's fingerprint aggregate
+    // (which the loop needs anyway) materializes that round's blocks —
+    // the fused convergence probe.
+    // e lazy: its single first touch is the initial fingerprint below
+    // (one stage chain), which materializes it — round 1's sibling
+    // readers then hit blocks
+    var e = loopFrame(if (assumeSymmetric)
         edges.where(col(srcCol) > col(dstCol))
           .select(col(srcCol).as("u"), col(dstCol).as("v"))
       else edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
         .where(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
         .distinct())
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // the output must cover every endpoint of the ORIGINAL edge set; the
-    // contracted set loses interior nodes as chains fold
+    // contracted set loses interior nodes as chains fold. Lazy: consumed
+    // once, by the final labels union — materializes there (over the
+    // already-materialized e blocks).
     val allNodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     // closed-neighborhood minimum per node over both edge orientations
     def mins(edgeSet: DataFrame): DataFrame =
@@ -761,6 +866,11 @@ object GraphOps {
       // oriented and loop-free by construction.
       val sym1 = e.select(col("u").as("x"), col("v").as("y"))
         .union(e.select(col("v").as("x"), col("u").as("y")))
+      // ls stays EAGER: its consumers (sym2's two legs + m2) are SIBLING
+      // stages of one job — left lazy they first-touch the marked RDD
+      // concurrently and race-compute every partition under the block
+      // locks (probed: run ≫ cpu, ~2× the round's task time). Eager = one
+      // classic job here, then block reads everywhere.
       val ls = sym1.join(mins(e), Seq("x"))
         .where(col("y") > col("x"))
         .select(col("y").as("u"), col("m").as("v"))
@@ -777,7 +887,11 @@ object GraphOps {
         .union(m2.select(col("x").as("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      // ss lazy is SAFE (unlike ls): its single first touch is the
+      // fingerprint's one stage chain, so the aggregate the loop needs
+      // anyway materializes the round's blocks — the fused convergence
+      // probe; the next round's sibling readers then hit blocks
       val fpNext = fingerprint(ss)
       // fingerprint equality is only a GATE; termination requires proven
       // set equality (equal counts + empty anti-join => equal sets)
@@ -851,9 +965,11 @@ object GraphOps {
   private def bfsEdges(edges: DataFrame, srcCol: String, dstCol: String,
       assumeSymmetric: Boolean): DataFrame =
     if (assumeSymmetric)
-      pinKeepingLayout(
+      // loopFrame: the relax rounds are exchange-free (broadcast distance
+      // frame + in-place min fold), so they run on the AQE-off clone (r16)
+      loopFrame(pinKeepingLayout(
         edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
-          when(col(srcCol) === col(dstCol), 0L).otherwise(1L).as("w")))
+          when(col(srcCol) === col(dstCol), 0L).otherwise(1L).as("w"))))
     else {
       val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
         .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
@@ -1470,7 +1586,11 @@ object GraphOps {
     // initial adjacency is the bucketed scan ITSELF (self-loops filtered
     // in place, no checkpoint needed for a plain scan): the first round's
     // degree rollup and both anti-joins on `s` read buckets in place.
-    var adj =
+    // loopFrame (r16): the peel rounds (degree rollup, two anti-joins,
+    // emptiness probe, adjacency rewrite) run on the AQE-off clone —
+    // bounded tiny-shuffle rounds whose cost at bench scale was stage-
+    // materialization job latency, not data motion
+    var adj = loopFrame(
       if (assumeSymmetric)
         symmetricLoopFree(edges, srcCol, dstCol)
           .select(col(srcCol).as("s"), col(dstCol).as("d"))
@@ -1478,8 +1598,9 @@ object GraphOps {
         val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
           .where(col("s") =!= col("d"))
         e0.union(e0.select(col("d").as("s"), col("s").as("d")))
-          .distinct().localCheckpoint(true)
-      }
+          .distinct()
+      })
+    if (!assumeSymmetric) adj = adj.localCheckpoint(true)
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
@@ -1535,7 +1656,9 @@ object GraphOps {
     // let AQE right-size them (measured +18% isolated). One (a, b)
     // repartition replaces the dedup exchange at the same cost and
     // hands AQE-sized, wedge-join-keyed partitions to the loop.
-    var e = (if (assumeSymmetric)
+    // loopFrame (r16): peel rounds on the AQE-off clone — same job-count
+    // rationale as kCoreWithRounds
+    var e = loopFrame(if (assumeSymmetric)
         edges.where(col(srcCol) < col(dstCol))
           .select(col(srcCol).as("a"), col(dstCol).as("b"))
           .repartition(col("a"), col("b"))
@@ -1616,8 +1739,11 @@ object GraphOps {
   def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
       dstCol: String, maxPeels: Int = 40, maxRounds: Int = 400,
       driverEdgeLimit: Int = 2000000): DataFrame = {
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    // loopFrame (r16): the tier probe, the Tarjan collect (small tier) or
+    // the peel rounds (distributed tier) all run over this frame — AQE-off
+    // under the size gate, same job-count rationale as the other loops
+    val e = loopFrame(edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b")).distinct()).localCheckpoint(true)
     val small = e.limit(driverEdgeLimit + 1).count() <= driverEdgeLimit
     if (small) tarjanDriver(e)
     else stronglyConnectedComponentsWithStats(e, "a", "b", maxPeels, maxRounds)._1
@@ -1856,7 +1982,10 @@ object GraphOps {
   def condensationLayers(edges: DataFrame, srcCol: String, dstCol: String,
       labels: DataFrame, maxDepth: Int = 100,
       driverNodeLimit: Int = 2000000): DataFrame = {
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b")).distinct()
+    // loopFrame (r16): the condensation probes/collects (small tier) or
+    // layer rounds (distributed tier) run AQE-off under the size gate
+    val e = loopFrame(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b")).distinct())
     val ce = e
       .join(labels.select(col("node").as("a"), col("scc").as("cu")), Seq("a"))
       .join(labels.select(col("node").as("b"), col("scc").as("cv")), Seq("b"))

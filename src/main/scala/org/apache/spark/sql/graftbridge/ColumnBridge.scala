@@ -66,7 +66,20 @@ object DatasetBridge {
     * attribute-keyed histograms would need the same remap and no pin
     * consumer reads them. */
   def localCheckpointKeepingLayout(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    localCheckpointKeepingLayout(df, eager = true)
+
+  /** [[localCheckpointKeepingLayout]] with the materialization moment as a
+    * parameter. `eager = false` marks the RDD for local checkpointing but
+    * runs NO job — the first downstream action (a convergence aggregate, a
+    * broadcast build) materializes the blocks as a side effect, fusing the
+    * checkpoint job into work the loop was going to do anyway (r16: the
+    * per-round job-count cut in the fixed-point operators). Lazy callers
+    * must consume the frame on an AQE-OFF session: executing an
+    * AdaptiveSparkPlanExec materializes its query stages eagerly, which
+    * would run the jobs at construction anyway. */
+  def localCheckpointKeepingLayout(df: org.apache.spark.sql.DataFrame,
+      eager: Boolean): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, SortOrder}
     import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection}
     val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
@@ -75,7 +88,8 @@ object DatasetBridge {
     val physical = qe.executedPlan
     val internalRdd = physical.execute().map(_.copy())
     internalRdd.localCheckpoint()
-    internalRdd.count(): Unit // eager: materialize before recording layout
+    if (eager)
+      internalRdd.count(): Unit // eager: materialize before recording layout
     val out = qe.analyzed.output.map(_.withQualifier(Seq.empty))
     val byId = out.map(a => a.exprId -> a).toMap
     def remap[E <: Expression](e: E): E = e.transform {
