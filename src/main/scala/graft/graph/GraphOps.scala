@@ -202,6 +202,9 @@ object GraphOps {
     * REAL pin semantics; never used by query paths. */
   private[graft] def pinForProbe(df: DataFrame): DataFrame = pinKeepingLayout(df)
 
+  /** Probe/test hook for [[loopFrame]] — same contract as [[pinForProbe]]. */
+  private[graft] def loopFrameForProbe(df: DataFrame): DataFrame = loopFrame(df)
+
   /** Re-bind a fixed-point loop's working frame onto a cached cloned
     * session with ADAPTIVE EXECUTION OFF — every per-round job the loop
     * runs over the frame (checkpoints, convergence aggregates, broadcast
@@ -506,8 +509,16 @@ object GraphOps {
         // loopFrame: the rounds are exchange-free (broadcast-hinted join +
         // in-place fold), so they run on the AQE-off clone — one job per
         // broadcast build instead of one per AQE stage (r16)
-        val eD = loopFrame(pinKeepingLayout( // pin once: every round re-reads it (hits rationale)
-          d.select(col(srcCol).as("src"), col(dstCol).as("dst"))))
+        //
+        // eD is NOT pinned (r16, tools/PrProbe): each round reads the
+        // view exactly once, and the bucketed staged scan (~MBs of
+        // parquet) beats re-reading ~100 MB of row-copy checkpoint
+        // blocks — interleaved A/B 1.57 -> 1.27 s with the pin's
+        // row-copy/store job gone; identical integer ranks asserted.
+        // (hitsFixedPoint keeps its pins: both directions re-read per
+        // round there — the r11 measurement.)
+        val eD = loopFrame(
+          d.select(col(srcCol).as("src"), col(dstCol).as("dst")))
         // deg is node-sized but derives from a full edge scan — pinned,
         // or every round's broadcast build replays that scan
         val degP = loopFrame(pinKeepingLayout(deg))
@@ -616,9 +627,10 @@ object GraphOps {
       case Some(dv) =>
         // contract (edgesByDst ⇒ assumeDistinct) already enforced at the
         // top of the function, before any job ran
-        // loopFrame: same AQE-off loop binding as pageRankFixedPoint's
-        val eD = loopFrame(pinKeepingLayout(
-          dv.select(col(srcCol).as("src"), col(dstCol).as("dst"))))
+        // loopFrame + unpinned eD: same rationale as pageRankFixedPoint's
+        // (tools/PrProbe A/B)
+        val eD = loopFrame(
+          dv.select(col(srcCol).as("src"), col(dstCol).as("dst")))
         val degP = loopFrame(pinKeepingLayout(deg))
         ranks = degP.select(col("src").as("node"))
           .join(broadcast(seedSet), Seq("node"), "left")
@@ -966,7 +978,12 @@ object GraphOps {
       assumeSymmetric: Boolean): DataFrame =
     if (assumeSymmetric)
       // loopFrame: the relax rounds are exchange-free (broadcast distance
-      // frame + in-place min fold), so they run on the AQE-off clone (r16)
+      // frame + in-place min fold), so they run on the AQE-off clone (r16).
+      // The pin STAYS: unlike pagerank's single-read-per-round view, the
+      // unpinned form was re-measured here (r16) at 0.7-0.87 s vs
+      // 0.52-0.57 s pinned for q_bfs_dist — the weight projection's
+      // conditional defeats the direct bucket-layout reuse the pagerank
+      // swap enjoys, and the relax fold re-exchanged.
       loopFrame(pinKeepingLayout(
         edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
           when(col(srcCol) === col(dstCol), 0L).otherwise(1L).as("w"))))

@@ -37,7 +37,7 @@ object JobProfile {
 
     case class StageAgg(var name: String = "", var tasks: Int = 0,
       var taskTimeMs: Long = 0, var shufReadB: Long = 0, var shufWriteB: Long = 0,
-      var inputB: Long = 0)
+      var inputB: Long = 0, var maxTaskMs: Long = 0, var cpuMs: Long = 0)
     val stages = mutable.LinkedHashMap[Int, StageAgg]()
     val jobs = mutable.LinkedHashMap[Int, (Long, Long, Seq[Int])]() // id -> (t0, t1, stageIds)
     val listener = new SparkListener {
@@ -57,6 +57,8 @@ object JobProfile {
         val m = t.taskMetrics
         if (m != null) {
           a.taskTimeMs += m.executorRunTime
+          a.cpuMs += m.executorCpuTime / 1000000
+          if (m.executorRunTime > a.maxTaskMs) a.maxTaskMs = m.executorRunTime
           a.shufReadB += m.shuffleReadMetrics.totalBytesRead
           a.shufWriteB += m.shuffleWriteMetrics.bytesWritten
           a.inputB += m.inputMetrics.bytesRead
@@ -88,6 +90,7 @@ object JobProfile {
       val top = stages.toSeq.sortBy(-_._2.taskTimeMs).take(12)
       top.foreach { case (id, a) =>
         println(f"  stage $id%3d tasks=${a.tasks}%3d taskTime=${a.taskTimeMs / 1000.0}%8.2f s " +
+          f"cpu=${a.cpuMs / 1000.0}%7.2f maxTask=${a.maxTaskMs / 1000.0}%6.2f " +
           f"in=${a.inputB / 1e6}%8.1f MB sr=${a.shufReadB / 1e6}%7.1f MB sw=${a.shufWriteB / 1e6}%7.1f MB  ${a.name.take(80)}")
       }
     }
