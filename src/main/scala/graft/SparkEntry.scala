@@ -1425,11 +1425,15 @@ object SparkEntry {
         .agg(sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
         // the residual 0.50 is split across however many non-pinned sources
         // EXIST, not a hardcoded count — a corpus gaining/losing a source
-        // must keep the weights summing to 1. The global window runs over
-        // the per-source aggregate (bounded: one row per source), never the
-        // corpus
-        .withColumn("__n_src",
-          count(lit(1)).over(Window.partitionBy()))
+        // must keep the weights summing to 1. The source count arrives as
+        // a broadcast 1-row aggregate over the per-source rollup (r16 —
+        // the former global window moved the bounded rollup to one
+        // partition anyway, but the aggregate form keeps the plan free of
+        // single-partition window stages; identical integer count)
+        .crossJoin(broadcast(
+          t(s, dir, "documents").groupBy(col("source"))
+            .agg(count(lit(1)).as("__dropme"))
+            .agg(count(lit(1)).as("__n_src"))))
         .withColumn("weight",
           when(col("source") === "src0", 0.30)
             .when(col("source") === "src1", 0.20)
@@ -2184,11 +2188,21 @@ object SparkEntry {
     // any engine replaying the same ranked lists (both of which are
     // themselves hash-matched: q_bm25 / q_embed_topk).
     "q_rrf_hybrid" -> ((s, dir) => {
-      val lex = TextAnalysis.bm25Rank(t(s, dir, "documents"), "doc_id", "text",
+      // rank = 1 + number of strict predecessors under the (bm25 desc,
+      // doc_id) TOTAL order — identical integers to the former
+      // row_number() over an unpartitioned window (r16): the frame is
+      // topK=20-bounded so either form is bounded at any scale, but the
+      // broadcast predecessor-count keeps the plan free of
+      // single-partition stages (one fewer PlanLintSpec allow-list entry)
+      val bm = TextAnalysis.bm25Rank(t(s, dir, "documents"), "doc_id", "text",
           queryTerms = Seq("spark", "merge", "vector"), topK = 20)
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id").asc)))
-        .select(col("doc_id"), col("rank"))
+        .select(col("doc_id"), col("bm25"))
+      val lex = bm.as("a").join(broadcast(bm.as("b")),
+          col("b.bm25") > col("a.bm25") ||
+            (col("b.bm25") === col("a.bm25") && col("b.doc_id") < col("a.doc_id")),
+          "left")
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg((count(col("b.doc_id")) + 1L).cast("int").as("rank"))
       val emb = t(s, dir, "embeddings")
       val qv = emb.where(col("vec_id") === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))

@@ -50,8 +50,6 @@ class PlanLintSpec extends SparkSpec {
       "PSI cumulative over the score-bucket rollup — bucket-domain-bounded",
     ("q_drift_psi", "single-partition") ->
       "the same bucket-bounded window's sort",
-    ("q_rrf_hybrid", "window") ->
-      "re-rank of the ≤topK=20 bm25 frame — k-bounded by construction",
     ("q_shuffle_order", "window") ->
       ("prefix offsets over the ≤65,536-bucket count rollup, never over " +
         "data (doc at Sampling.shuffleOrder)"),
@@ -65,12 +63,14 @@ class PlanLintSpec extends SparkSpec {
       ("tp/fp suffix sums over distinct score thresholds — score-domain-" +
         "bounded (doc at Evaluation.thresholdSweep)"),
     ("q_threshold_sweep", "single-partition") ->
-      "the same threshold-domain window's sort",
-    ("q_token_budget", "window") ->
-      ("source count over the per-source rollup — one row per source " +
-        "(documented inline at the query)"),
-    ("q_token_budget", "single-partition") ->
-      "the same per-source window"
+      "the same threshold-domain window's sort"
+    // r16: q_token_budget (source-count window → broadcast 1-row
+    // aggregate) and q_rrf_hybrid (row_number → broadcast
+    // predecessor-count) re-derived without global windows — three
+    // entries retired; the remaining six are cumulative/product windows
+    // whose float/product accumulation ORDER is part of the oracle
+    // contract (re-deriving via aggregation would change summation order
+    // and risk ULP drift), each over a domain-bounded frame.
   )
 
   private def lintLogical(df: DataFrame): Seq[String] = {
