@@ -359,15 +359,25 @@ object GraphOps {
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // loopFrame: the whole 3-round loop (raw pins, max broadcasts, final
     // union) executes on the AQE-off clone — every per-round plan here is
-    // exchange-free, so AQE only added stage-materialization jobs
-    val e = loopFrame(pinKeepingLayout(if (assumeDistinct) e0 else e0.distinct()))
-    val eDst = edgesByDst match {
-      case Some(d) =>
-        val d0 = d.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        loopFrame(pinKeepingLayout(if (assumeDistinct) d0 else d0.distinct()))
-      case None => e
+    // exchange-free, so AQE only added stage-materialization jobs.
+    // The two direction pins are INDEPENDENT jobs over disjoint table
+    // slices — overlap them from a second thread (guide §2.6; the pin
+    // clone registry is synchronized and the session-local pin test
+    // exercises concurrent pins), which takes one pin's wall off the
+    // critical path (~0.2 s of the board's #1 query).
+    val eDstFut = edgesByDst.map { d =>
+      val d0 = d.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        loopFrame(pinKeepingLayout(if (assumeDistinct) d0 else d0.distinct())))
     }
-    var hub = e.select(col("src").as("node")).distinct()
+    val e = loopFrame(pinKeepingLayout(if (assumeDistinct) e0 else e0.distinct()))
+    val eDst = eDstFut.map(_.join()).getOrElse(e)
+    // hub seed from the SCAN, not the pin: the distinct-source set of the
+    // raw slice equals the pinned frame's (dedup commutes with the src
+    // projection), and the bucketed scan folds the distinct in place for
+    // ~MBs of parquet instead of reading the pin's ~50 MB of row-copy
+    // blocks (r16 JobProfile: that broadcast build was 4.1 s task time)
+    var hub = loopFrame(e0).select(col("src").as("node")).distinct()
       .withColumn("hub_fp", lit(1000000L))
     var auth: DataFrame = hub.limit(0).withColumnRenamed("hub_fp", "auth_fp")
     for (_ <- 1 to iterations) {
